@@ -1,0 +1,76 @@
+"""Benchmark harness — runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Headline set = the scale-relevant shapes: big scan+agg, multi-join
+star, windows, and the LLM ops on their scale paths (LSH variants, not
+the quadratic exact baselines). Each query is executed twice — timing
+the second (warm) run — and consumed with a driver-light action
+(count via agg) so we measure engine time, not row serialization.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entry_mod
+from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.session import (
+    build_session,
+)
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "join_self_dual_role",
+    "join_inner_fk_agg",
+    "window_topk_per_group",
+    "dedup_latest_wins",
+    "tumbling_window_agg",
+    "sessionize",
+    "profile_orders",
+    "dim_date_full",
+    "text_stats",
+    "dedup_exact_groups",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "embedding_topk_bruteforce",
+    "embedding_ann_lsh",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = build_session("bench")
+
+    qs = entry_mod.queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        fn(spark, sf_dir).count()  # warm-up: plan + fill caches
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_wall_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

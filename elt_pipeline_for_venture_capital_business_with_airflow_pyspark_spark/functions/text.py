@@ -1,0 +1,146 @@
+"""Text-analysis expression builders for the documents table.
+
+These are the training-data-pipeline scalar ops (BASELINE.json north
+star): token counting, quality scoring, language-ID heuristic,
+document fingerprinting, shingling for dedup. All pure Column
+expressions (JVM-side, codegen) — at 100 TB these run inside the scan
+stage with zero shuffle and zero Python.
+
+Every builder has an ANSI-SQL twin in ``__spark_entry__.oracle_sql``
+so the DuckDB oracle verifies semantics bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+__all__ = [
+    "tokens",
+    "token_count",
+    "bpe_token_count",
+    "punct_count",
+    "stopword_count",
+    "quality_score",
+    "lang_id",
+    "fingerprint",
+    "shingles",
+    "STOPWORDS",
+    "LANG_MARKERS",
+]
+
+# Small English stopword list — enough for ratio features; the point is
+# the operator shape (multiset membership over tokens), not lexicography.
+STOPWORDS: tuple[str, ...] = (
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "for", "on", "with", "as", "at", "by", "be", "this", "that", "are",
+)
+
+# Marker words per language for the n-gram/stopword language-ID
+# heuristic. Deterministic and SQL-expressible: predicted language =
+# argmax of marker hits, ties broken by language code order, no hits → 'und'.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "mit"),
+    "en": ("the", "a", "and", "is", "of", "to", "in", "it"),
+    "es": ("el", "la", "los", "las", "es", "y", "un", "una"),
+    "fr": ("le", "la", "les", "est", "et", "un", "une", "dans"),
+}
+
+
+def _col(c: str | Column) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def tokens(col: str | Column) -> Column:
+    """Whitespace tokenization → array<string>; empty/blank text → []."""
+    c = F.trim(_col(col))
+    return F.when(c == "", F.array().cast("array<string>")).otherwise(F.split(c, r"\s+"))
+
+
+def token_count(col: str | Column) -> Column:
+    return F.size(tokens(col))
+
+
+# BPE-ish pre-tokenizer: letter runs | digit runs | single non-space
+# symbol. Same regex class semantics in Java regex (Spark) and RE2
+# (DuckDB) — deliberately ASCII-explicit, no \w/\p classes.
+BPE_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n]"
+
+
+def bpe_token_count(col: str | Column) -> Column:
+    """Counts BPE-style pre-tokens (letter runs / digit runs / symbols) —
+    a cheap proxy for LLM token counts that needs no vocab file."""
+    return F.regexp_count(_col(col), F.lit(BPE_PATTERN))
+
+
+def punct_count(col: str | Column) -> Column:
+    return F.regexp_count(_col(col), F.lit("[^A-Za-z0-9 \\t\\n]"))
+
+
+def stopword_count(col: str | Column) -> Column:
+    """Multiset count of stopword occurrences among whitespace tokens."""
+    sw = F.array(*[F.lit(s) for s in STOPWORDS])
+    return F.size(F.filter(tokens(col), lambda t: F.array_contains(sw, t)))
+
+
+def quality_score(col: str | Column) -> Column:
+    """Heuristic document quality in [0,1]: rewards mid-length docs and
+    a sane stopword share, penalizes punctuation soup.
+
+    score = 0.4*min(1, n_tokens/100) + 0.3*min(1, 5*stopword_ratio)
+          + 0.3*(1 - min(1, 4*punct_ratio)), 0 for empty docs.
+    Pure double arithmetic → deterministic across engines.
+    """
+    c = _col(col)
+    n_tok = token_count(c).cast("double")
+    n_char = F.length(c).cast("double")
+    sw_ratio = F.when(n_tok > 0, stopword_count(c) / n_tok).otherwise(F.lit(0.0))
+    punct_ratio = F.when(n_char > 0, punct_count(c) / n_char).otherwise(F.lit(0.0))
+    score = (
+        F.least(F.lit(1.0), n_tok / F.lit(100.0)) * F.lit(0.4)
+        + F.least(F.lit(1.0), sw_ratio * F.lit(5.0)) * F.lit(0.3)
+        + (F.lit(1.0) - F.least(F.lit(1.0), punct_ratio * F.lit(4.0))) * F.lit(0.3)
+    )
+    return F.when(n_tok == 0, F.lit(0.0)).otherwise(score)
+
+
+def lang_id(col: str | Column) -> Column:
+    """Marker-word language ID: argmax over LANG_MARKERS hit counts,
+    ties → first language in code order, zero hits → 'und'."""
+    toks = tokens(col)
+    scores = []
+    for code in sorted(LANG_MARKERS):
+        markers = F.array(*[F.lit(m) for m in LANG_MARKERS[code]])
+        scores.append(
+            (code, F.size(F.filter(toks, lambda t: F.array_contains(markers, t))))
+        )
+    best = F.lit("und")
+    best_score = F.lit(0)
+    # forward iteration + strict > : earlier codes win ties, and a
+    # zero-hit language can never displace 'und' (best_score starts 0).
+    for code, score in scores:
+        is_better = score > best_score
+        best = F.when(is_better, F.lit(code)).otherwise(best)
+        best_score = F.when(is_better, score).otherwise(best_score)
+    return best
+
+
+def fingerprint(col: str | Column) -> Column:
+    """Normalization-invariant document fingerprint: md5 of the text
+    lowercased with all non-alphanumerics removed. md5 exists in both
+    Spark and DuckDB → oracle-checkable (unlike xxhash64)."""
+    normalized = F.regexp_replace(F.lower(_col(col)), "[^a-z0-9]", "")
+    return F.md5(normalized)
+
+
+def shingles(col: str | Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles → array<string>. Docs shorter than
+    n tokens yield a single shingle of the whole doc so they still
+    participate in dedup."""
+    toks = tokens(col)
+    k = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(k - (n - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    return F.array_distinct(F.when(k == 0, F.array().cast("array<string>")).otherwise(grams))

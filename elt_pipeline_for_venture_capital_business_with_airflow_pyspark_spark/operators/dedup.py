@@ -1,0 +1,307 @@
+"""Deduplication operator family (BASELINE.json north star).
+
+Five dedup strategies over a documents table, ordered by cost/recall
+trade-off. All are pure DataFrame compositions — no Python in the hot
+path — and all avoid driver-side materialization:
+
+- exact        : fingerprint groupBy. One shuffle on a 32-char hash.
+- ngram_jaccard: exact word-shingle Jaccard via shingle-inverted-index
+                 self-join. Quadratic in the worst case — the *oracle*
+                 baseline the approximate methods are tested against.
+- minhash_lsh  : MinHash signatures + banded LSH candidate join →
+                 the 100 TB path (cost ≈ linear in corpus + candidate
+                 pairs). Signature hashing is seeded xxhash64, fully
+                 JVM-side.
+- simhash      : 64-bit SimHash fingerprints + chunk-banding for
+                 hamming-distance candidates.
+- embedding near-dup: cosine ≥ threshold pairs on an embedding column
+                 (see ``similarity`` for the ANN machinery).
+
+Scale notes (100 TB): the shingle inverted index must drop
+ultra-frequent shingles (``max_shingle_freq``) or the hottest shingle
+becomes a quadratic skew key; LSH banding keeps candidate generation
+linear; everything shuffles on hash keys → uniform partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import text as TX
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact duplicate groups by normalized-text fingerprint.
+
+    Returns one row per fingerprint group: canonical (min) id, group
+    size, member ids sorted. ``n_dups = group_size - 1`` rows can be
+    dropped by keeping ``keep_id`` only.
+    """
+    return (
+        df.select(F.col(id_col).alias("id"), TX.fingerprint(text_col).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.min("id").alias("keep_id"),
+            F.count(F.lit(1)).alias("group_size"),
+            F.array_sort(F.collect_list("id")).alias("member_ids"),
+        )
+    )
+
+
+def _shingle_index(
+    df: DataFrame, id_col: str, text_col: str, n: int, max_shingle_freq: int | None
+) -> DataFrame:
+    """Inverted index: (shingle, id), optionally dropping shingles that
+    occur in more than ``max_shingle_freq`` docs (skew/blowup guard)."""
+    idx = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(TX.shingles(text_col, n)).alias("shingle"),
+    )
+    if max_shingle_freq is not None:
+        hot = (
+            idx.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df_freq"))
+            .filter(F.col("df_freq") > max_shingle_freq)
+            .select("shingle")
+        )
+        idx = idx.join(F.broadcast(hot), "shingle", "left_anti")
+    return idx
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity pairs (id_a < id_b, sim ≥ threshold).
+
+    Plan: shingle inverted index self-joined on shingle → count common
+    shingles per pair → join per-doc shingle counts → jaccard =
+    common / (|A| + |B| - common). Only docs sharing ≥1 shingle ever
+    meet, so cost is driven by shingle co-occurrence, not |corpus|².
+    """
+    idx = _shingle_index(df, id_col, text_col, n, max_shingle_freq)
+    sizes = idx.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
+
+    a = idx.alias("a")
+    b = idx.alias("b")
+    common = (
+        a.join(b, on="shingle")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_shingles").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_shingles").alias("n_b"))
+    return (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "n_common", "n_a", "n_b", "jaccard")
+    )
+
+
+def _seeded_hash(col: F.Column, seed: int) -> F.Column:
+    """Seeded 64-bit hash, JVM-side: xxhash64 over a seed-prefixed value."""
+    return F.xxhash64(F.concat(F.lit(f"{seed}:"), col))
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 64,
+) -> DataFrame:
+    """MinHash signatures: sig[i] = min over shingles of hash_i(shingle).
+
+    One explode + one groupBy computing all ``num_hashes`` mins in a
+    single aggregation pass (map-side partial min → tiny shuffle).
+    """
+    idx = df.select(
+        F.col(id_col).alias("id"), F.explode(TX.shingles(text_col, n)).alias("shingle")
+    )
+    mins = [
+        F.min(_seeded_hash(F.col("shingle"), i)).alias(f"h{i}") for i in range(num_hashes)
+    ]
+    sig = idx.groupBy("id").agg(*mins)
+    return sig.select("id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("signature"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Near-duplicate pairs via banded MinHash LSH.
+
+    ``bands`` bands of ``num_hashes/bands`` rows; docs colliding in ≥1
+    band become candidates (prob ≈ 1-(1-s^r)^b); candidates are scored
+    by estimated Jaccard = fraction of matching signature positions,
+    kept at ``est_jaccard ≥ threshold``. Candidate generation is a
+    hash-key equi-join → linear scale-out; no |corpus|² stage anywhere.
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, n, num_hashes)
+
+    band_entries = sig.select(
+        "id",
+        "signature",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.col("signature")[b * rows_per_band + r].cast("string")
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "signature", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+    a = band_entries.alias("a")
+    b = band_entries.alias("b")
+    cand = (
+        a.join(b, on=["band", "bucket"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.signature").alias("sig_a"),
+            F.col("b.signature").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+            lambda m: m,
+        )
+    ) / F.lit(float(num_hashes))
+    return (
+        cand.withColumn("est_jaccard", est)
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """64-bit SimHash fingerprint per document, expression-only.
+
+    For each bit b: sum over tokens of ±1 (sign of token-hash bit b);
+    fingerprint bit b = 1 iff the sum > 0. Token hashes are expanded to
+    64-char binary strings (``bin``) so per-bit access works inside
+    lambda expressions (Spark's shift functions only take literal shift
+    amounts); the whole computation is per-row inside the scan stage —
+    no shuffle at all.
+
+    Output: ``simhash_bits`` — 64-char '0'/'1' string (MSB first).
+    """
+    toks = TX.tokens(text_col)
+    hashed_bits = F.transform(toks, lambda t: F.lpad(F.bin(F.xxhash64(t)), 64, "0"))
+    votes = F.aggregate(
+        hashed_bits,
+        F.array_repeat(F.lit(0), 64),
+        lambda acc, bits: F.zip_with(
+            acc,
+            F.sequence(F.lit(1), F.lit(64)),
+            lambda a, i: a + F.when(bits.substr(i, F.lit(1)) == "1", 1).otherwise(-1),
+        ),
+    )
+    fp = F.array_join(
+        F.transform(votes, lambda v: F.when(v > 0, F.lit("1")).otherwise(F.lit("0"))), ""
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.when(F.size(toks) == 0, F.lit("0" * 64)).otherwise(fp).alias("simhash_bits"),
+    )
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) ≤ max_hamming via 4×16-bit
+    chunk banding (pigeonhole: distance ≤3 ⇒ ≥1 of 4 chunks equal),
+    then exact hamming filter on candidates."""
+    sh = simhash(df, id_col, text_col)
+    chunks = sh.select(
+        "id",
+        "simhash_bits",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.substring(F.col("simhash_bits"), c * 16 + 1, 16).alias("val"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("cv"),
+    ).select("id", "simhash_bits", "cv.chunk", "cv.val")
+
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cand = (
+        a.join(b, on=["chunk", "val"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.simhash_bits").alias("h_a"),
+            F.col("b.simhash_bits").alias("h_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    hamming = F.size(
+        F.filter(
+            F.zip_with(
+                F.split(F.col("h_a"), ""), F.split(F.col("h_b"), ""), lambda x, y: x != y
+            ),
+            lambda m: m,
+        )
+    )
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def dedup_keep_first(
+    df: DataFrame, keys: list[str], order_by: list
+) -> DataFrame:
+    """Generic latest/first-wins dedup (S7 upsert semantics,
+    reference staging load.py:111-118): row_number()=1 per key.
+    ``order_by`` takes Columns (e.g. ``F.col("ts").desc()``) or names."""
+    w = Window.partitionBy(*keys).orderBy(
+        *[F.col(c) if isinstance(c, str) else c for c in order_by]
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )

@@ -1,0 +1,100 @@
+"""Data-profiling operator (SURVEY.md §2.4 A2-A7, §3.3).
+
+The reference computes per-column completeness / negative-value /
+sample stats in ~130 lines of dynamic plpgsql executing inside
+Postgres (reference: dags/data_profiling/query/data_profiling_function.sql:2-133),
+one dynamic SQL statement per column — O(columns) table scans.
+
+Here the whole profile is ONE Spark aggregation pass per table
+(single scan, map-side partial aggregation, no shuffle beyond the
+final 1-row combine), then unpivoted to one row per column. That is
+the shape that survives 100 TB: cost = one read of the table.
+
+Output schema (long format, one row per column):
+    table_name, column_name, data_type, n_rows, n_not_null,
+    pct_complete (2dp), quality (Good/Bad @90%), n_negative
+    (numeric cols, else NULL), sample (≤5 smallest distinct values,
+    stringified)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_NUMERIC_TYPES = (
+    T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+    T.FloatType, T.DoubleType, T.DecimalType,
+)
+
+
+def profile_table(df: DataFrame, table_name: str) -> DataFrame:
+    """Single-pass profile of ``df`` — reproduces the reference's
+    data_profile_quality() per-column metrics (completeness % with the
+    90% Good/Bad threshold, negative-value count for numeric columns,
+    top-5 distinct sample) natively in Spark.
+
+    The sample is the 5 *smallest* distinct values (sorted collect_set
+    slice) so results are deterministic, unlike the reference's
+    unordered ``LIMIT 5`` (data_profiling_function.sql:57-69).
+    """
+    aggs: list[F.Column] = [F.count(F.lit(1)).alias("__n_rows")]
+    for field in df.schema.fields:
+        c = F.col(field.name)
+        aggs.append(F.count(c).alias(f"__nn_{field.name}"))  # count() skips nulls (A4)
+        if isinstance(field.dataType, _NUMERIC_TYPES):
+            aggs.append(
+                F.sum(F.when(c < 0, 1).otherwise(0)).alias(f"__neg_{field.name}")
+            )
+        else:
+            aggs.append(F.lit(None).cast("long").alias(f"__neg_{field.name}"))
+        aggs.append(
+            F.slice(F.array_sort(F.collect_set(c.cast("string"))), 1, 5).alias(
+                f"__sample_{field.name}"
+            )
+        )
+    wide = df.agg(*aggs)
+
+    per_col = []
+    for field in df.schema.fields:
+        nn = F.col(f"__nn_{field.name}")
+        n = F.col("__n_rows")
+        pct = F.round(nn * 100.0 / n, 2)
+        per_col.append(
+            F.struct(
+                F.lit(field.name).alias("column_name"),
+                F.lit(field.dataType.simpleString()).alias("data_type"),
+                n.alias("n_rows"),
+                nn.alias("n_not_null"),
+                pct.alias("pct_complete"),
+                # 90% Good/Bad threshold (data_profiling_function.sql:96-101)
+                F.when(pct > 90.0, F.lit("Good")).otherwise(F.lit("Bad")).alias("quality"),
+                F.col(f"__neg_{field.name}").alias("n_negative"),
+                F.col(f"__sample_{field.name}").alias("sample"),
+            )
+        )
+    return (
+        wide.select(F.explode(F.array(*per_col)).alias("p"))
+        .select(F.lit(table_name).alias("table_name"), "p.*")
+    )
+
+
+def profile_report_json(df: DataFrame, table_name: str) -> DataFrame:
+    """One-row JSON report per table — the reference's
+    JSONB_BUILD_OBJECT/JSONB_AGG assembly (A7,
+    data_profiling_function.sql:104-119) as ``to_json(collect_list(struct))``."""
+    prof = profile_table(df, table_name)
+    return prof.groupBy("table_name").agg(
+        F.first("n_rows").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_cols"),
+        F.to_json(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        "column_name", "data_type", "pct_complete", "quality", "n_negative"
+                    )
+                )
+            )
+        ).alias("data_profile"),
+    )

@@ -1,0 +1,59 @@
+"""SparkSession factory.
+
+The reference delegates session construction to spark-submit conf
+(reference: dags/vcapital_warehouse/tasks/main.py:19-32). Here the
+engine owns it: one place that pins the settings every operator
+assumes (UTC session TZ for oracle parity, AQE on, Arrow on,
+shuffle partitions sized to the machine instead of the 200 default).
+
+At cluster scale the same builder is used; only master/memory change.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def build_session(
+    app_name: str = "vc-engine",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with the engine's standard conf.
+
+    Env overrides: ``SPARK_GRAFT_CPUS`` sets local parallelism.
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        # local mode: ~cores, not the 200 default (pointless task overhead
+        # on small data; at cluster scale callers pass an explicit value
+        # sized to input volume).
+        shuffle_partitions = cpus
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # driver testdata stores events.ts as parquet TIMESTAMP(NANOS),
+        # which Spark cannot map to TimestampType — read as long, the
+        # io layer converts (truncating ns → µs, same as DuckDB's read)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

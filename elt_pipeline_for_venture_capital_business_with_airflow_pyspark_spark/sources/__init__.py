@@ -1,0 +1,10 @@
+from .io import (  # noqa: F401
+    read_table,
+    read_parquet,
+    read_csv,
+    read_json,
+    read_jdbc,
+    write_parquet,
+    write_jdbc,
+    upsert_parquet,
+)

@@ -1,0 +1,94 @@
+"""Incremental-batch contract + Structured Streaming equivalents
+(SURVEY.md §2.7).
+
+The reference's "stream" is an Airflow daily batch with a
+``created_at::DATE = ds - 1 day`` slice predicate
+(reference: dags/vcapital_staging/tasks/components/extract.py:41-43) —
+late data is silently ignored. The engine keeps batch-incremental as
+the contract and adds a true Structured Streaming mode with
+watermarked tumbling windows as the scale path for continuous feeds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def incremental_slice(df: DataFrame, ts_col: str, ds: str, lag_days: int = 1) -> DataFrame:
+    """The reference's daily slice (P3): rows whose ``ts_col`` date
+    equals ``ds - lag_days``. Expressed as a typed filter so Catalyst
+    pushes it into the scan (partition pruning on a date-partitioned
+    lake — never an f-string in SQL, quirk §2.9.5)."""
+    target = F.date_sub(F.lit(ds).cast("date"), lag_days)
+    return df.filter(F.col(ts_col).cast("date") == target)
+
+
+def tumbling_agg(df: DataFrame, ts_col: str, window: str = "1 day") -> DataFrame:
+    """Batch tumbling-window aggregation over an event stream: count +
+    sum(value) per (window, event_type). Same logical op as the
+    streaming variant below — one groupBy, map-side partials."""
+    return (
+        df.groupBy(F.window(F.col(ts_col), window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            # exact decimal accumulation → result independent of
+            # partitioning/combine order (double sums are not associative)
+            F.sum(F.col("value").cast("decimal(20,4)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def streaming_tumbling_agg(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    ts_col: str = "ts",
+    window: str = "1 day",
+    watermark: str = "1 day",
+):
+    """Structured Streaming equivalence mode: file-source stream with a
+    watermark bounding late data (the reference's implicit
+    late-data-dropped semantics made explicit). Returns an unstarted
+    streaming DataFrame; callers attach a sink (tests use a memory
+    sink + processAllAvailable)."""
+    stream = spark.readStream.schema(schema).parquet(path)
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(20,4)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sessionize(df: DataFrame, user_col: str = "user_id", ts_col: str = "ts", gap_minutes: int = 30) -> DataFrame:
+    """Sessionization via gap detection: a new session starts when the
+    gap to the previous event of the same user exceeds ``gap_minutes``.
+    Window(lag) + running sum of session-start flags — one shuffle on
+    the user key."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(user_col).orderBy(F.col(ts_col), F.col("event_id"))
+    gap = F.unix_micros(F.col(ts_col)) - F.unix_micros(F.lag(ts_col).over(w))
+    is_new = F.when(gap.isNull() | (gap > gap_minutes * 60 * 1_000_000), 1).otherwise(0)
+    return df.withColumn("__new_session", is_new).withColumn(
+        "session_id",
+        F.sum("__new_session").over(w.rowsBetween(W.unboundedPreceding, 0)),
+    ).drop("__new_session")

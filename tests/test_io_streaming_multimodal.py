@@ -1,0 +1,115 @@
+"""Upsert/idempotency, Structured Streaming equivalence, and
+multimodal plumbing tests."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark import (
+    multimodal,
+)
+from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.schemas import (
+    TESTDATA,
+)
+from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.sources import (
+    read_table,
+    upsert_parquet,
+    write_parquet,
+)
+from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.streaming import (
+    incremental as INC,
+)
+
+
+def test_upsert_parquet_latest_wins(spark, tmp_path):
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(1, "a", 1), (2, "b", 1)], schema="id int, v string, ver int"
+    )
+    write_parquet(base, path)
+    batch = spark.createDataFrame(
+        [(2, "b2", 2), (2, "b1", 1), (3, "c", 1)], schema="id int, v string, ver int"
+    )
+    merged = upsert_parquet(spark, batch, path, keys=["id"], order_by="ver")
+    got = {r["id"]: r["v"] for r in merged.collect()}
+    assert got == {1: "a", 2: "b2", 3: "c"}  # update wins, latest-ver wins, insert
+
+
+def test_upsert_idempotent(spark, tmp_path):
+    """Running the same merge twice yields identical state (fixes the
+    reference's append-only rerun-duplicates quirk §2.9.4)."""
+    path = str(tmp_path / "t2")
+    batch = spark.createDataFrame([(1, "a", 1)], schema="id int, v string, ver int")
+    write_parquet(upsert_parquet(spark, batch, path, ["id"], "ver"), path + "_out")
+    merged_again = upsert_parquet(
+        spark, batch, path + "_out", keys=["id"], order_by="ver"
+    )
+    assert merged_again.count() == 1
+
+
+def test_streaming_tumbling_matches_batch(spark, sf_dir, tmp_path):
+    """Structured Streaming file-source windowed agg == batch tumbling
+    agg on the same data (equivalence mode, SURVEY.md §2.7)."""
+    ev = read_table(spark, sf_dir, "events")
+    # stream source needs µs timestamps on disk (the raw files are ns)
+    stream_dir = str(tmp_path / "events_us")
+    ev.write.parquet(stream_dir)
+    batch = INC.tumbling_agg(ev, "ts", "1 day").collect()
+
+    stream_df = INC.streaming_tumbling_agg(
+        spark, stream_dir, ev.schema, "ts", "1 day", watermark="0 seconds"
+    )
+    q = (
+        stream_df.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("stream_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        streamed = spark.sql("SELECT * FROM stream_out").collect()
+    finally:
+        q.stop()
+
+    key = lambda r: (r["window_start"], r["event_type"])  # noqa: E731
+    b = {key(r): (r["n_events"], round(r["sum_value"], 4)) for r in batch}
+    s = {key(r): (r["n_events"], round(r["sum_value"], 4)) for r in streamed}
+    assert b == s
+
+
+def test_incremental_slice(spark, sf_dir):
+    ev = read_table(spark, sf_dir, "events")
+    out = INC.incremental_slice(ev, "ts", "2024-01-16", lag_days=1)
+    dates = {r[0] for r in out.select(F.col("ts").cast("date")).distinct().collect()}
+    assert dates == {dt.date(2024, 1, 15)}
+
+
+def test_multimodal_feature_extraction(spark):
+    rows = [
+        (1, None, b"\x01\x02\x03\x04" * 10, ("image", "image/png", 4, 10, None)),
+        (2, None, b"\xff\xee" * 50, ("audio", "audio/wav", None, None, 2000)),
+    ]
+    media = spark.createDataFrame(rows, schema=multimodal.MEDIA_SCHEMA)
+    feats = {r["media_id"]: r for r in multimodal.extract_features(media).collect()}
+    assert feats[1]["kind"] == "image"
+    assert feats[1]["n_bytes"] == 40
+    assert len(feats[1]["feature"]) == 8
+    assert feats[1]["sha1"] != feats[2]["sha1"]
+    # deterministic fake: same payload → same feature
+    feats2 = {r["media_id"]: r for r in multimodal.extract_features(media).collect()}
+    assert feats[1]["feature"] == feats2[1]["feature"]
+
+
+def test_multimodal_frame_sample_plan(spark):
+    rows = [(1, None, b"", ("video", "video/mp4", None, None, 3500))]
+    media = spark.createDataFrame(rows, schema=multimodal.MEDIA_SCHEMA)
+    frames = multimodal.frame_sample_plan(media, every_ms=1000).collect()
+    assert [r["frame_ts_ms"] for r in frames] == [0, 1000, 2000]
+
+
+def test_events_schema_roundtrip(spark, sf_dir):
+    ev = read_table(spark, sf_dir, "events")
+    assert [f.name for f in ev.schema.fields] == [f.name for f in TESTDATA["events"].fields]
+    assert dict(ev.dtypes)["ts"] == "timestamp"

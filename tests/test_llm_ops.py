@@ -1,0 +1,128 @@
+"""Tests for the LLM-data operators: dedup families (recall of the
+approximate paths vs the exact jaccard baseline), similarity search
+(ANN recall vs brute force), profiling, text functions."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.functions import (
+    text as TX,
+)
+from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.operators import (
+    dedup as DD,
+)
+from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.operators import (
+    profile as PR,
+)
+from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.operators import (
+    similarity as SIM,
+)
+from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.sources import (
+    read_table,
+)
+
+
+def _docs(spark, sf_dir):
+    return read_table(spark, sf_dir, "documents")
+
+
+def test_minhash_lsh_recall_vs_exact(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in DD.ngram_jaccard_pairs(docs, threshold=0.8).collect()
+    }
+    assert exact, "testdata should contain planted near-dups"
+    approx = {
+        (r["id_a"], r["id_b"])
+        for r in DD.minhash_lsh_pairs(
+            docs, num_hashes=64, bands=16, threshold=0.7
+        ).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, f"LSH recall too low: {recall} ({len(exact)} true pairs)"
+
+
+def test_simhash_finds_planted_near_dups(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in DD.ngram_jaccard_pairs(docs, threshold=0.9).collect()
+    }
+    sim_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in DD.simhash_near_pairs(docs, max_hamming=6).collect()
+    }
+    # simhash is bag-of-words-ish: it should recover most very-high-
+    # jaccard pairs (shingle order doesn't matter much on these docs)
+    if exact:
+        recall = len(exact & sim_pairs) / len(exact)
+        assert recall >= 0.5, f"simhash recall {recall}"
+
+
+def test_simhash_is_deterministic_and_64bit(spark, sf_dir):
+    docs = _docs(spark, sf_dir).limit(20)
+    a = {r["id"]: r["simhash_bits"] for r in DD.simhash(docs).collect()}
+    b = {r["id"]: r["simhash_bits"] for r in DD.simhash(docs).collect()}
+    assert a == b
+    assert all(len(v) == 64 and set(v) <= {"0", "1"} for v in a.values())
+
+
+def test_exact_dedup_groups_partition_docs(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    groups = DD.exact_dedup(docs).collect()
+    assert sum(r["group_size"] for r in groups) == docs.count()
+    for r in groups:
+        assert r["keep_id"] == min(r["member_ids"])
+
+
+def test_ann_recall_vs_bruteforce(spark, sf_dir):
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = SIM.cosine_topk(emb, queries, k=10).collect()
+    # weakly-clustered corpus (max pairwise cosine ≈ 0.5) → use short
+    # 2-bit bands for collision probability; at higher similarity
+    # thresholds longer bands prune harder
+    approx = SIM.lsh_ann_topk(emb, queries, dim=64, k=10, num_planes=16, bands=8).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    approx_sets = {}
+    for r in approx:
+        approx_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recalls = [
+        len(exact_sets[q] & approx_sets.get(q, set())) / len(exact_sets[q])
+        for q in exact_sets
+    ]
+    avg_recall = sum(recalls) / len(recalls)
+    assert avg_recall >= 0.8, f"ANN avg recall {avg_recall}"
+
+
+def test_profile_table_shape_and_counts(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    prof = {r["column_name"]: r for r in PR.profile_table(docs, "documents").collect()}
+    assert set(prof) == {"doc_id", "text", "lang", "source", "n_chars"}
+    n = docs.count()
+    assert prof["doc_id"]["n_rows"] == n
+    assert prof["doc_id"]["n_negative"] == 0
+    assert prof["lang"]["n_negative"] is None  # non-numeric
+    assert prof["doc_id"]["quality"] == "Good"
+    assert len(prof["lang"]["sample"]) <= 5
+
+
+def test_text_function_edge_cases(spark):
+    df = spark.createDataFrame(
+        [("",), ("   ",), ("one",), ("a b  c",)], schema="text string"
+    )
+    rows = df.select(
+        TX.token_count("text").alias("n"),
+        TX.fingerprint("text").alias("fp"),
+        TX.shingles("text", 3).alias("sh"),
+    ).collect()
+    assert [r["n"] for r in rows] == [0, 0, 1, 3]
+    assert rows[0]["fp"] == rows[1]["fp"]  # both normalize to empty
+    assert rows[2]["sh"] == ["one"]  # short doc → whole-doc shingle
+    assert rows[3]["sh"] == ["a b c"]
