@@ -54,10 +54,7 @@ def _shingle_index(
 ) -> DataFrame:
     """Inverted index: (shingle, id), optionally dropping shingles that
     occur in more than ``max_shingle_freq`` docs (skew/blowup guard)."""
-    idx = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(TX.shingles(text_col, n)).alias("shingle"),
-    )
+    idx = TX.shingle_stream(df, id_col, text_col, n)
     if max_shingle_freq is not None:
         hot = (
             idx.groupBy("shingle")
@@ -109,9 +106,19 @@ def ngram_jaccard_pairs(
     )
 
 
-def _seeded_hash(col: F.Column, seed: int) -> F.Column:
-    """Seeded 64-bit hash, JVM-side: xxhash64 over a seed-prefixed value."""
-    return F.xxhash64(F.concat(F.lit(f"{seed}:"), col))
+def _universal_hash_params(num_hashes: int, seed: int = 1337) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for the universal-hash family
+    h_i(x) = a_i*x + b_i over Z/2^64 (long arithmetic wraps — fine for
+    hashing). Generated driver-side, embedded as plan literals."""
+    import random
+
+    rng = random.Random(seed)
+    # a, b < 2^31 so a*h31 + b stays well under 2^63 (Spark 4 runs in
+    # ANSI mode: a wrapping long overflow would raise, not wrap)
+    return [
+        (rng.randrange(1, 1 << 31) | 1, rng.randrange(0, 1 << 31))
+        for _ in range(num_hashes)
+    ]
 
 
 def minhash_signatures(
@@ -125,12 +132,20 @@ def minhash_signatures(
 
     One explode + one groupBy computing all ``num_hashes`` mins in a
     single aggregation pass (map-side partial min → tiny shuffle).
+    Each shingle is hashed ONCE (xxhash64, folded to 31 bits); the
+    ``num_hashes`` family members are cheap universal-hash derivations
+    a_i*h+b_i — 1 string hash + k multiplies per shingle instead of
+    k string hashes, ~10× less CPU at 100 TB scale.
     """
-    idx = df.select(
-        F.col(id_col).alias("id"), F.explode(TX.shingles(text_col, n)).alias("shingle")
+    idx = TX.shingle_stream(df, id_col, text_col, n).select(
+        "id", F.pmod(F.xxhash64("shingle"), F.lit(2147483647)).alias("h")
     )
+    params = _universal_hash_params(num_hashes)
+    # the mod p is essential: an affine map without it is monotone in h,
+    # making every family member pick the same min shingle
     mins = [
-        F.min(_seeded_hash(F.col("shingle"), i)).alias(f"h{i}") for i in range(num_hashes)
+        F.min(F.pmod(F.col("h") * F.lit(a) + F.lit(b), F.lit(2147483647))).alias(f"h{i}")
+        for i, (a, b) in enumerate(params)
     ]
     sig = idx.groupBy("id").agg(*mins)
     return sig.select("id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("signature"))
@@ -218,23 +233,32 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
 
     Output: ``simhash_bits`` — 64-char '0'/'1' string (MSB first).
     """
-    toks = TX.tokens(text_col)
-    hashed_bits = F.transform(toks, lambda t: F.lpad(F.bin(F.xxhash64(t)), 64, "0"))
-    votes = F.aggregate(
-        hashed_bits,
-        F.array_repeat(F.lit(0), 64),
-        lambda acc, bits: F.zip_with(
-            acc,
-            F.sequence(F.lit(1), F.lit(64)),
-            lambda a, i: a + F.when(bits.substr(i, F.lit(1)) == "1", 1).otherwise(-1),
-        ),
+    ids = df.select(F.col(id_col).alias("id"))
+    tok = df.select(
+        F.col(id_col).alias("id"), F.explode(TX.tokens(text_col)).alias("tok")
+    ).select("id", F.xxhash64("tok").alias("h"))
+    # 64 vectorized ±1-vote aggregates over the exploded tokens — one
+    # shuffle on id with map-side partial sums. Bit tests are literal
+    # shiftright + mask (pure long codegen; the higher-order-lambda and
+    # binary-string formulations are ~5-10× slower)
+    votes = tok.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) != 0, 1).otherwise(-1)
+            ).alias(f"v{i}")
+            for i in range(64)
+        ]
     )
-    fp = F.array_join(
-        F.transform(votes, lambda v: F.when(v > 0, F.lit("1")).otherwise(F.lit("0"))), ""
+    fp = F.concat(
+        *[
+            F.when(F.col(f"v{i}") > 0, F.lit("1")).otherwise(F.lit("0"))
+            for i in range(64)
+        ]
     )
-    return df.select(
-        F.col(id_col).alias("id"),
-        F.when(F.size(toks) == 0, F.lit("0" * 64)).otherwise(fp).alias("simhash_bits"),
+    sh = votes.select("id", fp.alias("simhash_bits"))
+    # empty docs produce no token rows — restore them with the zero hash
+    return ids.join(sh, "id", "left").select(
+        "id", F.coalesce("simhash_bits", F.lit("0" * 64)).alias("simhash_bits")
     )
 
 
