@@ -44,6 +44,9 @@ from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.operat
     similarity as SIM,
 )
 from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.operators import (
+    skew as SKW,
+)
+from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.operators import (
     surrogate as SK,
 )
 from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.plans import (
@@ -51,6 +54,9 @@ from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.plans 
 )
 from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.sources import (
     read_table,
+)
+from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.sources import (
+    io as SIO,
 )
 from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.streaming import (
     incremental as INC,
@@ -1156,6 +1162,478 @@ def _embedding_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
     return SIM.lsh_ann_topk(
         emb, queries, dim=64, k=10, num_planes=16, bands=8
     )
+
+
+# --- grouped-agg generalizations (cube / grouping sets / distinct / stats) ---
+
+@_register(
+    "agg_cube",
+    """
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE) AS revenue
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def _agg_cube(spark: SparkSession, sf: str) -> DataFrame:
+    """CUBE: all 2^k grouping combinations in one shuffle (Spark expands
+    to a union of grouping sets map-side — no extra scan per set)."""
+    orders = read_table(spark, sf, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        _dsum(F.col("o_totalprice")).alias("revenue"),
+    )
+
+
+@_register(
+    "agg_grouping_sets",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+           CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def _agg_grouping_sets(spark: SparkSession, sf: str) -> DataFrame:
+    """Explicit GROUPING SETS with GROUPING() null-vs-subtotal markers,
+    via the SQL entry point (spark.sql over a registered view)."""
+    read_table(spark, sf, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+               CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+               COUNT(*) AS n_orders
+        FROM orders_v
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@_register(
+    "agg_distinct_count",
+    """
+    SELECT o_orderstatus,
+           COUNT(DISTINCT o_custkey) AS n_custs,
+           COUNT(DISTINCT o_orderpriority) AS n_priorities,
+           COUNT(*) AS n_orders
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def _agg_distinct_count(spark: SparkSession, sf: str) -> DataFrame:
+    """Multiple DISTINCT aggregates in one result (Spark plans an
+    Expand + two-phase agg — still a single scan)."""
+    orders = read_table(spark, sf, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n_custs"),
+        F.countDistinct("o_orderpriority").alias("n_priorities"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@_register(
+    "agg_approx_distinct",
+    """
+    SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS exact_custs, TRUE AS approx_within_5pct
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def _agg_approx_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """HLL++ sketch cardinality (the 100 TB path for distinct counts —
+    mergeable, constant memory). The oracle checks the accuracy
+    contract: the sketch estimate must land within 5% of exact
+    (rsd=0.01 makes that bound safe deterministically)."""
+    orders = read_table(spark, sf, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("exact_custs"),
+        (
+            F.abs(
+                F.approx_count_distinct("o_custkey", rsd=0.01)
+                - F.countDistinct("o_custkey")
+            )
+            <= F.countDistinct("o_custkey") * 0.05
+        ).alias("approx_within_5pct"),
+    )
+
+
+# Exact decimal power sums → identical double arithmetic in both
+# engines: the only deterministic way to cross-check variance/corr
+# (native stddev/corr accumulate doubles in engine-specific order).
+_STATS_SQL = """
+WITH sums AS (
+  SELECT l_returnflag,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE) AS sq,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(12,4)) * CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE) AS sq2,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS sp,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS sp2,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(12,4)) * CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS sqp
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       ROUND(sq / n, 6) AS mean_qty,
+       ROUND(sqrt((sq2 - sq * sq / n) / (n - 1)), 6) AS stddev_qty,
+       ROUND((sqp - sq * sp / n) / (n - 1), 4) AS covar_qty_price,
+       ROUND((n * sqp - sq * sp) / (sqrt(n * sq2 - sq * sq) * sqrt(n * sp2 - sp * sp)), 6) AS corr_qty_price
+FROM sums
+"""
+
+
+@_register("agg_stats", _STATS_SQL)
+def _agg_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Variance/stddev/covariance/correlation via exact decimal power
+    sums (single pass, map-side partials — the distributed moment-sketch
+    shape, deterministic under any partitioning)."""
+    li = read_table(spark, sf, "lineitem")
+    qd = F.col("l_quantity").cast("decimal(12,4)")
+    pdm = F.col("l_extendedprice").cast("decimal(14,2)")
+    sums = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(qd).cast("double").alias("sq"),
+        F.sum(qd * qd).cast("double").alias("sq2"),
+        F.sum(pdm).cast("double").alias("sp"),
+        F.sum(pdm * pdm).cast("double").alias("sp2"),
+        F.sum(qd * pdm).cast("double").alias("sqp"),
+    )
+    n, sq, sq2 = F.col("n"), F.col("sq"), F.col("sq2")
+    sp, sp2, sqp = F.col("sp"), F.col("sp2"), F.col("sqp")
+    return sums.select(
+        "l_returnflag",
+        "n",
+        F.round(sq / n, 6).alias("mean_qty"),
+        F.round(F.sqrt((sq2 - sq * sq / n) / (n - 1)), 6).alias("stddev_qty"),
+        F.round((sqp - sq * sp / n) / (n - 1), 4).alias("covar_qty_price"),
+        F.round(
+            (n * sqp - sq * sp)
+            / (F.sqrt(n * sq2 - sq * sq) * F.sqrt(n * sp2 - sp * sp)),
+            6,
+        ).alias("corr_qty_price"),
+    )
+
+
+@_register(
+    "agg_percentiles",
+    """
+    SELECT o_orderstatus,
+           ROUND(quantile_cont(o_totalprice, 0.5), 4) AS median_price,
+           ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90_price
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def _agg_percentiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact interpolated percentiles (both engines sort exactly and
+    linearly interpolate; at 100 TB swap for approx_percentile — same
+    API shape, mergeable t-digest)."""
+    orders = read_table(spark, sf, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("median_price"),
+        F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90_price"),
+    )
+
+
+@_register(
+    "pivot_status_matrix",
+    """
+    SELECT o_orderpriority,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+           CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+           CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def _pivot_status_matrix(spark: SparkSession, sf: str) -> DataFrame:
+    """Pivot with an explicit value list (never inferred — inference
+    costs an extra distinct scan and breaks plan caching at scale)."""
+    orders = read_table(spark, sf, "orders")
+    piv = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    return piv.select(
+        "o_orderpriority",
+        F.coalesce(F.col("F"), F.lit(0)).alias("n_f"),
+        F.coalesce(F.col("O"), F.lit(0)).alias("n_o"),
+        F.coalesce(F.col("P"), F.lit(0)).alias("n_p"),
+    )
+
+
+@_register(
+    "window_lag_lead_range",
+    """
+    SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+           lag(event_id) OVER w AS prev_event_id,
+           lead(event_id) OVER w AS next_event_id,
+           epoch_us(ts) - epoch_us(lag(ts) OVER w) AS gap_us,
+           CAST(SUM(CAST(value AS DECIMAL(20,4)))
+                OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                      RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS trailing_1h_value
+    FROM events WHERE user_id < 50
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def _window_lag_lead_range(spark: SparkSession, sf: str) -> DataFrame:
+    """lag/lead + a time-range frame (trailing 1 h sum) — the frame-spec
+    window surface SURVEY.md §2.5 calls out as a free generalization."""
+    ev = read_table(spark, sf, "events").filter(F.col("user_id") < 50)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wr = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.lag("event_id").over(w).alias("prev_event_id"),
+        F.lead("event_id").over(w).alias("next_event_id"),
+        (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))).alias("gap_us"),
+        F.sum(F.col("value").cast("decimal(20,4)"))
+        .over(wr)
+        .cast("double")
+        .alias("trailing_1h_value"),
+    )
+
+
+# --- merge / star build / skew (S7, W1, 100 TB posture) ----------------------
+
+@_register(
+    "upsert_merge",
+    """
+    WITH old AS (
+      SELECT o_orderkey, 'old' AS src, 0 AS version, o_totalprice AS amount
+      FROM orders WHERE o_orderkey % 3 <> 0
+    ), new_raw AS (
+      SELECT o_orderkey, 'new' AS src, 1 AS version, o_totalprice * 2 AS amount
+      FROM orders WHERE o_orderkey % 2 = 0
+      UNION ALL
+      SELECT o_orderkey, 'new', 2, o_totalprice * 3
+      FROM orders WHERE o_orderkey % 2 = 0
+    ), new AS (
+      SELECT o_orderkey, src, version, amount FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey ORDER BY version DESC) AS rn
+        FROM new_raw
+      ) WHERE rn = 1
+    )
+    SELECT o_orderkey, src, version, amount FROM new
+    UNION ALL
+    SELECT o.o_orderkey, o.src, o.version, o.amount FROM old o
+    WHERE NOT EXISTS (SELECT 1 FROM new n WHERE n.o_orderkey = o.o_orderkey)
+    """,
+)
+def _upsert_merge(spark: SparkSession, sf: str) -> DataFrame:
+    """S7 MERGE semantics on plain DataFrames: latest-version-wins
+    within the batch, new beats old on key collision, unmatched old
+    rows survive (sources.io.merge_upsert — the parquet upsert's core)."""
+    orders = read_table(spark, sf, "orders")
+    old = orders.filter(F.col("o_orderkey") % 3 != 0).select(
+        "o_orderkey",
+        F.lit("old").alias("src"),
+        F.lit(0).alias("version"),
+        F.col("o_totalprice").alias("amount"),
+    )
+    evens = orders.filter(F.col("o_orderkey") % 2 == 0)
+    new_raw = evens.select(
+        "o_orderkey",
+        F.lit("new").alias("src"),
+        F.lit(1).alias("version"),
+        (F.col("o_totalprice") * 2).alias("amount"),
+    ).unionByName(
+        evens.select(
+            "o_orderkey",
+            F.lit("new").alias("src"),
+            F.lit(2).alias("version"),
+            (F.col("o_totalprice") * 3).alias("amount"),
+        )
+    )
+    return SIO.merge_upsert(new_raw, old, ["o_orderkey"], order_by="version")
+
+
+@_register(
+    "star_schema_build",
+    """
+    WITH dim AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY c_custkey) AS sk_customer_id,
+             c_custkey AS nk_customer_id, c_mktsegment
+      FROM customer WHERE c_acctbal > 0
+    )
+    SELECT o_orderkey, sk_customer_id, nk_customer_id, c_mktsegment,
+           CAST(strftime(o_orderdate, '%Y%m%d') AS INT) AS order_date_id,
+           o_totalprice AS amount
+    FROM orders JOIN dim ON o_custkey = nk_customer_id
+    """,
+)
+def _star_schema_build(spark: SparkSession, sf: str) -> DataFrame:
+    """W1 + §1.4 end-to-end: surrogate-keyed dim build → broadcast
+    inner join as FK filter (negative-balance customers' orders are
+    orphaned and dropped) → smart date key. The plans.warehouse builder
+    pattern on the driver testdata."""
+    customer = read_table(spark, sf, "customer")
+    orders = read_table(spark, sf, "orders")
+    dim = SK.add_surrogate_key(
+        customer.filter(F.col("c_acctbal") > 0).select(
+            F.col("c_custkey").alias("nk_customer_id"), "c_mktsegment"
+        ),
+        "sk_customer_id",
+        ["nk_customer_id"],
+    )
+    return (
+        orders.join(
+            F.broadcast(dim), orders["o_custkey"] == dim["nk_customer_id"], "inner"
+        )
+        .withColumn("order_date_id", E.date_key("o_orderdate"))
+        .select(
+            "o_orderkey",
+            "sk_customer_id",
+            "nk_customer_id",
+            "c_mktsegment",
+            "order_date_id",
+            F.col("o_totalprice").alias("amount"),
+        )
+    )
+
+
+@_register(
+    "skew_salted_agg",
+    """
+    SELECT l_returnflag,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE) AS sum_qty,
+           COUNT(*) AS n_rows
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def _skew_salted_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """Salted two-stage aggregation == plain aggregation (the oracle
+    proves row-identical results; the salt spreads a hot key across 16
+    partitions in stage 1 — l_returnflag has 3 values, the worst
+    possible key skew)."""
+    li = read_table(spark, sf, "lineitem")
+    out = SKW.salted_sum_count(
+        li,
+        ["l_returnflag"],
+        {"sum_qty": F.col("l_quantity").cast("decimal(20,4)")},
+        salts=16,
+    )
+    return out.select(
+        "l_returnflag", F.col("sum_qty").cast("double").alias("sum_qty"), "n_rows"
+    )
+
+
+@_register(
+    "skew_salted_join",
+    """
+    SELECT o_orderpriority,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE) AS sum_qty
+    FROM lineitem JOIN (
+      SELECT o_orderkey, o_orderpriority FROM orders WHERE o_totalprice > 150000
+    ) big ON l_orderkey = big.o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def _skew_salted_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Salted join == plain join (deterministic salt on the big side,
+    small side replicated saltsx) — the pre-AQE skew remedy, still
+    needed when one key dominates a sort-merge join."""
+    li = read_table(spark, sf, "lineitem")
+    big_orders = (
+        read_table(spark, sf, "orders")
+        .filter(F.col("o_totalprice") > 150000)
+        .select("o_orderkey", "o_orderpriority")
+    )
+    joined = SKW.salted_join(li, big_orders, "l_orderkey", "o_orderkey", salts=8)
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        _dsum(F.col("l_quantity")).alias("sum_qty"),
+    )
+
+
+# --- scalar additions (F6) ----------------------------------------------------
+
+@_register(
+    "scalar_newline_scrub",
+    """
+    SELECT p_partkey,
+           p_name || chr(10) || p_brand || chr(10) AS dirty,
+           replace(p_name || chr(10) || p_brand || chr(10), chr(10), ' ') AS scrubbed
+    FROM part
+    """,
+)
+def _scalar_newline_scrub(spark: SparkSession, sf: str) -> DataFrame:
+    """F6: the newline scrub the reference applies to every string
+    column before landing parquet (extract.py:62-64)."""
+    part = read_table(spark, sf, "part")
+    dirty = F.concat(F.col("p_name"), F.lit("\n"), F.col("p_brand"), F.lit("\n"))
+    return part.select(
+        "p_partkey", dirty.alias("dirty"), E.scrub_newlines(dirty).alias("scrubbed")
+    )
+
+
+# --- multimodal plumbing (north star) ----------------------------------------
+
+def _media_frame(spark: SparkSession, sf: str, with_payload: bool) -> DataFrame:
+    """Synthesized media table over documents: payload = utf-8 bytes of
+    the text, kind cycles image/audio/video, duration from n_chars."""
+    docs = read_table(spark, sf, "documents")
+    kind = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit("image"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("audio"))
+        .otherwise(F.lit("video"))
+    )
+    meta = F.struct(
+        kind.alias("kind"),
+        F.lit("application/octet-stream").alias("mime"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        (F.col("n_chars") % 10000 + 500).cast("int").alias("duration_ms"),
+    )
+    cols = [F.col("doc_id").alias("media_id"), F.lit(None).cast("string").alias("uri"), meta.alias("meta")]
+    if with_payload:
+        cols.insert(2, F.encode(F.col("text"), "UTF-8").alias("payload"))
+    return docs.select(*cols)
+
+
+@_register(
+    "multimodal_features",
+    """
+    SELECT doc_id AS media_id,
+           CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+           CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+           md5(text) AS md5
+    FROM documents
+    """,
+)
+def _multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
+    """Arrow-batched mapInPandas feature extraction over binary media
+    payloads — the oracle verifies the Python-boundary columns
+    (byte count + md5 of the payload bytes) bit-for-bit; the decode
+    step itself is the documented stub (multimodal module docstring)."""
+    media = _media_frame(spark, sf, with_payload=True)
+    feats = multimodal.extract_features(media)
+    return feats.select("media_id", "kind", "n_bytes", "md5")
+
+
+@_register(
+    "multimodal_frame_sample",
+    """
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             CAST(n_chars % 10000 + 500 AS INT) AS duration_ms
+      FROM documents
+    )
+    SELECT media_id,
+           CAST(unnest(range(0, greatest(CAST(FLOOR(duration_ms / 1000.0) AS INT), 1))) * 1000 AS INT) AS frame_ts_ms
+    FROM m
+    """,
+)
+def _multimodal_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Video frame-sampling fan-out plan (sequence + explode): one row
+    per (media, frame timestamp) before any codec work."""
+    media = _media_frame(spark, sf, with_payload=False)
+    return multimodal.frame_sample_plan(media, every_ms=1000)
 
 
 # ---------------------------------------------------------------------------

@@ -43,7 +43,8 @@ MEDIA_SCHEMA = T.StructType(
 )
 
 FEATURE_SCHEMA = (
-    "media_id long, kind string, n_bytes int, sha1 string, feature array<double>"
+    "media_id long, kind string, n_bytes int, sha1 string, md5 string, "
+    "feature array<double>"
 )
 
 
@@ -88,6 +89,9 @@ def extract_features(media: DataFrame, feature_dim: int = 8) -> DataFrame:
                     "n_bytes": pdf["payload"].map(lambda p: 0 if p is None else len(p)),
                     "sha1": pdf["payload"].map(
                         lambda p: "" if p is None else hashlib.sha1(p).hexdigest()
+                    ),
+                    "md5": pdf["payload"].map(
+                        lambda p: "" if p is None else hashlib.md5(p).hexdigest()
                     ),
                     "feature": pdf["payload"].map(
                         lambda p: _fake_decode_features(p, feature_dim)

@@ -1,0 +1,86 @@
+"""Skew-mitigation operators (100 TB posture, SURVEY.md §7.2).
+
+The reference never handles skew (its dims are tiny and its facts are
+single-node Postgres). At 100 TB a hot grouping/join key turns one
+shuffle partition into the whole job's critical path. Two standard
+remedies, both expression-only and deterministic:
+
+- **Salted two-stage aggregation**: groupBy(key, salt) partial agg →
+  groupBy(key) final combine. Any algebraic aggregate (sum/count/min/
+  max) decomposes this way; the hot key's rows spread over ``salts``
+  partitions in stage 1 and the stage-2 input is only
+  |distinct keys| × salts rows.
+- **Salted join**: the big side gets a deterministic salt derived from
+  non-key columns; the small side is replicated once per salt value
+  (explode of a literal sequence) and the join key becomes
+  (key, salt). Result is row-identical to the unsalted join.
+
+AQE's skew-join handling (`spark.sql.adaptive.skewJoin`, on in
+session.py) covers sort-merge joins at runtime; these helpers cover
+aggregations and the cases where the planner must be forced (e.g. a
+single key holding >50% of rows, which AQE splits less evenly).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["salted_sum_count", "salted_join"]
+
+
+def _salt_col(df: DataFrame, salts: int, exclude: list[str]) -> Column:
+    """Deterministic per-row salt in [0, salts): hash of all non-key
+    columns (never rand() — reruns/retries must produce identical
+    partitioning or shuffle-stage retries double-count)."""
+    cols = [c for c in df.columns if c not in exclude] or [F.lit(1)]
+    return F.pmod(F.xxhash64(*cols), F.lit(salts)).cast("int")
+
+
+def salted_sum_count(
+    df: DataFrame,
+    group_cols: list[str],
+    sum_cols: dict[str, Column],
+    salts: int = 16,
+) -> DataFrame:
+    """Two-stage skew-proof aggregation: per-(key, salt) partial sums +
+    counts, then per-key final combine. ``sum_cols`` maps output name →
+    summable column expression (use decimal casts for cross-engine
+    determinism). Output: group_cols + sums + ``n_rows``.
+    """
+    salt = _salt_col(df, salts, group_cols)
+    partial = (
+        df.withColumn("__salt", salt)
+        .groupBy(*group_cols, "__salt")
+        .agg(
+            *[F.sum(expr).alias(f"__s_{name}") for name, expr in sum_cols.items()],
+            F.count(F.lit(1)).alias("__n"),
+        )
+    )
+    return partial.groupBy(*group_cols).agg(
+        *[F.sum(f"__s_{name}").alias(name) for name in sum_cols],
+        F.sum("__n").alias("n_rows"),
+    )
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    big_key: str,
+    small_key: str,
+    salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-proof equi-join: salt the big side deterministically,
+    replicate the small side ``salts``× (explode of a literal range —
+    small side is dimension-sized by assumption), join on
+    (key, salt). Row-identical to ``big.join(small, key)``.
+    """
+    salted_big = big.withColumn("__salt", _salt_col(big, salts, [big_key]))
+    salted_small = small.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(salts)]))
+    )
+    cond = (salted_big[big_key] == salted_small[small_key]) & (
+        salted_big["__salt"] == salted_small["__salt"]
+    )
+    return salted_big.join(salted_small, cond, how).drop("__salt")

@@ -138,20 +138,20 @@ def write_jdbc(
     writer.save()
 
 
-def upsert_parquet(
-    spark: SparkSession,
+def merge_upsert(
     new_df: DataFrame,
-    path: str,
+    old_df: DataFrame | None,
     keys: list[str],
     order_by: str | None = None,
 ) -> DataFrame:
-    """Key-upsert onto a parquet table (S7, reference staging
+    """Pure MERGE semantics on plain DataFrames (S7, reference staging
     load.py:94-118 pangres ``if_row_exists='update'``).
 
-    Returns the merged frame: new rows win over existing rows with the
-    same key; within ``new_df`` itself the row with the greatest
-    ``order_by`` wins (latest-timestamp-wins). Single-writer assumed,
-    same as the reference.
+    New rows win over existing rows with the same key; within
+    ``new_df`` itself the row with the greatest ``order_by`` wins
+    (latest-timestamp-wins), falling back to dropDuplicates when no
+    ordering is given. One shuffle on the key for the dedup window +
+    one for the anti join (broadcast when ``new_df`` is small).
     """
     from pyspark.sql import Window as W
 
@@ -165,9 +165,24 @@ def upsert_parquet(
     else:
         new_df = new_df.dropDuplicates(keys)
 
+    if old_df is None:
+        return new_df
+    keep_old = old_df.join(new_df.select(*keys), on=keys, how="left_anti")
+    return new_df.unionByName(keep_old)
+
+
+def upsert_parquet(
+    spark: SparkSession,
+    new_df: DataFrame,
+    path: str,
+    keys: list[str],
+    order_by: str | None = None,
+) -> DataFrame:
+    """Key-upsert onto a parquet table: :func:`merge_upsert` against the
+    current contents of ``path``. Single-writer assumed, same as the
+    reference."""
     try:
         old = spark.read.parquet(path)
     except Exception:
-        return new_df
-    keep_old = old.join(new_df.select(*keys), on=keys, how="left_anti")
-    return new_df.unionByName(keep_old)
+        old = None
+    return merge_upsert(new_df, old, keys, order_by)

@@ -1,0 +1,88 @@
+"""Unit tests: skew-mitigation operators + pure MERGE semantics.
+
+The oracle gate proves these equal their plain-SQL twins on the
+testdata; here the edge cases are pinned on tiny frames — extreme
+key skew, within-batch duplicate keys, empty sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.operators import (
+    skew as SKW,
+)
+from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.sources.io import (
+    merge_upsert,
+)
+
+
+def test_salted_agg_matches_plain_under_extreme_skew(spark):
+    # 900 of 1000 rows share one key — the worst grouping skew
+    df = spark.range(1000).select(
+        F.when(F.col("id") < 900, F.lit("hot")).otherwise(F.lit("cold")).alias("k"),
+        F.col("id").cast("decimal(20,4)").alias("v"),
+    )
+    salted = {
+        r["k"]: r
+        for r in SKW.salted_sum_count(df, ["k"], {"sv": F.col("v")}, salts=16).collect()
+    }
+    plain = {
+        r["k"]: r
+        for r in df.groupBy("k")
+        .agg(F.sum("v").alias("sv"), F.count(F.lit(1)).alias("n_rows"))
+        .collect()
+    }
+    assert set(salted) == set(plain) == {"hot", "cold"}
+    for k in plain:
+        assert salted[k]["sv"] == plain[k]["sv"]
+        assert salted[k]["n_rows"] == plain[k]["n_rows"]
+
+
+def test_salted_agg_is_deterministic(spark):
+    df = spark.range(200).select(
+        (F.col("id") % 3).alias("k"), F.col("id").cast("decimal(10,2)").alias("v")
+    )
+    a = sorted(SKW.salted_sum_count(df, ["k"], {"s": F.col("v")}, salts=8).collect())
+    b = sorted(SKW.salted_sum_count(df, ["k"], {"s": F.col("v")}, salts=8).collect())
+    assert a == b
+
+
+def test_salted_join_matches_plain_join(spark):
+    big = spark.range(500).select(
+        (F.col("id") % 7).alias("k"), F.col("id").alias("payload")
+    )
+    small = spark.createDataFrame(
+        [(0, "a"), (1, "b"), (5, "c")], ["sk", "label"]
+    )
+    salted = {
+        (r["k"], r["payload"], r["label"])
+        for r in SKW.salted_join(big, small, "k", "sk", salts=4).collect()
+    }
+    plain = {
+        (r["k"], r["payload"], r["label"])
+        for r in big.join(small, big["k"] == small["sk"]).collect()
+    }
+    assert salted == plain
+    assert len(salted) > 0
+
+
+def test_merge_upsert_new_wins_and_old_survives(spark):
+    old = spark.createDataFrame([(1, "old1", 10), (2, "old2", 10)], ["k", "v", "ver"])
+    new = spark.createDataFrame(
+        [(2, "new2-v1", 11), (2, "new2-v2", 12), (3, "new3", 11)], ["k", "v", "ver"]
+    )
+    out = {r["k"]: r["v"] for r in merge_upsert(new, old, ["k"], "ver").collect()}
+    assert out == {1: "old1", 2: "new2-v2", 3: "new3"}
+
+
+def test_merge_upsert_no_existing_table(spark):
+    new = spark.createDataFrame([(1, "a", 2), (1, "b", 1)], ["k", "v", "ver"])
+    out = merge_upsert(new, None, ["k"], "ver").collect()
+    assert len(out) == 1 and out[0]["v"] == "a"
+
+
+def test_merge_upsert_without_ordering_dedups(spark):
+    new = spark.createDataFrame([(1, "x"), (1, "y")], ["k", "v"])
+    out = merge_upsert(new, None, ["k"]).collect()
+    assert len(out) == 1
