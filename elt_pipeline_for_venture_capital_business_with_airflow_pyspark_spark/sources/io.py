@@ -138,6 +138,30 @@ def write_jdbc(
     writer.save()
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    num_buckets: int,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed managed-table sink — the co-located-join layout.
+
+    Two fact tables bucketed on the same key with the same bucket
+    count join with **zero shuffle** (Catalyst proves the partitioning
+    requirement is already satisfied — no Exchange in the plan; see
+    tests/test_plan_shapes.py). At 100 TB this converts the biggest
+    recurring fact⋈fact shuffle into a map-side merge per bucket.
+    Bucketing requires the session catalog (``saveAsTable``), not a
+    bare path — buckets are recorded in table metadata.
+    """
+    writer = df.write.mode(mode).bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.format("parquet").saveAsTable(table)
+
+
 def merge_upsert(
     new_df: DataFrame,
     old_df: DataFrame | None,

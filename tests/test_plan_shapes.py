@@ -1,0 +1,100 @@
+"""Physical-plan shape assertions — the 100 TB posture, checked.
+
+Correctness is the oracle gate's job; these tests pin the *plans*:
+filters and projections reach the parquet scan, dims broadcast, and
+bucketed fact-fact joins run shuffle-free. A regression here is a
+performance bug that no row-comparison would ever catch.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.sources import (
+    io as SIO,
+)
+from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.sources.io import (
+    read_table,
+)
+
+
+def _plan(df, mode: str = "formatted") -> str:
+    return df._jdf.queryExecution().explainString(
+        getattr(
+            df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode,
+            "fromString",
+        )(mode)
+    )
+
+
+def test_filter_and_projection_pushed_to_parquet_scan(spark, sf_dir):
+    li = read_table(spark, sf_dir, "lineitem")
+    q = li.filter(F.col("l_quantity") > 40).select("l_orderkey", "l_quantity")
+    plan = _plan(q)
+    assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,40" in plan
+    # schema pruned to exactly the two projected columns
+    read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "l_orderkey" in read_schema and "l_quantity" in read_schema
+    assert "l_shipdate" not in read_schema and "l_extendedprice" not in read_schema
+
+
+def test_dim_join_broadcasts(spark, sf_dir):
+    orders = read_table(spark, sf_dir, "orders")
+    nationish = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    q = orders.join(F.broadcast(nationish), orders["o_custkey"] == F.col("c_custkey"))
+    plan = _plan(q)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_whole_stage_codegen_covers_agg(spark, sf_dir):
+    li = read_table(spark, sf_dir, "lineitem")
+    q = li.groupBy("l_returnflag").agg(F.sum("l_quantity"))
+    # AQE finalizes the plan only on execution; codegen'd operators are
+    # prefixed '*(stage_id)' in the executed plan
+    q.collect()
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "*(" in plan and "HashAggregate" in plan, plan
+
+
+@pytest.mark.usefixtures("spark")
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        a = spark.range(1000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("va")
+        )
+        b = spark.range(1000).select(
+            F.col("id").alias("k"), (F.col("id") * 3).alias("vb")
+        )
+        SIO.write_bucketed(a, "bkt_a", ["k"], 8)
+        SIO.write_bucketed(b, "bkt_b", ["k"], 8)
+        ta, tb = spark.table("bkt_a"), spark.table("bkt_b")
+        joined = ta.join(tb, "k")
+        plan = _plan(joined)
+        assert "Exchange" not in plan, plan
+        assert joined.count() == 1000
+        # sanity: the same join on unbucketed frames DOES shuffle
+        assert "Exchange" in _plan(a.join(b, "k"))
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS bkt_a")
+        spark.sql("DROP TABLE IF EXISTS bkt_b")
+
+
+def test_salted_agg_two_stage_plan(spark, sf_dir):
+    """The salted aggregation really is partial-on-salt → final-on-key:
+    two HashAggregate pairs, one Exchange on (key, salt) + one on key."""
+    from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.operators import (
+        skew as SKW,
+    )
+
+    li = read_table(spark, sf_dir, "lineitem")
+    q = SKW.salted_sum_count(
+        li, ["l_returnflag"], {"s": F.col("l_quantity").cast("decimal(20,4)")}, salts=4
+    )
+    plan = _plan(q, "simple")
+    assert plan.count("Exchange hashpartitioning") == 2
