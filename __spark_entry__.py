@@ -1572,6 +1572,33 @@ def _scalar_newline_scrub(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@_register(
+    "json_flatten_struct",
+    """
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INT) AS k,
+           event_type,
+           CAST(json_extract_string(props, '$.missing') AS INT) AS missing_field
+    FROM events WHERE event_id % 10 = 0
+    """,
+)
+def _json_flatten_struct(spark: SparkSession, sf: str) -> DataFrame:
+    """F12: typed JSON flatten — from_json into a StructType + nested
+    select (the reference's pd.json_normalize, schema-enforced;
+    absent fields surface as typed NULLs, never errors)."""
+    ev = read_table(spark, sf, "events").filter(F.col("event_id") % 10 == 0)
+    props_schema = "k INT, missing INT"
+    flat = ev.select(
+        "event_id", F.from_json("props", props_schema).alias("p"), "event_type"
+    )
+    return flat.select(
+        "event_id",
+        F.col("p.k").alias("k"),
+        "event_type",
+        F.col("p.missing").alias("missing_field"),
+    )
+
+
 # --- multimodal plumbing (north star) ----------------------------------------
 
 def _media_frame(spark: SparkSession, sf: str, with_payload: bool) -> DataFrame:

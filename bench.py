@@ -40,6 +40,12 @@ HEADLINE = [
     "dedup_simhash",
     "embedding_topk_bruteforce",
     "embedding_ann_lsh",
+    "agg_cube",
+    "window_lag_lead_range",
+    "star_schema_build",
+    "upsert_merge",
+    "skew_salted_join",
+    "multimodal_features",
 ]
 
 

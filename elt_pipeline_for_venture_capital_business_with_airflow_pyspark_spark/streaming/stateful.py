@@ -1,0 +1,127 @@
+"""Custom stateful streaming operator: gap-based sessionization with
+``applyInPandasWithState`` (SURVEY.md §2.7 stretch goal; the
+"custom operators" tier (b) of the build brief — semantics Spark's
+built-in windows can't express, implemented as an Arrow-batched
+stateful UDF).
+
+The reference has no streaming at all (its "stream" is an Airflow
+daily batch — SURVEY.md §2.7); the engine's batch contract is
+``streaming.incremental.sessionize``. This module is the continuous
+equivalent: per-user session state lives in the state store across
+micro-batches, so a session spanning batch boundaries is still one
+session — something the batch window function can only get right by
+reprocessing the full history.
+
+Scale posture: state is partitioned by the grouping key across
+executors (the state store shuffles once per batch on user_id); each
+group's state is O(1) (last timestamp + counters), so state size is
+bounded by |active users|, not |events|.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+SESSION_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("session_start_us", T.LongType()),
+        T.StructField("last_ts_us", T.LongType()),
+    ]
+)
+
+# state: (next session ordinal, last event ts, current session id,
+#         current session start, events in current session)
+_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("next_session", T.LongType()),
+        T.StructField("last_ts_us", T.LongType()),
+        T.StructField("cur_session", T.LongType()),
+        T.StructField("cur_start_us", T.LongType()),
+        T.StructField("cur_events", T.LongType()),
+    ]
+)
+
+
+def _session_fn(gap_us: int):
+    def fn(
+        key: tuple[Any, ...],
+        pdf_iter: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.exists:
+            next_session, last_ts, cur_session, cur_start, cur_events = state.get
+        else:
+            next_session, last_ts, cur_session, cur_start, cur_events = (
+                1, None, None, None, 0,
+            )
+
+        out: list[tuple[int, int, int, int, int]] = []
+        for pdf in pdf_iter:
+            # micro-batch arrival order is not event order — sort locally
+            for ts in sorted(int(v) for v in pdf["ts_us"]):
+                if last_ts is None or ts - last_ts > gap_us:
+                    if cur_session is not None:
+                        out.append(
+                            (user_id, cur_session, cur_events, cur_start, last_ts)
+                        )
+                    cur_session = next_session
+                    next_session += 1
+                    cur_start = ts
+                    cur_events = 0
+                cur_events += 1
+                last_ts = ts
+
+        # emit the (possibly still-open) current session's latest shape —
+        # update-mode sinks upsert it on the (user_id, session_id) key
+        if cur_session is not None:
+            out.append((user_id, cur_session, cur_events, cur_start, last_ts))
+
+        state.update((next_session, last_ts, cur_session, cur_start, cur_events))
+        yield pd.DataFrame(
+            out,
+            columns=[
+                "user_id", "session_id", "n_events", "session_start_us", "last_ts_us",
+            ],
+        )
+
+    return fn
+
+
+def sessionize_stream(
+    events: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Continuous sessionization over a streaming events frame.
+
+    Emits one row per touched session per micro-batch (update
+    semantics): (user_id, session_id, n_events, session_start_us,
+    last_ts_us). Per-user session ids are dense ordinals starting at 1
+    — identical to the batch ``incremental.sessionize`` numbering, so
+    the two modes are cross-checkable on the same data (see
+    tests/test_stateful_streaming.py).
+    """
+    gap_us = gap_minutes * 60 * 1_000_000
+    prepared = events.select(
+        F.col(user_col).cast("long").alias("user_id"),
+        F.unix_micros(F.col(ts_col)).alias("ts_us"),
+    )
+    return prepared.groupBy("user_id").applyInPandasWithState(
+        _session_fn(gap_us),
+        outputStructType=SESSION_OUTPUT_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

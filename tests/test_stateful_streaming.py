@@ -1,0 +1,122 @@
+"""Stateful streaming sessionization vs the batch window twin.
+
+The custom applyInPandasWithState operator must produce the same
+final session partition as batch ``incremental.sessionize`` — both
+when all events arrive in one micro-batch and when a session spans a
+micro-batch boundary (the case the batch operator cannot handle
+without full reprocessing)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.sources.io import (
+    read_table,
+)
+from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.streaming import (
+    incremental as INC,
+)
+from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.streaming import (
+    stateful as ST,
+)
+
+
+def _run_stream(spark, src_dir: str, chk_dir: str, schema):
+    stream = spark.readStream.schema(schema).parquet(src_dir)
+    sessions = ST.sessionize_stream(stream, "ts", "user_id", gap_minutes=30)
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName("sess_out")
+        .outputMode("update")
+        .option("checkpointLocation", chk_dir)
+        .start()
+    )
+    q.processAllAvailable()
+    return q
+
+
+def _final_sessions(spark):
+    """Update-mode memory sink appends every emitted row; the final
+    state of a session is its last emission."""
+    rows = spark.sql(
+        """
+        SELECT user_id, session_id, n_events, session_start_us, last_ts_us
+        FROM (
+          SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY user_id, session_id
+            ORDER BY n_events DESC, last_ts_us DESC
+          ) rn
+          FROM sess_out
+        ) WHERE rn = 1
+        """
+    ).collect()
+    return {
+        (r["user_id"], r["session_id"]): (
+            r["n_events"], r["session_start_us"], r["last_ts_us"]
+        )
+        for r in rows
+    }
+
+
+def _batch_sessions(events):
+    agg = (
+        INC.sessionize(events, "user_id", "ts", 30)
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min(F.unix_micros("ts")).alias("session_start_us"),
+            F.max(F.unix_micros("ts")).alias("last_ts_us"),
+        )
+    )
+    return {
+        (r["user_id"], r["session_id"]): (
+            r["n_events"], r["session_start_us"], r["last_ts_us"]
+        )
+        for r in agg.collect()
+    }
+
+
+def test_stream_sessionize_matches_batch_single_batch(spark, sf_dir, tmp_path):
+    events = read_table(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    src = str(tmp_path / "src")
+    events.coalesce(1).write.parquet(src)
+
+    q = _run_stream(spark, src, str(tmp_path / "chk"), events.schema)
+    try:
+        got = _final_sessions(spark)
+    finally:
+        q.stop()
+    expected = _batch_sessions(events)
+    assert got == expected
+
+
+def test_stream_sessionize_across_batch_boundary(spark, tmp_path):
+    """A session whose events arrive in two micro-batches must stay ONE
+    session with continuous numbering — state carries across batches."""
+    rows1 = [(1, "2024-01-01 10:00:00"), (1, "2024-01-01 10:10:00")]
+    rows2 = [(1, "2024-01-01 10:20:00"), (1, "2024-01-01 12:00:00")]
+
+    def mk(rows):
+        return spark.createDataFrame(rows, ["user_id", "ts_s"]).select(
+            F.col("user_id").cast("long"),
+            F.col("ts_s").cast("timestamp").alias("ts"),
+        )
+
+    src = str(tmp_path / "src2")
+    mk(rows1).coalesce(1).write.parquet(src)
+    q = _run_stream(spark, src, str(tmp_path / "chk2"), mk(rows1).schema)
+    try:
+        q.processAllAvailable()
+        mk(rows2).coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        got = _final_sessions(spark)
+    finally:
+        q.stop()
+
+    # batch 2's 10:20 event continues session 1 (gap 10 min); the 12:00
+    # event opens session 2
+    assert got == {
+        (1, 1): (3, 1704103200000000, 1704104400000000),
+        (1, 2): (1, 1704110400000000, 1704110400000000),
+    }
