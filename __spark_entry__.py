@@ -1068,6 +1068,55 @@ def _dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     return DD.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.8)
 
 
+@_register(
+    "dedup_connected_components",
+    """
+    WITH RECURSIVE tok AS (
+      SELECT doc_id, CASE WHEN trim(text) = '' THEN [] ELSE string_split_regex(trim(text), '\\s+') END AS t
+      FROM documents
+    ), grams AS (
+      SELECT doc_id, list_distinct(list_transform(
+               generate_series(1, greatest(len(t) - 2, 1)),
+               i -> array_to_string(t[i:i+2], ' '))) AS shingles
+      FROM tok WHERE len(t) > 0
+    ), idx AS (
+      SELECT doc_id, unnest(shingles) AS shingle FROM grams
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n FROM idx GROUP BY doc_id
+    ), cand AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+      FROM idx a JOIN idx b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), pairs AS (
+      SELECT id_a, id_b FROM cand
+      JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+      WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.8
+    ), e AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION ALL
+      SELECT id_b, id_a FROM pairs
+    ), reach AS (
+      SELECT doc_id AS id, doc_id AS comp FROM documents
+      UNION
+      SELECT e.b AS id, r.comp AS comp FROM reach r JOIN e ON e.a = r.id
+    )
+    SELECT id, MIN(comp) AS component FROM reach GROUP BY id
+    """,
+)
+def _dedup_connected_components(spark: SparkSession, sf: str) -> DataFrame:
+    """Cluster resolution over the exact-Jaccard near-dup graph:
+    iterative min-label propagation (operators.dedup.
+    connected_components) vs a DuckDB recursive-CTE transitive
+    closure — the full dedup pipeline's last step, oracle-checked."""
+    docs = read_table(spark, sf, "documents")
+    pairs = DD.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.8)
+    return DD.connected_components(
+        docs.select("doc_id"),
+        pairs.select("id_a", "id_b"),
+        id_col="doc_id",
+    )
+
+
 @_register("dedup_minhash_lsh", None)  # seeded-hash signatures: not SQL-expressible
 def _dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     """MinHash+LSH near-dup pairs — the linear-cost 100 TB dedup path.
@@ -1149,6 +1198,16 @@ def _embedding_near_dup_exact(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("cosine_sim_raw") >= 0.4)
         .select("id_a", "id_b", F.round("cosine_sim_raw", 6).alias("cosine_sim"))
     )
+
+
+@_register("embedding_near_dup_lsh", None)
+def _embedding_near_dup_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """LSH-banded embedding near-dup pairs (≥0.4) — the linear-cost
+    variant of embedding_near_dup_exact (rows-only check; recall vs
+    the exact pairs asserted in tests)."""
+    emb = read_table(spark, sf, "embeddings")
+    out = SIM.embedding_near_dup(emb, dim=64, threshold=0.4, num_planes=16, bands=8)
+    return out.select("id_a", "id_b", F.round("cosine_sim", 6).alias("cosine_sim"))
 
 
 @_register("embedding_ann_lsh", None)

@@ -332,6 +332,58 @@ def simhash_near_pairs(
     )
 
 
+def connected_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str = "id",
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over a near-duplicate pair graph — the
+    cluster-resolution step that turns pairwise dedup output into
+    "keep one per group" decisions.
+
+    Iterative min-label propagation: every node starts labeled with
+    its own id; each round every node takes the min label among itself
+    and its neighbors; fixpoint = components (label = min node id in
+    the component). Rounds needed = graph diameter — near-dup clusters
+    are shallow (stars/cliques), so convergence is typically 2-3
+    rounds; ``max_iter`` bounds adversarial chains.
+
+    Scale notes: each round is one shuffle (groupBy node) over
+    |edges| + |nodes| rows; labels are ``localCheckpoint``-ed per
+    round to cut the lineage (an unbounded iterative plan otherwise
+    recompiles and recomputes from scratch every round). Early-exit
+    via an isEmpty probe on the changed-label set. For graphs with
+    huge diameter use the alternating large-star/small-star variant;
+    for dedup graphs this simple form is the right trade.
+    """
+    sym = edges.select(
+        F.col(src_col).alias("a"), F.col(dst_col).alias("b")
+    ).unionByName(edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b")))
+    labels = nodes.select(F.col(id_col).alias("id"), F.col(id_col).alias("comp"))
+    labels = labels.localCheckpoint(eager=True)
+
+    for _ in range(max_iter):
+        msgs = sym.join(labels, sym["b"] == labels["id"]).select(
+            F.col("a").alias("id"), "comp"
+        )
+        new_labels = (
+            msgs.unionByName(labels)
+            .groupBy("id")
+            .agg(F.min("comp").alias("comp"))
+            .localCheckpoint(eager=True)
+        )
+        changed = new_labels.alias("n").join(
+            labels.alias("o"), on="id"
+        ).filter(F.col("n.comp") != F.col("o.comp"))
+        labels = new_labels
+        if changed.isEmpty():
+            break
+    return labels.select("id", F.col("comp").alias("component"))
+
+
 def dedup_keep_first(
     df: DataFrame, keys: list[str], order_by: list
 ) -> DataFrame:

@@ -126,3 +126,26 @@ def test_text_function_edge_cases(spark):
     assert rows[0]["fp"] == rows[1]["fp"]  # both normalize to empty
     assert rows[2]["sh"] == ["one"]  # short doc → whole-doc shingle
     assert rows[3]["sh"] == ["a b c"]
+
+
+def test_embedding_near_dup_lsh_recall_vs_exact(spark, sf_dir):
+    emb = read_table(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("sim", SIM.cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("sim") >= 0.4)
+        .collect()
+    }
+    approx = {
+        (r["id_a"], r["id_b"])
+        for r in SIM.embedding_near_dup(
+            emb, dim=64, threshold=0.4, num_planes=16, bands=8
+        ).collect()
+    }
+    # LSH candidates are a subset scored exactly -> no false positives
+    assert approx <= exact
+    if exact:
+        assert len(approx) / len(exact) >= 0.6, (len(approx), len(exact))

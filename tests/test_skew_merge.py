@@ -86,3 +86,18 @@ def test_merge_upsert_without_ordering_dedups(spark):
     new = spark.createDataFrame([(1, "x"), (1, "y")], ["k", "v"])
     out = merge_upsert(new, None, ["k"]).collect()
     assert len(out) == 1
+
+
+def test_connected_components_chain_clique_singleton(spark):
+    from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.operators.dedup import (
+        connected_components,
+    )
+
+    # chain 1-2-3-4 (diameter 3 — needs >1 propagation round),
+    # clique 10-11-12, singleton 99
+    nodes = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 10, 11, 12, 99]], ["id"])
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12)], ["id_a", "id_b"]
+    )
+    out = {r["id"]: r["component"] for r in connected_components(nodes, edges).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 99: 99}
