@@ -1457,6 +1457,56 @@ def _window_lag_lead_range(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@_register(
+    "window_rank_ntile",
+    """
+    SELECT o_orderkey, o_orderstatus,
+           RANK() OVER w AS rnk,
+           DENSE_RANK() OVER w AS drnk,
+           NTILE(4) OVER w AS quartile,
+           ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank
+    FROM orders
+    WHERE o_orderkey <= 2000
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+)
+def _window_rank_ntile(spark: SparkSession, sf: str) -> DataFrame:
+    """rank/dense_rank/ntile/percent_rank — the full ranking-function
+    family over one window spec (single sort per partition)."""
+    orders = read_table(spark, sf, "orders").filter(F.col("o_orderkey") <= 2000)
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+    )
+
+
+@_register(
+    "agg_collect_sorted",
+    """
+    SELECT c_nationkey,
+           list_sort(list(DISTINCT c_mktsegment)) AS segments,
+           COUNT(*) AS n_customers
+    FROM customer
+    GROUP BY c_nationkey
+    """,
+)
+def _agg_collect_sorted(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic array aggregation: collect_set + sort_array (an
+    unsorted collect is partitioning-dependent — never comparable)."""
+    customer = read_table(spark, sf, "customer")
+    return customer.groupBy("c_nationkey").agg(
+        F.sort_array(F.collect_set("c_mktsegment")).alias("segments"),
+        F.count(F.lit(1)).alias("n_customers"),
+    )
+
+
 # --- merge / star build / skew (S7, W1, 100 TB posture) ----------------------
 
 @_register(
