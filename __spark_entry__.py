@@ -675,6 +675,46 @@ _PROFILE_SQL = " UNION ALL ".join(
 )
 
 
+def _profile_catalog_sql() -> str:
+    tables = {
+        "nation": [("n_nationkey", "int", True), ("n_name", "string", False), ("n_regionkey", "int", True)],
+        "region": [("r_regionkey", "int", True), ("r_name", "string", False)],
+    }
+    parts = []
+    for t, cols in tables.items():
+        for c, typ, num in cols:
+            neg = (
+                f"CAST(SUM(CASE WHEN {c} < 0 THEN 1 ELSE 0 END) AS BIGINT)"
+                if num
+                else "CAST(NULL AS BIGINT)"
+            )
+            parts.append(
+                f"""
+                SELECT '{t}' AS table_name, '{c}' AS column_name, '{typ}' AS data_type,
+                       COUNT(*) AS n_rows, COUNT({c}) AS n_not_null,
+                       ROUND(COUNT({c}) * CAST(100 AS DOUBLE) / COUNT(*), 2) AS pct_complete,
+                       CASE WHEN COUNT({c}) * CAST(100 AS DOUBLE) / COUNT(*) > 90
+                            THEN 'Good' ELSE 'Bad' END AS quality,
+                       {neg} AS n_negative,
+                       list_sort(list(DISTINCT CAST({c} AS VARCHAR)))[1:5] AS sample
+                FROM {t}
+                """
+            )
+    return " UNION ALL ".join(parts)
+
+
+@_register("profile_catalog", _profile_catalog_sql())
+def _profile_catalog(spark: SparkSession, sf: str) -> DataFrame:
+    """A2 catalog loop: profile_database over multiple tables — one
+    scan per table, one long output frame (the reference's dynamic
+    information_schema plpgsql loop, sans dynamic SQL)."""
+    tables = {
+        "nation": read_table(spark, sf, "nation"),
+        "region": read_table(spark, sf, "region"),
+    }
+    return PR.profile_database(tables=tables)
+
+
 @_register("profile_orders", _PROFILE_SQL)
 def _profile_orders(spark: SparkSession, sf: str) -> DataFrame:
     """A2-A7: single-pass per-column profile (the reference's plpgsql
@@ -1770,6 +1810,19 @@ def _multimodal_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
     per (media, frame timestamp) before any codec work."""
     media = _media_frame(spark, sf, with_payload=False)
     return multimodal.frame_sample_plan(media, every_ms=1000)
+
+
+@_register("embedding_ivf_topk", None)
+def _embedding_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF approximate top-k: corpus bucketed by nearest deterministic
+    centroid, queries probe n_probe cells — the partition-pruning ANN
+    complement to the hyperplane-LSH path (rows-only check; recall vs
+    brute force asserted in tests)."""
+    emb = read_table(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return SIM.ivf_topk(emb, queries, dim=64, k=10, n_centroids=16, n_probe=8)
 
 
 # ---------------------------------------------------------------------------

@@ -80,6 +80,34 @@ def profile_table(df: DataFrame, table_name: str) -> DataFrame:
     )
 
 
+def profile_database(
+    tables: dict[str, DataFrame] | None = None,
+    spark=None,
+    database: str | None = None,
+) -> DataFrame:
+    """Profile a whole catalog — the reference's dynamic loop over
+    information_schema (A2, data_profiling_function.sql:29-35) without
+    the dynamic SQL: pass either an explicit {name: DataFrame} dict or
+    a SparkSession (+ optional database) to enumerate
+    ``spark.catalog.listTables``. Per-table profiles are unioned into
+    one long frame; each table still costs exactly one scan, and the
+    per-table agg jobs are independent (submit with a FAIR scheduler
+    pool for overlap at cluster scale).
+    """
+    if tables is None:
+        if spark is None:
+            raise ValueError("pass tables= or spark=")
+        names = [t.name for t in spark.catalog.listTables(database)]
+        tables = {n: spark.table(n) for n in names}
+    profiles = [profile_table(df, name) for name, df in tables.items()]
+    if not profiles:
+        raise ValueError("no tables to profile")
+    out = profiles[0]
+    for p in profiles[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def profile_report_json(df: DataFrame, table_name: str) -> DataFrame:
     """One-row JSON report per table — the reference's
     JSONB_BUILD_OBJECT/JSONB_AGG assembly (A7,

@@ -120,3 +120,58 @@ def test_stream_sessionize_across_batch_boundary(spark, tmp_path):
         (1, 1): (3, 1704103200000000, 1704104400000000),
         (1, 2): (1, 1704110400000000, 1704110400000000),
     }
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """The reference silently ignores backdated rows (SURVEY.md §2.7);
+    the streaming mode makes that policy explicit: a window older than
+    the watermark is finalized and late arrivals into it are dropped."""
+    from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.streaming.incremental import (
+        streaming_tumbling_agg,
+    )
+
+    def mk(rows):
+        return spark.createDataFrame(
+            rows, ["event_id", "ts_s", "user_id", "event_type", "value"]
+        ).select(
+            F.col("event_id").cast("long"),
+            F.col("ts_s").cast("timestamp").alias("ts"),
+            F.col("user_id").cast("long"),
+            "event_type",
+            F.col("value").cast("double"),
+        )
+
+    src = str(tmp_path / "wm_src")
+    batch1 = mk([(1, "2024-01-02 10:00:00", 1, "click", 1.0),
+                 (2, "2024-01-02 10:30:00", 1, "click", 2.0)])
+    batch1.coalesce(1).write.parquet(src)
+
+    agg = streaming_tumbling_agg(
+        spark, src, batch1.schema, ts_col="ts", window="1 day", watermark="1 day"
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("wm_out")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "wm_chk"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: one event 3 days late (window end < watermark -> drop)
+        # and one on-time event (same window as batch 1 -> update)
+        mk([(3, "2023-12-30 09:00:00", 2, "click", 100.0),
+            (4, "2024-01-02 11:00:00", 1, "click", 4.0)]).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM wm_out").collect()
+    finally:
+        q.stop()
+
+    starts = {str(r["window_start"]) for r in rows}
+    assert "2023-12-30 00:00:00" not in starts  # late row dropped
+    # the on-time update arrived: last emission for Jan 2 counts 3 events
+    jan2 = [r for r in rows if str(r["window_start"]).startswith("2024-01-02")]
+    assert max(r["n_events"] for r in jan2) == 3
+    assert max(r["sum_value"] for r in jan2) == 7.0
