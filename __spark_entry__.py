@@ -1498,6 +1498,74 @@ def _window_lag_lead_range(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_register(
+    "correlated_above_avg",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders o
+    WHERE o_totalprice > 1.5 * (
+      SELECT CAST(SUM(CAST(i.o_totalprice AS DECIMAL(18,3))) AS DOUBLE) / COUNT(*)
+      FROM orders i WHERE i.o_custkey = o.o_custkey
+    )
+    """,
+)
+def _correlated_above_avg(spark: SparkSession, sf: str) -> DataFrame:
+    """Correlated scalar subquery (TPC-H Q17 shape), decorrelated the
+    way Catalyst itself would: per-key aggregate + equi-join — one
+    scan feeds both sides, no per-row subquery execution ever."""
+    orders = read_table(spark, sf, "orders")
+    avgs = orders.groupBy(F.col("o_custkey").alias("k")).agg(
+        (
+            F.sum(F.col("o_totalprice").cast("decimal(18,3)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_price")
+    )
+    return (
+        orders.join(avgs, orders["o_custkey"] == avgs["k"])
+        .filter(F.col("o_totalprice") > 1.5 * F.col("avg_price"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+@_register(
+    "join_null_safe",
+    """
+    WITH l AS (
+      SELECT p_partkey, CASE WHEN p_partkey % 5 = 0 THEN NULL ELSE p_brand END AS brand
+      FROM part WHERE p_partkey <= 400
+    ), r AS (
+      SELECT CASE WHEN p_partkey % 7 = 0 THEN NULL ELSE p_brand END AS brand,
+             COUNT(*) AS n_r
+      FROM part WHERE p_partkey <= 400 GROUP BY 1
+    )
+    SELECT l.p_partkey, l.brand, r.n_r
+    FROM l JOIN r ON l.brand IS NOT DISTINCT FROM r.brand
+    """,
+)
+def _join_null_safe(spark: SparkSession, sf: str) -> DataFrame:
+    """Null-safe equi-join (<=> / IS NOT DISTINCT FROM): NULL keys
+    match each other instead of vanishing — still hash-partitionable
+    (NULLs co-locate), unlike a general non-equi condition."""
+    part = read_table(spark, sf, "part").filter(F.col("p_partkey") <= 400)
+    left = part.select(
+        "p_partkey",
+        F.when(F.col("p_partkey") % 5 == 0, F.lit(None)).otherwise(F.col("p_brand")).alias("brand"),
+    )
+    right = (
+        part.select(
+            F.when(F.col("p_partkey") % 7 == 0, F.lit(None))
+            .otherwise(F.col("p_brand"))
+            .alias("rbrand")
+        )
+        .groupBy("rbrand")
+        .agg(F.count(F.lit(1)).alias("n_r"))
+    )
+    return (
+        left.join(right, left["brand"].eqNullSafe(right["rbrand"]))
+        .select("p_partkey", "brand", "n_r")
+    )
+
+
+@_register(
     "window_rank_ntile",
     """
     SELECT o_orderkey, o_orderstatus,

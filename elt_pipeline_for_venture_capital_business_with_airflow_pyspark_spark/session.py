@@ -16,6 +16,24 @@ import os
 from pyspark.sql import SparkSession
 
 
+def suggest_shuffle_partitions(
+    input_bytes: int,
+    target_partition_mb: int = 128,
+    parallelism: int | None = None,
+) -> int:
+    """Spill-aware shuffle sizing: enough partitions that each holds
+    ~``target_partition_mb`` of shuffle data (fits executor memory with
+    headroom), rounded up to a multiple of the cluster parallelism so
+    no final wave runs ragged. At 100 TB with 128 MB targets this says
+    ~800k partitions — pass the result to ``build_session`` or set it
+    per-stage via AQE advisory size instead of trusting the 200
+    default (or a local-mode core count) at scale.
+    """
+    cpus = parallelism or int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    needed = max(1, -(-input_bytes // (target_partition_mb * 1024 * 1024)))
+    return max(cpus, -(-needed // cpus) * cpus)
+
+
 def build_session(
     app_name: str = "vc-engine",
     master: str | None = None,

@@ -138,6 +138,42 @@ def write_jdbc(
     writer.save()
 
 
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_file_mb: int = 256,
+) -> int:
+    """Small-file compaction: rewrite a parquet dir into
+    ceil(bytes/target) files. Incremental daily writes accumulate
+    file counts that degrade scan planning (listing + row-group
+    overhead per file) — at 100 TB, compaction keeps file count
+    proportional to data, not to write cadence. Returns the new file
+    count. Rewrite-in-place via an overwrite of a staged read (single
+    writer assumed, same as the reference's loads)."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    it = fs.listFiles(jpath, True)
+    byte_total = 0
+    while it.hasNext():
+        st = it.next()
+        if st.getPath().getName().endswith(".parquet"):
+            byte_total += st.getLen()
+    n_files = int(max(1, -(-byte_total // (target_file_mb * 1024 * 1024))))
+
+    # stage-then-swap: the source dir cannot be overwritten while a
+    # lazy plan still reads it
+    staged = f"{path}__compact_tmp"
+    spark.read.parquet(path).repartition(n_files).write.mode("overwrite").option(
+        "compression", "zstd"
+    ).parquet(staged)
+    spark.read.parquet(staged).write.mode("overwrite").option(
+        "compression", "zstd"
+    ).parquet(path)
+    fs.delete(jvm.org.apache.hadoop.fs.Path(staged), True)
+    return n_files
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,

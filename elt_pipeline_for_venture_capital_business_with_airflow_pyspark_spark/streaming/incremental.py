@@ -18,11 +18,20 @@ from pyspark.sql import types as T
 
 def incremental_slice(df: DataFrame, ts_col: str, ds: str, lag_days: int = 1) -> DataFrame:
     """The reference's daily slice (P3): rows whose ``ts_col`` date
-    equals ``ds - lag_days``. Expressed as a typed filter so Catalyst
-    pushes it into the scan (partition pruning on a date-partitioned
-    lake — never an f-string in SQL, quirk §2.9.5)."""
-    target = F.date_sub(F.lit(ds).cast("date"), lag_days)
-    return df.filter(F.col(ts_col).cast("date") == target)
+    equals ``ds - lag_days``.
+
+    Expressed as a **sargable half-open range** on the raw column —
+    ``ts >= day AND ts < day+1`` — never ``cast(ts AS date) = day``:
+    wrapping the column in a cast defeats parquet row-group pruning
+    and partition pruning, turning the daily slice into a full scan at
+    100 TB. The range form pushes down (asserted in
+    tests/test_plan_shapes.py). Typed literals, never f-string SQL
+    (quirk §2.9.5)."""
+    day = F.date_sub(F.lit(ds).cast("date"), lag_days)
+    lo = day.cast("timestamp")
+    hi = F.date_add(day, 1).cast("timestamp")
+    c = F.col(ts_col)
+    return df.filter((c >= lo) & (c < hi))
 
 
 def tumbling_agg(df: DataFrame, ts_col: str, window: str = "1 day") -> DataFrame:

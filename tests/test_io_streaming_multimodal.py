@@ -113,3 +113,30 @@ def test_events_schema_roundtrip(spark, sf_dir):
     ev = read_table(spark, sf_dir, "events")
     assert [f.name for f in ev.schema.fields] == [f.name for f in TESTDATA["events"].fields]
     assert dict(ev.dtypes)["ts"] == "timestamp"
+
+
+def test_compact_parquet_reduces_files(spark, tmp_path):
+    from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.sources import (
+        io as SIO,
+    )
+
+    path = str(tmp_path / "frag")
+    spark.range(10000).repartition(40).write.parquet(path)
+    import glob
+
+    assert len(glob.glob(f"{path}/*.parquet")) == 40
+    n = SIO.compact_parquet(spark, path, target_file_mb=256)
+    assert n == 1
+    assert len(glob.glob(f"{path}/*.parquet")) == 1
+    assert spark.read.parquet(path).count() == 10000
+
+
+def test_suggest_shuffle_partitions():
+    from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.session import (
+        suggest_shuffle_partitions,
+    )
+
+    # 1 TB at 128 MB/partition on 512 cores -> 8192 (multiple of cores)
+    assert suggest_shuffle_partitions(1 << 40, 128, 512) == 8192
+    # tiny input never drops below parallelism
+    assert suggest_shuffle_partitions(1, 128, 32) == 32

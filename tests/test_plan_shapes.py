@@ -39,6 +39,19 @@ def test_filter_and_projection_pushed_to_parquet_scan(spark, sf_dir):
     assert "l_shipdate" not in read_schema and "l_extendedprice" not in read_schema
 
 
+def test_incremental_slice_pushes_down(spark, sf_dir):
+    """The daily slice must reach the parquet scan as a range filter —
+    a cast(ts AS date)= formulation would scan everything."""
+    from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.streaming.incremental import (
+        incremental_slice,
+    )
+
+    li = read_table(spark, sf_dir, "lineitem")
+    q = incremental_slice(li, "l_shipdate", "1996-01-02").select("l_orderkey")
+    plan = _plan(q)
+    assert "GreaterThanOrEqual(l_shipdate" in plan and "LessThan(l_shipdate" in plan
+
+
 def test_dim_join_broadcasts(spark, sf_dir):
     orders = read_table(spark, sf_dir, "orders")
     nationish = read_table(spark, sf_dir, "customer").select(
