@@ -49,6 +49,9 @@ from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.operat
 from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.operators import (
     surrogate as SK,
 )
+from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.operators import (
+    temporal as TMP,
+)
 from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.plans import (
     dim_date as DDATE,
 )
@@ -1050,6 +1053,39 @@ def _lang_sql() -> str:
     """
 
 
+@_register(
+    "text_winnow_fingerprints",
+    """
+    WITH n AS (
+      SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS s
+      FROM documents
+    ), h AS (
+      SELECT doc_id, s,
+             list_transform(
+               generate_series(1, greatest(length(s) - 4, 1)),
+               i -> ascii(s[i]) + ascii(s[i+1]) * 31 + ascii(s[i+2]) * 961
+                  + ascii(s[i+3]) * 29791 + ascii(s[i+4]) * 923521
+             ) AS hs
+      FROM n
+    )
+    SELECT doc_id,
+           CASE WHEN length(s) < 5 THEN []
+                ELSE list_sort(list_distinct(list_transform(
+                       generate_series(1, greatest(len(hs) - 3, 1)),
+                       i -> list_min(hs[i:i+3]))))
+           END AS fingerprints
+    FROM h
+    """,
+)
+def _text_winnow_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
+    """Rolling-hash winnowing fingerprints (k=5 char grams, window=4)
+    — polynomial hash replicated exactly in the oracle SQL."""
+    docs = read_table(spark, sf, "documents")
+    return TX.winnow_fingerprints(docs, "doc_id", "text", k=5, window=4).select(
+        F.col("id").alias("doc_id"), "fingerprints"
+    )
+
+
 @_register("text_lang_id", _lang_sql())
 def _text_lang_id(spark: SparkSession, sf: str) -> DataFrame:
     """Marker-word language ID (argmax with code-order tiebreak)."""
@@ -1891,6 +1927,146 @@ def _embedding_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return SIM.ivf_topk(emb, queries, dim=64, k=10, n_centroids=16, n_probe=8)
+
+
+# --- temporal joins / history (beyond-reference: as-of, range, SCD2) -------
+
+@_register(
+    "join_asof_backward",
+    """
+    WITH v AS (
+      SELECT user_id, ts, MAX(event_id) AS view_id
+      FROM events WHERE event_type = 'view'
+      GROUP BY user_id, ts
+    )
+    SELECT p.event_id, p.user_id, epoch_us(p.ts) AS purchase_us,
+           v.view_id AS view_id, epoch_us(v.ts) AS view_us,
+           epoch_us(p.ts) - epoch_us(v.ts) AS gap_us
+    FROM events p ASOF LEFT JOIN v
+      ON p.user_id = v.user_id AND p.ts >= v.ts
+    WHERE p.event_type = 'purchase'
+    """,
+)
+def _join_asof_backward(spark: SparkSession, sf: str) -> DataFrame:
+    """As-of join (backward, inclusive): each purchase gets the latest
+    view at-or-before it per user — single-shuffle union-sweep plan
+    (operators/temporal.asof_join), checked against DuckDB's native
+    ASOF JOIN as an independent implementation. Ties on (user, ts)
+    resolve to the max event_id in both engines."""
+    ev = read_table(spark, sf, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    )
+    res = TMP.asof_join(
+        purchases,
+        views,
+        key="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        payload={
+            "view_id": F.col("event_id"),
+            "view_us": F.unix_micros(F.col("ts")),
+        },
+        tiebreak="event_id",
+    )
+    return res.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("purchase_us"),
+        "view_id",
+        "view_us",
+        (F.unix_micros("ts") - F.col("view_us")).alias("gap_us"),
+    )
+
+
+@_register(
+    "join_range_interval",
+    """
+    SELECT e.event_id AS err_id, c.event_id AS click_id, c.user_id,
+           epoch_us(c.ts) - epoch_us(e.ts) AS offset_us
+    FROM events e JOIN events c
+      ON c.user_id = e.user_id
+     AND c.ts >= e.ts AND c.ts < e.ts + INTERVAL 4 HOUR
+    WHERE e.event_type = 'error' AND c.event_type = 'click'
+    """,
+)
+def _join_range_interval(spark: SparkSession, sf: str) -> DataFrame:
+    """Range (interval) join: clicks inside each error's 4-hour
+    window per user. The Spark plan is the binned equi-join of
+    operators/temporal.range_join (no per-key cross product); the
+    oracle is the naive non-equi join."""
+    ev = read_table(spark, sf, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"),
+        F.col("user_id").alias("i_user"),
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 4 HOURS")).alias("end_ts"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts"
+    )
+    res = TMP.range_join(
+        clicks,
+        errors,
+        event_key="user_id",
+        interval_key="i_user",
+        ts_col="ts",
+        start_col="start_ts",
+        end_col="end_ts",
+        bin_seconds=3600,
+    )
+    return res.select(
+        "err_id",
+        "click_id",
+        "user_id",
+        (F.unix_micros("ts") - F.unix_micros("start_ts")).alias("offset_us"),
+    )
+
+
+@_register(
+    "scd2_order_status",
+    """
+    WITH o AS (
+      SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+             LAG(o_orderstatus) OVER w AS prev
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ), runs AS (
+      SELECT * FROM o WHERE prev IS NULL OR prev <> o_orderstatus
+    )
+    SELECT o_custkey, o_orderstatus,
+           epoch_us(o_orderdate) AS valid_from_us,
+           epoch_us(LEAD(o_orderdate) OVER w2) AS valid_to_us,
+           LEAD(o_orderdate) OVER w2 IS NULL AS is_current,
+           CAST(ROW_NUMBER() OVER w2 AS INT) AS version
+    FROM runs
+    WINDOW w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def _scd2_order_status(spark: SparkSession, sf: str) -> DataFrame:
+    """SCD Type-2 collapse: each customer's order-status change
+    history as validity intervals (valid_from/valid_to/is_current/
+    version) — the dimension-history op the reference's star schema
+    (init_dwh.sql:31-114) stops short of."""
+    orders = read_table(spark, sf, "orders")
+    hist = TMP.scd2_collapse(
+        orders,
+        ["o_custkey"],
+        "o_orderdate",
+        ["o_orderstatus"],
+        tiebreak="o_orderkey",
+    )
+    return hist.select(
+        "o_custkey",
+        "o_orderstatus",
+        F.unix_micros("valid_from").alias("valid_from_us"),
+        F.unix_micros("valid_to").alias("valid_to_us"),
+        "is_current",
+        "version",
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -133,6 +133,58 @@ def fingerprint(col: str | Column) -> Column:
     return F.md5(normalized)
 
 
+def winnow_fingerprints(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    window: int = 4,
+):
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken):
+    polynomial rolling hash over character k-grams of the normalized
+    text, then the min hash of each sliding window of ``window``
+    consecutive grams — the classic plagiarism/copy-detection
+    fingerprint set. Guarantees any match of length ≥ k+window-1
+    shares a fingerprint.
+
+    The hash is an explicit k-term polynomial (Σ ascii(c_j)·31^j) so
+    the exact same values are computable in ANSI SQL — the oracle
+    checks these bit-for-bit, unlike the seeded-xxhash dedup family.
+    DataFrame-level (not a Column builder): the normalized text and
+    gram-hash array materialize once per row as real columns instead
+    of re-evaluating inside every lambda.
+
+    Output: (id, fingerprints array<int>, sorted distinct);
+    docs shorter than k chars → empty array.
+    """
+    norm = F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]", "")
+    d1 = df.select(F.col(id_col).alias("id"), norm.alias("__s"))
+    s, L = F.col("__s"), F.length(F.col("__s"))
+    n_grams = L - (k - 1)
+    gram_hash = lambda i: sum(  # noqa: E731
+        (F.ascii(s.substr(i + j, F.lit(1))) * (31 ** j) for j in range(1, k)),
+        start=F.ascii(s.substr(i, F.lit(1))),
+    )
+    d2 = d1.select(
+        "id",
+        "__s",
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n_grams, F.lit(1))), gram_hash
+        ).alias("__h"),
+    )
+    n_wins = F.size(F.col("__h")) - (window - 1)
+    wins = F.transform(
+        F.sequence(F.lit(1), F.greatest(n_wins, F.lit(1))),
+        lambda i: F.array_min(F.slice(F.col("__h"), i, window)),
+    )
+    return d2.select(
+        "id",
+        F.when(F.length("__s") < k, F.array().cast("array<int>"))
+        .otherwise(F.array_sort(F.array_distinct(wins)))
+        .alias("fingerprints"),
+    )
+
+
 def shingle_stream(df, id_col: str = "doc_id", text_col: str = "text", n: int = 3):
     """Distinct (id, shingle) rows — the high-throughput shingle path.
 

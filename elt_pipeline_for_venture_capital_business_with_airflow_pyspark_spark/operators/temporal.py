@@ -1,0 +1,199 @@
+"""Temporal join / history operators: as-of join, range (interval)
+join, SCD Type-2 collapse.
+
+The reference has none of these — all its joins are equi-joins
+(SURVEY.md §2.3: "no theta/range/as-of joins exist in the
+reference") and its only history mechanism is append-mode loads
+(`dags/vcapital_warehouse/tasks/components/load.py:68-73`). They are,
+however, core operations of any event/warehouse engine at scale, so
+they are first-class here, built strictly from shuffle-economical
+primitives:
+
+- **As-of join** — the classic "latest right row at or before each
+  left row per key". NOT a correlated subquery and NOT a range
+  cross-join: both sides are tagged, unioned, and swept with a single
+  running ``last(ignorenulls)`` window — exactly one shuffle on the
+  key, sort within partitions, zero row amplification. This is the
+  same plan a sort-merge as-of join would produce natively and it
+  scales to arbitrarily long histories per key.
+- **Range join** — "events inside intervals". The naive formulation
+  is a non-equi join (cross product per key at 100 TB). The scale
+  path bins time into fixed-width buckets: intervals explode to the
+  few buckets they cover, events map to exactly one bucket, the join
+  becomes an equi-join on (key, bucket) plus an exact residual
+  filter. Row amplification is bounded by interval_span/bin_width.
+- **SCD2 collapse** — turns a snapshot/event stream into Kimball
+  type-2 validity intervals (valid_from / valid_to / is_current /
+  version), the standard dimension-history shape the reference's
+  star schema (`dataset/warehouse/init_dwh.sql:31-114`) stops short
+  of. Two window passes over one shuffle on the key.
+
+All three are deterministic given a unique tiebreak column — never
+rely on input order (shuffle-stage retries reorder rows).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+__all__ = ["asof_join", "range_join", "scd2_collapse"]
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    payload: dict[str, Column] | None = None,
+    tiebreak: str | None = None,
+    direction: str = "backward",
+    strict: bool = False,
+) -> DataFrame:
+    """For every left row, attach the payload of the closest right row
+    per ``key``: backward = greatest ``right_ts`` <= ``left_ts``
+    (``strict``: <), forward = least ``right_ts`` >= ``left_ts``.
+
+    ``payload`` maps output column name → Column over the *right*
+    DataFrame (defaults to the right timestamp only, as
+    ``asof_ts``). ``tiebreak`` names a right column that makes rows
+    unique within (key, ts); the row with the greatest tiebreak wins.
+    Unmatched left rows keep null payloads (left-outer semantics).
+
+    Plan shape: union(tagged left, tagged right) → window
+    partitionBy(key) orderBy(ord, tag, tiebreak) rows unbounded
+    preceding → filter left tag. One shuffle, no amplification.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward/forward, got {direction!r}")
+    sign = F.lit(1) if direction == "backward" else F.lit(-1)
+
+    payload = payload or {"asof_ts": F.col(right_ts)}
+    names = list(payload)
+
+    # Equal-timestamp visibility: inclusive → right rows sort before
+    # left rows at the same instant (tag 0 < 1); strict → after.
+    r_tag, l_tag = (0, 1) if not strict else (1, 0)
+    tb = F.col(tiebreak) if tiebreak else F.lit(0)
+
+    l_cols = left.columns
+    l_side = left.select(
+        F.col(key).alias("__k"),
+        (sign * F.unix_micros(F.col(left_ts))).alias("__ord"),
+        F.lit(l_tag).alias("__tag"),
+        F.lit(None).cast("long").alias("__tb"),
+        F.struct(*[F.col(c) for c in l_cols]).alias("__l"),
+    )
+    r_side = right.select(
+        F.col(key).alias("__k"),
+        (sign * F.unix_micros(F.col(right_ts))).alias("__ord"),
+        F.lit(r_tag).alias("__tag"),
+        (sign * tb).cast("long").alias("__tb"),
+        F.struct(*[expr.alias(n) for n, expr in payload.items()]).alias("__r"),
+    )
+    l_side = l_side.withColumn(
+        "__r", F.lit(None).cast(r_side.schema["__r"].dataType)
+    )
+    r_side = r_side.withColumn(
+        "__l", F.lit(None).cast(l_side.schema["__l"].dataType)
+    )
+
+    # __tb null only on left rows, which __tag already separates, so
+    # null ordering is irrelevant; sort is total given a unique tiebreak.
+    w = (
+        Window.partitionBy("__k")
+        .orderBy("__ord", "__tag", "__tb")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    swept = l_side.unionByName(r_side).withColumn(
+        "__match", F.last("__r", ignorenulls=True).over(w)
+    )
+    return swept.filter(F.col("__tag") == l_tag).select(
+        *[F.col("__l")[c].alias(c) for c in l_cols],
+        *[F.col("__match")[n].alias(n) for n in names],
+    )
+
+
+def range_join(
+    events: DataFrame,
+    intervals: DataFrame,
+    event_key: str,
+    interval_key: str,
+    ts_col: str,
+    start_col: str,
+    end_col: str,
+    bin_seconds: int = 600,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-key + time-interval join: event rows paired with every
+    interval of the same key where ``start <= ts < end``.
+
+    Scale path: both sides bucketize time at ``bin_seconds``
+    granularity — the interval side explodes to the buckets its span
+    covers (``sequence(floor(start), floor(end))``), the event side
+    maps to exactly one bucket — turning the non-equi predicate into
+    an equi-join on (key, bucket) with an exact residual filter.
+    Choose ``bin_seconds`` near the typical interval length so the
+    explode factor stays ~2×; never a cross-join per key.
+
+    Column collisions are the caller's responsibility (pre-alias).
+    """
+    ev = events.withColumn(
+        "__bin", F.floor(F.unix_micros(F.col(ts_col)) / F.lit(bin_seconds * 1_000_000))
+    )
+    iv = intervals.withColumn(
+        "__bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_micros(F.col(start_col)) / F.lit(bin_seconds * 1_000_000)),
+                F.floor(F.unix_micros(F.col(end_col)) / F.lit(bin_seconds * 1_000_000)),
+            )
+        ),
+    )
+    joined = ev.join(
+        iv,
+        (ev[event_key] == iv[interval_key]) & (ev["__bin"] == iv["__bin"]),
+        how,
+    )
+    return joined.filter(
+        (F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) < F.col(end_col))
+    ).drop("__bin")
+
+
+def scd2_collapse(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    attr_cols: list[str],
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Collapse a per-key change stream into SCD Type-2 validity
+    intervals: one row per run of consecutive identical ``attr_cols``
+    values, with ``valid_from`` (first ts of the run), ``valid_to``
+    (start of the next run, null while current), ``is_current`` and a
+    1-based ``version`` per key.
+
+    Null-safe change detection (NULL → NULL is *not* a change), so
+    dirty snapshots don't fragment history. Deterministic given
+    ``tiebreak`` unique within (key, ts). Two windows, one shuffle.
+    """
+    order = [F.col(ts_col)] + ([F.col(tiebreak)] if tiebreak else [])
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+
+    changed = F.lit(False)
+    for a in attr_cols:
+        changed = changed | ~F.col(a).eqNullSafe(F.lag(a).over(w))
+    first = F.row_number().over(w) == 1
+
+    runs = df.withColumn("__chg", first | changed).filter("__chg")
+    w2 = Window.partitionBy(*key_cols).orderBy(*order)
+    return runs.select(
+        *key_cols,
+        *attr_cols,
+        F.col(ts_col).alias("valid_from"),
+        F.lead(ts_col).over(w2).alias("valid_to"),
+        F.lead(ts_col).over(w2).isNull().alias("is_current"),
+        F.row_number().over(w2).cast("int").alias("version"),
+    )

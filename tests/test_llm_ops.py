@@ -191,3 +191,33 @@ def test_ivf_full_probe_equals_bruteforce(spark, sf_dir):
         ).collect()
     }
     assert full == exact
+
+
+def test_winnow_fingerprints_properties(spark):
+    from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.functions import (
+        text as TX,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "PREFIX the quick brown fox jumps over SUFFIX"),
+            (3, "zz"),  # shorter than k -> empty fingerprint set
+            (4, ""),
+        ],
+        ["doc_id", "text"],
+    )
+    fps = {
+        r["id"]: set(r["fingerprints"])
+        for r in TX.winnow_fingerprints(docs, "doc_id", "text").collect()
+    }
+    # winnowing guarantee: a shared substring of length >= k+window-1
+    # yields at least one shared fingerprint
+    assert fps[1] & fps[2]
+    assert fps[3] == set() and fps[4] == set()
+    # deterministic across runs
+    fps2 = {
+        r["id"]: set(r["fingerprints"])
+        for r in TX.winnow_fingerprints(docs, "doc_id", "text").collect()
+    }
+    assert fps == fps2

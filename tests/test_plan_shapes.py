@@ -111,3 +111,45 @@ def test_salted_agg_two_stage_plan(spark, sf_dir):
     )
     plan = _plan(q, "simple")
     assert plan.count("Exchange hashpartitioning") == 2
+
+
+def test_asof_join_single_shuffle_no_amplification(spark, sf_dir):
+    """The as-of sweep must be ONE exchange on the key (union + window),
+    never a range cross-join or per-row subquery."""
+    from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.operators.temporal import (
+        asof_join,
+    )
+
+    ev = read_table(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "purchase")
+    right = ev.filter(F.col("event_type") == "view")
+    q = asof_join(
+        left, right, key="user_id", left_ts="ts", right_ts="ts",
+        payload={"vid": F.col("event_id")}, tiebreak="event_id",
+    )
+    plan = _plan(q, "simple")
+    assert plan.count("Exchange") == 1, plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_range_join_is_equi_join_not_cross(spark, sf_dir):
+    """Binned range join must plan as an equi-join (hash/sort-merge on
+    key+bucket), not a nested-loop over the inequality predicate."""
+    from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.operators.temporal import (
+        range_join,
+    )
+
+    ev = read_table(spark, sf_dir, "events")
+    intervals = ev.filter(F.col("event_type") == "error").select(
+        F.col("user_id").alias("iu"),
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 4 HOURS")).alias("end_ts"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click")
+    q = range_join(
+        clicks, intervals, event_key="user_id", interval_key="iu",
+        ts_col="ts", start_col="start_ts", end_col="end_ts", bin_seconds=3600,
+    )
+    plan = _plan(q)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert "Join" in plan

@@ -1,0 +1,143 @@
+"""Golden tests for operators/temporal: as-of join, range join, SCD2."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.operators import (
+    temporal as TMP,
+)
+
+
+def _ts(s: str) -> datetime:
+    return datetime.fromisoformat(s)
+
+
+def _quotes(spark):
+    return spark.createDataFrame(
+        [
+            (1, "A", _ts("2024-01-01 10:00:00"), 100.0),
+            (2, "A", _ts("2024-01-01 10:05:00"), 101.0),
+            (3, "A", _ts("2024-01-01 10:05:00"), 102.0),  # tie on ts, higher id
+            (4, "B", _ts("2024-01-01 09:00:00"), 50.0),
+        ],
+        ["qid", "sym", "ts", "px"],
+    )
+
+
+def _trades(spark):
+    return spark.createDataFrame(
+        [
+            (10, "A", _ts("2024-01-01 10:03:00")),
+            (11, "A", _ts("2024-01-01 10:05:00")),  # equal-ts case
+            (12, "B", _ts("2024-01-01 08:00:00")),  # before any quote
+            (13, "C", _ts("2024-01-01 12:00:00")),  # key with no quotes
+        ],
+        ["tid", "sym", "ts"],
+    )
+
+
+def test_asof_backward_inclusive_with_tiebreak(spark):
+    res = TMP.asof_join(
+        _trades(spark),
+        _quotes(spark),
+        key="sym",
+        left_ts="ts",
+        right_ts="ts",
+        payload={"qid": F.col("qid"), "px": F.col("px")},
+        tiebreak="qid",
+    )
+    rows = {r["tid"]: (r["qid"], r["px"]) for r in res.collect()}
+    assert rows[10] == (1, 100.0)  # latest quote strictly before
+    assert rows[11] == (3, 102.0)  # inclusive equal-ts, max tiebreak wins
+    assert rows[12] == (None, None)  # no quote yet -> left-outer nulls
+    assert rows[13] == (None, None)  # key absent on right
+    assert res.count() == 4  # no row amplification
+
+
+def test_asof_strict_and_forward(spark):
+    strict = TMP.asof_join(
+        _trades(spark),
+        _quotes(spark),
+        key="sym",
+        left_ts="ts",
+        right_ts="ts",
+        payload={"qid": F.col("qid")},
+        tiebreak="qid",
+        strict=True,
+    )
+    assert {r["tid"]: r["qid"] for r in strict.collect()}[11] == 1  # equal ts excluded
+
+    fwd = TMP.asof_join(
+        _trades(spark),
+        _quotes(spark),
+        key="sym",
+        left_ts="ts",
+        right_ts="ts",
+        payload={"qid": F.col("qid")},
+        tiebreak="qid",
+        direction="forward",
+    )
+    rows = {r["tid"]: r["qid"] for r in fwd.collect()}
+    assert rows[10] == 2  # next quote at/after 10:03 is 10:05; min tiebreak wins
+    assert rows[12] == 4
+    assert rows[13] is None
+
+
+def test_range_join_binning_and_boundaries(spark):
+    events = spark.createDataFrame(
+        [
+            (1, "u1", _ts("2024-01-01 10:00:00")),  # == start: included
+            (2, "u1", _ts("2024-01-01 10:09:59")),
+            (3, "u1", _ts("2024-01-01 10:10:00")),  # == end: excluded
+            (4, "u2", _ts("2024-01-01 10:05:00")),  # other key
+            (5, "u1", _ts("2024-01-01 10:25:00")),  # bin-crossing interval
+        ],
+        ["eid", "user", "ts"],
+    )
+    intervals = spark.createDataFrame(
+        [
+            (100, "u1", _ts("2024-01-01 10:00:00"), _ts("2024-01-01 10:10:00")),
+            (101, "u1", _ts("2024-01-01 10:19:30"), _ts("2024-01-01 10:29:30")),
+        ],
+        ["iid", "iuser", "start_ts", "end_ts"],
+    )
+    res = TMP.range_join(
+        events,
+        intervals,
+        event_key="user",
+        interval_key="iuser",
+        ts_col="ts",
+        start_col="start_ts",
+        end_col="end_ts",
+        bin_seconds=600,
+    )
+    pairs = {(r["iid"], r["eid"]) for r in res.collect()}
+    assert pairs == {(100, 1), (100, 2), (101, 5)}
+
+
+def test_scd2_collapse_runs_and_nulls(spark):
+    snaps = spark.createDataFrame(
+        [
+            ("k1", _ts("2024-01-01 00:00:00"), "a"),
+            ("k1", _ts("2024-01-02 00:00:00"), "a"),  # same run
+            ("k1", _ts("2024-01-03 00:00:00"), "b"),  # change
+            ("k1", _ts("2024-01-04 00:00:00"), None),  # change to NULL
+            ("k1", _ts("2024-01-05 00:00:00"), None),  # NULL==NULL: same run
+            ("k1", _ts("2024-01-06 00:00:00"), "a"),  # back to a: new version
+            ("k2", _ts("2024-01-01 00:00:00"), "x"),
+        ],
+        ["k", "ts", "status"],
+    )
+    res = TMP.scd2_collapse(snaps, ["k"], "ts", ["status"]).collect()
+    k1 = sorted([r for r in res if r["k"] == "k1"], key=lambda r: r["version"])
+    assert [r["status"] for r in k1] == ["a", "b", None, "a"]
+    assert [r["version"] for r in k1] == [1, 2, 3, 4]
+    assert k1[0]["valid_from"] == _ts("2024-01-01 00:00:00")
+    assert k1[0]["valid_to"] == _ts("2024-01-03 00:00:00")
+    assert [r["is_current"] for r in k1] == [False, False, False, True]
+    assert k1[3]["valid_to"] is None
+    (k2,) = [r for r in res if r["k"] == "k2"]
+    assert k2["version"] == 1 and k2["is_current"]
