@@ -50,6 +50,9 @@ from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.operat
     surrogate as SK,
 )
 from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.operators import (
+    rollup as RU,
+)
+from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.operators import (
     temporal as TMP,
 )
 from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.plans import (
@@ -2067,6 +2070,128 @@ def _scd2_order_status(spark: SparkSession, sf: str) -> DataFrame:
         "is_current",
         "version",
     )
+
+
+@_register(
+    "rollup_hypertable",
+    """
+    WITH raw AS (
+      SELECT event_type, epoch_us(ts) AS us,
+             CAST(value AS DECIMAL(20,4)) AS dv
+      FROM events
+    )
+    SELECT 3600 AS grain_sec, event_type,
+           us - us % 3600000000 AS bucket_us,
+           CAST(SUM(dv) AS DOUBLE) AS sum_value,
+           CAST(MAX(dv) AS DOUBLE) AS max_value,
+           COUNT(*) AS n_rows
+    FROM raw GROUP BY event_type, us - us % 3600000000
+    UNION ALL
+    SELECT 21600, event_type, us - us % 21600000000,
+           CAST(SUM(dv) AS DOUBLE), CAST(MAX(dv) AS DOUBLE), COUNT(*)
+    FROM raw GROUP BY event_type, us - us % 21600000000
+    UNION ALL
+    SELECT 86400, event_type, us - us % 86400000000,
+           CAST(SUM(dv) AS DOUBLE), CAST(MAX(dv) AS DOUBLE), COUNT(*)
+    FROM raw GROUP BY event_type, us - us % 86400000000
+    """,
+)
+def _rollup_hypertable(spark: SparkSession, sf: str) -> DataFrame:
+    """Hypertable continuous aggregate at 1h/6h/1d grains: Spark
+    computes coarser grains by re-aggregating the finer partials (raw
+    scanned once — operators/rollup.rollup_hierarchy); the oracle
+    computes every grain directly from raw, independently verifying
+    the algebraic re-aggregation."""
+    ev = read_table(spark, sf, "events")
+    levels = RU.rollup_hierarchy(
+        ev,
+        "ts",
+        ["event_type"],
+        [3600, 21600, 86400],
+        sums={"sum_value": F.col("value").cast("decimal(20,4)")},
+        maxs={"max_value": F.col("value").cast("decimal(20,4)")},
+    )
+    frames = [
+        lvl.select(
+            F.lit(w).alias("grain_sec"),
+            "event_type",
+            "bucket_us",
+            F.col("sum_value").cast("double").alias("sum_value"),
+            F.col("max_value").cast("double").alias("max_value"),
+            "n_rows",
+        )
+        for w, lvl in levels.items()
+    ]
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
+
+
+@_register(
+    "unpivot_measures",
+    """
+    SELECT l_orderkey, l_linenumber, measure, val FROM (
+      SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS val FROM lineitem
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem
+    )
+    """,
+)
+def _unpivot_measures(spark: SparkSession, sf: str) -> DataFrame:
+    """Unpivot/melt: wide measure columns → long (measure, val) rows —
+    the inverse of pivot_status_matrix, a single-pass Generate (no
+    self-union of 4 scans like the naive SQL)."""
+    li = read_table(spark, sf, "lineitem")
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "measure",
+        "val",
+    )
+
+
+@_register(
+    "set_intersect",
+    """
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    """,
+)
+def _set_intersect(spark: SparkSession, sf: str) -> DataFrame:
+    """INTERSECT (distinct) — customers with both finished and open
+    orders; completes the set-op family (union/except/intersect)."""
+    orders = read_table(spark, sf, "orders")
+    f = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    o = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    return f.intersect(o)
+
+
+@_register(
+    "sample_hash_stratified",
+    """
+    SELECT doc_id, lang
+    FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+          < CASE WHEN lang = 'en' THEN '10' ELSE '40' END
+    """,
+)
+def _sample_hash_stratified(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic stratified sampling by key hash: md5-prefix
+    threshold per stratum (en ≈ 6%, others ≈ 25%). Unlike
+    rand()/TABLESAMPLE this is reproducible across runs, engines and
+    retries — the only sane way to carve train/eval splits at 100 TB —
+    and the predicate pushes down to the scan."""
+    docs = read_table(spark, sf, "documents")
+    thresh = F.when(F.col("lang") == "en", F.lit("10")).otherwise(F.lit("40"))
+    return docs.filter(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < thresh
+    ).select("doc_id", "lang")
 
 
 # ---------------------------------------------------------------------------

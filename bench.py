@@ -46,6 +46,13 @@ HEADLINE = [
     "upsert_merge",
     "skew_salted_join",
     "multimodal_features",
+    "join_asof_backward",
+    "join_range_interval",
+    "scd2_order_status",
+    "rollup_hypertable",
+    "text_winnow_fingerprints",
+    "unpivot_measures",
+    "sample_hash_stratified",
 ]
 
 

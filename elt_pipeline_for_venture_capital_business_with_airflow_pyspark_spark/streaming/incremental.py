@@ -101,3 +101,25 @@ def sessionize(df: DataFrame, user_col: str = "user_id", ts_col: str = "ts", gap
         "session_id",
         F.sum("__new_session").over(w.rowsBetween(W.unboundedPreceding, 0)),
     ).drop("__new_session")
+
+
+def dedup_stream(
+    stream: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exactly-once deduplication: first arrival per key
+    wins, duplicates arriving within ``watermark`` of the event time
+    are dropped, and state for keys older than the watermark is
+    evicted (bounded state — the non-negotiable property at 100 TB;
+    a plain ``dropDuplicates`` on a stream retains every key forever).
+
+    The continuous twin of the batch ``dedup_keep_first`` /
+    ``merge_upsert`` path: feeds that replay (at-least-once sources,
+    the reference's rerun-duplicates quirk §2.9.4) converge to one
+    row per key downstream.
+    """
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        key_cols
+    )
