@@ -38,6 +38,9 @@ from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.operat
     dedup as DD,
 )
 from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.operators import (
+    expectations as EXP,
+)
+from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.operators import (
     profile as PR,
 )
 from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.operators import (
@@ -2192,6 +2195,91 @@ def _sample_hash_stratified(spark: SparkSession, sf: str) -> DataFrame:
     return docs.filter(
         F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < thresh
     ).select("doc_id", "lang")
+
+
+@_register(
+    "q3_shipping_priority",
+    """
+    SELECT l_orderkey,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue,
+           epoch_us(o_orderdate) AS orderdate_us,
+           o_orderpriority
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE o_orderdate < TIMESTAMP '1998-03-15'
+      AND l_shipdate > TIMESTAMP '1995-03-15'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def _q3_shipping_priority(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join, filtered both sides, revenue agg,
+    global top-10 (TopK sort — no full global sort at scale)."""
+    cust = read_table(spark, sf, "customer")
+    orders = read_table(spark, sf, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    li = read_table(spark, sf, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp")
+    )
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(_revenue_dec()).cast("double").alias("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.unix_micros("o_orderdate").alias("orderdate_us"),
+            "o_orderpriority",
+        )
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+@_register(
+    "dq_expectations",
+    """
+    WITH base AS (
+      SELECT COUNT(*) AS total,
+             SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS v_nn,
+             SUM(CASE WHEN o_totalprice IS NOT NULL AND o_totalprice < 0 THEN 1 ELSE 0 END) AS v_rng,
+             SUM(CASE WHEN o_orderstatus IS NOT NULL AND o_orderstatus NOT IN ('F','O','P') THEN 1 ELSE 0 END) AS v_set,
+             SUM(CASE WHEN o_orderpriority IS NOT NULL AND NOT regexp_matches(o_orderpriority, '^[1-5]-') THEN 1 ELSE 0 END) AS v_rx,
+             COUNT(*) - COUNT(DISTINCT o_orderkey) AS v_uq
+      FROM orders
+    ), fk AS (
+      SELECT COUNT(*) AS v_fk FROM orders
+      WHERE o_custkey IS NOT NULL
+        AND o_custkey NOT IN (SELECT c_custkey FROM customer)
+    )
+    SELECT 'not_null' AS "check", 'o_custkey' AS "column", v_nn AS violations, total, v_nn = 0 AS pass FROM base
+    UNION ALL SELECT 'range', 'o_totalprice', v_rng, total, v_rng = 0 FROM base
+    UNION ALL SELECT 'in_set', 'o_orderstatus', v_set, total, v_set = 0 FROM base
+    UNION ALL SELECT 'regex', 'o_orderpriority', v_rx, total, v_rx = 0 FROM base
+    UNION ALL SELECT 'unique', 'o_orderkey', v_uq, total, v_uq = 0 FROM base
+    UNION ALL SELECT 'fk', 'o_custkey', v_fk, total, v_fk = 0 FROM base, fk
+    """,
+)
+def _dq_expectations(spark: SparkSession, sf: str) -> DataFrame:
+    """Declarative data-quality checks (operators/expectations): all
+    column rules in ONE aggregation pass + one anti-join for the FK
+    orphan audit — the in-engine enforcement of the constraints the
+    reference delegates to Postgres (init_stg.sql:195-343)."""
+    orders = read_table(spark, sf, "orders")
+    customer = read_table(spark, sf, "customer")
+    return (
+        EXP.Expectations(orders)
+        .expect_not_null("o_custkey")
+        .expect_range("o_totalprice", lo=0)
+        .expect_in_set("o_orderstatus", ["F", "O", "P"])
+        .expect_regex("o_orderpriority", "^[1-5]-")
+        .expect_unique(["o_orderkey"])
+        .expect_fk("o_custkey", customer, "c_custkey")
+        .evaluate()
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -53,6 +53,8 @@ HEADLINE = [
     "text_winnow_fingerprints",
     "unpivot_measures",
     "sample_hash_stratified",
+    "q3_shipping_priority",
+    "dq_expectations",
 ]
 
 

@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["time_bucket_us", "rollup_hierarchy"]
+__all__ = ["time_bucket_us", "rollup_hierarchy", "refresh_merge"]
 
 
 def time_bucket_us(ts_col: str | Column, width_seconds: int) -> Column:
@@ -83,3 +83,43 @@ def rollup_hierarchy(
         )
         out[w] = level
     return out
+
+
+def refresh_merge(
+    existing: DataFrame,
+    new_raw: DataFrame,
+    ts_col: str,
+    key_cols: list[str],
+    width_seconds: int,
+    sums: dict[str, Column],
+    mins: dict[str, Column] | None = None,
+    maxs: dict[str, Column] | None = None,
+) -> DataFrame:
+    """Incremental continuous-aggregate refresh: fold a new raw slice
+    into an existing grain WITHOUT rescanning history — aggregate only
+    the delta, then algebraically merge per bucket (sum+sum, min▽min,
+    max△max, count+count). This is the daily-refresh path: cost is
+    O(|delta| + |touched buckets|), independent of table history, and
+    the result is row-identical to a full recompute over old ∪ new
+    (asserted in tests). Measures must be algebraic — avg/percentiles
+    belong downstream, derived from (sum, n_rows).
+    """
+    mins, maxs = mins or {}, maxs or {}
+    delta = new_raw.groupBy(time_bucket_us(ts_col, width_seconds), *key_cols).agg(
+        *[F.sum(e).alias(n) for n, e in sums.items()],
+        *[F.min(e).alias(n) for n, e in mins.items()],
+        *[F.max(e).alias(n) for n, e in maxs.items()],
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    cols = ["bucket_us", *key_cols, *sums, *mins, *maxs, "n_rows"]
+    return (
+        existing.select(cols)
+        .unionByName(delta.select(cols))
+        .groupBy("bucket_us", *key_cols)
+        .agg(
+            *[F.sum(n).alias(n) for n in sums],
+            *[F.min(n).alias(n) for n in mins],
+            *[F.max(n).alias(n) for n in maxs],
+            F.sum("n_rows").alias("n_rows"),
+        )
+    )

@@ -1,0 +1,54 @@
+"""Unit tests for operators/expectations on known-dirty data."""
+
+from __future__ import annotations
+
+from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.operators.expectations import (
+    Expectations,
+)
+
+
+def test_expectations_counts_violations(spark):
+    df = spark.createDataFrame(
+        [
+            (1, 10.0, "F", "ok"),
+            (2, -5.0, "O", "ok"),      # range violation
+            (None, 3.0, "X", "bad!"),  # null key, bad status, bad regex
+            (4, None, "F", "ok"),      # null price: NOT a range violation
+            (4, 1.0, "F", "ok"),       # duplicate key
+        ],
+        ["k", "price", "status", "code"],
+    )
+    dim = spark.createDataFrame([(1,), (2,)], ["dk"])
+    res = {
+        (r["check"], r["column"]): (r["violations"], r["total"], r["pass"])
+        for r in (
+            Expectations(df)
+            .expect_not_null("k")
+            .expect_range("price", lo=0.0)
+            .expect_in_set("status", ["F", "O", "P"])
+            .expect_regex("code", "^[a-z]+$")
+            .expect_unique(["k"])
+            .expect_fk("k", dim, "dk")
+            .evaluate()
+            .collect()
+        )
+    }
+    assert res[("not_null", "k")] == (1, 5, False)
+    assert res[("range", "price")] == (1, 5, False)
+    assert res[("in_set", "status")] == (1, 5, False)
+    assert res[("regex", "code")] == (1, 5, False)
+    assert res[("unique", "k")] == (1, 5, False)  # one extra copy of key 4
+    assert res[("fk", "k")] == (2, 5, False)  # both rows with k=4 are orphans
+
+
+def test_expectations_all_pass_clean(spark):
+    df = spark.createDataFrame([(1, 1.0), (2, 2.0)], ["k", "v"])
+    res = (
+        Expectations(df)
+        .expect_not_null("k")
+        .expect_range("v", lo=0.0, hi=10.0)
+        .expect_unique(["k"])
+        .evaluate()
+        .collect()
+    )
+    assert all(r["pass"] for r in res) and len(res) == 3

@@ -69,3 +69,22 @@ def test_rollup_union_reuses_finest_exchange(spark, sf_dir):
     union.collect()
     executed = union._jdf.queryExecution().executedPlan().toString()
     assert "ReusedExchange" in executed, executed
+
+
+def test_refresh_merge_equals_full_recompute(spark):
+    old = [("a", datetime(2024, 1, 1, h), float(h)) for h in range(10)]
+    new = [("a", datetime(2024, 1, 1, 9, 30), 99.0),  # touches existing bucket
+           ("b", datetime(2024, 1, 1, 12), 5.0)]      # brand-new key+bucket
+    old_df = spark.createDataFrame(old, ["k", "ts", "v"])
+    new_df = spark.createDataFrame(new, ["k", "ts", "v"])
+    spec = dict(
+        sums={"sv": F.col("v").cast("decimal(20,4)")},
+        mins={"mn": F.col("v")}, maxs={"mx": F.col("v")},
+    )
+    existing = RU.rollup_hierarchy(old_df, "ts", ["k"], [3600], **spec)[3600]
+    merged = RU.refresh_merge(existing, new_df, "ts", ["k"], 3600, **spec)
+    full = RU.rollup_hierarchy(old_df.union(new_df), "ts", ["k"], [3600], **spec)[3600]
+    cols = sorted(merged.columns)
+    assert {tuple(r) for r in merged.select(cols).collect()} == {
+        tuple(r) for r in full.select(cols).collect()
+    }

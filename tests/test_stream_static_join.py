@@ -1,0 +1,70 @@
+"""Stream-static join: a streaming fact enriched by a broadcast
+static dimension must match its batch twin — the continuous version
+of the reference's fact⋈dim joins (SURVEY.md §2.3)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pyspark.sql import types as T
+
+from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark import schemas
+from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.sources.io import (
+    read_table,
+)
+
+
+def test_stream_static_join_matches_batch(spark, sf_dir, tmp_path):
+    dim = spark.createDataFrame(
+        [("click", "engage"), ("view", "engage"), ("purchase", "convert"),
+         ("signup", "convert"), ("error", "ops")],
+        ["event_type", "category"],
+    )
+
+    batch = read_table(spark, sf_dir, "events")
+    want = {
+        (r["category"], r["n"])
+        for r in batch.join(F.broadcast(dim), "event_type")
+        .groupBy("category")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+
+    # stream the same parquet through the identical plan (events.ts is
+    # parquet TIMESTAMP(NANOS): scan as long, truncate to micros — the
+    # same contract as sources.io.read_table)
+    phys = T.StructType(
+        [
+            T.StructField(f.name, T.LongType() if f.name == "ts" else f.dataType)
+            for f in schemas.TESTDATA["events"].fields
+        ]
+    )
+    src = tmp_path / "events_src"
+    src.mkdir()
+    (src / "events.parquet").write_bytes(
+        open(f"{sf_dir}/events.parquet", "rb").read()
+    )
+    stream = (
+        spark.readStream.schema(phys)
+        .parquet(str(src))
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    agg = (
+        stream.join(F.broadcast(dim), "event_type")
+        .groupBy("category")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("ss_join_out")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "chk"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r["category"], r["n"])
+        for r in spark.sql("SELECT category, n FROM ss_join_out").collect()
+    }
+    assert got == want
