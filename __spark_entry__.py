@@ -2282,6 +2282,55 @@ def _dq_expectations(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@_register(
+    "curation_pipeline",
+    """
+    WITH scored AS (
+      SELECT doc_id, lang, text,
+             length(text) AS n_chars,
+             length(regexp_replace(text, '[^ ]', '', 'g')) + 1 AS n_tokens
+      FROM documents
+      WHERE text IS NOT NULL AND length(text) >= 120
+    ), deduped AS (
+      SELECT MIN(doc_id) AS doc_id, md5(text) AS fp
+      FROM scored GROUP BY md5(text)
+    )
+    SELECT s.doc_id, s.lang, s.n_chars, s.n_tokens,
+           CASE WHEN substr(md5(CAST(s.doc_id AS VARCHAR)), 1, 2) < '0d'
+                THEN 'eval' ELSE 'train' END AS split
+    FROM scored s JOIN deduped d ON s.doc_id = d.doc_id
+    """,
+)
+def _curation_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    """Flagship composed curation pipeline — the end-to-end shape a
+    training-data run takes: length gate (>=120 chars) → exact dedup (md5
+    fingerprint, min-id canonical survivor) → deterministic md5-prefix
+    train/eval split (~5% eval). Every stage is the scale path: one
+    scan, one dedup shuffle, split is a pushed-down predicate. The
+    near-dup LSH stage is exercised separately (dedup_minhash_lsh) —
+    its banding is not ANSI-SQL-expressible."""
+    docs = read_table(spark, sf, "documents")
+    scored = docs.filter(
+        F.col("text").isNotNull() & (F.length("text") >= 120)
+    ).select(
+        "doc_id",
+        "lang",
+        "text",
+        F.length("text").alias("n_chars"),
+        (F.length(F.regexp_replace("text", "[^ ]", "")) + 1).alias("n_tokens"),
+    )
+    survivors = DD.dedup_keep_first(
+        scored.withColumn("__fp", F.md5("text")), ["__fp"], ["doc_id"]
+    ).drop("__fp")
+    split = F.when(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < "0d",
+        F.lit("eval"),
+    ).otherwise(F.lit("train"))
+    return survivors.select(
+        "doc_id", "lang", "n_chars", "n_tokens", split.alias("split")
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver API
 # ---------------------------------------------------------------------------

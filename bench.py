@@ -55,6 +55,7 @@ HEADLINE = [
     "sample_hash_stratified",
     "q3_shipping_priority",
     "dq_expectations",
+    "curation_pipeline",
 ]
 
 

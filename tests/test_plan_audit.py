@@ -1,0 +1,56 @@
+"""Whole-surface plan audit: every registered query's physical plan
+is swept for patterns that do not survive a 100× scale-up.
+
+This is the cheap insurance the per-operator plan tests can't give:
+any NEW query added to `__spark_entry__.queries()` is automatically
+audited — a cartesian product or a row-at-a-time Python UDF slipping
+into the surface fails CI here, not in a 100 TB run.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entry
+
+# queries whose plan legitimately contains a nested-loop join:
+# dq_expectations cross-joins two ONE-ROW aggregate frames (verdict
+# assembly), which Spark plans as BroadcastNestedLoopJoin — constant
+# cost regardless of table size.
+NESTED_LOOP_OK = {
+    "dq_expectations",
+    # brute-force exact ANN baselines: the broadcast cross product
+    # (small query/dim side broadcast against the streaming corpus) IS
+    # the documented semantics — they exist as recall oracles for the
+    # scale paths (embedding_ann_lsh / embedding_ivf_topk /
+    # embedding_near_dup_lsh), which this audit keeps nested-loop-free.
+    "embedding_topk_bruteforce",
+    "embedding_near_dup_exact",
+}
+
+# row-at-a-time Python eval (BatchEvalPython) is never acceptable;
+# Arrow-batched eval (ArrowEvalPython / MapInPandas / FlatMapGroupsInPandas)
+# is the sanctioned Python boundary (multimodal + stateful ops).
+ARROW_OK = {"multimodal_features"}
+
+
+@pytest.mark.parametrize("name", sorted(entry.queries()))
+def test_plan_has_no_scale_red_flags(spark, sf_dir, name):
+    df = entry.queries()[name](spark, sf_dir)
+    plan = df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "simple"
+        )
+    )
+    assert "CartesianProduct" not in plan, f"{name}: cartesian product\n{plan}"
+    if name not in NESTED_LOOP_OK:
+        assert "BroadcastNestedLoopJoin" not in plan, (
+            f"{name}: nested-loop join\n{plan}"
+        )
+    assert "BatchEvalPython" not in plan, (
+        f"{name}: row-at-a-time Python UDF — use Arrow/pandas\n{plan}"
+    )
+    if name not in ARROW_OK:
+        assert "ArrowEvalPython" not in plan, (
+            f"{name}: unexpected Python boundary\n{plan}"
+        )
