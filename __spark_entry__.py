@@ -2331,6 +2331,47 @@ def _curation_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@_register(
+    "text_top_terms",
+    """
+    WITH toks AS (
+      SELECT unnest(string_split(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' ')) AS term
+      FROM documents
+    )
+    SELECT term, COUNT(*) AS n
+    FROM toks
+    WHERE term <> '' AND length(term) >= 3
+      AND term NOT IN ('the','and','for','with','that','this','are','was','you')
+    GROUP BY term
+    ORDER BY n DESC, term
+    LIMIT 20
+    """,
+)
+def _text_top_terms(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus-wide top-20 terms: normalize → explode tokens → filter
+    stopwords/short → count → TopK (the canonical explode+groupBy
+    shape; map-side partial counts make the shuffle |vocab|-sized,
+    not |tokens|-sized)."""
+    docs = read_table(spark, sf, "documents")
+    stop = ["the", "and", "for", "with", "that", "this", "are", "was", "you"]
+    toks = docs.select(
+        F.explode(
+            F.split(
+                F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", " "), " "
+            )
+        ).alias("term")
+    )
+    return (
+        toks.filter(
+            (F.col("term") != "") & (F.length("term") >= 3) & ~F.col("term").isin(stop)
+        )
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "term")
+        .limit(20)
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver API
 # ---------------------------------------------------------------------------
