@@ -141,3 +141,55 @@ def test_scd2_collapse_runs_and_nulls(spark):
     assert k1[3]["valid_to"] is None
     (k2,) = [r for r in res if r["k"] == "k2"]
     assert k2["version"] == 1 and k2["is_current"]
+
+
+def test_asof_matches_pandas_merge_asof_randomized(spark):
+    """Cross-implementation check: 300 random trades/quotes across 5
+    keys (with deliberate ts collisions) must match pandas
+    merge_asof(by=key, direction=backward, allow_exact_matches=True),
+    which resolves equal-ts ties to the last-sorted right row — the
+    same max-tiebreak rule asof_join implements."""
+    import random
+
+    import pandas as pd
+
+    rng = random.Random(1234)
+    base = 1_700_000_000
+    quotes = [
+        (i, f"k{rng.randrange(5)}", base + rng.randrange(0, 500) * 60, float(i))
+        for i in range(150)
+    ]
+    trades = [
+        (1000 + i, f"k{rng.randrange(6)}", base + rng.randrange(0, 500) * 60)
+        for i in range(150)
+    ]
+    qdf = spark.createDataFrame(
+        [(q, k, datetime.fromtimestamp(t), px) for q, k, t, px in quotes],
+        ["qid", "sym", "ts", "px"],
+    )
+    tdf = spark.createDataFrame(
+        [(t, k, datetime.fromtimestamp(s)) for t, k, s in trades],
+        ["tid", "sym", "ts"],
+    )
+    got = {
+        r["tid"]: r["qid"]
+        for r in TMP.asof_join(
+            tdf, qdf, key="sym", left_ts="ts", right_ts="ts",
+            payload={"qid": F.col("qid")}, tiebreak="qid",
+        ).collect()
+    }
+
+    qp = pd.DataFrame(quotes, columns=["qid", "sym", "t", "px"]).sort_values(
+        ["t", "qid"]
+    )
+    tp = pd.DataFrame(trades, columns=["tid", "sym", "t"]).sort_values(
+        ["t", "tid"]
+    )
+    merged = pd.merge_asof(
+        tp, qp, on="t", by="sym", direction="backward", allow_exact_matches=True
+    )
+    want = {
+        int(r.tid): (None if pd.isna(r.qid) else int(r.qid))
+        for r in merged.itertuples()
+    }
+    assert got == want
