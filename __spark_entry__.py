@@ -2372,6 +2372,85 @@ def _text_top_terms(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@_register(
+    "embedding_label_centroids",
+    """
+    WITH e AS (
+      SELECT label, unnest(range(1, 65)) AS pos, embedding
+      FROM embeddings
+    )
+    SELECT label, pos, COUNT(*) AS n,
+           CAST(SUM(CAST(FLOOR(CAST(embedding[pos] AS DOUBLE) * 1000000) AS BIGINT)) AS DOUBLE)
+             / COUNT(*) AS centroid_scaled
+    FROM e GROUP BY label, pos
+    """,
+)
+def _embedding_label_centroids(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-label embedding centroids (dim-wise means) — the vector
+    aggregation IVF/k-means training is built from: posexplode →
+    (label, dim) partial sums; the shuffle carries |labels|×dim rows,
+    never vectors. Determinism across engines via scale-to-int-floor
+    before summing (float→double widening and ×1e6 are IEEE-identical;
+    bigint sums are exact)."""
+    emb = read_table(spark, sf, "embeddings")
+    e = emb.select("label", F.posexplode("embedding").alias("pos0", "v"))
+    return (
+        e.groupBy("label", (F.col("pos0") + 1).alias("pos"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (
+                F.sum(F.floor(F.col("v").cast("double") * 1_000_000))
+                .cast("double") / F.count(F.lit(1))
+            ).alias("centroid_scaled"),
+        )
+        .select("label", "pos", "n", "centroid_scaled")
+    )
+
+
+@_register(
+    "scalar_try_cast_dirty",
+    """
+    WITH dirty AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 3 = 0 THEN CAST(o_orderkey AS VARCHAR)
+                  WHEN o_orderkey % 3 = 1 THEN 'n/a'
+                  ELSE '' END AS qty_str,
+             CASE WHEN o_orderkey % 2 = 0 THEN strftime(o_orderdate, '%Y-%m-%d')
+                  ELSE 'bad-date' END AS date_str
+      FROM orders
+    )
+    SELECT o_orderkey,
+           TRY_CAST(qty_str AS BIGINT) AS qty,
+           CAST(strftime(TRY_CAST(date_str AS DATE), '%Y%m%d') AS INT) AS date_id
+    FROM dirty
+    """,
+)
+def _scalar_try_cast_dirty(spark: SparkSession, sf: str) -> DataFrame:
+    """The reference's ELT 'land raw, type later' contract
+    (init_stg.sql:158-187 stores dates/bools as varchar): dirty
+    strings typed with try_cast — unparseable/empty → NULL, never a
+    job failure (quirk-free replacement for rigid CAST)."""
+    orders = read_table(spark, sf, "orders")
+    dirty = orders.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 3 == 0, F.col("o_orderkey").cast("string"))
+        .when(F.col("o_orderkey") % 3 == 1, F.lit("n/a"))
+        .otherwise(F.lit(""))
+        .alias("qty_str"),
+        F.when(
+            F.col("o_orderkey") % 2 == 0,
+            F.date_format("o_orderdate", "yyyy-MM-dd"),
+        )
+        .otherwise(F.lit("bad-date"))
+        .alias("date_str"),
+    )
+    return dirty.select(
+        "o_orderkey",
+        F.expr("try_cast(qty_str AS BIGINT)").alias("qty"),
+        E.try_date_key(F.expr("try_cast(date_str AS DATE)")).alias("date_id"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver API
 # ---------------------------------------------------------------------------

@@ -56,6 +56,8 @@ HEADLINE = [
     "q3_shipping_priority",
     "dq_expectations",
     "curation_pipeline",
+    "text_top_terms",
+    "embedding_label_centroids",
 ]
 
 

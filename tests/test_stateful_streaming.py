@@ -175,3 +175,33 @@ def test_watermark_drops_late_data(spark, tmp_path):
     jan2 = [r for r in rows if str(r["window_start"]).startswith("2024-01-02")]
     assert max(r["n_events"] for r in jan2) == 3
     assert max(r["sum_value"] for r in jan2) == 7.0
+
+
+def test_builtin_session_window_matches_custom_sessionize(spark, sf_dir):
+    """Spark's built-in F.session_window (gap-merged windows) and our
+    lag-gap sessionize are independent implementations of the same
+    semantics — their per-session (user, start, n_events) sets must
+    coincide on real event data."""
+    ev = read_table(spark, sf_dir, "events")
+
+    custom = {
+        (r["user_id"], r["start_us"], r["n"])
+        for r in INC.sessionize(ev, "user_id", "ts", 30)
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min(F.unix_micros("ts")).alias("start_us"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select("user_id", "start_us", "n")
+        .collect()
+    }
+    builtin = {
+        (r["user_id"], r["start_us"], r["n"])
+        for r in ev.groupBy(
+            "user_id", F.session_window("ts", "30 minutes").alias("w")
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.min(F.unix_micros("ts")).alias("start_us"))
+        .select("user_id", "start_us", "n")
+        .collect()
+    }
+    assert custom == builtin

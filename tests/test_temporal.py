@@ -193,3 +193,47 @@ def test_asof_matches_pandas_merge_asof_randomized(spark):
         for r in merged.itertuples()
     }
     assert got == want
+
+
+def test_range_join_matches_naive_randomized(spark):
+    """Randomized cross-check: the binned equi-join must equal the
+    naive cross-join + inequality filter on 200 events × 60 intervals
+    with spans that straddle bin boundaries."""
+    import random
+
+    rng = random.Random(99)
+    base = 1_700_000_000
+    events = [
+        (i, f"u{rng.randrange(4)}", datetime.fromtimestamp(base + rng.randrange(0, 7200)))
+        for i in range(200)
+    ]
+    ivs = []
+    for i in range(60):
+        start = base + rng.randrange(0, 7000)
+        ivs.append(
+            (1000 + i, f"u{rng.randrange(5)}",
+             datetime.fromtimestamp(start),
+             datetime.fromtimestamp(start + rng.randrange(1, 1500)))
+        )
+    edf = spark.createDataFrame(events, ["eid", "u", "ts"])
+    idf = spark.createDataFrame(ivs, ["iid", "iu", "start_ts", "end_ts"])
+
+    got = {
+        (r["iid"], r["eid"])
+        for r in TMP.range_join(
+            edf, idf, event_key="u", interval_key="iu",
+            ts_col="ts", start_col="start_ts", end_col="end_ts",
+            bin_seconds=600,
+        ).collect()
+    }
+    naive = {
+        (r["iid"], r["eid"])
+        for r in edf.crossJoin(idf)
+        .filter(
+            (F.col("u") == F.col("iu"))
+            & (F.col("ts") >= F.col("start_ts"))
+            & (F.col("ts") < F.col("end_ts"))
+        )
+        .collect()
+    }
+    assert got == naive and len(naive) > 0
