@@ -1,0 +1,54 @@
+"""Z-order layout: morton codes vs a pure-Python reference, and the
+clustering property that makes pruning work."""
+
+from __future__ import annotations
+
+import glob
+
+from pyspark.sql import functions as F
+
+from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.operators import (
+    layout as LYT,
+)
+
+
+def _py_morton(a: int, b: int, bits: int = 16) -> int:
+    z = 0
+    for i in range(bits):
+        z |= ((a >> i) & 1) << (2 * i)
+        z |= ((b >> i) & 1) << (2 * i + 1)
+    return z
+
+
+def test_morton_code_matches_reference(spark):
+    vals = [(a, b) for a in (0, 1, 5, 255, 65535) for b in (0, 2, 7, 100, 65535)]
+    df = spark.createDataFrame(vals, ["a", "b"])
+    got = {
+        (r["a"], r["b"]): r["z"]
+        for r in df.select("a", "b", LYT.morton_code("a", "b")).collect()
+    }
+    for (a, b), z in got.items():
+        assert z == _py_morton(a, b), (a, b)
+
+
+def test_zorder_write_clusters_both_dimensions(spark, tmp_path):
+    """After z-order clustering on (user bucket, time bucket), each
+    output file must span a small fraction of BOTH dimensions — a
+    single-column sort can only achieve that for one."""
+    n_users, n_ticks = 64, 64
+    rows = [(u, t) for u in range(n_users) for t in range(n_ticks)]
+    df = spark.createDataFrame(rows, ["user", "tick"])
+    path = str(tmp_path / "z")
+    LYT.zorder_write(df, path, F.col("user"), F.col("tick"), files=16, bits=6)
+
+    spans_u, spans_t = [], []
+    for f in glob.glob(f"{path}/part-*.parquet"):
+        pdf = spark.read.parquet(f).agg(
+            F.min("user"), F.max("user"), F.min("tick"), F.max("tick")
+        ).collect()[0]
+        spans_u.append(pdf[1] - pdf[0] + 1)
+        spans_t.append(pdf[3] - pdf[2] + 1)
+    # 16 files over a 64x64 grid: z-order quadrants span ≤ half of
+    # each dimension; a user-sorted layout would span ALL 64 ticks.
+    assert max(spans_u) <= n_users // 2
+    assert max(spans_t) <= n_ticks // 2
