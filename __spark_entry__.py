@@ -2451,6 +2451,68 @@ def _scalar_try_cast_dirty(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _minhash_poly_sql(num_hashes: int = 64, bands: int = 16, threshold: float = 0.5) -> str:
+    """ANSI-SQL re-implementation of the ENTIRE polynomial MinHash-LSH
+    pipeline (grams → affine-family signature → banding → est-Jaccard)
+    with the same (a, b) literals the Spark plan embeds — the full
+    near-dup path, hash-checked end to end."""
+    from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.operators.dedup import (
+        _universal_hash_params,
+    )
+
+    params = _universal_hash_params(num_hashes)
+    r = num_hashes // bands
+    sig_terms = ",\n             ".join(
+        f"list_min(list_transform(hs, x -> (CAST(x AS BIGINT)*{a}+{b}) % 2147483647))"
+        for a, b in params
+    )
+    return f"""
+    WITH n AS (
+      SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS s
+      FROM documents
+    ), g AS (
+      SELECT doc_id,
+             list_transform(generate_series(1, length(s) - 2),
+                            i -> ascii(s[i]) + ascii(s[i+1])*31 + ascii(s[i+2])*961) AS hs
+      FROM n WHERE length(s) >= 3
+    ), sig AS (
+      SELECT doc_id, [{sig_terms}] AS sig
+      FROM g
+    ), be AS (
+      SELECT doc_id, unnest(generate_series(0, {bands - 1})) AS band, sig FROM sig
+    ), bb AS (
+      SELECT doc_id, band, CAST(sig[{r}*band+1 : {r}*band+{r}] AS VARCHAR) AS bucket, sig FROM be
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bb a JOIN bb b ON a.band = b.band AND a.bucket = b.bucket
+      WHERE a.doc_id < b.doc_id
+    )
+    SELECT c.id_a, c.id_b,
+           list_sum(list_transform(generate_series(1, {num_hashes}),
+               i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END)) / {num_hashes}.0
+             AS est_jaccard
+    FROM cand c
+    JOIN sig sa ON sa.doc_id = c.id_a
+    JOIN sig sb ON sb.doc_id = c.id_b
+    WHERE list_sum(list_transform(generate_series(1, {num_hashes}),
+               i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END)) / {num_hashes}.0
+          >= {threshold}
+    """
+
+
+@_register("dedup_minhash_poly", _minhash_poly_sql())
+def _dedup_minhash_poly(spark: SparkSession, sf: str) -> DataFrame:
+    """Banded MinHash-LSH near-dup pairs, fully oracle-hash-checked:
+    polynomial char-3-gram hashes + affine family make every signature
+    value, every band-bucket collision and every estimated-Jaccard
+    score bit-identical in ANSI SQL (unlike the xxhash variant, which
+    is rows-only checkable)."""
+    docs = read_table(spark, sf, "documents")
+    return DD.minhash_lsh_pairs_poly(docs, "doc_id", "text", threshold=0.5).select(
+        "id_a", "id_b", "est_jaccard"
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver API
 # ---------------------------------------------------------------------------

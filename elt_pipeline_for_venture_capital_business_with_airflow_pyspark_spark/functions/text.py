@@ -239,3 +239,27 @@ def shingles(col: str | Column, n: int = 3) -> Column:
         lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
     )
     return F.array_distinct(F.when(k == 0, F.array().cast("array<string>")).otherwise(grams))
+
+
+def char_gram_hashes(df, id_col: str = "doc_id", text_col: str = "text", k: int = 3):
+    """(id, h) rows: polynomial hashes of the character k-grams of the
+    alnum-normalized text (Σ ascii(c_j)·31^j, same convention as
+    :func:`winnow_fingerprints`) — the SQL-replicable twin of the
+    xxhash shingle path, so downstream MinHash stays oracle-checkable
+    bit-for-bit. Docs shorter than k chars are dropped (no grams).
+    """
+    norm = F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]", "")
+    d = df.select(F.col(id_col).alias("id"), norm.alias("__s")).filter(
+        F.length("__s") >= k
+    )
+    s = F.col("__s")
+    gram = lambda i: sum(  # noqa: E731
+        (F.ascii(s.substr(i + j, F.lit(1))) * (31 ** j) for j in range(1, k)),
+        start=F.ascii(s.substr(i, F.lit(1))),
+    )
+    return d.select(
+        "id",
+        F.explode(
+            F.transform(F.sequence(F.lit(1), F.length("__s") - (k - 1)), gram)
+        ).alias("h"),
+    )

@@ -174,8 +174,21 @@ def minhash_lsh_pairs(
     kept at ``est_jaccard ≥ threshold``. Candidate generation is a
     hash-key equi-join → linear scale-out; no |corpus|² stage anywhere.
     """
-    rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, n, num_hashes)
+    return banded_pairs(sig, num_hashes, bands, threshold)
+
+
+def banded_pairs(
+    sig: DataFrame,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """LSH banding over a (id, signature array) frame: band-bucket
+    collision candidates, deduped, then scored by estimated Jaccard
+    (= fraction of matching signature positions) and thresholded.
+    Shared tail of every minhash variant."""
+    rows_per_band = num_hashes // bands
 
     # Band entries carry ONLY (id, band, bucket) — at 100 TB the band
     # self-join is the big shuffle, and shipping the 64-int signature
@@ -398,3 +411,51 @@ def dedup_keep_first(
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+def minhash_signatures_poly(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 64,
+    prime: int = 2147483647,
+) -> DataFrame:
+    """MinHash signatures over polynomial char-k-gram hashes — the
+    fully SQL-replicable variant: the gram hash (Σ ascii·31^j), the
+    affine family ((a·h + b) mod p) and therefore every signature
+    value are bit-identical computable in ANSI SQL, so the WHOLE LSH
+    dedup pipeline is oracle-hash-checkable (the xxhash variant in
+    :func:`minhash_signatures` is rows-only checkable). Same plan
+    shape: explode grams → one groupBy computing all mins map-side.
+    """
+    # gram hash is a small int; the affine multiply needs 64-bit room
+    # (a < 2^31, h < 2^17 → product < 2^48, ANSI-safe as long)
+    idx = TX.char_gram_hashes(df, id_col, text_col, k).select(
+        "id", F.col("h").cast("long").alias("h")
+    )
+    params = _universal_hash_params(num_hashes)
+    mins = [
+        F.min(F.pmod(F.col("h") * F.lit(a) + F.lit(b), F.lit(prime))).alias(f"h{i}")
+        for i, (a, b) in enumerate(params)
+    ]
+    sig = idx.groupBy("id").agg(*mins)
+    return sig.select(
+        "id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("signature")
+    )
+
+
+def minhash_lsh_pairs_poly(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Banded-LSH near-dup pairs over the SQL-replicable polynomial
+    MinHash — candidate semantics and scores identical to an ANSI-SQL
+    re-implementation, end to end."""
+    sig = minhash_signatures_poly(df, id_col, text_col, k, num_hashes)
+    return banded_pairs(sig, num_hashes, bands, threshold)
