@@ -2513,6 +2513,47 @@ def _dedup_minhash_poly(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _simhash_poly_sql(bits: int = 60) -> str:
+    """ANSI-SQL twin of the polynomial SimHash: per-bit ±1 votes from
+    the affine family, sign-packed into a long — same (a, b) literals,
+    exact integer arithmetic throughout."""
+    from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.operators.dedup import (
+        _universal_hash_params,
+    )
+
+    params = _universal_hash_params(bits, seed=4242)
+    bit_terms = "\n           + ".join(
+        f"(CASE WHEN list_sum(list_transform(hs, x -> CASE WHEN "
+        f"(CAST(x AS BIGINT)*{a}+{b}) % 2147483647 >= 1073741824 "
+        f"THEN 1 ELSE -1 END)) >= 0 THEN 1 ELSE 0 END) * {1 << j}"
+        for j, (a, b) in enumerate(params)
+    )
+    return f"""
+    WITH n AS (
+      SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS s
+      FROM documents
+    ), g AS (
+      SELECT doc_id,
+             list_transform(generate_series(1, length(s) - 2),
+                            i -> ascii(s[i]) + ascii(s[i+1])*31 + ascii(s[i+2])*961) AS hs
+      FROM n WHERE length(s) >= 3
+    )
+    SELECT doc_id, CAST({bit_terms} AS BIGINT) AS fingerprint
+    FROM g
+    """
+
+
+@_register("dedup_simhash_poly", _simhash_poly_sql())
+def _dedup_simhash_poly(spark: SparkSession, sf: str) -> DataFrame:
+    """60-bit SimHash fingerprints, fully oracle-hash-checked via the
+    polynomial-gram + affine-family construction (the xxhash simhash
+    is rows-only checkable)."""
+    docs = read_table(spark, sf, "documents")
+    return DD.simhash_poly(docs, "doc_id", "text").select(
+        F.col("id").alias("doc_id"), "fingerprint"
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver API
 # ---------------------------------------------------------------------------

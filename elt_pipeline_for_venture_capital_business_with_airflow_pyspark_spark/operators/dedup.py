@@ -459,3 +459,50 @@ def minhash_lsh_pairs_poly(
     re-implementation, end to end."""
     sig = minhash_signatures_poly(df, id_col, text_col, k, num_hashes)
     return banded_pairs(sig, num_hashes, bands, threshold)
+
+
+def simhash_poly(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    bits: int = 60,
+    prime: int = 2147483647,
+) -> DataFrame:
+    """SQL-replicable SimHash: each fingerprint bit j is the sign of
+    Σ over grams of ±1, where the per-gram vote is bit-balanced by the
+    affine family ((a_j·h + b_j) mod p ≥ (p+1)/2). Like
+    :func:`minhash_signatures_poly`, every intermediate is exact
+    integer arithmetic — the fingerprint longs hash-match an ANSI-SQL
+    twin bit for bit (the xxhash :func:`simhash_long` is rows-only
+    checkable). ``bits`` ≤ 62 keeps the packed long positive in both
+    engines. Plan: explode grams → one groupBy with ``bits`` sums.
+    """
+    half = (prime + 1) // 2
+    idx = TX.char_gram_hashes(df, id_col, text_col, k).select(
+        "id", F.col("h").cast("long").alias("h")
+    )
+    params = _universal_hash_params(bits, seed=4242)
+    votes = [
+        F.sum(
+            F.when(
+                F.pmod(F.col("h") * F.lit(a) + F.lit(b), F.lit(prime)) >= half,
+                F.lit(1),
+            ).otherwise(F.lit(-1))
+        ).alias(f"s{j}")
+        for j, (a, b) in enumerate(params)
+    ]
+    agg = idx.groupBy("id").agg(*votes)
+    fp = sum(
+        (
+            F.when(F.col(f"s{j}") >= 0, F.lit(1).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+            * F.lit(1 << j).cast("long")
+            for j in range(1, bits)
+        ),
+        start=F.when(F.col("s0") >= 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        ),
+    )
+    return agg.select("id", fp.alias("fingerprint"))

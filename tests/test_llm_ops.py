@@ -221,3 +221,27 @@ def test_winnow_fingerprints_properties(spark):
         for r in TX.winnow_fingerprints(docs, "doc_id", "text").collect()
     }
     assert fps == fps2
+
+
+def test_simhash_poly_hamming_property(spark):
+    from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.operators import (
+        dedup as DD,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog and runs far away " * 4
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base.replace("lazy", "sleepy")),  # near-duplicate
+            (3, "completely different content about venture capital funds " * 5),
+        ],
+        ["doc_id", "text"],
+    )
+    fps = {
+        r["id"]: r["fingerprint"]
+        for r in DD.simhash_poly(docs, "doc_id", "text").collect()
+    }
+    ham_near = bin(fps[1] ^ fps[2]).count("1")
+    ham_far = bin(fps[1] ^ fps[3]).count("1")
+    assert ham_near < ham_far
+    assert ham_near <= 15 and ham_far >= 15
