@@ -2554,6 +2554,80 @@ def _dedup_simhash_poly(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _ivf_sqlcheck_sql(dim: int = 64, n_probe: int = 8, k: int = 10) -> str:
+    """ANSI-SQL twin of the IVF ANN pipeline with id-ordered centroids.
+
+    Float arithmetic is replicated EXACTLY: float→double casts widen
+    losslessly, the dot product is an explicit left-associated 64-term
+    sum (same fold order as the Spark ``aggregate``), and sqrt/division
+    are single IEEE-754 ops — so even the cosine doubles hash-match.
+    """
+
+    def dot(a: str, b: str) -> str:
+        return " + ".join(
+            f"CAST({a}[{i}] AS DOUBLE)*CAST({b}[{i}] AS DOUBLE)"
+            for i in range(1, dim + 1)
+        )
+
+    def cos(a: str, b: str) -> str:
+        return f"(({dot(a, b)}) / (sqrt({dot(a, a)}) * sqrt({dot(b, b)})))"
+
+    return f"""
+    WITH c AS (
+      SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 16
+    ), assigned AS (
+      SELECT e.vec_id AS neighbor_id, e.embedding AS nv, c.cid,
+             {cos("e.embedding", "c.cv")} AS sim
+      FROM embeddings e CROSS JOIN c
+    ), acell AS (
+      SELECT neighbor_id, nv, cid AS cell FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY neighbor_id ORDER BY sim DESC, cid) AS rn
+        FROM assigned) WHERE rn = 1
+    ), q AS (
+      SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5
+    ), qsim AS (
+      SELECT query_id, qv, cid, {cos("qv", "cv")} AS sim
+      FROM q CROSS JOIN c
+    ), probes AS (
+      SELECT query_id, qv, cid AS cell FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY query_id ORDER BY sim DESC, cid) AS rn
+        FROM qsim) WHERE rn <= {n_probe}
+    ), scored AS (
+      SELECT p.query_id, a.neighbor_id, {cos("p.qv", "a.nv")} AS cosine_sim
+      FROM probes p JOIN acell a ON p.cell = a.cell
+      WHERE a.neighbor_id <> p.query_id
+    )
+    SELECT query_id, CAST(rn AS INT) AS rank, neighbor_id, cosine_sim FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id) AS rn
+      FROM scored) WHERE rn <= {k}
+    """
+
+
+@_register("embedding_ivf_sqlcheck", _ivf_sqlcheck_sql())
+def _embedding_ivf_sqlcheck(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF ANN with id-ordered centroids — the oracle-hash-checked
+    variant: every cell assignment, probe choice and cosine double is
+    bit-identical in ANSI SQL (explicit fold-order arithmetic). The
+    hash-sampled-centroid variant stays rows-only
+    (embedding_ivf_topk)."""
+    emb = read_table(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return SIM.ivf_topk(
+        emb,
+        queries,
+        dim=64,
+        k=10,
+        n_centroids=16,
+        n_probe=8,
+        centroid_source=emb.filter(F.col("vec_id") < 16),
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver API
 # ---------------------------------------------------------------------------

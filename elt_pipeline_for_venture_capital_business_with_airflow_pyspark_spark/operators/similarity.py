@@ -226,6 +226,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    centroid_source: DataFrame | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k — the partition-pruning
     complement to hyperplane LSH: the corpus is bucketed once by
@@ -237,18 +238,31 @@ def ivf_topk(
     (collected to the driver as plan literals — centroid metadata is
     KB-sized, exactly like the LSH plane matrix; swap in k-means
     centroids offline for better cell balance, the query path is
-    unchanged). Cluster assignment = argmax centroid cosine, ties to
-    the lowest cell index — deterministic. At 100 TB the assigned
+    unchanged). Pass ``centroid_source`` to pick centroids from a
+    plain id-ordered frame instead of the hash sample — that variant
+    is SQL-replicable end to end (see the ``embedding_ivf_sqlcheck``
+    oracle query). Cluster assignment = argmax centroid cosine, ties
+    to the lowest cell index — deterministic. At 100 TB the assigned
     corpus would be written ``partitionBy(cell)`` so a probe prunes
     parquet partitions instead of filtering a scan.
     """
-    cent_rows = (
-        corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
-        .withColumn("__h", F.xxhash64(F.col("cid").cast("string")))
-        .orderBy("__h", "cid")
-        .limit(n_centroids)
-        .collect()
-    )
+    if centroid_source is not None:
+        cent_rows = (
+            centroid_source.select(
+                F.col(id_col).alias("cid"), F.col(vec_col).alias("cv")
+            )
+            .orderBy("cid")
+            .limit(n_centroids)
+            .collect()
+        )
+    else:
+        cent_rows = (
+            corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
+            .withColumn("__h", F.xxhash64(F.col("cid").cast("string")))
+            .orderBy("__h", "cid")
+            .limit(n_centroids)
+            .collect()
+        )
     cmat = F.array(
         *[F.array(*[F.lit(float(v)) for v in r["cv"]]) for r in cent_rows]
     )
