@@ -2628,6 +2628,149 @@ def _embedding_ivf_sqlcheck(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _ann_lsh_sqlcheck_sql(
+    dim: int = 64, num_planes: int = 16, bands: int = 8, k: int = 10, seed: int = 7
+) -> str:
+    """ANSI-SQL twin of hyperplane-LSH ANN: the plane matrix is a
+    registration-time constant (seeded md5 → doubles, embedded as
+    repr'd literals that round-trip to identical bits), so sign-bit
+    buckets, band collisions and the cosine rerank are all replicated
+    with the same explicit fold-order arithmetic as the IVF twin."""
+    from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.operators.similarity import (
+        _plane_values,
+    )
+
+    bits = num_planes // bands
+
+    def dot_plane(vec: str, p: int) -> str:
+        vals = _plane_values(seed, p, dim)
+        return " + ".join(
+            f"CAST({vec}[{i}] AS DOUBLE)*{v!r}" for i, v in enumerate(vals, 1)
+        )
+
+    def bucket(vec: str, b: int) -> str:
+        return " + ".join(
+            f"(CASE WHEN ({dot_plane(vec, b * bits + j)}) > 0 THEN {1 << j} ELSE 0 END)"
+            for j in range(bits)
+        )
+
+    def dot(a: str, b: str) -> str:
+        return " + ".join(
+            f"CAST({a}[{i}] AS DOUBLE)*CAST({b}[{i}] AS DOUBLE)"
+            for i in range(1, dim + 1)
+        )
+
+    def cos(a: str, b: str) -> str:
+        return f"(({dot(a, b)}) / (sqrt({dot(a, a)}) * sqrt({dot(b, b)})))"
+
+    bcols = ",\n             ".join(
+        f"({bucket('embedding', b)}) AS k{b}" for b in range(bands)
+    )
+    band_match = " OR ".join(f"q.k{b} = c.k{b}" for b in range(bands))
+    return f"""
+    WITH sig AS (
+      SELECT vec_id, embedding,
+             {bcols}
+      FROM embeddings
+    ), qb AS (
+      SELECT vec_id AS query_id, embedding AS qv, * EXCLUDE (vec_id, embedding)
+      FROM sig WHERE vec_id < 5
+    ), cb AS (
+      SELECT vec_id AS neighbor_id, embedding AS nv, * EXCLUDE (vec_id, embedding)
+      FROM sig
+    ), cand AS (
+      SELECT DISTINCT q.query_id, c.neighbor_id, q.qv, c.nv
+      FROM qb q JOIN cb c ON ({band_match})
+      WHERE c.neighbor_id <> q.query_id
+    ), scored AS (
+      SELECT query_id, neighbor_id, {cos("qv", "nv")} AS cosine_sim
+      FROM cand
+    )
+    SELECT query_id, CAST(rn AS INT) AS rank, neighbor_id, cosine_sim FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id) AS rn
+      FROM scored) WHERE rn <= {k}
+    """
+
+
+def _near_dup_sqlcheck_sql(
+    dim: int = 64,
+    num_planes: int = 16,
+    bands: int = 8,
+    threshold: float = 0.4,
+    seed: int = 7,
+) -> str:
+    """ANSI-SQL twin of the LSH-banded embedding near-dup pairs —
+    same construction as _ann_lsh_sqlcheck_sql, self-join form."""
+    from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.operators.similarity import (
+        _plane_values,
+    )
+
+    bits = num_planes // bands
+
+    def dot_plane(vec: str, p: int) -> str:
+        vals = _plane_values(seed, p, dim)
+        return " + ".join(
+            f"CAST({vec}[{i}] AS DOUBLE)*{v!r}" for i, v in enumerate(vals, 1)
+        )
+
+    def bucket(vec: str, b: int) -> str:
+        return " + ".join(
+            f"(CASE WHEN ({dot_plane(vec, b * bits + j)}) > 0 THEN {1 << j} ELSE 0 END)"
+            for j in range(bits)
+        )
+
+    def dot(a: str, b: str) -> str:
+        return " + ".join(
+            f"CAST({a}[{i}] AS DOUBLE)*CAST({b}[{i}] AS DOUBLE)"
+            for i in range(1, dim + 1)
+        )
+
+    cos = f"(({dot('va', 'vb')}) / (sqrt({dot('va', 'va')}) * sqrt({dot('vb', 'vb')})))"
+    bcols = ",\n             ".join(
+        f"({bucket('embedding', b)}) AS k{b}" for b in range(bands)
+    )
+    band_match = " OR ".join(f"a.k{b} = b.k{b}" for b in range(bands))
+    return f"""
+    WITH sig AS (
+      SELECT vec_id, embedding,
+             {bcols}
+      FROM embeddings
+    ), cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+             a.embedding AS va, b.embedding AS vb
+      FROM sig a JOIN sig b ON ({band_match})
+      WHERE a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, cosine_sim FROM (
+      SELECT id_a, id_b, {cos} AS cosine_sim FROM cand
+    ) WHERE cosine_sim >= {threshold}
+    """
+
+
+@_register("embedding_near_dup_sqlcheck", _near_dup_sqlcheck_sql())
+def _embedding_near_dup_sqlcheck(spark: SparkSession, sf: str) -> DataFrame:
+    """LSH-banded embedding near-dup pairs, oracle-hash-checked with
+    raw (unrounded) cosine doubles — the hash-checked twin of
+    embedding_near_dup_lsh."""
+    emb = read_table(spark, sf, "embeddings")
+    return SIM.embedding_near_dup(
+        emb, dim=64, threshold=0.4, num_planes=16, bands=8
+    ).select("id_a", "id_b", "cosine_sim")
+
+
+@_register("embedding_ann_sqlcheck", _ann_lsh_sqlcheck_sql())
+def _embedding_ann_sqlcheck(spark: SparkSession, sf: str) -> DataFrame:
+    """Hyperplane-LSH ANN, oracle-hash-checked end to end: same plane
+    literals, same sign-bit buckets, same band-collision candidates,
+    bit-identical cosine rerank (see _ann_lsh_sqlcheck_sql)."""
+    emb = read_table(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return SIM.lsh_ann_topk(emb, queries, dim=64, k=10, num_planes=16, bands=8)
+
+
 # ---------------------------------------------------------------------------
 # driver API
 # ---------------------------------------------------------------------------
