@@ -2771,6 +2771,31 @@ def _embedding_ann_sqlcheck(spark: SparkSession, sf: str) -> DataFrame:
     return SIM.lsh_ann_topk(emb, queries, dim=64, k=10, num_planes=16, bands=8)
 
 
+@_register(
+    "agg_exact_median",
+    """
+    SELECT o_orderpriority,
+           quantile_cont(o_totalprice, 0.5) AS median_price,
+           quantile_cont(o_totalprice, 0.9) AS p90_price,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def _agg_exact_median(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact interpolated percentiles (median + p90) per group — the
+    linear-interpolation definition is identical in Spark's
+    percentile() and DuckDB's quantile_cont, down to the IEEE
+    midpoint arithmetic. (The approx_percentile family is covered
+    separately in agg_percentiles.)"""
+    orders = read_table(spark, sf, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.expr("percentile(o_totalprice, 0.5D)").alias("median_price"),
+        F.expr("percentile(o_totalprice, 0.9D)").alias("p90_price"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver API
 # ---------------------------------------------------------------------------
