@@ -2796,6 +2796,36 @@ def _agg_exact_median(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@_register(
+    "dedup_edit1_names",
+    """
+    WITH v AS (
+      SELECT c_custkey AS id, c_name AS s,
+             unnest(list_append(
+               list_transform(generate_series(1, length(c_name)),
+                              i -> substr(c_name, 1, i-1) || substr(c_name, i+1, length(c_name))),
+               c_name)) AS variant
+      FROM customer
+    ), cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.s AS s_a, b.s AS s_b
+      FROM v a JOIN v b ON a.variant = b.variant
+      WHERE a.id < b.id
+    )
+    SELECT id_a, id_b, s_a, s_b, CAST(levenshtein(s_a, s_b) AS INT) AS dist
+    FROM cand WHERE levenshtein(s_a, s_b) <= 1
+    """,
+)
+def _dedup_edit1_names(spark: SparkSession, sf: str) -> DataFrame:
+    """Entity-resolution near-dup names at edit distance ≤ 1 via
+    symmetric-delete (SymSpell) blocking — deletion-variant equi-join
+    instead of quadratic all-pairs levenshtein (operators/dedup.
+    edit1_pairs); exact levenshtein filters false candidates."""
+    cust = read_table(spark, sf, "customer")
+    return DD.edit1_pairs(cust, "c_custkey", "c_name").select(
+        "id_a", "id_b", "s_a", "s_b", F.col("dist").cast("int").alias("dist")
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver API
 # ---------------------------------------------------------------------------

@@ -506,3 +506,52 @@ def simhash_poly(
         ),
     )
     return agg.select("id", fp.alias("fingerprint"))
+
+
+def edit1_pairs(
+    df: DataFrame,
+    id_col: str,
+    s_col: str,
+) -> DataFrame:
+    """Entity-resolution pairs at edit distance ≤ 1 via symmetric-
+    delete blocking (the SymSpell construction): two strings within
+    one edit ALWAYS share a member of each other's {self} ∪
+    {one-char-deletions} sets, so exploding those variants and
+    equi-joining on the variant finds every pair without any |corpus|²
+    stage — the naive all-pairs levenshtein is quadratic and
+    unshippable at scale. Candidates are deduped, then the exact
+    ``levenshtein`` filter (JVM-side) removes the false positives
+    (distance-2 pairs sharing a variant).
+
+    Output: (id_a, id_b, s_a, s_b, dist) with id_a < id_b, dist ≤ 1.
+    Row amplification = string length (bounded); the variant join is
+    a hash equi-join on short strings.
+    """
+    s = F.col(s_col)
+    deletes = F.transform(
+        F.sequence(F.lit(1), F.length(s)),
+        lambda i: F.concat(
+            s.substr(F.lit(1), i - 1),
+            s.substr(i + 1, F.length(s)),
+        ),
+    )
+    v = df.select(
+        F.col(id_col).alias("id"),
+        s.alias("s"),
+        F.explode(F.array_union(F.array(s), deletes)).alias("variant"),
+    )
+    a, b = v.alias("a"), v.alias("b")
+    cand = (
+        a.join(b, "variant")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.s").alias("s_a"),
+            F.col("b.s").alias("s_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return cand.withColumn("dist", F.levenshtein("s_a", "s_b")).filter(
+        F.col("dist") <= 1
+    )

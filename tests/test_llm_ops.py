@@ -245,3 +245,34 @@ def test_simhash_poly_hamming_property(spark):
     ham_far = bin(fps[1] ^ fps[3]).count("1")
     assert ham_near < ham_far
     assert ham_near <= 15 and ham_far >= 15
+
+
+def test_edit1_pairs_complete_vs_naive(spark):
+    from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.operators import (
+        dedup as DD,
+    )
+    from pyspark.sql import functions as FF
+
+    names = [
+        (1, "alpha"), (2, "alpah"), (3, "alpha"),   # transpose=2 edits; exact dup
+        (4, "alphas"), (5, "lpha"), (6, "blpha"),   # insert / delete / substitute
+        (7, "gamma"), (8, "gamm"), (9, "zzzzz"), (10, "a"),
+        (11, ""), (12, "b"),                        # empty string edge
+    ]
+    df = spark.createDataFrame(names, ["id", "name"])
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in DD.edit1_pairs(df, "id", "name").collect()
+    }
+    a, b = df.alias("a"), df.alias("b")
+    naive = {
+        (r["ia"], r["ib"])
+        for r in a.crossJoin(b)
+        .filter(FF.col("a.id") < FF.col("b.id"))
+        .filter(FF.levenshtein("a.name", "b.name") <= 1)
+        .select(FF.col("a.id").alias("ia"), FF.col("b.id").alias("ib"))
+        .collect()
+    }
+    assert got == naive  # symmetric-delete blocking is complete for d<=1
+    assert (1, 3) in got and (1, 4) in got and (1, 5) in got and (1, 6) in got
+    assert (1, 2) not in got  # transposition = 2 edits
