@@ -58,6 +58,8 @@ HEADLINE = [
     "curation_pipeline",
     "text_top_terms",
     "embedding_label_centroids",
+    "dedup_edit1_names",
+    "agg_exact_median",
 ]
 
 
