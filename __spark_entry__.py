@@ -2826,6 +2826,57 @@ def _dedup_edit1_names(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@_register(
+    "scalar_to_usd_join",
+    """
+    WITH rates(currency, fx) AS (
+      VALUES ('USD', 1.00), ('CAD', 0.72), ('EUR', 1.14), ('SEK', 0.10),
+             ('AUD', 0.64), ('JPY', 0.007), ('GBP', 1.33), ('NIS', 0.28)
+    ), src AS (
+      SELECT o_orderkey,
+             CASE o_orderkey % 9
+               WHEN 0 THEN 'USD' WHEN 1 THEN 'CAD' WHEN 2 THEN 'EUR'
+               WHEN 3 THEN 'SEK' WHEN 4 THEN 'AUD' WHEN 5 THEN 'JPY'
+               WHEN 6 THEN 'GBP' WHEN 7 THEN 'NIS' ELSE 'XXX' END AS currency,
+             o_totalprice AS amount
+      FROM orders
+    )
+    SELECT o_orderkey, currency,
+           CAST(ROUND(CAST(COALESCE(fx, 1.0) AS DECIMAL(10,4))
+                      * CAST(amount AS DECIMAL(15,2)), 2) AS DOUBLE) AS usd
+    FROM src LEFT JOIN rates USING (currency)
+    """,
+)
+def _scalar_to_usd_join(spark: SparkSession, sf: str) -> DataFrame:
+    """F2 (to_usd) as a data-driven broadcast rates join — the
+    SURVEY-noted upgrade over the hardcoded CASE chain
+    (helper/transform.py:104-112): same semantics (unknown currency →
+    amount unchanged, HALF_UP round to 2), but rates live in a
+    dimension that ops can update without code changes."""
+    orders = read_table(spark, sf, "orders")
+    rates = spark.createDataFrame(
+        [("USD", "1.00"), ("CAD", "0.72"), ("EUR", "1.14"), ("SEK", "0.10"),
+         ("AUD", "0.64"), ("JPY", "0.007"), ("GBP", "1.33"), ("NIS", "0.28")],
+        ["currency", "fx_s"],
+    ).select("currency", F.col("fx_s").cast("decimal(10,4)").alias("fx"))
+    src = orders.select(
+        "o_orderkey",
+        F.element_at(
+            F.array(*[F.lit(c) for c in
+                      ["USD", "CAD", "EUR", "SEK", "AUD", "JPY", "GBP", "NIS", "XXX"]]),
+            (F.col("o_orderkey") % 9 + 1).cast("int"),
+        ).alias("currency"),
+        F.col("o_totalprice").alias("amount"),
+    )
+    joined = src.join(F.broadcast(rates), "currency", "left")
+    usd = F.round(
+        F.coalesce(F.col("fx"), F.lit(1.0).cast("decimal(10,4)"))
+        * F.col("amount").cast("decimal(15,2)"),
+        2,
+    ).cast("double")
+    return joined.select("o_orderkey", "currency", usd.alias("usd"))
+
+
 # ---------------------------------------------------------------------------
 # driver API
 # ---------------------------------------------------------------------------

@@ -153,3 +153,23 @@ def test_range_join_is_equi_join_not_cross(spark, sf_dir):
     plan = _plan(q)
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
     assert "Join" in plan
+
+
+def test_date_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
+    """The date-partitioned lake layout must turn the daily slice into
+    partition pruning: a filter on the partition column shows up as a
+    PartitionFilter and the scan reads a single partition directory."""
+    ev = read_table(spark, sf_dir, "events").withColumn(
+        "event_date", F.to_date("ts")
+    )
+    path = str(tmp_path / "lake")
+    SIO.write_parquet(ev, path, partition_by=["event_date"])
+
+    q = spark.read.parquet(path).filter(F.col("event_date") == "2024-01-15")
+    plan = _plan(q)
+    pf = next(l for l in plan.splitlines() if "PartitionFilters" in l)
+    assert "event_date" in pf and "2024-01-15" in pf
+    # count touched files: only the one partition's files are scanned
+    q.collect()
+    executed = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: []" not in executed
