@@ -2877,6 +2877,75 @@ def _scalar_to_usd_join(spark: SparkSession, sf: str) -> DataFrame:
     return joined.select("o_orderkey", "currency", usd.alias("usd"))
 
 
+@_register(
+    "agg_histogram",
+    """
+    SELECT CAST(FLOOR(o_totalprice / 20000.0) AS INT) AS bucket,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def _agg_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    """Fixed-width histogram (bucket = floor(x/w)): one groupBy with
+    map-side partials — the shuffle carries |buckets| rows. Float
+    division + floor are IEEE-identical across engines."""
+    orders = read_table(spark, sf, "orders")
+    return (
+        orders.groupBy(
+            F.floor(F.col("o_totalprice") / 20000.0).cast("int").alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _dsum(F.col("o_totalprice")).alias("total"),
+        )
+    )
+
+
+@_register(
+    "agg_corr_exact",
+    """
+    WITH s AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,4))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS syy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           (n*sxy - sx*sy) / (sqrt(n*sxx - sx*sx) * sqrt(n*syy - sy*sy)) AS corr
+    FROM s
+    """,
+)
+def _agg_corr_exact(spark: SparkSession, sf: str) -> DataFrame:
+    """Pearson correlation per group, cross-engine deterministic: the
+    five moments accumulate in EXACT decimal arithmetic (order-free),
+    and only the final closed-form expression runs in IEEE doubles —
+    unlike built-in corr(), whose partial-aggregation float order
+    differs between engines. The same trick generalizes to covariance
+    and regression slopes."""
+    li = read_table(spark, sf, "lineitem")
+    q = F.col("l_quantity").cast("decimal(12,2)")
+    p = F.col("l_extendedprice").cast("decimal(12,2)")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        _dsum(F.col("l_quantity")).alias("sx"),
+        _dsum(F.col("l_extendedprice")).alias("sy"),
+        F.sum(q * p).cast("double").alias("sxy"),
+        F.sum(q * q).cast("double").alias("sxx"),
+        F.sum(p * p).cast("double").alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    corr = (n * F.col("sxy") - sx * sy) / (
+        F.sqrt(n * F.col("sxx") - sx * sx) * F.sqrt(n * F.col("syy") - sy * sy)
+    )
+    return s.select("l_returnflag", "n", corr.alias("corr"))
+
+
 # ---------------------------------------------------------------------------
 # driver API
 # ---------------------------------------------------------------------------
