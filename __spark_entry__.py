@@ -2946,6 +2946,38 @@ def _agg_corr_exact(spark: SparkSession, sf: str) -> DataFrame:
     return s.select("l_returnflag", "n", corr.alias("corr"))
 
 
+@_register(
+    "window_frame_first_last",
+    """
+    SELECT o_custkey, o_orderkey,
+           FIRST_VALUE(o_orderkey) OVER w AS first_in_window,
+           LAST_VALUE(o_orderkey) OVER w AS last_in_window,
+           COUNT(*) OVER w AS n_in_window
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN 2 PRECEDING AND 1 FOLLOWING)
+    """,
+)
+def _window_frame_first_last(spark: SparkSession, sf: str) -> DataFrame:
+    """Explicit ROWS frame (2 preceding .. 1 following) with
+    first/last_value and a frame count — the frame-spec surface §2.5
+    notes the reference never uses; total ordering via the orderkey
+    tiebreak keeps frames deterministic."""
+    orders = read_table(spark, sf, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-2, 1)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_orderkey").over(w).alias("first_in_window"),
+        F.last("o_orderkey").over(w).alias("last_in_window"),
+        F.count(F.lit(1)).over(w).alias("n_in_window"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver API
 # ---------------------------------------------------------------------------
