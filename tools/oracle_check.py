@@ -73,7 +73,15 @@ def main():
             n_fail += 1
             continue
         if name not in oracles:
-            print(f"ROWS {name}: {len(srows)} rows (no oracle), {time.time()-t0:.1f}s")
+            twin = entry_mod._NO_ORACLE_TWINS.get(name)
+            if twin is None:
+                print(f"FAIL {name}: no oracle and no documented twin in _NO_ORACLE_TWINS")
+                n_fail += 1
+                continue
+            print(
+                f"ROWS {name}: {len(srows)} rows (no oracle; hash-checked twin: {twin}), "
+                f"{time.time()-t0:.1f}s"
+            )
             n_rows_only += 1
             continue
         try:
