@@ -76,6 +76,9 @@ def asof_join(
     # Equal-timestamp visibility: inclusive → right rows sort before
     # left rows at the same instant (tag 0 < 1); strict → after.
     r_tag, l_tag = (0, 1) if not strict else (1, 0)
+    # The tiebreak is NOT direction-signed: among right rows tied on
+    # (key, ts), the greatest tiebreak wins in both directions (last
+    # row in ascending __tb order is what last() picks up).
     tb = F.col(tiebreak) if tiebreak else F.lit(0)
 
     l_cols = left.columns
@@ -90,7 +93,7 @@ def asof_join(
         F.col(key).alias("__k"),
         (sign * F.unix_micros(F.col(right_ts))).alias("__ord"),
         F.lit(r_tag).alias("__tag"),
-        (sign * tb).cast("long").alias("__tb"),
+        tb.cast("long").alias("__tb"),
         F.struct(*[expr.alias(n) for n, expr in payload.items()]).alias("__r"),
     )
     l_side = l_side.withColumn(
@@ -134,12 +137,25 @@ def range_join(
     granularity — the interval side explodes to the buckets its span
     covers (``sequence(floor(start), floor(end))``), the event side
     maps to exactly one bucket — turning the non-equi predicate into
-    an equi-join on (key, bucket) with an exact residual filter.
-    Choose ``bin_seconds`` near the typical interval length so the
-    explode factor stays ~2×; never a cross-join per key.
+    an equi-join on (key, bucket) with the exact interval predicate as
+    a residual join condition. Choose ``bin_seconds`` near the typical
+    interval length so the explode factor stays ~2×; never a
+    cross-join per key.
+
+    ``how`` may be ``inner`` or ``left`` (events preserved with null
+    interval columns when nothing matches — the interval predicate
+    lives in the join condition, so outer rows survive it). Right/full
+    outer are rejected: the interval side is bin-exploded, so an
+    unmatched interval would surface one null-extended row PER BIN,
+    not one row.
 
     Column collisions are the caller's responsibility (pre-alias).
     """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"range_join supports how='inner'|'left', got {how!r} "
+            "(the exploded interval side cannot be outer-preserved)"
+        )
     ev = events.withColumn(
         "__bin", F.floor(F.unix_micros(F.col(ts_col)) / F.lit(bin_seconds * 1_000_000))
     )
@@ -154,12 +170,13 @@ def range_join(
     )
     joined = ev.join(
         iv,
-        (ev[event_key] == iv[interval_key]) & (ev["__bin"] == iv["__bin"]),
+        (ev[event_key] == iv[interval_key])
+        & (ev["__bin"] == iv["__bin"])
+        & (ev[ts_col] >= iv[start_col])
+        & (ev[ts_col] < iv[end_col]),
         how,
     )
-    return joined.filter(
-        (F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) < F.col(end_col))
-    ).drop("__bin")
+    return joined.drop("__bin")
 
 
 def scd2_collapse(

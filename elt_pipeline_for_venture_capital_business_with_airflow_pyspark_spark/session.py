@@ -34,6 +34,40 @@ def suggest_shuffle_partitions(
     return max(cpus, -(-needed // cpus) * cpus)
 
 
+def object_store_conf(
+    endpoint: str | None = None,
+    access_key: str | None = None,
+    secret_key: str | None = None,
+    path_style: bool = True,
+    ssl: bool = False,
+) -> dict[str, str]:
+    """s3a lake posture (the reference wires this per-job,
+    dags/vcapital_warehouse/tasks/main.py:20-24 + helper/minio.py:19-55):
+    endpoint/credentials from args or the standard AWS env vars,
+    path-style addressing for MinIO-compatible stores. Feed the result
+    to ``build_session(extra_conf=object_store_conf(...))``. Requires
+    the hadoop-aws jar on the classpath at runtime (not in the test
+    image — covered by a conf-only unit test there)."""
+    endpoint = endpoint or os.environ.get("S3_ENDPOINT_URL", "")
+    access_key = access_key or os.environ.get("AWS_ACCESS_KEY_ID", "")
+    secret_key = secret_key or os.environ.get("AWS_SECRET_ACCESS_KEY", "")
+    conf = {
+        "spark.hadoop.fs.s3a.impl": "org.apache.hadoop.fs.s3a.S3AFileSystem",
+        "spark.hadoop.fs.s3a.path.style.access": "true" if path_style else "false",
+        "spark.hadoop.fs.s3a.connection.ssl.enabled": "true" if ssl else "false",
+        "spark.hadoop.fs.s3a.aws.credentials.provider": (
+            "org.apache.hadoop.fs.s3a.SimpleAWSCredentialsProvider"
+        ),
+    }
+    if endpoint:
+        conf["spark.hadoop.fs.s3a.endpoint"] = endpoint
+    if access_key:
+        conf["spark.hadoop.fs.s3a.access.key"] = access_key
+    if secret_key:
+        conf["spark.hadoop.fs.s3a.secret.key"] = secret_key
+    return conf
+
+
 def build_session(
     app_name: str = "vc-engine",
     master: str | None = None,

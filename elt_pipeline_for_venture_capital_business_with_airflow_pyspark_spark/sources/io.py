@@ -86,24 +86,26 @@ def read_jdbc(
 
     At scale a single-connection JDBC read is a bottleneck — callers
     pass ``partition_column`` + bounds to parallelize the scan across
-    ``num_partitions`` connections. Requires a JDBC driver jar on the
-    classpath (not present in the test image — exercised only via
-    unit-level plan checks there).
+    ``num_partitions`` connections. Spark forbids combining the
+    ``query`` option with ``partitionColumn``, so the partitioned path
+    ships the same subquery through ``dbtable`` as a derived table —
+    semantically identical pushdown, one bound-predicate per
+    connection. Executed end-to-end against embedded Derby in
+    tests/test_jdbc_derby.py (Spark's distribution ships the jars).
     """
-    reader = (
-        spark.read.format("jdbc")
-        .option("url", url)
-        .option("query", query)
-    )
-    for k, v in (properties or {}).items():
-        reader = reader.option(k, v)
+    reader = spark.read.format("jdbc").option("url", url)
     if partition_column is not None:
         reader = (
-            reader.option("partitionColumn", partition_column)
+            reader.option("dbtable", f"({query}) AS jdbc_subq")
+            .option("partitionColumn", partition_column)
             .option("numPartitions", str(num_partitions))
             .option("lowerBound", str(lower_bound))
             .option("upperBound", str(upper_bound))
         )
+    else:
+        reader = reader.option("query", query)
+    for k, v in (properties or {}).items():
+        reader = reader.option(k, v)
     return reader.load()
 
 
@@ -138,6 +140,45 @@ def write_jdbc(
     writer.save()
 
 
+def replace_parquet_atomic(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    compression: str = "zstd",
+) -> None:
+    """Overwrite ``path`` with ``df`` even when ``df``'s plan reads
+    from ``path`` itself (self-referencing rewrites: compaction,
+    upsert-merge). A plain ``mode("overwrite")`` deletes the target
+    before writing, so a mid-write failure destroys the original data;
+    here the new contents are fully written to ``{path}__swap_new``
+    first, then swapped in with two filesystem renames. At no point is
+    the data unrecoverable: a crash between the renames leaves the
+    original at ``{path}__swap_old`` and/or the new copy at
+    ``{path}__swap_new`` (recovery = rename whichever exists back).
+    Single writer assumed, same as the reference's loads."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path
+    jpath = hpath(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    staged, backup = hpath(path + "__swap_new"), hpath(path + "__swap_old")
+
+    if fs.exists(staged):
+        fs.delete(staged, True)
+    df.write.mode("overwrite").option("compression", compression).parquet(
+        path + "__swap_new"
+    )
+    if fs.exists(backup):
+        fs.delete(backup, True)
+    if fs.exists(jpath) and not fs.rename(jpath, backup):
+        raise IOError(f"could not move {path} aside for swap")
+    if not fs.rename(staged, jpath):
+        raise IOError(
+            f"swap failed: original preserved at {path}__swap_old, "
+            f"new data at {path}__swap_new"
+        )
+    fs.delete(backup, True)
+
+
 def compact_parquet(
     spark: SparkSession,
     path: str,
@@ -148,8 +189,9 @@ def compact_parquet(
     file counts that degrade scan planning (listing + row-group
     overhead per file) — at 100 TB, compaction keeps file count
     proportional to data, not to write cadence. Returns the new file
-    count. Rewrite-in-place via an overwrite of a staged read (single
-    writer assumed, same as the reference's loads)."""
+    count. The rewrite lands via :func:`replace_parquet_atomic`
+    (rename swap), so the data is written once and a mid-compaction
+    crash never destroys the original."""
     jvm = spark._jvm
     jpath = jvm.org.apache.hadoop.fs.Path(path)
     fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
@@ -161,16 +203,7 @@ def compact_parquet(
             byte_total += st.getLen()
     n_files = int(max(1, -(-byte_total // (target_file_mb * 1024 * 1024))))
 
-    # stage-then-swap: the source dir cannot be overwritten while a
-    # lazy plan still reads it
-    staged = f"{path}__compact_tmp"
-    spark.read.parquet(path).repartition(n_files).write.mode("overwrite").option(
-        "compression", "zstd"
-    ).parquet(staged)
-    spark.read.parquet(staged).write.mode("overwrite").option(
-        "compression", "zstd"
-    ).parquet(path)
-    fs.delete(jvm.org.apache.hadoop.fs.Path(staged), True)
+    replace_parquet_atomic(spark, spark.read.parquet(path).repartition(n_files), path)
     return n_files
 
 
@@ -240,9 +273,35 @@ def upsert_parquet(
 ) -> DataFrame:
     """Key-upsert onto a parquet table: :func:`merge_upsert` against the
     current contents of ``path``. Single-writer assumed, same as the
-    reference."""
-    try:
-        old = spark.read.parquet(path)
-    except Exception:
-        old = None
+    reference.
+
+    Only a missing path is treated as an empty table; any other read
+    failure (corrupt footer, permissions, transient FS error)
+    propagates — silently treating those as "table does not exist"
+    would make the next overwrite drop the existing data."""
+    old = read_parquet_if_exists(spark, path)
     return merge_upsert(new_df, old, keys, order_by)
+
+
+def read_parquet_if_exists(
+    spark: SparkSession, path: str, schema: T.StructType | None = None
+) -> DataFrame | None:
+    """Read a parquet table, returning None ONLY when the path does not
+    exist. Every other failure raises."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        return read_parquet(spark, path, schema=schema)
+    except AnalysisException as e:
+        cond = None
+        for attr in ("getCondition", "getErrorClass"):
+            fn = getattr(e, attr, None)
+            if fn is not None:
+                try:
+                    cond = fn()
+                    break
+                except Exception:
+                    pass
+        if cond == "PATH_NOT_FOUND" or "[PATH_NOT_FOUND]" in str(e):
+            return None
+        raise

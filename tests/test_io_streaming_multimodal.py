@@ -160,3 +160,36 @@ def test_multimodal_resize_plan(spark):
     assert (out[2]["dst_width"], out[2]["dst_height"]) == (100, 80)
     assert (out[3]["dst_width"], out[3]["dst_height"]) == (128, 256)
     assert out[1]["payload"] == b"\x01" * 16  # stub passthrough
+
+
+def test_replace_parquet_atomic_self_referencing(spark, tmp_path):
+    """The swap write must handle a plan that reads the path it
+    replaces, and leave no __swap_* residue on success."""
+    path = str(tmp_path / "swap_tbl")
+    spark.range(100).withColumnRenamed("id", "k").write.parquet(path)
+    from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.sources import io as SIO
+
+    df = spark.read.parquet(path).filter("k < 50")  # reads `path` itself
+    SIO.replace_parquet_atomic(spark, df, path)
+    assert spark.read.parquet(path).count() == 50
+    import os
+    assert not os.path.exists(path + "__swap_new")
+    assert not os.path.exists(path + "__swap_old")
+
+
+def test_upsert_parquet_missing_path_vs_corrupt(spark, tmp_path):
+    """ADVICE r01: only PATH_NOT_FOUND means 'empty table'; a corrupt
+    table must raise, not silently drop the existing data."""
+    from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.sources import io as SIO
+
+    missing = str(tmp_path / "never_written")
+    batch = spark.createDataFrame([(1, 10)], ["id", "v"])
+    out = SIO.upsert_parquet(spark, batch, missing, keys=["id"])
+    assert out.count() == 1  # missing path == empty table
+
+    corrupt = tmp_path / "corrupt_tbl"
+    corrupt.mkdir()
+    (corrupt / "part-00000.parquet").write_bytes(b"not a parquet file")
+    import pytest as _pytest
+    with _pytest.raises(Exception):
+        SIO.upsert_parquet(spark, batch, str(corrupt), keys=["id"]).collect()

@@ -105,3 +105,34 @@ def test_pipeline_incremental_slice(spark, staging_dir, tmp_path):
     # people/relationships have no timestamp-typed created_at filter
     # effect in this fixture (string-typed staging columns)
     assert manifest["fct_investments"] == 1
+
+
+def test_pipeline_incremental_preserves_history(spark, staging_dir, tmp_path):
+    """ADVICE r01: a daily incremental run must MERGE into the
+    warehouse, not replace each table with only that day's rows — and
+    existing surrogate keys must survive so facts never dangle."""
+    wh = str(tmp_path / "wh4")
+    P.run_warehouse_pipeline(spark, staging_dir, wh, audit=True)  # full load
+    before = {
+        r["nk_company_id"]: r["sk_company_id"]
+        for r in spark.read.parquet(f"{wh}/dim_company").collect()
+    }
+    assert len(before) == 3
+
+    # ds slice covers only 2013-07-01 rows (c:2 created 2013-06-01 is
+    # outside), but the older company must stay in the dim
+    m = P.run_warehouse_pipeline(spark, staging_dir, wh, ds="2013-07-02", audit=True)
+    assert m["dim_company"] == 3
+    after = {
+        r["nk_company_id"]: r["sk_company_id"]
+        for r in spark.read.parquet(f"{wh}/dim_company").collect()
+    }
+    assert after == before  # keys stable, nothing re-assigned
+
+    # facts upsert on the natural id: rerunning the same day converges
+    assert m["fct_investments"] == 1
+    m2 = P.run_warehouse_pipeline(spark, staging_dir, wh, ds="2013-07-02", audit=True)
+    assert m2 == m
+
+    dim = spark.read.parquet(f"{wh}/dim_company")
+    assert dim.count() == dim.select("nk_company_id").distinct().count()

@@ -81,7 +81,9 @@ def test_asof_strict_and_forward(spark):
         direction="forward",
     )
     rows = {r["tid"]: r["qid"] for r in fwd.collect()}
-    assert rows[10] == 2  # next quote at/after 10:03 is 10:05; min tiebreak wins
+    # next quote at/after 10:03 is 10:05; among the tied quotes the
+    # GREATEST tiebreak wins, same rule as backward mode
+    assert rows[10] == 3
     assert rows[12] == 4
     assert rows[13] is None
 
@@ -237,3 +239,36 @@ def test_range_join_matches_naive_randomized(spark):
         .collect()
     }
     assert got == naive and len(naive) > 0
+
+
+def test_range_join_left_preserves_unmatched_events(spark):
+    """ADVICE r01: the interval predicate lives in the join condition,
+    so how='left' keeps unmatched events with null interval columns
+    instead of silently degrading to inner semantics."""
+    events = spark.createDataFrame(
+        [
+            (1, "u1", _ts("2024-01-01 10:05:00")),  # inside interval
+            (2, "u1", _ts("2024-01-01 11:00:00")),  # same key, outside
+            (3, "u2", _ts("2024-01-01 10:05:00")),  # key with no intervals
+        ],
+        ["eid", "user", "ts"],
+    )
+    intervals = spark.createDataFrame(
+        [(100, "u1", _ts("2024-01-01 10:00:00"), _ts("2024-01-01 10:10:00"))],
+        ["iid", "iuser", "start_ts", "end_ts"],
+    )
+    res = TMP.range_join(
+        events, intervals, event_key="user", interval_key="iuser",
+        ts_col="ts", start_col="start_ts", end_col="end_ts",
+        bin_seconds=600, how="left",
+    )
+    rows = {r["eid"]: r["iid"] for r in res.collect()}
+    assert rows == {1: 100, 2: None, 3: None}
+    assert res.count() == 3  # every event exactly once
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="inner.*left"):
+        TMP.range_join(
+            events, intervals, event_key="user", interval_key="iuser",
+            ts_col="ts", start_col="start_ts", end_col="end_ts", how="right",
+        )
