@@ -112,6 +112,104 @@ _FACT_KEYS = {
 }
 
 
+def run_warehouse_table(
+    spark: SparkSession,
+    name: str,
+    staging_dir: str,
+    warehouse_dir: str,
+    ds: str | None = None,
+) -> None:
+    """Build and persist ONE warehouse table — the per-table task unit
+    (the reference schedules exactly this granularity as Airflow tasks,
+    main.py:53-120). Fact/bridge builders read the *persisted* dims
+    from ``warehouse_dir``, so the only cross-table contract is
+    ordering: dims strictly before facts (``WAREHOUSE_ORDER``).
+
+    Full mode (``ds=None``): idempotent overwrite.
+
+    Incremental mode (``ds`` set): staging is sliced to the day and the
+    warehouse MERGES instead of overwriting — a daily run must not
+    replace a table with only that day's rows:
+
+    - sliced dims (dim_company, dim_funds): natural keys not yet in the
+      warehouse are appended with surrogate keys continuing from
+      ``max_key(existing)`` (the BIGSERIAL posture — existing rows keep
+      their keys, so facts never dangle); known keys stay untouched;
+    - facts: upsert on the natural id (rerunning a day converges
+      instead of duplicating, fixing reference quirk §2.9.4);
+    - dim_date / dim_people / bridge_company_people: full rebuild each
+      run (static spine resp. full-load staging inputs).
+
+    Self-referencing merges land via ``replace_parquet_atomic`` (the
+    merge plan reads the same path it replaces).
+    """
+    from ..operators.surrogate import max_key
+
+    staging = read_staging(spark, staging_dir, ds)
+    path = f"{warehouse_dir}/{name}"
+
+    def _persisted(table: str) -> DataFrame:
+        return spark.read.parquet(f"{warehouse_dir}/{table}")
+
+    if name == "dim_date":
+        SIO.write_parquet(DDATE.build_dim_date(spark), path, mode="overwrite")
+        return
+    if name == "dim_people":
+        SIO.write_parquet(
+            WH.build_dim_people(staging["people"]), path, mode="overwrite"
+        )
+        return
+    if name == "bridge_company_people":
+        bridge = WH.build_bridge_company_people(
+            staging["relationships"], _persisted("dim_people"),
+            _persisted("dim_company"),
+        )
+        SIO.write_parquet(bridge, path, mode="overwrite")
+        return
+
+    if name in _DIM_KEYS:
+        def build_dim(off: int) -> DataFrame:
+            if name == "dim_company":
+                return WH.build_dim_company(staging["company"], off)
+            return WH.build_dim_funds(staging["funds"], _persisted("dim_date"), off)
+
+        sk, nk = _DIM_KEYS[name]
+        old = SIO.read_parquet_if_exists(spark, path) if ds is not None else None
+        if old is None:
+            SIO.write_parquet(build_dim(0), path, mode="overwrite")
+        else:
+            fresh = build_dim(max_key(old, sk)).join(
+                old.select(nk), on=nk, how="left_anti"
+            )
+            SIO.replace_parquet_atomic(spark, old.unionByName(fresh), path)
+        return
+
+    if name in _FACT_KEYS:
+        if name == "fct_investments":
+            df = WH.build_fct_investments(
+                staging["investments"], staging["funding_rounds"],
+                _persisted("dim_company"), _persisted("dim_funds"),
+                _persisted("dim_date"),
+            )
+        elif name == "fct_ipos":
+            df = WH.build_fct_ipos(
+                staging["ipos"], _persisted("dim_company"), _persisted("dim_date")
+            )
+        else:
+            df = WH.build_fct_acquisition(
+                staging["acquisition"], _persisted("dim_company"),
+                _persisted("dim_date"),
+            )
+        if ds is None or SIO.read_parquet_if_exists(spark, path) is None:
+            SIO.write_parquet(df, path, mode="overwrite")
+        else:
+            merged = SIO.upsert_parquet(spark, df, path, keys=[_FACT_KEYS[name]])
+            SIO.replace_parquet_atomic(spark, merged, path)
+        return
+
+    raise ValueError(f"unknown warehouse table: {name}")
+
+
 def run_warehouse_pipeline(
     spark: SparkSession,
     staging_dir: str,
@@ -119,110 +217,20 @@ def run_warehouse_pipeline(
     ds: str | None = None,
     audit: bool = False,
 ) -> dict[str, int]:
-    """End-to-end staging → warehouse run under
-    ``{warehouse_dir}/{table}``. Returns {table: row_count} when
-    ``audit`` (costs one count job per table), else {table: -1}.
-
-    Full mode (``ds=None``): every table is an idempotent overwrite.
-
-    Incremental mode (``ds`` set): staging is sliced to the day, and
-    the warehouse MERGES instead of overwriting — a daily run must not
-    replace a table with only that day's rows:
-
-    - sliced dims (dim_company, dim_funds): natural keys not yet in the
-      warehouse are appended with surrogate keys continuing from
-      ``max_key(existing)`` (the BIGSERIAL posture — existing rows keep
-      their keys, so facts never dangle); already-known keys are left
-      untouched;
-    - facts: upsert on the natural id (rerunning a day converges
-      instead of duplicating, fixing reference quirk §2.9.4);
-    - dim_date / dim_people / bridge_company_people: full rebuild each
-      run (static spine resp. full-load staging inputs).
-
-    Downstream builders consume the *persisted* merged dims, so fact
-    rows always join against the complete dimension, not the slice.
-    Self-referencing merges land via ``replace_parquet_atomic`` (the
-    merge plan reads the same path it replaces).
+    """End-to-end staging → warehouse run: every table in
+    ``WAREHOUSE_ORDER`` through :func:`run_warehouse_table`. Returns
+    {table: row_count} when ``audit`` (costs one count job per table),
+    else {table: -1}.
 
     A failed table write leaves earlier tables fully written (same
     at-least-once granularity as the reference's per-table Airflow
     tasks); reruns converge because full mode overwrites and
     incremental mode merges idempotently.
     """
-    from ..operators.surrogate import max_key
-
-    staging = read_staging(spark, staging_dir, ds)
     manifest: dict[str, int] = {}
-
-    def _finish(name: str) -> None:
+    for name in WAREHOUSE_ORDER:
+        run_warehouse_table(spark, name, staging_dir, warehouse_dir, ds)
         manifest[name] = (
             spark.read.parquet(f"{warehouse_dir}/{name}").count() if audit else -1
         )
-
-    if ds is None:
-        tables = build_warehouse(spark, staging)
-        for name, df in tables.items():
-            SIO.write_parquet(df, f"{warehouse_dir}/{name}", mode="overwrite")
-            _finish(name)
-        return manifest
-
-    # --- incremental mode -------------------------------------------------
-    dim_date = DDATE.build_dim_date(spark)
-    SIO.write_parquet(dim_date, f"{warehouse_dir}/dim_date", mode="overwrite")
-    _finish("dim_date")
-    dim_date = spark.read.parquet(f"{warehouse_dir}/dim_date")
-
-    def _merge_dim(name: str, build_fn) -> DataFrame:
-        path = f"{warehouse_dir}/{name}"
-        sk, nk = _DIM_KEYS[name]
-        old = SIO.read_parquet_if_exists(spark, path)
-        if old is None:
-            SIO.write_parquet(build_fn(0), path, mode="overwrite")
-        else:
-            fresh = build_fn(max_key(old, sk)).join(
-                old.select(nk), on=nk, how="left_anti"
-            )
-            SIO.replace_parquet_atomic(spark, old.unionByName(fresh), path)
-        _finish(name)
-        return spark.read.parquet(path)
-
-    dim_company = _merge_dim(
-        "dim_company", lambda off: WH.build_dim_company(staging["company"], off)
-    )
-    dim_funds = _merge_dim(
-        "dim_funds",
-        lambda off: WH.build_dim_funds(staging["funds"], dim_date, off),
-    )
-
-    dim_people = WH.build_dim_people(staging["people"])
-    SIO.write_parquet(dim_people, f"{warehouse_dir}/dim_people", mode="overwrite")
-    _finish("dim_people")
-    dim_people = spark.read.parquet(f"{warehouse_dir}/dim_people")
-
-    facts: dict[str, DataFrame] = {
-        "fct_investments": WH.build_fct_investments(
-            staging["investments"], staging["funding_rounds"],
-            dim_company, dim_funds, dim_date,
-        ),
-        "fct_ipos": WH.build_fct_ipos(staging["ipos"], dim_company, dim_date),
-        "fct_acquisition": WH.build_fct_acquisition(
-            staging["acquisition"], dim_company, dim_date
-        ),
-    }
-    for name, df in facts.items():
-        path = f"{warehouse_dir}/{name}"
-        merged = SIO.upsert_parquet(spark, df, path, keys=[_FACT_KEYS[name]])
-        if SIO.read_parquet_if_exists(spark, path) is None:
-            SIO.write_parquet(merged, path, mode="overwrite")
-        else:
-            SIO.replace_parquet_atomic(spark, merged, path)
-        _finish(name)
-
-    bridge = WH.build_bridge_company_people(
-        staging["relationships"], dim_people, dim_company
-    )
-    SIO.write_parquet(
-        bridge, f"{warehouse_dir}/bridge_company_people", mode="overwrite"
-    )
-    _finish("bridge_company_people")
     return manifest

@@ -136,3 +136,33 @@ def test_pipeline_incremental_preserves_history(spark, staging_dir, tmp_path):
 
     dim = spark.read.parquet(f"{wh}/dim_company")
     assert dim.count() == dim.select("nk_company_id").distinct().count()
+
+
+def test_airflow_dag_import_gated():
+    """The TaskFlow shell degrades cleanly when Airflow is absent; when
+    present, the factory builds a DAG with the reference's ordering."""
+    from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.plans import (
+        airflow_dag as AD,
+    )
+
+    assert set(AD._UPSTREAM) == set(P.WAREHOUSE_ORDER)
+    # facts depend on dims; bridge on its two dims (reference main.py:120)
+    assert "dim_company" in AD._UPSTREAM["fct_investments"]
+    assert "dim_people" in AD._UPSTREAM["bridge_company_people"]
+    if not AD.HAS_AIRFLOW:
+        import pytest as _pytest
+        with _pytest.raises(ImportError, match="airflow"):
+            AD.build_warehouse_dag("/s", "/w")
+    else:
+        dag = AD.build_warehouse_dag("/s", "/w")
+        assert {t.task_id for t in dag.tasks} == set(P.WAREHOUSE_ORDER)
+
+
+def test_run_single_table_unit(spark, staging_dir, tmp_path):
+    """Per-table task unit: dims then one fact, exactly as an external
+    scheduler would drive it."""
+    wh = str(tmp_path / "wh5")
+    for t in ("dim_date", "dim_company", "dim_funds"):
+        P.run_warehouse_table(spark, t, staging_dir, wh)
+    P.run_warehouse_table(spark, "fct_investments", staging_dir, wh)
+    assert spark.read.parquet(f"{wh}/fct_investments").count() == 1
