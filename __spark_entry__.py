@@ -3126,6 +3126,185 @@ def _window_frame_first_last(spark: SparkSession, sf: str) -> DataFrame:
 # driver API
 # ---------------------------------------------------------------------------
 
+# --- training-data curation round 2: PII, repetition, contamination, tf-idf --
+
+@_register(
+    "text_pii_scrub",
+    r"""
+    WITH dirty AS (
+      SELECT doc_id,
+             CASE doc_id % 3
+               WHEN 0 THEN text || ' contact alice.smith+1@mail-example.com today'
+               WHEN 1 THEN text || ' call 555-123-4567 or 800.555.1212 now'
+               ELSE text END AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+')) AS INT) AS n_emails,
+           CAST(len(regexp_extract_all(t, '[+]?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}')) AS INT) AS n_phones,
+           regexp_replace(
+             regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+', '<EMAIL>', 'g'),
+             '[+]?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}', '<PHONE>', 'g') AS scrubbed
+    FROM dirty
+    """,
+)
+def _text_pii_scrub(spark: SparkSession, sf: str) -> DataFrame:
+    """PII redaction — the pre-training scrub (emails, then phones)
+    plus per-doc match counts, all in one projection (no shuffle; the
+    scrub runs inside the scan stage at any scale). Dirty strings are
+    synthesized deterministically so every pattern branch executes."""
+    docs = read_table(spark, sf, "documents")
+    dirty = (
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.col("text"), F.lit(" contact alice.smith+1@mail-example.com today")),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(F.col("text"), F.lit(" call 555-123-4567 or 800.555.1212 now")),
+        )
+        .otherwise(F.col("text"))
+    )
+    return docs.select(
+        "doc_id",
+        TX.pii_email_count(dirty).alias("n_emails"),
+        TX.pii_phone_count(dirty).alias("n_phones"),
+        TX.pii_scrub(dirty).alias("scrubbed"),
+    )
+
+
+@_register(
+    "text_repetition",
+    rf"""
+    WITH tok AS (
+      SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents
+    ), g AS (
+      SELECT doc_id, toks,
+             list_transform(
+               generate_series(1, greatest(len(toks) - 2, 0)),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+             ) AS grams
+      FROM tok
+    )
+    SELECT doc_id,
+           CASE WHEN len(toks) < 3 THEN CAST(0.0 AS DOUBLE)
+                ELSE 1.0 - len(list_distinct(grams)) / CAST(len(grams) AS DOUBLE)
+           END AS rep_frac_3
+    FROM g
+    """,
+)
+def _text_repetition(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher-style repetition signal: duplicate word-3-gram fraction
+    per doc (repetitive docs are low-value training data). Row-local
+    expression, zero shuffle."""
+    docs = read_table(spark, sf, "documents")
+    return docs.select(
+        "doc_id", TX.repetition_fraction("text", n=3).alias("rep_frac_3")
+    )
+
+
+@_register(
+    "text_contamination",
+    rf"""
+    WITH tok AS (
+      SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               generate_series(1, len(toks) - 3),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]
+             ))) AS shingle
+      FROM tok WHERE len(toks) >= 4
+    )
+    SELECT t.doc_id,
+           COUNT(DISTINCT t.shingle) AS n_shared_shingles,
+           COUNT(DISTINCT e.doc_id) AS n_eval_docs
+    FROM sh t JOIN sh e ON t.shingle = e.shingle
+    WHERE t.doc_id % 97 <> 0 AND e.doc_id % 97 = 0
+    GROUP BY t.doc_id
+    """,
+)
+def _text_contamination(spark: SparkSession, sf: str) -> DataFrame:
+    """Benchmark-contamination detection: training docs sharing any
+    distinct word-4-gram with the (deterministic doc_id%97) eval set,
+    with shared-shingle and eval-doc counts. The scale path is a
+    broadcast equi-join on the shingle — the eval set is always tiny
+    relative to the corpus, so no shuffle of the training side's
+    shingle stream is needed beyond the explode."""
+    docs = read_table(spark, sf, "documents")
+    base = docs.filter(TX.token_count("text") >= 4).select(
+        "doc_id", F.explode(TX.shingles("text", n=4)).alias("shingle")
+    )
+    evals = base.filter(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("eval_id"), "shingle"
+    )
+    train = base.filter(F.col("doc_id") % 97 != 0)
+    return (
+        train.join(F.broadcast(evals), on="shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("shingle").alias("n_shared_shingles"),
+            F.countDistinct("eval_id").alias("n_eval_docs"),
+        )
+    )
+
+
+@_register(
+    "text_tfidf_top3",
+    rf"""
+    WITH tok AS (
+      SELECT doc_id, unnest(toks) AS term
+      FROM (SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents)
+    ), tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term
+    ), dfq AS (
+      SELECT term, COUNT(DISTINCT doc_id) AS dfreq FROM tok GROUP BY term
+    ), n AS (
+      SELECT COUNT(DISTINCT doc_id) AS n_docs FROM tok
+    ), scored AS (
+      SELECT tf.doc_id, tf.term,
+             (tf.tf * n.n_docs * 1000000) // dfq.dfreq AS score_scaled
+      FROM tf JOIN dfq USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, score_scaled, rnk FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (
+               PARTITION BY doc_id ORDER BY score_scaled DESC, term) AS INT) AS rnk
+      FROM scored
+    ) WHERE rnk <= 3
+    """,
+)
+def _text_tfidf_top3(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-doc top-3 terms by tf-idf. The score is integer-scaled
+    (tf · N_docs · 1e6 div doc_freq) so ranking is exact and
+    cross-engine — float tf-idf ties would be engine-dependent. Plan:
+    explode → two partial-agg shuffles (term frequencies, doc
+    frequencies) → broadcast join (the term vocabulary is always tiny
+    vs the corpus) → per-doc top-k window. The N_docs scalar rides a
+    one-row broadcast cross join, constant cost at any scale."""
+    docs = read_table(spark, sf, "documents")
+    tok = docs.select("doc_id", F.explode(TX.tokens("text")).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("dfreq"))
+    n = tok.agg(F.countDistinct("doc_id").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(dfq), on="term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            F.expr("tf * n_docs * 1000000L div dfreq").alias("score_scaled"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score_scaled").desc(), F.col("term")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "term", "score_scaled", "rnk")
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver verification window
 #

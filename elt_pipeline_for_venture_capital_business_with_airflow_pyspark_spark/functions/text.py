@@ -25,6 +25,10 @@ __all__ = [
     "lang_id",
     "fingerprint",
     "shingles",
+    "pii_scrub",
+    "pii_email_count",
+    "pii_phone_count",
+    "repetition_fraction",
     "STOPWORDS",
     "LANG_MARKERS",
 ]
@@ -263,3 +267,52 @@ def char_gram_hashes(df, id_col: str = "doc_id", text_col: str = "text", k: int 
             F.transform(F.sequence(F.lit(1), F.length("__s") - (k - 1)), gram)
         ).alias("h"),
     )
+
+
+# PII patterns — ASCII-explicit (no \d/\w/\p classes) so Java regex
+# (Spark) and RE2 (DuckDB) agree character-for-character. Deliberately
+# high-recall simple shapes: email local@domain.tld and NNN-NNN-NNNN
+# phone forms; a production run would swap in a vetted pattern pack,
+# the operator shape (regexp scrub + count in one projection) is the
+# point here.
+PII_EMAIL_PATTERN = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+"
+PII_PHONE_PATTERN = "[+]?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}"
+
+
+def pii_email_count(col: str | Column) -> Column:
+    return F.regexp_count(_col(col), F.lit(PII_EMAIL_PATTERN))
+
+
+def pii_phone_count(col: str | Column) -> Column:
+    return F.regexp_count(_col(col), F.lit(PII_PHONE_PATTERN))
+
+
+def pii_scrub(
+    col: str | Column,
+    email_token: str = "<EMAIL>",
+    phone_token: str = "<PHONE>",
+) -> Column:
+    """Redact emails then phone numbers — the pre-training scrub every
+    large text pipeline applies before tokenization. Pure expression:
+    two regexp_replace passes inside one projection, no shuffle, scales
+    with the scan."""
+    c = F.regexp_replace(_col(col), PII_EMAIL_PATTERN, email_token)
+    return F.regexp_replace(c, PII_PHONE_PATTERN, phone_token)
+
+
+def repetition_fraction(col: str | Column, n: int = 3) -> Column:
+    """Duplicate word-n-gram fraction, ``1 - distinct/total`` over the
+    doc's overlapping n-grams — the Gopher-style repetition quality
+    signal (highly repetitive docs are low-value training data). Docs
+    with fewer than ``n`` tokens score 0.0. Row-local expression —
+    no explode, no shuffle."""
+    toks = tokens(col)
+    k = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), k - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    frac = F.lit(1.0) - F.size(F.array_distinct(grams)) / F.size(grams).cast(
+        "double"
+    )
+    return F.when(k < n, F.lit(0.0)).otherwise(frac)

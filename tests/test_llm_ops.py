@@ -276,3 +276,45 @@ def test_edit1_pairs_complete_vs_naive(spark):
     assert got == naive  # symmetric-delete blocking is complete for d<=1
     assert (1, 3) in got and (1, 4) in got and (1, 5) in got and (1, 6) in got
     assert (1, 2) not in got  # transposition = 2 edits
+
+
+def test_pii_scrub_and_counts(spark):
+    rows = [
+        (1, "mail me at a.b+x@ex-co.org or c@d.io thanks"),
+        (2, "call 555-123-4567 or 800.555.1212 or +1 212-555-0000"),
+        (3, "no pii here at all"),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, ["id", "t"])
+    got = {
+        r["id"]: (r["e"], r["p"], r["s"])
+        for r in df.select(
+            "id",
+            TX.pii_email_count("t").alias("e"),
+            TX.pii_phone_count("t").alias("p"),
+            TX.pii_scrub("t").alias("s"),
+        ).collect()
+    }
+    assert got[1] == (2, 0, "mail me at <EMAIL> or <EMAIL> thanks")
+    assert got[2][0] == 0 and got[2][1] == 3
+    assert got[2][2] == "call <PHONE> or <PHONE> or +1 <PHONE>"
+    assert got[3] == (0, 0, "no pii here at all")
+    assert got[4] == (0, 0, "")
+
+
+def test_repetition_fraction(spark):
+    rows = [
+        (1, "a b c a b c a b c"),      # 7 grams, 3 distinct
+        (2, "one two three four"),      # all grams unique -> 0.0
+        (3, "x y"),                     # shorter than n -> 0.0
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, ["id", "t"])
+    got = {
+        r["id"]: r["f"]
+        for r in df.select(
+            "id", TX.repetition_fraction("t", n=3).alias("f")
+        ).collect()
+    }
+    assert abs(got[1] - (1 - 3 / 7)) < 1e-12
+    assert got[2] == 0.0 and got[3] == 0.0 and got[4] == 0.0

@@ -26,6 +26,9 @@ NESTED_LOOP_OK = {
     # embedding_near_dup_lsh), which this audit keeps nested-loop-free.
     "embedding_topk_bruteforce",
     "embedding_near_dup_exact",
+    # tf-idf scoring cross-joins the ONE-ROW corpus-size aggregate —
+    # same constant-cost shape as dq_expectations' verdict assembly.
+    "text_tfidf_top3",
 }
 
 # row-at-a-time Python eval (BatchEvalPython) is never acceptable;
