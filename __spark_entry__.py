@@ -3305,6 +3305,49 @@ def _text_tfidf_top3(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _near_dup_survivors_sql() -> str:
+    """The complete production near-dup path in ANSI SQL: polynomial
+    MinHash-LSH pairs (bit-identical to the Spark plan) → recursive-CTE
+    transitive closure → min-id canonical survivor per cluster."""
+    inner = _minhash_poly_sql()
+    return f"""
+    WITH RECURSIVE p AS (
+      SELECT id_a, id_b FROM ( {inner} ) mh
+    ), e AS (
+      SELECT id_a AS a, id_b AS b FROM p
+      UNION ALL
+      SELECT id_b, id_a FROM p
+    ), reach AS (
+      SELECT doc_id AS id, doc_id AS comp FROM documents
+      UNION
+      SELECT e.b AS id, r.comp AS comp FROM reach r JOIN e ON e.a = r.id
+    )
+    SELECT id AS doc_id, MIN(comp) AS component, MIN(comp) = id AS keep
+    FROM reach GROUP BY id
+    """
+
+
+@_register("dedup_near_dup_survivors", _near_dup_survivors_sql())
+def _dedup_near_dup_survivors(spark: SparkSession, sf: str) -> DataFrame:
+    """The end-to-end near-dup CURATION decision, fully hash-checked:
+    banded MinHash-LSH candidate pairs (polynomial hashes, no
+    all-pairs) → connected components (iterative min-label
+    propagation) → one canonical survivor per duplicate cluster
+    (min doc_id), every doc labeled keep/drop. This is the complete
+    shape a 100 TB near-dup pass takes; each stage is also verified
+    separately (dedup_minhash_poly, dedup_connected_components)."""
+    docs = read_table(spark, sf, "documents")
+    pairs = DD.minhash_lsh_pairs_poly(docs, "doc_id", "text", threshold=0.5)
+    comp = DD.connected_components(
+        docs.select("doc_id"), pairs.select("id_a", "id_b"), id_col="doc_id"
+    )
+    return comp.select(
+        F.col("id").alias("doc_id"),
+        "component",
+        (F.col("id") == F.col("component")).alias("keep"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver verification window
 #

@@ -283,6 +283,34 @@ def upsert_parquet(
     return merge_upsert(new_df, old, keys, order_by)
 
 
+def delete_keys(
+    spark: SparkSession,
+    path: str,
+    keys_df: DataFrame,
+    on: list[str],
+) -> int:
+    """Targeted row deletion from a parquet table — the
+    right-to-be-forgotten / takedown primitive every training-data lake
+    needs (delete all rows whose key appears in ``keys_df``, e.g. a
+    list of doc_ids to purge). Plain parquet has no DELETE, so this is
+    the anti-join rewrite: keep = table ⟕anti keys, landed via the
+    crash-safe rename swap. The deletion list is broadcast (it is
+    always tiny next to the table), so the rewrite costs ONE scan +
+    write, no shuffle of the table. Returns the number of rows
+    deleted.
+
+    At 100 TB scale, pair with a date/bucket partition layout so the
+    anti-join rewrite touches only partitions that can contain the
+    keys (partition-prune by adding the partition column to ``on``).
+    """
+    old = read_parquet(spark, path)
+    keep = old.join(F.broadcast(keys_df.select(*on).distinct()), on=on, how="left_anti")
+    n_before = old.count()
+    replace_parquet_atomic(spark, keep, path)
+    n_after = spark.read.parquet(path).count()
+    return n_before - n_after
+
+
 def read_parquet_if_exists(
     spark: SparkSession, path: str, schema: T.StructType | None = None
 ) -> DataFrame | None:

@@ -193,3 +193,21 @@ def test_upsert_parquet_missing_path_vs_corrupt(spark, tmp_path):
     import pytest as _pytest
     with _pytest.raises(Exception):
         SIO.upsert_parquet(spark, batch, str(corrupt), keys=["id"]).collect()
+
+
+def test_delete_keys_right_to_be_forgotten(spark, tmp_path):
+    """Targeted purge: rows whose key is on the deletion list vanish,
+    everything else survives byte-for-byte, and the count returned is
+    the number of deleted rows."""
+    from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.sources import io as SIO
+
+    path = str(tmp_path / "forget_tbl")
+    spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(100)], ["doc_id", "text"]
+    ).write.parquet(path)
+    purge = spark.createDataFrame([(3,), (7,), (7,), (999,)], ["doc_id"])
+
+    n = SIO.delete_keys(spark, path, purge, on=["doc_id"])
+    assert n == 2  # 3 and 7; 999 was never present, duplicate 7 ignored
+    left = {r["doc_id"] for r in spark.read.parquet(path).collect()}
+    assert left == set(range(100)) - {3, 7}
