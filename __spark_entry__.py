@@ -3305,6 +3305,51 @@ def _text_tfidf_top3(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@_register(
+    "curation_quality_gate",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, text, {_TOKENS_SQL} AS toks FROM documents
+    ), feats AS (
+      SELECT doc_id,
+             CAST(len(toks) AS INT) AS n_tokens,
+             CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 \\t\\n]')) AS INT) AS n_punct,
+             CAST(len(list_filter(toks, x -> list_contains({_SW_LIST}, x))) AS INT) AS n_stopwords,
+             CAST(length(text) AS INT) AS n_chars
+      FROM tok
+    ), scored AS (
+      SELECT doc_id,
+             CASE WHEN n_tokens = 0 THEN CAST(0.0 AS DOUBLE) ELSE
+               least(CAST(1.0 AS DOUBLE), CAST(n_tokens AS DOUBLE) / CAST(100.0 AS DOUBLE)) * CAST(0.4 AS DOUBLE)
+               + least(CAST(1.0 AS DOUBLE), (CAST(n_stopwords AS DOUBLE) / CAST(n_tokens AS DOUBLE)) * CAST(5.0 AS DOUBLE)) * CAST(0.3 AS DOUBLE)
+               + (CAST(1.0 AS DOUBLE) - least(CAST(1.0 AS DOUBLE), (CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE)) * CAST(4.0 AS DOUBLE))) * CAST(0.3 AS DOUBLE)
+             END AS quality
+      FROM feats
+    ), med AS (
+      SELECT quantile_cont(quality, 0.5) AS m FROM scored
+    )
+    SELECT s.doc_id, s.quality
+    FROM scored s, med
+    WHERE s.quality >= med.m
+    """,
+)
+def _curation_quality_gate(spark: SparkSession, sf: str) -> DataFrame:
+    """Data-dependent curation threshold: keep documents scoring at or
+    above the CORPUS MEDIAN quality (exact interpolated percentile, so
+    the cut point is bit-identical across engines — an approx
+    percentile would make the boundary engine-dependent). Plan: one
+    scan scores all docs, a one-row exact-median aggregate broadcasts
+    back as the filter bound — the second scan is the same narrow
+    projection. The shape generalizes to any quantile-gated filter
+    (perplexity cuts, length cuts) a training-data pipeline applies."""
+    docs = read_table(spark, sf, "documents")
+    scored = docs.select("doc_id", TX.quality_score("text").alias("quality"))
+    med = scored.agg(F.expr("percentile(quality, 0.5D)").alias("m"))
+    return scored.crossJoin(F.broadcast(med)).filter(
+        F.col("quality") >= F.col("m")
+    ).select("doc_id", "quality")
+
+
 def _near_dup_survivors_sql() -> str:
     """The complete production near-dup path in ANSI SQL: polynomial
     MinHash-LSH pairs (bit-identical to the Spark plan) → recursive-CTE

@@ -29,6 +29,9 @@ NESTED_LOOP_OK = {
     # tf-idf scoring cross-joins the ONE-ROW corpus-size aggregate —
     # same constant-cost shape as dq_expectations' verdict assembly.
     "text_tfidf_top3",
+    # quantile-gated curation cross-joins the ONE-ROW exact-median
+    # aggregate as the data-dependent filter bound.
+    "curation_quality_gate",
 }
 
 # row-at-a-time Python eval (BatchEvalPython) is never acceptable;
