@@ -166,3 +166,41 @@ def test_run_single_table_unit(spark, staging_dir, tmp_path):
         P.run_warehouse_table(spark, t, staging_dir, wh)
     P.run_warehouse_table(spark, "fct_investments", staging_dir, wh)
     assert spark.read.parquet(f"{wh}/fct_investments").count() == 1
+
+
+def test_pipeline_two_day_incremental_sequence(spark, tmp_path):
+    """Two consecutive daily runs: day-2's new company appends with the
+    NEXT surrogate key; day-1 rows and keys are untouched."""
+    import pyspark.sql.functions as F  # noqa: F401
+
+    d1 = dt.datetime(2013, 7, 1, 9, 0, 0)
+    d2 = dt.datetime(2013, 7, 2, 9, 0, 0)
+    stg = str(tmp_path / "stg")
+    base_company = [
+        (1, "c:1", None, None, "1 A St", None, "sf", None, None, "us", None, None, d1, d1),
+        (2, "c:2", None, None, "2 B St", None, "ny", None, None, "us", None, None, d2, d2),
+    ]
+    empty = {
+        "funds": [], "funding_rounds": [], "investments": [], "ipos": [],
+        "acquisition": [], "people": [], "relationships": [],
+    }
+    spark.createDataFrame(base_company, schema=schemas.STAGING["company"]).write.mode(
+        "overwrite"
+    ).parquet(f"{stg}/company")
+    for name, rows in empty.items():
+        spark.createDataFrame(rows, schema=schemas.STAGING[name]).write.mode(
+            "overwrite"
+        ).parquet(f"{stg}/{name}")
+
+    wh = str(tmp_path / "wh")
+    m1 = P.run_warehouse_pipeline(spark, stg, wh, ds="2013-07-02", audit=True)
+    assert m1["dim_company"] == 1  # only c:1 created on 2013-07-01
+    k1 = {r["nk_company_id"]: r["sk_company_id"]
+          for r in spark.read.parquet(f"{wh}/dim_company").collect()}
+
+    m2 = P.run_warehouse_pipeline(spark, stg, wh, ds="2013-07-03", audit=True)
+    assert m2["dim_company"] == 2
+    k2 = {r["nk_company_id"]: r["sk_company_id"]
+          for r in spark.read.parquet(f"{wh}/dim_company").collect()}
+    assert k2["c:1"] == k1["c:1"]          # day-1 key untouched
+    assert k2["c:2"] == k1["c:1"] + 1      # sequence continues

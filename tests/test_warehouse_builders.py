@@ -213,3 +213,33 @@ def test_dim_people_and_bridge(spark):
     assert b["relationship_end_at"] is None  # garbage date → NULL try-cast
     assert b["title"] == "CEO"
     assert b["sk_company_people_id"] == 1
+
+
+def test_surrogate_two_phase_dense_at_scale(spark):
+    """Stress the two-phase rank: 100k rows over 32 range partitions
+    (AQE on) must still produce the exact dense 1..N sequence in key
+    order — this is the test that would catch partition-id drift
+    between the counts branch and the join branch."""
+    from pyspark.sql import functions as F
+
+    from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.operators.surrogate import (
+        add_surrogate_key,
+    )
+
+    n = 100_000
+    # non-monotonic insert order + string keys (range sampling is real)
+    df = spark.range(n).select(
+        F.concat(F.lit("k"), F.lpad((F.col("id") * 7919 % n).cast("string"), 7, "0")).alias("nk")
+    )
+    out = add_surrogate_key(df, "sk", ["nk"], num_partitions=32)
+    agg = out.agg(
+        F.min("sk").alias("lo"), F.max("sk").alias("hi"),
+        F.countDistinct("sk").alias("nd"), F.count(F.lit(1)).alias("cnt"),
+    ).collect()[0]
+    assert (agg.lo, agg.hi, agg.nd, agg.cnt) == (1, n, n, n)
+    # spot-check order correctness: sk must be the rank of nk
+    sample = out.orderBy("nk").limit(1000).collect()
+    assert [r.sk for r in sample] == list(range(1, 1001))
+    # offset continuation
+    out2 = add_surrogate_key(df.limit(10), "sk", ["nk"], offset=500)
+    assert {r.sk for r in out2.collect()} == set(range(501, 511))
