@@ -3350,6 +3350,54 @@ def _curation_quality_gate(spark: SparkSession, sf: str) -> DataFrame:
     ).select("doc_id", "quality")
 
 
+@_register(
+    "curation_pack_sequences",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, CAST(len({_TOKENS_SQL}) AS BIGINT) AS n_tokens
+      FROM documents
+    ), sharded AS (
+      SELECT doc_id, n_tokens, doc_id % 8 AS shard FROM tok
+    ), packed AS (
+      SELECT doc_id, shard, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum
+      FROM sharded
+    )
+    SELECT doc_id, shard, n_tokens,
+           (cum - n_tokens) // 2048 AS seq_id
+    FROM packed
+    """,
+)
+def _curation_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
+    """Training-sequence packing: documents are concatenated in
+    deterministic order and chunked into 2048-token sequences,
+    PER SHARD (doc_id % 8) so the running-total window is partitioned
+    — the distributed shape of sequence packing (each shard packs
+    independently; no global single-reducer scan). seq_id is the
+    sequence in which the document STARTS; integer arithmetic end to
+    end, so both engines agree exactly."""
+    docs = read_table(spark, sf, "documents")
+    toks = docs.select(
+        "doc_id",
+        TX.token_count("text").cast("long").alias("n_tokens"),
+        (F.col("doc_id") % 8).alias("shard"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return toks.select(
+        "doc_id", "shard", "n_tokens", F.sum("n_tokens").over(w).alias("cum")
+    ).select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        F.expr("(cum - n_tokens) div 2048").alias("seq_id"),
+    )
+
+
 def _near_dup_survivors_sql() -> str:
     """The complete production near-dup path in ANSI SQL: polynomial
     MinHash-LSH pairs (bit-identical to the Spark plan) → recursive-CTE

@@ -124,6 +124,32 @@ def write_parquet(
     writer.parquet(path)
 
 
+def write_json(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    compression: str = "gzip",
+) -> None:
+    """JSON-lines sink (S6 write side — the reference lands REST
+    payloads as JSON blobs in the lake, helper/minio.py:19-45).
+    Compressed by default; line-oriented so downstream scans split."""
+    df.write.mode(mode).option("compression", compression).json(path)
+
+
+def write_csv(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    header: bool = True,
+    compression: str = "gzip",
+) -> None:
+    """CSV sink (S6 write side) — header on so the file round-trips
+    through read_csv with an explicit schema."""
+    df.write.mode(mode).option("header", header).option(
+        "compression", compression
+    ).csv(path)
+
+
 def write_jdbc(
     df: DataFrame,
     url: str,

@@ -211,3 +211,26 @@ def test_delete_keys_right_to_be_forgotten(spark, tmp_path):
     assert n == 2  # 3 and 7; 999 was never present, duplicate 7 ignored
     left = {r["doc_id"] for r in spark.read.parquet(path).collect()}
     assert left == set(range(100)) - {3, 7}
+
+
+def test_json_csv_round_trip(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.sources import io as SIO
+
+    schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("score", T.DoubleType()),
+    ])
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b,with,commas", -2.0), (3, None, None)], schema
+    )
+    jp, cp = str(tmp_path / "j"), str(tmp_path / "c")
+    SIO.write_json(df, jp)
+    SIO.write_csv(df, cp)
+    back_j = {tuple(r) for r in SIO.read_json(spark, jp, schema).collect()}
+    back_c = {tuple(r) for r in SIO.read_csv(spark, cp, schema).collect()}
+    want = {tuple(r) for r in df.collect()}
+    assert back_j == want
+    assert back_c == want
