@@ -57,6 +57,16 @@ def read_parquet(spark: SparkSession, path: str, schema: T.StructType | None = N
     return reader.parquet(path)
 
 
+def read_parquet_evolving(spark: SparkSession, path: str) -> DataFrame:
+    """Schema-evolution read: union the footers of every file under
+    ``path`` (``mergeSchema``) so batches written before a column was
+    added still scan — missing columns surface as NULLs. Use for lakes
+    whose schema widened over time; the explicit-schema
+    :func:`read_parquet` stays the hot path (footer merging costs a
+    pass over file metadata, pointless when the schema is known)."""
+    return spark.read.option("mergeSchema", "true").parquet(path)
+
+
 def read_csv(
     spark: SparkSession, path: str, schema: T.StructType, header: bool = True
 ) -> DataFrame:

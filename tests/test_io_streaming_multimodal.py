@@ -234,3 +234,20 @@ def test_json_csv_round_trip(spark, tmp_path):
     want = {tuple(r) for r in df.collect()}
     assert back_j == want
     assert back_c == want
+
+
+def test_read_parquet_evolving_merges_schemas(spark, tmp_path):
+    """Batches written before a column existed still read: the merged
+    schema is the union, old rows null-extend."""
+    from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.sources import io as SIO
+
+    path = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], ["id", "name"]).write.parquet(path)
+    spark.createDataFrame(
+        [(2, "b", 9.5)], ["id", "name", "score"]
+    ).write.mode("append").parquet(path)
+
+    df = SIO.read_parquet_evolving(spark, path)
+    assert set(df.columns) == {"id", "name", "score"}
+    rows = {r["id"]: r["score"] for r in df.collect()}
+    assert rows == {1: None, 2: 9.5}

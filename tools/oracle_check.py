@@ -49,8 +49,14 @@ def normalize(rows, cols):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = [a for a in sys.argv[1:] if a != "--window"]
+    window_only = "--window" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
+    if window_only:
+        # simulate the driver's gate exactly: the first _DRIVER_WINDOW
+        # registered queries, in registration order
+        only = set(list(entry_mod.queries())[: entry_mod._DRIVER_WINDOW])
 
     spark = build_session("oracle-check")
     con = duckdb.connect()
