@@ -21,6 +21,7 @@ Differences from the reference, by design (SURVEY.md §2.9):
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from .. import schemas
 from ..sources import io as SIO
@@ -168,19 +169,28 @@ def run_warehouse_table(
         return
 
     if name in _DIM_KEYS:
-        def build_dim(off: int) -> DataFrame:
+        src = "company" if name == "dim_company" else "funds"
+
+        def build_dim(src_df: DataFrame, off: int) -> DataFrame:
             if name == "dim_company":
-                return WH.build_dim_company(staging["company"], off)
-            return WH.build_dim_funds(staging["funds"], _persisted("dim_date"), off)
+                return WH.build_dim_company(src_df, off)
+            return WH.build_dim_funds(src_df, _persisted("dim_date"), off)
 
         sk, nk = _DIM_KEYS[name]
         old = SIO.read_parquet_if_exists(spark, path) if ds is not None else None
         if old is None:
-            SIO.write_parquet(build_dim(0), path, mode="overwrite")
+            SIO.write_parquet(build_dim(staging[src], 0), path, mode="overwrite")
         else:
-            fresh = build_dim(max_key(old, sk)).join(
-                old.select(nk), on=nk, how="left_anti"
+            # anti-join BEFORE keying: replayed natural keys never burn
+            # sequence numbers, and only genuinely-new rows are built.
+            # No broadcast hint — AQE picks broadcast vs shuffle by the
+            # dim's actual size (a 100x dim must not be force-broadcast)
+            unseen = staging[src].join(
+                old.select(F.col(nk).alias("object_id")),
+                on="object_id",
+                how="left_anti",
             )
+            fresh = build_dim(unseen, max_key(old, sk))
             SIO.replace_parquet_atomic(spark, old.unionByName(fresh), path)
         return
 
