@@ -3398,6 +3398,57 @@ def _curation_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@_register(
+    "multimodal_resize",
+    """
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             n_chars % 1920 + 64 AS w,
+             n_chars % 1080 + 64 AS h,
+             text
+      FROM documents WHERE doc_id % 3 = 0
+    )
+    SELECT media_id,
+           CAST(w AS INT) AS src_width,
+           CAST(h AS INT) AS src_height,
+           CAST(CASE WHEN greatest(w, h) > 256
+                     THEN FLOOR(w * (256.0 / greatest(w, h))) ELSE w END AS INT) AS dst_width,
+           CAST(CASE WHEN greatest(w, h) > 256
+                     THEN FLOOR(h * (256.0 / greatest(w, h))) ELSE h END AS INT) AS dst_height,
+           md5(text) AS payload_md5
+    FROM m
+    """,
+)
+def _multimodal_resize(spark: SparkSession, sf: str) -> DataFrame:
+    """Image-resize plumbing, oracle-checked around the stub: the
+    aspect-preserving thumbnail box is computed IN the plan (JVM
+    expressions, verified bit-for-bit vs SQL including the no-upscale
+    branch), and the payload md5 proves bytes round-trip the Arrow
+    mapInPandas boundary unchanged (the pixel re-encode itself is the
+    documented codec stub, multimodal.py)."""
+    docs = read_table(spark, sf, "documents")
+    media = docs.filter(F.col("doc_id") % 3 == 0).select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.struct(
+            F.lit("image").alias("kind"),
+            F.lit("image/png").alias("mime"),
+            (F.col("n_chars") % 1920 + 64).cast("int").alias("width"),
+            (F.col("n_chars") % 1080 + 64).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("duration_ms"),
+        ).alias("meta"),
+    )
+    resized = multimodal.resize_images(media, max_side=256)
+    return resized.select(
+        "media_id",
+        "src_width",
+        "src_height",
+        "dst_width",
+        "dst_height",
+        F.md5("payload").alias("payload_md5"),
+    )
+
+
 def _near_dup_survivors_sql() -> str:
     """The complete production near-dup path in ANSI SQL: polynomial
     MinHash-LSH pairs (bit-identical to the Spark plan) → recursive-CTE

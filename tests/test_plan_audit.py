@@ -37,7 +37,7 @@ NESTED_LOOP_OK = {
 # row-at-a-time Python eval (BatchEvalPython) is never acceptable;
 # Arrow-batched eval (ArrowEvalPython / MapInPandas / FlatMapGroupsInPandas)
 # is the sanctioned Python boundary (multimodal + stateful ops).
-ARROW_OK = {"multimodal_features"}
+ARROW_OK = {"multimodal_features", "multimodal_resize"}
 
 
 @pytest.mark.parametrize("name", sorted(entry.queries()))
