@@ -3449,6 +3449,47 @@ def _multimodal_resize(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@_register(
+    "temporal_merge_intervals",
+    """
+    WITH iv AS (
+      SELECT user_id, ts AS span_s, ts + INTERVAL 1 HOUR AS span_e
+      FROM events WHERE event_type = 'click'
+    ), flagged AS (
+      SELECT user_id, span_s, span_e,
+             CASE WHEN max(span_e) OVER (PARTITION BY user_id ORDER BY span_s, span_e
+                                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+                    OR span_s > max(span_e) OVER (PARTITION BY user_id ORDER BY span_s, span_e
+                                                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  THEN 1 ELSE 0 END AS new_island
+      FROM iv
+    ), islands AS (
+      SELECT user_id, span_s, span_e,
+             SUM(new_island) OVER (PARTITION BY user_id ORDER BY span_s, span_e
+                                   ROWS UNBOUNDED PRECEDING) AS island
+      FROM flagged
+    )
+    SELECT user_id, MIN(span_s) AS span_start, MAX(span_e) AS span_end,
+           COUNT(*) AS n_intervals
+    FROM islands GROUP BY user_id, island
+    """,
+)
+def _temporal_merge_intervals(spark: SparkSession, sf: str) -> DataFrame:
+    """Gaps-and-islands interval merge: each click opens a 1-hour span;
+    overlapping/touching spans per user collapse into maximal merged
+    spans (operators/temporal.merge_intervals — two windows + one agg,
+    ONE shuffle on the key, no self-join)."""
+    ev = read_table(spark, sf, "events").filter(F.col("event_type") == "click")
+    iv = ev.select(
+        "user_id",
+        F.col("ts").alias("span_s"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("span_e"),
+    )
+    return TMP.merge_intervals(iv, ["user_id"], "span_s", "span_e").select(
+        "user_id", "span_start", "span_end", "n_intervals"
+    )
+
+
 def _near_dup_survivors_sql() -> str:
     """The complete production near-dup path in ANSI SQL: polynomial
     MinHash-LSH pairs (bit-identical to the Spark plan) → recursive-CTE

@@ -38,7 +38,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["asof_join", "range_join", "scd2_collapse"]
+__all__ = ["asof_join", "range_join", "scd2_collapse", "merge_intervals"]
 
 
 def asof_join(
@@ -213,4 +213,42 @@ def scd2_collapse(
         F.lead(ts_col).over(w2).alias("valid_to"),
         F.lead(ts_col).over(w2).isNull().alias("is_current"),
         F.row_number().over(w2).cast("int").alias("version"),
+    )
+
+
+def merge_intervals(
+    df: DataFrame,
+    key_cols: list[str],
+    start_col: str,
+    end_col: str,
+) -> DataFrame:
+    """Gaps-and-islands: collapse overlapping/touching [start, end)
+    intervals per key into maximal merged spans, with the count of
+    source intervals per span. An interval starts a new island when its
+    start lies strictly after the running max end of all earlier
+    intervals (earlier = (start, end) ascending); islands are numbered
+    by a running sum and aggregated. Two windows + one aggregation =
+    one shuffle on the key, no self-join — the classic O(n log n)
+    formulation, scale-safe because everything is per-key.
+    """
+    order = [F.col(start_col), F.col(end_col)]
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    prior_max_end = F.max(end_col).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    new_island = F.when(
+        prior_max_end.isNull() | (F.col(start_col) > prior_max_end), 1
+    ).otherwise(0)
+    with_island = df.withColumn(
+        "__island",
+        F.sum(new_island).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        with_island.groupBy(*key_cols, "__island")
+        .agg(
+            F.min(start_col).alias("span_start"),
+            F.max(end_col).alias("span_end"),
+            F.count(F.lit(1)).alias("n_intervals"),
+        )
+        .drop("__island")
     )

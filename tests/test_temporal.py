@@ -272,3 +272,29 @@ def test_range_join_left_preserves_unmatched_events(spark):
             events, intervals, event_key="user", interval_key="iuser",
             ts_col="ts", start_col="start_ts", end_col="end_ts", how="right",
         )
+
+
+def test_merge_intervals_gaps_and_islands(spark):
+    iv = spark.createDataFrame(
+        [
+            # k1: [0,10) [5,12) [12,20) all chain (touching merges) -> one span
+            ("k1", _ts("2024-01-01 00:00:00"), _ts("2024-01-01 00:10:00")),
+            ("k1", _ts("2024-01-01 00:05:00"), _ts("2024-01-01 00:12:00")),
+            ("k1", _ts("2024-01-01 00:12:00"), _ts("2024-01-01 00:20:00")),
+            # k1: gap, then a contained interval -> second span of 2
+            ("k1", _ts("2024-01-01 01:00:00"), _ts("2024-01-01 02:00:00")),
+            ("k1", _ts("2024-01-01 01:10:00"), _ts("2024-01-01 01:20:00")),
+            # k2: single
+            ("k2", _ts("2024-01-01 00:00:00"), _ts("2024-01-01 00:01:00")),
+        ],
+        ["k", "s", "e"],
+    )
+    res = {
+        (r["k"], r["span_start"], r["span_end"]): r["n_intervals"]
+        for r in TMP.merge_intervals(iv, ["k"], "s", "e").collect()
+    }
+    assert res == {
+        ("k1", _ts("2024-01-01 00:00:00"), _ts("2024-01-01 00:20:00")): 3,
+        ("k1", _ts("2024-01-01 01:00:00"), _ts("2024-01-01 02:00:00")): 2,
+        ("k2", _ts("2024-01-01 00:00:00"), _ts("2024-01-01 00:01:00")): 1,
+    }
