@@ -3450,6 +3450,45 @@ def _multimodal_resize(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_register(
+    "agg_mode_deterministic",
+    """
+    WITH counts AS (
+      SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n
+      FROM orders GROUP BY o_orderpriority, o_orderstatus
+    ), ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                   ORDER BY n DESC, o_orderstatus) AS rn
+      FROM counts
+    )
+    SELECT o_orderpriority, o_orderstatus AS mode_status, n AS n_rows
+    FROM ranked WHERE rn = 1
+    """,
+)
+def _agg_mode_deterministic(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-group mode with a DETERMINISTIC tie rule (max count, then
+    smallest value) — the built-in mode() is tie-arbitrary in both
+    engines, so it can never be oracle-compared; count+rank is the
+    portable formulation and is two partial-agg shuffles at any
+    scale."""
+    orders = read_table(spark, sf, "orders")
+    counts = orders.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("n").desc(), F.col("o_orderstatus")
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_orderpriority",
+            F.col("o_orderstatus").alias("mode_status"),
+            F.col("n").alias("n_rows"),
+        )
+    )
+
+
+@_register(
     "temporal_merge_intervals",
     """
     WITH iv AS (
