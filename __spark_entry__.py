@@ -35,7 +35,16 @@ from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.functi
     text as TX,
 )
 from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.operators import (
+    analytics as ANA,
+)
+from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.operators import (
+    cdc as CDC,
+)
+from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.operators import (
     dedup as DD,
+)
+from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.operators import (
+    sampling as SMP,
 )
 from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.operators import (
     expectations as EXP,
@@ -3570,6 +3579,214 @@ def _dedup_near_dup_survivors(spark: SparkSession, sf: str) -> DataFrame:
         "component",
         (F.col("id") == F.col("component")).alias("keep"),
     )
+
+
+@_register(
+    "cdc_snapshot_diff",
+    """
+    WITH old AS (
+      SELECT o_orderkey, o_orderstatus,
+             CAST(o_totalprice AS DECIMAL(15,2)) AS price
+      FROM orders WHERE o_orderkey % 97 <> 0
+    ), new AS (
+      SELECT o_orderkey, o_orderstatus,
+             CAST(o_totalprice AS DECIMAL(15,2)) *
+               CASE WHEN o_orderkey % 5 = 0 THEN CAST(1.10 AS DECIMAL(4,2))
+                    ELSE CAST(1.00 AS DECIMAL(4,2)) END AS price
+      FROM orders WHERE o_orderkey % 89 <> 0
+    ), j AS (
+      SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+             o.o_orderstatus AS old_status, n.o_orderstatus AS new_status,
+             CAST(o.price AS DOUBLE) AS old_price,
+             CAST(n.price AS DOUBLE) AS new_price,
+             CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+                  WHEN n.o_orderkey IS NULL THEN 'delete'
+                  WHEN o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+                    OR o.price IS DISTINCT FROM n.price THEN 'update'
+                  ELSE 'unchanged' END AS change_type
+      FROM old o FULL OUTER JOIN new n USING (o_orderkey)
+    )
+    SELECT o_orderkey, change_type, old_status, new_status, old_price, new_price
+    FROM j WHERE change_type <> 'unchanged'
+    """,
+)
+def _cdc_snapshot_diff(spark: SparkSession, sf: str) -> DataFrame:
+    """CDC snapshot diff (operators/cdc.snapshot_diff): two simulated
+    daily extracts of orders (disjoint modulus drops + a 10% price
+    bump on every 5th key) classified into insert/update/delete in ONE
+    full-outer shuffle join with null-safe value comparison. Price
+    arithmetic stays in decimal so both engines agree bit-for-bit."""
+    orders = read_table(spark, sf, "orders")
+    price = F.col("o_totalprice").cast("decimal(15,2)")
+    old = orders.filter(F.col("o_orderkey") % 97 != 0).select(
+        "o_orderkey", F.col("o_orderstatus").alias("status"), price.alias("price")
+    )
+    bump = F.when(
+        F.col("o_orderkey") % 5 == 0, F.lit("1.10").cast("decimal(4,2)")
+    ).otherwise(F.lit("1.00").cast("decimal(4,2)"))
+    new = orders.filter(F.col("o_orderkey") % 89 != 0).select(
+        "o_orderkey",
+        F.col("o_orderstatus").alias("status"),
+        (price * bump).alias("price"),
+    )
+    diff = CDC.snapshot_diff(old, new, ["o_orderkey"], ["status", "price"])
+    return diff.select(
+        "o_orderkey",
+        "change_type",
+        F.col("old_status"),
+        F.col("new_status"),
+        F.col("old_price").cast("double").alias("old_price"),
+        F.col("new_price").cast("double").alias("new_price"),
+    )
+
+
+@_register(
+    "text_chunk_windows",
+    """
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+      FROM documents WHERE doc_id % 7 = 0
+    ), s AS (
+      SELECT doc_id, toks,
+             unnest(range(0, greatest(len(toks) - 1, 0) + 1, 10)) AS start
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(start // 10 AS INT) AS chunk_id,
+           CAST(start AS INT) AS chunk_start,
+           CAST(len(list_slice(toks, start + 1, start + 20)) AS BIGINT)
+             AS n_chunk_tokens,
+           array_to_string(list_slice(toks, start + 1, start + 20), ' ')
+             AS chunk_text
+    FROM s WHERE start = 0 OR start < len(toks)
+    """,
+)
+def _text_chunk_windows(spark: SparkSession, sf: str) -> DataFrame:
+    """Overlapping token-window chunking (functions/text.chunk_windows,
+    size=20 stride=10) — the RAG/pre-training chunk step as a ZERO-shuffle
+    generator explode: tokenize, generate stride starts, slice, join.
+    Row amplification bounded by ceil(tokens/stride); streams at scan
+    speed."""
+    docs = read_table(spark, sf, "documents").filter(F.col("doc_id") % 7 == 0)
+    return TX.chunk_windows(docs, "doc_id", "text", size=20, stride=10)
+
+
+@_register(
+    "sample_per_group_cap",
+    """
+    WITH ranked AS (
+      SELECT doc_id, source, lang,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+               AS sample_rank
+      FROM documents
+    )
+    SELECT doc_id, source, lang, CAST(sample_rank AS INT) AS sample_rank
+    FROM ranked WHERE sample_rank <= 10
+    """,
+)
+def _sample_per_group_cap(spark: SparkSession, sf: str) -> DataFrame:
+    """Domain balancing (operators/sampling.cap_per_group): at most 10
+    docs per source, chosen by md5-hash order — a deterministic uniform
+    draw that every engine, executor and rerun agrees on. One shuffle
+    (window partition); the per-group state is a single counter."""
+    docs = read_table(spark, sf, "documents").select("doc_id", "source", "lang")
+    capped = SMP.cap_per_group(docs, ["source"], "doc_id", 10)
+    return capped.select(
+        "doc_id", "source", "lang", F.col("sample_rank").cast("int").alias("sample_rank")
+    )
+
+
+@_register(
+    "mix_weighted_domains",
+    """
+    WITH w AS (
+      SELECT doc_id, lang,
+             CASE lang WHEN 'en' THEN 3 WHEN 'de' THEN 2 ELSE 1 END AS wt
+      FROM documents
+    )
+    SELECT doc_id, lang, CAST(unnest(range(1, wt + 1)) AS INT) AS epoch
+    FROM w
+    """,
+)
+def _mix_weighted_domains(spark: SparkSession, sf: str) -> DataFrame:
+    """Epoch-weighted corpus mixing (operators/sampling.weighted_mix):
+    en×3, de×2, rest×1 — the '3 epochs of Wikipedia, 1 of CommonCrawl'
+    recipe. Weights ride a broadcast join; replication is a map-side
+    sequence explode, zero shuffles end to end."""
+    docs = read_table(spark, sf, "documents").select("doc_id", "lang")
+    mixed = SMP.weighted_mix(
+        docs, spark, "lang", {"en": 3, "de": 2}, default_weight=1
+    )
+    return mixed.select("doc_id", "lang", F.col("epoch").cast("int").alias("epoch"))
+
+
+@_register(
+    "events_funnel",
+    """
+    WITH s1 AS (
+      SELECT user_id, MIN(ts) AS t FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ), s2 AS (
+      SELECT e.user_id, MIN(e.ts) AS t
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'click' AND e.ts > s1.t
+        AND e.ts <= s1.t + INTERVAL 1 HOUR
+      GROUP BY e.user_id
+    ), s3 AS (
+      SELECT e.user_id, MIN(e.ts) AS t
+      FROM events e JOIN s2 ON e.user_id = s2.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t
+        AND e.ts <= s2.t + INTERVAL 1 DAY
+      GROUP BY e.user_id
+    )
+    SELECT 1 AS step_idx, 'view' AS step, COUNT(*) AS n_users FROM s1
+    UNION ALL
+    SELECT 2, 'click', COUNT(*) FROM s2
+    UNION ALL
+    SELECT 3, 'purchase', COUNT(*) FROM s3
+    """,
+)
+def _events_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    """Strictly-ordered, time-bounded funnel
+    (operators/analytics.funnel): first view → click within 1 hour →
+    purchase within 1 day. Each stage is a per-user min-ts aggregation
+    joined to the previous stage — one reused shuffle key, ONE
+    timestamp of state per user, no event×event self-join."""
+    ev = read_table(spark, sf, "events")
+    return ANA.funnel(
+        ev, [("view", None), ("click", "1 HOUR"), ("purchase", "1 DAY")]
+    )
+
+
+@_register(
+    "events_retention_cohort",
+    """
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ), first AS (
+      SELECT user_id, MIN(day) AS cohort_day FROM days GROUP BY user_id
+    ), cells AS (
+      SELECT DISTINCT
+             CAST(FLOOR(date_diff('day', DATE '2024-01-01', f.cohort_day) / 7)
+                  AS BIGINT) AS cohort_week,
+             CAST(FLOOR(date_diff('day', f.cohort_day, d.day) / 7)
+                  AS BIGINT) AS week_offset,
+             d.user_id
+      FROM days d JOIN first f ON d.user_id = f.user_id
+    )
+    SELECT cohort_week, week_offset, COUNT(*) AS n_users
+    FROM cells GROUP BY cohort_week, week_offset
+    """,
+)
+def _events_retention_cohort(spark: SparkSession, sf: str) -> DataFrame:
+    """Weekly cohort-retention triangle
+    (operators/analytics.retention_cohort): cohort = week of first
+    active day (day-arithmetic from a fixed origin — date_trunc('week')
+    is an engine convention, so it never appears), cell = distinct
+    users active k weeks later. Two shuffles total."""
+    ev = read_table(spark, sf, "events")
+    return ANA.retention_cohort(ev, origin="2024-01-01")
 
 
 # ---------------------------------------------------------------------------

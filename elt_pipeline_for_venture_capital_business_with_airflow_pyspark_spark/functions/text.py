@@ -29,6 +29,7 @@ __all__ = [
     "pii_email_count",
     "pii_phone_count",
     "repetition_fraction",
+    "chunk_windows",
     "STOPWORDS",
     "LANG_MARKERS",
 ]
@@ -298,6 +299,49 @@ def pii_scrub(
     with the scan."""
     c = F.regexp_replace(_col(col), PII_EMAIL_PATTERN, email_token)
     return F.regexp_replace(c, PII_PHONE_PATTERN, phone_token)
+
+
+def chunk_windows(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    size: int = 20,
+    stride: int = 10,
+):
+    """Split each document into overlapping fixed-size token windows —
+    the standard pre-training / RAG chunking step (context-window
+    packing wants ≤N-token pieces; retrieval wants overlap so no
+    boundary sentence is lost).
+
+    Chunks start at every ``stride``-th token position below the token
+    count; each takes up to ``size`` tokens, so the final chunk may be
+    short. Output: ``(id, chunk_id, chunk_start, n_chunk_tokens,
+    chunk_text)``, one row per chunk.
+
+    Scale shape: tokenization + start-position generation + slicing is
+    ONE generator-explode projection — zero shuffles, row amplification
+    bounded by ``ceil(tokens/stride)``, and the explode streams (never
+    materializes a doc's full chunk list). Runs at scan speed on 100 TB.
+    """
+    if size < 1 or stride < 1:
+        raise ValueError("size and stride must be >= 1")
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    starts = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride))
+    exploded = df.select(
+        F.col(id_col),
+        toks.alias("_toks"),
+        n.alias("_n"),
+        F.explode(starts).alias("chunk_start"),
+    ).filter((F.col("chunk_start") == 0) | (F.col("chunk_start") < F.col("_n")))
+    piece = F.slice(F.col("_toks"), F.col("chunk_start") + 1, size)
+    return exploded.select(
+        F.col(id_col),
+        (F.col("chunk_start") / stride).cast("int").alias("chunk_id"),
+        F.col("chunk_start").cast("int").alias("chunk_start"),
+        F.size(piece).cast("long").alias("n_chunk_tokens"),
+        F.array_join(piece, " ").alias("chunk_text"),
+    )
 
 
 def repetition_fraction(col: str | Column, n: int = 3) -> Column:

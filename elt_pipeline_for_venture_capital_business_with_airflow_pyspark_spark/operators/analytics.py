@@ -1,0 +1,125 @@
+"""Event-analytics operators: ordered funnels and cohort retention.
+
+The reference's fact tables stop at star-schema grain
+(`dataset/warehouse/init_dwh.sql:75-114`) — it never answers the two
+questions every event warehouse exists for: "how many users make it
+through step 1 → 2 → 3 within the conversion window?" and "of the
+users acquired in week W, how many are still active k weeks later?".
+Both are built here from shuffle-economical primitives only.
+
+- ``funnel`` — strictly-ordered, time-bounded funnel. Each stage is a
+  per-user ``min(ts)`` aggregation; stage *i+1* joins the stage-*i*
+  timestamps and keeps events inside ``(t_i, t_i + window]``. That is
+  one shuffle per stage on the user key — and because every stage
+  reuses the same key, the exchange is reused across stages (AQE
+  keeps the partitioning). No window functions, no event×event
+  self-join, no row amplification: state per user is ONE timestamp,
+  so the plan survives arbitrarily long event histories.
+- ``retention_cohort`` — classic triangle: cohort = first activity
+  day (bucketed to weeks from a fixed origin so the bucket boundary
+  is engine-independent), offset = whole weeks since cohort day,
+  cell = distinct active users. Two shuffles total (first-touch agg,
+  then cohort-cell agg on pre-deduped user-week rows).
+
+Determinism: stage boundaries use strict ``>`` on microsecond
+timestamps and all outputs are counts — no per-row ordering leaks
+into the result.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["funnel", "retention_cohort"]
+
+
+def funnel(
+    events: DataFrame,
+    steps: list[tuple[str, str | None]],
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Strictly-ordered funnel over ``(step_name, max_gap)`` stages.
+
+    ``steps`` is a list of ``(event_type, max_gap)`` where ``max_gap``
+    is an SQL interval literal body (e.g. ``"1 HOUR"``) bounding how
+    long after the previous stage the event may occur, or ``None`` for
+    unbounded. Returns one row per stage:
+    ``(step_idx, step, n_users)`` with n_users monotonically
+    non-increasing.
+    """
+    if not steps:
+        raise ValueError("funnel needs at least one step")
+
+    first_type, _ = steps[0]
+    stage = (
+        events.filter(F.col(type_col) == first_type)
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias("_t"))
+    )
+    counts = [
+        stage.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(1).alias("step_idx"), F.lit(first_type).alias("step"), "n_users"
+        )
+    ]
+    for idx, (etype, gap) in enumerate(steps[1:], start=2):
+        nxt = events.filter(F.col(type_col) == etype).join(
+            stage.select(user_col, "_t"), user_col, "inner"
+        )
+        cond = F.col(ts_col) > F.col("_t")
+        if gap is not None:
+            cond = cond & (F.col(ts_col) <= F.col("_t") + F.expr(f"INTERVAL {gap}"))
+        stage = (
+            nxt.filter(cond)
+            .groupBy(user_col)
+            .agg(F.min(ts_col).alias("_t"))
+        )
+        counts.append(
+            stage.agg(F.count(F.lit(1)).alias("n_users")).select(
+                F.lit(idx).alias("step_idx"), F.lit(etype).alias("step"), "n_users"
+            )
+        )
+    return reduce(DataFrame.unionByName, counts)
+
+
+def retention_cohort(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    origin: str = "2024-01-01",
+) -> DataFrame:
+    """Weekly cohort-retention triangle.
+
+    Cohort = week index (from *origin*) of a user's first active day;
+    offset = whole weeks between the active day and the cohort day.
+    Returns ``(cohort_week, week_offset, n_users)`` where offset 0 is
+    the acquisition week itself. Week buckets are day-arithmetic from
+    a fixed origin — never ``date_trunc('week')``, whose week-start
+    convention is an engine/locale property.
+    """
+    days = events.select(
+        F.col(user_col), F.to_date(ts_col).alias("_day")
+    ).distinct()
+    first = days.groupBy(user_col).agg(F.min("_day").alias("_cohort_day"))
+    cells = (
+        days.join(first, user_col, "inner")
+        .select(
+            F.floor(
+                F.datediff(F.col("_cohort_day"), F.lit(origin).cast("date")) / 7
+            ).alias("cohort_week"),
+            F.floor(F.datediff(F.col("_day"), F.col("_cohort_day")) / 7).alias(
+                "week_offset"
+            ),
+            F.col(user_col),
+        )
+        .distinct()
+    )
+    return cells.groupBy("cohort_week", "week_offset").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )

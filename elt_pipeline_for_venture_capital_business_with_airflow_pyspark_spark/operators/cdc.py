@@ -1,0 +1,73 @@
+"""Change-data-capture: diff two table snapshots into an
+insert/update/delete changeset.
+
+The reference moves data with truncate-and-reload (staging,
+`dags/vcapital_staging/tasks/components/load.py:38-56`) and blind
+append (warehouse, `dags/vcapital_warehouse/tasks/components/load.py:68-73`)
+— it never computes what actually *changed* between runs. A snapshot
+diff is the missing primitive that turns full daily extracts into an
+incremental changeset (feedable straight into
+``sources.io.upsert_parquet`` / ``write_jdbc``), and at 100 TB it is
+the difference between rewriting a table and touching 0.1% of it.
+
+Scale shape: ONE full-outer shuffle join on the natural key — no
+window, no row amplification. Both sides are pruned to
+``keys + compare_cols`` before the join (column pruning reaches the
+scans), and value comparison uses null-safe equality so NULL→value
+and value→NULL transitions count as updates. With both snapshots
+bucketed on the key (``sources.io.write_bucketed``) the exchange
+disappears entirely.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["snapshot_diff"]
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: list[str],
+    compare_cols: list[str],
+    *,
+    keep_unchanged: bool = False,
+) -> DataFrame:
+    """Classify every natural key across two snapshots.
+
+    Returns ``keys + change_type + old_<c>/new_<c>`` per compare
+    column, where ``change_type`` is ``insert`` (key only in *new*),
+    ``delete`` (key only in *old*), ``update`` (present in both with
+    at least one null-safe-unequal compare column) or ``unchanged``
+    (dropped unless *keep_unchanged*).
+    """
+    o = old.select(
+        *[F.col(k) for k in keys],
+        F.lit(True).alias("_in_old"),
+        *[F.col(c).alias(f"old_{c}") for c in compare_cols],
+    )
+    n = new.select(
+        *[F.col(k) for k in keys],
+        F.lit(True).alias("_in_new"),
+        *[F.col(c).alias(f"new_{c}") for c in compare_cols],
+    )
+    j = o.join(n, keys, "full_outer")
+
+    differs = F.lit(False)
+    for c in compare_cols:
+        # null-safe: eqNullSafe treats NULL==NULL as true, so negating
+        # it flags NULL→value and value→NULL as real updates.
+        differs = differs | ~F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}"))
+
+    change = (
+        F.when(F.col("_in_old").isNull(), F.lit("insert"))
+        .when(F.col("_in_new").isNull(), F.lit("delete"))
+        .when(differs, F.lit("update"))
+        .otherwise(F.lit("unchanged"))
+    )
+    out = j.withColumn("change_type", change).drop("_in_old", "_in_new")
+    if not keep_unchanged:
+        out = out.filter(F.col("change_type") != "unchanged")
+    return out

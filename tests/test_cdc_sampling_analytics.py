@@ -1,0 +1,173 @@
+"""Golden tests for operators/cdc, operators/sampling,
+operators/analytics, and functions/text.chunk_windows."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.functions import (
+    text as TX,
+)
+from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.operators import (
+    analytics as ANA,
+)
+from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.operators import (
+    cdc as CDC,
+)
+from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.operators import (
+    sampling as SMP,
+)
+
+
+def _ts(s: str) -> datetime:
+    return datetime.fromisoformat(s)
+
+
+# --- cdc.snapshot_diff ------------------------------------------------------
+
+def test_snapshot_diff_classifies_all_transitions(spark):
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0), (4, None, 40.0)],
+        ["k", "v", "p"],
+    )
+    new = spark.createDataFrame(
+        [(2, "b", 20.0), (3, "c", 31.0), (4, "x", 40.0), (5, "e", 50.0)],
+        ["k", "v", "p"],
+    )
+    res = CDC.snapshot_diff(old, new, ["k"], ["v", "p"])
+    by_key = {r["k"]: r for r in res.collect()}
+    assert by_key[1]["change_type"] == "delete"
+    assert by_key[3]["change_type"] == "update"  # value diff
+    assert by_key[4]["change_type"] == "update"  # NULL -> value is an update
+    assert by_key[5]["change_type"] == "insert"
+    assert 2 not in by_key  # unchanged dropped by default
+    assert by_key[3]["old_p"] == 30.0 and by_key[3]["new_p"] == 31.0
+    assert by_key[5]["old_v"] is None and by_key[5]["new_v"] == "e"
+
+
+def test_snapshot_diff_keep_unchanged_partitions_keyspace(spark):
+    old = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"])
+    new = spark.createDataFrame([(1, "a"), (2, "z")], ["k", "v"])
+    res = CDC.snapshot_diff(old, new, ["k"], ["v"], keep_unchanged=True)
+    kinds = dict(res.select("k", "change_type").collect())
+    assert kinds == {1: "unchanged", 2: "update"}
+
+
+# --- sampling ---------------------------------------------------------------
+
+def test_cap_per_group_deterministic_and_bounded(spark):
+    df = spark.createDataFrame(
+        [(i, f"g{i % 3}") for i in range(30)], ["id", "grp"]
+    )
+    a = SMP.cap_per_group(df, ["grp"], "id", 4)
+    b = SMP.cap_per_group(df, ["grp"], "id", 4)
+    rows_a = sorted(a.select("id", "grp").collect())
+    assert rows_a == sorted(b.select("id", "grp").collect())  # rerun-stable
+    per_group = a.groupBy("grp").count().collect()
+    assert all(r["count"] == 4 for r in per_group)
+    assert a.select(F.max("sample_rank")).first()[0] == 4
+
+
+def test_cap_per_group_small_groups_untouched(spark):
+    df = spark.createDataFrame([(1, "g"), (2, "g")], ["id", "grp"])
+    assert SMP.cap_per_group(df, ["grp"], "id", 5).count() == 2
+
+
+def test_weighted_mix_replication_and_epochs(spark):
+    df = spark.createDataFrame(
+        [(1, "en"), (2, "de"), (3, "fr")], ["id", "lang"]
+    )
+    res = SMP.weighted_mix(df, spark, "lang", {"en": 3, "de": 2})
+    counts = dict(res.groupBy("id").count().collect())
+    assert counts == {1: 3, 2: 2, 3: 1}
+    en_epochs = sorted(
+        r["epoch"] for r in res.filter(F.col("id") == 1).collect()
+    )
+    assert en_epochs == [1, 2, 3]
+    assert "_mix_weight" not in res.columns
+
+
+# --- text.chunk_windows -----------------------------------------------------
+
+def test_chunk_windows_overlap_and_tail(spark):
+    text = " ".join(f"w{i}" for i in range(25))  # 25 tokens
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    res = TX.chunk_windows(df, size=20, stride=10).collect()
+    by_chunk = {r["chunk_id"]: r for r in res}
+    assert sorted(by_chunk) == [0, 1, 2]
+    assert by_chunk[0]["n_chunk_tokens"] == 20
+    assert by_chunk[0]["chunk_text"].startswith("w0 w1 ")
+    assert by_chunk[1]["chunk_start"] == 10
+    assert by_chunk[1]["chunk_text"].split(" ")[0] == "w10"  # overlap
+    assert by_chunk[2]["n_chunk_tokens"] == 5  # short tail
+    assert by_chunk[2]["chunk_text"] == "w20 w21 w22 w23 w24"
+
+
+def test_chunk_windows_short_and_blank_docs(spark):
+    df = spark.createDataFrame(
+        [(1, "only three tokens"), (2, "   ")], ["doc_id", "text"]
+    )
+    res = TX.chunk_windows(df, size=20, stride=10)
+    rows = {r["doc_id"]: r for r in res.collect()}
+    assert res.count() == 2  # one chunk each
+    assert rows[1]["n_chunk_tokens"] == 3
+    assert rows[2]["n_chunk_tokens"] == 0 and rows[2]["chunk_text"] == ""
+
+
+# --- analytics --------------------------------------------------------------
+
+def _funnel_events(spark):
+    rows = [
+        # u1 completes all three within windows
+        (1, "view", _ts("2024-01-01 10:00:00")),
+        (1, "click", _ts("2024-01-01 10:30:00")),
+        (1, "purchase", _ts("2024-01-01 20:00:00")),
+        # u2 clicks too late (2h after view)
+        (2, "view", _ts("2024-01-01 10:00:00")),
+        (2, "click", _ts("2024-01-01 12:00:00")),
+        (2, "purchase", _ts("2024-01-01 12:30:00")),
+        # u3 purchase BEFORE click -> must not count (order matters)
+        (3, "view", _ts("2024-01-01 09:00:00")),
+        (3, "purchase", _ts("2024-01-01 09:10:00")),
+        (3, "click", _ts("2024-01-01 09:20:00")),
+        # u4 never views
+        (4, "click", _ts("2024-01-01 09:00:00")),
+    ]
+    return spark.createDataFrame(rows, ["user_id", "event_type", "ts"])
+
+
+def test_funnel_ordering_and_windows(spark):
+    res = ANA.funnel(
+        _funnel_events(spark),
+        [("view", None), ("click", "1 HOUR"), ("purchase", "1 DAY")],
+    )
+    got = {r["step"]: (r["step_idx"], r["n_users"]) for r in res.collect()}
+    assert got["view"] == (1, 3)  # u1,u2,u3
+    assert got["click"] == (2, 2)  # u1, u3 (u2 outside 1h)
+    assert got["purchase"] == (3, 1)  # only u1 (u3's purchase precedes click)
+
+
+def test_funnel_empty_stage_yields_zero_not_missing(spark):
+    res = ANA.funnel(
+        _funnel_events(spark), [("view", None), ("error", "1 HOUR")]
+    )
+    got = {r["step"]: r["n_users"] for r in res.collect()}
+    assert got == {"view": 3, "error": 0}
+
+
+def test_retention_cohort_triangle(spark):
+    rows = [
+        (1, _ts("2024-01-01 10:00:00")),  # cohort week 0
+        (1, _ts("2024-01-09 10:00:00")),  # offset 1
+        (1, _ts("2024-01-10 10:00:00")),  # same week -> same cell, deduped
+        (2, _ts("2024-01-02 10:00:00")),  # cohort week 0
+        (3, _ts("2024-01-08 10:00:00")),  # cohort week 1
+    ]
+    ev = spark.createDataFrame(rows, ["user_id", "ts"])
+    res = ANA.retention_cohort(ev, origin="2024-01-01")
+    cells = {
+        (r["cohort_week"], r["week_offset"]): r["n_users"] for r in res.collect()
+    }
+    assert cells == {(0, 0): 2, (0, 1): 1, (1, 0): 1}
