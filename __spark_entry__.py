@@ -3789,6 +3789,161 @@ def _events_retention_cohort(spark: SparkSession, sf: str) -> DataFrame:
     return ANA.retention_cohort(ev, origin="2024-01-01")
 
 
+@_register(
+    "dedup_containment_pairs",
+    """
+    WITH tok AS (
+      SELECT doc_id, CASE WHEN trim(text) = '' THEN [] ELSE string_split_regex(trim(text), '\\s+') END AS t
+      FROM documents
+    ), grams AS (
+      SELECT doc_id, list_distinct(list_transform(
+               generate_series(1, greatest(len(t) - 2, 1)),
+               i -> array_to_string(t[i:i+2], ' '))) AS shingles
+      FROM tok WHERE len(t) > 0
+    ), idx AS (
+      SELECT doc_id, unnest(shingles) AS shingle FROM grams
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n FROM idx GROUP BY doc_id
+    ), pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+      FROM idx a JOIN idx b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, n_common, sa.n AS n_a, sb.n AS n_b,
+           CAST(n_common AS DOUBLE) / least(sa.n, sb.n) AS containment,
+           CASE WHEN sa.n <= sb.n THEN id_a ELSE id_b END AS contained_id
+    FROM pairs JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(n_common AS DOUBLE) / least(sa.n, sb.n) >= 0.9
+    """,
+)
+def _dedup_containment_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Asymmetric n-gram CONTAINMENT pairs (operators/dedup.
+    containment_pairs, n_common/min(|A|,|B|) ≥ 0.9): the sub-document
+    duplication signal Jaccard structurally misses — a paragraph pasted
+    into a 10× longer page is ~0.1 Jaccard but 1.0 containment. Same
+    inverted-index plan as the Jaccard baseline (docs meet only through
+    shared shingles, never all-pairs)."""
+    docs = read_table(spark, sf, "documents")
+    return DD.containment_pairs(docs, "doc_id", "text", n=3, threshold=0.9)
+
+
+@_register(
+    "dedup_cluster_size_histogram",
+    """
+    WITH RECURSIVE tok AS (
+      SELECT doc_id, CASE WHEN trim(text) = '' THEN [] ELSE string_split_regex(trim(text), '\\s+') END AS t
+      FROM documents
+    ), grams AS (
+      SELECT doc_id, list_distinct(list_transform(
+               generate_series(1, greatest(len(t) - 2, 1)),
+               i -> array_to_string(t[i:i+2], ' '))) AS shingles
+      FROM tok WHERE len(t) > 0
+    ), idx AS (
+      SELECT doc_id, unnest(shingles) AS shingle FROM grams
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n FROM idx GROUP BY doc_id
+    ), cand AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+      FROM idx a JOIN idx b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), pairs AS (
+      SELECT id_a, id_b FROM cand
+      JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+      WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.8
+    ), e AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION ALL
+      SELECT id_b, id_a FROM pairs
+    ), reach AS (
+      SELECT doc_id AS id, doc_id AS comp FROM documents
+      UNION
+      SELECT e.b AS id, r.comp AS comp FROM reach r JOIN e ON e.a = r.id
+    ), comps AS (
+      SELECT id, MIN(comp) AS component FROM reach GROUP BY id
+    ), csizes AS (
+      SELECT component, COUNT(*) AS cluster_size FROM comps GROUP BY component
+    )
+    SELECT cluster_size, COUNT(*) AS n_clusters
+    FROM csizes GROUP BY cluster_size
+    """,
+)
+def _dedup_cluster_size_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    """Duplicate-cluster size distribution — the dedup QA report
+    (how much of the corpus sits in 2-, 3-, k-member duplicate
+    clusters; singletons = unique docs). Exact-Jaccard pairs → min-label
+    connected components → two tiny re-aggregations; the histogram
+    itself adds no meaningful shuffle cost over the CC pass."""
+    docs = read_table(spark, sf, "documents")
+    pairs = DD.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.8)
+    comp = DD.connected_components(
+        docs.select("doc_id"), pairs.select("id_a", "id_b"), id_col="doc_id"
+    )
+    csizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return csizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters")
+    )
+
+
+@_register(
+    "text_encoding_quality",
+    """
+    WITH dirty AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0 THEN chr(7) ELSE '' END ||
+             CASE WHEN doc_id % 3 = 0 THEN replace(text, 'a', chr(233)) ELSE text END ||
+             CASE WHEN doc_id % 5 = 0 THEN chr(65533) ELSE '' END AS d
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(length(d) AS BIGINT) AS n_cp,
+           CAST(len(regexp_extract_all(d, '[^\\x00-\\x7f]')) AS BIGINT) AS n_non_ascii,
+           CAST(len(regexp_extract_all(d, '[\\x00-\\x08\\x0b-\\x1f]')) AS BIGINT) AS n_ctrl,
+           CAST(len(regexp_extract_all(d, chr(65533))) AS BIGINT) AS n_replacement,
+           CAST(len(regexp_extract_all(d, '[\\x20-\\x7e]')) AS DOUBLE) / length(d)
+             AS printable_ratio,
+           len(regexp_extract_all(d, '[\\x00-\\x08\\x0b-\\x1f]')) = 0
+             AND len(regexp_extract_all(d, chr(65533))) = 0
+             AND CAST(len(regexp_extract_all(d, '[\\x20-\\x7e]')) AS DOUBLE) / length(d) >= 0.8
+             AS is_clean
+    FROM dirty
+    """,
+)
+def _text_encoding_quality(spark: SparkSession, sf: str) -> DataFrame:
+    """Encoding/mojibake quality gate: codepoint count, non-ASCII,
+    control-char and U+FFFD-replacement counts, printable ratio, and
+    the composite keep/drop flag — the filter every crawl corpus runs
+    before tokenization. The testdata is pure ASCII, so the query
+    first INJECTS deterministic dirt (é substitution, U+FFFD suffix,
+    BEL prefix — identical expressions in both engines) and then
+    proves the scoring expressions agree bit-for-bit. Pure projection:
+    zero shuffles, scan speed."""
+    docs = read_table(spark, sf, "documents")
+    d = F.concat(
+        F.when(F.col("doc_id") % 7 == 0, F.lit(chr(7))).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 3 == 0, F.replace(F.col("text"), F.lit("a"), F.lit(chr(233)))
+        ).otherwise(F.col("text")),
+        F.when(F.col("doc_id") % 5 == 0, F.lit(chr(65533))).otherwise(F.lit("")),
+    )
+    dirty = docs.select("doc_id", d.alias("d"))
+    n_ctrl = F.regexp_count(F.col("d"), F.lit(r"[\x00-\x08\x0b-\x1f]"))
+    n_repl = F.regexp_count(F.col("d"), F.lit(chr(65533)))
+    printable = F.regexp_count(F.col("d"), F.lit(r"[\x20-\x7e]")).cast(
+        "double"
+    ) / F.length("d")
+    return dirty.select(
+        "doc_id",
+        F.length("d").cast("long").alias("n_cp"),
+        F.regexp_count(F.col("d"), F.lit(r"[^\x00-\x7f]")).cast("long").alias(
+            "n_non_ascii"
+        ),
+        n_ctrl.cast("long").alias("n_ctrl"),
+        n_repl.cast("long").alias("n_replacement"),
+        printable.alias("printable_ratio"),
+        ((n_ctrl == 0) & (n_repl == 0) & (printable >= 0.8)).alias("is_clean"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver verification window
 #

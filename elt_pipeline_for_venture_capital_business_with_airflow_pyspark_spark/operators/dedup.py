@@ -106,6 +106,56 @@ def ngram_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.9,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """Asymmetric n-gram containment pairs: ``n_common / min(|A|, |B|)``.
+
+    Jaccard misses the sub-document case — a paragraph pasted into a
+    10× longer page scores ``|A|/|B|`` ≈ 0.1 Jaccard but 1.0
+    containment of the smaller side. Containment is the right signal
+    for quote/boilerplate/aggregator dedup in crawl corpora.
+
+    Same inverted-index plan as :func:`ngram_jaccard_pairs` (docs only
+    meet through shared shingles — never all-pairs); the output adds
+    ``contained_id``, the doc whose shingle set is the (more) covered
+    one (ties → lower id)."""
+    idx = _shingle_index(df, id_col, text_col, n, max_shingle_freq)
+    sizes = idx.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
+
+    a = idx.alias("a")
+    b = idx.alias("b")
+    common = (
+        a.join(b, on="shingle")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_shingles").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_shingles").alias("n_b"))
+    return (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "containment",
+            F.col("n_common") / F.least(F.col("n_a"), F.col("n_b")),
+        )
+        .filter(F.col("containment") >= threshold)
+        .withColumn(
+            "contained_id",
+            F.when(F.col("n_a") <= F.col("n_b"), F.col("id_a")).otherwise(
+                F.col("id_b")
+            ),
+        )
+        .select("id_a", "id_b", "n_common", "n_a", "n_b", "containment", "contained_id")
+    )
+
+
 def _universal_hash_params(num_hashes: int, seed: int = 1337) -> list[tuple[int, int]]:
     """Deterministic (a, b) pairs for the universal-hash family
     h_i(x) = a_i*x + b_i over Z/2^64 (long arithmetic wraps — fine for

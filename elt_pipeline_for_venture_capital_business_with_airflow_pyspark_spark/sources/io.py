@@ -160,6 +160,32 @@ def write_csv(
     ).csv(path)
 
 
+def read_orc(spark: SparkSession, path: str, schema: T.StructType | None = None) -> DataFrame:
+    """ORC scan — the second columnar lake format Spark reads natively
+    (predicate pushdown + column pruning work exactly as for parquet).
+    Kept so a lake that standardized on ORC (Hive heritage) can be a
+    drop-in source; explicit schema preferred, same as read_parquet."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    compression: str = "zstd",
+) -> None:
+    """ORC sink, zstd-compressed; partition layout mirrors
+    write_parquet so incremental partition-overwrite works the same."""
+    writer = df.write.mode(mode).option("compression", compression)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)
+
+
 def write_jdbc(
     df: DataFrame,
     url: str,

@@ -236,6 +236,32 @@ def test_json_csv_round_trip(spark, tmp_path):
     assert back_c == want
 
 
+def test_orc_round_trip_with_pushdown(spark, tmp_path):
+    """ORC sink/source round-trip, plus proof that filters reach the
+    ORC scan (PushedFilters in the physical plan) like parquet."""
+    from pyspark.sql import types as T
+
+    from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.sources import io as SIO
+
+    schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("score", T.DoubleType()),
+    ])
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", -2.0), (3, None, None)], schema
+    )
+    path = str(tmp_path / "orc")
+    SIO.write_orc(df, path)
+    back = SIO.read_orc(spark, path, schema)
+    assert {tuple(r) for r in back.collect()} == {tuple(r) for r in df.collect()}
+
+    from pyspark.sql import functions as F
+
+    plan = back.filter(F.col("id") > 1).select("id")._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(id), GreaterThan(id,1)]" in plan
+
+
 def test_read_parquet_evolving_merges_schemas(spark, tmp_path):
     """Batches written before a column existed still read: the merged
     schema is the union, old rows null-extend."""
