@@ -50,6 +50,9 @@ from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.operat
     expectations as EXP,
 )
 from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.operators import (
+    features as FT,
+)
+from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.operators import (
     profile as PR,
 )
 from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.operators import (
@@ -3941,6 +3944,142 @@ def _text_encoding_quality(spark: SparkSession, sf: str) -> DataFrame:
         n_repl.cast("long").alias("n_replacement"),
         printable.alias("printable_ratio"),
         ((n_ctrl == 0) & (n_repl == 0) & (printable >= 0.8)).alias("is_clean"),
+    )
+
+
+@_register(
+    "events_transition_matrix",
+    """
+    WITH nxt AS (
+      SELECT event_type AS from_type,
+             LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS to_type
+      FROM events
+    )
+    SELECT from_type, to_type, COUNT(*) AS n_transitions
+    FROM nxt WHERE to_type IS NOT NULL
+    GROUP BY from_type, to_type
+    """,
+)
+def _events_transition_matrix(spark: SparkSession, sf: str) -> DataFrame:
+    """First-order Markov transition counts per user stream
+    (operators/analytics.transition_matrix): lead() over one per-user
+    shuffle, O(1) state per row, unique event_id tiebreak so
+    timestamp ties are deterministic."""
+    ev = read_table(spark, sf, "events")
+    return ANA.transition_matrix(ev)
+
+
+@_register(
+    "window_rolling_range",
+    """
+    SELECT o_orderkey, o_custkey,
+           epoch_us(o_orderdate) AS order_us,
+           CAST(COUNT(*) OVER w AS BIGINT) AS rolling_n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(20,4))) OVER w AS DOUBLE)
+             AS rolling_sum
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY epoch_us(o_orderdate)
+                 RANGE BETWEEN 518400000000 PRECEDING AND CURRENT ROW)
+    """,
+)
+def _window_rolling_range(spark: SparkSession, sf: str) -> DataFrame:
+    """Trailing 7-day rolling spend per customer
+    (operators/features.rolling_range_agg): RANGE frame over
+    epoch-microseconds, so same-day peers share a frame — the
+    deterministic formulation (ROWS frames under ties are
+    partitioning-dependent). One shuffle on the key; Spark's range
+    frame is a sliding two-pointer over the sorted partition."""
+    orders = read_table(spark, sf, "orders")
+    out = FT.rolling_range_agg(
+        orders,
+        ["o_custkey"],
+        "o_orderdate",
+        "o_totalprice",
+        range_micros=518_400_000_000,  # 6 days back + current day = 7-day window
+    )
+    return out.select(
+        "o_orderkey",
+        "o_custkey",
+        F.unix_micros("o_orderdate").alias("order_us"),
+        "rolling_n",
+        "rolling_sum",
+    )
+
+
+@_register(
+    "feature_zscore_per_group",
+    """
+    WITH s AS (
+      SELECT o_orderpriority,
+             COUNT(*) AS n,
+             SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS s1,
+             -- DECIMAL(19,4) forces hugeint storage in DuckDB so the
+             -- product doesn't overflow int64; value still exact, same
+             -- as Spark's decimal(18,4)^2 -> decimal(37,8)
+             SUM(CAST(o_totalprice AS DECIMAL(19,4)) *
+                 CAST(o_totalprice AS DECIMAL(19,4))) AS s2
+      FROM orders GROUP BY o_orderpriority
+    )
+    -- DuckDB's wide-DECIMAL -> DOUBLE cast double-rounds (int128 then
+    -- /10^scale); routing through VARCHAR gives the correctly-rounded
+    -- value Spark's BigDecimal.doubleValue produces.
+    SELECT o_orderkey, o.o_orderpriority,
+           (CAST(o_totalprice AS DOUBLE) - CAST(CAST(s1 AS VARCHAR) AS DOUBLE) / n)
+             / sqrt((CAST(CAST(s2 AS VARCHAR) AS DOUBLE)
+                     - CAST(CAST(s1 AS VARCHAR) AS DOUBLE)
+                       * CAST(CAST(s1 AS VARCHAR) AS DOUBLE) / n)
+                    / (n - 1)) AS zscore
+    FROM orders o JOIN s ON o.o_orderpriority = s.o_orderpriority
+    WHERE n >= 2
+      AND (CAST(CAST(s2 AS VARCHAR) AS DOUBLE)
+           - CAST(CAST(s1 AS VARCHAR) AS DOUBLE)
+             * CAST(CAST(s1 AS VARCHAR) AS DOUBLE) / n)
+            / (n - 1) > 0
+    """,
+)
+def _feature_zscore_per_group(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-segment standardization (operators/features.zscore_per_group):
+    group moments as EXACT decimal sums (count, Σx, Σx²) so no double
+    accumulation order leaks, then a fixed IEEE expression tree for
+    (x-μ)/σ replicated literally in the oracle — 15k doubles
+    hash-matching is the proof. KB-sized moment table broadcast back;
+    never a window over the fact."""
+    orders = read_table(spark, sf, "orders")
+    out = FT.zscore_per_group(orders, ["o_orderpriority"], "o_totalprice")
+    return out.filter(F.col("zscore").isNotNull()).select(
+        "o_orderkey", "o_orderpriority", "zscore"
+    )
+
+
+@_register(
+    "sliding_window_agg",
+    """
+    WITH w AS (
+      SELECT event_type, CAST(value AS DECIMAL(20,4)) AS v,
+             (epoch_us(ts) // 300000000 - k) * 300000000 AS ws_us
+      FROM events, unnest([0, 1]) AS t(k)
+    )
+    SELECT ws_us, event_type, COUNT(*) AS n_events,
+           CAST(SUM(v) AS DOUBLE) AS sum_value
+    FROM w GROUP BY ws_us, event_type
+    """,
+)
+def _sliding_window_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """Sliding-window aggregation (10-minute windows every 5 minutes,
+    streaming/incremental.sliding_agg — the same F.window op
+    Structured Streaming executes): each event lands in
+    window/slide = 2 windows, amplified map-side BEFORE the partial
+    agg, so the shuffle carries (window,type) partials only. The
+    oracle replicates Spark's epoch-aligned window-start math
+    explicitly."""
+    ev = read_table(spark, sf, "events")
+    out = INC.sliding_agg(ev, "ts", "10 minutes", "5 minutes")
+    return out.select(
+        F.unix_micros("window_start").alias("ws_us"),
+        "event_type",
+        "n_events",
+        "sum_value",
     )
 
 

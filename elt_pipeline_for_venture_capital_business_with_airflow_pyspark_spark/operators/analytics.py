@@ -30,10 +30,10 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["funnel", "retention_cohort"]
+__all__ = ["funnel", "retention_cohort", "transition_matrix"]
 
 
 def funnel(
@@ -85,6 +85,36 @@ def funnel(
             )
         )
     return reduce(DataFrame.unionByName, counts)
+
+
+def transition_matrix(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition counts over each user's ordered
+    event stream: ``(from_type, to_type, n)`` for consecutive event
+    pairs. The behavioral fingerprint behind next-action models and
+    anomaly detection (a sudden new hot transition = instrumentation
+    change or abuse).
+
+    One shuffle (the per-user window); ``lead`` keeps O(1) state per
+    row. The ordering carries a unique tiebreak so ties on the
+    timestamp are deterministic — never rely on input order.
+    """
+    w = Window.partitionBy(user_col).orderBy(F.col(ts_col), F.col(tiebreak_col))
+    nxt = events.select(
+        F.col(type_col).alias("from_type"),
+        F.lead(type_col).over(w).alias("to_type"),
+    )
+    return (
+        nxt.filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
 
 
 def retention_cohort(

@@ -1,0 +1,89 @@
+"""ML feature-engineering operators: per-group standardization and
+time-range rolling aggregates.
+
+The reference stops at warehouse facts; a training pipeline needs the
+next step — numeric features normalized per segment and rolling
+behavioral aggregates per entity. Both are built so the *result is
+bit-for-bit deterministic across engines and partitionings*:
+
+- ``zscore_per_group`` — group mean/std from exact decimal moment sums
+  (count, Σx, Σx²) so no double-accumulation order leaks in; the final
+  mean/variance/z arithmetic is a fixed IEEE expression tree evaluated
+  identically everywhere. Two passes over the column (one partial-agg
+  shuffle for the KB-sized moment table, broadcast back) — never a
+  window over the full data.
+- ``rolling_range_agg`` — per-key rolling count/sum over a trailing
+  time range (RANGE frame on an epoch-microsecond order key, so
+  same-timestamp peers aggregate as a set — deterministic, unlike ROWS
+  frames under ties). One shuffle on the key; Spark evaluates the
+  frame with a sliding two-pointer over the sorted partition, O(rows),
+  state bounded by the range width.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["zscore_per_group", "rolling_range_agg"]
+
+
+def zscore_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    *,
+    out_col: str = "zscore",
+) -> DataFrame:
+    """Standardize ``value_col`` within each group: ``(x - μ) / σ``
+    (sample std, n-1). Groups with n < 2 or zero variance get NULL.
+
+    The moments are exact decimals (value cast decimal(18,4) — exact
+    for money-grade inputs; products widen to decimal(37,8)); μ, σ², z
+    are then computed in doubles with a FIXED expression order:
+    ``(x_d - s1_d/n) / sqrt((s2_d - s1_d*s1_d/n) / (n-1))`` — the same
+    tree any other engine can replicate literally.
+    """
+    v = F.col(value_col).cast("decimal(18,4)")
+    stats = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(v).alias("_s1"),
+        F.sum(v * v).alias("_s2"),
+    )
+    joined = df.join(F.broadcast(stats), group_cols, "inner")
+    n = F.col("_n")
+    s1d = F.col("_s1").cast("double")
+    s2d = F.col("_s2").cast("double")
+    var = (s2d - s1d * s1d / n) / (n - F.lit(1))
+    z = (F.col(value_col).cast("double") - s1d / n) / F.sqrt(var)
+    z = F.when((n >= 2) & (var > 0), z)
+    return joined.withColumn(out_col, z).drop("_n", "_s1", "_s2")
+
+
+def rolling_range_agg(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    *,
+    range_micros: int,
+    n_col: str = "rolling_n",
+    sum_col: str = "rolling_sum",
+) -> DataFrame:
+    """Trailing-range rolling count + exact-decimal sum per key.
+
+    The frame is ``RANGE BETWEEN range_micros PRECEDING AND CURRENT
+    ROW`` over ``unix_micros(ts)`` — value-based, so rows sharing a
+    timestamp see the same frame regardless of sort-tiebreak, which is
+    what makes the output deterministic under shuffle retries.
+    """
+    order = F.unix_micros(F.col(ts_col))
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(order)
+        .rangeBetween(-range_micros, Window.currentRow)
+    )
+    return df.withColumn(n_col, F.count(F.lit(1)).over(w)).withColumn(
+        sum_col,
+        F.sum(F.col(value_col).cast("decimal(20,4)")).over(w).cast("double"),
+    )

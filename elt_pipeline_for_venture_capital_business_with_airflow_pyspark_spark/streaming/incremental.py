@@ -56,6 +56,36 @@ def tumbling_agg(df: DataFrame, ts_col: str, window: str = "1 day") -> DataFrame
     )
 
 
+def sliding_agg(
+    df: DataFrame,
+    ts_col: str,
+    window: str = "10 minutes",
+    slide: str = "5 minutes",
+) -> DataFrame:
+    """Batch sliding-window aggregation: count + sum(value) per
+    (window, event_type), windows of ``window`` length every ``slide``
+    (overlapping when slide < window — each event lands in
+    window/slide windows). Same ``F.window`` op Structured Streaming
+    uses, so the batch result is the streaming result's oracle.
+    Row amplification is the overlap factor, applied map-side before
+    the partial aggregation — the shuffle carries pre-combined
+    (window, type) partials, not events."""
+    return (
+        df.groupBy(F.window(F.col(ts_col), window, slide).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(20,4)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def streaming_tumbling_agg(
     spark: SparkSession,
     path: str,

@@ -1,0 +1,92 @@
+"""Golden tests for operators/features, analytics.transition_matrix,
+and the sliding-window aggregation."""
+
+from __future__ import annotations
+
+import math
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.operators import (
+    analytics as ANA,
+)
+from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.operators import (
+    features as FT,
+)
+from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.streaming import (
+    incremental as INC,
+)
+
+
+def _ts(s: str) -> datetime:
+    return datetime.fromisoformat(s)
+
+
+def test_zscore_matches_closed_form(spark):
+    vals = [10.0, 20.0, 30.0, 40.0]
+    df = spark.createDataFrame([(i, "g", v) for i, v in enumerate(vals)], ["id", "grp", "v"])
+    res = FT.zscore_per_group(df, ["grp"], "v")
+    got = {r["id"]: r["zscore"] for r in res.collect()}
+    mean = sum(vals) / 4
+    sd = math.sqrt(sum((x - mean) ** 2 for x in vals) / 3)
+    for i, v in enumerate(vals):
+        assert abs(got[i] - (v - mean) / sd) < 1e-12
+
+
+def test_zscore_degenerate_groups_null(spark):
+    df = spark.createDataFrame(
+        [(1, "single", 5.0), (2, "const", 7.0), (3, "const", 7.0)],
+        ["id", "grp", "v"],
+    )
+    res = {r["id"]: r["zscore"] for r in FT.zscore_per_group(df, ["grp"], "v").collect()}
+    assert res[1] is None  # n < 2
+    assert res[2] is None and res[3] is None  # zero variance
+
+
+def test_rolling_range_agg_ties_share_frame(spark):
+    rows = [
+        (1, "k", _ts("2024-01-01 00:00:00"), 1.0),
+        (2, "k", _ts("2024-01-03 00:00:00"), 2.0),
+        (3, "k", _ts("2024-01-03 00:00:00"), 3.0),  # tie with id 2
+        (4, "k", _ts("2024-01-20 00:00:00"), 4.0),  # outside range
+    ]
+    df = spark.createDataFrame(rows, ["id", "k", "ts", "v"])
+    res = FT.rolling_range_agg(
+        df, ["k"], "ts", "v", range_micros=6 * 86400 * 1_000_000
+    )
+    got = {r["id"]: (r["rolling_n"], r["rolling_sum"]) for r in res.collect()}
+    assert got[1] == (1, 1.0)
+    assert got[2] == (3, 6.0)  # tied rows see the SAME frame (range, not rows)
+    assert got[3] == (3, 6.0)
+    assert got[4] == (1, 4.0)  # old rows aged out
+
+
+def test_transition_matrix_counts_and_tiebreak(spark):
+    rows = [
+        (1, 1, "a", _ts("2024-01-01 10:00:00")),
+        (2, 1, "b", _ts("2024-01-01 10:01:00")),
+        (3, 1, "a", _ts("2024-01-01 10:02:00")),
+        # user 2: tie on ts -> event_id orders c before d
+        (4, 2, "c", _ts("2024-01-01 10:00:00")),
+        (5, 2, "d", _ts("2024-01-01 10:00:00")),
+    ]
+    ev = spark.createDataFrame(rows, ["event_id", "user_id", "event_type", "ts"])
+    res = ANA.transition_matrix(ev)
+    got = {(r["from_type"], r["to_type"]): r["n_transitions"] for r in res.collect()}
+    assert got == {("a", "b"): 1, ("b", "a"): 1, ("c", "d"): 1}
+
+
+def test_sliding_agg_overlap_factor(spark):
+    rows = [
+        (1, _ts("2024-01-01 00:07:00"), "x", 1.0),
+        (2, _ts("2024-01-01 00:12:00"), "x", 10.0),
+    ]
+    ev = spark.createDataFrame(rows, ["event_id", "ts", "event_type", "value"])
+    res = INC.sliding_agg(ev, "ts", "10 minutes", "5 minutes")
+    cells = {
+        r["window_start"].strftime("%H:%M"): (r["n_events"], r["sum_value"])
+        for r in res.collect()
+    }
+    # event@07 -> windows starting 00:00 and 00:05; event@12 -> 00:05, 00:10
+    assert cells == {"00:00": (1, 1.0), "00:05": (2, 11.0), "00:10": (1, 10.0)}
