@@ -4083,6 +4083,99 @@ def _sliding_window_agg(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@_register(
+    "dq_outlier_iqr",
+    """
+    WITH s AS (
+      SELECT o_orderpriority,
+             ROUND(quantile_cont(o_totalprice, 0.25), 4) AS q1,
+             ROUND(quantile_cont(o_totalprice, 0.75), 4) AS q3,
+             COUNT(*) AS n_rows
+      FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o.o_orderpriority, q1, q3,
+           q1 - 1.5 * (q3 - q1) AS fence_lo,
+           q3 + 1.5 * (q3 - q1) AS fence_hi,
+           n_rows,
+           CAST(SUM(CASE WHEN o_totalprice < q1 - 1.5 * (q3 - q1)
+                           OR o_totalprice > q3 + 1.5 * (q3 - q1)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM orders o JOIN s ON o.o_orderpriority = s.o_orderpriority
+    GROUP BY o.o_orderpriority, q1, q3, n_rows
+    """,
+)
+def _dq_outlier_iqr(spark: SparkSession, sf: str) -> DataFrame:
+    """Tukey-fence outlier screen per segment
+    (operators/features.iqr_outliers): exact interpolated Q1/Q3
+    (rounded 4 dp so fence comparisons are engine-stable), robust to
+    the outliers themselves — the standard complement to the z-score
+    screen. Broadcast stats join + one fact pass."""
+    orders = read_table(spark, sf, "orders")
+    return FT.iqr_outliers(orders, ["o_orderpriority"], "o_totalprice", k=1.5)
+
+
+@_register(
+    "attribution_last_touch",
+    """
+    WITH p AS (
+      SELECT event_id, user_id, ts, value FROM events
+      WHERE event_type = 'purchase'
+    ), c AS (
+      SELECT user_id, ts, event_id AS cid,
+             'ch' || CAST(CAST(json_extract_string(props, '$.k') AS INT) % 5
+                          AS VARCHAR) AS channel
+      FROM events WHERE event_type = 'click'
+    ), j AS (
+      SELECT p.event_id, p.value, c.channel,
+             ROW_NUMBER() OVER (PARTITION BY p.event_id
+                                ORDER BY c.ts DESC, c.cid DESC) AS rn
+      FROM p LEFT JOIN c ON c.user_id = p.user_id AND c.ts <= p.ts
+    )
+    SELECT COALESCE(channel, 'none') AS channel,
+           COUNT(*) AS n_purchases,
+           CAST(SUM(CAST(value AS DECIMAL(20,4))) AS DOUBLE) AS revenue
+    FROM j WHERE rn = 1 GROUP BY COALESCE(channel, 'none')
+    """,
+)
+def _attribution_last_touch(spark: SparkSession, sf: str) -> DataFrame:
+    """Last-touch marketing attribution: every purchase credits the
+    latest click at-or-before it (per user), channel derived from the
+    click's props JSON. The Spark side is the single-shuffle union-sweep
+    AS-OF join (operators/temporal.asof_join — no purchase×click
+    row amplification, unlike the oracle's quadratic LEFT JOIN
+    formulation, which is the point: same result, scale-safe plan).
+    Unattributed purchases land in channel 'none'."""
+    ev = read_table(spark, sf, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("cid"),
+        F.concat(
+            F.lit("ch"),
+            (F.get_json_object("props", "$.k").cast("int") % 5).cast("string"),
+        ).alias("channel"),
+    )
+    attributed = TMP.asof_join(
+        purchases,
+        clicks,
+        key="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        payload={"channel": F.col("channel")},
+        tiebreak="cid",
+    )
+    return (
+        attributed.groupBy(F.coalesce("channel", F.lit("none")).alias("channel"))
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum(F.col("value").cast("decimal(20,4)")).cast("double").alias("revenue"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver verification window
 #

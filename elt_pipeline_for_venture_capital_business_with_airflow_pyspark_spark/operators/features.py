@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["zscore_per_group", "rolling_range_agg"]
+__all__ = ["zscore_per_group", "rolling_range_agg", "iqr_outliers"]
 
 
 def zscore_per_group(
@@ -58,6 +58,52 @@ def zscore_per_group(
     z = (F.col(value_col).cast("double") - s1d / n) / F.sqrt(var)
     z = F.when((n >= 2) & (var > 0), z)
     return joined.withColumn(out_col, z).drop("_n", "_s1", "_s2")
+
+
+def iqr_outliers(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    *,
+    k: float = 1.5,
+) -> DataFrame:
+    """Tukey-fence outlier summary per group: exact interpolated
+    Q1/Q3, fences at ``Q1 − k·IQR`` / ``Q3 + k·IQR``, and the outlier
+    count — the robust anomaly screen (unlike z-scores, the fences
+    themselves aren't dragged by the outliers being hunted).
+
+    Quantiles are rounded to 4 dp before the fence arithmetic so the
+    downstream comparisons are engine-stable; the group-stats table is
+    KB-sized and broadcast back, one extra pass over the fact. At
+    100 TB swap ``percentile`` for ``approx_percentile`` (mergeable
+    sketch, same call shape).
+    """
+    v = F.col(value_col)
+    stats = df.groupBy(*group_cols).agg(
+        F.round(F.percentile(v, F.lit(0.25)), 4).alias("q1"),
+        F.round(F.percentile(v, F.lit(0.75)), 4).alias("q3"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    lo = F.col("q1") - F.lit(k) * (F.col("q3") - F.col("q1"))
+    hi = F.col("q3") + F.lit(k) * (F.col("q3") - F.col("q1"))
+    joined = df.join(F.broadcast(stats), group_cols, "inner")
+    return (
+        joined.groupBy(*group_cols, "q1", "q3", "n_rows")
+        .agg(
+            F.sum(
+                F.when((v < lo) | (v > hi), F.lit(1)).otherwise(F.lit(0))
+            ).alias("n_outliers")
+        )
+        .select(
+            *group_cols,
+            "q1",
+            "q3",
+            lo.alias("fence_lo"),
+            hi.alias("fence_hi"),
+            "n_rows",
+            "n_outliers",
+        )
+    )
 
 
 def rolling_range_agg(

@@ -117,6 +117,38 @@ def streaming_tumbling_agg(
     )
 
 
+def streaming_sliding_agg(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    ts_col: str = "ts",
+    window: str = "10 minutes",
+    slide: str = "5 minutes",
+    watermark: str = "1 hour",
+):
+    """Streaming twin of :func:`sliding_agg`: overlapping windows on a
+    watermarked file-source stream. State per key is window/slide
+    concurrent windows; the watermark closes windows older than
+    max(event time) − watermark so state stays bounded. Returns an
+    unstarted streaming DataFrame (tests pin it to the batch twin)."""
+    stream = spark.readStream.schema(schema).parquet(path)
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window, slide).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(20,4)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def sessionize(df: DataFrame, user_col: str = "user_id", ts_col: str = "ts", gap_minutes: int = 30) -> DataFrame:
     """Sessionization via gap detection: a new session starts when the
     gap to the previous event of the same user exceeds ``gap_minutes``.

@@ -62,6 +62,17 @@ def test_rolling_range_agg_ties_share_frame(spark):
     assert got[4] == (1, 4.0)  # old rows aged out
 
 
+def test_iqr_outliers_fences_and_count(spark):
+    # 1..11 plus one wild point; Q1=3.75, Q3=9.25 (exact interpolation),
+    # IQR=5.5 -> fences [-4.5, 17.5]; only 100.0 is outside
+    vals = [float(i) for i in range(1, 12)] + [100.0]
+    df = spark.createDataFrame([(i, "g", v) for i, v in enumerate(vals)], ["id", "grp", "v"])
+    r = FT.iqr_outliers(df, ["grp"], "v", k=1.5).collect()[0]
+    assert (r["q1"], r["q3"]) == (3.75, 9.25)
+    assert r["n_rows"] == 12 and r["n_outliers"] == 1
+    assert r["fence_lo"] == 3.75 - 1.5 * 5.5 and r["fence_hi"] == 9.25 + 1.5 * 5.5
+
+
 def test_transition_matrix_counts_and_tiebreak(spark):
     rows = [
         (1, 1, "a", _ts("2024-01-01 10:00:00")),

@@ -79,6 +79,39 @@ def test_streaming_tumbling_matches_batch(spark, sf_dir, tmp_path):
     assert b == s
 
 
+def test_streaming_sliding_matches_batch(spark, sf_dir, tmp_path):
+    """Overlapping-window streaming agg == batch sliding_agg on the
+    same data: proves the overlap fan-out and decimal-exact sums
+    survive the streaming state machinery."""
+    ev = read_table(spark, sf_dir, "events")
+    stream_dir = str(tmp_path / "events_us_sliding")
+    ev.write.parquet(stream_dir)
+    batch = INC.sliding_agg(ev, "ts", "10 minutes", "5 minutes").collect()
+
+    stream_df = INC.streaming_sliding_agg(
+        spark, stream_dir, ev.schema, "ts", "10 minutes", "5 minutes",
+        watermark="0 seconds",
+    )
+    q = (
+        stream_df.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("stream_sliding_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        streamed = spark.sql("SELECT * FROM stream_sliding_out").collect()
+    finally:
+        q.stop()
+
+    key = lambda r: (r["window_start"], r["event_type"])  # noqa: E731
+    b = {key(r): (r["n_events"], round(r["sum_value"], 4)) for r in batch}
+    s = {key(r): (r["n_events"], round(r["sum_value"], 4)) for r in streamed}
+    assert b == s
+    # overlap factor: every event is in exactly window/slide = 2 windows
+    assert sum(n for n, _ in b.values()) == 2 * ev.count()
+
+
 def test_incremental_slice(spark, sf_dir):
     ev = read_table(spark, sf_dir, "events")
     out = INC.incremental_slice(ev, "ts", "2024-01-16", lag_days=1)
