@@ -70,6 +70,9 @@ from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.operat
 from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.operators import (
     temporal as TMP,
 )
+from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.operators import (
+    timeseries as TS,
+)
 from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.plans import (
     dim_date as DDATE,
 )
@@ -4174,6 +4177,193 @@ def _attribution_last_touch(spark: SparkSession, sf: str) -> DataFrame:
             F.sum(F.col("value").cast("decimal(20,4)")).cast("double").alias("revenue"),
         )
     )
+
+
+@_register(
+    "timeseries_gapfill",
+    """
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(value AS DECIMAL(20,4))) AS DOUBLE) AS sum_value
+      FROM events GROUP BY user_id, CAST(ts AS DATE)
+    ), bounds AS (
+      SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY user_id
+    ), spine AS (
+      SELECT user_id,
+             CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+      FROM bounds
+    )
+    SELECT s.user_id, s.day,
+           last_value(d.sum_value IGNORE NULLS) OVER (
+             PARTITION BY s.user_id ORDER BY s.day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sum_value,
+           d.sum_value IS NULL AS is_gap
+    FROM spine s LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day
+    """,
+)
+def _timeseries_gapfill(spark: SparkSession, sf: str) -> DataFrame:
+    """Date-spine densification + forward fill
+    (operators/timeseries.gapfill_ffill): each user's daily spend
+    series gets one row per calendar day in its own [first, last]
+    span, with gap days inheriting the last observed value. The spine
+    is a per-key sequence explode (never a global-calendar cartesian)
+    and the fill window shares the spine join's partitioning."""
+    ev = read_table(spark, sf, "events")
+    daily = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        _dsum(F.col("value")).alias("sum_value")
+    )
+    return TS.gapfill_ffill(daily, ["user_id"], "day", ["sum_value"]).select(
+        "user_id", "day", "sum_value", "is_gap"
+    )
+
+
+@_register(
+    "basket_pair_brands",
+    """
+    WITH bi AS (
+      SELECT DISTINCT l_orderkey AS b, p_brand AS i
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+    )
+    SELECT a.i AS item_a, b.i AS item_b, COUNT(*) AS n_baskets
+    FROM bi a JOIN bi b ON a.b = b.b AND a.i < b.i
+    GROUP BY a.i, b.i
+    ORDER BY n_baskets DESC, item_a ASC, item_b ASC
+    LIMIT 20
+    """,
+)
+def _basket_pair_brands(spark: SparkSession, sf: str) -> DataFrame:
+    """Market-basket co-occurrence (operators/analytics.basket_pairs):
+    top-20 brand pairs bought inside the same order. The pair join is
+    blocked on the order key — cost is sum(k choose 2) per basket
+    (k ≤ 7 in TPC-H), linear at any scale, and the dedup'd
+    basket×item frame's hash partitioning is reused by the join.
+    Ranking tiebreak is lexical so the LIMIT cut is total."""
+    li = read_table(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    part = read_table(spark, sf, "part").select("p_partkey", "p_brand")
+    bi = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).select(
+        "l_orderkey", "p_brand"
+    )
+    return ANA.basket_pairs(bi, "l_orderkey", "p_brand", top_n=20)
+
+
+@_register(
+    "dq_benford_totalprice",
+    """
+    WITH c AS (
+      SELECT CAST(SUBSTRING(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR),
+                            1, 1) AS INT) AS digit,
+             COUNT(*) AS n
+      FROM orders WHERE o_totalprice > 0 GROUP BY 1
+    )
+    SELECT digit, n,
+           ROUND(CAST(n AS DOUBLE) / CAST(SUM(n) OVER () AS DOUBLE), 6)
+             AS observed_share,
+           CAST(CASE digit
+             WHEN 1 THEN 0.30103 WHEN 2 THEN 0.176091 WHEN 3 THEN 0.124939
+             WHEN 4 THEN 0.09691 WHEN 5 THEN 0.079181 WHEN 6 THEN 0.066947
+             WHEN 7 THEN 0.057992 WHEN 8 THEN 0.051153 WHEN 9 THEN 0.045757
+           END AS DOUBLE) AS expected_share,
+           ROUND(ABS(CAST(n AS DOUBLE) / CAST(SUM(n) OVER () AS DOUBLE)
+             - CAST(CASE digit
+                 WHEN 1 THEN 0.30103 WHEN 2 THEN 0.176091 WHEN 3 THEN 0.124939
+                 WHEN 4 THEN 0.09691 WHEN 5 THEN 0.079181 WHEN 6 THEN 0.066947
+                 WHEN 7 THEN 0.057992 WHEN 8 THEN 0.051153 WHEN 9 THEN 0.045757
+               END AS DOUBLE)), 6) AS abs_dev
+    FROM c
+    """,
+)
+def _dq_benford_totalprice(spark: SparkSession, sf: str) -> DataFrame:
+    """Benford first-digit screen (operators/profile.benford_first_digit)
+    over order totals — the fraud/synthetic-data smell test. Digit
+    extraction is floor→bigint→string-head (exact in both engines;
+    log10-on-double digit math is not), expectations are fixed 6-dp
+    literals so no libm leaks into the hash. One scan, one 9-row agg."""
+    orders = read_table(spark, sf, "orders")
+    return PR.benford_first_digit(orders, "o_totalprice")
+
+
+@_register(
+    "feature_quantile_bins",
+    """
+    WITH b AS (
+      SELECT o_orderpriority, o_totalprice,
+             CAST(NTILE(4) OVER (PARTITION BY o_orderpriority
+                                 ORDER BY o_totalprice, o_orderkey) AS INT) AS bin
+      FROM orders
+    )
+    SELECT o_orderpriority, bin, COUNT(*) AS n_rows,
+           MIN(o_totalprice) AS bin_min, MAX(o_totalprice) AS bin_max
+    FROM b GROUP BY o_orderpriority, bin
+    """,
+)
+def _feature_quantile_bins(spark: SparkSession, sf: str) -> DataFrame:
+    """Equal-frequency discretizer (operators/features.quantile_bins):
+    per-priority price quartiles with per-bin count/min/max. The NTILE
+    ordering carries the order key as tiebreak so bin membership is a
+    total order — identical in any engine. Window shuffle is reused by
+    the summary agg; the 100 TB path swaps in approx-percentile cut
+    points (documented in the operator)."""
+    orders = read_table(spark, sf, "orders")
+    return FT.quantile_bins(
+        orders, ["o_orderpriority"], "o_totalprice", "o_orderkey", n_bins=4
+    )
+
+
+@_register(
+    "user_lifetime_features",
+    """
+    WITH g AS (
+      SELECT user_id, ts, event_type, value,
+             epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts) AS gap_us
+      FROM events
+    )
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT CAST(ts AS DATE)) AS n_active_days,
+           epoch_us(MIN(ts)) AS first_ts_us,
+           epoch_us(MAX(ts)) AS last_ts_us,
+           CAST(SUM(CASE WHEN gap_us IS NULL OR gap_us > 30*60*1000000
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_purchase,
+           COALESCE(CAST(SUM(CASE WHEN event_type = 'purchase'
+                                  THEN CAST(value AS DECIMAL(20,4)) END)
+                         AS DOUBLE), 0.0) AS purchase_value
+    FROM g GROUP BY user_id
+    """,
+)
+def _user_lifetime_features(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-user lifetime ML feature vector
+    (operators/analytics.user_lifetime_features): volume, active-day
+    span, 30-min-gap session count, and decimal-exact purchase
+    aggregates. Lag window and final agg share the user-key shuffle.
+    Equal-timestamp ties are session-count-neutral (gap 0 either
+    order), so no tiebreak is needed for determinism."""
+    ev = read_table(spark, sf, "events")
+    return ANA.user_lifetime_features(ev)
+
+
+@_register(
+    "feature_class_weights",
+    """
+    WITH per AS (
+      SELECT label, COUNT(*) AS n_rows FROM embeddings GROUP BY label
+    )
+    SELECT label, n_rows,
+           CAST(SUM(n_rows) OVER () AS DOUBLE)
+             / CAST(COUNT(*) OVER () * n_rows AS DOUBLE) AS weight
+    FROM per
+    """,
+)
+def _feature_class_weights(spark: SparkSession, sf: str) -> DataFrame:
+    """Inverse-frequency class weights (operators/features.class_weights)
+    for imbalance-corrected training: total / (k · n_label). One
+    aggregation; the windowed totals run over the k-row label frame
+    (post-agg, free). The weight is a single bigint→double division —
+    bit-identical across engines."""
+    emb = read_table(spark, sf, "embeddings")
+    return FT.class_weights(emb, "label")
 
 
 # ---------------------------------------------------------------------------

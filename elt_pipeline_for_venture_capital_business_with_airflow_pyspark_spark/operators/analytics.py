@@ -33,7 +33,13 @@ from functools import reduce
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["funnel", "retention_cohort", "transition_matrix"]
+__all__ = [
+    "funnel",
+    "retention_cohort",
+    "transition_matrix",
+    "basket_pairs",
+    "user_lifetime_features",
+]
 
 
 def funnel(
@@ -152,4 +158,82 @@ def retention_cohort(
     )
     return cells.groupBy("cohort_week", "week_offset").agg(
         F.count(F.lit(1)).alias("n_users")
+    )
+
+
+def basket_pairs(
+    items: DataFrame,
+    basket_col: str,
+    item_col: str,
+    *,
+    top_n: int = 20,
+) -> DataFrame:
+    """Market-basket pair co-occurrence: for every basket, each
+    unordered pair of distinct items it contains; returns the ``top_n``
+    pairs by basket count (ties broken lexically so the cut is total).
+
+    The self-join is blocked on the basket key, so cost is
+    sum(k_b choose 2) over baskets — linear in data for bounded basket
+    sizes (TPC-H orders hold ≤7 line items), never an all-pairs
+    cartesian. One shuffle to dedup basket×item, and the pair join
+    reuses that same hash partitioning on the basket key.
+    """
+    bi = items.select(
+        F.col(basket_col).alias("_b"), F.col(item_col).alias("_i")
+    ).distinct()
+    left = bi.select("_b", F.col("_i").alias("item_a"))
+    right = bi.select("_b", F.col("_i").alias("item_b"))
+    pairs = left.join(right, "_b").filter(F.col("item_a") < F.col("item_b"))
+    counted = pairs.groupBy("item_a", "item_b").agg(
+        F.count(F.lit(1)).alias("n_baskets")
+    )
+    return counted.orderBy(
+        F.desc("n_baskets"), F.asc("item_a"), F.asc("item_b")
+    ).limit(top_n)
+
+
+def user_lifetime_features(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    *,
+    session_gap_minutes: int = 30,
+    value_type: str = "purchase",
+    type_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-user lifetime feature vector — the standard ML feature-
+    extraction pass over an event log: activity volume, span, session
+    count (gap rule), and monetary aggregates for one event type.
+
+    One lag window + one aggregation, both partitioned on the user key
+    (single shuffle, exchange reused). Timestamps are emitted as unix
+    microseconds and money through exact decimal accumulation so the
+    vector is engine-deterministic end to end.
+    """
+    w = Window.partitionBy(user_col).orderBy(F.col(ts_col).asc())
+    gap_us = F.unix_micros(F.col(ts_col)) - F.unix_micros(
+        F.lag(ts_col).over(w)
+    )
+    with_gap = events.withColumn(
+        "_new_session",
+        F.when(
+            gap_us.isNull() | (gap_us > session_gap_minutes * 60 * 1_000_000),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    is_val = F.col(type_col) == value_type
+    return with_gap.groupBy(user_col).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct(F.to_date(ts_col)).alias("n_active_days"),
+        F.unix_micros(F.min(ts_col)).alias("first_ts_us"),
+        F.unix_micros(F.max(ts_col)).alias("last_ts_us"),
+        F.sum("_new_session").alias("n_sessions"),
+        F.sum(is_val.cast("long")).alias(f"n_{value_type}"),
+        F.coalesce(
+            F.sum(
+                F.when(is_val, F.col(value_col).cast("decimal(20,4)"))
+            ).cast("double"),
+            F.lit(0.0),
+        ).alias(f"{value_type}_value"),
     )

@@ -25,7 +25,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["zscore_per_group", "rolling_range_agg", "iqr_outliers"]
+__all__ = [
+    "zscore_per_group",
+    "rolling_range_agg",
+    "iqr_outliers",
+    "quantile_bins",
+    "class_weights",
+]
 
 
 def zscore_per_group(
@@ -132,4 +138,56 @@ def rolling_range_agg(
     return df.withColumn(n_col, F.count(F.lit(1)).over(w)).withColumn(
         sum_col,
         F.sum(F.col(value_col).cast("decimal(20,4)")).over(w).cast("double"),
+    )
+
+
+def quantile_bins(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    tiebreak_col: str,
+    *,
+    n_bins: int = 4,
+) -> DataFrame:
+    """Equal-frequency binning (`ntile`) per group with a per-bin
+    summary — the feature-engineering discretizer. The ordering is made
+    total with ``tiebreak_col`` so bin assignment is deterministic in
+    every engine (NTILE on a partial order is whatever the sort
+    happened to do).
+
+    One shuffle for the window sort, reused by the summary aggregation.
+    At 100 TB swap for ``approx_percentile``-derived cut points and a
+    broadcast range lookup — same output contract, no global sort.
+    """
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.col(value_col).asc(), F.col(tiebreak_col).asc()
+    )
+    binned = df.withColumn("bin", F.ntile(n_bins).over(w))
+    v = F.col(value_col)
+    return binned.groupBy(*group_cols, "bin").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min(v).alias("bin_min"),
+        F.max(v).alias("bin_max"),
+    )
+
+
+def class_weights(
+    df: DataFrame,
+    label_col: str,
+) -> DataFrame:
+    """Inverse-frequency class weights (`total / (k * n_label)`) — the
+    standard imbalance correction fed to a training loss. Single
+    aggregation; the totals ride a 1-row broadcast back onto the
+    per-label frame. Weight is one bigint→double division so the
+    value is bit-identical across engines.
+    """
+    per = df.groupBy(label_col).agg(F.count(F.lit(1)).alias("n_rows"))
+    tot = F.sum("n_rows").over(Window.partitionBy())
+    k = F.count(F.lit(1)).over(Window.partitionBy())
+    return per.select(
+        label_col,
+        "n_rows",
+        (tot.cast("double") / (k * F.col("n_rows")).cast("double")).alias(
+            "weight"
+        ),
     )

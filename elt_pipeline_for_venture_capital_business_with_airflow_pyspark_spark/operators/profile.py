@@ -19,7 +19,7 @@ Output schema (long format, one row per column):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -125,4 +125,50 @@ def profile_report_json(df: DataFrame, table_name: str) -> DataFrame:
                 )
             )
         ).alias("data_profile"),
+    )
+
+
+# log10(1 + 1/d) to 6 dp, as fixed literals: computing them with the
+# engine's own log10 would let libm last-ulp differences leak into the
+# oracle hash, and Benford's constants are constants.
+_BENFORD_EXPECTED = {
+    1: 0.30103, 2: 0.176091, 3: 0.124939, 4: 0.09691, 5: 0.079181,
+    6: 0.066947, 7: 0.057992, 8: 0.051153, 9: 0.045757,
+}
+
+
+def benford_first_digit(df: DataFrame, col: str) -> DataFrame:
+    """Benford's-law first-digit screen over a positive numeric column
+    — the classic fraud/synthetic-data smell test for financial facts.
+
+    Returns one row per leading digit with the observed share and the
+    deviation from the Benford expectation. The digit is taken from
+    the integer part via string head (``floor`` then cast — exact in
+    both engines, unlike ``log10``-based digit math on doubles). One
+    aggregation pass; the share divides by a windowed total over the
+    9-row digit frame, which is post-aggregation and therefore free.
+    """
+    digit = F.substring(F.floor(F.col(col)).cast("long").cast("string"), 1, 1)
+    counts = (
+        df.filter(F.col(col) > 0)
+        .groupBy(digit.cast("int").alias("digit"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    total = F.sum("n").over(Window.partitionBy())
+    expected = F.element_at(
+        F.create_map(
+            *[F.lit(x) for kv in _BENFORD_EXPECTED.items() for x in kv]
+        ),
+        F.col("digit"),
+    )
+    return counts.select(
+        "digit",
+        "n",
+        F.round(F.col("n").cast("double") / total.cast("double"), 6).alias(
+            "observed_share"
+        ),
+        expected.alias("expected_share"),
+        F.round(
+            F.abs(F.col("n").cast("double") / total.cast("double") - expected), 6
+        ).alias("abs_dev"),
     )

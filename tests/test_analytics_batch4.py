@@ -1,0 +1,108 @@
+"""Unit tests for the round-2 batch-4 operators: time-series gap fill,
+market-basket pairs, Benford screen, quantile bins, class weights, and
+per-user lifetime features. Each pins semantics on a hand-computable
+frame; engine-parity at sf0.01 is covered by the oracle registry."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.operators import (
+    analytics as ANA,
+)
+from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.operators import (
+    features as FT,
+)
+from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.operators import (
+    profile as PR,
+)
+from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.operators import (
+    timeseries as TS,
+)
+
+
+def _d(s: str) -> dt.date:
+    return dt.date.fromisoformat(s)
+
+
+def test_gapfill_ffill_inserts_and_fills(spark):
+    daily = spark.createDataFrame(
+        [
+            (1, _d("2024-01-01"), 10.0),
+            (1, _d("2024-01-04"), 40.0),  # 2-day gap before this
+            (2, _d("2024-01-02"), 5.0),   # single-day series: no gaps
+        ],
+        ["k", "day", "v"],
+    )
+    out = TS.gapfill_ffill(daily, ["k"], "day", ["v"]).orderBy("k", "day").collect()
+    got = [(r["k"], str(r["day"]), r["v"], r["is_gap"]) for r in out]
+    assert got == [
+        (1, "2024-01-01", 10.0, False),
+        (1, "2024-01-02", 10.0, True),
+        (1, "2024-01-03", 10.0, True),
+        (1, "2024-01-04", 40.0, False),
+        (2, "2024-01-02", 5.0, False),
+    ]
+
+
+def test_basket_pairs_counts_and_order(spark):
+    rows = [
+        (1, "a"), (1, "b"), (1, "c"),
+        (2, "a"), (2, "b"),
+        (3, "a"), (3, "b"), (3, "b"),  # duplicate item dedup'd
+        (4, "c"),                       # singleton basket: no pairs
+    ]
+    df = spark.createDataFrame(rows, ["b", "i"])
+    out = [tuple(r) for r in ANA.basket_pairs(df, "b", "i", top_n=10).collect()]
+    assert out == [("a", "b", 3), ("a", "c", 1), ("b", "c", 1)]
+
+
+def test_benford_shares_sum_to_one(spark):
+    # digits 1..9 with counts 9,8,...,1 (45 rows)
+    vals = [float(d * 100 + 7) for d in range(1, 10) for _ in range(10 - d)]
+    df = spark.createDataFrame([(v,) for v in vals], ["x"])
+    rows = PR.benford_first_digit(df, "x").orderBy("digit").collect()
+    assert [r["n"] for r in rows] == [9, 8, 7, 6, 5, 4, 3, 2, 1]
+    assert abs(sum(r["observed_share"] for r in rows) - 1.0) < 1e-9
+    assert rows[0]["expected_share"] == 0.30103
+    assert rows[0]["abs_dev"] == round(abs(9 / 45 - 0.30103), 6)
+
+
+def test_quantile_bins_equal_frequency(spark):
+    df = spark.createDataFrame(
+        [(i, "g", float(i)) for i in range(1, 9)], ["id", "grp", "v"]
+    )
+    rows = FT.quantile_bins(df, ["grp"], "v", "id", n_bins=4).orderBy("bin").collect()
+    assert [(r["bin"], r["n_rows"], r["bin_min"], r["bin_max"]) for r in rows] == [
+        (1, 2, 1.0, 2.0), (2, 2, 3.0, 4.0), (3, 2, 5.0, 6.0), (4, 2, 7.0, 8.0),
+    ]
+
+
+def test_class_weights_inverse_frequency(spark):
+    df = spark.createDataFrame(
+        [(i, 0) for i in range(6)] + [(i, 1) for i in range(2)], ["id", "label"]
+    )
+    rows = {r["label"]: r for r in FT.class_weights(df, "label").collect()}
+    # total=8, k=2: weight = 8 / (2 * n)
+    assert rows[0]["weight"] == 8 / 12 and rows[1]["weight"] == 8 / 4
+
+
+def test_user_lifetime_features_sessions_and_money(spark):
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    rows = [
+        # user 1: two sessions (65-min gap), one purchase
+        (1, t0, "view", 0.0),
+        (1, t0 + dt.timedelta(minutes=10), "purchase", 25.5),
+        (1, t0 + dt.timedelta(minutes=75), "view", 0.0),
+        # user 2: one event, no purchases, next day
+        (2, t0 + dt.timedelta(days=1), "click", 3.0),
+    ]
+    ev = spark.createDataFrame(rows, ["user_id", "ts", "event_type", "value"])
+    got = {r["user_id"]: r for r in ANA.user_lifetime_features(ev).collect()}
+    r1, r2 = got[1], got[2]
+    assert (r1["n_events"], r1["n_sessions"], r1["n_purchase"]) == (3, 2, 1)
+    assert r1["purchase_value"] == 25.5 and r1["n_active_days"] == 1
+    assert r1["last_ts_us"] - r1["first_ts_us"] == 75 * 60 * 1_000_000
+    assert (r2["n_events"], r2["n_sessions"], r2["purchase_value"]) == (1, 1, 0.0)
