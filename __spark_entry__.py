@@ -41,7 +41,13 @@ from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.operat
     cdc as CDC,
 )
 from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.operators import (
+    clustering as CL,
+)
+from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.operators import (
     dedup as DD,
+)
+from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.operators import (
+    graph as GR,
 )
 from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.operators import (
     sampling as SMP,
@@ -4364,6 +4370,122 @@ def _feature_class_weights(spark: SparkSession, sf: str) -> DataFrame:
     bit-identical across engines."""
     emb = read_table(spark, sf, "embeddings")
     return FT.class_weights(emb, "label")
+
+
+def _pagerank_sql(n_iter: int = 3) -> str:
+    """Fixed-iteration integer PageRank as chained CTEs (r0..rN)."""
+    iters = []
+    for i in range(1, n_iter + 1):
+        iters.append(
+            f"""r{i} AS (
+      SELECT n.node,
+             CAST(150000000 AS BIGINT) + (85 * COALESCE(f.s, 0)) // 100 AS rank
+      FROM nodes n LEFT JOIN (
+        SELECT e.dst AS node, SUM(r.rank // o.deg) AS s
+        FROM edges e JOIN r{i - 1} r ON e.src = r.node
+                     JOIN outdeg o ON e.src = o.src
+        GROUP BY e.dst) f ON n.node = f.node
+    )"""
+        )
+    chain = ",\n    ".join(iters)
+    return f"""
+    WITH eo AS (
+      SELECT DISTINCT 'C' || CAST(o_custkey AS VARCHAR) AS src,
+                      'S' || CAST(l_suppkey AS VARCHAR) AS dst
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    edges AS (SELECT src, dst FROM eo UNION SELECT dst, src FROM eo),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    outdeg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+    r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS rank FROM nodes),
+    {chain}
+    SELECT node, rank FROM r{n_iter} ORDER BY rank DESC, node LIMIT 25
+    """
+
+
+@_register("graph_pagerank", _pagerank_sql(3))
+def _graph_pagerank(spark: SparkSession, sf: str) -> DataFrame:
+    """Entity-importance ranking over the customer↔supplier FK graph
+    (operators/graph.pagerank_fixed): 3 truncated power iterations in
+    exact scaled-integer arithmetic (rank₀ = 1e9; update = teleport
+    base + 85% of inflow, truncating div — no float accumulation
+    anywhere, so the result is partitioning- and engine-independent).
+    The edge list is symmetrized (no dangling leak); each iteration is
+    a src-keyed join + dst-keyed partial agg, both on stable keys so
+    the edge exchange is reused across iterations. Top-25 short-
+    circuits as TakeOrderedAndProject."""
+    orders = read_table(spark, sf, "orders")
+    li = read_table(spark, sf, "lineitem")
+    eo = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"], "inner")
+        .select(
+            F.concat(F.lit("C"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    ranks = GR.pagerank_fixed(GR.symmetrize_edges(eo), n_iter=3)
+    return ranks.orderBy(F.col("rank").desc(), "node").limit(25)
+
+
+def _kmeans_sql(k: int = 8, n_iter: int = 2, dim: int = 64) -> str:
+    """Exact fixed-point Lloyd k-means as chained assign/update CTEs."""
+
+    def assign(name: str, cents: str) -> str:
+        return f"""{name} AS (
+      SELECT vec_id, cluster, d2 FROM (
+        SELECT vec_id, cluster, d2,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn
+        FROM (
+          SELECT q.vec_id, c.cluster,
+                 SUM((q.qv - c.cq) * (q.qv - c.cq)) AS d2
+          FROM q JOIN {cents} c ON q.pos = c.pos
+          GROUP BY q.vec_id, c.cluster))
+      WHERE rn = 1
+    )"""
+
+    parts = [assign("a1", "c0")]
+    for i in range(1, n_iter + 1):
+        parts.append(
+            f"""c{i} AS (
+      SELECT a.cluster, q.pos, SUM(q.qv) // COUNT(*) AS cq
+      FROM a{i} a JOIN q ON a.vec_id = q.vec_id
+      GROUP BY a.cluster, q.pos
+    )"""
+        )
+        parts.append(assign(f"a{i + 1}", f"c{i}"))
+    chain = ",\n    ".join(parts)
+    return f"""
+    WITH ex AS (
+      SELECT vec_id, unnest(range(1, {dim + 1})) AS pos, embedding FROM embeddings
+    ),
+    q AS (
+      SELECT vec_id, pos,
+             CAST(FLOOR(CAST(embedding[pos] AS DOUBLE) * 1000000) AS BIGINT) AS qv
+      FROM ex
+    ),
+    c0 AS (
+      SELECT vec_id AS cluster, pos, qv AS cq FROM q
+      WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {k})
+    ),
+    {chain}
+    SELECT vec_id, cluster, d2 FROM a{n_iter + 1}
+    """
+
+
+@_register("cluster_kmeans", _kmeans_sql(8, 2, 64))
+def _cluster_kmeans(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact fixed-point Lloyd k-means over the embedding table
+    (operators/clustering.kmeans_fixed_assign): k=8 seeded by the 8
+    smallest vec_ids (clusters named by seed id), 2 centroid updates,
+    final assignment (vec_id, cluster, d2). Vectors quantize once to
+    floor(x·1e6) BIGINTs so distances and centroid means are exact
+    integer arithmetic — bit-identical to the DuckDB oracle running
+    the same iterations. Assignment = broadcast k·d centroid join +
+    (id, cluster) partial agg + lexicographic min(struct) argmin;
+    update = one (cluster, pos) shuffle carrying k·d rows."""
+    emb = read_table(spark, sf, "embeddings")
+    return CL.kmeans_fixed_assign(emb, k=8, n_iter=2)
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,101 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.operators import (
+    clustering as CL,
+)
+from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.operators import (
+    graph as GR,
+)
+
+S = 1_000_000_000
+BASE = 150_000_000  # (100-85)*S // 100
+
+
+def test_symmetrize_edges_distinct(spark):
+    e = spark.createDataFrame([("a", "b"), ("b", "a"), ("a", "c")], ["src", "dst"])
+    got = {(r.src, r.dst) for r in GR.symmetrize_edges(e).collect()}
+    assert got == {("a", "b"), ("b", "a"), ("a", "c"), ("c", "a")}
+
+
+def test_pagerank_cycle_is_stationary(spark):
+    # a→b→c→a: every node has outdeg 1 and one in-edge, so
+    # rank = BASE + 85% of S stays exactly S forever.
+    e = spark.createDataFrame([("a", "b"), ("b", "c"), ("c", "a")], ["src", "dst"])
+    ranks = {r.node: r.rank for r in GR.pagerank_fixed(e, n_iter=3).collect()}
+    assert ranks == {"a": S, "b": S, "c": S}
+
+
+def test_pagerank_star_hand_computed(spark):
+    # a→b, c→b. Iter1: b = BASE + 85%·(S+S) = 1_850_000_000; a,c = BASE.
+    # Iter2: b = BASE + 85%·(BASE+BASE) = 150e6 + 255e6 = 405_000_000.
+    e = spark.createDataFrame([("a", "b"), ("c", "b")], ["src", "dst"])
+    r1 = {r.node: r.rank for r in GR.pagerank_fixed(e, n_iter=1).collect()}
+    assert r1 == {"a": BASE, "b": 1_850_000_000, "c": BASE}
+    r2 = {r.node: r.rank for r in GR.pagerank_fixed(e, n_iter=2).collect()}
+    assert r2 == {"a": BASE, "b": 405_000_000, "c": BASE}
+
+
+def test_pagerank_outdeg_split(spark):
+    # a→b and a→c: a's mass splits by integer div 2.
+    e = spark.createDataFrame([("a", "b"), ("a", "c")], ["src", "dst"])
+    r1 = {r.node: r.rank for r in GR.pagerank_fixed(e, n_iter=1).collect()}
+    half = (85 * (S // 2)) // 100
+    assert r1["b"] == BASE + half and r1["c"] == BASE + half
+    assert r1["a"] == BASE
+
+
+def test_quantize_vectors_exact(spark):
+    emb = spark.createDataFrame([(1, [0.5, -0.25])], ["vec_id", "embedding"])
+    rows = {(r.pos, r.q) for r in CL.quantize_vectors(emb).collect()}
+    assert rows == {(1, 500_000), (2, -250_000)}
+
+
+def test_kmeans_two_clear_clusters(spark):
+    # Seeds are ids 1,2 (both near the origin); after 2 Lloyd updates
+    # the centroids separate and v2 flips from its seed cluster back
+    # to cluster 1, yielding {v1,v2} vs {v3,v4}.
+    emb = spark.createDataFrame(
+        [
+            (1, [0.0, 0.0]),
+            (2, [0.1, 0.0]),
+            (3, [1.0, 1.0]),
+            (4, [0.9, 1.0]),
+        ],
+        ["vec_id", "embedding"],
+    )
+    out = CL.kmeans_fixed_assign(emb, k=2, n_iter=2)
+    got = {r.vec_id: r.cluster for r in out.collect()}
+    assert got == {1: 1, 2: 1, 3: 2, 4: 2}
+    # exact d2 vs the final centroids: c1=(50000,0), c2=(950000,1000000)
+    d2 = {r.vec_id: r.d2 for r in out.collect()}
+    assert d2[1] == 50_000**2
+    assert d2[3] == 50_000**2 + 0
+    assert d2[4] == 50_000**2
+
+
+def test_kmeans_assignment_tiebreak_smallest_cluster(spark):
+    # One vector equidistant from both seed clusters -> smaller id wins.
+    emb = spark.createDataFrame(
+        [(1, [0.0]), (2, [0.2]), (3, [0.1])],
+        ["vec_id", "embedding"],
+    )
+    out = CL.kmeans_fixed_assign(emb, k=2, n_iter=0)
+    got = {r.vec_id: r.cluster for r in out.collect()}
+    assert got[3] == 1
+
+
+def test_registry_pagerank_kmeans_oracle_shapes(spark, sf_dir):
+    import __spark_entry__ as m
+
+    qs = m.queries()
+    pr = qs["graph_pagerank"](spark, sf_dir)
+    assert pr.columns == ["node", "rank"]
+    rows = pr.collect()
+    assert 0 < len(rows) <= 25
+    assert rows[0].rank >= rows[-1].rank
+    km = qs["cluster_kmeans"](spark, sf_dir)
+    assert km.columns == ["vec_id", "cluster", "d2"]
+    n = km.count()
+    assert n == spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
