@@ -24,6 +24,30 @@ from pyspark.sql import types as T
 from .. import schemas
 
 
+def events_ts_unit(sf_dir: str) -> str:
+    """Parquet logical-timestamp unit of ``events.ts`` (``ns``/``us``/``ms``).
+
+    The driver has shipped both TIMESTAMP(NANOS) and TIMESTAMP(MICROS)
+    encodings of the events table across testdata generations, so the
+    reader sniffs the footer (metadata-only, no data read) instead of
+    hardcoding one. Spark has no nanosecond timestamp type; the ns
+    encoding needs the long-scan + floor-to-µs path below.
+    """
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, "events.parquet")
+    if os.path.isdir(path):
+        parts = sorted(glob.glob(os.path.join(path, "*.parquet")))
+        if not parts:
+            return "us"
+        path = parts[0]
+    field = pq.read_schema(path).field("ts").type
+    return getattr(field, "unit", "us")
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver testdata table with its registered schema.
 
@@ -31,12 +55,15 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     schema doubles as the projection contract — Catalyst prunes the
     parquet scan to exactly these columns.
 
-    ``events.ts`` is stored as parquet TIMESTAMP(NANOS), which Spark
-    has no timestamp type for: it is scanned as long
+    ``events.ts``: when stored as parquet TIMESTAMP(NANOS) — which
+    Spark has no timestamp type for — it is scanned as long
     (``spark.sql.legacy.parquet.nanosAsLong``) and truncated to
-    microseconds here — the same ns→µs floor DuckDB applies on read.
+    microseconds here, the same ns→µs floor DuckDB applies on read.
+    µs/ms encodings read directly with the declared TimestampType
+    (session timezone is pinned UTC, so NTZ-encoded values compare
+    bit-equal to DuckDB's naive timestamps).
     """
-    if name == "events":
+    if name == "events" and events_ts_unit(sf_dir) == "ns":
         phys = T.StructType(
             [
                 T.StructField(f.name, T.LongType() if f.name == "ts" else f.dataType)

@@ -10,6 +10,7 @@ from pyspark.sql import types as T
 
 from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark import schemas
 from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.sources.io import (
+    events_ts_unit,
     read_table,
 )
 
@@ -30,25 +31,30 @@ def test_stream_static_join_matches_batch(spark, sf_dir, tmp_path):
         .collect()
     }
 
-    # stream the same parquet through the identical plan (events.ts is
-    # parquet TIMESTAMP(NANOS): scan as long, truncate to micros — the
-    # same contract as sources.io.read_table)
-    phys = T.StructType(
-        [
-            T.StructField(f.name, T.LongType() if f.name == "ts" else f.dataType)
-            for f in schemas.TESTDATA["events"].fields
-        ]
-    )
+    # stream the same parquet through the identical plan, honoring the
+    # same ts-unit contract as sources.io.read_table (ns encodings scan
+    # as long and floor to micros; us/ms read directly)
     src = tmp_path / "events_src"
     src.mkdir()
     (src / "events.parquet").write_bytes(
         open(f"{sf_dir}/events.parquet", "rb").read()
     )
-    stream = (
-        spark.readStream.schema(phys)
-        .parquet(str(src))
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    if events_ts_unit(sf_dir) == "ns":
+        phys = T.StructType(
+            [
+                T.StructField(f.name, T.LongType() if f.name == "ts" else f.dataType)
+                for f in schemas.TESTDATA["events"].fields
+            ]
+        )
+        stream = (
+            spark.readStream.schema(phys)
+            .parquet(str(src))
+            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        )
+    else:
+        stream = (
+            spark.readStream.schema(schemas.TESTDATA["events"]).parquet(str(src))
+        )
     agg = (
         stream.join(F.broadcast(dim), "event_type")
         .groupBy("category")
