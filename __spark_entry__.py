@@ -4488,6 +4488,166 @@ def _cluster_kmeans(spark: SparkSession, sf: str) -> DataFrame:
     return CL.kmeans_fixed_assign(emb, k=8, n_iter=2)
 
 
+@_register(
+    "agg_incremental_maintenance",
+    """
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE) AS total_price
+    FROM orders
+    WHERE o_orderdate < TIMESTAMP '1996-04-01'
+    GROUP BY o_orderpriority
+    """,
+)
+def _agg_incremental_maintenance(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental materialized-view maintenance: the standing agg over
+    history (< 1996-01-01) is REFRESHED by merging in one quarter's
+    delta partial-agg — never rescanning history rows. count/sum are
+    self-mergeable (sum of counts, sum of decimal partial sums), which
+    is exactly why a 100 TB daily rollup costs one day's scan, not the
+    table's. The oracle recomputes the merged window from scratch —
+    proving partial-merge == full recompute. Both partials keep exact
+    decimal sums; the double cast happens once, after the merge."""
+    orders = read_table(spark, sf, "orders")
+    cut, hi = F.lit("1996-01-01").cast("timestamp"), F.lit("1996-04-01").cast("timestamp")
+
+    def partial(df):
+        return df.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("pn"),
+            F.sum(F.col("o_totalprice").cast("decimal(20,4)")).alias("ps"),
+        )
+
+    hist = partial(orders.filter(F.col("o_orderdate") < cut))
+    delta = partial(
+        orders.filter((F.col("o_orderdate") >= cut) & (F.col("o_orderdate") < hi))
+    )
+    return (
+        hist.unionByName(delta)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum("pn").alias("n_orders"),
+            F.sum("ps").cast("double").alias("total_price"),
+        )
+    )
+
+
+@_register(
+    "window_percent_rank_cume",
+    """
+    SELECT o_orderkey, o_orderpriority, o_totalprice,
+           percent_rank() OVER w AS pr,
+           cume_dist() OVER w AS cd
+    FROM orders
+    WHERE o_orderdate < TIMESTAMP '1995-07-01'
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice)
+    """,
+)
+def _window_percent_rank_cume(spark: SparkSession, sf: str) -> DataFrame:
+    """Relative-standing windows: percent_rank ((rank-1)/(n-1)) and
+    cume_dist (rows≤current / n) per priority class. Both are exact
+    integer ratios evaluated in one IEEE division, so the doubles are
+    bit-identical across engines — no decimal scaffolding needed. One
+    shuffle on the partition key; ties share a value in both engines
+    by definition of the two functions."""
+    orders = read_table(spark, sf, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice")
+    return (
+        orders.filter(F.col("o_orderdate") < F.lit("1995-07-01").cast("timestamp"))
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            "o_totalprice",
+            F.percent_rank().over(w).alias("pr"),
+            F.cume_dist().over(w).alias("cd"),
+        )
+    )
+
+
+_BM25_TERMS = ("query", "merge", "vector")
+
+
+@_register(
+    "text_bm25_top5",
+    rf"""
+    WITH tok AS (
+      SELECT doc_id, unnest(toks) AS term
+      FROM (SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents)
+    ), tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term
+    ), dl AS (
+      SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id
+    ), corpus AS (
+      SELECT COUNT(*) AS n_docs, SUM(dl) AS total_toks FROM dl
+    ), dfq AS (
+      SELECT term, COUNT(*) AS dfreq FROM tf
+      WHERE term IN ('query', 'merge', 'vector') GROUP BY term
+    ), scored AS (
+      SELECT tf.doc_id, tf.term,
+             (((44 * c.total_toks * tf.tf * 1000000)
+               // (20 * c.total_toks * tf.tf + 6 * c.total_toks
+                   + 18 * dl.dl * c.n_docs))
+              * (2 * c.n_docs - 2 * dfq.dfreq + 1)) // (2 * dfq.dfreq + 1)
+               AS score_scaled
+      FROM tf
+      JOIN dl USING (doc_id)
+      JOIN dfq ON tf.term = dfq.term
+      CROSS JOIN corpus c
+    )
+    SELECT term, doc_id, score_scaled, rnk FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (
+               PARTITION BY term ORDER BY score_scaled DESC, doc_id) AS INT) AS rnk
+      FROM scored
+    ) WHERE rnk <= 5
+    """,
+)
+def _text_bm25_top5(spark: SparkSession, sf: str) -> DataFrame:
+    """BM25 retrieval (k1=1.2, b=0.75) for a fixed 3-term query, top-5
+    docs per term. The whole score is integer-exact: with k1=6/5,
+    b=3/4, the saturation ratio tf·(k1+1)/(tf + k1(1-b+b·dl/avgdl))
+    multiplied through by 20·total_tokens becomes
+    44·T·tf / (20·T·tf + 6·T + 18·dl·N), scaled ×1e6 under integer
+    division; the idf uses the raw Robertson ratio
+    (N-df+.5)/(df+.5) = (2N-2df+1)/(2df+1) — log-free (monotone, so
+    identical ranking) and therefore exactly representable. Plan: the
+    tf/dl partial aggs share one explode; query terms filter BEFORE
+    the join (3 rows), so the per-term ranking window is tiny. At
+    corpus scale the same plan streams: two partial-agg shuffles plus
+    a broadcast of the 3-row df table. Production would keep doubles
+    and the log; the rational form is the cross-engine harness."""
+    docs = read_table(spark, sf, "documents")
+    tok = docs.select("doc_id", F.explode(TX.tokens("text")).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    corpus = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_toks")
+    )
+    dfq = (
+        tf.filter(F.col("term").isin(*_BM25_TERMS))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("dfreq"))
+    )
+    scored = (
+        tf.join(F.broadcast(dfq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(corpus))
+        .select(
+            "term",
+            "doc_id",
+            F.expr(
+                "((44 * total_toks * tf * 1000000L)"
+                " div (20 * total_toks * tf + 6 * total_toks + 18 * dl * n_docs)"
+                " * (2 * n_docs - 2 * dfreq + 1)) div (2 * dfreq + 1)"
+            ).alias("score_scaled"),
+        )
+    )
+    w = Window.partitionBy("term").orderBy(F.col("score_scaled").desc(), F.col("doc_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("term", "doc_id", "score_scaled", "rnk")
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver verification window
 #

@@ -21,7 +21,7 @@ from functools import reduce
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["morton_code", "zorder_write"]
+__all__ = ["morton_code", "zorder_write", "write_bucketed", "bucketed_join"]
 
 
 def morton_code(a: str | Column, b: str | Column, bits: int = 16) -> Column:
@@ -60,3 +60,55 @@ def zorder_write(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    path: str,
+    key: str,
+    buckets: int = 8,
+    sort: bool = True,
+) -> None:
+    """Persist ``df`` as an external parquet table hash-bucketed (and
+    bucket-sorted) on ``key``.
+
+    This is the 100 TB co-location strategy the reference's plain
+    parquet writes (`extract.py:66-71`) cannot express: two tables
+    bucketed on the same key with the same bucket count join with
+    ZERO shuffle — each task zips bucket i with bucket i — and with
+    ``sort=True`` the sort-merge join also skips its sorts. A fact ⋈
+    fact join (e.g. lineitem ⋈ orders on orderkey) that would shuffle
+    200 TB becomes an embarrassingly parallel per-bucket merge.
+
+    One file per bucket: Spark elides the SMJ sort only when every
+    bucket is a single pre-sorted file, so we repartition on the key
+    first (bucket-count partitions) rather than letting every input
+    task emit a file per bucket (which also avoids the small-file
+    explosion at scale).
+    """
+    writer = (
+        df.repartition(buckets, F.col(key))
+        .write.mode("overwrite")
+        .option("path", path)
+        .bucketBy(buckets, key)
+    )
+    if sort:
+        writer = writer.sortBy(key)
+    writer.saveAsTable(table)
+
+
+def bucketed_join(
+    spark,
+    left_table: str,
+    right_table: str,
+    key: str,
+    how: str = "inner",
+) -> DataFrame:
+    """Join two same-bucketed tables on their bucket key, forcing the
+    shuffle-free sort-merge path (broadcast would hide the property
+    being exercised). The returned plan must contain no Exchange —
+    asserted in tests/test_layout.py."""
+    lhs = spark.table(left_table)
+    rhs = spark.table(right_table)
+    return lhs.hint("merge").join(rhs, key, how)

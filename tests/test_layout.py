@@ -52,3 +52,38 @@ def test_zorder_write_clusters_both_dimensions(spark, tmp_path):
     # each dimension; a user-sorted layout would span ALL 64 ticks.
     assert max(spans_u) <= n_users // 2
     assert max(spans_t) <= n_ticks // 2
+
+
+def test_bucketed_join_is_shuffle_free(spark, sf_dir, tmp_path):
+    """Two tables bucketed on the same key/count must sort-merge join
+    with no Exchange (and no per-side Sort: one pre-sorted file per
+    bucket) — the co-located fact⋈fact layout for 100 TB."""
+    from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.sources.io import (
+        read_table,
+    )
+
+    orders = read_table(spark, sf_dir, "orders")
+    lineitem = read_table(spark, sf_dir, "lineitem")
+    try:
+        LYT.write_bucketed(
+            orders, "bkt_orders", str(tmp_path / "bo"), "o_orderkey", buckets=4
+        )
+        LYT.write_bucketed(
+            lineitem.withColumnRenamed("l_orderkey", "o_orderkey"),
+            "bkt_lineitem",
+            str(tmp_path / "bl"),
+            "o_orderkey",
+            buckets=4,
+        )
+        joined = LYT.bucketed_join(spark, "bkt_orders", "bkt_lineitem", "o_orderkey")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan, plan
+        # cross-check the result against the plain (shuffling) join
+        want = orders.join(
+            lineitem.withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey"
+        ).count()
+        assert joined.count() == want
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bkt_orders")
+        spark.sql("DROP TABLE IF EXISTS bkt_lineitem")

@@ -32,6 +32,9 @@ NESTED_LOOP_OK = {
     # quantile-gated curation cross-joins the ONE-ROW exact-median
     # aggregate as the data-dependent filter bound.
     "curation_quality_gate",
+    # BM25 cross-joins the ONE-ROW corpus-stats aggregate (N docs,
+    # total tokens) — constant-cost, same shape as text_tfidf_top3.
+    "text_bm25_top5",
 }
 
 # row-at-a-time Python eval (BatchEvalPython) is never acceptable;
