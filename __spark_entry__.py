@@ -4563,6 +4563,128 @@ def _window_percent_rank_cume(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@_register(
+    "dq_outlier_mad",
+    """
+    WITH med AS (
+      SELECT o_orderpriority, ROUND(quantile_cont(o_totalprice, 0.5), 4) AS med,
+             COUNT(*) AS n_rows
+      FROM orders GROUP BY o_orderpriority
+    ), dev AS (
+      SELECT o.o_orderpriority, med, n_rows,
+             ABS(o_totalprice - med) AS absdev
+      FROM orders o JOIN med USING (o_orderpriority)
+    ), mad AS (
+      SELECT o_orderpriority, ROUND(quantile_cont(absdev, 0.5), 4) AS mad
+      FROM dev GROUP BY o_orderpriority
+    )
+    SELECT d.o_orderpriority, med, mad, n_rows,
+           CAST(SUM(CASE WHEN absdev > (3.0 * 1.4826) * mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM dev d JOIN mad USING (o_orderpriority)
+    GROUP BY d.o_orderpriority, med, mad, n_rows
+    """,
+)
+def _dq_outlier_mad(spark: SparkSession, sf: str) -> DataFrame:
+    """Median-absolute-deviation outlier screen per priority class
+    (operators/features.mad_outliers): the 50%-breakdown robust
+    complement to the Tukey-fence screen — MAD survives contamination
+    that drags the quartiles themselves. Two exact-percentile passes
+    with KB-sized broadcast stats; 4-dp-rounded medians keep the
+    threshold comparisons engine-stable."""
+    orders = read_table(spark, sf, "orders")
+    return FT.mad_outliers(orders, ["o_orderpriority"], "o_totalprice", k=3.0)
+
+
+@_register(
+    "customer_rfm_segments",
+    """
+    WITH per AS (
+      SELECT o_custkey,
+             date_diff('day', CAST(MAX(o_orderdate) AS DATE), DATE '1998-09-01')
+               AS recency_days,
+             COUNT(*) AS frequency,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE) AS monetary
+      FROM orders GROUP BY o_custkey
+    ), b AS (
+      SELECT
+        ROUND(quantile_cont(recency_days, 0.2), 4) AS r1,
+        ROUND(quantile_cont(recency_days, 0.4), 4) AS r2,
+        ROUND(quantile_cont(recency_days, 0.6), 4) AS r3,
+        ROUND(quantile_cont(recency_days, 0.8), 4) AS r4,
+        ROUND(quantile_cont(frequency, 0.2), 4) AS f1,
+        ROUND(quantile_cont(frequency, 0.4), 4) AS f2,
+        ROUND(quantile_cont(frequency, 0.6), 4) AS f3,
+        ROUND(quantile_cont(frequency, 0.8), 4) AS f4,
+        ROUND(quantile_cont(monetary, 0.2), 4) AS m1,
+        ROUND(quantile_cont(monetary, 0.4), 4) AS m2,
+        ROUND(quantile_cont(monetary, 0.6), 4) AS m3,
+        ROUND(quantile_cont(monetary, 0.8), 4) AS m4
+      FROM per
+    ), s AS (
+      SELECT o_custkey, recency_days, frequency, monetary,
+             6 - (1 + CAST(recency_days > r1 AS INT) + CAST(recency_days > r2 AS INT)
+                    + CAST(recency_days > r3 AS INT) + CAST(recency_days > r4 AS INT))
+               AS r_score,
+             1 + CAST(frequency > f1 AS INT) + CAST(frequency > f2 AS INT)
+               + CAST(frequency > f3 AS INT) + CAST(frequency > f4 AS INT) AS f_score,
+             1 + CAST(monetary > m1 AS INT) + CAST(monetary > m2 AS INT)
+               + CAST(monetary > m3 AS INT) + CAST(monetary > m4 AS INT) AS m_score
+      FROM per, b
+    )
+    SELECT o_custkey, recency_days, frequency, monetary, r_score, f_score, m_score,
+           r_score * 100 + f_score * 10 + m_score AS rfm_cell
+    FROM s
+    """,
+)
+def _customer_rfm_segments(spark: SparkSession, sf: str) -> DataFrame:
+    """RFM customer segmentation (operators/analytics.rfm_scores):
+    recency/frequency/monetary per customer scored 1-5 against corpus
+    quintile cut points. The cut points are one row of exact
+    percentiles broadcast back — no global ntile sort (which would
+    single-reduce the customer set at scale)."""
+    orders = read_table(spark, sf, "orders")
+    return ANA.rfm_scores(orders, "1998-09-01")
+
+
+@_register(
+    "pareto_abc_lineitem",
+    """
+    WITH rev AS (
+      SELECT l_partkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(20,4))) AS w
+      FROM lineitem GROUP BY l_partkey
+    ), tot AS (
+      SELECT SUM(w) AS total FROM rev
+    ), cum AS (
+      SELECT l_partkey, w,
+             SUM(w) OVER (ORDER BY w DESC, l_partkey) AS c
+      FROM rev
+    )
+    SELECT l_partkey,
+           CAST(w AS DOUBLE) AS weight,
+           CAST(c AS DOUBLE) AS cum_weight,
+           CASE WHEN c * 5 <= total * 4 THEN 'A'
+                WHEN c * 20 <= total * 19 THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM cum, tot
+    """,
+)
+def _pareto_abc_lineitem(spark: SparkSession, sf: str) -> DataFrame:
+    """ABC / Pareto revenue-concentration classes per part
+    (operators/features.pareto_class): rank parts by descending
+    revenue, class A while the running share stays ≤80%, B ≤95%,
+    else C. The running total is the two-phase partitioned cumsum (no
+    single-reducer sort — the same prefix-offset construction as the
+    surrogate-key builder) and the share cut is exact cross-multiplied
+    decimal (cum·5 ≤ total·4), so boundary rows never float-flip."""
+    li = read_table(spark, sf, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(20,4)")).alias("w")
+    )
+    return FT.pareto_class(rev, "l_partkey", "w")
+
+
 _BM25_TERMS = ("query", "merge", "vector")
 
 

@@ -39,6 +39,7 @@ __all__ = [
     "transition_matrix",
     "basket_pairs",
     "user_lifetime_features",
+    "rfm_scores",
 ]
 
 
@@ -236,4 +237,70 @@ def user_lifetime_features(
             ).cast("double"),
             F.lit(0.0),
         ).alias(f"{value_type}_value"),
+    )
+
+
+def rfm_scores(
+    orders: DataFrame,
+    ref_date: str,
+    *,
+    customer_col: str = "o_custkey",
+    date_col: str = "o_orderdate",
+    amount_col: str = "o_totalprice",
+) -> DataFrame:
+    """RFM segmentation (recency / frequency / monetary), the classic
+    customer-value scoring: per customer, days since last order, order
+    count, and exact-decimal total spend, each scored 1-5 against the
+    CORPUS quintile boundaries.
+
+    Scale shape: one per-customer aggregation (single shuffle), then
+    the five quintile cut points per metric are ONE ROW of exact
+    percentiles broadcast back — no global ntile sort over customers
+    (an unpartitioned ranking window would single-reduce at 100 TB;
+    comparing against broadcast cut points is embarrassingly
+    parallel). Scores are CASE-sum comparisons against 4-dp-rounded
+    boundaries, so the 1-5 assignment is engine-exact. Higher = better
+    (recency inverts: most-recent buyers score 5).
+    """
+    per = orders.groupBy(customer_col).agg(
+        F.datediff(
+            F.lit(ref_date).cast("date"), F.max(F.col(date_col).cast("date"))
+        ).alias("recency_days"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.col(amount_col).cast("decimal(20,4)"))
+        .cast("double")
+        .alias("monetary"),
+    )
+
+    def cuts(col: str) -> list:
+        return [
+            F.round(F.percentile(F.col(col), F.lit(q)), 4).alias(f"{col}_q{i}")
+            for i, q in ((1, 0.2), (2, 0.4), (3, 0.6), (4, 0.8))
+        ]
+
+    bounds = per.agg(*cuts("recency_days"), *cuts("frequency"), *cuts("monetary"))
+
+    def score(col: str) -> F.Column:
+        s = F.lit(1)
+        for i in (1, 2, 3, 4):
+            s = s + (F.col(col) > F.col(f"{col}_q{i}")).cast("int")
+        return s
+
+    scored = per.crossJoin(F.broadcast(bounds))
+    r = (F.lit(6) - score("recency_days")).alias("r_score")
+    f_ = score("frequency").alias("f_score")
+    m = score("monetary").alias("m_score")
+    return scored.select(
+        customer_col,
+        "recency_days",
+        "frequency",
+        "monetary",
+        r,
+        f_,
+        m,
+        (
+            (F.lit(6) - score("recency_days")) * 100
+            + score("frequency") * 10
+            + score("monetary")
+        ).alias("rfm_cell"),
     )

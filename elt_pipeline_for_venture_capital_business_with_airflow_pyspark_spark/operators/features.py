@@ -29,8 +29,11 @@ __all__ = [
     "zscore_per_group",
     "rolling_range_agg",
     "iqr_outliers",
+    "mad_outliers",
     "quantile_bins",
     "class_weights",
+    "partitioned_cumsum",
+    "pareto_class",
 ]
 
 
@@ -108,6 +111,140 @@ def iqr_outliers(
             hi.alias("fence_hi"),
             "n_rows",
             "n_outliers",
+        )
+    )
+
+
+def mad_outliers(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    *,
+    k: float = 3.0,
+) -> DataFrame:
+    """Median-absolute-deviation outlier screen per group — the
+    highest-breakdown-point (50%) robust scale estimate, surviving
+    contamination that drags even Tukey fences. Flags rows where
+    ``|x − median| > k · 1.4826 · MAD`` (1.4826 ≈ 1/Φ⁻¹(3/4) makes MAD
+    consistent with σ under normality).
+
+    Two exact-percentile passes (median, then median of absolute
+    deviations), each a KB-sized group-stats frame broadcast back onto
+    the fact; medians round to 4 dp so the threshold comparisons are
+    engine-stable. At 100 TB swap ``percentile`` for
+    ``approx_percentile`` (mergeable sketch, same call shape).
+    """
+    v = F.col(value_col)
+    med = df.groupBy(*group_cols).agg(
+        F.round(F.percentile(v, F.lit(0.5)), 4).alias("med"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    dev = df.join(F.broadcast(med), group_cols, "inner").withColumn(
+        "_absdev", F.abs(v - F.col("med"))
+    )
+    mad = dev.groupBy(*group_cols).agg(
+        F.round(F.percentile(F.col("_absdev"), F.lit(0.5)), 4).alias("mad")
+    )
+    thr = (F.lit(k) * F.lit(1.4826)) * F.col("mad")
+    return (
+        dev.join(F.broadcast(mad), group_cols, "inner")
+        .groupBy(*group_cols, "med", "mad", "n_rows")
+        .agg(
+            F.sum(
+                F.when(F.col("_absdev") > thr, F.lit(1)).otherwise(F.lit(0))
+            ).alias("n_outliers")
+        )
+        .select(*group_cols, "med", "mad", "n_rows", "n_outliers")
+    )
+
+
+def partitioned_cumsum(
+    df: DataFrame,
+    order_cols: list,
+    value_col: str,
+    *,
+    out_col: str = "cum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Running total over a TOTAL order without a single-reducer sort —
+    the two-phase prefix-sum pattern (same construction as
+    operators/surrogate.add_surrogate_key): range-partition on the
+    order, local sort + local cumulative sum per partition, then add
+    broadcast prefix offsets computed from ONE ROW PER PARTITION.
+    The data never funnels through one task; the only global window
+    runs over the KB-sized per-partition totals.
+
+    ``order_cols`` must be a total order (add a tiebreak) or the
+    running values are retry-nondeterministic. ``value_col`` should be
+    decimal for exact, order-insensitive partial sums.
+    """
+    keys = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    if num_partitions is None:
+        nparts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+    else:
+        nparts = num_partitions
+
+    base = df.repartitionByRange(nparts, *keys).sortWithinPartitions(*keys)
+    tagged = base.select(
+        F.spark_partition_id().alias("__cs_pid"), "*"
+    )
+
+    totals = tagged.groupBy("__cs_pid").agg(F.sum(value_col).alias("__cs_tot"))
+    woff = Window.orderBy("__cs_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "__cs_pid",
+        F.coalesce(F.sum("__cs_tot").over(woff), F.lit(0)).alias("__cs_off"),
+    )
+
+    wloc = Window.partitionBy("__cs_pid").orderBy(*keys).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    local = tagged.withColumn("__cs_loc", F.sum(value_col).over(wloc))
+    return (
+        local.join(F.broadcast(offsets), "__cs_pid")
+        .withColumn(out_col, F.col("__cs_loc") + F.col("__cs_off"))
+        .drop("__cs_pid", "__cs_loc", "__cs_off")
+    )
+
+
+def pareto_class(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    *,
+    bound_a: tuple[int, int] = (4, 5),
+    bound_b: tuple[int, int] = (19, 20),
+) -> DataFrame:
+    """ABC / Pareto classification: rank keys by descending weight,
+    class A while the running share of total weight stays ≤ 80%
+    (``bound_a`` = 4/5), B until 95% (19/20), else C — the classic
+    inventory / revenue-concentration cut.
+
+    Shares are compared as exact cross-multiplied decimals
+    (``cum·den ≤ total·num``) — no division, so no float rounding at
+    the class boundaries. The running total uses the two-phase
+    ``partitioned_cumsum`` (no single-reducer sort); the grand total
+    rides a one-row broadcast.
+    """
+    w = F.col(weight_col)
+    total = df.agg(F.sum(w).alias("__total"))
+    cum = partitioned_cumsum(
+        df, [w.desc(), F.col(key_col).asc()], weight_col, out_col="__cum"
+    )
+    na, da = bound_a
+    nb, db = bound_b
+    cls = (
+        F.when(F.col("__cum") * da <= F.col("__total") * na, F.lit("A"))
+        .when(F.col("__cum") * db <= F.col("__total") * nb, F.lit("B"))
+        .otherwise(F.lit("C"))
+    )
+    return (
+        cum.crossJoin(F.broadcast(total))
+        .select(
+            key_col,
+            w.cast("double").alias("weight"),
+            F.col("__cum").cast("double").alias("cum_weight"),
+            cls.alias("abc_class"),
         )
     )
 

@@ -101,3 +101,70 @@ def test_sliding_agg_overlap_factor(spark):
     }
     # event@07 -> windows starting 00:00 and 00:05; event@12 -> 00:05, 00:10
     assert cells == {"00:00": (1, 1.0), "00:05": (2, 11.0), "00:10": (1, 10.0)}
+
+
+def test_mad_outliers_flags_planted_spike(spark):
+    # 9 points near 100 plus one wild spike; MAD ignores the spike
+    rows = [("g", float(v)) for v in (98, 99, 99, 100, 100, 100, 101, 101, 102)]
+    rows.append(("g", 10_000.0))
+    df = spark.createDataFrame(rows, ["grp", "v"])
+    out = FT.mad_outliers(df, ["grp"], "v", k=3.0).collect()[0]
+    assert out["med"] == 100.0
+    assert out["mad"] == 1.0
+    assert out["n_rows"] == 10
+    assert out["n_outliers"] == 1  # only the 10k spike exceeds 3*1.4826*1
+
+
+def test_partitioned_cumsum_matches_global_and_avoids_global_sort(spark):
+    rows = [(i, float(i % 7 + 1)) for i in range(200)]
+    df = spark.createDataFrame(rows, ["k", "v"]).withColumn(
+        "vd", F.col("v").cast("decimal(10,2)")
+    )
+    out = FT.partitioned_cumsum(df, [F.col("k").asc()], "vd", out_col="cum")
+    got = {r["k"]: float(r["cum"]) for r in out.collect()}
+    run, want = 0.0, {}
+    for i in range(200):
+        run += i % 7 + 1
+        want[i] = run
+    assert got == want
+    # scale shape: every Sort is partition-local, data path range-partitioned
+    plan = out._jdf.queryExecution().explainString(
+        out.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "simple"
+        )
+    )
+    assert "rangepartitioning(k" in plan
+    for line in plan.splitlines():
+        if "Sort [" in line:
+            assert "false" in line, f"global sort in partitioned_cumsum: {line}"
+
+
+def test_pareto_class_boundaries_exact(spark):
+    # weights 50,30,15,5: cum shares 50%,80%,95%,100% -> A,A,B,C
+    rows = [(1, 50), (2, 30), (3, 15), (4, 5)]
+    df = spark.createDataFrame(rows, ["k", "w"]).select(
+        "k", F.col("w").cast("decimal(10,2)").alias("w")
+    )
+    got = {r["k"]: r["abc_class"] for r in FT.pareto_class(df, "k", "w").collect()}
+    assert got == {1: "A", 2: "A", 3: "B", 4: "C"}
+
+
+def test_rfm_scores_small_known(spark):
+    # 5 customers, clearly separated metrics -> scores follow quintiles
+    rows = []
+    for cust in range(1, 6):
+        for j in range(cust):  # frequency = cust
+            rows.append(
+                (cust, datetime(1998, 1, cust), float(100 * cust))
+            )
+    orders = spark.createDataFrame(
+        rows, ["o_custkey", "o_orderdate", "o_totalprice"]
+    )
+    out = {r["o_custkey"]: r for r in ANA.rfm_scores(orders, "1998-09-01").collect()}
+    # customer 5: most recent, most frequent, biggest spender -> 555
+    assert out[5]["rfm_cell"] == 555
+    # customer 1: oldest, least frequent, smallest spend -> 111
+    assert out[1]["rfm_cell"] == 111
+    # monotone in customer id by construction
+    cells = [out[c]["rfm_cell"] for c in range(1, 6)]
+    assert cells == sorted(cells)

@@ -35,6 +35,10 @@ NESTED_LOOP_OK = {
     # BM25 cross-joins the ONE-ROW corpus-stats aggregate (N docs,
     # total tokens) — constant-cost, same shape as text_tfidf_top3.
     "text_bm25_top5",
+    # RFM cross-joins the ONE-ROW quintile-boundary aggregate.
+    "customer_rfm_segments",
+    # ABC classification cross-joins the ONE-ROW grand-total aggregate.
+    "pareto_abc_lineitem",
 }
 
 # row-at-a-time Python eval (BatchEvalPython) is never acceptable;
