@@ -60,6 +60,12 @@ HEADLINE = [
     "embedding_label_centroids",
     "dedup_edit1_names",
     "agg_exact_median",
+    # round-2 additions: two-phase running total, broadcast-quintile
+    # segmentation, corpus-stats retrieval scoring, partial-agg merge
+    "pareto_abc_lineitem",
+    "customer_rfm_segments",
+    "text_bm25_top5",
+    "agg_incremental_maintenance",
 ]
 
 
