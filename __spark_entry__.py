@@ -4685,6 +4685,35 @@ def _pareto_abc_lineitem(spark: SparkSession, sf: str) -> DataFrame:
     return FT.pareto_class(rev, "l_partkey", "w")
 
 
+@_register(
+    "sample_three_way_split",
+    """
+    SELECT doc_id,
+           CASE WHEN h < '0a' THEN 'test'
+                WHEN h < '14' THEN 'val'
+                ELSE 'train' END AS split
+    FROM (SELECT doc_id, substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS h
+          FROM documents)
+    """,
+)
+def _sample_three_way_split(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic train/val/test assignment by key hash: md5-prefix
+    thresholds carve ≈3.9% test, ≈3.9% val, rest train. Reproducible
+    across runs/engines/retries (unlike rand()-based splits) and — the
+    property that matters at 100 TB — STABLE UNDER APPENDS: a document
+    keeps its split forever, so eval contamination can't creep in when
+    the corpus grows. Pure projection, no shuffle."""
+    docs = read_table(spark, sf, "documents")
+    h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    return docs.select(
+        "doc_id",
+        F.when(h < "0a", F.lit("test"))
+        .when(h < "14", F.lit("val"))
+        .otherwise(F.lit("train"))
+        .alias("split"),
+    )
+
+
 _BM25_TERMS = ("query", "merge", "vector")
 
 

@@ -1,0 +1,132 @@
+"""Mergeable sketches: HLL distinct-count and KLL quantile partials.
+
+The 100 TB aggregation problem the reference never faces (its
+profiling SQL recounts whole tables per run,
+dags/data_profiling/query/data_profiling_function.sql:37): you cannot
+afford to rescan history to answer "distinct users this quarter".
+Sketches make the partial aggregates ALGEBRAIC — a per-day (or
+per-partition) sketch is a few KB, unions are associative and
+order-insensitive, so daily rollups merge into monthly/quarterly
+answers without touching the raw data again. Spark 4 ships Apache
+DataSketches natively (`hll_sketch_agg`, `hll_union_agg`,
+`kll_sketch_agg_*`) — JVM-side, codegen-friendly, no UDF.
+
+Key algebraic property (pinned in tests/test_sketches.py): an HLL
+sketch's state is a per-bucket MAX of hashed-value rhos, so the union
+of per-slice sketches is BIT-IDENTICAL in estimate to the sketch of
+the whole — merge-of-partials == agg-of-whole, exactly the contract
+incremental materialized views need. KLL merges are estimate-stable
+within the sketch's rank-error bound rather than bit-exact.
+
+These are estimation operators; they are deliberately NOT registered
+as DuckDB-oracle queries (the estimate is engine-internal). Exactness
+is instead asserted against Spark's own exact aggregates in pytest.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "hll_partials",
+    "hll_rollup",
+    "kll_quantile_partials",
+    "kll_quantile_rollup",
+]
+
+
+def hll_partials(
+    df: DataFrame,
+    slice_cols: list[str],
+    group_cols: list[str],
+    value_col: str,
+    *,
+    lg_k: int = 12,
+    sketch_col: str = "hll_sketch",
+) -> DataFrame:
+    """Per-(slice × group) HLL sketch of distinct ``value_col`` — the
+    persistable daily partial. ``slice_cols`` is the rollup axis that
+    later merges away (e.g. the day); ``group_cols`` survive into the
+    final answer (e.g. the segment). One shuffle; each output row
+    carries a ≤(2^lg_k)-byte binary sketch instead of a distinct set.
+    """
+    return df.groupBy(*slice_cols, *group_cols).agg(
+        F.hll_sketch_agg(F.col(value_col), F.lit(lg_k)).alias(sketch_col)
+    )
+
+
+def hll_rollup(
+    partials: DataFrame,
+    group_cols: list[str],
+    *,
+    sketch_col: str = "hll_sketch",
+    out_col: str = "approx_distinct",
+) -> DataFrame:
+    """Merge per-slice sketches up to ``group_cols`` and estimate.
+    The input is the KB-scale partials table, never the raw data — a
+    quarter's distinct count costs a scan of ~90 sketch rows per
+    group. Union is associative/commutative, so any rollup lattice
+    (day→week→month) composes from the same partials.
+    """
+    return partials.groupBy(*group_cols).agg(
+        F.hll_sketch_estimate(
+            F.hll_union_agg(F.col(sketch_col), F.lit(False))
+        ).alias(out_col)
+    )
+
+
+def kll_quantile_partials(
+    df: DataFrame,
+    slice_cols: list[str],
+    group_cols: list[str],
+    value_col: str,
+    *,
+    k: int = 200,
+    sketch_col: str = "kll_sketch",
+) -> DataFrame:
+    """Per-(slice × group) KLL quantile sketch over a double column —
+    the mergeable replacement for exact percentiles once a single
+    pass over history stops being affordable. k=200 gives ~1.65%
+    one-sided rank error (DataSketches default)."""
+    return df.groupBy(*slice_cols, *group_cols).agg(
+        F.kll_sketch_agg_double(
+            F.col(value_col).cast("double"), F.lit(k)
+        ).alias(sketch_col)
+    )
+
+
+def kll_quantile_rollup(
+    partials: DataFrame,
+    group_cols: list[str],
+    quantiles: list[float],
+    *,
+    sketch_col: str = "kll_sketch",
+) -> DataFrame:
+    """Merge per-slice KLL sketches and read off quantile estimates
+    (one output column per requested quantile: ``q50``, ``q95``, …).
+    Rank error is the sketch's, not the merge's — merging does not
+    compound it beyond the published bound.
+
+    Spark exposes KLL merge only pairwise (`kll_sketch_merge_double`),
+    so the per-group merge is a fold over the collected partials list
+    — fine here because the fold runs over the KB-scale sketch rows
+    (one per slice), never the raw data."""
+    lst = F.collect_list(F.col(sketch_col))
+    merged = partials.groupBy(*group_cols).agg(lst.alias("_lst")).select(
+        *group_cols,
+        F.aggregate(
+            F.slice(
+                F.col("_lst"), 2, F.greatest(F.size("_lst") - 1, F.lit(0))
+            ),
+            F.element_at(F.col("_lst"), 1),
+            lambda acc, x: F.kll_sketch_merge_double(acc, x),
+        ).alias("_m"),
+    )
+    cols = [
+        F.kll_sketch_get_quantile_double(F.col("_m"), F.lit(q)).alias(
+            f"q{int(q * 100)}"
+        )
+        for q in quantiles
+    ]
+    return merged.select(*group_cols, *cols)

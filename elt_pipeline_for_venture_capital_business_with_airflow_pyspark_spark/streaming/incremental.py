@@ -165,6 +165,42 @@ def sessionize(df: DataFrame, user_col: str = "user_id", ts_col: str = "ts", gap
     ).drop("__new_session")
 
 
+def streaming_session_agg(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str = "1 day",
+):
+    """Native session windows on a stream: ``F.session_window`` merges
+    events of one user whose gaps stay under ``gap`` into a dynamic
+    [first_event, last_event+gap) window, with watermarked state
+    eviction — the built-in twin of the custom
+    ``applyInPandasWithState`` sessionizer (streaming/stateful.py) and
+    of the batch lag-gap ``sessionize`` above. Same gap rule, so
+    per-session (user, start, n_events) triples agree with the batch
+    plan (pinned in tests/test_stateful_streaming.py). Prefer this
+    over hand-rolled state wherever plain per-session aggregates
+    suffice; drop to applyInPandasWithState only for state machines
+    the windowed agg can't express."""
+    stream = spark.readStream.schema(schema).parquet(path)
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.col(user_col),
+            F.session_window(F.col(ts_col), gap).alias("w"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            user_col,
+            F.col("w.start").alias("session_start"),
+            "n_events",
+        )
+    )
+
+
 def dedup_stream(
     stream: DataFrame,
     key_cols: list[str],

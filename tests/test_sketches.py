@@ -1,0 +1,68 @@
+"""Mergeable-sketch algebra: merge-of-partials must equal
+agg-of-whole (HLL, exactly) or stay inside the published rank error
+(KLL) — the property incremental rollups at 100 TB stand on."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.operators import (
+    sketches as SK,
+)
+from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.sources.io import (
+    read_table,
+)
+
+
+def test_hll_merge_of_partials_equals_agg_of_whole(spark, sf_dir):
+    ev = read_table(spark, sf_dir, "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    partials = SK.hll_partials(ev, ["day"], ["event_type"], "user_id")
+    merged = SK.hll_rollup(partials, ["event_type"])
+
+    whole = ev.groupBy("event_type").agg(
+        F.hll_sketch_estimate(
+            F.hll_sketch_agg(F.col("user_id"), F.lit(12))
+        ).alias("approx_distinct")
+    )
+    got = {r["event_type"]: r["approx_distinct"] for r in merged.collect()}
+    want = {r["event_type"]: r["approx_distinct"] for r in whole.collect()}
+    # HLL state is a per-bucket max -> union of slices is the same
+    # sketch as one pass over everything: estimates are identical
+    assert got == want
+
+
+def test_hll_estimate_close_to_exact(spark, sf_dir):
+    ev = read_table(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    partials = SK.hll_partials(ev, ["day"], ["event_type"], "user_id")
+    est = {
+        r["event_type"]: r["approx_distinct"]
+        for r in SK.hll_rollup(partials, ["event_type"]).collect()
+    }
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    for etype, n in exact.items():
+        assert abs(est[etype] - n) <= max(2, 0.05 * n), (etype, est[etype], n)
+
+
+def test_kll_merged_quantiles_within_rank_error(spark, sf_dir):
+    ev = read_table(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    partials = SK.kll_quantile_partials(ev, ["day"], [], "value")
+    est = SK.kll_quantile_rollup(partials, [], [0.5, 0.95]).collect()[0]
+
+    vals = sorted(r["value"] for r in ev.select("value").collect())
+    n = len(vals)
+
+    def rank_of(x: float) -> float:
+        import bisect
+
+        return bisect.bisect_right(vals, x) / n
+
+    # k=200 -> ~1.65% rank error; allow 3% slack for double edges
+    assert abs(rank_of(est["q50"]) - 0.5) < 0.03
+    assert abs(rank_of(est["q95"]) - 0.95) < 0.03

@@ -205,3 +205,44 @@ def test_builtin_session_window_matches_custom_sessionize(spark, sf_dir):
         .collect()
     }
     assert custom == builtin
+
+
+def test_native_session_window_matches_batch_sessionize(spark, sf_dir, tmp_path):
+    """F.session_window (native streaming sessionization) must carve
+    the same sessions as the batch lag-gap plan: identical
+    (user, session_start, n_events) triples."""
+    from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark import schemas
+
+    ev = read_table(spark, sf_dir, "events")
+    src = tmp_path / "sess_src"
+    src.mkdir()
+    ev.coalesce(1).write.mode("overwrite").parquet(str(src))
+
+    agg = INC.streaming_session_agg(
+        spark, str(src), schemas.TESTDATA["events"], gap="30 minutes"
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("native_sess_out")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "chk_native"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r["user_id"], r["session_start"], r["n_events"])
+        for r in spark.sql(
+            "SELECT user_id, session_start, n_events FROM native_sess_out"
+        ).collect()
+    }
+
+    batch = (
+        INC.sessionize(ev, gap_minutes=30)
+        .groupBy("user_id", "session_id")
+        .agg(F.min("ts").alias("session_start"), F.count(F.lit(1)).alias("n_events"))
+    )
+    want = {
+        (r["user_id"], r["session_start"], r["n_events"]) for r in batch.collect()
+    }
+    assert got == want
