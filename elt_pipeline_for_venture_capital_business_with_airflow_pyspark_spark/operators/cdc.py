@@ -15,7 +15,7 @@ window, no row amplification. Both sides are pruned to
 ``keys + compare_cols`` before the join (column pruning reaches the
 scans), and value comparison uses null-safe equality so NULL→value
 and value→NULL transitions count as updates. With both snapshots
-bucketed on the key (``sources.io.write_bucketed``) the exchange
+bucketed on the key (``operators.layout.write_bucketed``) the exchange
 disappears entirely.
 """
 
@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["snapshot_diff"]
+__all__ = ["snapshot_diff", "schema_drift", "assert_schema_compatible"]
 
 
 def snapshot_diff(
@@ -71,3 +71,66 @@ def snapshot_diff(
     if not keep_unchanged:
         out = out.filter(F.col("change_type") != "unchanged")
     return out
+
+
+def schema_drift(old_schema, new_schema) -> list[dict]:
+    """Structural diff of two StructTypes: the schema-level companion
+    to ``snapshot_diff``. Returns one record per drifted column —
+    ``{"column", "change", "old_type", "new_type"}`` with change in
+    {added, removed, type_changed, nullability_changed} — in new-schema
+    column order (then removed columns in old order). Pure metadata,
+    no job is launched.
+
+    The reference's ELT lands raw and types later (SURVEY §1.3), which
+    is exactly where silent upstream drift (a varchar widening, a
+    NOT NULL dropped) corrupts downstream casts; this makes drift a
+    checkable artifact per load instead of a production surprise.
+    """
+    old_fields = {f.name: f for f in old_schema.fields}
+    new_fields = {f.name: f for f in new_schema.fields}
+    out: list[dict] = []
+    for f in new_schema.fields:
+        o = old_fields.get(f.name)
+        if o is None:
+            out.append(
+                {"column": f.name, "change": "added",
+                 "old_type": None, "new_type": f.dataType.simpleString()}
+            )
+        elif o.dataType != f.dataType:
+            out.append(
+                {"column": f.name, "change": "type_changed",
+                 "old_type": o.dataType.simpleString(),
+                 "new_type": f.dataType.simpleString()}
+            )
+        elif o.nullable != f.nullable:
+            out.append(
+                {"column": f.name, "change": "nullability_changed",
+                 "old_type": f"nullable={o.nullable}",
+                 "new_type": f"nullable={f.nullable}"}
+            )
+    for f in old_schema.fields:
+        if f.name not in new_fields:
+            out.append(
+                {"column": f.name, "change": "removed",
+                 "old_type": f.dataType.simpleString(), "new_type": None}
+            )
+    return out
+
+
+def assert_schema_compatible(
+    old_schema,
+    new_schema,
+    *,
+    allow_added: bool = True,
+) -> None:
+    """Load gate: raise ``ValueError`` listing every breaking drift
+    (removed columns, type changes; added columns tolerated by default
+    — parquet/unionByName handle them) before any data moves."""
+    breaking = [
+        d
+        for d in schema_drift(old_schema, new_schema)
+        if d["change"] in ("removed", "type_changed")
+        or (d["change"] == "added" and not allow_added)
+    ]
+    if breaking:
+        raise ValueError(f"breaking schema drift: {breaking}")

@@ -171,3 +171,39 @@ def test_retention_cohort_triangle(spark):
         (r["cohort_week"], r["week_offset"]): r["n_users"] for r in res.collect()
     }
     assert cells == {(0, 0): 2, (0, 1): 1, (1, 0): 1}
+
+
+def test_schema_drift_and_gate(spark):
+    from pyspark.sql import types as T
+
+    old = T.StructType(
+        [
+            T.StructField("id", T.LongType(), False),
+            T.StructField("name", T.StringType()),
+            T.StructField("flag", T.BooleanType()),
+        ]
+    )
+    new = T.StructType(
+        [
+            T.StructField("id", T.LongType(), True),  # nullability loosened
+            T.StructField("name", T.IntegerType()),   # type changed
+            T.StructField("extra", T.StringType()),   # added
+        ]
+    )  # flag removed
+    drift = {(d["column"], d["change"]) for d in CDC.schema_drift(old, new)}
+    assert drift == {
+        ("id", "nullability_changed"),
+        ("name", "type_changed"),
+        ("extra", "added"),
+        ("flag", "removed"),
+    }
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="breaking schema drift"):
+        CDC.assert_schema_compatible(old, new)
+    # added-only drift passes the default gate
+    CDC.assert_schema_compatible(
+        old,
+        T.StructType(list(old.fields) + [T.StructField("x", T.StringType())]),
+    )

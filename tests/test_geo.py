@@ -1,0 +1,81 @@
+"""Geo: haversine vs known city distances; cell-blocked radius join
+vs brute force; plan must stay equi-join (no cartesian)."""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import functions as F
+
+from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.functions import (
+    geo as G,
+)
+
+CITIES = [
+    # (name, lat, lon)
+    ("paris", 48.8566, 2.3522),
+    ("london", 51.5074, -0.1278),
+    ("new_york", 40.7128, -74.0060),
+    ("sf", 37.7749, -122.4194),
+]
+# published great-circle distances (km), spherical, ±0.5%
+KNOWN = {("paris", "london"): 344, ("new_york", "sf"): 4130}
+
+
+def _py_haversine(lat1, lon1, lat2, lon2):
+    r = 6371.0088
+    p1, p2 = math.radians(lat1), math.radians(lat2)
+    dp = math.radians(lat2 - lat1)
+    dl = math.radians(lon2 - lon1)
+    a = math.sin(dp / 2) ** 2 + math.cos(p1) * math.cos(p2) * math.sin(dl / 2) ** 2
+    return 2 * r * math.asin(math.sqrt(a))
+
+
+def test_haversine_known_distances(spark):
+    df = spark.createDataFrame(CITIES, ["name", "lat", "lon"])
+    a = df.select(*[F.col(c).alias(f"{c}_a") for c in df.columns])
+    b = df.select(*[F.col(c).alias(f"{c}_b") for c in df.columns])
+    pairs = a.crossJoin(b).withColumn(
+        "d",
+        G.haversine_km(
+            F.col("lat_a"), F.col("lon_a"), F.col("lat_b"), F.col("lon_b")
+        ),
+    )
+    got = {
+        (r["name_a"], r["name_b"]): r["d"] for r in pairs.collect()
+    }
+    for (x, y), want in KNOWN.items():
+        assert abs(got[(x, y)] - want) / want < 0.01, (x, y, got[(x, y)])
+        assert got[(x, y)] == got[(y, x)]
+    for name, *_ in CITIES:
+        assert got[(name, name)] == 0.0
+
+
+def test_within_radius_join_matches_bruteforce_and_is_equijoin(spark):
+    rng = random.Random(7)
+    pts = [
+        (i, 45.0 + rng.uniform(-1, 1), 5.0 + rng.uniform(-1, 1))
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(pts, ["pid", "latitude", "longitude"])
+    radius = 20.0
+
+    joined = G.within_radius_join(df, df, radius)
+    got = {
+        (r["pid"], r["pid_r"])
+        for r in joined.select("pid", "pid_r").collect()
+    }
+
+    want = {
+        (p["pid"], q["pid"])
+        for p in map(lambda t: dict(zip(("pid", "lat", "lon"), t)), pts)
+        for q in map(lambda t: dict(zip(("pid", "lat", "lon"), t)), pts)
+        if _py_haversine(p["lat"], p["lon"], q["lat"], q["lon"]) <= radius
+    }
+    assert got == want
+    assert all((p, p) in got for p, _, _ in pts)  # self-pairs present
+
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
