@@ -4686,6 +4686,164 @@ def _pareto_abc_lineitem(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_register(
+    "q5_local_supplier_volume",
+    f"""
+    SELECT n_name,
+           CAST(SUM({_REVENUE_SQL}) AS DOUBLE) AS revenue
+    FROM customer
+    JOIN orders    ON c_custkey = o_custkey
+    JOIN lineitem  ON l_orderkey = o_orderkey
+    JOIN supplier  ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation    ON s_nationkey = n_nationkey
+    JOIN region    ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+    """,
+)
+def _q5_local_supplier_volume(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q5 shape: six-table star join with the local-supplier
+    residual (customer and supplier share a nation), region filter,
+    revenue rollup per nation. The big side is lineitem⋈orders (one
+    fact-fact shuffle); supplier/nation/region/customer broadcast —
+    customer only after the date filter prunes orders. The
+    c_nationkey = s_nationkey condition rides the supplier join as a
+    residual equi-clause, never a post-join filter on a wider
+    product."""
+    cust = read_table(spark, sf, "customer")
+    orders = read_table(spark, sf, "orders")
+    li = read_table(spark, sf, "lineitem")
+    supp = read_table(spark, sf, "supplier")
+    nation = read_table(spark, sf, "nation")
+    region = read_table(spark, sf, "region")
+    o = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    j = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(cust), o["o_custkey"] == cust["c_custkey"])
+        .join(
+            F.broadcast(supp),
+            (li["l_suppkey"] == supp["s_suppkey"])
+            & (cust["c_nationkey"] == supp["s_nationkey"]),
+        )
+        .join(F.broadcast(nation), supp["s_nationkey"] == nation["n_nationkey"])
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+        .filter(F.col("r_name") == "ASIA")
+    )
+    return (
+        j.groupBy("n_name")
+        .agg(F.sum(_revenue_dec()).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("n_name"))
+    )
+
+
+@_register(
+    "q10_returned_items",
+    f"""
+    SELECT c_custkey, c_name,
+           CAST(SUM({_REVENUE_SQL}) AS DOUBLE) AS revenue,
+           n_name
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1996-04-01'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def _q10_returned_items(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q10 shape: returned-item revenue per customer over one
+    quarter, top-20. Both filters (order date, returnflag) push into
+    their scans before the fact-fact join; nation broadcasts; the
+    top-20 is a TakeOrderedAndProject, not a global sort."""
+    cust = read_table(spark, sf, "customer")
+    orders = read_table(spark, sf, "orders")
+    li = read_table(spark, sf, "lineitem")
+    nation = read_table(spark, sf, "nation")
+    o = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    l = li.filter(F.col("l_returnflag") == "R")
+    j = (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(cust), o["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+    )
+    return (
+        j.groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(_revenue_dec()).cast("double").alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "n_name")
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+@_register(
+    "q18_large_volume_customer",
+    """
+    SELECT c_custkey, o_orderkey,
+           epoch_us(o_orderdate) AS orderdate_us,
+           o_totalprice,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE) AS sum_qty
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE o_orderkey IN (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(20,4))) > 300
+    )
+    GROUP BY c_custkey, o_orderkey, o_orderdate, o_totalprice
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+)
+def _q18_large_volume_customer(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q18 shape: HAVING-filtered aggregate as a semi-join
+    gate (orders whose total quantity exceeds 300), then re-join the
+    facts for the detail rows. The gate aggregates lineitem FIRST
+    (map-side partial sums shrink the shuffle to one row per order)
+    and semi-joins orders on the surviving keys — at scale the gate
+    output is tiny, so AQE turns the semi join into a broadcast.
+    Top-100 is TakeOrderedAndProject."""
+    cust = read_table(spark, sf, "customer")
+    orders = read_table(spark, sf, "orders")
+    li = read_table(spark, sf, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(20,4)")).alias("_sq"))
+        .filter(F.col("_sq") > 300)
+        .select("l_orderkey")
+    )
+    o = orders.join(big, orders["o_orderkey"] == big["l_orderkey"], "left_semi")
+    j = li.join(o, li["l_orderkey"] == o["o_orderkey"]).join(
+        F.broadcast(cust), o["o_custkey"] == cust["c_custkey"]
+    )
+    return (
+        j.groupBy("c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(20,4)")).cast("double").alias("sum_qty"))
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            F.unix_micros(F.col("o_orderdate")).alias("orderdate_us"),
+            "o_totalprice",
+            "sum_qty",
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+    )
+
+
+@_register(
     "sample_three_way_split",
     """
     SELECT doc_id,

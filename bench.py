@@ -66,6 +66,9 @@ HEADLINE = [
     "customer_rfm_segments",
     "text_bm25_top5",
     "agg_incremental_maintenance",
+    "q5_local_supplier_volume",
+    "q10_returned_items",
+    "q18_large_volume_customer",
 ]
 
 
