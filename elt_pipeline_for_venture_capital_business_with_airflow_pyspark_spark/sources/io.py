@@ -422,3 +422,36 @@ def read_parquet_if_exists(
         if cond == "PATH_NOT_FOUND" or "[PATH_NOT_FOUND]" in str(e):
             return None
         raise
+
+
+def table_file_stats(spark: SparkSession, path: str) -> dict:
+    """Small-file audit for one table dir: data-file count, total
+    bytes, min/max/mean file size. Pure FileSystem metadata (no job).
+    The operational complement to :func:`compact_parquet` — at scale,
+    a table whose mean file size collapses (incremental drip-writes)
+    pays per-file listing, footer and row-group overhead on every
+    scan; alert when ``mean_bytes`` falls well below the writer's
+    target (e.g. <25% of 256 MB) and compact.
+    """
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    sizes = []
+    it = fs.listFiles(jpath, True)
+    while it.hasNext():
+        st = it.next()
+        name = st.getPath().getName()
+        # data files only: skip _SUCCESS, checksums, hidden files
+        if name.startswith(("_", ".")):
+            continue
+        sizes.append(st.getLen())
+    if not sizes:
+        return {"n_files": 0, "total_bytes": 0, "min_bytes": 0,
+                "max_bytes": 0, "mean_bytes": 0}
+    return {
+        "n_files": len(sizes),
+        "total_bytes": sum(sizes),
+        "min_bytes": min(sizes),
+        "max_bytes": max(sizes),
+        "mean_bytes": sum(sizes) // len(sizes),
+    }
