@@ -1,0 +1,122 @@
+"""Property-based tests (hypothesis) for core operator invariants.
+
+Each example costs a Spark job, so examples are capped low — the
+value is the adversarial shapes hypothesis finds (empty groups,
+ties, single rows, negative values), not volume.
+"""
+
+from __future__ import annotations
+
+from decimal import Decimal
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.functions import (
+    expr as E,
+)
+from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.operators import (
+    cdc as CDC,
+)
+from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.operators import (
+    features as FT,
+)
+
+_SETTINGS = settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@given(vals=st.lists(st.integers(min_value=0, max_value=10**6), min_size=1, max_size=60))
+@_SETTINGS
+def test_partitioned_cumsum_equals_sequential_sum(spark, vals):
+    rows = [(i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, ["k", "v"]).withColumn(
+        "vd", F.col("v").cast("decimal(20,2)")
+    )
+    out = FT.partitioned_cumsum(
+        df, [F.col("k").asc()], "vd", out_col="cum", num_partitions=3
+    )
+    got = {r["k"]: r["cum"] for r in out.collect()}
+    run = Decimal(0)
+    for i, v in enumerate(vals):
+        run += v
+        assert got[i] == run, (i, got[i], run)
+
+
+@given(
+    weights=st.lists(
+        st.integers(min_value=1, max_value=10**6), min_size=1, max_size=40
+    )
+)
+@_SETTINGS
+def test_pareto_class_invariants(spark, weights):
+    rows = [(i, w) for i, w in enumerate(weights)]
+    df = spark.createDataFrame(rows, ["k", "w"]).select(
+        "k", F.col("w").cast("decimal(20,2)").alias("w")
+    )
+    res = FT.pareto_class(df, "k", "w").collect()
+    total = sum(weights)
+
+    # classes are monotone along the (weight desc, key) ranking
+    ordered = sorted(res, key=lambda r: (-r["weight"], r["k"]))
+    ranks = {"A": 0, "B": 1, "C": 2}
+    labels = [ranks[r["abc_class"]] for r in ordered]
+    assert labels == sorted(labels)
+
+    # exact share rule per row (cross-multiplied, like the operator)
+    run = 0
+    for r in ordered:
+        run += int(r["weight"] * 100)  # decimal(20,2) -> exact cents
+        tot = total * 100
+        want = "A" if run * 5 <= tot * 4 else ("B" if run * 20 <= tot * 19 else "C")
+        assert r["abc_class"] == want
+        assert int(r["cum_weight"] * 100) == run  # running total is exact
+
+
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.characters(codec="ascii", exclude_characters="\x00"),
+            max_size=24,
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+@_SETTINGS
+def test_clean_address_idempotent(spark, texts):
+    df = spark.createDataFrame([(t,) for t in texts], ["addr"])
+    once = df.select(E.clean_address(F.col("addr")).alias("c1"))
+    twice = once.select(E.clean_address(F.col("c1")).alias("c2"))
+    a = [r["c1"] for r in once.collect()]
+    b = [r["c2"] for r in twice.collect()]
+    assert a == b
+
+
+@given(
+    names=st.lists(
+        st.sampled_from(["a", "b", "c", "d", "e", "f"]),
+        min_size=0,
+        max_size=6,
+        unique=True,
+    )
+)
+@_SETTINGS
+def test_schema_drift_self_is_empty_and_partitions_columns(spark, names):
+    from pyspark.sql import types as T
+
+    schema = T.StructType([T.StructField(n, T.StringType()) for n in names])
+    assert CDC.schema_drift(schema, schema) == []
+    # drop-one drift is exactly one removed record
+    if names:
+        smaller = T.StructType(
+            [T.StructField(n, T.StringType()) for n in names[:-1]]
+        )
+        drift = CDC.schema_drift(schema, smaller)
+        assert [(d["column"], d["change"]) for d in drift] == [
+            (names[-1], "removed")
+        ]
