@@ -87,3 +87,44 @@ def test_bucketed_join_is_shuffle_free(spark, sf_dir, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS bkt_orders")
         spark.sql("DROP TABLE IF EXISTS bkt_lineitem")
+
+
+def test_snapshot_diff_on_bucketed_tables_is_shuffle_free(spark, sf_dir, tmp_path):
+    """The CDC docstring's scale claim, proven: with both snapshots
+    bucketed on the key, the full-outer diff join plans with zero
+    Exchange."""
+    from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.operators import (
+        cdc as CDC,
+    )
+    from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.sources.io import (
+        read_table,
+    )
+
+    orders = read_table(spark, sf_dir, "orders")
+    old = orders.filter(F.col("o_orderkey") % 10 != 0)
+    new = orders.withColumn(
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") + 1)
+        .otherwise(F.col("o_totalprice")),
+    ).filter(F.col("o_orderkey") % 13 != 0)
+    try:
+        LYT.write_bucketed(old, "cdc_old", str(tmp_path / "o"), "o_orderkey", buckets=4)
+        LYT.write_bucketed(new, "cdc_new", str(tmp_path / "n"), "o_orderkey", buckets=4)
+        diff = CDC.snapshot_diff(
+            spark.table("cdc_old"),
+            spark.table("cdc_new"),
+            ["o_orderkey"],
+            ["o_totalprice"],
+        )
+        plan = diff._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        # and the changeset is still correct
+        want = CDC.snapshot_diff(old, new, ["o_orderkey"], ["o_totalprice"])
+        got = {(r["o_orderkey"], r["change_type"]) for r in diff.collect()}
+        assert got == {(r["o_orderkey"], r["change_type"]) for r in want.collect()}
+        assert any(c == "update" for _, c in got)
+        assert any(c == "insert" for _, c in got)
+        assert any(c == "delete" for _, c in got)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS cdc_old")
+        spark.sql("DROP TABLE IF EXISTS cdc_new")
