@@ -4844,6 +4844,60 @@ def _q18_large_volume_customer(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_register(
+    "text_rarity_score",
+    rf"""
+    WITH tok AS (
+      SELECT doc_id, unnest(toks) AS term
+      FROM (SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents)
+    ), freq AS (
+      SELECT term, COUNT(*) AS tf FROM tok GROUP BY term
+    ), ranked AS (
+      SELECT term,
+             CAST(DENSE_RANK() OVER (ORDER BY tf DESC, term) AS BIGINT) AS rarity
+      FROM freq
+    )
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           (SUM(r.rarity) * 1000000) // COUNT(*) AS mean_rarity_scaled
+    FROM tok t JOIN ranked r ON t.term = r.term
+    GROUP BY t.doc_id
+    """,
+)
+def _text_rarity_score(spark: SparkSession, sf: str) -> DataFrame:
+    """Token-rarity curation signal — the log-free perplexity proxy:
+    rank the vocabulary by corpus frequency (densely, ties broken by
+    term so the rank is total) and score each document by its mean
+    token rank, integer-scaled ×1e6 under integer division so the
+    value is engine-exact. Documents whose tokens are mostly
+    rare-ranked are OOD/noise candidates; mostly top-ranked ones are
+    boilerplate candidates — both tails are what a curation pass
+    inspects. Plan: one explode feeding a term-frequency partial agg;
+    the ranked vocabulary (small vs the corpus) broadcasts back onto
+    the token stream; one final per-doc agg. The vocab rank window
+    sorts only the vocabulary, never the corpus."""
+    docs = read_table(spark, sf, "documents")
+    tok = docs.select("doc_id", F.explode(TX.tokens("text")).alias("term"))
+    freq = tok.groupBy("term").agg(F.count(F.lit(1)).alias("tf"))
+    ranked = freq.select(
+        "term",
+        F.dense_rank()
+        .over(Window.orderBy(F.col("tf").desc(), F.col("term")))
+        .cast("long")
+        .alias("rarity"),
+    )
+    return (
+        tok.join(F.broadcast(ranked), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.expr("sum(rarity) * 1000000L div count(1)").alias(
+                "mean_rarity_scaled"
+            ),
+        )
+    )
+
+
+@_register(
     "sample_three_way_split",
     """
     SELECT doc_id,
