@@ -125,3 +125,72 @@ def sessionize_stream(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# transformWithStateInPandas — Spark 4's arbitrary-state successor to
+# applyInPandasWithState: typed state handles (value/list/map), per-key
+# TTL, and timers, against the RocksDB state store.
+# ---------------------------------------------------------------------------
+
+COUNT_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+
+
+try:  # pyspark >= 4.0
+    from pyspark.sql.streaming import StatefulProcessor as _StatefulProcessor
+except ImportError:  # pragma: no cover
+    _StatefulProcessor = object
+
+
+class _RunningCount(_StatefulProcessor):
+    """Per-key lifetime event counter. State = ONE long per key — the
+    minimal demonstration of a typed ValueState handle; swap the
+    schema for richer per-key aggregates (the session state above)
+    without changing the operator shape."""
+
+    def init(self, handle):  # StatefulProcessorHandle
+        self._count = handle.getValueState(
+            "count", T.StructType([T.StructField("cnt", T.LongType())])
+        )
+
+    def handleInputRows(self, key, rows, timerValues):
+        n = 0
+        for pdf in rows:
+            n += len(pdf)
+        prev = self._count.get()
+        total = (prev[0] if prev is not None else 0) + n
+        self._count.update((total,))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [total]})
+
+    def close(self) -> None:
+        pass
+
+
+def running_count_stream(
+    events: DataFrame,
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Continuous per-user event counter on the new
+    ``transformWithStateInPandas`` API (requires the RocksDB state
+    store provider — set
+    ``spark.sql.streaming.stateStore.providerClass`` to
+    ``...RocksDBStateStoreProvider`` — and the ``protobuf`` package,
+    the TWS state-server wire protocol; absent in this sandbox, so the
+    pytest is import-gated and ``sessionize_stream`` above is the
+    executed custom-state path here). Update-mode emissions: the last
+    row per key equals the batch groupBy count (pinned in
+    tests/test_stateful_streaming.py). State is one long per key,
+    shuffled once per micro-batch on the key — the same bounded-state
+    posture as the sessionizer."""
+    prepared = events.select(F.col(user_col).cast("long").alias("user_id"))
+    return prepared.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_RunningCount(),
+        outputStructType=COUNT_OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -9,6 +9,7 @@ without full reprocessing)."""
 from __future__ import annotations
 
 import pytest
+import pytest as _pytest_mod
 from pyspark.sql import functions as F
 
 from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.sources.io import (
@@ -246,3 +247,73 @@ def test_native_session_window_matches_batch_sessionize(spark, sf_dir, tmp_path)
         (r["user_id"], r["session_start"], r["n_events"]) for r in batch.collect()
     }
     assert got == want
+
+
+def test_transform_with_state_running_count_matches_batch(spark, sf_dir, tmp_path):
+    """transformWithStateInPandas running counter: final emission per
+    user equals the batch groupBy count, and state survives across
+    micro-batches (two files, maxFilesPerTrigger=1).
+
+    Requires protobuf (the TWS state-server wire protocol); skipped
+    where it isn't installed — applyInPandasWithState above is the
+    executed custom-state path in that case."""
+    _pytest_mod.importorskip("google.protobuf")
+    from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark import schemas
+
+    ev = read_table(spark, sf_dir, "events")
+    src = tmp_path / "twcount_src"
+    src.mkdir()
+    # two micro-batches: split events by parity into two files
+    ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+    ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+
+    prev_provider = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = (
+            spark.readStream.schema(schemas.TESTDATA["events"])
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        counts = ST.running_count_stream(stream)
+        q = (
+            counts.writeStream.format("memory")
+            .queryName("twcount_out")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "chk_twcount"))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        # update mode appends every emission; last per key is the total
+        rows = spark.sql(
+            """
+            SELECT user_id, n_events FROM (
+              SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY user_id ORDER BY n_events DESC) rn
+              FROM twcount_out
+            ) WHERE rn = 1
+            """
+        ).collect()
+        got = {r["user_id"]: r["n_events"] for r in rows}
+        want = {
+            r["user_id"]: r["n"]
+            for r in ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        assert got == want
+    finally:
+        if prev_provider is not None:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev_provider
+            )
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
