@@ -455,3 +455,139 @@ def table_file_stats(spark: SparkSession, path: str) -> dict:
         "max_bytes": max(sizes),
         "mean_bytes": sum(sizes) // len(sizes),
     }
+
+
+# ---------------------------------------------------------------------------
+# Versioned tables: snapshot isolation + time travel on plain parquet
+# ---------------------------------------------------------------------------
+
+_VERSIONS_DIR = "_versions"
+_LATEST_FILE = "_LATEST"
+
+
+def _vname(version: int) -> str:
+    return f"v{version:05d}"
+
+
+def _versions_fs(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path
+    base = hpath(path)
+    fs = base.getFileSystem(spark._jsc.hadoopConfiguration())
+    return jvm, hpath, fs
+
+
+def list_versions(spark: SparkSession, path: str) -> list[int]:
+    """All committed snapshot versions of a versioned table, ascending."""
+    jvm, hpath, fs = _versions_fs(spark, path)
+    vdir = hpath(f"{path}/{_VERSIONS_DIR}")
+    if not fs.exists(vdir):
+        return []
+    out = []
+    for st in fs.listStatus(vdir):
+        name = st.getPath().getName()
+        if name.startswith("v") and name[1:].isdigit():
+            # a snapshot is committed iff its _SUCCESS marker exists —
+            # a crashed write leaves no marker and is invisible
+            if fs.exists(hpath(f"{path}/{_VERSIONS_DIR}/{name}/_SUCCESS")):
+                out.append(int(name[1:]))
+    return sorted(out)
+
+
+def latest_version(spark: SparkSession, path: str) -> int | None:
+    """Resolve the current version: the ``_LATEST`` pointer if present
+    and valid, else the highest committed snapshot (pointer-loss
+    recovery — a crash between pointer delete and rename cannot lose
+    the table)."""
+    jvm, hpath, fs = _versions_fs(spark, path)
+    ptr = hpath(f"{path}/{_LATEST_FILE}")
+    versions = list_versions(spark, path)
+    if not versions:
+        return None
+    if fs.exists(ptr):
+        stream = fs.open(ptr)
+        try:
+            raw = bytes(stream.readAllBytes()).decode("ascii").strip()
+        finally:
+            stream.close()
+        if raw.startswith("v") and raw[1:].isdigit() and int(raw[1:]) in versions:
+            return int(raw[1:])
+    return versions[-1]
+
+
+def _point_latest(spark: SparkSession, path: str, version: int) -> None:
+    jvm, hpath, fs = _versions_fs(spark, path)
+    tmp = hpath(f"{path}/{_LATEST_FILE}__tmp")
+    ptr = hpath(f"{path}/{_LATEST_FILE}")
+    out = fs.create(tmp, True)
+    try:
+        out.write(bytearray(_vname(version).encode("ascii")))
+    finally:
+        out.close()
+    if fs.exists(ptr):
+        fs.delete(ptr, False)
+    if not fs.rename(tmp, ptr):
+        raise IOError(f"could not publish {_LATEST_FILE} for {path}")
+
+
+def write_versioned(
+    df: DataFrame,
+    path: str,
+    *,
+    keep: int = 3,
+    compression: str = "zstd",
+) -> int:
+    """Commit ``df`` as a NEW immutable snapshot of the table at
+    ``path`` and return its version number — snapshot isolation on
+    plain parquet (the capability the reference's overwrite loads
+    lack: a reader mid-scan of v_n is untouched by the v_n+1 commit,
+    and yesterday's snapshot stays queryable for debugging/audit).
+
+    Commit protocol: data lands in ``_versions/v{n}`` (invisible until
+    its ``_SUCCESS`` marker exists — parquet's own atomicity), then the
+    ``_LATEST`` pointer swings via temp-file + rename. A crash at any
+    step leaves either the old pointer (new snapshot simply
+    uncommitted) or no pointer (readers fall back to the highest
+    committed snapshot). Old snapshots beyond ``keep`` are pruned,
+    never including the one just written or the pointer target.
+    """
+    spark = df.sparkSession
+    versions = list_versions(spark, path)
+    version = (versions[-1] + 1) if versions else 1
+    df.write.mode("overwrite").option("compression", compression).parquet(
+        f"{path}/{_VERSIONS_DIR}/{_vname(version)}"
+    )
+    _point_latest(spark, path, version)
+    # prune: keep the newest `keep` snapshots
+    jvm, hpath, fs = _versions_fs(spark, path)
+    for old in list_versions(spark, path)[:-keep] if keep > 0 else []:
+        if old != version:
+            fs.delete(hpath(f"{path}/{_VERSIONS_DIR}/{_vname(old)}"), True)
+    return version
+
+
+def read_versioned(
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    schema: T.StructType | None = None,
+) -> DataFrame:
+    """Time-travel read: the current snapshot by default, or any
+    still-retained ``version``."""
+    v = latest_version(spark, path) if version is None else version
+    if v is None:
+        raise FileNotFoundError(f"no committed versions at {path}")
+    if version is not None and version not in list_versions(spark, path):
+        raise FileNotFoundError(f"version {version} not present at {path}")
+    return read_parquet(
+        spark, f"{path}/{_VERSIONS_DIR}/{_vname(v)}", schema=schema
+    )
+
+
+def rollback_versioned(spark: SparkSession, path: str, version: int) -> None:
+    """Instant rollback: swing the pointer to an older retained
+    snapshot. O(1) metadata, no data rewrite — the operational undo
+    for a bad load."""
+    if version not in list_versions(spark, path):
+        raise FileNotFoundError(f"version {version} not present at {path}")
+    _point_latest(spark, path, version)
