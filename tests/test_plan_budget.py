@@ -1,0 +1,88 @@
+"""Shuffle-budget regression guard for the bench headline set.
+
+Each headline query carries an explicit hash-exchange budget (the
+count recorded in PLANS.md when its plan was last reviewed). A plan
+picking up an extra shuffle — a broadcast silently becoming a
+sort-merge join, a lost ReusedExchange, an accidental repartition —
+fails HERE at CI time instead of surfacing as a 100 TB slowdown.
+Intentional plan changes must update the budget (that's the point:
+plan regressions become an explicit, reviewed diff).
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+import __spark_entry__ as entry
+from bench import HEADLINE
+
+# hash-exchange budgets, from the executed-plan audit (PLANS.md).
+# A query may use FEWER shuffles than budgeted, never more.
+SHUFFLE_BUDGET = {
+    "q1_pricing_summary": 1,
+    "q3_shipping_priority": 1,
+    "dim_date_full": 0,
+    "profile_orders": 0,
+    "star_schema_build": 1,
+    "upsert_merge": 2,
+    "join_inner_fk_agg": 1,
+    "join_self_dual_role": 1,
+    "join_asof_backward": 1,
+    "join_range_interval": 0,
+    "scd2_order_status": 1,
+    "window_topk_per_group": 1,
+    "sessionize": 1,
+    "dq_expectations": 2,
+    "rollup_hypertable": 5,
+    "curation_pipeline": 1,
+    "text_stats": 0,
+    "text_winnow_fingerprints": 0,
+    "text_top_terms": 1,
+    "sample_hash_stratified": 0,
+    "dedup_exact_groups": 1,
+    "dedup_edit1_names": 1,
+    "multimodal_features": 0,
+    "dedup_latest_wins": 1,
+    "tumbling_window_agg": 1,
+    "dedup_minhash_lsh": 3,
+    "dedup_simhash": 2,
+    "embedding_topk_bruteforce": 1,
+    "embedding_ann_lsh": 2,
+    "agg_cube": 1,
+    "window_lag_lead_range": 1,
+    "skew_salted_join": 1,
+    "unpivot_measures": 0,
+    "embedding_label_centroids": 1,
+    "agg_exact_median": 1,
+    "agg_incremental_maintenance": 2,
+    "customer_rfm_segments": 2,
+    "pareto_abc_lineitem": 4,
+    "q5_local_supplier_volume": 1,
+    "q10_returned_items": 1,
+    "q18_large_volume_customer": 2,
+    "text_bm25_top5": 6,
+}
+
+
+def test_budget_covers_every_headline_query():
+    assert set(SHUFFLE_BUDGET) == set(HEADLINE), (
+        "headline set changed — review the new query's plan and record "
+        "its shuffle budget"
+    )
+
+
+@pytest.mark.parametrize("name", sorted(SHUFFLE_BUDGET))
+def test_headline_query_stays_in_shuffle_budget(spark, sf_dir, name):
+    df = entry.queries()[name](spark, sf_dir)
+    df.collect()  # AQE final plan
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    # count only the final AQE plan, not the appended initial plan
+    final = executed.split("== Initial Plan ==")[0]
+    shuffles = len(re.findall(r"Exchange hashpartitioning", final))
+    assert shuffles <= SHUFFLE_BUDGET[name], (
+        f"{name}: {shuffles} hash exchanges, budget "
+        f"{SHUFFLE_BUDGET[name]} — plan regressed (or update the "
+        f"budget if intentional)\n{final}"
+    )
