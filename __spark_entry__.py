@@ -4926,6 +4926,137 @@ def _sample_three_way_split(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@_register(
+    "feature_winsorize",
+    """
+    WITH b AS (
+      SELECT o_orderpriority,
+             ROUND(quantile_cont(o_totalprice, 0.01), 4) AS lo,
+             ROUND(quantile_cont(o_totalprice, 0.99), 4) AS hi
+      FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o_orderkey, o.o_orderpriority, o_totalprice,
+           CASE WHEN o_totalprice < lo THEN lo
+                WHEN o_totalprice > hi THEN hi
+                ELSE o_totalprice END AS winsorized,
+           CAST(o_totalprice < lo OR o_totalprice > hi AS BOOLEAN) AS clipped
+    FROM orders o JOIN b ON o.o_orderpriority = b.o_orderpriority
+    """,
+)
+def _feature_winsorize(spark: SparkSession, sf: str) -> DataFrame:
+    """Winsorization (clip to the [p01, p99] band per segment) — the
+    outlier treatment that keeps the row but bounds its leverage,
+    standard before regression/scaling. Exact percentile bounds
+    (4-dp-rounded), one-row-per-group broadcast back; the clip is a
+    pure CASE so values pass through bit-identical when unclipped."""
+    orders = read_table(spark, sf, "orders")
+    b = orders.groupBy("o_orderpriority").agg(
+        F.round(F.percentile(F.col("o_totalprice"), F.lit(0.01)), 4).alias("lo"),
+        F.round(F.percentile(F.col("o_totalprice"), F.lit(0.99)), 4).alias("hi"),
+    )
+    v = F.col("o_totalprice")
+    return orders.join(F.broadcast(b), "o_orderpriority").select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_totalprice",
+        F.when(v < F.col("lo"), F.col("lo"))
+        .when(v > F.col("hi"), F.col("hi"))
+        .otherwise(v)
+        .alias("winsorized"),
+        ((v < F.col("lo")) | (v > F.col("hi"))).alias("clipped"),
+    )
+
+
+@_register(
+    "feature_minmax_scale",
+    """
+    WITH b AS (
+      SELECT o_orderpriority,
+             MIN(o_totalprice) AS mn, MAX(o_totalprice) AS mx
+      FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o_orderkey, o.o_orderpriority,
+           CASE WHEN mx = mn THEN CAST(0.5 AS DOUBLE)
+                ELSE (o_totalprice - mn) / (mx - mn) END AS scaled
+    FROM orders o JOIN b ON o.o_orderpriority = b.o_orderpriority
+    """,
+)
+def _feature_minmax_scale(spark: SparkSession, sf: str) -> DataFrame:
+    """Min-max feature scaling to [0,1] per segment. min/max are exact
+    selections of input doubles, the transform is one subtraction and
+    one division — both single IEEE ops, so scaled values are
+    bit-identical across engines with no decimal scaffolding.
+    Degenerate (constant) groups map to 0.5. Same broadcast-stats
+    shape as every normalizer here."""
+    orders = read_table(spark, sf, "orders")
+    b = orders.groupBy("o_orderpriority").agg(
+        F.min("o_totalprice").alias("mn"), F.max("o_totalprice").alias("mx")
+    )
+    v = F.col("o_totalprice")
+    return orders.join(F.broadcast(b), "o_orderpriority").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.when(F.col("mx") == F.col("mn"), F.lit(0.5).cast("double"))
+        .otherwise((v - F.col("mn")) / (F.col("mx") - F.col("mn")))
+        .alias("scaled"),
+    )
+
+
+@_register(
+    "events_distribution_drift",
+    """
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ), shares AS (
+      SELECT day, event_type,
+             (n * 1000000) // SUM(n) OVER (PARTITION BY day) AS share_scaled
+      FROM daily
+    ), paired AS (
+      SELECT day, event_type, share_scaled,
+             LAG(share_scaled) OVER (
+               PARTITION BY event_type ORDER BY day) AS prev_share
+      FROM shares
+    )
+    SELECT day,
+           CAST(SUM(ABS(share_scaled - prev_share)) AS BIGINT) AS l1_drift_scaled
+    FROM paired
+    WHERE prev_share IS NOT NULL
+    GROUP BY day
+    """,
+)
+def _events_distribution_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """Day-over-day distribution drift monitor: L1 distance between
+    consecutive days' event-type share vectors, integer-scaled (share
+    = count·1e6 div day_total) so the drift statistic is engine-exact.
+    A spike = instrumentation change, pipeline bug, or behavior shift
+    — the canonical 'data changed under me' alarm for training-data
+    feeds. Two window passes over the tiny (day × type) aggregate;
+    the heavy lifting is one partial-agg shuffle of the raw events."""
+    ev = read_table(spark, sf, "events")
+    daily = (
+        ev.select(F.to_date("ts").alias("day"), "event_type")
+        .groupBy("day", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    shares = daily.select(
+        "day",
+        "event_type",
+        F.expr(
+            "n * 1000000L div sum(n) over (partition by day)"
+        ).alias("share_scaled"),
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    paired = shares.withColumn(
+        "prev_share", F.lag("share_scaled").over(w)
+    ).filter(F.col("prev_share").isNotNull())
+    return paired.groupBy("day").agg(
+        F.sum(F.abs(F.col("share_scaled") - F.col("prev_share")))
+        .cast("long")
+        .alias("l1_drift_scaled")
+    )
+
+
 _BM25_TERMS = ("query", "merge", "vector")
 
 
