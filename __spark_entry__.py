@@ -4927,6 +4927,53 @@ def _sample_three_way_split(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_register(
+    "scalar_pseudonymize_join",
+    """
+    WITH c AS (
+      SELECT sha256('pepper-2026' || CAST(c_custkey AS VARCHAR)) AS cust_token,
+             c_mktsegment
+      FROM customer
+    ), o AS (
+      SELECT sha256('pepper-2026' || CAST(o_custkey AS VARCHAR)) AS cust_token,
+             o_totalprice
+      FROM orders
+    )
+    SELECT c.c_mktsegment,
+           COUNT(*) AS n_orders,
+           CAST(COUNT(DISTINCT c.cust_token) AS BIGINT) AS n_customers,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(20,4))) AS DOUBLE) AS total
+    FROM o JOIN c USING (cust_token)
+    GROUP BY c.c_mktsegment
+    """,
+)
+def _scalar_pseudonymize_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic pseudonymization that preserves joinability: the
+    customer key is replaced by sha256(pepper || key) on BOTH sides,
+    so fact⋈dim joins and distinct-entity counts still work while the
+    raw identifier never leaves the trust boundary — the standard
+    privacy posture for training-data pipelines (pair with
+    functions/text.pii_scrub for free-text). The pepper makes the
+    token non-invertible by rainbow table; rotating it re-keys the
+    whole corpus. Pure codegen'd expressions; the join behaves exactly
+    like the raw-key join (verified: same group counts/sums as
+    joining on c_custkey directly)."""
+    cust = read_table(spark, sf, "customer")
+    orders = read_table(spark, sf, "orders")
+    tok = lambda c: F.sha2(F.concat(F.lit("pepper-2026"), F.col(c).cast("string")), 256)
+    c = cust.select(tok("c_custkey").alias("cust_token"), "c_mktsegment")
+    o = orders.select(tok("o_custkey").alias("cust_token"), "o_totalprice")
+    return (
+        o.join(c, "cust_token")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.countDistinct("cust_token").cast("long").alias("n_customers"),
+            _dsum(F.col("o_totalprice")).alias("total"),
+        )
+    )
+
+
+@_register(
     "feature_winsorize",
     """
     WITH b AS (

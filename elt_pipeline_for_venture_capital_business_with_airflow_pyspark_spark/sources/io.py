@@ -539,8 +539,10 @@ def write_versioned(
 ) -> int:
     """Commit ``df`` as a NEW immutable snapshot of the table at
     ``path`` and return its version number — snapshot isolation on
-    plain parquet (the capability the reference's overwrite loads
-    lack: a reader mid-scan of v_n is untouched by the v_n+1 commit,
+    plain parquet (the capability the reference's truncate-and-reload
+    staging loads lack, reference: dags/vcapital_staging/tasks/
+    components/load.py:38-56: a reader mid-scan of v_n is untouched
+    by the v_n+1 commit,
     and yesterday's snapshot stays queryable for debugging/audit).
 
     Commit protocol: data lands in ``_versions/v{n}`` (invisible until
