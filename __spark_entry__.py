@@ -4927,6 +4927,48 @@ def _sample_three_way_split(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_register(
+    "q14_promo_revenue",
+    f"""
+    SELECT
+      CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {_REVENUE_SQL} END) AS DOUBLE)
+        AS promo_revenue,
+      CAST(SUM({_REVENUE_SQL}) AS DOUBLE) AS total_revenue,
+      CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {_REVENUE_SQL} END) AS DOUBLE)
+        / CAST(SUM({_REVENUE_SQL}) AS DOUBLE) * 100.0 AS promo_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1996-02-01'
+    """,
+)
+def _q14_promo_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q14 shape: promotion revenue share for one month — a
+    conditional aggregate over a fact⋈dim join collapsing to ONE row.
+    The date filter pushes into the lineitem scan, part broadcasts,
+    and both sums come off one pass (no separate promo query). The
+    final percentage is computed from the two decimal-exact sums with
+    a fixed double expression order, so it is bit-identical across
+    engines."""
+    li = read_table(spark, sf, "lineitem")
+    part = read_table(spark, sf, "part")
+    j = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-02-01").cast("timestamp"))
+        )
+        .join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+    )
+    promo = F.sum(
+        F.when(F.col("p_type") == "PROMO", _revenue_dec())
+    ).cast("double")
+    total = F.sum(_revenue_dec()).cast("double")
+    return j.agg(
+        promo.alias("promo_revenue"),
+        total.alias("total_revenue"),
+        (promo / total * F.lit(100.0)).alias("promo_pct"),
+    )
+
+
+@_register(
     "scalar_pseudonymize_join",
     """
     WITH c AS (
