@@ -89,3 +89,23 @@ def test_no_oracle_queries_have_checked_twins():
 
 def test_window_names_unique():
     assert len(set(entry_mod._WINDOW_ORDER)) == len(entry_mod._WINDOW_ORDER)
+
+
+def test_window_outputs_are_canonicalizer_safe(spark, sf_dir):
+    """Every window query must emit only scalar columns: the driver's
+    pandas canonicalizer sorts/hashes row tuples and crashes on
+    array/map/struct/binary cells (r01 lost profile_catalog and
+    text_winnow_fingerprints to exactly this). Serialize complex
+    outputs to strings (array_join / to_json) before returning."""
+    from pyspark.sql import types as T
+
+    qs = entry_mod.queries()
+    offenders = []
+    for name in list(qs)[:WINDOW]:
+        df = qs[name](spark, sf_dir)
+        for f in df.schema.fields:
+            if isinstance(
+                f.dataType, (T.ArrayType, T.MapType, T.StructType, T.BinaryType)
+            ):
+                offenders.append((name, f.name, f.dataType.simpleString()))
+    assert not offenders, f"non-scalar window outputs: {offenders}"
