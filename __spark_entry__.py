@@ -4473,6 +4473,37 @@ def _kmeans_sql(k: int = 8, n_iter: int = 2, dim: int = 64) -> str:
     """
 
 
+@_register(
+    "embedding_semantic_dedup",
+    f"""
+    WITH assign AS ({_kmeans_sql(8, 2, 64)})
+    SELECT cluster,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           MIN({{'d2': d2, 'vec_id': vec_id}}).vec_id AS rep_vec_id,
+           MIN(d2) AS rep_d2
+    FROM assign
+    GROUP BY cluster
+    """,
+)
+def _embedding_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Semantic deduplication policy: cluster the embedding space
+    (exact integer-quantized Lloyd, same construction as
+    cluster_kmeans) and keep ONE representative per cluster — the
+    member nearest its centroid, ties to the smallest id. This is the
+    coarse semantic-redundancy reducer that complements near-dup LSH
+    (LSH kills near-copies; cluster representatives thin out
+    *topically* redundant regions). The argmin is a lexicographic
+    min(struct(d2, vec_id)) aggregate — no per-cluster sort, one
+    partial-agg shuffle over the assignment output."""
+    emb = read_table(spark, sf, "embeddings")
+    assign = CL.kmeans_fixed_assign(emb, k=8, n_iter=2)
+    return assign.groupBy("cluster").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.min(F.struct("d2", "vec_id"))["vec_id"].alias("rep_vec_id"),
+        F.min("d2").alias("rep_d2"),
+    )
+
+
 @_register("cluster_kmeans", _kmeans_sql(8, 2, 64))
 def _cluster_kmeans(spark: SparkSession, sf: str) -> DataFrame:
     """Exact fixed-point Lloyd k-means over the embedding table
