@@ -4958,6 +4958,175 @@ def _sample_three_way_split(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_register(
+    "join_full_outer_reconcile",
+    """
+    WITH sys_a AS (
+      SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 3 != 0
+    ), sys_b AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders WHERE o_orderkey % 7 != 0
+    )
+    SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS order_key,
+           a.o_totalprice AS price_a,
+           b.o_totalprice AS price_b,
+           CASE WHEN a.o_orderkey IS NULL THEN 'only_b'
+                WHEN b.o_orderkey IS NULL THEN 'only_a'
+                WHEN a.o_totalprice = b.o_totalprice THEN 'match'
+                ELSE 'mismatch' END AS reconcile
+    FROM sys_a a FULL OUTER JOIN sys_b b ON a.o_orderkey = b.o_orderkey
+    """,
+)
+def _join_full_outer_reconcile(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-system reconciliation: FULL OUTER join on the business key,
+    COALESCE'd key, presence/value classification — the audit query
+    every dual-write migration runs. Full outer cannot broadcast
+    (both sides must survive), so it is the one join shape that
+    rightfully sort-merges: single co-partitioned shuffle on the
+    key; with both extracts bucketed it goes shuffle-free
+    (tests/test_layout.py proves that shape for snapshot_diff)."""
+    orders = read_table(spark, sf, "orders")
+    a = orders.filter(F.col("o_orderkey") % 3 != 0).select(
+        "o_orderkey", "o_totalprice"
+    )
+    b = orders.filter(F.col("o_orderkey") % 7 != 0).select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % 5 == 0, F.col("o_totalprice") + 1
+        ).otherwise(F.col("o_totalprice")).alias("o_totalprice"),
+    )
+    aa, bb = a.alias("a"), b.alias("b")
+    return (
+        aa.join(bb, F.col("a.o_orderkey") == F.col("b.o_orderkey"), "full_outer")
+        .select(
+            F.coalesce(F.col("a.o_orderkey"), F.col("b.o_orderkey")).alias(
+                "order_key"
+            ),
+            F.col("a.o_totalprice").alias("price_a"),
+            F.col("b.o_totalprice").alias("price_b"),
+            F.when(F.col("a.o_orderkey").isNull(), F.lit("only_b"))
+            .when(F.col("b.o_orderkey").isNull(), F.lit("only_a"))
+            .when(
+                F.col("a.o_totalprice") == F.col("b.o_totalprice"), F.lit("match")
+            )
+            .otherwise(F.lit("mismatch"))
+            .alias("reconcile"),
+        )
+    )
+
+
+@_register(
+    "agg_filter_clause",
+    """
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+           COUNT(*) FILTER (WHERE o_totalprice > 200000) AS n_big,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(20,4)))
+                FILTER (WHERE o_orderstatus = 'F') AS DOUBLE) AS finished_total
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def _agg_filter_clause(spark: SparkSession, sf: str) -> DataFrame:
+    """ANSI FILTER-clause aggregates — several differently-predicated
+    aggregates off ONE scan and ONE shuffle (the alternative, one
+    subquery per predicate, re-scans per metric). Expressed through
+    spark.sql to exercise the SQL surface; Catalyst compiles each
+    FILTER to the same conditional partial agg the DataFrame
+    when().otherwise() form produces."""
+    read_table(spark, sf, "orders").createOrReplaceTempView("v_orders_fc")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               COUNT(*) AS n_orders,
+               COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+               COUNT(*) FILTER (WHERE o_totalprice > 200000) AS n_big,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(20,4)))
+                    FILTER (WHERE o_orderstatus = 'F') AS DOUBLE)
+                 AS finished_total
+        FROM v_orders_fc
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+@_register(
+    "window_nth_value",
+    """
+    SELECT o_orderpriority, o_orderkey, o_totalprice,
+           nth_value(o_totalprice, 3) OVER w AS third_price,
+           first_value(o_orderkey) OVER w AS first_key
+    FROM orders
+    WHERE o_orderdate < TIMESTAMP '1995-04-01'
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def _window_nth_value(spark: SparkSession, sf: str) -> DataFrame:
+    """nth_value over a running ROWS frame (NULL until the frame holds
+    3 rows) plus first_value — the remaining positional window
+    functions. The ordering carries the key tiebreak so frame content
+    is total-ordered and engine-identical; one shuffle on the
+    partition key."""
+    orders = read_table(spark, sf, "orders")
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("o_totalprice", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.filter(
+        F.col("o_orderdate") < F.lit("1995-04-01").cast("timestamp")
+    ).select(
+        "o_orderpriority",
+        "o_orderkey",
+        "o_totalprice",
+        F.nth_value("o_totalprice", 3).over(w).alias("third_price"),
+        F.first("o_orderkey").over(w).alias("first_key"),
+    )
+
+
+@_register(
+    "scalar_date_arith",
+    """
+    SELECT o_orderkey,
+           CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+                AS INT) AS days_since_epoch_start,
+           CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE)
+             AS plus3m,
+           last_day(CAST(o_orderdate AS DATE)) AS month_end,
+           CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE)
+             AS month_start,
+           CAST(date_part('dow', CAST(o_orderdate AS DATE)) AS INT) AS dow
+    FROM orders
+    WHERE o_orderdate < TIMESTAMP '1995-03-01'
+    """,
+)
+def _scalar_date_arith(spark: SparkSession, sf: str) -> DataFrame:
+    """Date-arithmetic suite: day diffs, calendar-month addition
+    (add_months clamps like DuckDB's INTERVAL MONTH), month boundaries
+    via last_day/date_trunc, and day-of-week — normalized to DuckDB's
+    Sunday=0 convention (Spark dayofweek is Sunday=1). All pure
+    expressions pushed onto one filtered scan; the reference's
+    date-handling surface (F7/F10) beyond the dim-date attributes."""
+    orders = read_table(spark, sf, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return orders.filter(
+        F.col("o_orderdate") < F.lit("1995-03-01").cast("timestamp")
+    ).select(
+        "o_orderkey",
+        F.datediff(d, F.lit("1995-01-01").cast("date"))
+        .cast("int")
+        .alias("days_since_epoch_start"),
+        F.add_months(d, 3).alias("plus3m"),
+        F.last_day(d).alias("month_end"),
+        F.trunc(d, "month").alias("month_start"),
+        (F.dayofweek(d) - F.lit(1)).cast("int").alias("dow"),
+    )
+
+
+@_register(
     "q14_promo_revenue",
     f"""
     SELECT
