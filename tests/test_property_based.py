@@ -120,3 +120,46 @@ def test_schema_drift_self_is_empty_and_partitions_columns(spark, names):
         assert [(d["column"], d["change"]) for d in drift] == [
             (names[-1], "removed")
         ]
+
+
+@given(
+    pts=st.lists(
+        st.tuples(
+            st.floats(min_value=-60, max_value=60, allow_nan=False),
+            st.floats(min_value=-179, max_value=179, allow_nan=False),
+        ),
+        min_size=3,
+        max_size=3,
+    )
+)
+@_SETTINGS
+def test_haversine_metric_properties(spark, pts):
+    from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.functions import (
+        geo as G,
+    )
+
+    rows = [(i, lat, lon) for i, (lat, lon) in enumerate(pts)]
+    df = spark.createDataFrame(rows, ["i", "lat", "lon"])
+    a = df.select(*[F.col(c).alias(f"{c}_a") for c in df.columns])
+    b = df.select(*[F.col(c).alias(f"{c}_b") for c in df.columns])
+    d = {
+        (r["i_a"], r["i_b"]): r["d"]
+        for r in a.crossJoin(b)
+        .withColumn(
+            "d",
+            G.haversine_km(
+                F.col("lat_a"), F.col("lon_a"), F.col("lat_b"), F.col("lon_b")
+            ),
+        )
+        .collect()
+    }
+    for i in range(3):
+        assert d[(i, i)] == 0.0
+        for j in range(3):
+            assert d[(i, j)] == d[(j, i)]
+            assert d[(i, j)] >= 0
+    # triangle inequality with float slack
+    for i in range(3):
+        for j in range(3):
+            for k in range(3):
+                assert d[(i, j)] <= d[(i, k)] + d[(k, j)] + 1e-6

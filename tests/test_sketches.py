@@ -66,3 +66,24 @@ def test_kll_merged_quantiles_within_rank_error(spark, sf_dir):
     # k=200 -> ~1.65% rank error; allow 3% slack for double edges
     assert abs(rank_of(est["q50"]) - 0.5) < 0.03
     assert abs(rank_of(est["q95"]) - 0.95) < 0.03
+
+
+def test_hll_partials_survive_parquet_round_trip(spark, sf_dir, tmp_path):
+    """The materialized-view contract: persisted daily sketches,
+    read back later, must merge to the same estimates as in-memory
+    partials — binary sketch columns round-trip through parquet."""
+    ev = read_table(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    partials = SK.hll_partials(ev, ["day"], ["event_type"], "user_id")
+    path = str(tmp_path / "hll_partials")
+    partials.write.mode("overwrite").parquet(path)
+
+    reloaded = spark.read.parquet(path)
+    got = {
+        r["event_type"]: r["approx_distinct"]
+        for r in SK.hll_rollup(reloaded, ["event_type"]).collect()
+    }
+    want = {
+        r["event_type"]: r["approx_distinct"]
+        for r in SK.hll_rollup(partials, ["event_type"]).collect()
+    }
+    assert got == want
