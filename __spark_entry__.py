@@ -2420,12 +2420,12 @@ def _q3_shipping_priority(spark: SparkSession, sf: str) -> DataFrame:
       WHERE o_custkey IS NOT NULL
         AND o_custkey NOT IN (SELECT c_custkey FROM customer)
     )
-    SELECT 'not_null' AS "check", 'o_custkey' AS "column", v_nn AS violations, total, v_nn = 0 AS pass FROM base
-    UNION ALL SELECT 'range', 'o_totalprice', v_rng, total, v_rng = 0 FROM base
-    UNION ALL SELECT 'in_set', 'o_orderstatus', v_set, total, v_set = 0 FROM base
-    UNION ALL SELECT 'regex', 'o_orderpriority', v_rx, total, v_rx = 0 FROM base
-    UNION ALL SELECT 'unique', 'o_orderkey', v_uq, total, v_uq = 0 FROM base
-    UNION ALL SELECT 'fk', 'o_custkey', v_fk, total, v_fk = 0 FROM base, fk
+    SELECT 'not_null' AS "check", 'o_custkey' AS "column", CAST(v_nn AS BIGINT) AS violations, total, v_nn = 0 AS pass FROM base
+    UNION ALL SELECT 'range', 'o_totalprice', CAST(v_rng AS BIGINT), total, v_rng = 0 FROM base
+    UNION ALL SELECT 'in_set', 'o_orderstatus', CAST(v_set AS BIGINT), total, v_set = 0 FROM base
+    UNION ALL SELECT 'regex', 'o_orderpriority', CAST(v_rx AS BIGINT), total, v_rx = 0 FROM base
+    UNION ALL SELECT 'unique', 'o_orderkey', CAST(v_uq AS BIGINT), total, v_uq = 0 FROM base
+    UNION ALL SELECT 'fk', 'o_custkey', CAST(v_fk AS BIGINT), total, v_fk = 0 FROM base, fk
     """,
 )
 def _dq_expectations(spark: SparkSession, sf: str) -> DataFrame:

@@ -187,10 +187,56 @@ def running_count_stream(
     tests/test_stateful_streaming.py). State is one long per key,
     shuffled once per micro-batch on the key — the same bounded-state
     posture as the sessionizer."""
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError as exc:  # pragma: no cover - env-dependent
+        raise ImportError(
+            "transformWithStateInPandas requires the 'protobuf' package "
+            "(the TWS state-server wire protocol). Install protobuf, or "
+            "use running_count_stream_ap (applyInPandasWithState) which "
+            "has identical semantics without the dependency."
+        ) from exc
     prepared = events.select(F.col(user_col).cast("long").alias("user_id"))
     return prepared.groupBy("user_id").transformWithStateInPandas(
         statefulProcessor=_RunningCount(),
         outputStructType=COUNT_OUTPUT_SCHEMA,
         outputMode="Update",
         timeMode="None",
+    )
+
+
+_COUNT_STATE_SCHEMA = T.StructType([T.StructField("cnt", T.LongType())])
+
+
+def _running_count_ap_fn(
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    n = 0
+    for pdf in pdfs:
+        n += len(pdf)
+    prev = state.get if state.exists else (0,)
+    total = prev[0] + n
+    state.update((total,))
+    yield pd.DataFrame({"user_id": [key[0]], "n_events": [total]})
+
+
+def running_count_stream_ap(
+    events: DataFrame,
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Continuous per-user event counter on ``applyInPandasWithState``
+    — bit-identical semantics to :func:`running_count_stream` (update-
+    mode emissions; last row per key equals the batch groupBy count)
+    without the TWS protobuf dependency, so it executes everywhere
+    this engine runs. State is one long per key, shuffled once per
+    micro-batch on the key — bounded by |active users|, not |events|."""
+    prepared = events.select(F.col(user_col).cast("long").alias("user_id"))
+    return prepared.groupBy("user_id").applyInPandasWithState(
+        _running_count_ap_fn,
+        outputStructType=COUNT_OUTPUT_SCHEMA,
+        stateStructType=_COUNT_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )

