@@ -122,15 +122,25 @@ def assert_schema_compatible(
     new_schema,
     *,
     allow_added: bool = True,
+    allow_nullability_loosening: bool = False,
 ) -> None:
     """Load gate: raise ``ValueError`` listing every breaking drift
-    (removed columns, type changes; added columns tolerated by default
-    — parquet/unionByName handle them) before any data moves."""
+    (removed columns, type changes, and a NOT NULL dropped — i.e.
+    nullable False→True, the drift this gate exists to catch; added
+    columns tolerated by default — parquet/unionByName handle them)
+    before any data moves. Nullability *tightening* (True→False) is
+    never breaking for a load gate: the new contract is stricter, the
+    data either satisfies it or fails its own constraint downstream."""
     breaking = [
         d
         for d in schema_drift(old_schema, new_schema)
         if d["change"] in ("removed", "type_changed")
         or (d["change"] == "added" and not allow_added)
+        or (
+            d["change"] == "nullability_changed"
+            and d["old_type"] == "nullable=False"
+            and not allow_nullability_loosening
+        )
     ]
     if breaking:
         raise ValueError(f"breaking schema drift: {breaking}")

@@ -516,6 +516,14 @@ def latest_version(spark: SparkSession, path: str) -> int | None:
 
 
 def _point_latest(spark: SparkSession, path: str, version: int) -> None:
+    """Swing the ``_LATEST`` pointer via temp-file + atomic
+    rename-with-overwrite (FileContext ``Options.Rename.OVERWRITE``).
+    The old pointer is never deleted first: a crash at any instant
+    leaves EITHER the previous pointer OR the new one, so an
+    intentional rollback can't be silently undone by the
+    highest-committed-version fallback (which only engages when no
+    pointer exists at all). Falls back to delete-then-rename only on
+    filesystems whose FileContext doesn't support overwriting rename."""
     jvm, hpath, fs = _versions_fs(spark, path)
     tmp = hpath(f"{path}/{_LATEST_FILE}__tmp")
     ptr = hpath(f"{path}/{_LATEST_FILE}")
@@ -524,6 +532,17 @@ def _point_latest(spark: SparkSession, path: str, version: int) -> None:
         out.write(bytearray(_vname(version).encode("ascii")))
     finally:
         out.close()
+    try:
+        fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+            fs.getUri(), spark._jsc.hadoopConfiguration()
+        )
+        gw = spark.sparkContext._gateway
+        opts = gw.new_array(jvm.org.apache.hadoop.fs.Options.Rename, 1)
+        opts[0] = jvm.org.apache.hadoop.fs.Options.Rename.OVERWRITE
+        fc.rename(tmp, ptr, opts)
+        return
+    except Exception:
+        pass
     if fs.exists(ptr):
         fs.delete(ptr, False)
     if not fs.rename(tmp, ptr):
@@ -552,19 +571,43 @@ def write_versioned(
     uncommitted) or no pointer (readers fall back to the highest
     committed snapshot). Old snapshots beyond ``keep`` are pruned,
     never including the one just written or the pointer target.
+
+    Concurrent writers: each commit first RESERVES its version number
+    by atomically creating a ``.v{n}.reserved`` marker
+    (create-without-overwrite — atomic on HDFS and local FS); a
+    collision means another writer claimed n, so this writer takes
+    n+1. Two simultaneous commits thus land as two distinct snapshots
+    (last pointer-swing wins the "latest" title, neither commit is
+    lost). Note object stores without atomic create (e.g. S3 without
+    a consistency layer) degrade to last-writer-wins on the marker —
+    run single-writer or front with a lock service there.
     """
     spark = df.sparkSession
+    jvm, hpath, fs = _versions_fs(spark, path)
     versions = list_versions(spark, path)
     version = (versions[-1] + 1) if versions else 1
+    for _ in range(1000):
+        marker = hpath(f"{path}/{_VERSIONS_DIR}/.{_vname(version)}.reserved")
+        try:
+            out = fs.create(marker, False)
+            out.close()
+            break
+        except Exception:
+            version += 1
+    else:
+        raise IOError(f"could not reserve a version number at {path}")
     df.write.mode("overwrite").option("compression", compression).parquet(
         f"{path}/{_VERSIONS_DIR}/{_vname(version)}"
     )
     _point_latest(spark, path, version)
-    # prune: keep the newest `keep` snapshots
-    jvm, hpath, fs = _versions_fs(spark, path)
+    # prune: keep the newest `keep` snapshots (and their markers)
     for old in list_versions(spark, path)[:-keep] if keep > 0 else []:
         if old != version:
             fs.delete(hpath(f"{path}/{_VERSIONS_DIR}/{_vname(old)}"), True)
+            fs.delete(
+                hpath(f"{path}/{_VERSIONS_DIR}/.{_vname(old)}.reserved"),
+                False,
+            )
     return version
 
 

@@ -207,3 +207,21 @@ def test_schema_drift_and_gate(spark):
         old,
         T.StructType(list(old.fields) + [T.StructField("x", T.StringType())]),
     )
+
+
+def test_schema_gate_nullability_loosening_is_breaking():
+    """A NOT NULL dropped (nullable False→True) is exactly the drift
+    the load gate exists to catch; tightening (True→False) is a
+    stricter contract and passes."""
+    import pytest as _pytest
+    from pyspark.sql import types as T
+
+    old = T.StructType([T.StructField("id", T.LongType(), False)])
+    loosened = T.StructType([T.StructField("id", T.LongType(), True)])
+    with _pytest.raises(ValueError, match="nullability_changed"):
+        CDC.assert_schema_compatible(old, loosened)
+    CDC.assert_schema_compatible(
+        old, loosened, allow_nullability_loosening=True
+    )
+    # tightening is not breaking
+    CDC.assert_schema_compatible(loosened, old)

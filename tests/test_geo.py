@@ -79,3 +79,55 @@ def test_within_radius_join_matches_bruteforce_and_is_equijoin(spark):
     plan = joined._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_within_radius_join_antimeridian_pairs(spark):
+    """Points straddling ±180° must pair up: lon cell indices wrap
+    modulo the cell count, so 179.9°E and 179.9°W are neighbors."""
+    pts = [
+        (0, 10.0, 179.9),
+        (1, 10.0, -179.9),   # ~21.9 km from pid 0 across the seam
+        (2, 10.0, 179.0),    # ~120 km from pid 0, same side
+        (3, -10.0, 0.0),     # far away
+    ]
+    df = spark.createDataFrame(pts, ["pid", "latitude", "longitude"])
+    joined = G.within_radius_join(df, df, 50.0)
+    rows = joined.select("pid", "pid_r").collect()
+    got = {(r["pid"], r["pid_r"]) for r in rows}
+    assert (0, 1) in got and (1, 0) in got
+    assert (0, 2) not in got
+    assert (0, 3) not in got
+    # no duplicate candidate pairs even when cells alias modulo n_lon
+    assert len(rows) == len(got)
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+
+
+def test_within_radius_join_large_radius_no_duplicates(spark):
+    """A radius so large that <3 lon cells exist: the ±1 neighborhood
+    offsets would alias modulo n_lon — the dedup must keep each pair
+    exactly once."""
+    pts = [(0, 0.0, 0.0), (1, 0.0, 170.0), (2, 0.0, -170.0)]
+    df = spark.createDataFrame(pts, ["pid", "latitude", "longitude"])
+    joined = G.within_radius_join(df, df, 9000.0, max_abs_lat=10.0)
+    rows = joined.select("pid", "pid_r").collect()
+    got = {(r["pid"], r["pid_r"]) for r in rows}
+    assert len(rows) == len(got)
+    for p in (0, 1, 2):
+        assert (p, p) in got
+    # 1 and 2 are ~2223 km apart across the seam
+    assert (1, 2) in got and (2, 1) in got
+
+
+def test_within_radius_join_lat_bounds_guard(spark):
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    pts = [(0, 80.0, 0.0), (1, 10.0, 0.0)]
+    df = spark.createDataFrame(pts, ["pid", "latitude", "longitude"])
+    ok = G.within_radius_join(df, df, 10.0)  # default: documented recall loss
+    assert ok.count() >= 2
+    bad = G.within_radius_join(df, df, 10.0, check_lat_bounds=True)
+    with pytest.raises(Exception) as ei:
+        bad.count()
+    assert "max_abs_lat" in str(ei.value)

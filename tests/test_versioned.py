@@ -63,3 +63,34 @@ def test_versioned_uncommitted_snapshot_is_invisible(spark, tmp_path):
         f.write(b"not parquet")
     assert IO.list_versions(spark, path) == [1]
     assert IO.latest_version(spark, path) == 1
+
+
+def test_versioned_reservation_skips_claimed_numbers(spark, tmp_path):
+    """A concurrent writer that reserved v2 (marker exists, snapshot
+    not yet committed) must push this writer to v3 — neither commit is
+    lost to a max(version)+1 race."""
+    path = str(tmp_path / "vt5")
+    IO.write_versioned(_mk(spark, 2), path)
+    # simulate the other writer mid-commit: reservation marker only
+    open(os.path.join(path, "_versions", ".v00002.reserved"), "w").close()
+    v = IO.write_versioned(_mk(spark, 4), path)
+    assert v == 3
+    assert IO.latest_version(spark, path) == 3
+    assert IO.read_versioned(spark, path).count() == 4
+    # the other writer can still land v2 later; pointer stays at 3
+    assert sorted(IO.list_versions(spark, path)) == [1, 3]
+
+
+def test_versioned_rollback_pointer_survives_overwrite_rename(spark, tmp_path):
+    """The pointer swing never deletes the old pointer before the new
+    one is in place — after rollback the pointer file exists and names
+    the rolled-back version (no temp residue)."""
+    path = str(tmp_path / "vt6")
+    IO.write_versioned(_mk(spark, 2), path)
+    IO.write_versioned(_mk(spark, 4), path)
+    IO.rollback_versioned(spark, path, 1)
+    ptr = os.path.join(path, "_LATEST")
+    assert os.path.exists(ptr)
+    assert not os.path.exists(ptr + "__tmp")
+    assert open(ptr).read().strip() == "v00001"
+    assert IO.latest_version(spark, path) == 1
