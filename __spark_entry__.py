@@ -3082,7 +3082,7 @@ def _agg_histogram(spark: SparkSession, sf: str) -> DataFrame:
       FROM lineitem GROUP BY l_returnflag
     )
     SELECT l_returnflag, n,
-           (n*sxy - sx*sy) / (sqrt(n*sxx - sx*sx) * sqrt(n*syy - sy*sy)) AS corr
+           ROUND((n*sxy - sx*sy) / (sqrt(n*sxx - sx*sx) * sqrt(n*syy - sy*sy)), 12) AS corr
     FROM s
     """,
 )
@@ -3108,7 +3108,10 @@ def _agg_corr_exact(spark: SparkSession, sf: str) -> DataFrame:
     corr = (n * F.col("sxy") - sx * sy) / (
         F.sqrt(n * F.col("sxx") - sx * sx) * F.sqrt(n * F.col("syy") - sy * sy)
     )
-    return s.select("l_returnflag", "n", corr.alias("corr"))
+    # the moments are exact; only this closed-form expression runs in
+    # IEEE doubles, where engines may differ in the last bit — round
+    # both sides identically (12 digits ≫ the 1-ulp noise floor)
+    return s.select("l_returnflag", "n", F.round(corr, 12).alias("corr"))
 
 
 @_register(
@@ -3386,7 +3389,7 @@ def _curation_quality_gate(spark: SparkSession, sf: str) -> DataFrame:
       FROM sharded
     )
     SELECT doc_id, shard, n_tokens,
-           (cum - n_tokens) // 2048 AS seq_id
+           CAST((cum - n_tokens) // 2048 AS BIGINT) AS seq_id
     FROM packed
     """,
 )
@@ -4399,7 +4402,8 @@ def _pagerank_sql(n_iter: int = 3) -> str:
     outdeg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
     r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS rank FROM nodes),
     {chain}
-    SELECT node, rank FROM r{n_iter} ORDER BY rank DESC, node LIMIT 25
+    SELECT node, CAST(rank AS BIGINT) AS rank
+    FROM r{n_iter} ORDER BY rank DESC, node LIMIT 25
     """
 
 
@@ -4469,7 +4473,7 @@ def _kmeans_sql(k: int = 8, n_iter: int = 2, dim: int = 64) -> str:
       WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {k})
     ),
     {chain}
-    SELECT vec_id, cluster, d2 FROM a{n_iter + 1}
+    SELECT vec_id, cluster, CAST(d2 AS BIGINT) AS d2 FROM a{n_iter + 1}
     """
 
 
@@ -4889,7 +4893,7 @@ def _q18_large_volume_customer(spark: SparkSession, sf: str) -> DataFrame:
     )
     SELECT t.doc_id,
            CAST(COUNT(*) AS BIGINT) AS n_tokens,
-           (SUM(r.rarity) * 1000000) // COUNT(*) AS mean_rarity_scaled
+           CAST((SUM(r.rarity) * 1000000) // COUNT(*) AS BIGINT) AS mean_rarity_scaled
     FROM tok t JOIN ranked r ON t.term = r.term
     GROUP BY t.doc_id
     """,
@@ -5376,7 +5380,7 @@ _BM25_TERMS = ("query", "merge", "vector")
       JOIN dfq ON tf.term = dfq.term
       CROSS JOIN corpus c
     )
-    SELECT term, doc_id, score_scaled, rnk FROM (
+    SELECT term, doc_id, CAST(score_scaled AS BIGINT) AS score_scaled, rnk FROM (
       SELECT *, CAST(ROW_NUMBER() OVER (
                PARTITION BY term ORDER BY score_scaled DESC, doc_id) AS INT) AS rnk
       FROM scored
