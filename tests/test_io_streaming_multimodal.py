@@ -310,3 +310,114 @@ def test_read_parquet_evolving_merges_schemas(spark, tmp_path):
     assert set(df.columns) == {"id", "name", "score"}
     rows = {r["id"]: r["score"] for r in df.collect()}
     assert rows == {1: None, 2: 9.5}
+
+
+# --- real codec: PPM/BMP decode, nearest-neighbor resize, PPM encode ----
+
+
+def _ppm_4x2() -> bytes:
+    # 4x2 image, distinct pixels: row0 = R G B W, row1 = K R G B
+    px = bytes(
+        [255, 0, 0,  0, 255, 0,  0, 0, 255,  255, 255, 255,
+         0, 0, 0,  255, 0, 0,  0, 255, 0,  0, 0, 255]
+    )
+    return b"P6\n4 2\n255\n" + px
+
+
+def _bmp_2x2() -> bytes:
+    """Hand-built 24-bit bottom-up BMP: top row (R, G), bottom (B, W).
+    Stored bottom-up and BGR with 2-byte row padding."""
+    import struct
+
+    def row(pixels):
+        raw = b"".join(bytes([b, g, r]) for r, g, b in pixels)
+        return raw + b"\x00" * ((4 - len(raw) % 4) % 4)
+
+    data = row([(0, 0, 255), (255, 255, 255)]) + row([(255, 0, 0), (0, 255, 0)])
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(data), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 24, 0, len(data), 0, 0, 0, 0)
+    return header + info + data
+
+
+def test_decode_ppm_and_bmp_real_pixels():
+    w, h, rgb = multimodal.decode_image(_ppm_4x2())
+    assert (w, h) == (4, 2)
+    assert rgb[0:3] == b"\xff\x00\x00" and rgb[9:12] == b"\xff\xff\xff"
+
+    w, h, rgb = multimodal.decode_image(_bmp_2x2())
+    assert (w, h) == (2, 2)
+    # row-major RGB after bottom-up + BGR unwinding
+    assert rgb == bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 255, 255, 255])
+
+    import pytest as _p
+
+    with _p.raises(NotImplementedError):
+        multimodal.decode_image(b"\xff\xd8\xff\xe0JFIF-ish")
+
+
+def test_resize_rgb_nearest_neighbor_exact():
+    _, _, rgb = multimodal.decode_image(_ppm_4x2())
+    out = multimodal.resize_rgb(rgb, 4, 2, 2, 1)
+    # rows = [0], cols = [0, 2] -> pixels (0,0)=R and (0,2)=B
+    assert out == bytes([255, 0, 0, 0, 0, 255])
+    roundtrip = multimodal.encode_ppm(2, 1, out)
+    assert multimodal.decode_image(roundtrip) == (2, 1, out)
+
+
+def test_resize_images_decodes_real_ppm_end_to_end(spark):
+    """A genuinely decodable payload comes back RESIZED (new PPM with
+    the target box and nearest-neighbor pixels), while an undecodable
+    payload passes through byte-identical — both through the real
+    Arrow mapInPandas path."""
+    ppm = _ppm_4x2()
+    fake = b"\x89PNG-not-really" * 40
+    rows = [
+        (1, None, bytearray(ppm), ("image", "image/x-ppm", 4, 2, None)),
+        (2, None, bytearray(fake), ("image", "image/png", 400, 300, None)),
+    ]
+    media = spark.createDataFrame(rows, schema=multimodal.MEDIA_SCHEMA)
+    got = {
+        r["media_id"]: r
+        for r in multimodal.resize_images(media, max_side=2).collect()
+    }
+    # ppm: 4x2 -> 2x1 box, really resampled
+    assert (got[1]["dst_width"], got[1]["dst_height"]) == (2, 1)
+    dw, dh, rgb = multimodal.decode_image(bytes(got[1]["payload"]))
+    assert (dw, dh) == (2, 1)
+    assert rgb == bytes([255, 0, 0, 0, 0, 255])
+    # undecodable: documented passthrough, box still computed
+    assert bytes(got[2]["payload"]) == fake
+    assert (got[2]["dst_width"], got[2]["dst_height"]) == (2, 1)
+
+
+def test_extract_features_real_pixels_vs_fallback(spark):
+    """Decodable payloads produce real pixel statistics (channel means
+    of the known image), undecodable ones the deterministic
+    pseudo-feature — same schema, same batch."""
+    ppm = _ppm_4x2()
+    fake = b"not-an-image" * 10
+    rows = [
+        (1, None, bytearray(ppm), ("image", "image/x-ppm", 4, 2, None)),
+        (2, None, bytearray(fake), ("image", "application/octet-stream", None, None, None)),
+    ]
+    media = spark.createDataFrame(rows, schema=multimodal.MEDIA_SCHEMA)
+    feats = {
+        r["media_id"]: r["feature"]
+        for r in multimodal.extract_features(media).collect()
+    }
+    # known image: mean_r over pixels {255,0,0,255,0,255,0,0} = 765/2040
+    exp_mean_r = (255 + 0 + 0 + 255 + 0 + 255 + 0 + 0) / 8 / 255.0
+    assert abs(feats[1][0] - exp_mean_r) < 1e-12
+    assert feats[1][6] == 2.0  # aspect w/h = 4/2
+    assert feats[2] == multimodal._fake_decode_features(fake, 8)
+
+
+def test_decode_rejects_lookalike_text_payloads():
+    """Text that merely STARTS with a codec magic must fall to the
+    NotImplementedError path (→ pipeline passthrough), never crash."""
+    import pytest as _p
+
+    for payload in (b"P6 once upon a time", b"P6\n-3 2\n255\n" + b"\x00" * 18,
+                    b"BMore text than image", b"BM" + b"\x00" * 10):
+        with _p.raises(NotImplementedError):
+            multimodal.decode_image(payload)
