@@ -226,6 +226,7 @@ def run_warehouse_pipeline(
     warehouse_dir: str,
     ds: str | None = None,
     audit: bool = False,
+    on_failure=None,
 ) -> dict[str, int]:
     """End-to-end staging → warehouse run: every table in
     ``WAREHOUSE_ORDER`` through :func:`run_warehouse_table`. Returns
@@ -236,10 +237,29 @@ def run_warehouse_pipeline(
     at-least-once granularity as the reference's per-table Airflow
     tasks); reruns converge because full mode overwrites and
     incremental mode merges idempotently.
+
+    ``on_failure``: optional callback invoked with an Airflow-shaped
+    context dict (``task_id``/``dag_id``/``ds``/``exception``) when a
+    table build raises — the scheduler-free twin of the DAG shell's
+    ``on_failure_callback`` (see ``airflow_dag.make_failure_callback``;
+    reference helper/callbacks/slack_notifier.py). The original
+    exception is always re-raised.
     """
     manifest: dict[str, int] = {}
     for name in WAREHOUSE_ORDER:
-        run_warehouse_table(spark, name, staging_dir, warehouse_dir, ds)
+        try:
+            run_warehouse_table(spark, name, staging_dir, warehouse_dir, ds)
+        except Exception as exc:
+            if on_failure is not None:
+                on_failure(
+                    {
+                        "task_id": name,
+                        "dag_id": "run_warehouse_pipeline",
+                        "ds": ds,
+                        "exception": exc,
+                    }
+                )
+            raise
         manifest[name] = (
             spark.read.parquet(f"{warehouse_dir}/{name}").count() if audit else -1
         )

@@ -204,3 +204,65 @@ def test_pipeline_two_day_incremental_sequence(spark, tmp_path):
           for r in spark.read.parquet(f"{wh}/dim_company").collect()}
     assert k2["c:1"] == k1["c:1"]          # day-1 key untouched
     assert k2["c:2"] == k1["c:1"] + 1      # sequence continues
+
+
+def test_failure_callback_invoked_on_failing_table(spark, tmp_path):
+    """A failing table build must invoke the injected on_failure hook
+    with an Airflow-shaped context, then re-raise — the engine-side
+    twin of the reference's Slack notifier wiring."""
+    from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.plans import (
+        airflow_dag as AD,
+        pipeline as P,
+    )
+
+    seen: list[str] = []
+    cb = AD.make_failure_callback(seen.append)
+    with pytest.raises(Exception):
+        # nonexistent staging dir -> first table raises
+        P.run_warehouse_pipeline(
+            spark, str(tmp_path / "no_staging"), str(tmp_path / "wh"),
+            on_failure=cb,
+        )
+    assert len(seen) == 1
+    msg = seen[0]
+    assert "Task failed" in msg
+    assert "run_warehouse_pipeline" in msg
+
+
+def test_failure_callback_transport_errors_are_swallowed(caplog):
+    """An alerting outage must never mask the task failure."""
+    import logging
+
+    from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.plans import (
+        airflow_dag as AD,
+    )
+
+    def broken_transport(msg: str) -> None:
+        raise ConnectionError("webhook down")
+
+    cb = AD.make_failure_callback(broken_transport)
+    with caplog.at_level(logging.ERROR):
+        cb({"task_id": "t", "dag_id": "d", "ds": "2026-01-01",
+            "exception": RuntimeError("boom")})
+    assert any("transport raised" in r.message for r in caplog.records)
+
+    # default transport: logs the formatted message
+    with caplog.at_level(logging.ERROR):
+        AD.make_failure_callback()({"task_id": "t2"})
+    assert any("t2" in r.message for r in caplog.records)
+
+
+def test_failure_message_reference_fields():
+    from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.plans import (
+        airflow_dag as AD,
+    )
+
+    msg = AD.format_failure_message(
+        {"task_id": "dim_company", "dag_id": "vc_warehouse",
+         "ds": "2026-08-14", "exception": ValueError("x")}
+    )
+    for field in ("*Task*: dim_company", "*Dag*: vc_warehouse",
+                  "*Execution time*: 2026-08-14", "*Log url*:", "*Exception*: x"):
+        assert field in msg
+    # formatter never raises on an empty context
+    assert "?" in AD.format_failure_message({})
