@@ -2793,6 +2793,125 @@ def _embedding_ivf_sqlcheck(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _pq_common_sql(dim: int = 64, m: int = 8, ks: int = 16) -> str:
+    """Shared CTEs for the product-quantization twins: quantized
+    vectors, j-indexed codebook (first ks vectors by id), and the
+    per-(vector, subspace, codeword) exact integer subspace-L2 — the
+    same floor(x·1e6) arithmetic as operators/similarity.pq_codes."""
+    d_m = dim // m
+    sub_d2 = " + ".join(
+        f"(e.qv[s.s*{d_m}+{i}]-c.cv[s.s*{d_m}+{i}])"
+        f"*(e.qv[s.s*{d_m}+{i}]-c.cv[s.s*{d_m}+{i}])"
+        for i in range(1, d_m + 1)
+    )
+    return f"""
+    q8 AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(FLOOR(CAST(x AS DOUBLE)*1000000) AS BIGINT)) AS qv
+      FROM embeddings
+    ), cw AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS j, qv AS cv
+      FROM q8 ORDER BY vec_id LIMIT {ks}
+    ), subsp AS (
+      SELECT unnest(range(0, {m})) AS s
+    ), subd AS (
+      SELECT e.vec_id, s.s, c.j, CAST({sub_d2} AS BIGINT) AS d2
+      FROM q8 e CROSS JOIN subsp s CROSS JOIN cw c
+    ), codes AS (
+      SELECT vec_id, CAST(s AS INT) AS s, CAST(j AS INT) AS code FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY vec_id, s ORDER BY d2, j) AS rn
+        FROM subd) WHERE rn = 1
+    )"""
+
+
+def _pq_codes_sql(dim: int = 64, m: int = 8, ks: int = 16) -> str:
+    return f"""
+    WITH {_pq_common_sql(dim, m, ks)}
+    SELECT vec_id AS id, s, code FROM codes
+    """
+
+
+def _ivfpq_sqlcheck_sql(
+    dim: int = 64,
+    k: int = 10,
+    m: int = 8,
+    ks: int = 16,
+    n_cells: int = 16,
+    n_probe: int = 8,
+) -> str:
+    """ANSI-SQL twin of IVF-PQ: cell seeds = the first n_cells vectors
+    by id, exact integer L2 assignment (ties to the lowest seed),
+    n_probe nearest cells per query, ADC scoring = Σ_s dt[s][code_s]
+    replicated as a join from the query's subspace distances onto each
+    candidate's codes."""
+    full_d2 = " + ".join(
+        f"(e.qv[{i}]-sd.sv[{i}])*(e.qv[{i}]-sd.sv[{i}])" for i in range(1, dim + 1)
+    )
+    return f"""
+    WITH {_pq_common_sql(dim, m, ks)},
+    seeds AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS c, qv AS sv
+      FROM q8 ORDER BY vec_id LIMIT {n_cells}
+    ), celld AS (
+      SELECT e.vec_id, sd.c, CAST({full_d2} AS BIGINT) AS d2
+      FROM q8 e CROSS JOIN seeds sd
+    ), acell AS (
+      SELECT vec_id AS neighbor_id, c AS cell FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY vec_id ORDER BY d2, c) AS rn
+        FROM celld) WHERE rn = 1
+    ), probes AS (
+      SELECT vec_id AS query_id, c AS cell FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY vec_id ORDER BY d2, c) AS rn
+        FROM celld WHERE vec_id < 5) WHERE rn <= {n_probe}
+    ), scored AS (
+      SELECT p.query_id, a.neighbor_id, CAST(SUM(d.d2) AS BIGINT) AS approx_d2
+      FROM probes p
+      JOIN acell a ON p.cell = a.cell
+      JOIN codes cd ON cd.vec_id = a.neighbor_id
+      JOIN subd d ON d.vec_id = p.query_id AND d.s = cd.s AND d.j = cd.code
+      WHERE a.neighbor_id <> p.query_id
+      GROUP BY p.query_id, a.neighbor_id
+    )
+    SELECT query_id, CAST(rn AS INT) AS rank, neighbor_id, approx_d2 FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY approx_d2, neighbor_id) AS rn
+      FROM scored) WHERE rn <= {k}
+    """
+
+
+@_register("embedding_pq_codes", _pq_codes_sql())
+def _embedding_pq_codes(spark: SparkSession, sf: str) -> DataFrame:
+    """Product-quantization encode (operators/similarity.pq_codes):
+    each 64-dim vector becomes 8 one-byte subspace codes — 32× less
+    state than float32 — via exact integer argmin against the
+    id-ordered codebook. One shuffle-free map stage; the argmin is an
+    array_min over struct(d2, j), pure codegen. Hash-checked against
+    the identical integer arithmetic in SQL."""
+    emb = read_table(spark, sf, "embeddings")
+    return SIM.pq_codes(emb, dim=64).select(
+        F.col("id"), F.col("s"), F.col("code")
+    )
+
+
+@_register("embedding_ivfpq_sqlcheck", _ivfpq_sqlcheck_sql())
+def _embedding_ivfpq_sqlcheck(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF-PQ approximate top-k (operators/similarity.ivfpq_topk): the
+    memory-compression ANN scale path — corpus state per vector is one
+    cell id + 8 codes; candidates come from an equi-join on probed
+    cells; scoring is 8 ADC table lookups per candidate regardless of
+    dim. Every cell, code, and score is exact integer arithmetic,
+    hash-checked end to end."""
+    emb = read_table(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return SIM.ivfpq_topk(emb, queries, dim=64, k=10)
+
+
 def _ann_lsh_sqlcheck_sql(
     dim: int = 64, num_planes: int = 16, bands: int = 8, k: int = 10, seed: int = 7
 ) -> str:

@@ -5,7 +5,7 @@ Embeddings are ``array<float>`` columns. All vector math is built from
 are cast to double before accumulation so results are deterministic
 IEEE-754 left-to-right folds, matching a sequential oracle.
 
-Three tiers:
+Four tiers:
 - ``cosine_topk``       : brute-force exact top-k — the correctness
                           baseline; broadcast the (small) query set, so
                           the corpus is scanned once, no shuffle of the
@@ -13,6 +13,9 @@ Three tiers:
 - ``lsh_ann_topk``      : random-hyperplane LSH buckets → candidates →
                           exact rerank. The 100 TB path: candidate
                           generation is an equi-join on bucket keys.
+- ``ivf_topk``/``ivfpq_topk``: partition-pruning ANN — and with PQ,
+                          32× memory compression + O(m) ADC scoring
+                          per candidate (the FAISS-style scale combo).
 - ``embedding_near_dup``: all pairs with cosine ≥ threshold via LSH
                           banding over sign bits.
 """
@@ -351,4 +354,229 @@ def embedding_near_dup(
         .withColumn("cosine_sim", cosine(F.col("vec_a"), F.col("vec_b")))
         .filter(F.col("cosine_sim") >= threshold)
         .select("id_a", "id_b", "cosine_sim")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (IVF-PQ): the memory-compression ANN scale path.
+# A 64-dim float32 vector (256 B) becomes m=8 one-byte codes — 32×
+# smaller — and query scoring becomes m table lookups instead of a
+# 64-term dot product. At 100 TB this is the difference between
+# holding the corpus in executor memory and not. All arithmetic is
+# integer-quantized (floor(x·1e6) longs, exact L2) so every code,
+# cell, and score is bit-identical in the ANSI-SQL oracle
+# (embedding_ivfpq_sqlcheck / embedding_pq_codes).
+# ---------------------------------------------------------------------------
+
+PQ_SCALE = 1_000_000
+
+
+def _quantized(vec_col: str) -> F.Column:
+    """array<float> → array<long>: floor(x·1e6) — exact cross-engine."""
+    return F.transform(
+        F.col(vec_col), lambda x: F.floor(x.cast("double") * PQ_SCALE).cast("long")
+    )
+
+
+def _int_d2(a: F.Column, b: F.Column) -> F.Column:
+    """Exact integer squared-L2 between two array<long> columns."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def _collect_codebook(
+    codeword_source: DataFrame, id_col: str, vec_col: str, ks: int
+) -> list[list[int]]:
+    """The first ``ks`` vectors by id, quantized — KB-sized plan
+    literals (the same posture as the IVF centroid matrix; swap in
+    per-subspace k-means offline for tighter cells, the query path is
+    unchanged)."""
+    rows = (
+        codeword_source.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
+        .orderBy("cid")
+        .limit(ks)
+        .collect()
+    )
+    import math
+
+    return [[int(math.floor(float(x) * PQ_SCALE)) for x in r["cv"]] for r in rows]
+
+
+def _cw_literal(qcw: list[list[int]], m: int, d_m: int) -> F.Column:
+    """Nested literal CW[s][j] = the j-th codeword restricted to
+    subspace s (an array<long> of length d_m)."""
+    return F.array(
+        *[
+            F.array(
+                *[
+                    F.array(*[F.lit(v) for v in cw[s * d_m : (s + 1) * d_m]])
+                    for cw in qcw
+                ]
+            )
+            for s in range(m)
+        ]
+    )
+
+
+def pq_codes(
+    corpus: DataFrame,
+    dim: int,
+    m: int = 8,
+    ks: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codeword_source: DataFrame | None = None,
+) -> DataFrame:
+    """Encode each vector as ``m`` subspace codes: split into m
+    contiguous subspaces of dim/m dims; code_s = argmin over the ks
+    codewords of exact integer squared-L2, ties to the lowest code.
+    Output is long format ``(id, s, code)`` — one shuffle-free map
+    stage; the argmin is an array_min over struct(d2, j), pure
+    codegen, no explode and no window.
+    """
+    assert dim % m == 0, "dim must divide evenly into m subspaces"
+    d_m = dim // m
+    qcw = _collect_codebook(codeword_source or corpus, id_col, vec_col, ks)
+    CW = _cw_literal(qcw, m, d_m)
+    qv = _quantized(vec_col)
+
+    def code_for(s: F.Column) -> F.Column:
+        sub = F.slice(qv, s * d_m + 1, d_m)
+        cands = F.transform(
+            F.sequence(F.lit(0), F.lit(ks - 1)),
+            lambda j: F.struct(
+                _int_d2(sub, F.element_at(F.element_at(CW, s + 1), j + 1)).alias("d2"),
+                j.alias("j"),
+            ),
+        )
+        return F.array_min(cands)["j"]
+
+    return corpus.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda s: F.struct(s.cast("int").alias("s"), code_for(s).cast("int").alias("code")),
+            )
+        ).alias("sc"),
+    ).select("id", F.col("sc.s").alias("s"), F.col("sc.code").alias("code"))
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    m: int = 8,
+    ks: int = 16,
+    n_cells: int = 16,
+    n_probe: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    codeword_source: DataFrame | None = None,
+) -> DataFrame:
+    """IVF-PQ approximate top-k: corpus bucketed by nearest cell seed
+    (exact integer L2, ties to the lowest seed), queries probe their
+    ``n_probe`` nearest cells, and candidates are scored by ADC —
+    approx_d2 = Σ_s dt[s][code_s], where dt is the per-query 8×16
+    distance table computed IN the plan against the codeword literals.
+    Candidate generation is an equi-join on cell (never a cartesian);
+    per-candidate work is m lookups, independent of dim. Output:
+    (query_id, rank, neighbor_id, approx_d2), rank by (approx_d2 asc,
+    neighbor_id) — total order, engine-independent.
+
+    At 100 TB: codes+cell (9 small ints/vector) are the only corpus
+    state the search touches — write them ``partitionBy(cell)`` and a
+    probe prunes partitions; raw vectors are needed only for an
+    optional exact re-rank of the tiny top-k candidate set.
+    """
+    assert dim % m == 0
+    d_m = dim // m
+    src = codeword_source or corpus
+    qcw = _collect_codebook(src, id_col, vec_col, max(ks, n_cells))
+    CW = _cw_literal(qcw[:ks], m, d_m)
+    SEEDS = F.array(
+        *[F.array(*[F.lit(v) for v in cw]) for cw in qcw[:n_cells]]
+    )
+
+    qv = _quantized(vec_col)
+    cell_d2s = F.transform(SEEDS, lambda sv: _int_d2(qv, sv))
+    # argmin with first-occurrence tie-break
+    cell = (F.array_position(cell_d2s, F.array_min(cell_d2s)) - 1).cast("int")
+
+    def codes_col() -> F.Column:
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda s: F.array_min(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(ks - 1)),
+                    lambda j: F.struct(
+                        _int_d2(
+                            F.slice(qv, s * d_m + 1, d_m),
+                            F.element_at(F.element_at(CW, s + 1), j + 1),
+                        ).alias("d2"),
+                        j.alias("j"),
+                    ),
+                )
+            )["j"].cast("int"),
+        )
+
+    assigned = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        cell.alias("cell"),
+        codes_col().alias("codes"),
+    )
+
+    # per-query: probe cells (n_probe smallest exact d2) + ADC table
+    probe_structs = F.transform(
+        F.sequence(F.lit(0), F.lit(n_cells - 1)),
+        lambda c: F.struct(
+            F.element_at(cell_d2s, c + 1).alias("d2"), c.alias("c")
+        ),
+    )
+    probes = F.slice(F.array_sort(probe_structs), 1, n_probe)
+    dt = F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda s: F.transform(
+            F.sequence(F.lit(0), F.lit(ks - 1)),
+            lambda j: _int_d2(
+                F.slice(qv, s * d_m + 1, d_m),
+                F.element_at(F.element_at(CW, s + 1), j + 1),
+            ),
+        ),
+    )
+    probed = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        dt.alias("dt"),
+        F.explode(probes).alias("p"),
+    ).select("query_id", "dt", F.col("p.c").alias("cell"))
+
+    scored = (
+        probed.join(assigned, "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.aggregate(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                F.lit(0).cast("long"),
+                lambda acc, s: acc
+                + F.element_at(
+                    F.element_at(F.col("dt"), s + 1),
+                    F.element_at(F.col("codes"), s + 1) + 1,
+                ),
+            ).alias("approx_d2"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_d2").asc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "approx_d2")
     )

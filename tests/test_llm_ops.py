@@ -318,3 +318,99 @@ def test_repetition_fraction(spark):
     }
     assert abs(got[1] - (1 - 3 / 7)) < 1e-12
     assert got[2] == 0.0 and got[3] == 0.0 and got[4] == 0.0
+
+
+def test_pq_codes_codewords_encode_to_self(spark, sf_dir):
+    """The codebook vectors themselves must encode to their own index
+    in every subspace (their subspace distance to themselves is 0) —
+    ties broken to the lowest code."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    codes = {
+        (r["id"], r["s"]): r["code"]
+        for r in SIM.pq_codes(emb, dim=64).filter(F.col("id") < 16).collect()
+    }
+    for vid in range(16):
+        for s in range(8):
+            assert codes[(vid, s)] == vid, (vid, s, codes[(vid, s)])
+
+
+def test_pq_codes_shape_and_range(spark, sf_dir):
+    emb = read_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    codes = SIM.pq_codes(emb, dim=64, m=8, ks=16)
+    assert codes.count() == n * 8
+    bad = codes.filter((F.col("code") < 0) | (F.col("code") >= 16)).count()
+    assert bad == 0
+
+
+def test_ivfpq_adc_score_matches_manual(spark, sf_dir):
+    """The ADC score for every returned (query, neighbor) must equal
+    the manually computed Σ_s dt[s][code_s] from the same quantized
+    integers — the compression machinery is exact even though the
+    SEARCH is approximate."""
+    import math
+
+    import numpy as np
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    rows = emb.orderBy("vec_id").collect()
+    V = np.array(
+        [[math.floor(float(x) * 1e6) for x in r["embedding"]] for r in rows],
+        dtype=np.int64,
+    )
+    ids = [r["vec_id"] for r in rows]
+    idx = {v: i for i, v in enumerate(ids)}
+    cw = V[[idx[v] for v in sorted(ids)[:16]]]  # first 16 by id
+
+    def sub(a, s):
+        return a[s * 8 : (s + 1) * 8]
+
+    def code(vec, s):
+        d2s = [int(((sub(vec, s) - sub(c, s)) ** 2).sum()) for c in cw]
+        return min(range(16), key=lambda j: (d2s[j], j))
+
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = SIM.ivfpq_topk(emb, queries, dim=64, k=5).collect()
+    assert got, "ivfpq returned nothing"
+    for r in got:
+        qv, nv = V[idx[r["query_id"]]], V[idx[r["neighbor_id"]]]
+        want = sum(
+            int(((sub(qv, s) - sub(cw[code(nv, s)], s)) ** 2).sum())
+            for s in range(8)
+        )
+        assert r["approx_d2"] == want, (r, want)
+
+
+def test_ivfpq_recall_vs_exact_l2(spark, sf_dir):
+    """Recall vs exact integer-L2 top-10. Measured 0.34 on this
+    weakly-clustered synthetic corpus with the untrained id-ordered
+    16-word codebook; full-probe recall is identical, i.e. the loss is
+    ADC quantization (codebook quality), not cell pruning — real
+    corpora with offline k-means codebooks sit far higher. Pinned at
+    ≥ 0.2 as a machinery-regression floor."""
+    import math
+
+    import numpy as np
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    rows = emb.orderBy("vec_id").collect()
+    V = np.array(
+        [[math.floor(float(x) * 1e6) for x in r["embedding"]] for r in rows],
+        dtype=np.int64,
+    )
+    ids = np.array([r["vec_id"] for r in rows])
+    exact = {}
+    for q in range(5):
+        d2 = ((V - V[q]) ** 2).sum(axis=1)
+        order = sorted(range(len(ids)), key=lambda i: (d2[i], ids[i]))
+        exact[q] = set([ids[i] for i in order if ids[i] != q][:10])
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    appr = {}
+    for r in SIM.ivfpq_topk(emb, queries, dim=64, k=10).collect():
+        appr.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recalls = [len(exact[q] & appr.get(q, set())) / 10 for q in range(5)]
+    assert sum(recalls) / len(recalls) >= 0.2, recalls
