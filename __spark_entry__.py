@@ -5559,6 +5559,657 @@ def _text_bm25_top5(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# TPC-H remainder (round 3): every spec query the testdata schema can
+# express. The driver's tables lack `partsupp` and several spec columns
+# (l_commitdate/l_receiptdate/l_shipmode, p_container, c_phone,
+# ps_supplycost), so q2/q11/q16/q20 are out of reach and q4/q9/q12/
+# q21/q22 are ADAPTED to the available columns — each docstring states
+# the substitution. The point is shape coverage: EXISTS / NOT-EXISTS
+# decorrelation, scalar subqueries, correlated-aggregate gates,
+# disjunctive multi-clause pushdown, count-distribution double aggs —
+# the query classes the reference's SQL surface (SURVEY §2 S9) implies
+# but its own workload never exercises.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q4_priority_exists",
+    """
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+      AND o_orderdate <  TIMESTAMP '1996-10-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey
+          AND l_shipdate > o_orderdate + INTERVAL 90 DAY
+      )
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def _q4_priority_exists(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q4 shape (adapted: the testdata has no l_commitdate /
+    l_receiptdate, so "late" is l_shipdate > o_orderdate + 90 days).
+    The correlated EXISTS decorrelates to a left-semi join whose
+    condition mixes both sides; the quarter filter pushes into the
+    orders scan BEFORE the semi join so the probe side is one
+    quarter's orders, not the whole table."""
+    orders = read_table(spark, sf, "orders")
+    li = read_table(spark, sf, "lineitem")
+    o = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    late = o.join(
+        li,
+        (o["o_orderkey"] == li["l_orderkey"])
+        & (li["l_shipdate"] > o["o_orderdate"] + F.expr("INTERVAL 90 DAY")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@_register(
+    "q6_forecast_revenue",
+    """
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def _q6_forecast_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q6: the canonical pushdown showcase — every predicate is
+    sargable and reaches the parquet scan (year slice, discount band,
+    quantity cap), the projection is two columns, and the whole query
+    is one map-side partial sum + a single-row final agg. At 100 TB
+    this reads only the row groups whose min/max straddle 1996."""
+    li = read_table(spark, sf, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(3,2)")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.sum(price * disc).cast("double").alias("revenue"))
+    )
+
+
+@_register(
+    "q7_volume_shipping",
+    f"""
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(SUM(vol) AS DOUBLE) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(EXTRACT(YEAR FROM l_shipdate) AS BIGINT) AS l_year,
+             {_REVENUE_SQL} AS vol
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        AND l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1998-01-01'
+    )
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+)
+def _q7_volume_shipping(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q7: volume shipped between a nation PAIR in either
+    direction, by ship-year. The disjunctive nation-pair predicate
+    cannot push below the joins as written, but each nation lookup
+    broadcasts and the supplier/customer sides pre-filter to the two
+    nations' keys, so the fact-fact join probes only matching rows.
+    The two-year slice pushes into the lineitem scan."""
+    li = read_table(spark, sf, "lineitem")
+    orders = read_table(spark, sf, "orders")
+    supp = read_table(spark, sf, "supplier")
+    cust = read_table(spark, sf, "customer")
+    nation = read_table(spark, sf, "nation")
+    pair = ("NATION_1", "NATION_2")
+    n1 = nation.filter(F.col("n_name").isin(*pair)).select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.filter(F.col("n_name").isin(*pair)).select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    s = supp.join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key")).select(
+        "s_suppkey", "supp_nation"
+    )
+    c = cust.join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key")).select(
+        "c_custkey", "cust_nation"
+    )
+    l = li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    j = (
+        l.join(orders, l["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(s), l["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(c), orders["o_custkey"] == c["c_custkey"])
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+    )
+    return (
+        j.withColumn("l_year", F.year("l_shipdate").cast("long"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.sum(_revenue_dec()).cast("double").alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@_register(
+    "q8_market_share",
+    f"""
+    SELECT o_year,
+           CAST(SUM(CASE WHEN nation = 'NATION_5' THEN vol
+                         ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+             / CAST(SUM(vol) AS DOUBLE) AS mkt_share
+    FROM (
+      SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+             CAST({_REVENUE_SQL} AS DECIMAL(18,4)) AS vol,
+             n1.n_name AS nation
+      FROM lineitem
+      JOIN part     ON l_partkey = p_partkey
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      JOIN region   ON n2.n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+        AND o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate <  TIMESTAMP '1998-01-01'
+    )
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+)
+def _q8_market_share(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q8: one nation's share of a region's market for one part
+    type, by order year — conditional aggregate over the full star.
+    The selective part-type filter broadcasts and prunes lineitem
+    FIRST (smallest fan-in), then orders/customer/region restrict the
+    market; the share is a ratio of two exact decimal sums, divided
+    in double (identical operands cross-engine, so bit-identical)."""
+    li = read_table(spark, sf, "lineitem")
+    part = read_table(spark, sf, "part")
+    orders = read_table(spark, sf, "orders")
+    cust = read_table(spark, sf, "customer")
+    supp = read_table(spark, sf, "supplier")
+    nation = read_table(spark, sf, "nation")
+    region = read_table(spark, sf, "region")
+    p = part.filter(F.col("p_type") == "PROMO").select("p_partkey")
+    o = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    n1 = nation.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("nation")
+    )
+    asia_keys = (
+        nation.join(
+            F.broadcast(region.filter(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select(F.col("n_nationkey").alias("n2_key"))
+    )
+    c = cust.join(
+        F.broadcast(asia_keys), F.col("c_nationkey") == F.col("n2_key")
+    ).select("c_custkey")
+    vol = _revenue_dec().cast("decimal(18,4)")
+    j = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .withColumn("o_year", F.year("o_orderdate").cast("long"))
+        .withColumn("vol", vol)
+    )
+    zero = F.lit(0).cast("decimal(18,4)")
+    return (
+        j.groupBy("o_year")
+        .agg(
+            (
+                F.sum(F.when(F.col("nation") == "NATION_5", F.col("vol")).otherwise(zero)).cast("double")
+                / F.sum("vol").cast("double")
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+@_register(
+    "q9_product_profit",
+    f"""
+    SELECT nation, o_year, CAST(SUM(amount) AS DOUBLE) AS sum_profit
+    FROM (
+      SELECT n_name AS nation,
+             CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+             CAST({_REVENUE_SQL} AS DECIMAL(18,4))
+               - CAST(p_retailprice AS DECIMAL(12,2))
+                 * CAST(l_quantity AS DECIMAL(12,4)) AS amount
+      FROM lineitem
+      JOIN part     ON l_partkey = p_partkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      WHERE p_name LIKE '%gear%'
+    )
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+    """,
+)
+def _q9_product_profit(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q9 shape (adapted: no partsupp table, so line cost is
+    p_retailprice * l_quantity instead of ps_supplycost * l_quantity —
+    same expression structure, different cost source). Profit per
+    supplier nation per order year for parts matching a name pattern.
+    The LIKE filter prunes part before its broadcast; profit is exact
+    decimal arithmetic summed then cast double."""
+    li = read_table(spark, sf, "lineitem")
+    part = read_table(spark, sf, "part")
+    supp = read_table(spark, sf, "supplier")
+    orders = read_table(spark, sf, "orders")
+    nation = read_table(spark, sf, "nation")
+    p = part.filter(F.col("p_name").like("%gear%")).select("p_partkey", "p_retailprice")
+    amount = _revenue_dec().cast("decimal(18,4)") - (
+        F.col("p_retailprice").cast("decimal(12,2)")
+        * F.col("l_quantity").cast("decimal(12,4)")
+    )
+    j = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            amount.alias("amount"),
+        )
+    )
+    return (
+        j.groupBy("nation", "o_year")
+        .agg(F.sum("amount").cast("double").alias("sum_profit"))
+        .orderBy(F.col("nation"), F.col("o_year").desc())
+    )
+
+
+@_register(
+    "q12_priority_by_delay",
+    """
+    SELECT delay_bucket,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM (
+      SELECT o_orderpriority,
+             CASE WHEN l_shipdate <= o_orderdate + INTERVAL 30 DAY THEN 'prompt'
+                  WHEN l_shipdate <= o_orderdate + INTERVAL 90 DAY THEN 'slow'
+                  ELSE 'late' END AS delay_bucket
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1997-01-01'
+    )
+    GROUP BY delay_bucket
+    ORDER BY delay_bucket
+    """,
+)
+def _q12_priority_by_delay(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q12 shape (adapted: no l_shipmode / l_commitdate /
+    l_receiptdate, so the grouping key is a derived ship-delay bucket
+    instead of ship mode — the query class is identical: CASE-sum
+    priority split over a fact-fact join with an IN-list predicate).
+    One shuffle for the join, three-row output."""
+    li = read_table(spark, sf, "lineitem")
+    orders = read_table(spark, sf, "orders")
+    l = li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    j = l.join(orders, l["l_orderkey"] == orders["o_orderkey"])
+    bucket = (
+        F.when(
+            F.col("l_shipdate") <= F.col("o_orderdate") + F.expr("INTERVAL 30 DAY"),
+            "prompt",
+        )
+        .when(
+            F.col("l_shipdate") <= F.col("o_orderdate") + F.expr("INTERVAL 90 DAY"),
+            "slow",
+        )
+        .otherwise("late")
+    )
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        j.withColumn("delay_bucket", bucket)
+        .groupBy("delay_bucket")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(~hi, 1).otherwise(0)).cast("long").alias("low_line_count"),
+        )
+        .orderBy("delay_bucket")
+    )
+
+
+@_register(
+    "q13_customer_distribution",
+    """
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM (
+      SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey
+    )
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def _q13_customer_distribution(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q13: distribution of per-customer order counts — the
+    double-aggregation shape (left join preserving zero-order
+    customers, count per key, then histogram the counts). The
+    non-equi residual (priority filter) rides the join condition so
+    excluded orders still count the customer with c_count = 0.
+    Second agg input is one row per customer — tiny."""
+    cust = read_table(spark, sf, "customer")
+    orders = read_table(spark, sf, "orders")
+    per_cust = (
+        cust.join(
+            orders,
+            (cust["c_custkey"] == orders["o_custkey"])
+            & (orders["o_orderpriority"] != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+@_register(
+    "q15_top_supplier",
+    f"""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             SUM({_REVENUE_SQL}) AS total_rev_dec
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name,
+           CAST(total_rev_dec AS DOUBLE) AS total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_rev_dec = (SELECT MAX(total_rev_dec) FROM revenue)
+    ORDER BY s_suppkey
+    """,
+)
+def _q15_top_supplier(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q15: top supplier by quarterly revenue — the scalar-
+    subquery-max shape. Revenue stays DECIMAL through the max and the
+    equality gate (double equality on derived floats is the classic
+    cross-engine trap), casting to double only at output. The max is
+    a one-row aggregate joined back as a broadcast hash join on the
+    decimal value — an equi join, not a nested loop."""
+    li = read_table(spark, sf, "lineitem")
+    supp = read_table(spark, sf, "supplier")
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.sum(_revenue_dec()).alias("total_rev_dec"))
+    )
+    mx = rev.agg(F.max("total_rev_dec").alias("mx_dec"))
+    top = rev.join(F.broadcast(mx), rev["total_rev_dec"] == mx["mx_dec"], "inner")
+    return (
+        top.join(F.broadcast(supp), F.col("supplier_no") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("total_rev_dec").cast("double").alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+@_register(
+    "q17_small_quantity_revenue",
+    """
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,4))) AS DOUBLE) / 7.0
+             AS avg_yearly
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN (
+      SELECT l_partkey AS pk,
+             SUM(CAST(l_quantity AS DECIMAL(20,4))) AS sum_qty,
+             COUNT(*) AS cnt
+      FROM lineitem GROUP BY l_partkey
+    ) stats ON pk = l_partkey
+    WHERE p_brand = 'Brand#12' AND p_size <= 10
+      AND CAST(l_quantity AS DECIMAL(20,4)) * 5 * cnt < sum_qty
+    """,
+)
+def _q17_small_quantity_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q17 shape (adapted: p_size <= 10 stands in for the
+    missing p_container): revenue lost to small-quantity orders —
+    the correlated-average gate `l_quantity < 0.2 * avg(l_quantity)
+    per part`. Decorrelated as a per-part (sum, count) aggregate and
+    the algebraically identical integer-safe inequality
+    qty * 5 * cnt < sum — exact decimal on both engines, no float
+    average. The per-part stats computation is semi-join-pruned to
+    the filtered parts before aggregating, so the stats shuffle only
+    covers the brand's parts."""
+    li = read_table(spark, sf, "lineitem")
+    part = read_table(spark, sf, "part")
+    p = part.filter((F.col("p_brand") == "Brand#12") & (F.col("p_size") <= 10)).select(
+        "p_partkey"
+    )
+    pruned = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"], "left_semi")
+    stats = pruned.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum(F.col("l_quantity").cast("decimal(20,4)")).alias("sum_qty"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    qty_dec = F.col("l_quantity").cast("decimal(20,4)")
+    gated = pruned.join(F.broadcast(stats), pruned["l_partkey"] == stats["pk"]).filter(
+        qty_dec * F.lit(5) * F.col("cnt") < F.col("sum_qty")
+    )
+    return gated.agg(
+        (
+            F.sum(F.col("l_extendedprice").cast("decimal(20,4)")).cast("double")
+            / F.lit(7.0)
+        ).alias("avg_yearly")
+    )
+
+
+@_register(
+    "q19_disjunctive_revenue",
+    f"""
+    SELECT CAST(SUM({_REVENUE_SQL}) AS DOUBLE) AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def _q19_disjunctive_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q19 shape (adapted: p_size bands stand in for the
+    missing p_container lists): revenue under an OR-of-ANDs
+    predicate spanning both join sides. Catalyst extracts the common
+    join key and pushes the single-side conjuncts it can derive
+    (brand/size unions to the part scan, quantity union to the
+    lineitem scan) while the full disjunction evaluates post-join —
+    the classic disjunctive-pushdown test."""
+    li = read_table(spark, sf, "lineitem")
+    part = read_table(spark, sf, "part")
+    j = li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+    q = F.col("l_quantity")
+    sz = F.col("p_size")
+    cond = (
+        ((F.col("p_brand") == "Brand#12") & sz.between(1, 5) & q.between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & sz.between(1, 10) & q.between(10, 20))
+        | ((F.col("p_brand") == "Brand#34") & sz.between(1, 15) & q.between(20, 30))
+    )
+    return j.filter(cond).agg(F.sum(_revenue_dec()).cast("double").alias("revenue"))
+
+
+@_register(
+    "q21_waiting_supplier",
+    """
+    SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM supplier, lineitem l1, orders
+    WHERE s_suppkey = l1.l_suppkey
+      AND o_orderkey = l1.l_orderkey
+      AND o_orderstatus = 'F'
+      AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+    """,
+)
+def _q21_waiting_supplier(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q21 shape (adapted: "kept waiting" is l_shipdate >
+    o_orderdate + 60 days, since l_commitdate / l_receiptdate don't
+    exist): suppliers who were the SOLE late shipper in a
+    multi-supplier finished order. The oracle keeps the spec's
+    EXISTS / NOT-EXISTS form; the engine decorrelates BOTH into one
+    per-order aggregate — n_supp = countDistinct(supplier),
+    n_late_supp = countDistinct(supplier | late) — and gates on
+    (n_supp >= 2, n_late_supp = 1). One fact-fact shuffle + one
+    per-order agg replaces two correlated subqueries; equivalence:
+    EXISTS(other supplier) = n_supp >= 2, and (l1 late AND NOT
+    EXISTS(other late)) = n_late_supp = 1."""
+    li = read_table(spark, sf, "lineitem")
+    orders = read_table(spark, sf, "orders")
+    supp = read_table(spark, sf, "supplier")
+    o = orders.filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderdate"
+    )
+    l = li.join(o, li["l_orderkey"] == o["o_orderkey"]).withColumn(
+        "is_late",
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY"),
+    )
+    stats = l.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias(
+            "n_late_supp"
+        ),
+    )
+    qual = stats.filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1)).select(
+        F.col("l_orderkey").alias("qk")
+    )
+    late_lines = l.filter(F.col("is_late")).join(
+        qual, F.col("l_orderkey") == F.col("qk"), "inner"
+    )
+    return (
+        late_lines.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name"))
+        .limit(20)
+    )
+
+
+@_register(
+    "q22_dormant_customers",
+    """
+    WITH avg_bal AS (
+      SELECT SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS s, COUNT(*) AS c
+      FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT cntrycode, CAST(COUNT(*) AS BIGINT) AS numcust,
+           CAST(SUM(bal) AS DOUBLE) AS totacctbal
+    FROM (
+      SELECT CAST(c_nationkey % 5 AS BIGINT) AS cntrycode,
+             CAST(c_acctbal AS DECIMAL(12,2)) AS bal, c_custkey
+      FROM customer, avg_bal
+      WHERE CAST(c_nationkey % 5 AS BIGINT) IN (0, 1, 3)
+        AND CAST(c_acctbal AS DECIMAL(12,2)) * c > s
+        AND NOT EXISTS (
+          SELECT 1 FROM orders
+          WHERE o_custkey = c_custkey
+            AND o_orderdate >= TIMESTAMP '2000-01-01'
+        )
+    )
+    GROUP BY cntrycode ORDER BY cntrycode
+    """,
+)
+def _q22_dormant_customers(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q22 shape (adapted: c_nationkey % 5 stands in for the
+    missing c_phone country code; "dormant" = no order since
+    2000-01-01 because every testdata customer has SOME order):
+    well-funded customers with no recent orders. The global
+    positive-balance average arrives as a ONE-ROW broadcast
+    aggregate (the scalar subquery), compared exactly via
+    acctbal * count > sum in decimal (no float average); the
+    dormancy gate is a left-anti join against the date-pruned
+    orders scan."""
+    cust = read_table(spark, sf, "customer")
+    orders = read_table(spark, sf, "orders")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        F.sum(F.col("c_acctbal").cast("decimal(12,2)")).alias("s"),
+        F.count(F.lit(1)).alias("c"),
+    )
+    bal_dec = F.col("c_acctbal").cast("decimal(12,2)")
+    cand = (
+        cust.withColumn("cntrycode", (F.col("c_nationkey") % 5).cast("long"))
+        .filter(F.col("cntrycode").isin(0, 1, 3))
+        .crossJoin(F.broadcast(avg_bal))
+        .filter(bal_dec * F.col("c") > F.col("s"))
+    )
+    recent = orders.filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    )
+    dormant = cand.join(
+        recent, cand["c_custkey"] == recent["o_custkey"], "left_anti"
+    )
+    return (
+        dormant.groupBy("cntrycode")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(bal_dec).cast("double").alias("totacctbal"),
+        )
+        .orderBy("cntrycode")
+    )
+
+
+# ---------------------------------------------------------------------------
 # driver verification window
 #
 # The correctness driver hash-checks the FIRST 50 registry entries in

@@ -39,6 +39,9 @@ NESTED_LOOP_OK = {
     "customer_rfm_segments",
     # ABC classification cross-joins the ONE-ROW grand-total aggregate.
     "pareto_abc_lineitem",
+    # TPC-H Q22's scalar subquery (global positive-balance average)
+    # cross-joins the ONE-ROW (sum, count) aggregate — constant cost.
+    "q22_dormant_customers",
 }
 
 # row-at-a-time Python eval (BatchEvalPython) is never acceptable;
