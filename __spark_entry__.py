@@ -5573,6 +5573,59 @@ def _text_bm25_top5(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_register(
+    "set_except_all",
+    """
+    SELECT l_partkey AS partkey
+    FROM lineitem WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    EXCEPT ALL
+    SELECT l_partkey
+    FROM lineitem WHERE l_shipdate < TIMESTAMP '1997-01-01'
+    """,
+)
+def _set_except_all(spark: SparkSession, sf: str) -> DataFrame:
+    """Multiset difference (EXCEPT ALL): keeps SURPLUS duplicates —
+    a part shipped 5× after and 3× before 1997 survives exactly
+    twice. Complements `set_except` (distinct semantics): Spark
+    plans `exceptAll` as a tagged union + count-difference
+    aggregation + generator replay, one shuffle on the value —
+    linear, no join blow-up."""
+    li = read_table(spark, sf, "lineitem")
+    cut = F.lit("1997-01-01").cast("timestamp")
+    after = li.filter(F.col("l_shipdate") >= cut).select(
+        F.col("l_partkey").alias("partkey")
+    )
+    before = li.filter(F.col("l_shipdate") < cut).select(
+        F.col("l_partkey").alias("partkey")
+    )
+    return after.exceptAll(before)
+
+
+@_register(
+    "set_intersect_all",
+    """
+    SELECT l_partkey AS partkey
+    FROM lineitem WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    INTERSECT ALL
+    SELECT l_partkey
+    FROM lineitem WHERE l_shipdate < TIMESTAMP '1997-01-01'
+    """,
+)
+def _set_intersect_all(spark: SparkSession, sf: str) -> DataFrame:
+    """Multiset intersection (INTERSECT ALL): each part appears
+    min(count-after, count-before) times. Same tagged-count plan
+    family as `set_except_all` — one value shuffle, linear."""
+    li = read_table(spark, sf, "lineitem")
+    cut = F.lit("1997-01-01").cast("timestamp")
+    after = li.filter(F.col("l_shipdate") >= cut).select(
+        F.col("l_partkey").alias("partkey")
+    )
+    before = li.filter(F.col("l_shipdate") < cut).select(
+        F.col("l_partkey").alias("partkey")
+    )
+    return after.intersectAll(before)
+
+
+@_register(
     "q4_priority_exists",
     """
     SELECT o_orderpriority, COUNT(*) AS order_count
