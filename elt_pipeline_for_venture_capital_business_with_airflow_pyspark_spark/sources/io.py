@@ -108,6 +108,70 @@ def read_json(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame
     return spark.read.schema(schema).json(path)
 
 
+def read_csv_quarantine(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    header: bool = True,
+    corrupt_col: str = "_corrupt_record",
+) -> tuple[DataFrame, DataFrame]:
+    """PERMISSIVE CSV scan split into (clean, quarantined) frames —
+    the production staging-load pattern for dirty feeds (the
+    reference trusts its API extracts and would crash the task on a
+    malformed row; a 100 TB load can't).
+
+    Malformed rows land with the raw line preserved in
+    ``corrupt_col`` and every schema column NULL; clean rows have
+    ``corrupt_col`` NULL. The scan is cached before splitting:
+    Spark disallows queries referencing ONLY the internal corrupt
+    column on an uncached raw scan (SPARK-21610), and the cache also
+    guarantees the two branches split ONE pass over the feed instead
+    of re-reading (and re-parsing) it per branch. The cache holds one
+    staging batch — a daily slice, not the lake.
+    """
+    aug = T.StructType(
+        list(schema.fields) + [T.StructField(corrupt_col, T.StringType(), True)]
+    )
+    raw = (
+        spark.read.schema(aug)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .csv(path, header=header)
+        .cache()
+    )
+    good = raw.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
+    bad = raw.filter(F.col(corrupt_col).isNotNull()).select(
+        F.col(corrupt_col).alias("raw_record")
+    )
+    return good, bad
+
+
+def read_json_quarantine(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    corrupt_col: str = "_corrupt_record",
+) -> tuple[DataFrame, DataFrame]:
+    """PERMISSIVE JSON scan split into (clean, quarantined) frames —
+    same contract as `read_csv_quarantine` for REST-landed JSON
+    blobs (reference: helper/minio.py:19-45 land path)."""
+    aug = T.StructType(
+        list(schema.fields) + [T.StructField(corrupt_col, T.StringType(), True)]
+    )
+    raw = (
+        spark.read.schema(aug)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .json(path)
+        .cache()
+    )
+    good = raw.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
+    bad = raw.filter(F.col(corrupt_col).isNotNull()).select(
+        F.col(corrupt_col).alias("raw_record")
+    )
+    return good, bad
+
+
 def read_jdbc(
     spark: SparkSession,
     url: str,

@@ -269,6 +269,59 @@ def test_json_csv_round_trip(spark, tmp_path):
     assert back_c == want
 
 
+def test_csv_quarantine_split(spark, tmp_path):
+    """Dirty CSV feed: clean rows parse, malformed rows land in the
+    quarantine frame with the raw line preserved — neither is lost
+    and the clean frame never sees a corrupt column."""
+    from pyspark.sql import types as T
+
+    from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.sources import io as SIO
+
+    p = tmp_path / "feed.csv"
+    p.write_text(
+        "id,name,score\n"
+        "1,alpha,1.5\n"
+        "not-a-number,beta,2.0\n"   # id fails LongType
+        "2,gamma,xxx\n"             # score fails DoubleType
+        "3,delta,-0.5\n"
+    )
+    schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("score", T.DoubleType()),
+    ])
+    good, bad = SIO.read_csv_quarantine(spark, str(p), schema)
+    assert good.columns == ["id", "name", "score"]
+    assert {tuple(r) for r in good.collect()} == {
+        (1, "alpha", 1.5),
+        (3, "delta", -0.5),
+    }
+    raws = sorted(r["raw_record"] for r in bad.collect())
+    assert raws == ["2,gamma,xxx", "not-a-number,beta,2.0"]
+
+
+def test_json_quarantine_split(spark, tmp_path):
+    """Same contract over JSON lines: syntactically broken records
+    quarantine with their raw text; well-formed records parse."""
+    from pyspark.sql import types as T
+
+    from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.sources import io as SIO
+
+    p = tmp_path / "feed.jsonl"
+    p.write_text(
+        '{"id": 1, "name": "alpha"}\n'
+        '{"id": 2, "name": broken\n'
+        '{"id": 3, "name": "gamma"}\n'
+    )
+    schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("name", T.StringType()),
+    ])
+    good, bad = SIO.read_json_quarantine(spark, str(p), schema)
+    assert {tuple(r) for r in good.collect()} == {(1, "alpha"), (3, "gamma")}
+    assert [r["raw_record"] for r in bad.collect()] == ['{"id": 2, "name": broken']
+
+
 def test_orc_round_trip_with_pushdown(spark, tmp_path):
     """ORC sink/source round-trip, plus proof that filters reach the
     ORC scan (PushedFilters in the physical plan) like parquet."""
