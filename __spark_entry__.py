@@ -5573,6 +5573,46 @@ def _text_bm25_top5(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_register(
+    "scalar_array_hof",
+    rf"""
+    SELECT doc_id,
+           CAST(len(toks) AS INT) AS n_toks,
+           CAST(len(list_filter(toks, t -> length(t) > 5)) AS INT) AS n_long,
+           CAST(COALESCE(
+                list_aggregate(list_transform(toks, t -> length(t)), 'sum'),
+                0) AS BIGINT) AS total_chars,
+           CAST(list_aggregate(list_transform(toks, t -> length(t)), 'max')
+                AS INT) AS max_tok_len
+    FROM (SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents)
+    ORDER BY doc_id
+    """,
+)
+def _scalar_array_hof(spark: SparkSession, sf: str) -> DataFrame:
+    """Array higher-order functions — transform / filter / aggregate
+    lambdas evaluated JVM-side per row, zero shuffles, zero Python.
+    The same HOF family powers the similarity operators' dot
+    products; this query pins the integer-exact surface (token
+    counts, length filter, fold-sum, fold-max) against DuckDB's
+    list_* twins. At scale this is a pure map stage."""
+    docs = read_table(spark, sf, "documents")
+    toks = TX.tokens("text")
+    lens = F.transform(toks, lambda t: F.length(t))
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_toks"),
+        F.size(F.filter(toks, lambda t: F.length(t) > 5)).alias("n_long"),
+        F.aggregate(
+            lens, F.lit(0).cast("long"), lambda acc, x: acc + x
+        ).alias("total_chars"),
+        F.aggregate(
+            lens,
+            F.lit(None).cast("int"),
+            lambda acc, x: F.when(acc.isNull() | (x > acc), x).otherwise(acc),
+        ).alias("max_tok_len"),
+    ).orderBy("doc_id")
+
+
+@_register(
     "set_except_all",
     """
     SELECT l_partkey AS partkey
