@@ -25,6 +25,13 @@ from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.sessio
 )
 
 HEADLINE = [
+    # round-3 TPC-H remainder representatives + multiset set op
+    "q6_forecast_revenue",
+    "q8_market_share",
+    "q13_customer_distribution",
+    "q17_small_quantity_revenue",
+    "q21_waiting_supplier",
+    "set_except_all",
     "q1_pricing_summary",
     "join_self_dual_role",
     "join_inner_fk_agg",

@@ -63,6 +63,13 @@ SHUFFLE_BUDGET = {
     "q10_returned_items": 1,
     "q18_large_volume_customer": 2,
     "text_bm25_top5": 6,
+    # round-3 TPC-H remainder + multiset set op (PLANS.md, 157-query audit)
+    "q6_forecast_revenue": 0,
+    "q8_market_share": 1,
+    "q13_customer_distribution": 2,
+    "q17_small_quantity_revenue": 0,
+    "q21_waiting_supplier": 4,
+    "set_except_all": 1,
 }
 
 
