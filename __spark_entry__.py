@@ -5573,6 +5573,61 @@ def _text_bm25_top5(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_register(
+    "text_gopher_rules",
+    rf"""
+    WITH tok AS (
+      SELECT doc_id, text, {_TOKENS_SQL} AS toks FROM documents
+    ), feats AS (
+      SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_words,
+             CAST(COALESCE(list_aggregate(
+                 list_transform(toks, t -> length(t)), 'sum'), 0) AS BIGINT)
+               AS word_chars,
+             CAST(len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]')))
+               AS BIGINT) AS n_alpha,
+             CAST(len(list_filter(toks, x -> list_contains({_SW_LIST}, x)))
+               AS BIGINT) AS n_sw,
+             CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 \\t\\n]'))
+               AS BIGINT) AS n_punct
+      FROM tok
+    )
+    SELECT doc_id, n_words,
+           (n_words >= 50 AND n_words <= 100000) AS r_wordcount,
+           (n_words > 0 AND 3 * n_words <= word_chars
+            AND word_chars <= 10 * n_words) AS r_meanwordlen,
+           (n_words > 0 AND 5 * n_alpha >= 4 * n_words) AS r_alphawords,
+           (n_sw >= 2) AS r_stopwords,
+           (10 * n_punct < n_words) AS r_symbolratio,
+           ((n_words >= 50 AND n_words <= 100000)
+            AND (n_words > 0 AND 3 * n_words <= word_chars
+                 AND word_chars <= 10 * n_words)
+            AND (n_words > 0 AND 5 * n_alpha >= 4 * n_words)
+            AND (n_sw >= 2) AND (10 * n_punct < n_words)) AS pass_gopher
+    FROM feats
+    ORDER BY doc_id
+    """,
+)
+def _text_gopher_rules(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher-style quality gate with per-rule attribution — which
+    heuristic rejected each document (word-count band, mean word
+    length, alpha-word share, stopword floor, symbol ratio). All
+    thresholds cleared to integer cross-products, so the flags are
+    engine-exact. Pure map stage over the documents scan."""
+    docs = read_table(spark, sf, "documents")
+    g = TX.gopher_rules("text")
+    return docs.select(
+        "doc_id",
+        g["n_words"].alias("n_words"),
+        g["r_wordcount"].alias("r_wordcount"),
+        g["r_meanwordlen"].alias("r_meanwordlen"),
+        g["r_alphawords"].alias("r_alphawords"),
+        g["r_stopwords"].alias("r_stopwords"),
+        g["r_symbolratio"].alias("r_symbolratio"),
+        g["pass_gopher"].alias("pass_gopher"),
+    ).orderBy("doc_id")
+
+
+@_register(
     "scalar_array_hof",
     rf"""
     SELECT doc_id,

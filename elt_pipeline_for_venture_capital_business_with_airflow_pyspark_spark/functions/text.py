@@ -360,3 +360,48 @@ def repetition_fraction(col: str | Column, n: int = 3) -> Column:
         "double"
     )
     return F.when(k < n, F.lit(0.0)).otherwise(frac)
+
+
+def gopher_rules(col: str | Column) -> Column:
+    """Gopher-style per-rule quality gate (Rae et al. 2021 §A1.1
+    heuristics, integer-exact re-statement): a STRUCT of boolean
+    rule flags plus the conjunction, so a curation pipeline can both
+    filter on `pass_gopher` and report WHICH rule rejected each doc
+    (the composite `quality_score` can't attribute failures).
+
+    Rules (all ratio thresholds cleared to integer cross-products —
+    no float division, so any engine agrees bit-for-bit):
+      r_wordcount   50 <= n_words <= 100_000
+      r_meanwordlen 3 <= word_chars/n_words <= 10
+                    (as 3*n_words <= word_chars <= 10*n_words)
+      r_alphawords  >= 80% of words contain a letter
+                    (as 5*n_alpha >= 4*n_words)
+      r_stopwords   >= 2 stopword occurrences
+      r_symbolratio punct chars / n_words < 0.1
+                    (as 10*n_punct < n_words)
+    Empty docs fail every rule. Row-local expression — no shuffle."""
+    c = _col(col)
+    toks = tokens(c)
+    n_words = F.size(toks).cast("long")
+    word_chars = F.aggregate(
+        F.transform(toks, lambda t: F.length(t).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    n_alpha = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]"))).cast("long")
+    n_sw = stopword_count(c).cast("long")
+    n_punct = punct_count(c).cast("long")
+    r_wc = (n_words >= 50) & (n_words <= 100_000)
+    r_mwl = (n_words > 0) & (3 * n_words <= word_chars) & (word_chars <= 10 * n_words)
+    r_alpha = (n_words > 0) & (5 * n_alpha >= 4 * n_words)
+    r_sw = n_sw >= 2
+    r_sym = 10 * n_punct < n_words
+    return F.struct(
+        n_words.alias("n_words"),
+        r_wc.alias("r_wordcount"),
+        r_mwl.alias("r_meanwordlen"),
+        r_alpha.alias("r_alphawords"),
+        r_sw.alias("r_stopwords"),
+        r_sym.alias("r_symbolratio"),
+        (r_wc & r_mwl & r_alpha & r_sw & r_sym).alias("pass_gopher"),
+    )

@@ -414,3 +414,48 @@ def test_ivfpq_recall_vs_exact_l2(spark, sf_dir):
         appr.setdefault(r["query_id"], set()).add(r["neighbor_id"])
     recalls = [len(exact[q] & appr.get(q, set())) / 10 for q in range(5)]
     assert sum(recalls) / len(recalls) >= 0.2, recalls
+
+
+def test_gopher_rules_per_rule_attribution(spark):
+    """Each rule flips on the document engineered to violate ONLY it;
+    the empty doc fails everything; the clean doc passes everything."""
+    good = " ".join(
+        ["the quick brown fox jumps over the lazy dogs again"] * 6
+    )  # 60 words, mean len ~4.2, all alpha, stopwords, no punct
+    too_short = "the small dog runs fast"  # 5 words -> r_wordcount fails
+    long_words = " ".join(["abcdefghijklmnop"] * 60) + " the the"  # mean len > 10
+    numbery = " ".join(["12345"] * 58) + " the the"  # <80% alpha words
+    no_stop = " ".join(["alpha beta gamma delta epsilon"] * 12)  # 0 stopwords
+    symbol_soup = good + " " + "!!! ??? %%% $$$ ###" * 3  # punct/words >= 0.1
+    df = spark.createDataFrame(
+        [
+            (1, good), (2, too_short), (3, long_words),
+            (4, numbery), (5, no_stop), (6, symbol_soup), (7, ""),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in df.select("doc_id", TX.gopher_rules("text").alias("g"))
+        .select("doc_id", "g.*")
+        .collect()
+    }
+    assert rows[1]["pass_gopher"]
+    assert all(
+        rows[1][f] for f in (
+            "r_wordcount", "r_meanwordlen", "r_alphawords",
+            "r_stopwords", "r_symbolratio",
+        )
+    )
+    assert not rows[2]["r_wordcount"] and rows[2]["r_meanwordlen"]
+    assert not rows[3]["r_meanwordlen"] and rows[3]["r_wordcount"]
+    assert not rows[4]["r_alphawords"] and rows[4]["r_wordcount"]
+    assert not rows[5]["r_stopwords"] and rows[5]["r_alphawords"]
+    assert not rows[6]["r_symbolratio"] and rows[6]["r_stopwords"]
+    assert not any(
+        rows[7][f] for f in (
+            "r_wordcount", "r_meanwordlen", "r_alphawords",
+            "r_stopwords", "r_symbolratio", "pass_gopher",
+        )
+    )
+    assert not any(rows[d]["pass_gopher"] for d in (2, 3, 4, 5, 6, 7))
