@@ -6257,38 +6257,46 @@ def _q21_waiting_supplier(spark: SparkSession, sf: str) -> DataFrame:
     exist): suppliers who were the SOLE late shipper in a
     multi-supplier finished order. The oracle keeps the spec's
     EXISTS / NOT-EXISTS form; the engine decorrelates BOTH into one
-    per-order aggregate — n_supp = countDistinct(supplier),
-    n_late_supp = countDistinct(supplier | late) — and gates on
-    (n_supp >= 2, n_late_supp = 1). One fact-fact shuffle + one
-    per-order agg replaces two correlated subqueries; equivalence:
-    EXISTS(other supplier) = n_supp >= 2, and (l1 late AND NOT
-    EXISTS(other late)) = n_late_supp = 1."""
+    per-order aggregate and gates on (n_supp >= 2, n_late_supp = 1);
+    equivalence: EXISTS(other supplier) = n_supp >= 2, and (l1 late
+    AND NOT EXISTS(other late)) = n_late_supp = 1.
+
+    Plan shape: the fact-fact join collapses IMMEDIATELY to a
+    per-(order, supplier) aggregate carrying a late-line count —
+    every later step (per-order stats, the qualification gate, the
+    winner join, the per-supplier total via sum(n_late_lines) ==
+    count(*) of qualifying l1 rows) derives from that pairs frame,
+    which is orders-of-magnitude smaller than the line level. The
+    naive form re-joined raw lineitem against the gate, computing
+    the biggest shuffle twice (PLANS.md showed reused: 0)."""
     li = read_table(spark, sf, "lineitem")
     orders = read_table(spark, sf, "orders")
     supp = read_table(spark, sf, "supplier")
     o = orders.filter(F.col("o_orderstatus") == "F").select(
         "o_orderkey", "o_orderdate"
     )
-    l = li.join(o, li["l_orderkey"] == o["o_orderkey"]).withColumn(
-        "is_late",
-        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY"),
+    l = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")
+        ).alias("is_late"),
     )
-    stats = l.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias(
-            "n_late_supp"
-        ),
+    pairs = l.groupBy("l_orderkey", "l_suppkey").agg(
+        F.sum(F.when(F.col("is_late"), 1).otherwise(0)).alias("n_late_lines")
+    )
+    stats = pairs.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum((F.col("n_late_lines") > 0).cast("int")).alias("n_late_supp"),
     )
     qual = stats.filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1)).select(
-        F.col("l_orderkey").alias("qk")
+        "l_orderkey"
     )
-    late_lines = l.filter(F.col("is_late")).join(
-        qual, F.col("l_orderkey") == F.col("qk"), "inner"
-    )
+    winners = pairs.filter(F.col("n_late_lines") > 0).join(qual, "l_orderkey")
     return (
-        late_lines.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        winners.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
-        .agg(F.count(F.lit(1)).alias("numwait"))
+        .agg(F.sum("n_late_lines").cast("long").alias("numwait"))
         .orderBy(F.col("numwait").desc(), F.col("s_name"))
         .limit(20)
     )
