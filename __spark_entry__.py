@@ -5573,6 +5573,68 @@ def _text_bm25_top5(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_register(
+    "agg_regression_slope",
+    """
+    SELECT l_returnflag,
+           CAST(n AS BIGINT) AS n,
+           CAST((n * sxy - sx * sy) AS DOUBLE)
+             / CAST((n * sxx - sx * sx) AS DOUBLE) AS slope,
+           (CAST(sy AS DOUBLE) - (CAST((n * sxy - sx * sy) AS DOUBLE)
+             / CAST((n * sxx - sx * sx) AS DOUBLE)) * CAST(sx AS DOUBLE))
+             / CAST(n AS DOUBLE) AS intercept
+    FROM (
+      SELECT l_returnflag, COUNT(*) AS n,
+             SUM(CAST(l_quantity AS DECIMAL(20,4))) AS sx,
+             SUM(CAST(l_extendedprice AS DECIMAL(20,4))) AS sy,
+             SUM(CAST(l_quantity AS DECIMAL(20,4))
+                 * CAST(l_quantity AS DECIMAL(20,4))) AS sxx,
+             SUM(CAST(l_quantity AS DECIMAL(20,4))
+                 * CAST(l_extendedprice AS DECIMAL(20,4))) AS sxy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    ORDER BY l_returnflag
+    """,
+)
+def _agg_regression_slope(spark: SparkSession, sf: str) -> DataFrame:
+    """OLS fit (price ~ quantity) per return flag in ONE pass via
+    sufficient statistics — n, Σx, Σy, Σx², Σxy accumulate as exact
+    decimals (map-side partials, one shuffle), and only the final
+    slope/intercept arithmetic drops to double on identical operands
+    (so cross-engine bit-identical). The streaming/mergeable-partials
+    shape: the same five sums union across 1000 executors or across
+    incremental batches without revisiting rows — Spark's built-in
+    regr_slope keeps running doubles instead, whose totals are
+    partition-order-dependent and can't be oracle-checked.
+
+    Scale bound: the n·Σxy cross-product stays inside decimal(38,8)
+    up to ~1e12 rows PER GROUP at these value ranges; beyond that,
+    drop the sums to double (losing exactness, keeping correctness)
+    or pre-scale x/y — the sufficient-statistics shape is unchanged."""
+    li = read_table(spark, sf, "lineitem")
+    x = F.col("l_quantity").cast("decimal(20,4)")
+    y = F.col("l_extendedprice").cast("decimal(20,4)")
+    stats = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(x * y).alias("sxy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    slope = num / den
+    intercept = (F.col("sy").cast("double") - slope * F.col("sx").cast("double")) / F.col(
+        "n"
+    ).cast("double")
+    return stats.select(
+        "l_returnflag",
+        F.col("n").cast("long").alias("n"),
+        slope.alias("slope"),
+        intercept.alias("intercept"),
+    ).orderBy("l_returnflag")
+
+
+@_register(
     "text_gopher_rules",
     rf"""
     WITH tok AS (
