@@ -8,16 +8,34 @@ inherently single-writer; the distributed equivalents:
 - ``deterministic`` (default): dense rank over the natural key —
   reproducible across runs, required wherever goldens/oracles compare
   key values. Implemented as a TWO-PHASE partitioned rank (no global
-  single-reducer sort): range-partition + sort within partitions, take
-  the per-partition row position from ``monotonically_increasing_id()``
-  (which encodes ``partition_id * 2^33 + local_row`` — free once the
-  partition is sorted), then add broadcast prefix-sum offsets computed
-  from the per-partition counts. The only single-partition work is the
-  running sum over ONE ROW PER PARTITION (KB-sized at any scale); the
-  data itself never funnels through one reducer.
+  single-reducer sort): every row gets an order-preserving BUCKET id
+  computed from the row's own value against exact min/max aggregates
+  (uniform-width slices of the first key's range; string keys map
+  through their first 8 UTF-8 bytes read as a big-endian integer —
+  monotone, prefix ties share a bucket), a per-bucket
+  ``row_number()`` window ranks within buckets, and broadcast
+  prefix-sum offsets over the per-bucket counts (ONE ROW PER BUCKET,
+  KB-sized at any scale) splice the buckets into the global
+  sequence. The data never funnels through one reducer.
+
+  Why buckets instead of ``repartitionByRange``: the range
+  partitioner SAMPLES its boundaries, and a DataFrame diamond (the
+  data path and the counts path both consume the partitioned frame)
+  evaluates the exchange twice — two samplings, two different
+  boundary sets, offsets that do not match positions. Silent key
+  corruption that only appears once partition counts grow (caught at
+  sf0.1; sf0.01 fit one sampling pass). Bucket ids are a pure
+  function of the row value and two exact aggregates, so every
+  re-evaluation agrees by construction.
 - ``fast``: ``monotonically_increasing_id() + offset`` — no shuffle,
   not reproducible; for append-heavy fact loads where the key only
   needs uniqueness.
+
+Bucket-balance caveat: uniform-width slices assume the first key is
+roughly uniform over its range (surrogate-key inputs — sequential
+ids, hashed names — usually are). Heavy skew concentrates rows in few
+buckets, degrading parallelism but never correctness; raise
+``num_buckets`` (default 4× shuffle partitions) to smooth it.
 
 ``offset`` carries the max existing key so incremental loads keep
 appending to the sequence instead of restarting at 1.
@@ -32,10 +50,36 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
-# monotonically_increasing_id() = partition_id * 2^33 + row_in_partition
-_MID_PARTITION_SHIFT = 33
-_MID_LOCAL_MASK = (1 << _MID_PARTITION_SHIFT) - 1
+_NUMERIC_TYPES = (
+    T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+    T.FloatType, T.DoubleType, T.DecimalType,
+)
+
+
+def _order_proxy(df: DataFrame, key: str) -> F.Column:
+    """Monotone numeric proxy of an orderable column: x <= y implies
+    proxy(x) <= proxy(y). Equal proxies (string prefix ties, double
+    rounding) only mean "same bucket" — within-bucket order still
+    sorts the full natural key, so ties never cost correctness."""
+    dt = df.schema[key].dataType
+    c = F.col(key)
+    if isinstance(dt, _NUMERIC_TYPES):
+        return c.cast("double")
+    if isinstance(dt, T.DateType):
+        return F.datediff(c, F.lit("1970-01-01").cast("date")).cast("double")
+    if isinstance(dt, T.TimestampType):
+        return F.unix_micros(c).cast("double")
+    if isinstance(dt, (T.StringType, T.BinaryType)):
+        # first 8 UTF-8 bytes as a big-endian unsigned integer: UTF-8
+        # byte order IS code-point order, so the proxy is monotone in
+        # the string; conv() parses the hex into a (lossy but
+        # monotone) double via decimal string
+        first8 = F.substring(c.cast("binary"), 1, 8)
+        padded_hex = F.rpad(F.hex(first8), 16, "0")
+        return F.conv(padded_hex, 16, 10).cast("decimal(38,0)").cast("double")
+    raise TypeError(f"no order proxy for surrogate-key column type: {dt}")
 
 
 def add_surrogate_key(
@@ -44,7 +88,7 @@ def add_surrogate_key(
     natural_keys: list[str],
     offset: int = 0,
     mode: str = "deterministic",
-    num_partitions: int | None = None,
+    num_buckets: int | None = None,
 ) -> DataFrame:
     if mode == "fast":
         sk = F.monotonically_increasing_id() + F.lit(offset + 1)
@@ -53,35 +97,68 @@ def add_surrogate_key(
         raise ValueError(f"unknown surrogate-key mode: {mode}")
 
     keys = [F.col(c) for c in natural_keys]
-    if num_partitions is None:
-        nparts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+    if num_buckets is None:
+        # one bucket per shuffle partition: measured fastest at sf0.1
+        # (16 underparallelizes, 4x adds literal-map width for nothing);
+        # raise explicitly for heavily skewed key distributions
+        nbuckets = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+        )
     else:
-        nparts = num_partitions
+        nbuckets = num_buckets
 
-    # phase 1: order-preserving partitioning — partition i holds keys
-    # strictly below partition i+1's range; each partition sorts locally
-    base = df.repartitionByRange(nparts, *keys).sortWithinPartitions(*keys)
-    tagged = base.select(
-        F.monotonically_increasing_id().alias("__sk_mid"), "*"
-    ).select(
-        F.shiftrightunsigned(F.col("__sk_mid"), _MID_PARTITION_SHIFT).alias("__sk_pid"),
-        (F.col("__sk_mid") % F.lit(_MID_LOCAL_MASK + 1)).alias("__sk_local"),
-        *df.columns,
+    # phase 1: value-deterministic, order-preserving bucket id from
+    # the first key's exact [min, max] — a pure function of the row,
+    # immune to the re-evaluation nondeterminism of sampled range
+    # boundaries (see module docstring). One KB-sized broadcast.
+    proxy = _order_proxy(df, natural_keys[0])
+    bounds = df.agg(
+        F.min(proxy).alias("__sk_min"), F.max(proxy).alias("__sk_max")
+    )
+    span = F.col("__sk_max") - F.col("__sk_min")
+    bucket = F.when(
+        proxy.isNull(), F.lit(-1)
+    ).otherwise(
+        F.least(
+            F.lit(nbuckets - 1),
+            F.floor(
+                (proxy - F.col("__sk_min"))
+                / (F.when(span > 0, span).otherwise(F.lit(1.0)) / nbuckets)
+            ).cast("int"),
+        )
+    )
+    tagged = df.crossJoin(F.broadcast(bounds)).withColumn("__sk_bucket", bucket)
+
+    # phase 2: per-bucket counts -> prefix-sum offsets, computed on
+    # the driver (one row per OCCUPIED bucket — KB-sized at any scale,
+    # same sanctioned pattern as the IVF centroid collect). Recomputing
+    # `tagged` for the counts job is safe: bucket ids are
+    # value-deterministic, unlike sampled range boundaries.
+    counts = (
+        tagged.groupBy("__sk_bucket")
+        .agg(F.count(F.lit(1)).alias("__sk_cnt"))
+        .collect()
+    )
+    running = 0
+    offsets: dict[int, int] = {}
+    for row in sorted(counts, key=lambda r: r["__sk_bucket"]):
+        offsets[row["__sk_bucket"]] = running
+        running += row["__sk_cnt"]
+    offset_expr = F.element_at(
+        F.create_map(
+            *[F.lit(v) for kv in offsets.items() for v in kv]
+        ),
+        F.col("__sk_bucket"),
     )
 
-    # phase 2: prefix-sum offsets over per-partition counts — one row
-    # per partition, so the unpartitioned running-sum window is over a
-    # KB-sized frame regardless of data volume
-    counts = tagged.groupBy("__sk_pid").agg(F.count(F.lit(1)).alias("__sk_cnt"))
-    w = Window.orderBy("__sk_pid").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = counts.select(
-        "__sk_pid",
-        F.coalesce(F.sum("__sk_cnt").over(w), F.lit(0)).alias("__sk_off"),
-    )
-
-    joined = tagged.join(F.broadcast(offsets), "__sk_pid")
-    sk = (F.col("__sk_off") + F.col("__sk_local") + 1 + F.lit(offset)).cast("long")
-    return joined.select(sk.alias(key_name), *df.columns)
+    # rank within bucket over the FULL natural key (unique keys ->
+    # deterministic), one hash exchange on the bucket id; the bucket
+    # offset splices in as a literal-map lookup — no join, no
+    # singleton window in the data plan
+    wlocal = Window.partitionBy("__sk_bucket").orderBy(*keys)
+    local = tagged.withColumn("__sk_local", F.row_number().over(wlocal))
+    sk = (offset_expr + F.col("__sk_local") + F.lit(offset)).cast("long")
+    return local.select(sk.alias(key_name), *df.columns)
 
 
 def max_key(df: DataFrame, key_name: str) -> int:

@@ -177,10 +177,11 @@ def test_date_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
 
 def test_surrogate_key_no_global_single_partition_sort(spark, sf_dir):
     """VERDICT r01 watch-item: deterministic surrogate keys must NOT
-    funnel the dimension through one reducer. The two-phase rank keeps
-    the data path range-partitioned (rangepartitioning exchange, local
-    sort), and the only single-partition work is the prefix-sum window
-    over the per-partition COUNTS (one row per partition)."""
+    funnel the dimension through one reducer. The two-phase rank
+    hash-partitions the data path on the value-deterministic bucket
+    id (hashpartitioning exchange, per-bucket window sort), and the
+    only single-partition work is the prefix-sum window over the
+    per-bucket COUNTS (one row per bucket)."""
     from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.operators.surrogate import (
         add_surrogate_key,
     )
@@ -189,8 +190,8 @@ def test_surrogate_key_no_global_single_partition_sort(spark, sf_dir):
     q = add_surrogate_key(customer, "sk", ["c_custkey"])
     plan = _plan(q, "simple")
 
-    # the data path is range-partitioned, not a global (single-range) sort
-    assert "rangepartitioning(c_custkey" in plan
+    # the data path partitions on the bucket id, never a global sort
+    assert "hashpartitioning(__sk_bucket" in plan
     # no global Sort node: every Sort in the plan is partition-local
     for line in plan.splitlines():
         if "Sort [" in line:

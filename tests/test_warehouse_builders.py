@@ -216,10 +216,13 @@ def test_dim_people_and_bridge(spark):
 
 
 def test_surrogate_two_phase_dense_at_scale(spark):
-    """Stress the two-phase rank: 100k rows over 32 range partitions
-    (AQE on) must still produce the exact dense 1..N sequence in key
-    order — this is the test that would catch partition-id drift
-    between the counts branch and the join branch."""
+    """Stress the two-phase rank: 100k rows over many buckets (AQE
+    on) must still produce the exact dense 1..N sequence in key
+    order — this is the test that would catch bucket-assignment
+    drift between the counts branch and the data branch (the failure
+    mode of the sampled-boundary design this replaced: two
+    evaluations of repartitionByRange sampled different boundaries
+    at sf0.1, corrupting keys)."""
     from pyspark.sql import functions as F
 
     from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.operators.surrogate import (
@@ -227,11 +230,12 @@ def test_surrogate_two_phase_dense_at_scale(spark):
     )
 
     n = 100_000
-    # non-monotonic insert order + string keys (range sampling is real)
+    # non-monotonic insert order + string keys (exercises the UTF-8
+    # big-endian order proxy and its shared-prefix bucket ties)
     df = spark.range(n).select(
         F.concat(F.lit("k"), F.lpad((F.col("id") * 7919 % n).cast("string"), 7, "0")).alias("nk")
     )
-    out = add_surrogate_key(df, "sk", ["nk"], num_partitions=32)
+    out = add_surrogate_key(df, "sk", ["nk"], num_buckets=32)
     agg = out.agg(
         F.min("sk").alias("lo"), F.max("sk").alias("hi"),
         F.countDistinct("sk").alias("nd"), F.count(F.lit(1)).alias("cnt"),
