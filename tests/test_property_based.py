@@ -163,3 +163,33 @@ def test_haversine_metric_properties(spark, pts):
         for j in range(3):
             for k in range(3):
                 assert d[(i, j)] <= d[(i, k)] + d[(k, j)] + 1e-6
+
+
+@given(
+    keys=st.lists(
+        st.one_of(
+            st.text(min_size=0, max_size=12),
+            st.integers(min_value=-(10**9), max_value=10**9).map(str),
+        ),
+        min_size=1,
+        max_size=50,
+        unique=True,
+    ),
+    nbuckets=st.integers(min_value=1, max_value=8),
+)
+@_SETTINGS
+def test_surrogate_key_is_exact_rank_over_string_keys(spark, keys, nbuckets):
+    """The bucketed two-phase rank must equal ROW_NUMBER ORDER BY key
+    for ANY unique string keys — exercises the UTF-8 big-endian order
+    proxy (unicode, empty strings, shared prefixes, numerics-as-text)
+    and every bucket-boundary edge the generator can hit."""
+    from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.operators.surrogate import (
+        add_surrogate_key,
+    )
+
+    df = spark.createDataFrame([(k,) for k in keys], ["nk"])
+    out = add_surrogate_key(df, "sk", ["nk"], num_buckets=nbuckets)
+    got = {r["nk"]: r["sk"] for r in out.collect()}
+    # Spark string ordering is code-point order — same as python's
+    want = {k: i + 1 for i, k in enumerate(sorted(keys))}
+    assert got == want
