@@ -5577,19 +5577,25 @@ def _text_bm25_top5(spark: SparkSession, sf: str) -> DataFrame:
     """
     SELECT l_returnflag,
            CAST(n AS BIGINT) AS n,
-           CAST((n * sxy - sx * sy) AS DOUBLE)
-             / CAST((n * sxx - sx * sx) AS DOUBLE) AS slope,
-           (CAST(sy AS DOUBLE) - (CAST((n * sxy - sx * sy) AS DOUBLE)
-             / CAST((n * sxx - sx * sx) AS DOUBLE)) * CAST(sx AS DOUBLE))
+           (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope,
+           (CAST(sy AS DOUBLE)
+              - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                * CAST(sx AS DOUBLE))
              / CAST(n AS DOUBLE) AS intercept
     FROM (
       SELECT l_returnflag, COUNT(*) AS n,
-             SUM(CAST(l_quantity AS DECIMAL(20,4))) AS sx,
-             SUM(CAST(l_extendedprice AS DECIMAL(20,4))) AS sy,
-             SUM(CAST(l_quantity AS DECIMAL(20,4))
-                 * CAST(l_quantity AS DECIMAL(20,4))) AS sxx,
-             SUM(CAST(l_quantity AS DECIMAL(20,4))
-                 * CAST(l_extendedprice AS DECIMAL(20,4))) AS sxy
+             SUM(CAST(l_quantity AS DECIMAL(12,4))) AS sx,
+             SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS sy,
+             SUM(CAST(l_quantity AS DECIMAL(12,4))
+                 * CAST(l_quantity AS DECIMAL(12,4))) AS sxx,
+             SUM(CAST(l_quantity AS DECIMAL(12,4))
+                 * CAST(l_extendedprice AS DECIMAL(12,2))) AS sxy
       FROM lineitem GROUP BY l_returnflag
     )
     ORDER BY l_returnflag
@@ -5606,13 +5612,19 @@ def _agg_regression_slope(spark: SparkSession, sf: str) -> DataFrame:
     regr_slope keeps running doubles instead, whose totals are
     partition-order-dependent and can't be oracle-checked.
 
-    Scale bound: the n·Σxy cross-product stays inside decimal(38,8)
-    up to ~1e12 rows PER GROUP at these value ranges; beyond that,
-    drop the sums to double (losing exactness, keeping correctness)
-    or pre-scale x/y — the sufficient-statistics shape is unchanged."""
+    The five SUMS are exact decimals (that's what shuffles and
+    merges); the n·Σxy cross-products are NOT kept decimal — at sf0.1
+    they already overflow decimal(38) and Spark and DuckDB round the
+    overflow differently (caught by the sf0.1 sweep). Each sum casts
+    to double FIRST (exact value → correctly-rounded double, identical
+    in both engines), then slope/intercept combine in pure IEEE
+    arithmetic over identical operands — bit-identical at any scale."""
     li = read_table(spark, sf, "lineitem")
-    x = F.col("l_quantity").cast("decimal(20,4)")
-    y = F.col("l_extendedprice").cast("decimal(20,4)")
+    # (12,4) x (12,2): products need 25 digits — exactly representable
+    # in BOTH engines (decimal(20,4) squares need 41 > 38 and each
+    # engine rounds the overflow differently; the sf0.1 sweep caught it)
+    x = F.col("l_quantity").cast("decimal(12,4)")
+    y = F.col("l_extendedprice").cast("decimal(12,2)")
     stats = li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(x).alias("sx"),
@@ -5620,12 +5632,15 @@ def _agg_regression_slope(spark: SparkSession, sf: str) -> DataFrame:
         F.sum(x * x).alias("sxx"),
         F.sum(x * y).alias("sxy"),
     )
-    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
-    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    nd = F.col("n").cast("double")
+    sxd = F.col("sx").cast("double")
+    syd = F.col("sy").cast("double")
+    sxxd = F.col("sxx").cast("double")
+    sxyd = F.col("sxy").cast("double")
+    num = nd * sxyd - sxd * syd
+    den = nd * sxxd - sxd * sxd
     slope = num / den
-    intercept = (F.col("sy").cast("double") - slope * F.col("sx").cast("double")) / F.col(
-        "n"
-    ).cast("double")
+    intercept = (syd - slope * sxd) / nd
     return stats.select(
         "l_returnflag",
         F.col("n").cast("long").alias("n"),

@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from . import surrogate as SK
+
 __all__ = [
     "zscore_per_group",
     "rolling_range_agg",
@@ -168,42 +170,71 @@ def partitioned_cumsum(
 ) -> DataFrame:
     """Running total over a TOTAL order without a single-reducer sort —
     the two-phase prefix-sum pattern (same construction as
-    operators/surrogate.add_surrogate_key): range-partition on the
-    order, local sort + local cumulative sum per partition, then add
-    broadcast prefix offsets computed from ONE ROW PER PARTITION.
-    The data never funnels through one task; the only global window
-    runs over the KB-sized per-partition totals.
+    operators/surrogate.add_surrogate_key): a value-deterministic
+    order-preserving bucket id on the LEADING order column, local
+    cumulative sum per bucket, then broadcast prefix offsets computed
+    from ONE ROW PER BUCKET. The data never funnels through one task.
+
+    The bucket id comes from `surrogate.attach_order_bucket`, not
+    `repartitionByRange`: this frame is consumed by BOTH the totals
+    path and the data path, and the range partitioner re-samples its
+    boundaries per evaluation — the two passes can disagree, silently
+    mis-splicing the running totals (the exact failure mode caught in
+    the surrogate operator at sf0.1). Bucket ids are pure functions
+    of the row value, so both passes agree by construction.
 
     ``order_cols`` must be a total order (add a tiebreak) or the
     running values are retry-nondeterministic. ``value_col`` should be
-    decimal for exact, order-insensitive partial sums.
+    decimal for exact, order-insensitive partial sums. The leading
+    order column's direction is inferred (`Column.desc()` supported);
+    equal leading values always map to the SAME bucket (the bucket is
+    a pure function of the value), so ties never straddle a bucket
+    boundary and the within-bucket sort over the full ``order_cols``
+    finishes the total order.
     """
     keys = [F.col(c) if isinstance(c, str) else c for c in order_cols]
     if num_partitions is None:
-        nparts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+        nbuckets = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
     else:
-        nparts = num_partitions
+        nbuckets = num_partitions
 
-    base = df.repartitionByRange(nparts, *keys).sortWithinPartitions(*keys)
-    tagged = base.select(
-        F.spark_partition_id().alias("__cs_pid"), "*"
-    )
+    # leading order column name + direction from the expression
+    lead = order_cols[0]
+    if isinstance(lead, str):
+        lead_name, lead_desc = lead, False
+    else:
+        s = str(lead)  # "Column<'weight DESC NULLS LAST'>"
+        inner = s.split("'")[1]
+        lead_desc = " DESC" in inner
+        lead_name = inner.split(" ")[0]
 
-    totals = tagged.groupBy("__cs_pid").agg(F.sum(value_col).alias("__cs_tot"))
-    woff = Window.orderBy("__cs_pid").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = totals.select(
-        "__cs_pid",
-        F.coalesce(F.sum("__cs_tot").over(woff), F.lit(0)).alias("__cs_off"),
-    )
+    tagged = SK.attach_order_bucket(df, lead_name, nbuckets, "__cs_b", desc=lead_desc)
 
-    wloc = Window.partitionBy("__cs_pid").orderBy(*keys).rowsBetween(
+    # per-bucket totals -> prefix offsets on the driver (one row per
+    # occupied bucket, KB-sized; recomputation-safe: bucket ids are
+    # value-deterministic)
+    totals = tagged.groupBy("__cs_b").agg(F.sum(value_col).alias("__cs_tot")).collect()
+    running = None
+    offsets: dict[int, object] = {}
+    for row in sorted(totals, key=lambda r: r["__cs_b"]):
+        if running is not None:
+            offsets[row["__cs_b"]] = running
+        running = row["__cs_tot"] if running is None else running + row["__cs_tot"]
+    if offsets:
+        offset_expr = F.element_at(
+            F.create_map(*[F.lit(v) for kv in offsets.items() for v in kv]),
+            F.col("__cs_b"),
+        )
+    else:  # single occupied bucket — no cross-bucket offsets
+        offset_expr = F.lit(None).cast("long")
+
+    wloc = Window.partitionBy("__cs_b").orderBy(*keys).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     local = tagged.withColumn("__cs_loc", F.sum(value_col).over(wloc))
     return (
-        local.join(F.broadcast(offsets), "__cs_pid")
-        .withColumn(out_col, F.col("__cs_loc") + F.col("__cs_off"))
-        .drop("__cs_pid", "__cs_loc", "__cs_off")
+        local.withColumn(out_col, F.col("__cs_loc") + F.coalesce(offset_expr, F.lit(0)))
+        .drop("__cs_b", "__cs_loc")
     )
 
 

@@ -82,6 +82,45 @@ def _order_proxy(df: DataFrame, key: str) -> F.Column:
     raise TypeError(f"no order proxy for surrogate-key column type: {dt}")
 
 
+def attach_order_bucket(
+    df: DataFrame,
+    key: str,
+    nbuckets: int,
+    out_col: str,
+    desc: bool = False,
+) -> DataFrame:
+    """Attach a value-deterministic, order-preserving bucket id
+    column (0..nbuckets-1): a pure function of the row value and the
+    key column's exact [min, max] — the deterministic replacement for
+    sampled range boundaries wherever a partitioned frame is consumed
+    by more than one subplan (see module docstring). ``desc=True``
+    reverses the bucket order to follow a descending sort (nulls then
+    land in the trailing bucket, matching DESC NULLS LAST). One
+    KB-sized broadcast of the bounds; no sampling, so any number of
+    downstream re-evaluations agree."""
+    proxy = _order_proxy(df, key)
+    if desc:
+        proxy = -proxy
+    bounds = df.agg(F.min(proxy).alias("__ob_min"), F.max(proxy).alias("__ob_max"))
+    span = F.col("__ob_max") - F.col("__ob_min")
+    bucket = F.when(
+        proxy.isNull(), F.lit(nbuckets if desc else -1)
+    ).otherwise(
+        F.least(
+            F.lit(nbuckets - 1),
+            F.floor(
+                (proxy - F.col("__ob_min"))
+                / (F.when(span > 0, span).otherwise(F.lit(1.0)) / nbuckets)
+            ).cast("int"),
+        )
+    )
+    return (
+        df.crossJoin(F.broadcast(bounds))
+        .withColumn(out_col, bucket)
+        .drop("__ob_min", "__ob_max")
+    )
+
+
 def add_surrogate_key(
     df: DataFrame,
     key_name: str,
@@ -111,23 +150,7 @@ def add_surrogate_key(
     # the first key's exact [min, max] — a pure function of the row,
     # immune to the re-evaluation nondeterminism of sampled range
     # boundaries (see module docstring). One KB-sized broadcast.
-    proxy = _order_proxy(df, natural_keys[0])
-    bounds = df.agg(
-        F.min(proxy).alias("__sk_min"), F.max(proxy).alias("__sk_max")
-    )
-    span = F.col("__sk_max") - F.col("__sk_min")
-    bucket = F.when(
-        proxy.isNull(), F.lit(-1)
-    ).otherwise(
-        F.least(
-            F.lit(nbuckets - 1),
-            F.floor(
-                (proxy - F.col("__sk_min"))
-                / (F.when(span > 0, span).otherwise(F.lit(1.0)) / nbuckets)
-            ).cast("int"),
-        )
-    )
-    tagged = df.crossJoin(F.broadcast(bounds)).withColumn("__sk_bucket", bucket)
+    tagged = attach_order_bucket(df, natural_keys[0], nbuckets, "__sk_bucket")
 
     # phase 2: per-bucket counts -> prefix-sum offsets, computed on
     # the driver (one row per OCCUPIED bucket — KB-sized at any scale,

@@ -127,13 +127,14 @@ def test_partitioned_cumsum_matches_global_and_avoids_global_sort(spark):
         run += i % 7 + 1
         want[i] = run
     assert got == want
-    # scale shape: every Sort is partition-local, data path range-partitioned
+    # scale shape: every Sort is partition-local, data path
+    # hash-partitioned on the value-deterministic bucket id
     plan = out._jdf.queryExecution().explainString(
         out.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
             "simple"
         )
     )
-    assert "rangepartitioning(k" in plan
+    assert "hashpartitioning(__cs_b" in plan
     for line in plan.splitlines():
         if "Sort [" in line:
             assert "false" in line, f"global sort in partitioned_cumsum: {line}"
