@@ -260,11 +260,36 @@ def _q1(spark: SparkSession, sf: str) -> DataFrame:
 )
 def _agg_rollup(spark: SparkSession, sf: str) -> DataFrame:
     """Hierarchical subtotals — free generalization of the reference's
-    aggregation surface (SURVEY.md §2.4 closing note)."""
+    aggregation surface (SURVEY.md §2.4 closing note).
+
+    ANSI empty-input note: Spark's ROLLUP emits ZERO rows on an empty
+    table, but the standard (and DuckDB/Postgres) emit the grand-total
+    row — the () grouping set is a global aggregate, and a global
+    aggregate over nothing is one row. So the rollup is expressed as
+    its non-() grouping sets UNION an always-present global aggregate:
+    identical to ROLLUP on any non-empty input, and standard-correct
+    on the empty daily slice (caught by tests/test_empty_input_sweep)."""
     li = read_table(spark, sf, "lineitem")
-    return li.rollup("l_returnflag", "l_linestatus").agg(
-        F.count(F.lit(1)).alias("n_items"), _dsum(F.col("l_quantity")).alias("sum_qty")
+    aggs = [
+        F.count(F.lit(1)).alias("n_items"),
+        _dsum(F.col("l_quantity")).alias("sum_qty"),
+    ]
+    li.createOrReplaceTempView("lineitem_v")
+    parts = spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n_items,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE) AS sum_qty
+        FROM lineitem_v
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag))
+        """
     )
+    total = li.agg(*aggs).select(
+        F.lit(None).cast("string").alias("l_returnflag"),
+        F.lit(None).cast("string").alias("l_linestatus"),
+        "n_items",
+        "sum_qty",
+    )
+    return parts.unionByName(total)
 
 
 @_register(
@@ -743,9 +768,12 @@ def _profile_catalog(spark: SparkSession, sf: str) -> DataFrame:
         "region": read_table(spark, sf, "region"),
     }
     # sample is array<string>; serialize for the driver's scalar-only
-    # canonicalizer (array columns can't be sorted/hashed by pandas)
+    # canonicalizer (array columns can't be sorted/hashed by pandas).
+    # Empty sample (empty table) -> NULL, matching SQL string_agg over
+    # zero rows rather than array_join's '' artifact.
     return PR.profile_database(tables=tables).withColumn(
-        "sample", F.array_join("sample", ",")
+        "sample",
+        F.when(F.size("sample") > 0, F.array_join("sample", ",")),
     )
 
 
@@ -1478,13 +1506,32 @@ def _embedding_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
     """,
 )
 def _agg_cube(spark: SparkSession, sf: str) -> DataFrame:
-    """CUBE: all 2^k grouping combinations in one shuffle (Spark expands
-    to a union of grouping sets map-side — no extra scan per set)."""
+    """CUBE: all 2^k grouping combinations (Spark expands grouping
+    sets map-side — no extra scan per set). Expressed as the non-()
+    sets UNION an always-present global aggregate so the empty table
+    yields the standard's grand-total row — Spark's native CUBE emits
+    zero rows there, DuckDB/Postgres one (see _agg_rollup note)."""
     orders = read_table(spark, sf, "orders")
-    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+    orders.createOrReplaceTempView("orders_cube_v")
+    parts = spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE) AS revenue
+        FROM orders_cube_v
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                (o_orderstatus), (o_orderpriority))
+        """
+    )
+    total = orders.agg(
         F.count(F.lit(1)).alias("n_orders"),
         _dsum(F.col("o_totalprice")).alias("revenue"),
+    ).select(
+        F.lit(None).cast("string").alias("o_orderstatus"),
+        F.lit(None).cast("string").alias("o_orderpriority"),
+        "n_orders",
+        "revenue",
     )
+    return parts.unionByName(total)
 
 
 @_register(
@@ -1500,18 +1547,30 @@ def _agg_cube(spark: SparkSession, sf: str) -> DataFrame:
 )
 def _agg_grouping_sets(spark: SparkSession, sf: str) -> DataFrame:
     """Explicit GROUPING SETS with GROUPING() null-vs-subtotal markers,
-    via the SQL entry point (spark.sql over a registered view)."""
-    read_table(spark, sf, "orders").createOrReplaceTempView("orders_v")
-    return spark.sql(
+    via the SQL entry point (spark.sql over a registered view). The ()
+    set is carried as an always-present global aggregate union so the
+    empty table yields the standard's one-row grand total (see
+    _agg_rollup note)."""
+    orders = read_table(spark, sf, "orders")
+    orders.createOrReplaceTempView("orders_v")
+    parts = spark.sql(
         """
         SELECT o_orderstatus, o_orderpriority,
                CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
                CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
                COUNT(*) AS n_orders
         FROM orders_v
-        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
         """
     )
+    total = orders.agg(F.count(F.lit(1)).alias("n_orders")).select(
+        F.lit(None).cast("string").alias("o_orderstatus"),
+        F.lit(None).cast("string").alias("o_orderpriority"),
+        F.lit(1).cast("int").alias("g_status"),
+        F.lit(1).cast("int").alias("g_priority"),
+        "n_orders",
+    )
+    return parts.unionByName(total)
 
 
 @_register(

@@ -60,7 +60,11 @@ def profile_table(df: DataFrame, table_name: str) -> DataFrame:
     for field in df.schema.fields:
         nn = F.col(f"__nn_{field.name}")
         n = F.col("__n_rows")
-        pct = F.round(nn * 100.0 / n, 2)
+        # NULL (not a crash) on the empty table: an empty daily slice
+        # is a legitimate profiling input; NULL pct renders NaN through
+        # pandas exactly like DuckDB's 0/0, and the 90% gate then
+        # classifies the column 'Bad' in both engines
+        pct = F.when(n > 0, F.round(nn * 100.0 / n, 2))
         per_col.append(
             F.struct(
                 F.lit(field.name).alias("column_name"),
@@ -116,14 +120,24 @@ def profile_report_json(df: DataFrame, table_name: str) -> DataFrame:
     return prof.groupBy("table_name").agg(
         F.first("n_rows").alias("n_rows"),
         F.count(F.lit(1)).alias("n_cols"),
-        F.to_json(
-            F.array_sort(
-                F.collect_list(
-                    F.struct(
-                        "column_name", "data_type", "pct_complete", "quality", "n_negative"
+        # NULL report on the empty table (no data, no profile — the
+        # row still carries n_rows=0 / n_cols), matching the SQL
+        # string_agg-over-nothing shape of the oracle
+        F.when(
+            F.first("n_rows") > 0,
+            F.to_json(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            "column_name",
+                            "data_type",
+                            "pct_complete",
+                            "quality",
+                            "n_negative",
+                        )
                     )
                 )
-            )
+            ),
         ).alias("data_profile"),
     )
 

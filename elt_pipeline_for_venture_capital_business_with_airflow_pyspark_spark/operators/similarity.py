@@ -266,6 +266,13 @@ def ivf_topk(
             .limit(n_centroids)
             .collect()
         )
+    if not cent_rows:
+        # empty corpus -> no centroids to fit; the search result is
+        # defined (no neighbors), not an error — an empty slice must
+        # flow through a pipeline
+        return corpus.sparkSession.createDataFrame(
+            [], "query_id long, rank int, neighbor_id long, cosine_sim double"
+        )
     cmat = F.array(
         *[F.array(*[F.lit(float(v)) for v in r["cv"]]) for r in cent_rows]
     )
@@ -440,6 +447,9 @@ def pq_codes(
     assert dim % m == 0, "dim must divide evenly into m subspaces"
     d_m = dim // m
     qcw = _collect_codebook(codeword_source or corpus, id_col, vec_col, ks)
+    if not qcw:
+        # empty corpus -> nothing to encode (see ivf_topk empty note)
+        return corpus.sparkSession.createDataFrame([], "id long, s int, code int")
     CW = _cw_literal(qcw, m, d_m)
     qv = _quantized(vec_col)
 
@@ -498,6 +508,11 @@ def ivfpq_topk(
     d_m = dim // m
     src = codeword_source or corpus
     qcw = _collect_codebook(src, id_col, vec_col, max(ks, n_cells))
+    if not qcw:
+        # empty corpus -> no cells, no codes (see ivf_topk empty note)
+        return corpus.sparkSession.createDataFrame(
+            [], "query_id long, rank int, neighbor_id long, approx_d2 long"
+        )
     CW = _cw_literal(qcw[:ks], m, d_m)
     SEEDS = F.array(
         *[F.array(*[F.lit(v) for v in cw]) for cw in qcw[:n_cells]]
