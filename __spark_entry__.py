@@ -554,7 +554,9 @@ def _window_running_sum(spark: SparkSession, sf: str) -> DataFrame:
     li = read_table(spark, sf, "lineitem").filter(F.col("l_suppkey") <= 5)
     w = (
         Window.partitionBy("l_suppkey")
-        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .orderBy(
+            F.col("l_shipdate").asc_nulls_last(), "l_orderkey", "l_linenumber"
+        )
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     return li.select(
@@ -661,7 +663,7 @@ def _dedup_latest_wins(spark: SparkSession, sf: str) -> DataFrame:
     SELECT epoch_us(date_trunc('day', ts)) AS window_start_us,
            event_type, COUNT(*) AS n_events,
            CAST(SUM(CAST(value AS DECIMAL(20,4))) AS DOUBLE) AS sum_value
-    FROM events GROUP BY 1, 2
+    FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
     """,
 )
 def _tumbling_window_agg(spark: SparkSession, sf: str) -> DataFrame:
@@ -1223,7 +1225,9 @@ def _lang_sql() -> str:
     for code in sorted(TX.LANG_MARKERS):
         lst = "[" + ",".join(f"'{m}'" for m in TX.LANG_MARKERS[code]) + "]"
         score_exprs.append(
-            f"CAST(len(list_filter(toks, x -> list_contains({lst}, x))) AS INT) AS s_{code}"
+            # COALESCE: NULL text has zero marker hits (not an
+            # undefined CASE fall-through to the last language)
+            f"CAST(COALESCE(len(list_filter(toks, x -> list_contains({lst}, x))), 0) AS INT) AS s_{code}"
         )
     scores = ", ".join(score_exprs)
     return f"""
@@ -1276,8 +1280,13 @@ def _text_winnow_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
     fps = TX.winnow_fingerprints(docs, "doc_id", "text", k=5, window=4)
     return fps.select(
         F.col("id").alias("doc_id"),
-        F.array_join(
-            F.transform("fingerprints", lambda x: x.cast("string")), ","
+        # NULL (not ''): a null/fingerprint-less doc has no serialized
+        # fingerprint, matching the SQL side's NULL propagation
+        F.when(
+            F.size("fingerprints") > 0,
+            F.array_join(
+                F.transform("fingerprints", lambda x: x.cast("string")), ","
+            ),
         ).alias("fingerprints"),
     )
 
@@ -1740,10 +1749,12 @@ def _window_lag_lead_range(spark: SparkSession, sf: str) -> DataFrame:
     """lag/lead + a time-range frame (trailing 1 h sum) — the frame-spec
     window surface SURVEY.md §2.5 calls out as a free generalization."""
     ev = read_table(spark, sf, "events").filter(F.col("user_id") < 50)
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc_nulls_last(), "event_id"
+    )
     wr = (
         Window.partitionBy("user_id")
-        .orderBy(F.unix_micros("ts"))
+        .orderBy(F.unix_micros("ts").asc_nulls_last())
         .rangeBetween(-3_600_000_000, 0)
     )
     return ev.select(
@@ -3312,7 +3323,7 @@ def _window_frame_first_last(spark: SparkSession, sf: str) -> DataFrame:
     orders = read_table(spark, sf, "orders")
     w = (
         Window.partitionBy("o_custkey")
-        .orderBy("o_orderdate", "o_orderkey")
+        .orderBy(F.col("o_orderdate").asc_nulls_last(), "o_orderkey")
         .rowsBetween(-2, 1)
     )
     return orders.select(
@@ -3608,7 +3619,10 @@ def _curation_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
              n_chars % 1920 + 64 AS w,
              n_chars % 1080 + 64 AS h,
              text
-      FROM documents WHERE doc_id % 3 = 0
+      FROM documents
+      -- the resize surface's documented prune: only metadata-complete
+      -- images enter the Arrow boundary
+      WHERE doc_id % 3 = 0 AND n_chars IS NOT NULL
     )
     SELECT media_id,
            CAST(w AS INT) AS src_width,
@@ -4226,6 +4240,7 @@ def _window_rolling_range(spark: SparkSession, sf: str) -> DataFrame:
            - CAST(CAST(s1 AS VARCHAR) AS DOUBLE)
              * CAST(CAST(s1 AS VARCHAR) AS DOUBLE) / n)
             / (n - 1) > 0
+      AND o.o_totalprice IS NOT NULL
     """,
 )
 def _feature_zscore_per_group(spark: SparkSession, sf: str) -> DataFrame:
@@ -4249,6 +4264,7 @@ def _feature_zscore_per_group(spark: SparkSession, sf: str) -> DataFrame:
       SELECT event_type, CAST(value AS DECIMAL(20,4)) AS v,
              (epoch_us(ts) // 300000000 - k) * 300000000 AS ws_us
       FROM events, unnest([0, 1]) AS t(k)
+      WHERE ts IS NOT NULL
     )
     SELECT ws_us, event_type, COUNT(*) AS n_events,
            CAST(SUM(v) AS DOUBLE) AS sum_value
@@ -4763,7 +4779,9 @@ def _window_percent_rank_cume(spark: SparkSession, sf: str) -> DataFrame:
     shuffle on the partition key; ties share a value in both engines
     by definition of the two functions."""
     orders = read_table(spark, sf, "orders")
-    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").asc_nulls_last()
+    )
     return (
         orders.filter(F.col("o_orderdate") < F.lit("1995-07-01").cast("timestamp"))
         .select(
@@ -5255,7 +5273,7 @@ def _window_nth_value(spark: SparkSession, sf: str) -> DataFrame:
     orders = read_table(spark, sf, "orders")
     w = (
         Window.partitionBy("o_orderpriority")
-        .orderBy("o_totalprice", "o_orderkey")
+        .orderBy(F.col("o_totalprice").asc_nulls_last(), "o_orderkey")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return orders.filter(
@@ -5517,7 +5535,7 @@ def _events_distribution_drift(spark: SparkSession, sf: str) -> DataFrame:
             "n * 1000000L div sum(n) over (partition by day)"
         ).alias("share_scaled"),
     )
-    w = Window.partitionBy("event_type").orderBy("day")
+    w = Window.partitionBy("event_type").orderBy(F.col("day").asc_nulls_last())
     paired = shares.withColumn(
         "prev_share", F.lag("share_scaled").over(w)
     ).filter(F.col("prev_share").isNotNull())
@@ -5792,8 +5810,9 @@ def _scalar_array_hof(spark: SparkSession, sf: str) -> DataFrame:
         "doc_id",
         F.size(toks).alias("n_toks"),
         F.size(F.filter(toks, lambda t: F.length(t) > 5)).alias("n_long"),
-        F.aggregate(
-            lens, F.lit(0).cast("long"), lambda acc, x: acc + x
+        F.coalesce(
+            F.aggregate(lens, F.lit(0).cast("long"), lambda acc, x: acc + x),
+            F.lit(0).cast("long"),
         ).alias("total_chars"),
         F.aggregate(
             lens,

@@ -162,7 +162,12 @@ def winnow_fingerprints(
     Output: (id, fingerprints array<int>, sorted distinct);
     docs shorter than k chars → empty array.
     """
-    norm = F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]", "")
+    # null text normalizes to '' -> the documented empty-fingerprint
+    # case, instead of null-poisoning the gram lambdas (greatest(NULL,1)
+    # silently yields a [null] gram array)
+    norm = F.coalesce(
+        F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]", ""), F.lit("")
+    )
     d1 = df.select(F.col(id_col).alias("id"), norm.alias("__s"))
     s, L = F.col("__s"), F.length(F.col("__s"))
     n_grams = L - (k - 1)

@@ -181,10 +181,10 @@ def _fake_decode_features(payload: bytes | None, dim: int = 8) -> list[float]:
     formats (PPM/BMP) take the real-pixel path in ``_decode_features``.
     """
     if payload is None:
-        raise NotImplementedError(
-            "external-uri payloads need an object-store fetch + codec; "
-            "not available in this environment"
-        )
+        # a null/corrupt payload yields a NULL feature row — at corpus
+        # scale a dead blob must route onward (quarantine-style), never
+        # kill the executor batch
+        return None
     acc = []
     h = 2166136261
     for i in range(dim):
@@ -201,10 +201,10 @@ def _decode_features(payload: bytes | None, dim: int = 8) -> list[float]:
     Undecodable formats fall back to the deterministic pseudo-feature
     so the pipeline never silently drops rows."""
     if payload is None:
-        raise NotImplementedError(
-            "external-uri payloads need an object-store fetch + codec; "
-            "not available in this environment"
-        )
+        # a null/corrupt payload yields a NULL feature row — at corpus
+        # scale a dead blob must route onward (quarantine-style), never
+        # kill the executor batch
+        return None
     try:
         w, h, rgb = decode_image(payload)
     except NotImplementedError:
@@ -237,12 +237,16 @@ def extract_features(media: DataFrame, feature_dim: int = 8) -> DataFrame:
                 {
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
-                    "n_bytes": pdf["payload"].map(lambda p: 0 if p is None else len(p)),
+                    # NULL (not 0/'') for a missing payload — the same
+                    # propagation SQL gives octet_length(NULL)/md5(NULL)
+                    "n_bytes": pdf["payload"]
+                    .map(lambda p: None if p is None else len(p))
+                    .astype("Int32"),
                     "sha1": pdf["payload"].map(
-                        lambda p: "" if p is None else hashlib.sha1(p).hexdigest()
+                        lambda p: None if p is None else hashlib.sha1(p).hexdigest()
                     ),
                     "md5": pdf["payload"].map(
-                        lambda p: "" if p is None else hashlib.md5(p).hexdigest()
+                        lambda p: None if p is None else hashlib.md5(p).hexdigest()
                     ),
                     "feature": pdf["payload"].map(
                         lambda p: _decode_features(p, feature_dim)
@@ -295,7 +299,8 @@ def resize_images(
     payloads (JPEG etc. — codec libraries absent here) pass through
     unchanged, dimensions still being the exact values a real
     ``thumbnail(max_side)`` would produce, so downstream schema/layout
-    logic is exercised either way; None payloads (external URI) raise.
+    logic is exercised either way; None payloads stay NULL (dead blobs
+    route onward — quarantine them upstream, never crash the batch).
 
     At 100 TB: resize is compute-bound per row with no shuffle at all
     — a pure map stage; parallelism = input partitions, so repartition
@@ -304,9 +309,7 @@ def resize_images(
 
     def _resize(payload, w, h, tw, th):
         if payload is None:
-            raise NotImplementedError(
-                "external-uri payloads need an object-store fetch + codec"
-            )
+            return None  # dead blob routes onward as NULL, never a crash
         try:
             dw, dh, rgb = decode_image(bytes(payload))
         except NotImplementedError:

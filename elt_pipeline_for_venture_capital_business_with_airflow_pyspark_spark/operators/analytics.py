@@ -112,7 +112,9 @@ def transition_matrix(
     row. The ordering carries a unique tiebreak so ties on the
     timestamp are deterministic — never rely on input order.
     """
-    w = Window.partitionBy(user_col).orderBy(F.col(ts_col), F.col(tiebreak_col))
+    w = Window.partitionBy(user_col).orderBy(
+        F.col(ts_col).asc_nulls_last(), F.col(tiebreak_col)
+    )
     nxt = events.select(
         F.col(type_col).alias("from_type"),
         F.lead(type_col).over(w).alias("to_type"),
@@ -212,7 +214,7 @@ def user_lifetime_features(
     microseconds and money through exact decimal accumulation so the
     vector is engine-deterministic end to end.
     """
-    w = Window.partitionBy(user_col).orderBy(F.col(ts_col).asc())
+    w = Window.partitionBy(user_col).orderBy(F.col(ts_col).asc_nulls_last())
     gap_us = F.unix_micros(F.col(ts_col)) - F.unix_micros(
         F.lag(ts_col).over(w)
     )

@@ -328,7 +328,8 @@ def quantile_bins(
     broadcast range lookup — same output contract, no global sort.
     """
     w = Window.partitionBy(*group_cols).orderBy(
-        F.col(value_col).asc(), F.col(tiebreak_col).asc()
+        # nulls LAST on ascending: Postgres/DuckDB default, not Spark's
+        F.col(value_col).asc_nulls_last(), F.col(tiebreak_col).asc()
     )
     binned = df.withColumn("bin", F.ntile(n_bins).over(w))
     v = F.col(value_col)

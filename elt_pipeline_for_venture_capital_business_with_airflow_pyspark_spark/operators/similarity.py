@@ -254,6 +254,7 @@ def ivf_topk(
             centroid_source.select(
                 F.col(id_col).alias("cid"), F.col(vec_col).alias("cv")
             )
+            .filter(F.col("cv").isNotNull())  # corrupt rows never seed centroids
             .orderBy("cid")
             .limit(n_centroids)
             .collect()
@@ -261,6 +262,7 @@ def ivf_topk(
     else:
         cent_rows = (
             corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
+            .filter(F.col("cv").isNotNull())
             .withColumn("__h", F.xxhash64(F.col("cid").cast("string")))
             .orderBy("__h", "cid")
             .limit(n_centroids)
@@ -403,6 +405,7 @@ def _collect_codebook(
     unchanged)."""
     rows = (
         codeword_source.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
+        .filter(F.col("cv").isNotNull())  # corrupt rows never seed the codebook
         .orderBy("cid")
         .limit(ks)
         .collect()

@@ -107,7 +107,7 @@ def asof_join(
     # null ordering is irrelevant; sort is total given a unique tiebreak.
     w = (
         Window.partitionBy("__k")
-        .orderBy("__ord", "__tag", "__tb")
+        .orderBy(F.col("__ord").asc_nulls_last(), "__tag", "__tb")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     swept = l_side.unionByName(r_side).withColumn(
@@ -196,7 +196,10 @@ def scd2_collapse(
     dirty snapshots don't fragment history. Deterministic given
     ``tiebreak`` unique within (key, ts). Two windows, one shuffle.
     """
-    order = [F.col(ts_col)] + ([F.col(tiebreak)] if tiebreak else [])
+    # nulls LAST on the ascending ts: Postgres/DuckDB default, not Spark's
+    order = [F.col(ts_col).asc_nulls_last()] + (
+        [F.col(tiebreak)] if tiebreak else []
+    )
     w = Window.partitionBy(*key_cols).orderBy(*order)
 
     changed = F.lit(False)

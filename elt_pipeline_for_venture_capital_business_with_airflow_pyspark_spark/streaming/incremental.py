@@ -39,7 +39,11 @@ def tumbling_agg(df: DataFrame, ts_col: str, window: str = "1 day") -> DataFrame
     sum(value) per (window, event_type). Same logical op as the
     streaming variant below — one groupBy, map-side partials."""
     return (
-        df.groupBy(F.window(F.col(ts_col), window).alias("w"), "event_type")
+        # null-ts rows are excluded: a time window cannot be assigned to
+        # an undated event — the same contract the STREAMING twin is
+        # forced into (F.window drops them), made explicit for batch
+        df.filter(F.col(ts_col).isNotNull())
+        .groupBy(F.window(F.col(ts_col), window).alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             # exact decimal accumulation → result independent of
@@ -71,7 +75,9 @@ def sliding_agg(
     the partial aggregation — the shuffle carries pre-combined
     (window, type) partials, not events."""
     return (
-        df.groupBy(F.window(F.col(ts_col), window, slide).alias("w"), "event_type")
+        # same null-ts exclusion contract as tumbling_agg
+        df.filter(F.col(ts_col).isNotNull())
+        .groupBy(F.window(F.col(ts_col), window, slide).alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.sum(F.col("value").cast("decimal(20,4)")).cast("double").alias("sum_value"),
@@ -156,9 +162,17 @@ def sessionize(df: DataFrame, user_col: str = "user_id", ts_col: str = "ts", gap
     the user key."""
     from pyspark.sql import Window as W
 
-    w = W.partitionBy(user_col).orderBy(F.col(ts_col), F.col("event_id"))
+    w = W.partitionBy(user_col).orderBy(
+        F.col(ts_col).asc_nulls_last(), F.col("event_id")
+    )  # nulls LAST: Postgres/DuckDB ascending default, not Spark's first
     gap = F.unix_micros(F.col(ts_col)) - F.unix_micros(F.lag(ts_col).over(w))
-    is_new = F.when(gap.isNull() | (gap > gap_minutes * 60 * 1_000_000), 1).otherwise(0)
+    # "no usable predecessor timestamp" starts a session; a null-ts row
+    # following a dated one CONTINUES that session (gap is unknowable,
+    # three-valued logic says not-provably-over-gap) — the exact CASE
+    # semantics of the SQL formulation, pinned by the null-heavy sweep
+    is_new = F.when(
+        F.lag(ts_col).over(w).isNull() | (gap > gap_minutes * 60 * 1_000_000), 1
+    ).otherwise(0)
     return df.withColumn("__new_session", is_new).withColumn(
         "session_id",
         F.sum("__new_session").over(w.rowsBetween(W.unboundedPreceding, 0)),

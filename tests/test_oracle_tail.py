@@ -26,7 +26,7 @@ pytestmark = pytest.mark.slow
 
 
 def _canon_cell(v) -> str:
-    if v is None:
+    if v is None or v is pd.NaT:
         return "NULL"
     if isinstance(v, (np.ndarray, list, tuple)):
         return "[" + ", ".join(_canon_cell(x) for x in v) + "]"
