@@ -42,6 +42,11 @@ NESTED_LOOP_OK = {
     # TPC-H Q22's scalar subquery (global positive-balance average)
     # cross-joins the ONE-ROW (sum, count) aggregate — constant cost.
     "q22_dormant_customers",
+    # deterministic surrogate keys cross-join the ONE-ROW exact
+    # [min, max] bounds aggregate (surrogate.attach_order_bucket) —
+    # the KB-sized broadcast that replaced sampled range boundaries.
+    "surrogate_key_dim",
+    "star_schema_build",
 }
 
 # row-at-a-time Python eval (BatchEvalPython) is never acceptable;
