@@ -474,3 +474,39 @@ def test_decode_rejects_lookalike_text_payloads():
                     b"BMore text than image", b"BM" + b"\x00" * 10):
         with _p.raises(NotImplementedError):
             multimodal.decode_image(payload)
+
+
+def test_streaming_tumbling_null_ts_contract(spark, sf_dir, tmp_path):
+    """Undated events: the batch twin's explicit null-ts exclusion
+    matches what the streaming engine is forced to do (F.window drops
+    rows it cannot place) — so batch == stream holds on dirty feeds,
+    not just clean ones."""
+    from pyspark.sql import functions as F
+
+    ev = read_table(spark, sf_dir, "events").withColumn(
+        "ts", F.when(F.col("event_id") % 3 == 0, F.lit(None)).otherwise(F.col("ts"))
+    )
+    stream_dir = str(tmp_path / "events_nullts")
+    ev.write.parquet(stream_dir)
+    batch = INC.tumbling_agg(ev, "ts", "1 day").collect()
+    assert batch  # non-degenerate
+
+    stream_df = INC.streaming_tumbling_agg(
+        spark, stream_dir, ev.schema, "ts", "1 day", watermark="0 seconds"
+    )
+    q = (
+        stream_df.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("stream_out_nullts")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        streamed = spark.sql("SELECT * FROM stream_out_nullts").collect()
+    finally:
+        q.stop()
+
+    key = lambda r: (r["window_start"], r["event_type"])  # noqa: E731
+    b = {key(r): (r["n_events"], round(r["sum_value"], 4)) for r in batch}
+    s = {key(r): (r["n_events"], round(r["sum_value"], 4)) for r in streamed}
+    assert b == s
