@@ -4216,7 +4216,7 @@ def _window_rolling_range(spark: SparkSession, sf: str) -> DataFrame:
     """
     WITH s AS (
       SELECT o_orderpriority,
-             COUNT(*) AS n,
+             COUNT(o_totalprice) AS n,
              SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS s1,
              -- DECIMAL(19,4) forces hugeint storage in DuckDB so the
              -- product doesn't overflow int64; value still exact, same
@@ -4234,7 +4234,7 @@ def _window_rolling_range(spark: SparkSession, sf: str) -> DataFrame:
                      - CAST(CAST(s1 AS VARCHAR) AS DOUBLE)
                        * CAST(CAST(s1 AS VARCHAR) AS DOUBLE) / n)
                     / (n - 1)) AS zscore
-    FROM orders o JOIN s ON o.o_orderpriority = s.o_orderpriority
+    FROM orders o JOIN s ON o.o_orderpriority IS NOT DISTINCT FROM s.o_orderpriority
     WHERE n >= 2
       AND (CAST(CAST(s2 AS VARCHAR) AS DOUBLE)
            - CAST(CAST(s1 AS VARCHAR) AS DOUBLE)
@@ -4306,7 +4306,7 @@ def _sliding_window_agg(spark: SparkSession, sf: str) -> DataFrame:
            CAST(SUM(CASE WHEN o_totalprice < q1 - 1.5 * (q3 - q1)
                            OR o_totalprice > q3 + 1.5 * (q3 - q1)
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
-    FROM orders o JOIN s ON o.o_orderpriority = s.o_orderpriority
+    FROM orders o JOIN s ON o.o_orderpriority IS NOT DISTINCT FROM s.o_orderpriority
     GROUP BY o.o_orderpriority, q1, q3, n_rows
     """,
 )
@@ -4804,7 +4804,7 @@ def _window_percent_rank_cume(spark: SparkSession, sf: str) -> DataFrame:
     ), dev AS (
       SELECT o.o_orderpriority, med, n_rows,
              ABS(o_totalprice - med) AS absdev
-      FROM orders o JOIN med USING (o_orderpriority)
+      FROM orders o JOIN med ON o.o_orderpriority IS NOT DISTINCT FROM med.o_orderpriority
     ), mad AS (
       SELECT o_orderpriority, ROUND(quantile_cont(absdev, 0.5), 4) AS mad
       FROM dev GROUP BY o_orderpriority
@@ -4812,7 +4812,7 @@ def _window_percent_rank_cume(spark: SparkSession, sf: str) -> DataFrame:
     SELECT d.o_orderpriority, med, mad, n_rows,
            CAST(SUM(CASE WHEN absdev > (3.0 * 1.4826) * mad
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
-    FROM dev d JOIN mad USING (o_orderpriority)
+    FROM dev d JOIN mad ON d.o_orderpriority IS NOT DISTINCT FROM mad.o_orderpriority
     GROUP BY d.o_orderpriority, med, mad, n_rows
     """,
 )

@@ -39,6 +39,25 @@ __all__ = [
 ]
 
 
+def _join_group_stats(
+    df: DataFrame, stats: DataFrame, group_cols: list[str]
+) -> DataFrame:
+    """Null-SAFE broadcast join of a per-group stats frame back onto
+    the fact: the NULL group is a real group (groupBy keeps it), and a
+    plain equi join would silently drop every null-keyed row — a
+    row-preserving transform must not change the row count."""
+    s = stats
+    for c in group_cols:
+        s = s.withColumnRenamed(c, f"__gs_{c}")
+    cond = None
+    for c in group_cols:
+        clause = df[c].eqNullSafe(s[f"__gs_{c}"])
+        cond = clause if cond is None else (cond & clause)
+    return df.join(F.broadcast(s), cond, "inner").drop(
+        *[f"__gs_{c}" for c in group_cols]
+    )
+
+
 def zscore_per_group(
     df: DataFrame,
     group_cols: list[str],
@@ -57,11 +76,13 @@ def zscore_per_group(
     """
     v = F.col(value_col).cast("decimal(18,4)")
     stats = df.groupBy(*group_cols).agg(
-        F.count(F.lit(1)).alias("_n"),
+        # count the VALUES, not the rows: NULL measurements are absent
+        # from the sums, so a row count would shift mean and variance
+        F.count(v).alias("_n"),
         F.sum(v).alias("_s1"),
         F.sum(v * v).alias("_s2"),
     )
-    joined = df.join(F.broadcast(stats), group_cols, "inner")
+    joined = _join_group_stats(df, stats, group_cols)
     n = F.col("_n")
     s1d = F.col("_s1").cast("double")
     s2d = F.col("_s2").cast("double")
@@ -97,7 +118,7 @@ def iqr_outliers(
     )
     lo = F.col("q1") - F.lit(k) * (F.col("q3") - F.col("q1"))
     hi = F.col("q3") + F.lit(k) * (F.col("q3") - F.col("q1"))
-    joined = df.join(F.broadcast(stats), group_cols, "inner")
+    joined = _join_group_stats(df, stats, group_cols)
     return (
         joined.groupBy(*group_cols, "q1", "q3", "n_rows")
         .agg(
@@ -141,7 +162,7 @@ def mad_outliers(
         F.round(F.percentile(v, F.lit(0.5)), 4).alias("med"),
         F.count(F.lit(1)).alias("n_rows"),
     )
-    dev = df.join(F.broadcast(med), group_cols, "inner").withColumn(
+    dev = _join_group_stats(df, med, group_cols).withColumn(
         "_absdev", F.abs(v - F.col("med"))
     )
     mad = dev.groupBy(*group_cols).agg(
@@ -149,7 +170,7 @@ def mad_outliers(
     )
     thr = (F.lit(k) * F.lit(1.4826)) * F.col("mad")
     return (
-        dev.join(F.broadcast(mad), group_cols, "inner")
+        _join_group_stats(dev, mad, group_cols)
         .groupBy(*group_cols, "med", "mad", "n_rows")
         .agg(
             F.sum(
@@ -198,17 +219,31 @@ def partitioned_cumsum(
     else:
         nbuckets = num_partitions
 
-    # leading order column name + direction from the expression
+    # leading order column name / direction / null placement from the
+    # expression repr ("Column<'weight DESC NULLS LAST'>"). Repr
+    # scraping only works for a PLAIN column reference — validate and
+    # fail loudly for expressions or names with spaces rather than
+    # silently bucketing on the wrong thing.
     lead = order_cols[0]
     if isinstance(lead, str):
-        lead_name, lead_desc = lead, False
+        lead_name, lead_desc, lead_nulls_last = lead, False, None
     else:
-        s = str(lead)  # "Column<'weight DESC NULLS LAST'>"
-        inner = s.split("'")[1]
+        inner = str(lead).split("'")[1]
         lead_desc = " DESC" in inner
+        lead_nulls_last = "NULLS LAST" in inner if "NULLS" in inner else None
         lead_name = inner.split(" ")[0]
+    if lead_name not in df.columns:
+        raise ValueError(
+            f"partitioned_cumsum: leading order column {lead_name!r} is not "
+            "a plain column of the frame — pass a column NAME or a simple "
+            "F.col(name).asc()/.desc() (optionally with nulls ordering), "
+            "not a computed expression; pre-compute it as a column first"
+        )
 
-    tagged = SK.attach_order_bucket(df, lead_name, nbuckets, "__cs_b", desc=lead_desc)
+    tagged = SK.attach_order_bucket(
+        df, lead_name, nbuckets, "__cs_b",
+        desc=lead_desc, nulls_last=lead_nulls_last,
+    )
 
     # per-bucket totals -> prefix offsets on the driver (one row per
     # occupied bucket, KB-sized; recomputation-safe: bucket ids are
@@ -219,7 +254,10 @@ def partitioned_cumsum(
     for row in sorted(totals, key=lambda r: r["__cs_b"]):
         if running is not None:
             offsets[row["__cs_b"]] = running
-        running = row["__cs_tot"] if running is None else running + row["__cs_tot"]
+        # an all-NULL bucket (e.g. the null-key bucket of a NULL-weight
+        # slice) sums to None — it contributes zero to later offsets
+        tot = row["__cs_tot"] if row["__cs_tot"] is not None else 0
+        running = tot if running is None else running + tot
     if offsets:
         offset_expr = F.element_at(
             F.create_map(*[F.lit(v) for kv in offsets.items() for v in kv]),

@@ -88,32 +88,61 @@ def attach_order_bucket(
     nbuckets: int,
     out_col: str,
     desc: bool = False,
+    nulls_last: bool | None = None,
 ) -> DataFrame:
     """Attach a value-deterministic, order-preserving bucket id
     column (0..nbuckets-1): a pure function of the row value and the
     key column's exact [min, max] — the deterministic replacement for
     sampled range boundaries wherever a partitioned frame is consumed
     by more than one subplan (see module docstring). ``desc=True``
-    reverses the bucket order to follow a descending sort (nulls then
-    land in the trailing bucket, matching DESC NULLS LAST). One
-    KB-sized broadcast of the bounds; no sampling, so any number of
-    downstream re-evaluations agree."""
+    reverses the bucket order to follow a descending sort.
+    ``nulls_last`` places the null bucket; it defaults to the engine's
+    sort defaults (asc → nulls first, desc → nulls last) and MUST be
+    set to match any explicit NULLS FIRST/LAST on the sort the bucket
+    feeds, or the null bucket splices at the wrong end. One KB-sized
+    broadcast of the bounds; no sampling, so any number of downstream
+    re-evaluations agree.
+
+    NaN keys (float types): NaN sorts greater than every number in
+    both Spark and DuckDB, so NaN rows get their own bucket one past
+    the last numeric bucket (before the null bucket when nulls are
+    last) — and the bounds aggregate EXCLUDES NaN, otherwise one NaN
+    makes span NaN and every row floors into bucket 0 (a silent
+    single-reducer collapse)."""
+    if nulls_last is None:
+        nulls_last = desc
     proxy = _order_proxy(df, key)
     if desc:
         proxy = -proxy
-    bounds = df.agg(F.min(proxy).alias("__ob_min"), F.max(proxy).alias("__ob_max"))
-    span = F.col("__ob_max") - F.col("__ob_min")
-    bucket = F.when(
-        proxy.isNull(), F.lit(nbuckets if desc else -1)
-    ).otherwise(
-        F.least(
-            F.lit(nbuckets - 1),
-            F.floor(
-                (proxy - F.col("__ob_min"))
-                / (F.when(span > 0, span).otherwise(F.lit(1.0)) / nbuckets)
-            ).cast("int"),
-        )
+    dt = df.schema[key].dataType
+    is_float = isinstance(dt, (T.FloatType, T.DoubleType))
+    finite = F.when(~F.isnan(proxy), proxy) if is_float else proxy
+    bounds = df.agg(
+        F.min(finite).alias("__ob_min"), F.max(finite).alias("__ob_max")
     )
+    span = F.col("__ob_max") - F.col("__ob_min")
+    # NaN is the GREATEST value in both engines' sorts: it follows the
+    # numbers ascending, precedes them descending; nulls sit outside
+    # both per nulls_last. Bucket ids just encode those positions.
+    if desc:
+        nan_b = -1
+        null_b = nbuckets + 1 if nulls_last else -2
+    else:
+        nan_b = nbuckets
+        null_b = nbuckets + 1 if nulls_last else -1
+    null_bucket = F.lit(null_b)
+    nan_bucket = F.lit(nan_b)
+    numeric_bucket = F.least(
+        F.lit(nbuckets - 1),
+        F.floor(
+            (proxy - F.col("__ob_min"))
+            / (F.when(span > 0, span).otherwise(F.lit(1.0)) / nbuckets)
+        ).cast("int"),
+    )
+    bucket = F.when(proxy.isNull(), null_bucket)
+    if is_float:
+        bucket = bucket.when(F.isnan(proxy), nan_bucket)
+    bucket = bucket.otherwise(numeric_bucket)
     return (
         df.crossJoin(F.broadcast(bounds))
         .withColumn(out_col, bucket)

@@ -169,3 +169,78 @@ def test_rfm_scores_small_known(spark):
     # monotone in customer id by construction
     cells = [out[c]["rfm_cell"] for c in range(1, 6)]
     assert cells == sorted(cells)
+
+
+def test_pareto_class_survives_null_weights(spark):
+    """Review finding: a NULL weight row landed in an all-NULL bucket
+    whose sum is None and crashed the driver prefix loop."""
+    rows = [(1, 50), (2, 30), (3, None), (4, 5)]
+    df = spark.createDataFrame(rows, "k int, w int").select(
+        "k", F.col("w").cast("decimal(10,2)").alias("w")
+    )
+    out = {r["k"]: r["abc_class"] for r in FT.pareto_class(df, "k", "w").collect()}
+    assert out[1] == "A" and set(out) == {1, 2, 3, 4}
+
+
+def test_zscore_keeps_null_group_and_ignores_null_values(spark):
+    """Review findings: the stats join must be null-SAFE (the NULL
+    group is a real group; a row-preserving transform must not drop
+    rows) and n must count VALUES so NULL measurements don't shift
+    mean/std."""
+    import math
+
+    rows = [("a", 10.0), ("a", 20.0), ("a", None), (None, 1.0), (None, 3.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = FT.zscore_per_group(df, ["g"], "v")
+    assert out.count() == 5  # no rows lost
+    zs = {
+        (r["g"], r["v"]): r["zscore"] for r in out.collect()
+    }
+    # group 'a': two values 10,20 -> z = ±1/sqrt(2)
+    assert math.isclose(zs[("a", 10.0)], -1 / math.sqrt(2), rel_tol=1e-9)
+    assert math.isclose(zs[("a", 20.0)], 1 / math.sqrt(2), rel_tol=1e-9)
+    assert zs[("a", None)] is None
+    # NULL group standardizes too
+    assert math.isclose(zs[(None, 1.0)], -1 / math.sqrt(2), rel_tol=1e-9)
+
+
+def test_cumsum_honors_explicit_nulls_last(spark):
+    """Review finding: an explicit asc_nulls_last order must place the
+    null bucket at the END of the splice, not the front."""
+    rows = [(1, 1.0), (2, 1.0), (None, 1.0)]
+    df = spark.createDataFrame(rows, "o int, v double").select(
+        "o", F.col("v").cast("decimal(10,2)").alias("v")
+    )
+    out = FT.partitioned_cumsum(
+        df, [F.col("o").asc_nulls_last()], "v", out_col="cum"
+    )
+    got = {r["o"]: float(r["cum"]) for r in out.collect()}
+    assert got == {1: 1.0, 2: 2.0, None: 3.0}
+
+
+def test_cumsum_rejects_expression_order_column(spark):
+    """Review finding: repr-scraping a computed Column silently
+    bucketed on a garbage name — now a loud ValueError."""
+    import pytest as _pytest
+
+    df = spark.createDataFrame([(1, 1.0)], "o int, v double")
+    with _pytest.raises(ValueError, match="plain column"):
+        FT.partitioned_cumsum(df, [F.col("o").cast("double").desc()], "v")
+
+
+def test_order_bucket_nan_does_not_collapse_parallelism(spark):
+    """Review finding: one NaN made span NaN and floored EVERY row
+    into bucket 0 — the single-reducer collapse the design exists to
+    avoid. NaN now gets its own trailing bucket."""
+    from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.operators.surrogate import (
+        attach_order_bucket,
+    )
+
+    rows = [(float(i),) for i in range(100)] + [(float("nan"),)]
+    df = spark.createDataFrame(rows, "x double")
+    out = attach_order_bucket(df, "x", 8, "b")
+    buckets = [r["b"] for r in out.collect()]
+    assert len(set(buckets)) > 4  # spread, not collapsed
+    nan_bucket = [b for x, b in zip([r["x"] for r in out.collect()], buckets)
+                  if x != x]
+    assert nan_bucket == [8]  # one past the last numeric bucket
