@@ -3627,10 +3627,10 @@ def _curation_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
     SELECT media_id,
            CAST(w AS INT) AS src_width,
            CAST(h AS INT) AS src_height,
-           CAST(CASE WHEN greatest(w, h) > 256
-                     THEN FLOOR(w * (256.0 / greatest(w, h))) ELSE w END AS INT) AS dst_width,
-           CAST(CASE WHEN greatest(w, h) > 256
-                     THEN FLOOR(h * (256.0 / greatest(w, h))) ELSE h END AS INT) AS dst_height,
+           CAST(greatest(1, CASE WHEN greatest(w, h) > 256
+                     THEN FLOOR(w * (256.0 / greatest(w, h))) ELSE w END) AS INT) AS dst_width,
+           CAST(greatest(1, CASE WHEN greatest(w, h) > 256
+                     THEN FLOOR(h * (256.0 / greatest(w, h))) ELSE h END) AS INT) AS dst_height,
            md5(text) AS payload_md5
     FROM m
     """,

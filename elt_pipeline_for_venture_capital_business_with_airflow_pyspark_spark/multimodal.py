@@ -297,8 +297,9 @@ def resize_images(
     ``decode_image``) are REALLY decoded, nearest-neighbor resampled
     to the target box, and re-encoded as binary PPM. Undecodable
     payloads (JPEG etc. — codec libraries absent here) pass through
-    unchanged, dimensions still being the exact values a real
-    ``thumbnail(max_side)`` would produce, so downstream schema/layout
+    unchanged, dimensions following a documented floor-based box
+    (floor(side * max_side/longest), clamped to >= 1 — PIL's thumbnail
+    ROUNDS, so a handful of sizes differ by one pixel from PIL), so downstream schema/layout
     logic is exercised either way; None payloads stay NULL (dead blobs
     route onward — quarantine them upstream, never crash the batch).
 
@@ -344,8 +345,14 @@ def resize_images(
         "media_id",
         w.alias("width"),
         h.alias("height"),
-        F.when(needs, F.floor(w * scale)).otherwise(w).cast("int").alias("dst_width"),
-        F.when(needs, F.floor(h * scale)).otherwise(h).cast("int").alias("dst_height"),
+        # greatest(1, ...) clamps extreme aspect ratios: a 1000x1 image
+        # must thumbnail to 256x1, never a zero-height (undecodable) PPM
+        F.greatest(F.lit(1), F.when(needs, F.floor(w * scale)).otherwise(w))
+        .cast("int")
+        .alias("dst_width"),
+        F.greatest(F.lit(1), F.when(needs, F.floor(h * scale)).otherwise(h))
+        .cast("int")
+        .alias("dst_height"),
         "payload",
     )
     return pruned.mapInPandas(run, schema=RESIZE_SCHEMA)

@@ -40,7 +40,11 @@ def norm(a: F.Column) -> F.Column:
 
 
 def cosine(a: F.Column, b: F.Column) -> F.Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    """NULL (not DIVIDE_BY_ZERO) for a zero-norm vector: one dead
+    all-zeros row must rank last, not kill the job under the
+    session's default ANSI mode."""
+    den = norm(a) * norm(b)
+    return F.when(den != 0, dot(a, b) / den)
 
 
 def cosine_topk(
@@ -92,24 +96,6 @@ def _plane_values(seed: int, plane: int, dim: int) -> list[float]:
     return vals
 
 
-def lsh_sign_bits(
-    vec: F.Column, dim: int, num_planes: int = 16, seed: int = 7
-) -> F.Column:
-    """Random-hyperplane signature as a '0'/'1' bit string: char p =
-    sign(vec · plane_p). The planes are literal constant arrays, so the
-    whole signature is one codegen'd expression over the vector."""
-    planes = F.array(
-        *[
-            F.array(*[F.lit(v) for v in _plane_values(seed, p, dim)])
-            for p in range(num_planes)
-        ]
-    )
-    bits = F.transform(
-        planes, lambda pl: F.when(dot(vec, pl) > 0, F.lit("1")).otherwise(F.lit("0"))
-    )
-    return F.array_join(bits, "")
-
-
 def _band_entries(
     df: DataFrame,
     idc: str,
@@ -128,6 +114,7 @@ def _band_entries(
     ``keep_vec`` carries the vector in the same rows — used when the
     downstream join is a broadcast (no shuffle pays for the copies);
     shuffle-joined sides leave it off and ship bare ids."""
+    assert num_planes % bands == 0, "num_planes must divide into bands"
     bits_per_band = num_planes // bands
     # all plane dot products in ONE higher-order pass over a literal
     # plane matrix (HOF lambdas are interpreted — one pass of 16 dots
@@ -275,6 +262,18 @@ def ivf_topk(
         return corpus.sparkSession.createDataFrame(
             [], "query_id long, rank int, neighbor_id long, cosine_sim double"
         )
+    # a PARTIALLY-null vector would crash float(None) on the driver —
+    # skip it like whole-null vectors (same corrupt-row contract)
+    cent_rows = [r for r in cent_rows if all(v is not None for v in r["cv"])]
+    if not cent_rows:
+        return corpus.sparkSession.createDataFrame(
+            [], "query_id long, rank int, neighbor_id long, cosine_sim double"
+        )
+    # a small corpus yields fewer centroids than asked — every loop
+    # below must run over what EXISTS or element_at walks off the end
+    # (a crash under the session's default ANSI mode)
+    n_centroids = len(cent_rows)
+    n_probe = min(n_probe, n_centroids)
     cmat = F.array(
         *[F.array(*[F.lit(float(v)) for v in r["cv"]]) for r in cent_rows]
     )
@@ -412,7 +411,12 @@ def _collect_codebook(
     )
     import math
 
-    return [[int(math.floor(float(x) * PQ_SCALE)) for x in r["cv"]] for r in rows]
+    # skip partially-null vectors — float(None) would crash the driver
+    return [
+        [int(math.floor(float(x) * PQ_SCALE)) for x in r["cv"]]
+        for r in rows
+        if all(x is not None for x in r["cv"])
+    ]
 
 
 def _cw_literal(qcw: list[list[int]], m: int, d_m: int) -> F.Column:
@@ -453,6 +457,7 @@ def pq_codes(
     if not qcw:
         # empty corpus -> nothing to encode (see ivf_topk empty note)
         return corpus.sparkSession.createDataFrame([], "id long, s int, code int")
+    ks = min(ks, len(qcw))  # small corpus: argmin only over real codewords
     CW = _cw_literal(qcw, m, d_m)
     qv = _quantized(vec_col)
 
@@ -516,6 +521,11 @@ def ivfpq_topk(
         return corpus.sparkSession.createDataFrame(
             [], "query_id long, rank int, neighbor_id long, approx_d2 long"
         )
+    # small corpus: every loop bound below must track what EXISTS, or
+    # element_at indexes past the literals (ANSI crash / phantom cells)
+    ks = min(ks, len(qcw))
+    n_cells = min(n_cells, len(qcw))
+    n_probe = min(n_probe, n_cells)
     CW = _cw_literal(qcw[:ks], m, d_m)
     SEEDS = F.array(
         *[F.array(*[F.lit(v) for v in cw]) for cw in qcw[:n_cells]]
@@ -574,7 +584,7 @@ def ivfpq_topk(
     ).select("query_id", "dt", F.col("p.c").alias("cell"))
 
     scored = (
-        probed.join(assigned, "cell")
+        assigned.join(F.broadcast(probed), "cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",

@@ -155,7 +155,13 @@ def streaming_sliding_agg(
     )
 
 
-def sessionize(df: DataFrame, user_col: str = "user_id", ts_col: str = "ts", gap_minutes: int = 30) -> DataFrame:
+def sessionize(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_minutes: int = 30,
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
     """Sessionization via gap detection: a new session starts when the
     gap to the previous event of the same user exceeds ``gap_minutes``.
     Window(lag) + running sum of session-start flags — one shuffle on
@@ -163,7 +169,7 @@ def sessionize(df: DataFrame, user_col: str = "user_id", ts_col: str = "ts", gap
     from pyspark.sql import Window as W
 
     w = W.partitionBy(user_col).orderBy(
-        F.col(ts_col).asc_nulls_last(), F.col("event_id")
+        F.col(ts_col).asc_nulls_last(), F.col(tiebreak_col)
     )  # nulls LAST: Postgres/DuckDB ascending default, not Spark's first
     gap = F.unix_micros(F.col(ts_col)) - F.unix_micros(F.lag(ts_col).over(w))
     # "no usable predecessor timestamp" starts a session; a null-ts row

@@ -459,3 +459,41 @@ def test_gopher_rules_per_rule_attribution(spark):
         )
     )
     assert not any(rows[d]["pass_gopher"] for d in (2, 3, 4, 5, 6, 7))
+
+
+def test_similarity_survives_zero_norm_and_small_corpus(spark):
+    """Review findings: one all-zero vector must not DIVIDE_BY_ZERO
+    the job under ANSI mode (it ranks last via NULL sim), and a corpus
+    smaller than n_centroids/ks must not walk element_at off the end
+    of the centroid/codebook literals."""
+    rows = [(i, [float(i + j) for j in range(8)]) for i in range(6)]
+    rows.append((6, [0.0] * 8))  # zero-norm row
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = emb.filter("vec_id = 0").selectExpr(
+        "vec_id as query_id", "embedding"
+    )
+    # brute force: zero-norm neighbor present, job completes
+    bf = SIM.cosine_topk(emb, queries, k=10).collect()
+    assert {r["neighbor_id"] for r in bf} == {1, 2, 3, 4, 5, 6}
+    zero_sim = [r["cosine_sim"] for r in bf if r["neighbor_id"] == 6]
+    assert zero_sim == [None]  # ranks last, does not crash
+    # IVF + PQ + IVF-PQ with corpus far smaller than the default
+    # n_centroids=16 / ks=16: all complete and return real neighbors
+    ivf = SIM.ivf_topk(emb, queries, dim=8, k=3).collect()
+    assert len(ivf) > 0
+    codes = SIM.pq_codes(emb, dim=8, m=2, ks=16).collect()
+    assert len(codes) == 7 * 2
+    ivfpq = SIM.ivfpq_topk(emb, queries, dim=8, k=3, m=2).collect()
+    assert len(ivfpq) > 0
+
+
+def test_codebook_skips_partially_null_vectors(spark):
+    """Review finding: float(None) on a partially-null vector crashed
+    plan construction; such rows now skip the codebook/centroid fits
+    like whole-null vectors do."""
+    rows = [
+        (0, [1.0, 2.0]), (1, [3.0, None]), (2, [4.0, 5.0]), (3, None),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    codes = SIM.pq_codes(emb, dim=2, m=1, ks=4)
+    assert codes.count() == 4  # all rows encode; fit just skipped the bad ones
