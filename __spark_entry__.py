@@ -708,6 +708,85 @@ def _sessionize(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@_register(
+    "events_day_streaks",
+    """
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+      FROM events WHERE ts IS NOT NULL
+    ), anchored AS (
+      SELECT user_id, day,
+             day - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day)
+                        AS INTEGER) AS anchor
+      FROM days
+    )
+    SELECT user_id,
+           date_diff('day', DATE '1970-01-01', MIN(day)) AS streak_start_day,
+           date_diff('day', DATE '1970-01-01', MAX(day)) AS streak_end_day,
+           COUNT(*) AS n_days
+    FROM anchored GROUP BY user_id, anchor
+    """,
+)
+def _events_day_streaks(spark: SparkSession, sf: str) -> DataFrame:
+    """Consecutive-day activity streaks per user
+    (operators/temporal.consecutive_day_islands): the point-event
+    gaps-and-islands shape via the date-minus-row_number anchor —
+    distinct activity dates whose ``date - rank`` is constant form one
+    maximal run. Two shuffles, both on user_id (date-distinct agg,
+    island group-by); undated rows excluded by the event-time
+    contract. Dates emitted as epoch-day ints for engine-neutral
+    hashing."""
+    ev = read_table(spark, sf, "events")
+    islands = TMP.consecutive_day_islands(ev, ["user_id"], "ts")
+    epoch = F.lit("1970-01-01").cast("date")
+    return islands.select(
+        "user_id",
+        F.datediff("streak_start", epoch).alias("streak_start_day"),
+        F.datediff("streak_end", epoch).alias("streak_end_day"),
+        "n_days",
+    )
+
+
+@_register(
+    "agg_weighted_median",
+    """
+    WITH base AS (
+      SELECT l_returnflag,
+             l_extendedprice AS v,
+             CAST(l_quantity AS DECIMAL(20,4)) AS w
+      FROM lineitem
+      WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+    ), scanned AS (
+      SELECT l_returnflag, v, w,
+             SUM(w) OVER (PARTITION BY l_returnflag ORDER BY v
+                          ROWS UNBOUNDED PRECEDING) AS cumw,
+             SUM(w) OVER (PARTITION BY l_returnflag) AS totw,
+             COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+      FROM base
+    )
+    SELECT l_returnflag,
+           MIN(v) AS wmedian,
+           CAST(MAX(totw) AS DOUBLE) AS total_weight,
+           MAX(n) AS n_rows
+    FROM scanned
+    WHERE 2 * cumw >= totw
+    GROUP BY l_returnflag
+    """,
+)
+def _agg_weighted_median(spark: SparkSession, sf: str) -> DataFrame:
+    """Weighted median (operators/analytics.weighted_median): median
+    unit price weighted by quantity per returnflag — the smallest
+    price whose cumulative sold quantity reaches half the group total.
+    Exact-decimal cumulative weights make the ``2·cumw ≥ totw``
+    threshold an exact comparison (a float cumsum would make the
+    boundary row partition-order-dependent); one shuffle on the group
+    key serves both window passes and the final group-by min."""
+    li = read_table(spark, sf, "lineitem")
+    return ANA.weighted_median(
+        li, ["l_returnflag"], "l_extendedprice", "l_quantity"
+    )
+
+
 # --- profiling (A2-A7) -------------------------------------------------------
 
 _ORDERS_COLS = [
@@ -4624,6 +4703,110 @@ def _graph_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     )
     ranks = GR.pagerank_fixed(GR.symmetrize_edges(eo), n_iter=3)
     return ranks.orderBy(F.col("rank").desc(), "node").limit(25)
+
+
+@_register(
+    "graph_khop_reachability",
+    """
+    WITH RECURSIVE eo AS (
+      SELECT DISTINCT 'C' || CAST(o_custkey AS VARCHAR) AS src,
+                      'S' || CAST(l_suppkey AS VARCHAR) AS dst
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    edges AS (SELECT src, dst FROM eo UNION SELECT dst, src FROM eo),
+    seeds AS (
+      SELECT DISTINCT 'S' || CAST(s_suppkey AS VARCHAR) AS node
+      FROM supplier WHERE s_suppkey <= 2
+    ),
+    walk(node, d) AS (
+      SELECT node, 0 FROM seeds
+      UNION
+      SELECT e.dst, w.d + 1
+      FROM walk w JOIN edges e ON w.node = e.src
+      WHERE w.d < 3
+    )
+    SELECT node, CAST(MIN(d) AS INTEGER) AS dist
+    FROM walk GROUP BY node
+    """,
+)
+def _graph_khop_reachability(spark: SparkSession, sf: str) -> DataFrame:
+    """Bounded-depth reachability (operators/graph.khop_min_dist): min
+    hop distance ≤ 3 from the two lowest-keyed suppliers over the
+    symmetrized customer↔supplier FK graph — the DataFrame twin of the
+    oracle's ``WITH RECURSIVE`` walk. The frontier is distinct per
+    level (one row per vertex, never per path), each level is one
+    equi-join + distinct on stable keys, and the depth bound is
+    plan-unrolled so the whole BFS is a single lazy DAG. The
+    reference's own FK graph is fixed star depth
+    (init_dwh.sql:172-177); this is the recursive ask it cannot
+    answer."""
+    orders = read_table(spark, sf, "orders")
+    li = read_table(spark, sf, "lineitem")
+    supp = read_table(spark, sf, "supplier")
+    eo = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"], "inner")
+        .select(
+            F.concat(F.lit("C"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    seeds = supp.filter(F.col("s_suppkey") <= 2).select(
+        F.concat(F.lit("S"), F.col("s_suppkey").cast("string")).alias("node")
+    )
+    return GR.khop_min_dist(GR.symmetrize_edges(eo), seeds, k=3).select(
+        "node", F.col("dist").cast("int").alias("dist")
+    )
+
+
+@_register(
+    "graph_triangle_count",
+    """
+    WITH e0 AS (
+      SELECT DISTINCT c.c_nationkey AS x, s.s_nationkey AS y
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    ),
+    und AS (
+      SELECT DISTINCT LEAST(x, y) AS a, GREATEST(x, y) AS b
+      FROM e0 WHERE x <> y
+    ),
+    tri AS (
+      SELECT ab.a, ab.b, bc.b AS c
+      FROM und ab
+      JOIN und bc ON ab.b = bc.a
+      JOIN und ac ON ac.a = ab.a AND ac.b = bc.b
+    ),
+    pn AS (
+      SELECT a AS node FROM tri
+      UNION ALL SELECT b FROM tri
+      UNION ALL SELECT c FROM tri
+    )
+    SELECT node, COUNT(*) AS n_triangles FROM pn GROUP BY node
+    """,
+)
+def _graph_triangle_count(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-node triangle counts (operators/graph.triangle_counts) over
+    the nation trade-co-occurrence graph (nations linked when a
+    customer in one buys from a supplier in the other). Edges
+    canonicalized to a<b, wedge equi-join on the middle vertex, closed
+    against the third edge — each triangle counted exactly once as
+    a<b<c. The graph build is the q7-family 4-way FK join; the
+    triangle stage itself is two hash joins on a bounded-cardinality
+    vertex set."""
+    li = read_table(spark, sf, "lineitem")
+    orders = read_table(spark, sf, "orders")
+    cust = read_table(spark, sf, "customer")
+    supp = read_table(spark, sf, "supplier")
+    e0 = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"], "inner")
+        .join(F.broadcast(cust), F.col("o_custkey") == cust["c_custkey"], "inner")
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp["s_suppkey"], "inner")
+        .select(F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst"))
+    )
+    return GR.triangle_counts(e0)
 
 
 def _kmeans_sql(k: int = 8, n_iter: int = 2, dim: int = 64) -> str:

@@ -40,6 +40,7 @@ __all__ = [
     "basket_pairs",
     "user_lifetime_features",
     "rfm_scores",
+    "weighted_median",
 ]
 
 
@@ -305,4 +306,65 @@ def rfm_scores(
             + score("frequency") * 10
             + score("monetary")
         ).alias("rfm_cell"),
+    )
+
+
+def weighted_median(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    weight_col: str,
+    weight_decimals: str = "decimal(20,4)",
+) -> DataFrame:
+    """Lower weighted median per group: the smallest value whose
+    cumulative weight reaches half the total group weight
+    (``2·cumw ≥ totw``).
+
+    The unweighted median treats every row equally; warehouse asks are
+    usually weighted ("median price *per unit sold*"). The classic
+    formulation sorts each group by value and scans the cumulative
+    weight — here that is one window cumsum + one window total over a
+    single shuffle on the group key, then a group-by min over the
+    qualifying rows (which reuses the same partitioning). No
+    self-join, no collect.
+
+    Determinism: weights accumulate in exact decimal (``2·cumw ≥
+    totw`` is then an exact comparison — float cumsums would make the
+    qualifying row partition-order-dependent). Ordering by value alone
+    is enough: permuting equal-valued rows permutes their partial
+    sums, but whether *any* prefix of a tie block reaches the
+    threshold depends only on the block's total weight, so the min
+    qualifying value is tie-order-independent.
+    Rows with NULL value or NULL weight are excluded (SQL aggregate
+    convention); groups with no surviving rows disappear.
+
+    Returns ``(group_cols…, wmedian, total_weight, n_rows)``.
+    """
+    base = df.filter(
+        F.col(value_col).isNotNull() & F.col(weight_col).isNotNull()
+    ).select(
+        *group_cols,
+        F.col(value_col).alias("__v"),
+        F.col(weight_col).cast(weight_decimals).alias("__w"),
+    )
+    w_order = Window.partitionBy(*group_cols).orderBy("__v").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_all = Window.partitionBy(*group_cols)
+    scanned = base.select(
+        *group_cols,
+        "__v",
+        "__w",
+        F.sum("__w").over(w_order).alias("__cumw"),
+        F.sum("__w").over(w_all).alias("__totw"),
+        F.count(F.lit(1)).over(w_all).alias("__n"),
+    )
+    return (
+        scanned.filter(F.lit(2) * F.col("__cumw") >= F.col("__totw"))
+        .groupBy(*group_cols)
+        .agg(
+            F.min("__v").alias("wmedian"),
+            F.max(F.col("__totw").cast("double")).alias("total_weight"),
+            F.max("__n").alias("n_rows"),
+        )
     )

@@ -36,7 +36,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank_fixed", "symmetrize_edges"]
+__all__ = [
+    "pagerank_fixed",
+    "symmetrize_edges",
+    "khop_min_dist",
+    "triangle_counts",
+]
 
 
 def symmetrize_edges(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
@@ -101,3 +106,95 @@ def pagerank_fixed(
             ).alias("rank"),
         )
     return ranks
+
+
+def khop_min_dist(
+    edges: DataFrame,
+    seeds: DataFrame,
+    *,
+    k: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    node: str = "node",
+) -> DataFrame:
+    """Bounded-depth BFS: minimum hop distance (≤ ``k``) from a seed
+    set over a directed edge list — the DataFrame twin of an ANSI
+    ``WITH RECURSIVE`` reachability query (the one recursive shape
+    warehouses actually run: org charts, BOM explosions, referral
+    chains). The reference's FK graph is static star-schema depth, so
+    it never recurses; an engine replacing it must.
+
+    Returns ``(node, dist)`` for every node reachable in ≤ k hops,
+    ``dist`` = fewest hops (seeds = 0).
+
+    Scale design: the frontier is ``distinct`` node ids per level —
+    per-level state is one row per *vertex*, never per *path*, so a
+    cyclic or high-fanout graph cannot blow up the plan the way a
+    naive ``UNION ALL`` recursive CTE does (path explosion). Each
+    level is one equi-join on the edge key + one distinct shuffle;
+    ``k`` is a fixed plan-unrolled bound (no driver-side convergence
+    read), so the whole BFS is a single lazy DAG, and the final
+    min-dist is a k-way union + one groupBy — map-side-combined to
+    one row per node.
+    """
+    if k < 0:
+        raise ValueError("k must be >= 0")
+    e = edges.select(F.col(src).alias("_src"), F.col(dst).alias("_dst"))
+    frontier = seeds.select(F.col(node).alias("node")).distinct()
+    levels = [frontier.select("node", F.lit(0).alias("dist"))]
+    for d in range(1, k + 1):
+        frontier = (
+            frontier.join(e, frontier["node"] == e["_src"], "inner")
+            .select(F.col("_dst").alias("node"))
+            .distinct()
+        )
+        levels.append(frontier.select("node", F.lit(d).alias("dist")))
+    all_levels = levels[0]
+    for lv in levels[1:]:
+        all_levels = all_levels.unionByName(lv)
+    return all_levels.groupBy("node").agg(F.min("dist").alias("dist"))
+
+
+def triangle_counts(
+    edges: DataFrame, *, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-node triangle participation counts over an undirected graph.
+
+    ``edges`` is an undirected edge list (either orientation, self
+    loops ignored). Returns ``(node, n_triangles)`` for every node
+    that closes ≥ 1 triangle.
+
+    The standard distributed algorithm: canonicalize each edge to
+    ``a < b`` (halves the edge set and makes each triangle countable
+    exactly once as ``a < b < c``), then wedge-join ``E(a,b) ⋈ E(b,c)``
+    on the middle vertex and close with ``E(a,c)``. Both joins are
+    hash equi-joins; cost is Σ deg² for the wedge stage — the classic
+    bound — and no stage materializes anything per-path beyond the
+    wedge frame. High-degree hubs are the skew risk at 100 TB; cap or
+    salt hub vertices upstream if the degree distribution is
+    power-law (the nation/brand graphs this engine feeds it are
+    bounded-cardinality).
+    """
+    und = (
+        edges.select(F.col(src).alias("x"), F.col(dst).alias("y"))
+        .filter(F.col("x") != F.col("y"))
+        .select(
+            F.least("x", "y").alias("a"),
+            F.greatest("x", "y").alias("b"),
+        )
+        .distinct()
+    )
+    ab = und.select(F.col("a"), F.col("b"))
+    bc = und.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    ac = und.select(F.col("a").alias("ta"), F.col("b").alias("tc"))
+    tri = (
+        ab.join(bc, "b")
+        .join(ac, (F.col("a") == F.col("ta")) & (F.col("c") == F.col("tc")))
+        .select("a", "b", "c")
+    )
+    per_node = (
+        tri.select(F.col("a").alias("node"))
+        .unionByName(tri.select(F.col("b").alias("node")))
+        .unionByName(tri.select(F.col("c").alias("node")))
+    )
+    return per_node.groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles"))

@@ -38,7 +38,13 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["asof_join", "range_join", "scd2_collapse", "merge_intervals"]
+__all__ = [
+    "asof_join",
+    "range_join",
+    "scd2_collapse",
+    "merge_intervals",
+    "consecutive_day_islands",
+]
 
 
 def asof_join(
@@ -254,4 +260,49 @@ def merge_intervals(
             F.count(F.lit(1)).alias("n_intervals"),
         )
         .drop("__island")
+    )
+
+
+def consecutive_day_islands(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+) -> DataFrame:
+    """Consecutive-calendar-day activity islands per key (daily-streak
+    detection): collapse each key's distinct activity *dates* into
+    maximal runs of consecutive days.
+
+    ``merge_intervals`` handles explicit [start, end) spans; this is
+    the point-event variant — the other classic gaps-and-islands
+    shape — built on the date-minus-row_number trick: for distinct
+    dates ordered per key, ``date - row_number() days`` is constant
+    within a consecutive run, so one group-by on that anchor yields
+    the islands. Undated rows (NULL ts) are excluded — the same
+    contract the windowed/streaming operators use for event time.
+
+    Exactly two shuffles, both on the key: the date-distinct
+    aggregation and the island group-by (the row_number window reuses
+    the distinct shuffle's key partitioning). Per-key state is one row
+    per active day, never per event — scale-safe for hot keys.
+
+    Returns ``(key_cols…, streak_start, streak_end, n_days)`` with one
+    row per island.
+    """
+    days = (
+        df.filter(F.col(ts_col).isNotNull())
+        .select(*key_cols, F.to_date(ts_col).alias("__day"))
+        .distinct()
+    )
+    w = Window.partitionBy(*key_cols).orderBy("__day")
+    anchored = days.withColumn(
+        "__anchor", F.date_sub(F.col("__day"), F.row_number().over(w))
+    )
+    return (
+        anchored.groupBy(*key_cols, "__anchor")
+        .agg(
+            F.min("__day").alias("streak_start"),
+            F.max("__day").alias("streak_end"),
+            F.count(F.lit(1)).alias("n_days"),
+        )
+        .drop("__anchor")
     )

@@ -106,3 +106,48 @@ def test_user_lifetime_features_sessions_and_money(spark):
     assert r1["purchase_value"] == 25.5 and r1["n_active_days"] == 1
     assert r1["last_ts_us"] - r1["first_ts_us"] == 75 * 60 * 1_000_000
     assert (r2["n_events"], r2["n_sessions"], r2["purchase_value"]) == (1, 1, 0.0)
+
+
+def test_weighted_median_hand_computed(spark):
+    from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.operators import (
+        analytics as ANA,
+    )
+
+    rows = [
+        # group g1: values 1(w=1), 2(w=1), 3(w=10) -> total 12, half 6
+        #   cum at 1:1, 2:2, 3:12 -> first 2*cum>=tot at value 3
+        ("g1", 1.0, 1.0),
+        ("g1", 2.0, 1.0),
+        ("g1", 3.0, 10.0),
+        # group g2: equal weights 1 on values 10,20 -> 2*cum(10)=2 >= 2
+        #   -> lower median 10
+        ("g2", 10.0, 1.0),
+        ("g2", 20.0, 1.0),
+        # group g3: null value / null weight rows drop; only 7 remains
+        ("g3", None, 5.0),
+        ("g3", 7.0, None),
+        ("g3", 7.0, 2.0),
+    ]
+    df = spark.createDataFrame(rows, "g string, v double, w double")
+    out = {
+        r["g"]: (r["wmedian"], r["total_weight"], r["n_rows"])
+        for r in ANA.weighted_median(df, ["g"], "v", "w").collect()
+    }
+    assert out == {
+        "g1": (3.0, 12.0, 3),
+        "g2": (10.0, 2.0, 2),
+        "g3": (7.0, 2.0, 1),
+    }
+
+
+def test_weighted_median_tie_block_invariant(spark):
+    from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.operators import (
+        analytics as ANA,
+    )
+
+    # many equal values straddling the threshold: result must be the
+    # tied value regardless of intra-tie ordering
+    rows = [("g", 5.0, 1.0)] * 6 + [("g", 1.0, 2.0), ("g", 9.0, 3.0)]
+    df = spark.createDataFrame(rows, "g string, v double, w double").repartition(7)
+    out = ANA.weighted_median(df, ["g"], "v", "w").collect()[0]
+    assert out["wmedian"] == 5.0 and out["total_weight"] == 11.0

@@ -99,3 +99,60 @@ def test_registry_pagerank_kmeans_oracle_shapes(spark, sf_dir):
     assert km.columns == ["vec_id", "cluster", "d2"]
     n = km.count()
     assert n == spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+
+
+def test_khop_min_dist_cycle_and_bound(spark):
+    # path with a cycle: 1->2->3->1, plus 3->4->5; seed {1}, k=3
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5)], ["src", "dst"]
+    )
+    seeds = spark.createDataFrame([(1,)], ["node"])
+    got = {
+        r["node"]: r["dist"]
+        for r in GR.khop_min_dist(edges, seeds, k=3).collect()
+    }
+    # cycle revisits never shrink below the true min dist, and node 5
+    # (dist 4) is beyond the k=3 bound
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3}
+
+
+def test_khop_seed_not_in_graph_still_dist0(spark):
+    edges = spark.createDataFrame([(1, 2)], ["src", "dst"])
+    seeds = spark.createDataFrame([(99,)], ["node"])
+    got = {
+        r["node"]: r["dist"]
+        for r in GR.khop_min_dist(edges, seeds, k=2).collect()
+    }
+    assert got == {99: 0}
+
+
+def test_khop_k0_is_seed_set(spark):
+    edges = spark.createDataFrame([(1, 2)], ["src", "dst"])
+    seeds = spark.createDataFrame([(1,), (1,)], ["node"])
+    got = GR.khop_min_dist(edges, seeds, k=0).collect()
+    assert [(r["node"], r["dist"]) for r in got] == [(1, 0)]
+
+
+def test_triangle_counts_k4(spark):
+    # K4: every vertex participates in C(3,2) = 3 triangles
+    vs = [1, 2, 3, 4]
+    edges = spark.createDataFrame(
+        [(a, b) for a in vs for b in vs if a < b], ["src", "dst"]
+    )
+    got = {r["node"]: r["n_triangles"] for r in GR.triangle_counts(edges).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_triangle_counts_ignores_direction_dups_selfloops(spark):
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 1), (1, 1), (2, 3)], ["src", "dst"]
+    )
+    got = {r["node"]: r["n_triangles"] for r in GR.triangle_counts(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1}
+
+
+def test_triangle_counts_square_no_diagonal_empty(spark):
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 1)], ["src", "dst"]
+    )
+    assert GR.triangle_counts(edges).count() == 0

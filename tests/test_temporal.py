@@ -298,3 +298,32 @@ def test_merge_intervals_gaps_and_islands(spark):
         ("k1", _ts("2024-01-01 01:00:00"), _ts("2024-01-01 02:00:00")): 2,
         ("k2", _ts("2024-01-01 00:00:00"), _ts("2024-01-01 00:01:00")): 1,
     }
+
+
+def test_consecutive_day_islands_runs_and_gaps(spark):
+    rows = [
+        # user 1: 3-day streak, gap, single day; multiple events per day
+        (1, _ts("2024-01-01 09:00:00")),
+        (1, _ts("2024-01-01 23:59:00")),
+        (1, _ts("2024-01-02 00:00:01")),
+        (1, _ts("2024-01-03 12:00:00")),
+        (1, _ts("2024-01-05 12:00:00")),
+        # user 2: one day only, plus an undated row (excluded)
+        (2, _ts("2024-02-10 10:00:00")),
+        (2, None),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts"])
+    got = sorted(
+        (r["user_id"], str(r["streak_start"]), str(r["streak_end"]), r["n_days"])
+        for r in TMP.consecutive_day_islands(df, ["user_id"], "ts").collect()
+    )
+    assert got == [
+        (1, "2024-01-01", "2024-01-03", 3),
+        (1, "2024-01-05", "2024-01-05", 1),
+        (2, "2024-02-10", "2024-02-10", 1),
+    ]
+
+
+def test_consecutive_day_islands_all_null_ts_empty(spark):
+    df = spark.createDataFrame([(1, None)], "user_id long, ts timestamp")
+    assert TMP.consecutive_day_islands(df, ["user_id"], "ts").count() == 0
