@@ -1710,15 +1710,25 @@ def _agg_approx_distinct(spark: SparkSession, sf: str) -> DataFrame:
 # Exact decimal power sums → identical double arithmetic in both
 # engines: the only deterministic way to cross-check variance/corr
 # (native stddev/corr accumulate doubles in engine-specific order).
+# moment-sum determinism at any magnitude (extreme-values sweep):
+# (a) multiplication operands are DECIMAL(19,2) so DuckDB's physical
+#     multiply runs in INT128 — width-12/14 operands stay INT64 and
+#     overflow at the top of the money domain;
+# (b) each decimal sum is ROUNDed to cents BEFORE the double cast
+#     (a no-op for the integral-qty / 2-decimal-money domain): the
+#     rounded unscaled value stays under 2^53, where decimal→double
+#     is exact in both engines — DuckDB converts via
+#     unscaled/10^scale, which double-rounds above 2^53 and can land
+#     1 ulp away from Spark's correctly-rounded BigDecimal path.
 _STATS_SQL = """
 WITH sums AS (
   SELECT l_returnflag,
          COUNT(*) AS n,
-         CAST(SUM(CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE) AS sq,
-         CAST(SUM(CAST(l_quantity AS DECIMAL(12,4)) * CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE) AS sq2,
-         CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS sp,
-         CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS sp2,
-         CAST(SUM(CAST(l_quantity AS DECIMAL(12,4)) * CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS sqp
+         CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(20,4))), 2) AS DOUBLE) AS sq,
+         CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(19,2)) * CAST(l_quantity AS DECIMAL(19,2))), 2) AS DOUBLE) AS sq2,
+         CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(20,4))), 2) AS DOUBLE) AS sp,
+         CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(19,2)) * CAST(l_extendedprice AS DECIMAL(19,2))), 2) AS DOUBLE) AS sp2,
+         CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(19,2)) * CAST(l_extendedprice AS DECIMAL(19,2))), 2) AS DOUBLE) AS sqp
   FROM lineitem GROUP BY l_returnflag
 )
 SELECT l_returnflag, n,
@@ -1736,15 +1746,20 @@ def _agg_stats(spark: SparkSession, sf: str) -> DataFrame:
     sums (single pass, map-side partials — the distributed moment-sketch
     shape, deterministic under any partitioning)."""
     li = read_table(spark, sf, "lineitem")
-    qd = F.col("l_quantity").cast("decimal(12,4)")
-    pdm = F.col("l_extendedprice").cast("decimal(14,2)")
+    qd = F.col("l_quantity").cast("decimal(19,2)")
+    pdm = F.col("l_extendedprice").cast("decimal(19,2)")
+    # sums round to cents before the double cast — see _STATS_SQL note
     sums = li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(qd).cast("double").alias("sq"),
-        F.sum(qd * qd).cast("double").alias("sq2"),
-        F.sum(pdm).cast("double").alias("sp"),
-        F.sum(pdm * pdm).cast("double").alias("sp2"),
-        F.sum(qd * pdm).cast("double").alias("sqp"),
+        F.round(F.sum(F.col("l_quantity").cast("decimal(20,4)")), 2)
+        .cast("double")
+        .alias("sq"),
+        F.round(F.sum(qd * qd), 2).cast("double").alias("sq2"),
+        F.round(F.sum(F.col("l_extendedprice").cast("decimal(20,4)")), 2)
+        .cast("double")
+        .alias("sp"),
+        F.round(F.sum(pdm * pdm), 2).cast("double").alias("sp2"),
+        F.round(F.sum(qd * pdm), 2).cast("double").alias("sqp"),
     )
     n, sq, sq2 = F.col("n"), F.col("sq"), F.col("sq2")
     sp, sp2, sqp = F.col("sp"), F.col("sp2"), F.col("sqp")
@@ -2398,19 +2413,19 @@ def _scd2_order_status(spark: SparkSession, sf: str) -> DataFrame:
       FROM events
     )
     SELECT 3600 AS grain_sec, event_type,
-           us - us % 3600000000 AS bucket_us,
+           us - ((us % 3600000000) + 3600000000) % 3600000000 AS bucket_us,
            CAST(SUM(dv) AS DOUBLE) AS sum_value,
            CAST(MAX(dv) AS DOUBLE) AS max_value,
            COUNT(*) AS n_rows
-    FROM raw GROUP BY event_type, us - us % 3600000000
+    FROM raw GROUP BY event_type, us - ((us % 3600000000) + 3600000000) % 3600000000
     UNION ALL
-    SELECT 21600, event_type, us - us % 21600000000,
+    SELECT 21600, event_type, us - ((us % 21600000000) + 21600000000) % 21600000000,
            CAST(SUM(dv) AS DOUBLE), CAST(MAX(dv) AS DOUBLE), COUNT(*)
-    FROM raw GROUP BY event_type, us - us % 21600000000
+    FROM raw GROUP BY event_type, us - ((us % 21600000000) + 21600000000) % 21600000000
     UNION ALL
-    SELECT 86400, event_type, us - us % 86400000000,
+    SELECT 86400, event_type, us - ((us % 86400000000) + 86400000000) % 86400000000,
            CAST(SUM(dv) AS DOUBLE), CAST(MAX(dv) AS DOUBLE), COUNT(*)
-    FROM raw GROUP BY event_type, us - us % 86400000000
+    FROM raw GROUP BY event_type, us - ((us % 86400000000) + 86400000000) % 86400000000
     """,
 )
 def _rollup_hypertable(spark: SparkSession, sf: str) -> DataFrame:
@@ -3342,11 +3357,11 @@ def _agg_histogram(spark: SparkSession, sf: str) -> DataFrame:
     WITH s AS (
       SELECT l_returnflag,
              COUNT(*) AS n,
-             CAST(SUM(CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE) AS sx,
-             CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,4))) AS DOUBLE) AS sy,
-             CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sxy,
-             CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sxx,
-             CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS syy
+             CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(20,4))), 2) AS DOUBLE) AS sx,
+             CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(20,4))), 2) AS DOUBLE) AS sy,
+             CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(19,2)) * CAST(l_extendedprice AS DECIMAL(19,2))), 2) AS DOUBLE) AS sxy,
+             CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(19,2)) * CAST(l_quantity AS DECIMAL(19,2))), 2) AS DOUBLE) AS sxx,
+             CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(19,2)) * CAST(l_extendedprice AS DECIMAL(19,2))), 2) AS DOUBLE) AS syy
       FROM lineitem GROUP BY l_returnflag
     )
     SELECT l_returnflag, n,
@@ -3362,15 +3377,23 @@ def _agg_corr_exact(spark: SparkSession, sf: str) -> DataFrame:
     differs between engines. The same trick generalizes to covariance
     and regression slopes."""
     li = read_table(spark, sf, "lineitem")
-    q = F.col("l_quantity").cast("decimal(12,2)")
-    p = F.col("l_extendedprice").cast("decimal(12,2)")
+    q = F.col("l_quantity").cast("decimal(19,2)")
+    p = F.col("l_extendedprice").cast("decimal(19,2)")
+    # DECIMAL(19,2) operands + round-to-cents before the double cast:
+    # identical no-op arithmetic on the money domain, but keeps
+    # DuckDB's physical multiply in INT128 and the converted unscaled
+    # value under 2^53 at extreme magnitudes (see _STATS_SQL note)
     s = li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
-        _dsum(F.col("l_quantity")).alias("sx"),
-        _dsum(F.col("l_extendedprice")).alias("sy"),
-        F.sum(q * p).cast("double").alias("sxy"),
-        F.sum(q * q).cast("double").alias("sxx"),
-        F.sum(p * p).cast("double").alias("syy"),
+        F.round(F.sum(F.col("l_quantity").cast("decimal(20,4)")), 2)
+        .cast("double")
+        .alias("sx"),
+        F.round(F.sum(F.col("l_extendedprice").cast("decimal(20,4)")), 2)
+        .cast("double")
+        .alias("sy"),
+        F.round(F.sum(q * p), 2).cast("double").alias("sxy"),
+        F.round(F.sum(q * q), 2).cast("double").alias("sxx"),
+        F.round(F.sum(p * p), 2).cast("double").alias("syy"),
     )
     n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
     corr = (n * F.col("sxy") - sx * sy) / (
@@ -3930,7 +3953,9 @@ def _cdc_snapshot_diff(spark: SparkSession, sf: str) -> DataFrame:
     "text_chunk_windows",
     """
     WITH t AS (
-      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+      SELECT doc_id,
+             CASE WHEN trim(text) = '' THEN []
+                  ELSE string_split_regex(trim(text), '\\s+') END AS toks
       FROM documents WHERE doc_id % 7 = 0
     ), s AS (
       SELECT doc_id, toks,
@@ -3942,8 +3967,9 @@ def _cdc_snapshot_diff(spark: SparkSession, sf: str) -> DataFrame:
            CAST(start AS INT) AS chunk_start,
            CAST(len(list_slice(toks, start + 1, start + 20)) AS BIGINT)
              AS n_chunk_tokens,
-           array_to_string(list_slice(toks, start + 1, start + 20), ' ')
-             AS chunk_text
+           CASE WHEN len(toks) = 0 THEN ''
+                ELSE array_to_string(list_slice(toks, start + 1, start + 20), ' ')
+           END AS chunk_text
     FROM s WHERE start = 0 OR start < len(toks)
     """,
 )
@@ -4185,11 +4211,12 @@ def _dedup_cluster_size_histogram(spark: SparkSession, sf: str) -> DataFrame:
            CAST(len(regexp_extract_all(d, '[^\\x00-\\x7f]')) AS BIGINT) AS n_non_ascii,
            CAST(len(regexp_extract_all(d, '[\\x00-\\x08\\x0b-\\x1f]')) AS BIGINT) AS n_ctrl,
            CAST(len(regexp_extract_all(d, chr(65533))) AS BIGINT) AS n_replacement,
-           CAST(len(regexp_extract_all(d, '[\\x20-\\x7e]')) AS DOUBLE) / length(d)
-             AS printable_ratio,
+           CAST(len(regexp_extract_all(d, '[\\x20-\\x7e]')) AS DOUBLE)
+             / NULLIF(length(d), 0) AS printable_ratio,
            len(regexp_extract_all(d, '[\\x00-\\x08\\x0b-\\x1f]')) = 0
              AND len(regexp_extract_all(d, chr(65533))) = 0
-             AND CAST(len(regexp_extract_all(d, '[\\x20-\\x7e]')) AS DOUBLE) / length(d) >= 0.8
+             AND COALESCE(CAST(len(regexp_extract_all(d, '[\\x20-\\x7e]')) AS DOUBLE)
+                          / NULLIF(length(d), 0) >= 0.8, FALSE)
              AS is_clean
     FROM dirty
     """,
@@ -4214,9 +4241,13 @@ def _text_encoding_quality(spark: SparkSession, sf: str) -> DataFrame:
     dirty = docs.select("doc_id", d.alias("d"))
     n_ctrl = F.regexp_count(F.col("d"), F.lit(r"[\x00-\x08\x0b-\x1f]"))
     n_repl = F.regexp_count(F.col("d"), F.lit(chr(65533)))
-    printable = F.regexp_count(F.col("d"), F.lit(r"[\x20-\x7e]")).cast(
-        "double"
-    ) / F.length("d")
+    # empty doc -> NULL ratio (try_divide), is_clean coalesced to false:
+    # ANSI mode raises on /0, and the gate's keep/drop answer for a
+    # zero-length doc is "drop", not an error
+    printable = F.try_divide(
+        F.regexp_count(F.col("d"), F.lit(r"[\x20-\x7e]")).cast("double"),
+        F.length("d"),
+    )
     return dirty.select(
         "doc_id",
         F.length("d").cast("long").alias("n_cp"),
@@ -4226,7 +4257,11 @@ def _text_encoding_quality(spark: SparkSession, sf: str) -> DataFrame:
         n_ctrl.cast("long").alias("n_ctrl"),
         n_repl.cast("long").alias("n_replacement"),
         printable.alias("printable_ratio"),
-        ((n_ctrl == 0) & (n_repl == 0) & (printable >= 0.8)).alias("is_clean"),
+        (
+            (n_ctrl == 0)
+            & (n_repl == 0)
+            & F.coalesce(printable >= 0.8, F.lit(False))
+        ).alias("is_clean"),
     )
 
 
@@ -5850,12 +5885,12 @@ def _text_bm25_top5(spark: SparkSession, sf: str) -> DataFrame:
              / CAST(n AS DOUBLE) AS intercept
     FROM (
       SELECT l_returnflag, COUNT(*) AS n,
-             SUM(CAST(l_quantity AS DECIMAL(12,4))) AS sx,
-             SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS sy,
-             SUM(CAST(l_quantity AS DECIMAL(12,4))
-                 * CAST(l_quantity AS DECIMAL(12,4))) AS sxx,
-             SUM(CAST(l_quantity AS DECIMAL(12,4))
-                 * CAST(l_extendedprice AS DECIMAL(12,2))) AS sxy
+             ROUND(SUM(CAST(l_quantity AS DECIMAL(12,4))), 2) AS sx,
+             ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))), 2) AS sy,
+             ROUND(SUM(CAST(l_quantity AS DECIMAL(12,4))
+                 * CAST(l_quantity AS DECIMAL(12,4))), 2) AS sxx,
+             ROUND(SUM(CAST(l_quantity AS DECIMAL(12,4))
+                 * CAST(l_extendedprice AS DECIMAL(12,2))), 2) AS sxy
       FROM lineitem GROUP BY l_returnflag
     )
     ORDER BY l_returnflag
@@ -5885,12 +5920,17 @@ def _agg_regression_slope(spark: SparkSession, sf: str) -> DataFrame:
     # engine rounds the overflow differently; the sf0.1 sweep caught it)
     x = F.col("l_quantity").cast("decimal(12,4)")
     y = F.col("l_extendedprice").cast("decimal(12,2)")
+    # sums round to cents before the double cast (no-op on the
+    # integral-qty / 2-decimal-money domain): keeps the converted
+    # unscaled value under 2^53 at extreme magnitudes, where DuckDB's
+    # unscaled/10^scale conversion double-rounds 1 ulp off Spark's
+    # correctly-rounded BigDecimal path (extreme-values sweep)
     stats = li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(x).alias("sx"),
-        F.sum(y).alias("sy"),
-        F.sum(x * x).alias("sxx"),
-        F.sum(x * y).alias("sxy"),
+        F.round(F.sum(x), 2).alias("sx"),
+        F.round(F.sum(y), 2).alias("sy"),
+        F.round(F.sum(x * x), 2).alias("sxx"),
+        F.round(F.sum(x * y), 2).alias("sxy"),
     )
     nd = F.col("n").cast("double")
     sxd = F.col("sx").cast("double")
@@ -5924,7 +5964,7 @@ def _agg_regression_slope(spark: SparkSession, sf: str) -> DataFrame:
                AS BIGINT) AS n_alpha,
              CAST(len(list_filter(toks, x -> list_contains({_SW_LIST}, x)))
                AS BIGINT) AS n_sw,
-             CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 \\t\\n]'))
+             CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 \t\n]'))
                AS BIGINT) AS n_punct
       FROM tok
     )
@@ -6285,7 +6325,7 @@ def _q8_market_share(spark: SparkSession, sf: str) -> DataFrame:
 @_register(
     "q9_product_profit",
     f"""
-    SELECT nation, o_year, CAST(SUM(amount) AS DOUBLE) AS sum_profit
+    SELECT nation, o_year, CAST(ROUND(SUM(amount), 2) AS DOUBLE) AS sum_profit
     FROM (
       SELECT n_name AS nation,
              CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
@@ -6333,7 +6373,10 @@ def _q9_product_profit(spark: SparkSession, sf: str) -> DataFrame:
     )
     return (
         j.groupBy("nation", "o_year")
-        .agg(F.sum("amount").cast("double").alias("sum_profit"))
+        # round to cents before the double cast: profit sums at extreme
+        # magnitudes push the unscaled decimal past 2^53, where DuckDB's
+        # decimal→double conversion double-rounds 1 ulp off Spark's
+        .agg(F.round(F.sum("amount"), 2).cast("double").alias("sum_profit"))
         .orderBy(F.col("nation"), F.col("o_year").desc())
     )
 
