@@ -193,3 +193,150 @@ def test_surrogate_key_is_exact_rank_over_string_keys(spark, keys, nbuckets):
     # Spark string ordering is code-point order — same as python's
     want = {k: i + 1 for i, k in enumerate(sorted(keys))}
     assert got == want
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b"]),                      # group
+            st.integers(min_value=-50, max_value=50),         # value
+            st.integers(min_value=0, max_value=1000),         # weight (cents)
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@_SETTINGS
+def test_weighted_median_matches_reference(spark, rows):
+    from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.operators import (
+        analytics as ANA,
+    )
+
+    df = spark.createDataFrame(
+        [(g, float(v), w / 100.0) for g, v, w in rows], "g string, v double, w double"
+    )
+    got = {
+        r["g"]: (r["wmedian"], r["n_rows"])
+        for r in ANA.weighted_median(df, ["g"], "v", "w").collect()
+    }
+    # reference: smallest v whose cumulative (exact) weight reaches
+    # half the total, scanning values ascending
+    by_g: dict[str, list[tuple[int, Decimal]]] = {}
+    for g, v, w in rows:
+        by_g.setdefault(g, []).append((v, Decimal(w) / 100))
+    for g, pairs in by_g.items():
+        tot = sum((w for _, w in pairs), Decimal(0))
+        cum = Decimal(0)
+        want = None
+        for v, w in sorted(pairs):
+            cum += w
+            if 2 * cum >= tot:
+                want = v
+                break
+        assert g in got and got[g][0] == float(want), (g, got.get(g), want)
+        assert got[g][1] == len(pairs)
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 8), st.integers(0, 8)), min_size=0, max_size=25
+    ),
+    seeds=st.lists(st.integers(0, 8), min_size=1, max_size=3),
+    k=st.integers(0, 4),
+)
+@_SETTINGS
+def test_khop_matches_bfs_reference(spark, edges, seeds, k):
+    from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.operators import (
+        graph as GR,
+    )
+
+    edf = spark.createDataFrame(edges or [(99, 99)], ["src", "dst"])
+    if not edges:
+        edf = edf.filter(F.lit(False))
+    sdf = spark.createDataFrame([(s,) for s in seeds], ["node"])
+    got = {
+        r["node"]: r["dist"]
+        for r in GR.khop_min_dist(edf, sdf, k=k).collect()
+    }
+    # reference BFS bounded at k
+    adj: dict[int, set[int]] = {}
+    for s, d in edges:
+        adj.setdefault(s, set()).add(d)
+    dist = {s: 0 for s in seeds}
+    frontier = set(seeds)
+    for depth in range(1, k + 1):
+        frontier = {
+            d for s in frontier for d in adj.get(s, ())
+        }
+        for d in frontier:
+            dist.setdefault(d, depth)
+    assert got == dist
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 7), st.integers(0, 7)), min_size=0, max_size=20
+    )
+)
+@_SETTINGS
+def test_triangle_counts_match_bruteforce(spark, edges):
+    from itertools import combinations
+
+    from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.operators import (
+        graph as GR,
+    )
+
+    edf = spark.createDataFrame(edges or [(99, 99)], ["src", "dst"])
+    if not edges:
+        edf = edf.filter(F.lit(False))
+    got = {
+        r["node"]: r["n_triangles"]
+        for r in GR.triangle_counts(edf).collect()
+    }
+    und = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    nodes = {v for e in und for v in e}
+    want: dict[int, int] = {}
+    for a, b, c in combinations(sorted(nodes), 3):
+        if {(a, b), (b, c), (a, c)} <= und:
+            for v in (a, b, c):
+                want[v] = want.get(v, 0) + 1
+    assert got == want
+
+
+@given(
+    days=st.lists(st.integers(0, 30), min_size=1, max_size=25),
+)
+@_SETTINGS
+def test_day_islands_match_reference(spark, days):
+    from datetime import datetime, timedelta
+
+    from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.operators import (
+        temporal as TMP,
+    )
+
+    base = datetime(2024, 1, 1, 12, 0, 0)
+    rows = [(1, base + timedelta(days=d)) for d in days]
+    df = spark.createDataFrame(rows, ["k", "ts"])
+    got = sorted(
+        (str(r["streak_start"]), str(r["streak_end"]), r["n_days"])
+        for r in TMP.consecutive_day_islands(df, ["k"], "ts").collect()
+    )
+    uniq = sorted(set(days))
+    runs = []
+    start = prev = uniq[0]
+    for d in uniq[1:]:
+        if d == prev + 1:
+            prev = d
+        else:
+            runs.append((start, prev))
+            start = prev = d
+    runs.append((start, prev))
+    want = sorted(
+        (
+            str((base + timedelta(days=s)).date()),
+            str((base + timedelta(days=e)).date()),
+            e - s + 1,
+        )
+        for s, e in runs
+    )
+    assert got == want
