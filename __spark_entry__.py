@@ -3950,6 +3950,97 @@ def _cdc_snapshot_diff(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_register(
+    "cdc_apply_changes",
+    """
+    WITH chg AS (
+      SELECT o_orderkey AS k, 1 AS seq, 'D' AS op,
+             o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+      FROM orders WHERE o_orderkey % 7 = 0
+      UNION ALL
+      SELECT o_orderkey, 1, 'U',
+             o_custkey, o_orderstatus, o_totalprice + 100, o_orderdate, o_orderpriority
+      FROM orders WHERE o_orderkey % 7 = 1
+      UNION ALL
+      SELECT o_orderkey, 2, 'U',
+             o_custkey, o_orderstatus, o_totalprice + 200, o_orderdate, o_orderpriority
+      FROM orders WHERE o_orderkey % 14 = 1
+      UNION ALL
+      SELECT o_orderkey + 100000000, 1, 'U',
+             o_custkey, o_orderstatus, o_totalprice + 0.5, o_orderdate, o_orderpriority
+      FROM orders WHERE o_orderkey % 7 = 2
+      UNION ALL
+      SELECT o_orderkey, 5, 'U',
+             o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+      FROM orders WHERE o_orderkey % 21 = 3
+      UNION ALL
+      SELECT o_orderkey, 5, 'D',
+             o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+      FROM orders WHERE o_orderkey % 21 = 3
+    ), latest AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY k
+                                     ORDER BY seq DESC, (op = 'D') DESC) AS rn
+        FROM chg)
+      WHERE rn = 1
+    ), merged AS (
+      SELECT b.o_orderkey, b.o_orderpriority, b.o_totalprice, b.o_orderdate
+      FROM orders b LEFT JOIN latest l ON b.o_orderkey = l.k
+      WHERE l.k IS NULL
+      UNION ALL
+      SELECT k, o_orderpriority, o_totalprice, o_orderdate
+      FROM latest WHERE op <> 'D'
+    )
+    SELECT o_orderkey, o_orderpriority, o_totalprice,
+           epoch_us(o_orderdate) AS ts_us
+    FROM merged
+    """,
+)
+def _cdc_apply_changes(spark: SparkSession, sf: str) -> DataFrame:
+    """CDC apply (operators/cdc.apply_changes): merge a change feed —
+    deletes, two generations of updates (latest seq wins), inserts
+    under fresh keys, and a same-seq upsert+delete tie (delete wins by
+    the documented tiebreak) — into the orders snapshot. The
+    latest-wins window runs over the FEED only (one small shuffle);
+    the base is touched by a single left-anti join plus a union, never
+    windowed or amplified. With ``snapshot_diff`` this closes the CDC
+    round-trip the reference's truncate-and-reload loads cannot do."""
+    orders = read_table(spark, sf, "orders")
+    k = F.col("o_orderkey")
+    p = F.col("o_totalprice")
+
+    def mk(pred, seq: int, op: str, key_col, price_col):
+        return orders.filter(pred).select(
+            key_col.alias("o_orderkey"),
+            "o_custkey",
+            "o_orderstatus",
+            price_col.alias("o_totalprice"),
+            "o_orderdate",
+            "o_orderpriority",
+            F.lit(seq).alias("seq"),
+            F.lit(op).alias("op"),
+        )
+
+    parts = [
+        mk(k % 7 == 0, 1, "D", k, p),
+        mk(k % 7 == 1, 1, "U", k, p + 100),
+        mk(k % 14 == 1, 2, "U", k, p + 200),
+        mk(k % 7 == 2, 1, "U", k + 100000000, p + 0.5),
+        mk(k % 21 == 3, 5, "U", k, p),
+        mk(k % 21 == 3, 5, "D", k, p),
+    ]
+    changes = parts[0]
+    for part in parts[1:]:
+        changes = changes.unionByName(part)
+    out = CDC.apply_changes(orders, changes, ["o_orderkey"], "seq")
+    return out.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_totalprice",
+        F.unix_micros("o_orderdate").alias("ts_us"),
+    )
+
+
+@_register(
     "text_chunk_windows",
     """
     WITH t AS (

@@ -24,7 +24,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["snapshot_diff", "schema_drift", "assert_schema_compatible"]
+__all__ = [
+    "snapshot_diff",
+    "schema_drift",
+    "assert_schema_compatible",
+    "apply_changes",
+]
 
 
 def snapshot_diff(
@@ -144,3 +149,49 @@ def assert_schema_compatible(
     ]
     if breaking:
         raise ValueError(f"breaking schema drift: {breaking}")
+
+
+def apply_changes(
+    base: DataFrame,
+    changes: DataFrame,
+    keys: list[str],
+    seq_col: str,
+    op_col: str = "op",
+    delete_op: str = "D",
+) -> DataFrame:
+    """Apply a CDC change feed to a base snapshot: latest change per
+    key wins (by ``seq_col`` descending), ``delete_op`` rows remove the
+    key, any other op upserts the change row's payload. The merge
+    primitive ``snapshot_diff`` is the inverse of — together they
+    round-trip: ``apply_changes(old, diff(old, new)) == new``.
+
+    ``changes`` must carry ``keys + [seq_col, op_col]`` plus every
+    base column (payload columns of delete rows are ignored). Returns
+    a frame with exactly ``base.columns``.
+
+    Scale shape: one shuffle on the key for the latest-wins window
+    over the CHANGE FEED only (a CDC batch is orders of magnitude
+    smaller than the base), then one left-anti join base⋈keys —
+    broadcastable when the touched-key set is small, shuffle-hash
+    otherwise — plus a union. The base is never windowed and never
+    row-amplified; with base and feed bucketed on the key
+    (operators.layout.write_bucketed) the anti join is
+    exchange-free.
+
+    Determinism: ``(seq_col, op)`` must totally order each key's
+    changes; ties on seq_col are broken by preferring the delete
+    (so a same-seq upsert+delete pair converges instead of being
+    partition-order-dependent).
+    """
+    w_order = [F.col(seq_col).desc(), (F.col(op_col) == delete_op).desc()]
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys).orderBy(*w_order)
+    latest = (
+        changes.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    untouched = base.join(latest.select(*keys), keys, "left_anti")
+    survivors = latest.filter(F.col(op_col) != F.lit(delete_op)).select(*base.columns)
+    return untouched.unionByName(survivors)

@@ -225,3 +225,48 @@ def test_schema_gate_nullability_loosening_is_breaking():
     )
     # tightening is not breaking
     CDC.assert_schema_compatible(loosened, old)
+
+
+# --- cdc.apply_changes ------------------------------------------------------
+
+def test_apply_changes_upsert_delete_latest_wins(spark):
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], ["k", "s", "v"]
+    )
+    changes = spark.createDataFrame(
+        [
+            (2, "b2", 21.0, 1, "U"),   # update
+            (2, "b3", 22.0, 3, "U"),   # later update wins
+            (3, "c", 30.0, 1, "D"),    # delete
+            (4, "d", 40.0, 1, "U"),    # insert
+            (5, "e", 50.0, 2, "U"),    # same-seq U+D pair: delete wins
+            (5, "e", 50.0, 2, "D"),
+        ],
+        ["k", "s", "v", "seq", "op"],
+    )
+    got = sorted(
+        (r["k"], r["s"], r["v"])
+        for r in CDC.apply_changes(base, changes, ["k"], "seq").collect()
+    )
+    assert got == [(1, "a", 10.0), (2, "b3", 22.0), (4, "d", 40.0)]
+
+
+def test_apply_changes_roundtrips_snapshot_diff(spark):
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0), (4, "d", 40.0)],
+        ["k", "s", "v"],
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "B", 21.0), (4, "d", 40.0), (5, "e", 50.0)],
+        ["k", "s", "v"],
+    )
+    diff = CDC.snapshot_diff(old, new, ["k"], ["s", "v"])
+    feed = diff.select(
+        "k",
+        F.col("new_s").alias("s"),
+        F.col("new_v").alias("v"),
+        F.lit(1).alias("seq"),
+        F.when(F.col("change_type") == "delete", "D").otherwise("U").alias("op"),
+    )
+    merged = CDC.apply_changes(old, feed, ["k"], "seq")
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, new.collect()))
