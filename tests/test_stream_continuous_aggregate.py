@@ -1,0 +1,150 @@
+"""Streaming continuous aggregate: a foreachBatch loop that folds each
+micro-batch into a persisted grain via ``rollup.refresh_merge`` must
+end bit-identical to one batch rollup over the full feed.
+
+This is the TimescaleDB-style continuous-aggregate maintenance path in
+streaming form — the nightly/continuous refresh a 100 TB events table
+actually runs: each micro-batch aggregates only its own rows (delta
+cost), the merge touches only the buckets the delta lands in, and
+history is never rescanned. The batch twin
+(`operators/rollup.rollup_hierarchy` at the finest grain) is the
+oracle-checked reference; equality here pins the streaming loop to it.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.operators import (
+    rollup as RU,
+)
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("event_type", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+HOUR = 3600
+
+
+def _rows(day, hour, typ, vals):
+    return [(typ, datetime(2024, 1, day, hour, 5 * i), v) for i, v in enumerate(vals)]
+
+
+def _refresh(existing, batch_df):
+    return RU.refresh_merge(
+        existing,
+        batch_df,
+        "ts",
+        ["event_type"],
+        HOUR,
+        sums={"sum_value": F.col("value").cast("decimal(20,4)")},
+        maxs={"max_value": F.col("value").cast("decimal(20,4)")},
+    )
+
+
+def test_streaming_refresh_equals_batch_rollup(spark, tmp_path):
+    src = tmp_path / "src"
+    agg_dir = str(tmp_path / "agg")
+    src.mkdir()
+
+    batches = [
+        _rows(1, 10, "view", [1.0, 2.0]) + _rows(1, 10, "click", [5.0]),
+        # same bucket replayed with more rows + a brand-new bucket
+        _rows(1, 10, "view", [3.0]) + _rows(1, 11, "view", [7.0, 0.5]),
+        # a third batch touching an old bucket again and a new type
+        _rows(1, 11, "view", [4.0]) + _rows(2, 9, "purchase", [100.0]),
+    ]
+
+    def emit(rows):
+        spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+
+    emit(batches[0])
+
+    empty_agg = spark.createDataFrame(
+        [],
+        "bucket_us long, event_type string, sum_value decimal(38,4), "
+        "max_value decimal(20,4), n_rows long",
+    )
+    empty_agg.write.mode("overwrite").parquet(agg_dir)
+
+    def sink(batch_df, batch_id):
+        existing = batch_df.sparkSession.read.parquet(agg_dir)
+        merged = _refresh(existing, batch_df)
+        merged.localCheckpoint().write.mode("overwrite").parquet(agg_dir)
+
+    q = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "chk"))
+        .start()
+    )
+    q.processAllAvailable()
+    emit(batches[1])
+    q.processAllAvailable()
+    emit(batches[2])
+    q.processAllAvailable()
+    q.stop()
+
+    got = {
+        (r["bucket_us"], r["event_type"]): (
+            r["sum_value"],
+            r["max_value"],
+            r["n_rows"],
+        )
+        for r in spark.read.parquet(agg_dir).collect()
+    }
+
+    # batch twin: one rollup over the full feed
+    full = spark.createDataFrame(
+        [r for b in batches for r in b], SCHEMA
+    )
+    want_df = RU.rollup_hierarchy(
+        full,
+        "ts",
+        ["event_type"],
+        [HOUR],
+        sums={"sum_value": F.col("value").cast("decimal(20,4)")},
+        maxs={"max_value": F.col("value").cast("decimal(20,4)")},
+    )[HOUR]
+    want = {
+        (r["bucket_us"], r["event_type"]): (
+            r["sum_value"],
+            r["max_value"],
+            r["n_rows"],
+        )
+        for r in want_df.collect()
+    }
+    assert got == want
+    # sanity: the replayed bucket accumulated across micro-batches
+    b10 = datetime(2024, 1, 1, 10).timestamp() * 1_000_000
+    assert got[(int(b10), "view")][2] == 3
+
+
+def test_refresh_merge_is_idempotent_on_empty_delta(spark):
+    base = spark.createDataFrame(
+        [("view", datetime(2024, 1, 1, 10, 0), 2.0)], SCHEMA
+    )
+    agg = RU.rollup_hierarchy(
+        base,
+        "ts",
+        ["event_type"],
+        [HOUR],
+        sums={"sum_value": F.col("value").cast("decimal(20,4)")},
+        maxs={"max_value": F.col("value").cast("decimal(20,4)")},
+    )[HOUR]
+    empty = spark.createDataFrame([], SCHEMA)
+    refreshed = _refresh(agg, empty)
+    assert sorted(map(tuple, refreshed.collect())) == sorted(
+        map(tuple, agg.collect())
+    )
