@@ -76,6 +76,13 @@ HEADLINE = [
     "q5_local_supplier_volume",
     "q10_returned_items",
     "q18_large_volume_customer",
+    # round-3 additions: recursive BFS, wedge-join triangles,
+    # gaps-and-islands, weighted quantile, CDC feed apply
+    "graph_khop_reachability",
+    "graph_triangle_count",
+    "events_day_streaks",
+    "agg_weighted_median",
+    "cdc_apply_changes",
 ]
 
 
