@@ -71,10 +71,10 @@ SHUFFLE_BUDGET = {
     "q21_waiting_supplier": 4,
     "set_except_all": 1,
     # round-3 additions (PLANS.md, 165-query audit). The BFS budget is
-    # per-level joins+distincts × k=3 unrolled levels plus the final
-    # min-dist agg — high count, but every exchange is key-partitioned
-    # and level-local, none global.
-    "graph_khop_reachability": 16,
+    # per-level distincts × k=3 unrolled levels plus the final
+    # min-dist agg over a once-materialized edge list — every exchange
+    # is key-partitioned and level-local, none global.
+    "graph_khop_reachability": 10,
     "graph_triangle_count": 6,
     "events_day_streaks": 2,
     "agg_weighted_median": 1,
