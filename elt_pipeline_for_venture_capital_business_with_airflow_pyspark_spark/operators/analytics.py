@@ -322,19 +322,22 @@ def weighted_median(
 
     The unweighted median treats every row equally; warehouse asks are
     usually weighted ("median price *per unit sold*"). The classic
-    formulation sorts each group by value and scans the cumulative
-    weight — here that is one window cumsum + one window total over a
-    single shuffle on the group key, then a group-by min over the
-    qualifying rows (which reuses the same partitioning). No
-    self-join, no collect.
+    formulation sorts each group and scans the cumulative weight — but
+    a per-group window over the raw fact funnels ALL rows through one
+    task per group (3 return flags → parallelism 3, the same
+    single-reducer class as a global sort). Instead the fact is first
+    reduced to the VALUE DOMAIN — ``groupBy(group, value)`` weight
+    sums, a fully parallel shuffle with map-side combine — and the
+    window cumsum runs over distinct values only. At warehouse scale
+    rows grow without bound while distinct values grow sub-linearly
+    (prices, quantities, scores are bounded domains), so per-group
+    window state is ∝ |value domain|, never ∝ |rows|.
 
     Determinism: weights accumulate in exact decimal (``2·cumw ≥
     totw`` is then an exact comparison — float cumsums would make the
-    qualifying row partition-order-dependent). Ordering by value alone
-    is enough: permuting equal-valued rows permutes their partial
-    sums, but whether *any* prefix of a tie block reaches the
-    threshold depends only on the block's total weight, so the min
-    qualifying value is tie-order-independent.
+    qualifying row partition-order-dependent), and the value-domain
+    reduction collapses equal values BEFORE the scan, so the window
+    order is strictly increasing — no tie blocks exist to depend on.
     Rows with NULL value or NULL weight are excluded (SQL aggregate
     convention); groups with no surviving rows disappear.
 
@@ -347,17 +350,20 @@ def weighted_median(
         F.col(value_col).alias("__v"),
         F.col(weight_col).cast(weight_decimals).alias("__w"),
     )
+    # fully parallel reduction to the value domain (map-side combine)
+    per_value = base.groupBy(*group_cols, "__v").agg(
+        F.sum("__w").alias("__w"), F.count(F.lit(1)).alias("__c")
+    )
     w_order = Window.partitionBy(*group_cols).orderBy("__v").rowsBetween(
         Window.unboundedPreceding, 0
     )
     w_all = Window.partitionBy(*group_cols)
-    scanned = base.select(
+    scanned = per_value.select(
         *group_cols,
         "__v",
-        "__w",
         F.sum("__w").over(w_order).alias("__cumw"),
         F.sum("__w").over(w_all).alias("__totw"),
-        F.count(F.lit(1)).over(w_all).alias("__n"),
+        F.sum("__c").over(w_all).alias("__n"),
     )
     return (
         scanned.filter(F.lit(2) * F.col("__cumw") >= F.col("__totw"))

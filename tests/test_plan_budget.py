@@ -77,7 +77,9 @@ SHUFFLE_BUDGET = {
     "graph_khop_reachability": 10,
     "graph_triangle_count": 6,
     "events_day_streaks": 2,
-    "agg_weighted_median": 1,
+    # value-domain reduction (parallel) + per-group window over
+    # distinct values: 2 exchanges, no per-group full-fact sort
+    "agg_weighted_median": 2,
     "cdc_apply_changes": 2,
 }
 
