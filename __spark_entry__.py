@@ -523,6 +523,12 @@ def _join_anti(spark: SparkSession, sf: str) -> DataFrame:
     """,
 )
 def _window_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-3 orders per market segment. Scale note: the 5-segment
+    window looks like a per-group funnel, but the ``rnk <= 3`` filter
+    triggers Catalyst's WindowGroupLimit — a map-side partial top-k
+    runs BEFORE the exchange, so only ≤3 rows per (input partition,
+    segment) ever shuffle; the per-segment sort sees K·P rows, not the
+    fact table. Pinned in tests/test_plan_shapes.py."""
     orders = read_table(spark, sf, "orders")
     customer = read_table(spark, sf, "customer")
     w = Window.partitionBy("c_mktsegment").orderBy(
@@ -1948,7 +1954,17 @@ def _join_null_safe(spark: SparkSession, sf: str) -> DataFrame:
 )
 def _window_rank_ntile(spark: SparkSession, sf: str) -> DataFrame:
     """rank/dense_rank/ntile/percent_rank — the full ranking-function
-    family over one window spec (single sort per partition)."""
+    family over one window spec (single sort per partition).
+
+    Scale note: this operator's OUTPUT is a per-row window value
+    over a low-cardinality partition key, so the per-group total
+    order is the semantic contract, not an implementation choice —
+    WindowGroupLimit cannot apply (no rank filter). At warehouse
+    scale, compute per-row global ranks with the two-phase
+    bucketed rank (operators/surrogate.add_surrogate_key /
+    features.partitioned_cumsum pattern) instead of materializing
+    a whole-table window; this query pins the ANSI window-function
+    parity surface itself."""
     orders = read_table(spark, sf, "orders").filter(F.col("o_orderkey") <= 2000)
     w = Window.partitionBy("o_orderstatus").orderBy(
         F.col("o_totalprice").desc(), F.col("o_orderkey")
@@ -5086,7 +5102,17 @@ def _window_percent_rank_cume(spark: SparkSession, sf: str) -> DataFrame:
     integer ratios evaluated in one IEEE division, so the doubles are
     bit-identical across engines — no decimal scaffolding needed. One
     shuffle on the partition key; ties share a value in both engines
-    by definition of the two functions."""
+    by definition of the two functions.
+
+    Scale note: this operator's OUTPUT is a per-row window value
+    over a low-cardinality partition key, so the per-group total
+    order is the semantic contract, not an implementation choice —
+    WindowGroupLimit cannot apply (no rank filter). At warehouse
+    scale, compute per-row global ranks with the two-phase
+    bucketed rank (operators/surrogate.add_surrogate_key /
+    features.partitioned_cumsum pattern) instead of materializing
+    a whole-table window; this query pins the ANSI window-function
+    parity surface itself."""
     orders = read_table(spark, sf, "orders")
     w = Window.partitionBy("o_orderpriority").orderBy(
         F.col("o_totalprice").asc_nulls_last()
@@ -5578,7 +5604,17 @@ def _window_nth_value(spark: SparkSession, sf: str) -> DataFrame:
     3 rows) plus first_value — the remaining positional window
     functions. The ordering carries the key tiebreak so frame content
     is total-ordered and engine-identical; one shuffle on the
-    partition key."""
+    partition key.
+
+    Scale note: this operator's OUTPUT is a per-row window value
+    over a low-cardinality partition key, so the per-group total
+    order is the semantic contract, not an implementation choice —
+    WindowGroupLimit cannot apply (no rank filter). At warehouse
+    scale, compute per-row global ranks with the two-phase
+    bucketed rank (operators/surrogate.add_surrogate_key /
+    features.partitioned_cumsum pattern) instead of materializing
+    a whole-table window; this query pins the ANSI window-function
+    parity surface itself."""
     orders = read_table(spark, sf, "orders")
     w = (
         Window.partitionBy("o_orderpriority")

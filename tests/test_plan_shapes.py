@@ -212,3 +212,20 @@ def test_surrogate_key_no_global_single_partition_sort(spark, sf_dir):
     agg = q.agg(F.min("sk").alias("lo"), F.max("sk").alias("hi"),
                 F.countDistinct("sk").alias("nd")).collect()[0]
     assert (agg.lo, agg.hi, agg.nd) == (1, n, n)
+
+
+def test_topk_per_group_uses_window_group_limit(spark, sf_dir):
+    """The rnk<=3 filter must keep triggering Catalyst's
+    WindowGroupLimit (map-side partial top-k before the exchange) —
+    without it the 5-segment window funnels the whole fact through 5
+    tasks. Guards against a refactor that breaks the pushdown shape
+    (e.g. ranking before filtering in a separate select, or a
+    non-rank-based rewrite)."""
+    import __spark_entry__ as entry
+
+    df = entry.queries()["window_topk_per_group"](spark, sf_dir)
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString().split(
+        "== Initial Plan =="
+    )[0]
+    assert "WindowGroupLimit" in final, final
