@@ -3966,6 +3966,51 @@ def _cdc_snapshot_diff(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_register(
+    "temporal_time_weighted_avg",
+    """
+    WITH iv AS (
+      SELECT o_orderpriority,
+             o_orderdate AS s,
+             o_orderdate + CAST(o_orderkey % 30 + 1 AS INTEGER) * INTERVAL 1 DAY AS e,
+             o_totalprice AS v
+      FROM orders
+    ), base AS (
+      SELECT o_orderpriority,
+             date_diff('day', CAST(s AS DATE), CAST(e AS DATE)) AS d,
+             CAST(v AS DECIMAL(20,4))
+               * date_diff('day', CAST(s AS DATE), CAST(e AS DATE)) AS wv
+      FROM iv
+      WHERE s IS NOT NULL AND e IS NOT NULL AND v IS NOT NULL
+        AND date_diff('day', CAST(s AS DATE), CAST(e AS DATE)) > 0
+    )
+    SELECT o_orderpriority,
+           CAST(ROUND(SUM(wv), 2) AS DOUBLE) / CAST(SUM(d) AS DOUBLE) AS twa,
+           CAST(SUM(d) AS BIGINT) AS total_days,
+           COUNT(*) AS n_intervals
+    FROM base GROUP BY o_orderpriority
+    """,
+)
+def _temporal_time_weighted_avg(spark: SparkSession, sf: str) -> DataFrame:
+    """Time-weighted average (operators/temporal.time_weighted_avg):
+    TWAP of order value per priority over synthetic validity intervals
+    ``[o_orderdate, o_orderdate + (o_orderkey % 30 + 1) days)`` — a
+    price valid 29 days weighs 29× one valid a day. Σ(value·days)
+    accumulates in exact decimal, rounds to cents before the double
+    cast, and the division runs on identical doubles. One map-side-
+    combined group-by; no window, no sort."""
+    orders = read_table(spark, sf, "orders")
+    iv = orders.select(
+        "o_orderpriority",
+        F.col("o_orderdate").alias("s"),
+        F.date_add(
+            F.col("o_orderdate"), (F.col("o_orderkey") % 30 + 1).cast("int")
+        ).alias("e"),
+        F.col("o_totalprice").alias("v"),
+    )
+    return TMP.time_weighted_avg(iv, ["o_orderpriority"], "s", "e", "v")
+
+
+@_register(
     "cdc_apply_changes",
     """
     WITH chg AS (

@@ -44,6 +44,7 @@ __all__ = [
     "scd2_collapse",
     "merge_intervals",
     "consecutive_day_islands",
+    "time_weighted_avg",
 ]
 
 
@@ -305,4 +306,50 @@ def consecutive_day_islands(
             F.count(F.lit(1)).alias("n_days"),
         )
         .drop("__anchor")
+    )
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    key_cols: list[str],
+    start_col: str,
+    end_col: str,
+    value_col: str,
+    value_decimals: str = "decimal(20,4)",
+) -> DataFrame:
+    """Time-weighted average (TWAP) per key over ``[start, end)``
+    validity intervals: Σ(value·duration) / Σ(duration) — the correct
+    mean for any interval-valued measure (a price valid for 29 days
+    must weigh 29× one valid for a day; the row-mean silently
+    over-weights churny keys). The natural aggregation over SCD2
+    (``scd2_collapse``) or merged-interval (``merge_intervals``)
+    output.
+
+    Duration unit is whole days (``datediff``) — exact integers in
+    every engine; zero/negative/NULL-duration intervals and NULL
+    values are excluded (point intervals carry no time weight).
+    Σ(value·duration) accumulates in exact decimal and rounds to
+    cents before the double cast (the cross-engine conversion
+    convention); the final division runs on identical doubles. One
+    shuffle (the group-by), map-side combined — no window, no sort.
+
+    Returns ``(key_cols…, twa, total_days, n_intervals)``.
+    """
+    dur = F.datediff(F.col(end_col), F.col(start_col)).cast("long")
+    base = df.filter(
+        F.col(start_col).isNotNull()
+        & F.col(end_col).isNotNull()
+        & F.col(value_col).isNotNull()
+        & (dur > 0)
+    ).select(
+        *key_cols,
+        dur.alias("__d"),
+        (F.col(value_col).cast(value_decimals) * dur).alias("__wv"),
+    )
+    swv = F.round(F.sum("__wv"), 2).cast("double")
+    sd = F.sum("__d")
+    return base.groupBy(*key_cols).agg(
+        (swv / sd.cast("double")).alias("twa"),
+        sd.alias("total_days"),
+        F.count(F.lit(1)).alias("n_intervals"),
     )

@@ -327,3 +327,23 @@ def test_consecutive_day_islands_runs_and_gaps(spark):
 def test_consecutive_day_islands_all_null_ts_empty(spark):
     df = spark.createDataFrame([(1, None)], "user_id long, ts timestamp")
     assert TMP.consecutive_day_islands(df, ["user_id"], "ts").count() == 0
+
+
+def test_time_weighted_avg_hand_computed(spark):
+    rows = [
+        # key a: 10.0 for 2 days, 40.0 for 1 day -> (20+40)/3 = 20.0
+        ("a", _ts("2024-01-01 00:00:00"), _ts("2024-01-03 00:00:00"), 10.0),
+        ("a", _ts("2024-01-03 00:00:00"), _ts("2024-01-04 00:00:00"), 40.0),
+        # zero-duration and null rows carry no weight
+        ("a", _ts("2024-01-04 00:00:00"), _ts("2024-01-04 00:00:00"), 999.0),
+        ("a", None, _ts("2024-01-05 00:00:00"), 999.0),
+        ("a", _ts("2024-01-05 00:00:00"), _ts("2024-01-06 00:00:00"), None),
+        # key b: single interval -> its own value
+        ("b", _ts("2024-02-01 00:00:00"), _ts("2024-02-11 00:00:00"), 7.5),
+    ]
+    df = spark.createDataFrame(rows, "k string, s timestamp, e timestamp, v double")
+    got = {
+        r["k"]: (r["twa"], r["total_days"], r["n_intervals"])
+        for r in TMP.time_weighted_avg(df, ["k"], "s", "e", "v").collect()
+    }
+    assert got == {"a": (20.0, 3, 2), "b": (7.5, 10, 1)}
