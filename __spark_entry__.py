@@ -3966,6 +3966,68 @@ def _cdc_snapshot_diff(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_register(
+    "join_asof_nearest",
+    """
+    WITH t AS (
+      SELECT user_id, event_id, ts FROM events
+      WHERE event_type = 'click' AND ts IS NOT NULL
+    ), q AS (
+      SELECT user_id, event_id, ts FROM events
+      WHERE event_type = 'view' AND ts IS NOT NULL
+    )
+    SELECT t.user_id, t.event_id, epoch_us(t.ts) AS ts_us,
+           CASE WHEN f.ts IS NULL OR (b.ts IS NOT NULL
+                  AND epoch_us(t.ts) - epoch_us(b.ts)
+                      <= epoch_us(f.ts) - epoch_us(t.ts))
+                THEN b.event_id ELSE f.event_id END AS view_event_id,
+           CASE WHEN f.ts IS NULL OR (b.ts IS NOT NULL
+                  AND epoch_us(t.ts) - epoch_us(b.ts)
+                      <= epoch_us(f.ts) - epoch_us(t.ts))
+                THEN epoch_us(b.ts) ELSE epoch_us(f.ts) END AS view_ts_us
+    FROM t
+    LEFT JOIN LATERAL (
+      SELECT event_id, ts FROM q
+      WHERE q.user_id = t.user_id AND q.ts <= t.ts
+      ORDER BY ts DESC, event_id DESC LIMIT 1) b ON TRUE
+    LEFT JOIN LATERAL (
+      SELECT event_id, ts FROM q
+      WHERE q.user_id = t.user_id AND q.ts >= t.ts
+      ORDER BY ts ASC, event_id DESC LIMIT 1) f ON TRUE
+    """,
+)
+def _join_asof_nearest(spark: SparkSession, sf: str) -> DataFrame:
+    """Nearest-direction as-of join
+    (operators/temporal.asof_join_nearest, pandas merge_asof
+    ``direction='nearest'``): each click event paired with the
+    temporally CLOSEST view by the same user, equidistant resolving
+    backward (the causal choice), timestamp ties by greatest event_id.
+    Two one-shuffle directional sweeps joined back on the unique left
+    id — three shuffles, no non-equi join, one candidate per direction
+    per key. The oracle is the LATERAL-limit-1 formulation (fine at
+    oracle scale; quadratic per key, which is exactly why the engine
+    side doesn't do it that way)."""
+    ev = read_table(spark, sf, "events")
+    t = ev.filter(
+        (F.col("event_type") == "click") & F.col("ts").isNotNull()
+    ).select("user_id", "event_id", "ts")
+    q = ev.filter(
+        (F.col("event_type") == "view") & F.col("ts").isNotNull()
+    ).select("user_id", F.col("event_id").alias("view_event_id"), "ts")
+    out = TMP.asof_join_nearest(
+        t, q, "user_id", "ts", "ts", "event_id",
+        payload={
+            "view_event_id": F.col("view_event_id"),
+            "view_ts_us": F.unix_micros(F.col("ts")),
+        },
+        tiebreak="view_event_id",
+    )
+    return out.select(
+        "user_id", "event_id", F.unix_micros("ts").alias("ts_us"),
+        "view_event_id", "view_ts_us",
+    )
+
+
+@_register(
     "temporal_time_weighted_avg",
     """
     WITH iv AS (

@@ -45,6 +45,7 @@ __all__ = [
     "merge_intervals",
     "consecutive_day_islands",
     "time_weighted_avg",
+    "asof_join_nearest",
 ]
 
 
@@ -352,4 +353,62 @@ def time_weighted_avg(
         (swv / sd.cast("double")).alias("twa"),
         sd.alias("total_days"),
         F.count(F.lit(1)).alias("n_intervals"),
+    )
+
+
+def asof_join_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    id_col: str,
+    payload: dict[str, Column] | None = None,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Nearest-direction as-of join (pandas ``merge_asof``
+    ``direction='nearest'``): for every left row, attach the payload of
+    the right row whose timestamp is CLOSEST in either direction per
+    key; equidistant candidates resolve backward (the past wins over
+    the future — the causal choice). Unmatched left rows keep null
+    payloads.
+
+    ``id_col`` must uniquely identify left rows: nearest = backward ▽
+    forward, so the two directional sweeps (each the one-shuffle
+    union-sweep of :func:`asof_join`) are joined back on the left id
+    and the smaller absolute gap wins. Three shuffles total (two
+    sweeps + the id equi-join), zero row amplification, no non-equi
+    join anywhere — per key the state is one candidate per direction.
+    """
+    payload = payload or {"asof_ts": F.col(right_ts)}
+    names = list(payload)
+    pay_b = {**payload, "__asof_ts_b": F.col(right_ts)}
+    pay_f = {**payload, "__asof_ts_f": F.col(right_ts)}
+
+    b = asof_join(left, right, key, left_ts, right_ts, pay_b, tiebreak, "backward")
+    b = b.select(
+        *left.columns,
+        *[F.col(n).alias(f"__b_{n}") for n in names],
+        "__asof_ts_b",
+    )
+    f = asof_join(left, right, key, left_ts, right_ts, pay_f, tiebreak, "forward")
+    f = f.select(
+        F.col(id_col).alias("__fid"),
+        *[F.col(n).alias(f"__f_{n}") for n in names],
+        "__asof_ts_f",
+    )
+    j = b.join(f, b[id_col] == f["__fid"], "inner").drop("__fid")
+
+    us = F.unix_micros(F.col(left_ts))
+    gap_b = us - F.unix_micros(F.col("__asof_ts_b"))
+    gap_f = F.unix_micros(F.col("__asof_ts_f")) - us
+    use_b = F.col("__asof_ts_f").isNull() | (
+        F.col("__asof_ts_b").isNotNull() & (gap_b <= gap_f)
+    )
+    return j.select(
+        *left.columns,
+        *[
+            F.when(use_b, F.col(f"__b_{n}")).otherwise(F.col(f"__f_{n}")).alias(n)
+            for n in names
+        ],
     )

@@ -347,3 +347,24 @@ def test_time_weighted_avg_hand_computed(spark):
         for r in TMP.time_weighted_avg(df, ["k"], "s", "e", "v").collect()
     }
     assert got == {"a": (20.0, 3, 2), "b": (7.5, 10, 1)}
+
+
+def test_asof_nearest_picks_closer_side_backward_on_tie(spark):
+    quotes = _quotes(spark)
+    trades = spark.createDataFrame(
+        [
+            (20, "A", _ts("2024-01-01 10:01:00")),  # closer to 10:00 than 10:05
+            (21, "A", _ts("2024-01-01 10:04:00")),  # closer to 10:05
+            (22, "A", _ts("2024-01-01 10:02:30")),  # equidistant -> backward
+            (23, "B", _ts("2024-01-01 12:00:00")),  # only backward exists
+            (24, "C", _ts("2024-01-01 12:00:00")),  # no quotes at all
+        ],
+        ["tid", "sym", "ts"],
+    )
+    out = TMP.asof_join_nearest(
+        trades, quotes, "sym", "ts", "ts", "tid",
+        payload={"px": F.col("px")}, tiebreak="qid",
+    )
+    got = {r["tid"]: r["px"] for r in out.collect()}
+    # 10:05 has two quotes (101, 102); greatest qid wins -> 102
+    assert got == {20: 100.0, 21: 102.0, 22: 100.0, 23: 50.0, 24: None}
