@@ -341,14 +341,34 @@ def weighted_median(
     Rows with NULL value or NULL weight are excluded (SQL aggregate
     convention); groups with no surviving rows disappear.
 
+    Precondition: weights must be non-negative — a negative weight
+    makes the cumulative sum non-monotonic, so the ``2·cumw ≥ totw``
+    scan can fire early and silently return the wrong value. The
+    precondition is ENFORCED, not assumed: any negative weight fails
+    the job at execution time (``WEIGHTED_MEDIAN_NEGATIVE_WEIGHT``) —
+    a per-row comparison fused into the existing projection, no extra
+    stage.
+
     Returns ``(group_cols…, wmedian, total_weight, n_rows)``.
     """
+    w_checked = F.when(
+        F.col(weight_col) < 0,
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "WEIGHTED_MEDIAN_NEGATIVE_WEIGHT: "
+                    f"negative {weight_col} value "
+                ),
+                F.col(weight_col).cast("string"),
+            )
+        ).cast(weight_decimals),
+    ).otherwise(F.col(weight_col).cast(weight_decimals))
     base = df.filter(
         F.col(value_col).isNotNull() & F.col(weight_col).isNotNull()
     ).select(
         *group_cols,
         F.col(value_col).alias("__v"),
-        F.col(weight_col).cast(weight_decimals).alias("__w"),
+        w_checked.alias("__w"),
     )
     # fully parallel reduction to the value domain (map-side combine)
     per_value = base.groupBy(*group_cols, "__v").agg(

@@ -158,6 +158,7 @@ def apply_changes(
     seq_col: str,
     op_col: str = "op",
     delete_op: str = "D",
+    validate: bool = False,
 ) -> DataFrame:
     """Apply a CDC change feed to a base snapshot: latest change per
     key wins (by ``seq_col`` descending), ``delete_op`` rows remove the
@@ -181,17 +182,45 @@ def apply_changes(
     Determinism: ``(seq_col, op)`` must totally order each key's
     changes; ties on seq_col are broken by preferring the delete
     (so a same-seq upsert+delete pair converges instead of being
-    partition-order-dependent).
+    partition-order-dependent). A NULL ``op_col`` is an UPSERT, not a
+    delete — three-valued logic would otherwise drop the row from the
+    survivors while its key is still anti-joined out of the base,
+    silently turning a malformed change row into a delete. With
+    ``validate=True`` the contract is enforced at execution time: any
+    key whose winning seq value is shared by more than one non-delete
+    change (the one genuinely ambiguous case — which upsert payload
+    wins would depend on partition order) fails the job with
+    ``CDC_AMBIGUOUS_CHANGE`` instead of picking one silently. The
+    check rides the existing latest-wins shuffle (a count over the
+    same window partition), so it adds no exchange.
     """
-    w_order = [F.col(seq_col).desc(), (F.col(op_col) == delete_op).desc()]
     from pyspark.sql import Window
 
+    is_delete = F.coalesce(F.col(op_col) == F.lit(delete_op), F.lit(False))
+    w_order = [F.col(seq_col).desc(), is_delete.desc()]
     w = Window.partitionBy(*keys).orderBy(*w_order)
-    latest = (
-        changes.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
-    )
+    tagged = changes.withColumn("__rn", F.row_number().over(w))
+    if validate:
+        w_group = Window.partitionBy(*keys, seq_col, is_delete)
+        n_peers = F.count(F.lit(1)).over(w_group)
+        tagged = tagged.withColumn(
+            "__rn",
+            F.when(
+                (F.col("__rn") == 1) & ~is_delete & (n_peers > 1),
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "CDC_AMBIGUOUS_CHANGE: multiple non-delete changes "
+                            f"share the winning ({seq_col}, {op_col}) for key "
+                        ),
+                        *[F.col(k).cast("string") for k in keys],
+                    )
+                ).cast("int"),
+            ).otherwise(F.col("__rn")),
+        )
+    latest = tagged.filter(F.col("__rn") == 1).drop("__rn")
     untouched = base.join(latest.select(*keys), keys, "left_anti")
-    survivors = latest.filter(F.col(op_col) != F.lit(delete_op)).select(*base.columns)
+    survivors = latest.filter(
+        ~F.coalesce(F.col(op_col) == F.lit(delete_op), F.lit(False))
+    ).select(*base.columns)
     return untouched.unionByName(survivors)

@@ -117,6 +117,7 @@ def khop_min_dist(
     dst: str = "dst",
     node: str = "node",
     materialize_edges: bool = True,
+    materialize: str | None = None,
 ) -> DataFrame:
     """Bounded-depth BFS: minimum hop distance (≤ ``k``) from a seed
     set over a directed edge list — the DataFrame twin of an ANSI
@@ -137,22 +138,45 @@ def khop_min_dist(
     read), and the final min-dist is a k-way union + one groupBy —
     map-side-combined to one row per node.
 
-    ``materialize_edges`` (default True for k ≥ 2): the edge list is
-    consumed once per level, and with a derived edge frame (a join +
-    distinct upstream) the unrolled plan re-executes that derivation
-    every level — exchange reuse does not cross the broadcast-join
-    boundary. One eager ``localCheckpoint`` computes it once and every
-    level reads the materialized blocks (measured 1.5× end-to-end at
-    sf0.1, growing with k). On a real cluster prefer
-    ``persist(DISK_ONLY)``/reliable checkpoint for the same effect
-    with executor-loss tolerance; pass False to keep the plan fully
-    lazy (e.g. for explain-plan inspection).
+    The edge list is consumed once per level, and with a derived edge
+    frame (a join + distinct upstream) the unrolled plan re-executes
+    that derivation every level — exchange reuse does not cross the
+    broadcast-join boundary. ``materialize`` picks how the edge frame
+    is computed once (applies only for k ≥ 2, where a level reuse
+    exists):
+
+    - ``"local_checkpoint"``: eager ``localCheckpoint`` — fastest on a
+      single node (measured 1.5× end-to-end at sf0.1, growing with k),
+      but the blocks are executor-local and UNREPLICATED: an executor
+      loss makes the lineage unrecoverable, and the materialization is
+      an eager side effect at DataFrame-construction time.
+    - ``"disk_persist"``: ``persist(StorageLevel.DISK_ONLY)`` — lazy,
+      recomputable on executor loss, the cluster-safe default. The
+      blocks stay pinned until the caller drops the returned frame or
+      Spark's ContextCleaner collects them; call
+      ``spark.catalog.clearCache()`` / track the frame to unpersist
+      deterministically in long-lived sessions.
+    - ``"none"``: fully lazy — the derivation re-runs per level; right
+      for explain-plan inspection and trivially-derived edge frames.
+
+    Default is ``"disk_persist"`` (cluster-safe); the legacy boolean
+    ``materialize_edges=False`` maps to ``"none"`` for back-compat and
+    is ignored when ``materialize`` is passed explicitly.
     """
     if k < 0:
         raise ValueError("k must be >= 0")
+    if materialize is None:
+        materialize = "disk_persist" if materialize_edges else "none"
+    if materialize not in ("local_checkpoint", "disk_persist", "none"):
+        raise ValueError(f"unknown materialize mode: {materialize!r}")
     e = edges.select(F.col(src).alias("_src"), F.col(dst).alias("_dst"))
-    if materialize_edges and k >= 2:
-        e = e.localCheckpoint()
+    if k >= 2:
+        if materialize == "local_checkpoint":
+            e = e.localCheckpoint()
+        elif materialize == "disk_persist":
+            from pyspark import StorageLevel
+
+            e = e.persist(StorageLevel.DISK_ONLY)
     frontier = seeds.select(F.col(node).alias("node")).distinct()
     levels = [frontier.select("node", F.lit(0).alias("dist"))]
     for d in range(1, k + 1):
@@ -169,25 +193,50 @@ def khop_min_dist(
 
 
 def triangle_counts(
-    edges: DataFrame, *, src: str = "src", dst: str = "dst"
+    edges: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    orient: str = "degree",
+    max_degree: int | None = None,
 ) -> DataFrame:
     """Per-node triangle participation counts over an undirected graph.
 
     ``edges`` is an undirected edge list (either orientation, self
     loops ignored). Returns ``(node, n_triangles)`` for every node
-    that closes ≥ 1 triangle.
+    that closes ≥ 1 triangle. EXACT for both ``orient`` modes; the
+    only approximation in this function is an explicit ``max_degree``.
 
-    The standard distributed algorithm: canonicalize each edge to
-    ``a < b`` (halves the edge set and makes each triangle countable
-    exactly once as ``a < b < c``), then wedge-join ``E(a,b) ⋈ E(b,c)``
-    on the middle vertex and close with ``E(a,c)``. Both joins are
-    hash equi-joins; cost is Σ deg² for the wedge stage — the classic
-    bound — and no stage materializes anything per-path beyond the
-    wedge frame. High-degree hubs are the skew risk at 100 TB; cap or
-    salt hub vertices upstream if the degree distribution is
-    power-law (the nation/brand graphs this engine feeds it are
-    bounded-cardinality).
+    ``orient`` picks the edge canonicalization that makes each
+    triangle countable exactly once:
+
+    - ``"id"``: direct every edge low-id → high-id, wedge-join
+      ``E(a,b) ⋈ E(b,c)`` on the middle vertex, close with
+      ``E(a,c)``. Cost is Σ deg² over RAW degrees — a single
+      power-law hub of degree d contributes d² wedges landing in ONE
+      join partition. Fine for bounded-cardinality graphs; the skew
+      trap at 100 TB.
+    - ``"degree"`` (default): the classic exact skew fix (degree
+      orientation / "compact-forward"). Direct every edge from the
+      endpoint with the LOWER ``(degree, id)`` to the higher; generate
+      wedges only between OUT-neighbors. Every triangle is still
+      counted exactly once — at its minimum-(degree, id) corner — but
+      out-degree is bounded by O(√m) on any graph, so the wedge stage
+      is Σ outdeg² ≤ O(m^1.5) TOTAL and no single vertex can flood a
+      partition: a degree-1M hub has out-degree ~0 because almost all
+      its neighbors order above it. Two extra broadcast-or-shuffle
+      joins to attach degrees; worth it the moment degrees skew.
+
+    ``max_degree`` (optional, both modes): drop vertices whose degree
+    exceeds the cap BEFORE the wedge stage. This is an explicit
+    approximation — triangles touching a dropped hub are not counted
+    (returned counts are exact for the kept subgraph) — the standard
+    escape hatch when even O(m^1.5) is too much and hub triangles are
+    analytically uninteresting (celebrity/bot nodes in social graphs).
+    ``None`` (default) keeps the result exact.
     """
+    if orient not in ("id", "degree"):
+        raise ValueError(f"unknown orient mode: {orient!r}")
     und = (
         edges.select(F.col(src).alias("x"), F.col(dst).alias("y"))
         .filter(F.col("x") != F.col("y"))
@@ -197,14 +246,48 @@ def triangle_counts(
         )
         .distinct()
     )
-    ab = und.select(F.col("a"), F.col("b"))
-    bc = und.select(F.col("a").alias("b"), F.col("b").alias("c"))
-    ac = und.select(F.col("a").alias("ta"), F.col("b").alias("tc"))
-    tri = (
-        ab.join(bc, "b")
-        .join(ac, (F.col("a") == F.col("ta")) & (F.col("c") == F.col("tc")))
-        .select("a", "b", "c")
-    )
+    if orient == "degree" or max_degree is not None:
+        deg = (
+            und.select(F.col("a").alias("node"))
+            .unionByName(und.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        und = (
+            und.join(deg.withColumnsRenamed({"node": "a", "deg": "deg_a"}), "a")
+            .join(deg.withColumnsRenamed({"node": "b", "deg": "deg_b"}), "b")
+            .select("a", "b", "deg_a", "deg_b")
+        )
+        if max_degree is not None:
+            und = und.filter(
+                (F.col("deg_a") <= max_degree) & (F.col("deg_b") <= max_degree)
+            )
+    if orient == "degree":
+        # rank = (degree, id): a total order, so struct comparison
+        # orients every edge deterministically in both engines
+        rank_a = F.struct(F.col("deg_a").alias("d"), F.col("a").alias("n"))
+        rank_b = F.struct(F.col("deg_b").alias("d"), F.col("b").alias("n"))
+        fwd = und.select(
+            F.when(rank_a < rank_b, F.col("a")).otherwise(F.col("b")).alias("u"),
+            F.when(rank_a < rank_b, F.col("b")).otherwise(F.col("a")).alias("v"),
+            F.when(rank_a < rank_b, rank_b).otherwise(rank_a).alias("rank_v"),
+        )
+        e1 = fwd.select(F.col("u"), F.col("v").alias("b"), F.col("rank_v").alias("rank_b"))
+        e2 = fwd.select(F.col("u"), F.col("v").alias("c"), F.col("rank_v").alias("rank_c"))
+        wedge = e1.join(e2, "u").filter(F.col("rank_b") < F.col("rank_c"))
+        closing = fwd.select(F.col("u").alias("b"), F.col("v").alias("c"))
+        tri = wedge.join(closing, ["b", "c"]).select(
+            F.col("u").alias("a"), "b", "c"
+        )
+    else:
+        ab = und.select(F.col("a"), F.col("b"))
+        bc = und.select(F.col("a").alias("b"), F.col("b").alias("c"))
+        ac = und.select(F.col("a").alias("ta"), F.col("b").alias("tc"))
+        tri = (
+            ab.join(bc, "b")
+            .join(ac, (F.col("a") == F.col("ta")) & (F.col("c") == F.col("tc")))
+            .select("a", "b", "c")
+        )
     per_node = (
         tri.select(F.col("a").alias("node"))
         .unionByName(tri.select(F.col("b").alias("node")))

@@ -150,6 +150,94 @@ def attach_order_bucket(
     )
 
 
+def bucketed_rank(
+    df: DataFrame,
+    order_cols: list[str],
+    out_col: str = "rank",
+    num_buckets: int | None = None,
+    offset: int = 0,
+) -> DataFrame:
+    """Global ``ROW_NUMBER() OVER (ORDER BY order_cols)`` with NO
+    single-reducer window — the two-phase bucketed rank.
+
+    A global window (empty PARTITION BY) funnels every row through one
+    task: the plan shows ``Exchange SinglePartition`` and the stage's
+    parallelism is 1 regardless of cluster size — the canonical
+    at-scale failure of ranking/running-total queries. This operator
+    produces the IDENTICAL column in three fully parallel steps:
+
+    1. every row gets an order-preserving bucket id computed from the
+       row's own value against the first order column's exact
+       [min, max] (``attach_order_bucket`` — one KB-sized broadcast,
+       value-deterministic, so re-evaluations agree by construction);
+    2. ``row_number()`` partitioned BY BUCKET over the full order —
+       one hash exchange, parallelism = bucket count;
+    3. per-bucket counts → prefix-sum offsets (one row per OCCUPIED
+       bucket, KB-sized at any scale) splice bucket-local ranks into
+       the global sequence as a literal-map lookup — no join.
+
+    ``order_cols`` must totally order the frame (append a unique key
+    as the last column, exactly as you would for a deterministic
+    ``ROW_NUMBER``); ranks start at ``1 + offset``. NULLs in the
+    first order column rank first (Spark ASC NULLS FIRST default),
+    matching ``ROW_NUMBER ... NULLS FIRST`` oracle semantics.
+
+    Semantics twin: ``ROW_NUMBER() OVER (ORDER BY <order_cols> ASC
+    NULLS FIRST)`` — oracle-checked in the registry
+    (``window_bucketed_rank``).
+    """
+    if not order_cols:
+        raise ValueError("order_cols must be non-empty")
+    keys = [F.col(c) for c in order_cols]
+    if num_buckets is None:
+        nbuckets = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+        )
+    else:
+        nbuckets = num_buckets
+
+    # phase 1: value-deterministic, order-preserving bucket id from
+    # the first order column's exact [min, max] — a pure function of
+    # the row, immune to the re-evaluation nondeterminism of sampled
+    # range boundaries (see module docstring). One KB-sized broadcast.
+    tagged = attach_order_bucket(
+        df, order_cols[0], nbuckets, "__br_bucket", nulls_last=False
+    )
+
+    # phase 2: per-bucket counts -> prefix-sum offsets, computed on
+    # the driver (one row per OCCUPIED bucket — KB-sized at any scale,
+    # same sanctioned pattern as the IVF centroid collect). Recomputing
+    # `tagged` for the counts job is safe: bucket ids are
+    # value-deterministic, unlike sampled range boundaries.
+    counts = (
+        tagged.groupBy("__br_bucket")
+        .agg(F.count(F.lit(1)).alias("__br_cnt"))
+        .collect()
+    )
+    running = 0
+    offsets: dict[int, int] = {}
+    for row in sorted(counts, key=lambda r: r["__br_bucket"]):
+        offsets[row["__br_bucket"]] = running
+        running += row["__br_cnt"]
+    if not offsets:
+        return df.withColumn(out_col, F.lit(None).cast("long"))
+    offset_expr = F.element_at(
+        F.create_map(
+            *[F.lit(v) for kv in offsets.items() for v in kv]
+        ),
+        F.col("__br_bucket"),
+    )
+
+    # phase 3: rank within bucket over the FULL order (unique order ->
+    # deterministic), one hash exchange on the bucket id; the bucket
+    # offset splices in as a literal-map lookup — no join, no
+    # singleton window in the data plan
+    wlocal = Window.partitionBy("__br_bucket").orderBy(*keys)
+    local = tagged.withColumn("__br_local", F.row_number().over(wlocal))
+    rank = (offset_expr + F.col("__br_local") + F.lit(offset)).cast("long")
+    return local.select(*df.columns, rank.alias(out_col))
+
+
 def add_surrogate_key(
     df: DataFrame,
     key_name: str,
@@ -163,54 +251,12 @@ def add_surrogate_key(
         return df.select(sk.alias(key_name), "*")
     if mode != "deterministic":
         raise ValueError(f"unknown surrogate-key mode: {mode}")
-
-    keys = [F.col(c) for c in natural_keys]
-    if num_buckets is None:
-        # one bucket per shuffle partition: measured fastest at sf0.1
-        # (16 underparallelizes, 4x adds literal-map width for nothing);
-        # raise explicitly for heavily skewed key distributions
-        nbuckets = int(
-            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
-        )
-    else:
-        nbuckets = num_buckets
-
-    # phase 1: value-deterministic, order-preserving bucket id from
-    # the first key's exact [min, max] — a pure function of the row,
-    # immune to the re-evaluation nondeterminism of sampled range
-    # boundaries (see module docstring). One KB-sized broadcast.
-    tagged = attach_order_bucket(df, natural_keys[0], nbuckets, "__sk_bucket")
-
-    # phase 2: per-bucket counts -> prefix-sum offsets, computed on
-    # the driver (one row per OCCUPIED bucket — KB-sized at any scale,
-    # same sanctioned pattern as the IVF centroid collect). Recomputing
-    # `tagged` for the counts job is safe: bucket ids are
-    # value-deterministic, unlike sampled range boundaries.
-    counts = (
-        tagged.groupBy("__sk_bucket")
-        .agg(F.count(F.lit(1)).alias("__sk_cnt"))
-        .collect()
+    # the surrogate key IS the two-phase bucketed rank over the
+    # natural key (see bucketed_rank for the plan shape)
+    ranked = bucketed_rank(
+        df, natural_keys, out_col="__sk", num_buckets=num_buckets, offset=offset
     )
-    running = 0
-    offsets: dict[int, int] = {}
-    for row in sorted(counts, key=lambda r: r["__sk_bucket"]):
-        offsets[row["__sk_bucket"]] = running
-        running += row["__sk_cnt"]
-    offset_expr = F.element_at(
-        F.create_map(
-            *[F.lit(v) for kv in offsets.items() for v in kv]
-        ),
-        F.col("__sk_bucket"),
-    )
-
-    # rank within bucket over the FULL natural key (unique keys ->
-    # deterministic), one hash exchange on the bucket id; the bucket
-    # offset splices in as a literal-map lookup — no join, no
-    # singleton window in the data plan
-    wlocal = Window.partitionBy("__sk_bucket").orderBy(*keys)
-    local = tagged.withColumn("__sk_local", F.row_number().over(wlocal))
-    sk = (offset_expr + F.col("__sk_local") + F.lit(offset)).cast("long")
-    return local.select(sk.alias(key_name), *df.columns)
+    return ranked.select(F.col("__sk").alias(key_name), *df.columns)
 
 
 def max_key(df: DataFrame, key_name: str) -> int:

@@ -270,3 +270,54 @@ def test_apply_changes_roundtrips_snapshot_diff(spark):
     )
     merged = CDC.apply_changes(old, feed, ["k"], "seq")
     assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, new.collect()))
+
+
+def test_apply_changes_null_op_is_upsert_not_delete(spark):
+    """A NULL op must upsert: three-valued logic on `op != 'D'` used to
+    drop the row from survivors while the anti-join still removed the
+    key — a malformed change row became a silent delete."""
+    base = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "s"])
+    changes = spark.createDataFrame(
+        [(1, "a2", 5, None), (3, "c", 5, None)],
+        "k long, s string, seq long, op string",
+    )
+    got = sorted(
+        (r["k"], r["s"])
+        for r in CDC.apply_changes(base, changes, ["k"], "seq").collect()
+    )
+    assert got == [(1, "a2"), (2, "b"), (3, "c")]
+
+
+def test_apply_changes_validate_flags_ambiguous_ties(spark):
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    base = spark.createDataFrame([(1, "a")], ["k", "s"])
+    # two NON-delete changes share (key, seq): which payload wins is
+    # partition-order-dependent -> validate=True must fail the job
+    ambiguous = spark.createDataFrame(
+        [(1, "x", 7, "U"), (1, "y", 7, "U")], ["k", "s", "seq", "op"]
+    )
+    with pytest.raises((Py4JJavaError, Exception), match="CDC_AMBIGUOUS_CHANGE"):
+        CDC.apply_changes(base, ambiguous, ["k"], "seq", validate=True).collect()
+    # a same-seq upsert+delete pair is NOT ambiguous (delete wins by
+    # contract), and two same-seq deletes converge (payload ignored)
+    fine = spark.createDataFrame(
+        [(1, "x", 7, "U"), (1, "x", 7, "D"), (2, "z", 1, "D"), (2, "z", 1, "D")],
+        ["k", "s", "seq", "op"],
+    )
+    got = sorted(
+        (r["k"], r["s"])
+        for r in CDC.apply_changes(base, fine, ["k"], "seq", validate=True).collect()
+    )
+    assert got == []
+
+
+def test_weighted_median_rejects_negative_weights(spark):
+    import pytest
+
+    df = spark.createDataFrame(
+        [("a", 1.0, 2.0), ("a", 2.0, -1.0)], ["g", "v", "w"]
+    )
+    with pytest.raises(Exception, match="WEIGHTED_MEDIAN_NEGATIVE_WEIGHT"):
+        ANA.weighted_median(df, ["g"], "v", "w").collect()

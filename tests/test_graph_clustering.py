@@ -156,3 +156,58 @@ def test_triangle_counts_square_no_diagonal_empty(spark):
         [(1, 2), (2, 3), (3, 4), (4, 1)], ["src", "dst"]
     )
     assert GR.triangle_counts(edges).count() == 0
+
+
+def test_triangle_counts_degree_orient_equals_id_orient_on_hub_graph(spark):
+    """Power-law-ish fixture: a degree-20 hub plus a rim cycle. The
+    degree orientation must return bit-identical counts to the id
+    orientation — it's an EXACT skew fix, not an approximation."""
+    hub = [(0, i) for i in range(1, 21)]                  # star around 0
+    rim = [(i, i % 20 + 1) for i in range(1, 21)]          # 20-cycle on the rim
+    chords = [(i, i + 2) for i in range(1, 19)]            # extra closures
+    edges = spark.createDataFrame(hub + rim + chords, ["src", "dst"])
+    by_id = {
+        r["node"]: r["n_triangles"]
+        for r in GR.triangle_counts(edges, orient="id").collect()
+    }
+    by_deg = {
+        r["node"]: r["n_triangles"]
+        for r in GR.triangle_counts(edges, orient="degree").collect()
+    }
+    assert by_deg == by_id
+    assert by_id[0] == 20 + 18  # hub closes every rim edge + every chord
+
+
+def test_triangle_counts_max_degree_drops_hub_triangles_only(spark):
+    hub = [(0, i) for i in range(1, 21)]
+    rim = [(i, i % 20 + 1) for i in range(1, 21)]
+    edges = spark.createDataFrame(hub + rim, ["src", "dst"])
+    capped = {
+        r["node"]: r["n_triangles"]
+        for r in GR.triangle_counts(edges, max_degree=10).collect()
+    }
+    # every triangle touches the degree-20 hub -> all dropped under the cap
+    assert capped == {}
+    full = {
+        r["node"]: r["n_triangles"]
+        for r in GR.triangle_counts(edges, max_degree=25).collect()
+    }
+    assert full[0] == 20  # cap above max degree = exact
+
+
+def test_khop_materialize_modes_agree(spark):
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (2, 5)], ["src", "dst"]
+    )
+    seeds = spark.createDataFrame([(1,)], ["node"])
+    expect = {1: 0, 2: 1, 3: 2, 4: 3, 5: 2}
+    for mode in ("local_checkpoint", "disk_persist", "none"):
+        got = {
+            r["node"]: r["dist"]
+            for r in GR.khop_min_dist(edges, seeds, k=3, materialize=mode).collect()
+        }
+        assert got == expect, mode
+    import pytest
+
+    with pytest.raises(ValueError, match="materialize"):
+        GR.khop_min_dist(edges, seeds, k=2, materialize="ram_forever")

@@ -9,6 +9,7 @@ performance bug that no row-comparison would ever catch.
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.sources import (
@@ -191,7 +192,8 @@ def test_surrogate_key_no_global_single_partition_sort(spark, sf_dir):
     plan = _plan(q, "simple")
 
     # the data path partitions on the bucket id, never a global sort
-    assert "hashpartitioning(__sk_bucket" in plan
+    # (the surrogate key is bucketed_rank under the hood since r4)
+    assert "hashpartitioning(__br_bucket" in plan
     # no global Sort node: every Sort in the plan is partition-local
     for line in plan.splitlines():
         if "Sort [" in line:
@@ -212,6 +214,41 @@ def test_surrogate_key_no_global_single_partition_sort(spark, sf_dir):
     agg = q.agg(F.min("sk").alias("lo"), F.max("sk").alias("hi"),
                 F.countDistinct("sk").alias("nd")).collect()[0]
     assert (agg.lo, agg.hi, agg.nd) == (1, n, n)
+
+
+def test_bucketed_rank_no_full_partition_window(spark, sf_dir):
+    """VERDICT r03 item 5: the registered two-phase bucketed rank must
+    equal ROW_NUMBER() OVER (ORDER BY ...) while never materializing a
+    full-frame single-partition window: the data-path exchange is
+    hashpartitioning on the bucket id, every Sort is partition-local,
+    and any SinglePartition exchange sits above the KB-sized
+    per-bucket count aggregation only."""
+    from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.operators.surrogate import (
+        bucketed_rank,
+    )
+
+    orders = read_table(spark, sf_dir, "orders")
+    q = bucketed_rank(
+        orders, ["o_totalprice", "o_orderkey"], out_col="price_rank"
+    )
+    plan = _plan(q, "simple")
+    assert "hashpartitioning(__br_bucket" in plan
+    for line in plan.splitlines():
+        if "Sort [" in line:
+            assert "false" in line, f"global sort found in bucketed_rank plan: {line}"
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        if "Exchange SinglePartition" in line:
+            below = "\n".join(lines[i:])
+            assert "HashAggregate" in below or "count(1)" in below
+
+    # semantics twin: the global ROW_NUMBER over the same total order
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    expect = orders.select(
+        "o_orderkey", F.row_number().over(w).cast("long").alias("price_rank")
+    )
+    got = q.select("o_orderkey", "price_rank")
+    assert got.exceptAll(expect).isEmpty() and expect.exceptAll(got).isEmpty()
 
 
 def test_topk_per_group_uses_window_group_limit(spark, sf_dir):
