@@ -2796,7 +2796,12 @@ def _scalar_try_cast_dirty(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def _minhash_poly_sql(num_hashes: int = 64, bands: int = 16, threshold: float = 0.5) -> str:
+def _minhash_poly_sql(
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+    extra_pred: str = "",
+) -> str:
     """ANSI-SQL re-implementation of the ENTIRE polynomial MinHash-LSH
     pipeline (grams → affine-family signature → banding → est-Jaccard)
     with the same (a, b) literals the Spark plan embeds — the full
@@ -2842,6 +2847,7 @@ def _minhash_poly_sql(num_hashes: int = 64, bands: int = 16, threshold: float = 
     WHERE list_sum(list_transform(generate_series(1, {num_hashes}),
                i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END)) / {num_hashes}.0
           >= {threshold}
+          {extra_pred}
     """
 
 
@@ -2856,6 +2862,39 @@ def _dedup_minhash_poly(spark: SparkSession, sf: str) -> DataFrame:
     return DD.minhash_lsh_pairs_poly(docs, "doc_id", "text", threshold=0.5).select(
         "id_a", "id_b", "est_jaccard"
     )
+
+
+@_register(
+    "dedup_incremental_lsh",
+    _minhash_poly_sql(
+        extra_pred="AND (c.id_a % 5 = 0 OR c.id_b % 5 = 0)"
+    ),
+)
+def _dedup_incremental_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental corpus dedup (operators/dedup.incremental_lsh_pairs):
+    the daily-shard cadence the reference actually runs
+    (dags/vcapital_staging/tasks/components/extract.py:41-43) at LSH
+    scale — docs with doc_id % 5 == 0 are 'today's shard', the rest
+    are the persisted corpus. The corpus LSH index (signatures + band
+    tables) is BUILT ONCE and persisted (build_lsh_index); the shard
+    is signed, band-joined against the persisted index (corpus never
+    re-shingled, never shuffled — the shard's band entries broadcast
+    onto the index scan), the index is appended in place, and every
+    near-dup pair touching the shard is emitted. Oracle: the full
+    polynomial-LSH recompute restricted to pairs touching the shard —
+    the incremental path must lose nothing vs a full rerun."""
+    import os
+
+    docs = read_table(spark, sf, "documents")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    shard = docs.filter(F.col("doc_id") % 5 == 0)
+    path = "/tmp/spark_graft_incr_lsh_" + os.path.basename(
+        os.path.normpath(sf)
+    )
+    DD.build_lsh_index(corpus, path, mode="overwrite")
+    return DD.incremental_lsh_pairs(
+        shard, path, threshold=0.5, update_index=True
+    ).select("id_a", "id_b", "est_jaccard")
 
 
 def _simhash_poly_sql(bits: int = 60) -> str:
@@ -6981,6 +7020,151 @@ def _q22_dormant_customers(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# round-5 additions: percentile disc/cont parity, GROUP BY ALL/ordinal,
+# q20-adapted correlated-scalar-subquery shape
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "agg_percentile_disc_cont",
+    """
+    SELECT l_returnflag,
+           ROUND(quantile_disc(l_quantity, 0.25), 4) AS q25_disc,
+           ROUND(quantile_cont(l_quantity, 0.25), 4) AS q25_cont,
+           ROUND(quantile_disc(l_quantity, 0.75), 4) AS q75_disc,
+           ROUND(quantile_cont(l_quantity, 0.75), 4) AS q75_cont
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def _agg_percentile_disc_cont(spark: SparkSession, sf: str) -> DataFrame:
+    """PERCENTILE_DISC vs PERCENTILE_CONT parity per group — the
+    profiling module's completeness-threshold generalized (A4 checks a
+    fixed 90% gate; analysts ask for the actual distribution points).
+    DISC returns a value that EXISTS in the data (the first value
+    whose cumulative distribution reaches p); CONT linearly
+    interpolates between the two straddling values. Distinguishing
+    them matters for skewed columns: on a heavy-tailed price column
+    CONT can report a price nobody ever paid. Both are exact
+    sort-based aggregates here; at 100 TB swap CONT for
+    approx_percentile (mergeable t-digest) — DISC has no sketch twin,
+    which is exactly why the parity pair is worth pinning."""
+    li = read_table(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(
+            F.expr(
+                "percentile_disc(0.25) WITHIN GROUP (ORDER BY l_quantity)"
+            ),
+            4,
+        ).alias("q25_disc"),
+        F.round(F.percentile("l_quantity", F.lit(0.25)), 4).alias("q25_cont"),
+        F.round(
+            F.expr(
+                "percentile_disc(0.75) WITHIN GROUP (ORDER BY l_quantity)"
+            ),
+            4,
+        ).alias("q75_disc"),
+        F.round(F.percentile("l_quantity", F.lit(0.75)), 4).alias("q75_cont"),
+    )
+
+
+@_register(
+    "agg_group_by_all",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE) AS sum_qty,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+    GROUP BY 1, 2
+    """,
+)
+def _agg_group_by_all(spark: SparkSession, sf: str) -> DataFrame:
+    """GROUP BY ALL / ordinal resolution (S9 — SQL exec surface): the
+    Spark side groups with GROUP BY ALL (every non-aggregate select
+    item becomes a key), the oracle with ordinals GROUP BY 1, 2 — both
+    sugar forms must resolve to the identical (l_returnflag,
+    l_linestatus) grouping. Pure analyzer features: the physical plan
+    is the same single partial/final hash aggregate as an explicit
+    GROUP BY, nothing new at scale."""
+    read_table(spark, sf, "lineitem").createOrReplaceTempView(
+        "lineitem_gba_v"
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE) AS sum_qty,
+               COUNT(*) AS n_lines
+        FROM lineitem_gba_v
+        WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+        GROUP BY ALL
+        """
+    )
+
+
+@_register(
+    "q20_share_of_part",
+    """
+    WITH sy AS (
+      SELECT l_suppkey, l_partkey, SUM(CAST(l_quantity AS DECIMAL(20,4))) AS s_qty
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+        AND l_shipdate <  TIMESTAMP '1996-01-01'
+      GROUP BY l_suppkey, l_partkey
+    )
+    SELECT s.s_suppkey, s.s_name, CAST(COUNT(*) AS BIGINT) AS n_dominated_parts
+    FROM supplier s
+    JOIN sy ON sy.l_suppkey = s.s_suppkey
+    WHERE sy.s_qty * 2 > (
+      SELECT SUM(CAST(l2.l_quantity AS DECIMAL(20,4)))
+      FROM lineitem l2
+      WHERE l2.l_partkey = sy.l_partkey
+        AND l2.l_shipdate >= TIMESTAMP '1995-01-01'
+        AND l2.l_shipdate <  TIMESTAMP '1996-01-01'
+    )
+    GROUP BY s.s_suppkey, s.s_name
+    """,
+)
+def _q20_share_of_part(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q20 shape, adapted (testdata has no partsupp; lineitem
+    plays the correlated inner the way Q20 uses it against
+    ps_availqty): suppliers who shipped MORE THAN HALF of a part's
+    1995 volume, counted per supplier. The load-bearing feature is the
+    CORRELATED SCALAR SUBQUERY under a comparison — Catalyst
+    decorrelates it into an aggregate-then-join (per-part totals
+    grouped once, joined back on l_partkey), so the '100 TB' plan is
+    two shuffled aggregates and one join, never a per-row re-scan of
+    lineitem. Quantities accumulate in exact decimal on both engines;
+    the ×2 comparison stays in decimal (no float halving)."""
+    li = read_table(spark, sf, "lineitem")
+    supp = read_table(spark, sf, "supplier")
+    li.createOrReplaceTempView("lineitem_q20_v")
+    supp.createOrReplaceTempView("supplier_q20_v")
+    return spark.sql(
+        """
+        WITH sy AS (
+          SELECT l_suppkey, l_partkey,
+                 SUM(CAST(l_quantity AS DECIMAL(20,4))) AS s_qty
+          FROM lineitem_q20_v
+          WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+            AND l_shipdate <  TIMESTAMP '1996-01-01'
+          GROUP BY l_suppkey, l_partkey
+        )
+        SELECT s.s_suppkey, s.s_name, COUNT(*) AS n_dominated_parts
+        FROM supplier_q20_v s
+        JOIN sy ON sy.l_suppkey = s.s_suppkey
+        WHERE sy.s_qty * 2 > (
+          SELECT SUM(CAST(l2.l_quantity AS DECIMAL(20,4)))
+          FROM lineitem_q20_v l2
+          WHERE l2.l_partkey = sy.l_partkey
+            AND l2.l_shipdate >= TIMESTAMP '1995-01-01'
+            AND l2.l_shipdate <  TIMESTAMP '1996-01-01'
+        )
+        GROUP BY s.s_suppkey, s.s_name
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
 # driver verification window
 #
 # The correctness driver hash-checks the FIRST 50 registry entries in
@@ -7011,8 +7195,10 @@ _WINDOW_ORDER: list[str] = [
     "join_named_key_left",
     # temporal (as-of / range / SCD2)
     "join_asof_backward", "join_range_interval", "scd2_order_status",
-    # aggregation (S9 via spark.sql + stats family)
-    "agg_grouping_sets", "agg_stats", "agg_percentiles", "agg_collect_sorted",
+    # aggregation (S9 via spark.sql + stats family; agg_collect_sorted
+    # moved to the tail sweep in r5 to make room for the incremental
+    # dedup flagship)
+    "agg_grouping_sets", "agg_stats", "agg_percentiles",
     # windows / sessions (streaming batch-twin evidence)
     "window_topk_per_group", "sessionize",
     # data quality / hypertable / curation flagship
@@ -7023,7 +7209,8 @@ _WINDOW_ORDER: list[str] = [
     "sample_hash_stratified",
     # dedup family (exact → jaccard → CC → LSH twins → edit distance)
     "dedup_exact_groups", "dedup_ngram_jaccard", "dedup_connected_components",
-    "dedup_minhash_poly", "dedup_simhash_poly", "dedup_edit1_names",
+    "dedup_minhash_poly", "dedup_simhash_poly", "dedup_incremental_lsh",
+    "dedup_edit1_names",
     # embedding similarity (hash-checked twins of the LSH/IVF paths)
     "embedding_near_dup_sqlcheck", "embedding_ann_sqlcheck", "embedding_ivf_sqlcheck",
     # multimodal plumbing (Arrow boundary columns oracled)

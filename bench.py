@@ -83,6 +83,10 @@ HEADLINE = [
     "events_day_streaks",
     "agg_weighted_median",
     "cdc_apply_changes",
+    # round-5 addition: incremental corpus dedup against a persisted
+    # LSH index (timing includes the per-run index bootstrap + shard
+    # append — a real daily run pays only the append + probe)
+    "dedup_incremental_lsh",
 ]
 
 

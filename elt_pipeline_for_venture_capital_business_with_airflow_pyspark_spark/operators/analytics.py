@@ -315,6 +315,7 @@ def weighted_median(
     value_col: str,
     weight_col: str,
     weight_decimals: str = "decimal(20,4)",
+    validate: bool = False,
 ) -> DataFrame:
     """Lower weighted median per group: the smallest value whose
     cumulative weight reaches half the total group weight
@@ -343,26 +344,38 @@ def weighted_median(
 
     Precondition: weights must be non-negative — a negative weight
     makes the cumulative sum non-monotonic, so the ``2·cumw ≥ totw``
-    scan can fire early and silently return the wrong value. The
-    precondition is ENFORCED, not assumed: any negative weight fails
-    the job at execution time (``WEIGHTED_MEDIAN_NEGATIVE_WEIGHT``) —
-    a per-row comparison fused into the existing projection, no extra
-    stage.
+    scan can fire early and silently return the wrong value. With
+    ``validate=True`` the precondition is ENFORCED at execution time:
+    any negative weight on a row that survives the NULL filter fails
+    the job (``WEIGHTED_MEDIAN_NEGATIVE_WEIGHT``) — a per-row
+    comparison fused into the existing projection, no extra stage or
+    exchange, though ``raise_error`` can inhibit codegen fusion in
+    some plan shapes, which is why it is opt-in (same contract as
+    ``cdc_apply_changes``). Note the check runs AFTER the NULL filter:
+    a negative weight paired with a NULL ``value_col`` is excluded by
+    the filter before it can be checked — such rows cannot affect the
+    result, so this is a completeness caveat of the diagnostic, not a
+    correctness hole. Default ``validate=False`` assumes clean
+    weights.
 
     Returns ``(group_cols…, wmedian, total_weight, n_rows)``.
     """
-    w_checked = F.when(
-        F.col(weight_col) < 0,
-        F.raise_error(
-            F.concat(
-                F.lit(
-                    "WEIGHTED_MEDIAN_NEGATIVE_WEIGHT: "
-                    f"negative {weight_col} value "
-                ),
-                F.col(weight_col).cast("string"),
-            )
-        ).cast(weight_decimals),
-    ).otherwise(F.col(weight_col).cast(weight_decimals))
+    w_cast = F.col(weight_col).cast(weight_decimals)
+    if validate:
+        w_checked = F.when(
+            F.col(weight_col) < 0,
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "WEIGHTED_MEDIAN_NEGATIVE_WEIGHT: "
+                        f"negative {weight_col} value "
+                    ),
+                    F.col(weight_col).cast("string"),
+                )
+            ).cast(weight_decimals),
+        ).otherwise(w_cast)
+    else:
+        w_checked = w_cast
     base = df.filter(
         F.col(value_col).isNotNull() & F.col(weight_col).isNotNull()
     ).select(

@@ -228,23 +228,22 @@ def minhash_lsh_pairs(
     return banded_pairs(sig, num_hashes, bands, threshold)
 
 
-def banded_pairs(
+def band_entries(
     sig: DataFrame,
     num_hashes: int = 64,
     bands: int = 16,
-    threshold: float = 0.8,
 ) -> DataFrame:
-    """LSH banding over a (id, signature array) frame: band-bucket
-    collision candidates, deduped, then scored by estimated Jaccard
-    (= fraction of matching signature positions) and thresholded.
-    Shared tail of every minhash variant."""
+    """LSH band table ``(id, band, bucket)`` from a ``(id, signature)``
+    frame: one row per (doc, band), bucket = hash of that band's
+    signature slice. Band entries carry ONLY (id, band, bucket) — at
+    100 TB the band join is the big shuffle, and shipping the 64-int
+    signature through it 16× would dominate the job; signatures rejoin
+    after the candidate set is deduped (a far smaller, id-keyed join).
+    This is also the exact schema persisted by :func:`build_lsh_index`,
+    so a shard's in-flight band entries and a persisted corpus index
+    are join-compatible by construction."""
     rows_per_band = num_hashes // bands
-
-    # Band entries carry ONLY (id, band, bucket) — at 100 TB the band
-    # self-join is the big shuffle, and shipping the 64-int signature
-    # through it 16× would dominate the job. Signatures rejoin after
-    # the candidate set is deduped (a far smaller, id-keyed join).
-    band_entries = sig.select(
+    return sig.select(
         "id",
         F.explode(
             F.array(
@@ -267,16 +266,47 @@ def banded_pairs(
         ).alias("bb"),
     ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
-    a = band_entries.alias("a")
-    b = band_entries.alias("b")
+
+def banded_pairs(
+    sig: DataFrame,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """LSH banding over a (id, signature array) frame: band-bucket
+    collision candidates, deduped, then scored by estimated Jaccard
+    (= fraction of matching signature positions) and thresholded.
+    Shared tail of every minhash variant."""
+    bt = band_entries(sig, num_hashes, bands)
+    a = bt.alias("a")
+    b = bt.alias("b")
     cand = (
         a.join(b, on=["band", "bucket"])
         .filter(F.col("a.id") < F.col("b.id"))
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    sig_a = sig.select(F.col("id").alias("id_a"), F.col("signature").alias("sig_a"))
-    sig_b = sig.select(F.col("id").alias("id_b"), F.col("signature").alias("sig_b"))
+    return _score_candidates(cand, sig, sig, num_hashes, threshold)
+
+
+def _score_candidates(
+    cand: DataFrame,
+    sig_src_a: DataFrame,
+    sig_src_b: DataFrame,
+    num_hashes: int,
+    threshold: float,
+) -> DataFrame:
+    """Score deduped ``(id_a, id_b)`` candidates by estimated Jaccard
+    (fraction of matching signature positions), thresholded. The two
+    signature sources may differ (corpus index vs new shard for the
+    incremental path) — both id-keyed joins on the already-deduped
+    candidate set, far smaller than the band join."""
+    sig_a = sig_src_a.select(
+        F.col("id").alias("id_a"), F.col("signature").alias("sig_a")
+    )
+    sig_b = sig_src_b.select(
+        F.col("id").alias("id_b"), F.col("signature").alias("sig_b")
+    )
     est = F.size(
         F.filter(
             F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
@@ -509,6 +539,159 @@ def minhash_lsh_pairs_poly(
     re-implementation, end to end."""
     sig = minhash_signatures_poly(df, id_col, text_col, k, num_hashes)
     return banded_pairs(sig, num_hashes, bands, threshold)
+
+
+def _sig_fn(signature: str):
+    if signature == "poly":
+        return minhash_signatures_poly
+    if signature == "xxhash":
+        return minhash_signatures
+    raise ValueError(f"unknown signature family: {signature!r}")
+
+
+def build_lsh_index(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    signature: str = "poly",
+    mode: str = "overwrite",
+) -> None:
+    """Persist a corpus LSH index: ``<path>/signatures`` (id,
+    signature) and ``<path>/bands`` (id, band, bucket), the state an
+    *incremental* dedup pipeline carries between runs.
+
+    A daily 100-TB pipeline does not re-shingle its whole corpus per
+    run (the reference's own cadence is daily incremental slices —
+    ``dags/vcapital_staging/tasks/components/extract.py:41-43``); it
+    builds this index once, then each day's shard is signed, joined
+    against the persisted band table, and appended (see
+    :func:`incremental_lsh_pairs`). Both tables are plain parquet —
+    ``bands`` is written ``partitionBy("band")`` so a band-restricted
+    probe (e.g. re-checking one band after a hash-family change)
+    prunes at the directory level, and within each band the bucket
+    column is the join key. ``mode="append"`` adds a shard to an
+    existing index (used by the incremental path); ids must be unique
+    across appends — this index models immutable document ids, not
+    updates."""
+    sig = _sig_fn(signature)(docs, id_col, text_col, k, num_hashes)
+    sig.write.mode(mode).parquet(f"{path}/signatures")
+    # derive band entries from the JUST-WRITTEN signatures, not the
+    # live plan: the expensive shingle→sign pipeline runs once (for
+    # the signature write); the band write is then a cheap projection
+    # over the parquet it produced
+    spark = docs.sparkSession
+    sig_on_disk = spark.read.parquet(f"{path}/signatures")
+    if mode == "append":
+        # the signatures dir now holds corpus + shard; band-expand
+        # only the appended shard rows
+        sig_on_disk = sig_on_disk.join(
+            F.broadcast(docs.select(F.col(id_col).alias("id"))), "id", "semi"
+        )
+    band_entries(sig_on_disk, num_hashes, bands).write.mode(
+        mode
+    ).partitionBy("band").parquet(f"{path}/bands")
+
+
+def read_lsh_index(spark, path: str) -> tuple[DataFrame, DataFrame]:
+    """Load a persisted LSH index → ``(signatures, bands)`` frames
+    with the exact schemas :func:`band_entries` produces (band is
+    partition-encoded; cast back to int for join parity)."""
+    sig = spark.read.parquet(f"{path}/signatures")
+    bands = spark.read.parquet(f"{path}/bands").select(
+        "id", F.col("band").cast("int").alias("band"), "bucket"
+    )
+    return sig, bands
+
+
+def incremental_lsh_pairs(
+    new_docs: DataFrame,
+    index_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+    signature: str = "poly",
+    update_index: bool = True,
+    broadcast_new: bool = True,
+) -> DataFrame:
+    """Incremental near-dup detection: today's shard vs a persisted
+    corpus LSH index, WITHOUT recomputing anything over the corpus.
+
+    Returns every near-dup pair touching ≥1 new document —
+    new-vs-corpus plus new-vs-new — scored and thresholded exactly
+    like :func:`banded_pairs`, with ``id_a < id_b``. Equivalence
+    contract (tested): given disjoint ids,
+    ``full_pairs(corpus ∪ shard) == full_pairs(corpus) ∪
+    incremental_lsh_pairs(shard, index(corpus))`` — signatures and
+    band buckets are per-document, so restricting candidate
+    generation to pairs touching the shard loses nothing.
+
+    Scale shape: the corpus index is SCANNED once and never shuffled —
+    with ``broadcast_new=True`` (default) the shard's band entries
+    (|shard| × bands rows of three small columns) broadcast onto the
+    band table, so the day's cost is O(|shard| + |index| scan +
+    |candidates|), independent of corpus *shuffle* volume. Set
+    ``broadcast_new=False`` when the shard itself is too large to
+    broadcast (falls back to a hash join on (band, bucket)). Corpus
+    signatures join only against the deduped candidate ids. With
+    ``update_index=True`` the shard's signatures and band entries are
+    appended to the index FIRST (eager; the shingle→signature pipeline
+    runs exactly once, inside the signature write) and the returned
+    pair plan is derived entirely from the on-disk index via
+    semi/anti joins on the shard's id set — evaluating it re-reads
+    parquet, never re-shingles — so index-update ∘ apply composes to
+    exactly the full-recompute index."""
+    spark = new_docs.sparkSession
+    new_ids = new_docs.select(F.col(id_col).alias("id"))
+    if broadcast_new:
+        new_ids = F.broadcast(new_ids)
+    if update_index:
+        # append the shard eagerly (the shingle→signature pipeline
+        # runs exactly once, inside the write), then derive EVERY
+        # frame below from the on-disk index — evaluating the
+        # returned pairs never re-shingles anything
+        build_lsh_index(
+            new_docs, index_path, id_col, text_col, k, num_hashes,
+            bands, signature, mode="append",
+        )
+        sig_all, bands_all = read_lsh_index(spark, index_path)
+        new_sig = sig_all.join(new_ids, "id", "semi")
+        corpus_sig = sig_all.join(new_ids, "id", "left_anti")
+        new_bands = bands_all.join(new_ids, "id", "semi")
+        corpus_bands = bands_all.join(new_ids, "id", "left_anti")
+    else:
+        new_sig = _sig_fn(signature)(new_docs, id_col, text_col, k, num_hashes)
+        new_bands = band_entries(new_sig, num_hashes, bands)
+        corpus_sig, corpus_bands = read_lsh_index(spark, index_path)
+    nb = F.broadcast(new_bands) if broadcast_new else new_bands
+    # keep (corpus id, shard id) orientation through scoring so each
+    # side joins its OWN signature source (no corpus∪shard union scan);
+    # canonicalize to id_a < id_b only at the end — the Jaccard
+    # estimate is symmetric
+    old_new = (
+        corpus_bands.alias("o")
+        .join(nb.alias("n"), ["band", "bucket"])
+        .filter(F.col("o.id") != F.col("n.id"))
+        .select(F.col("o.id").alias("id_a"), F.col("n.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    old_new_scored = _score_candidates(
+        old_new, corpus_sig, new_sig, num_hashes, threshold
+    ).select(
+        F.least("id_a", "id_b").alias("id_a"),
+        F.greatest("id_a", "id_b").alias("id_b"),
+        "est_jaccard",
+    )
+    new_new_scored = banded_pairs(new_sig, num_hashes, bands, threshold)
+    # the two pair sets are disjoint by construction (one touches the
+    # corpus, the other is shard-internal) — plain union, no re-dedup
+    return old_new_scored.unionByName(new_new_scored)
 
 
 def simhash_poly(

@@ -41,7 +41,35 @@ __all__ = [
     "symmetrize_edges",
     "khop_min_dist",
     "triangle_counts",
+    "release_materialized",
 ]
+
+# Edge frames pinned by khop_min_dist(materialize="disk_persist").
+# persist() is lazy and recomputable, but the blocks stay registered
+# until unpersisted — in a long-lived session (notebook, Thrift
+# server) repeated calls would otherwise accumulate cache entries
+# (visible as "Asked to cache already cached data" warnings). Handles
+# are tracked here so callers can release them deterministically.
+_PINNED: list[DataFrame] = []
+
+
+def release_materialized() -> int:
+    """Unpersist every edge frame pinned by a prior
+    ``khop_min_dist(materialize="disk_persist")`` call in this
+    process; returns the number released. Best-effort (already-freed
+    handles are skipped); safe to call between jobs in long-lived
+    sessions. ``spark.catalog.clearCache()`` remains the blunt
+    alternative, but it also drops caches this module did not create.
+    """
+    n = 0
+    while _PINNED:
+        df = _PINNED.pop()
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:
+            pass
+    return n
 
 
 def symmetrize_edges(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
@@ -153,9 +181,10 @@ def khop_min_dist(
     - ``"disk_persist"``: ``persist(StorageLevel.DISK_ONLY)`` — lazy,
       recomputable on executor loss, the cluster-safe default. The
       blocks stay pinned until the caller drops the returned frame or
-      Spark's ContextCleaner collects them; call
-      ``spark.catalog.clearCache()`` / track the frame to unpersist
-      deterministically in long-lived sessions.
+      Spark's ContextCleaner collects them; each pinned frame is also
+      tracked module-side — call :func:`release_materialized` to
+      unpersist deterministically in long-lived sessions
+      (``spark.catalog.clearCache()`` is the blunt alternative).
     - ``"none"``: fully lazy — the derivation re-runs per level; right
       for explain-plan inspection and trivially-derived edge frames.
 
@@ -177,6 +206,7 @@ def khop_min_dist(
             from pyspark import StorageLevel
 
             e = e.persist(StorageLevel.DISK_ONLY)
+            _PINNED.append(e)
     frontier = seeds.select(F.col(node).alias("node")).distinct()
     levels = [frontier.select("node", F.lit(0).alias("dist"))]
     for d in range(1, k + 1):
@@ -199,6 +229,7 @@ def triangle_counts(
     dst: str = "dst",
     orient: str = "degree",
     max_degree: int | None = None,
+    degree_attach: str = "broadcast",
 ) -> DataFrame:
     """Per-node triangle participation counts over an undirected graph.
 
@@ -234,9 +265,26 @@ def triangle_counts(
     escape hatch when even O(m^1.5) is too much and hub triangles are
     analytically uninteresting (celebrity/bot nodes in social graphs).
     ``None`` (default) keeps the result exact.
+
+    ``degree_attach`` controls how the per-node degree table is joined
+    back onto the edge list when ``orient == "degree"`` or
+    ``max_degree`` is set:
+
+    - ``"broadcast"`` (default): the degree table is one ``(node,
+      deg)`` row per VERTEX — dimension-sized relative to the edge
+      list (|V| ≪ |E| on any graph dense enough for triangle counting
+      to be interesting), so it broadcast-hash-joins onto the edges
+      without re-shuffling them. This keeps the degree-oriented plan
+      at the same exchange count as the naive id orientation (one
+      extra exchange total, for the degree aggregation itself).
+    - ``"shuffle"``: sort-merge attach — for the extreme case where
+      even the vertex set exceeds broadcast limits (multi-billion-node
+      graphs); costs ~4 extra hash exchanges.
     """
     if orient not in ("id", "degree"):
         raise ValueError(f"unknown orient mode: {orient!r}")
+    if degree_attach not in ("broadcast", "shuffle"):
+        raise ValueError(f"unknown degree_attach mode: {degree_attach!r}")
     und = (
         edges.select(F.col(src).alias("x"), F.col(dst).alias("y"))
         .filter(F.col("x") != F.col("y"))
@@ -245,17 +293,31 @@ def triangle_counts(
             F.greatest("x", "y").alias("b"),
         )
         .distinct()
+        # Explicit null guard AFTER canonicalization: downstream joins
+        # push isnotnull(a)/isnotnull(b) into their copy of this
+        # subtree anyway; stating the filter here makes EVERY
+        # reference's pushed-predicate set identical, so the distinct's
+        # shuffle canonicalizes the same in all branches and AQE
+        # executes it ONCE (ReusedExchange) instead of re-deriving the
+        # edge build per reference — the difference between one pass
+        # over the raw edges and five at 100 TB.
+        .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
     )
     if orient == "degree" or max_degree is not None:
+        # explode, not self-union: references `und` once, so the edge
+        # build is not duplicated into each union branch of the plan
         deg = (
-            und.select(F.col("a").alias("node"))
-            .unionByName(und.select(F.col("b").alias("node")))
+            und.select(F.explode(F.array("a", "b")).alias("node"))
             .groupBy("node")
             .agg(F.count(F.lit(1)).alias("deg"))
         )
+        deg_a = deg.withColumnsRenamed({"node": "a", "deg": "deg_a"})
+        deg_b = deg.withColumnsRenamed({"node": "b", "deg": "deg_b"})
+        if degree_attach == "broadcast":
+            deg_a, deg_b = F.broadcast(deg_a), F.broadcast(deg_b)
         und = (
-            und.join(deg.withColumnsRenamed({"node": "a", "deg": "deg_a"}), "a")
-            .join(deg.withColumnsRenamed({"node": "b", "deg": "deg_b"}), "b")
+            und.join(deg_a, "a")
+            .join(deg_b, "b")
             .select("a", "b", "deg_a", "deg_b")
         )
         if max_degree is not None:
@@ -288,9 +350,7 @@ def triangle_counts(
             .join(ac, (F.col("a") == F.col("ta")) & (F.col("c") == F.col("tc")))
             .select("a", "b", "c")
         )
-    per_node = (
-        tri.select(F.col("a").alias("node"))
-        .unionByName(tri.select(F.col("b").alias("node")))
-        .unionByName(tri.select(F.col("c").alias("node")))
-    )
+    # explode, not a 3-way self-union: one reference to `tri`, so the
+    # whole wedge/close join tree appears (and runs) once, not thrice
+    per_node = tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
     return per_node.groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles"))

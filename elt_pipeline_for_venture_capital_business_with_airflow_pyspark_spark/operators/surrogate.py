@@ -188,6 +188,13 @@ def bucketed_rank(
     """
     if not order_cols:
         raise ValueError("order_cols must be non-empty")
+    for reserved in (out_col, "__br_bucket", "__br_local"):
+        if reserved in df.columns:
+            raise ValueError(
+                f"bucketed_rank: column {reserved!r} already exists in "
+                "the input frame — pass a different out_col / rename "
+                "the conflicting column (the __br_* names are internal)"
+            )
     keys = [F.col(c) for c in order_cols]
     if num_buckets is None:
         nbuckets = int(

@@ -308,7 +308,19 @@ def replace_parquet_atomic(
     the data unrecoverable: a crash between the renames leaves the
     original at ``{path}__swap_old`` and/or the new copy at
     ``{path}__swap_new`` (recovery = rename whichever exists back).
-    Single writer assumed, same as the reference's loads."""
+    Single writer assumed, same as the reference's loads.
+
+    FILESYSTEM CAVEAT — HDFS/local only. The safety argument rests on
+    ``rename`` being an O(1) atomic metadata operation, which is true
+    on HDFS and POSIX filesystems but FALSE on object stores: s3a
+    emulates a directory rename as a full copy + delete, so the swap
+    is neither atomic nor cheap, and a crash mid-"rename" leaves a
+    partial copy. On S3/MinIO (the reference's lake —
+    ``dags/helper/minio.py:20-45``) use :func:`write_versioned`
+    instead: it never renames data directories — snapshots land in
+    immutable ``_versions/v{n}`` dirs and visibility is published by
+    the tiny ``_LATEST`` pointer file, the manifest-pointer pattern
+    object stores need."""
     jvm = spark._jvm
     hpath = jvm.org.apache.hadoop.fs.Path
     jpath = hpath(path)
@@ -635,6 +647,15 @@ def write_versioned(
     uncommitted) or no pointer (readers fall back to the highest
     committed snapshot). Old snapshots beyond ``keep`` are pruned,
     never including the one just written or the pointer target.
+
+    Object-store posture: this is the commit protocol to use on
+    s3a/MinIO (unlike :func:`replace_parquet_atomic`, which requires
+    atomic directory rename). Data directories are IMMUTABLE once
+    committed — no data dir is ever renamed or rewritten; the only
+    rename in the whole protocol is the byte-sized ``_LATEST`` pointer
+    file, and even a lost/partial pointer degrades safely to the
+    highest-committed-snapshot fallback. (Pointer-only commits are
+    pinned by ``test_versioned_commit_never_touches_prior_snapshots``.)
 
     Concurrent writers: each commit first RESERVES its version number
     by atomically creating a ``.v{n}.reserved`` marker

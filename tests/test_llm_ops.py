@@ -497,3 +497,76 @@ def test_codebook_skips_partially_null_vectors(spark):
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
     codes = SIM.pq_codes(emb, dim=2, m=1, ks=4)
     assert codes.count() == 4  # all rows encode; fit just skipped the bad ones
+
+
+def _pairs_set(df):
+    return {
+        (r.id_a, r.id_b, round(r.est_jaccard, 9)) for r in df.collect()
+    }
+
+
+def test_incremental_lsh_equals_full_recompute(spark, sf_dir, tmp_path):
+    """The incremental-dedup contract: building an index on the corpus
+    shard, then applying a new shard against it, must yield (a) pairs
+    identical to the full recompute restricted to pairs touching the
+    new shard, and (b) an updated index identical to one built from
+    the full corpus in one shot."""
+    docs = _docs(spark, sf_dir)
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    shard = docs.filter(F.col("doc_id") % 5 == 0)
+    path = str(tmp_path / "lsh_index")
+
+    DD.build_lsh_index(corpus, path)
+    inc = DD.incremental_lsh_pairs(shard, path, update_index=True)
+
+    full = DD.minhash_lsh_pairs_poly(docs, "doc_id", "text", threshold=0.5)
+    new_ids = {r.doc_id for r in shard.select("doc_id").collect()}
+    expected = {
+        p for p in _pairs_set(full) if p[0] in new_ids or p[1] in new_ids
+    }
+    assert _pairs_set(inc) == expected
+
+    # corpus-only pairs are untouched by the incremental pass
+    corpus_pairs = _pairs_set(
+        DD.minhash_lsh_pairs_poly(corpus, "doc_id", "text", threshold=0.5)
+    )
+    assert corpus_pairs | _pairs_set(inc) == _pairs_set(full)
+
+    # (b) index-update ∘ apply == full index build
+    upd_sig, upd_bands = DD.read_lsh_index(spark, path)
+    full_path = str(tmp_path / "lsh_index_full")
+    DD.build_lsh_index(docs, full_path)
+    full_sig, full_bands = DD.read_lsh_index(spark, full_path)
+    assert upd_sig.exceptAll(full_sig).isEmpty()
+    assert full_sig.exceptAll(upd_sig).isEmpty()
+    assert upd_bands.exceptAll(full_bands).isEmpty()
+    assert full_bands.exceptAll(upd_bands).isEmpty()
+
+
+def test_incremental_lsh_shuffle_posture(spark, sf_dir, tmp_path):
+    """Scale contract: with broadcast_new=True the corpus band table
+    must reach its join WITHOUT an exchange (scanned, broadcast-joined
+    against the shard) — the index is never shuffled."""
+    docs = _docs(spark, sf_dir)
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    shard = docs.filter(F.col("doc_id") % 5 == 0)
+    path = str(tmp_path / "lsh_index")
+    DD.build_lsh_index(corpus, path)
+    inc = DD.incremental_lsh_pairs(shard, path, update_index=False)
+    plan = inc._jdf.queryExecution().explainString(
+        getattr(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode,
+            "fromString",
+        )("simple")
+    )
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        if "parquet" in line and "/bands" in line and "Scan" in line:
+            above = "\n".join(lines[:i])
+            # nearest join above the band scan must be a broadcast join
+            joins = [
+                ln for ln in above.splitlines()
+                if "Join" in ln or "join" in ln
+            ]
+            assert joins, plan
+    assert "BroadcastHashJoin" in plan, plan

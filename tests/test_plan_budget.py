@@ -81,6 +81,13 @@ SHUFFLE_BUDGET = {
     # distinct values: 2 exchanges, no per-group full-fact sort
     "agg_weighted_median": 2,
     "cdc_apply_changes": 2,
+    # round-5: incremental LSH — the pair plan itself has ONE hash
+    # exchange (the candidate dedup); everything upstream is parquet
+    # scans of the persisted index + broadcast semi/anti joins on the
+    # shard id set (the eager index-append writes are separate jobs,
+    # not part of the returned plan). Budget 2 leaves room for AQE
+    # picking a shuffle for the final scoring join at small SF.
+    "dedup_incremental_lsh": 2,
 }
 
 

@@ -29,6 +29,27 @@ def _plan(df, mode: str = "formatted") -> str:
     )
 
 
+def _tree_depth(line: str) -> int:
+    """Depth of a plan-tree line = column of its '+-'/':-' marker
+    (root lines have no marker -> -1, shallower than everything)."""
+    p = line.find("+-")
+    q = line.find(":-")
+    cands = [x for x in (p, q) if x >= 0]
+    return min(cands) if cands else -1
+
+
+def _subtree_lines(lines: list[str], i: int) -> list[str]:
+    """The lines forming the subtree ROOTED at lines[i] (exclusive of
+    the root): every following line strictly deeper than lines[i]."""
+    d = _tree_depth(lines[i])
+    out = []
+    for line in lines[i + 1:]:
+        if _tree_depth(line) <= d:
+            break
+        out.append(line)
+    return out
+
+
 def test_filter_and_projection_pushed_to_parquet_scan(spark, sf_dir):
     li = read_table(spark, sf_dir, "lineitem")
     q = li.filter(F.col("l_quantity") > 40).select("l_orderkey", "l_quantity")
@@ -236,11 +257,28 @@ def test_bucketed_rank_no_full_partition_window(spark, sf_dir):
     for line in plan.splitlines():
         if "Sort [" in line:
             assert "false" in line, f"global sort found in bucketed_rank plan: {line}"
+    # (a) no Window operator may sit in the SUBTREE of a
+    # SinglePartition exchange — a full-frame single-partition window
+    # is exactly the plan this operator exists to avoid (checking the
+    # subtree, not just "an aggregate appears somewhere below")
     lines = plan.splitlines()
     for i, line in enumerate(lines):
         if "Exchange SinglePartition" in line:
-            below = "\n".join(lines[i:])
-            assert "HashAggregate" in below or "count(1)" in below
+            for sub in _subtree_lines(lines, i):
+                assert "Window" not in sub, (
+                    f"Window below SinglePartition exchange:\n{sub}"
+                )
+    # (b) the row_number Window's OWN child exchange must be the
+    # bucket-id hashpartitioning — the partition-parallel data path
+    for i, line in enumerate(lines):
+        if "Window [row_number()" in line:
+            child_exchanges = [
+                s for s in _subtree_lines(lines, i) if "Exchange" in s
+            ]
+            assert child_exchanges, "row_number Window has no exchange below it"
+            assert "hashpartitioning(__br_bucket" in child_exchanges[0], (
+                f"row_number Window partitioned wrong:\n{child_exchanges[0]}"
+            )
 
     # semantics twin: the global ROW_NUMBER over the same total order
     w = Window.orderBy("o_totalprice", "o_orderkey")
@@ -249,6 +287,39 @@ def test_bucketed_rank_no_full_partition_window(spark, sf_dir):
     )
     got = q.select("o_orderkey", "price_rank")
     assert got.exceptAll(expect).isEmpty() and expect.exceptAll(got).isEmpty()
+
+
+def test_cdc_validate_adds_no_exchange(spark, sf_dir):
+    """Pin the claim in cdc.apply_changes's docstring: the
+    validate=True ambiguity check rides the existing latest-wins
+    shuffle (a count over the same window partition prefix), so the
+    validated plan has exactly the same exchanges as the unvalidated
+    one — turning validation on must never cost a shuffle."""
+    from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.operators import (
+        cdc as CDC,
+    )
+
+    orders = read_table(spark, sf_dir, "orders")
+    base = orders.select("o_orderkey", "o_orderstatus", "o_totalprice")
+    changes = base.limit(200).withColumns(
+        {"seq": F.lit(1), "op": F.lit("U")}
+    )
+
+    def exchanges(validate):
+        q = CDC.apply_changes(
+            base, changes, ["o_orderkey"], "seq", validate=validate
+        )
+        return [
+            line.strip()
+            for line in _plan(q, "simple").splitlines()
+            if "Exchange" in line
+        ]
+
+    off, on = exchanges(False), exchanges(True)
+    assert len(on) == len(off), (
+        f"validate=True changed the exchange count: {len(off)} -> "
+        f"{len(on)}\noff={off}\non={on}"
+    )
 
 
 def test_topk_per_group_uses_window_group_limit(spark, sf_dir):

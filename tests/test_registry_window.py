@@ -18,6 +18,7 @@ REQUIRED_IN_WINDOW = {
     # hash-checked LSH/ANN twins
     "dedup_minhash_poly",
     "dedup_simhash_poly",
+    "dedup_incremental_lsh",
     "embedding_ivf_sqlcheck",
     "embedding_near_dup_sqlcheck",
     "embedding_ann_sqlcheck",

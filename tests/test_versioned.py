@@ -94,3 +94,38 @@ def test_versioned_rollback_pointer_survives_overwrite_rename(spark, tmp_path):
     assert not os.path.exists(ptr + "__tmp")
     assert open(ptr).read().strip() == "v00001"
     assert IO.latest_version(spark, path) == 1
+
+
+def test_versioned_commit_never_touches_prior_snapshots(spark, tmp_path):
+    """Object-store posture (VERDICT r04 item 5): a commit must be
+    pointer-only — no prior snapshot directory is renamed, rewritten,
+    or even re-listed into a different state. On s3a a directory
+    rename is a copy+delete, so the protocol is only object-store-safe
+    if committed data dirs are immutable and visibility is published
+    exclusively by the tiny _LATEST pointer file."""
+    path = str(tmp_path / "tbl")
+    IO.write_versioned(_mk(spark, 5), path)
+
+    v1_dir = os.path.join(path, "_versions", "v00001")
+
+    def snapshot_state(d):
+        out = {}
+        for root, _dirs, files in os.walk(d):
+            for f in files:
+                p = os.path.join(root, f)
+                st = os.stat(p)
+                out[p] = (st.st_size, st.st_mtime_ns, st.st_ino)
+        return out
+
+    before = snapshot_state(v1_dir)
+    v2 = IO.write_versioned(_mk(spark, 7), path)
+    assert v2 == 2
+    # v1's files: same paths, sizes, mtimes AND inodes — untouched,
+    # not copied back into place
+    assert snapshot_state(v1_dir) == before
+
+    # visibility flipped purely via the pointer file
+    with open(os.path.join(path, "_LATEST")) as fh:
+        assert fh.read().strip() == "v00002"
+    assert IO.read_versioned(spark, path).count() == 7
+    assert IO.read_versioned(spark, path, version=1).count() == 5
