@@ -3012,6 +3012,35 @@ def _embedding_ivf_sqlcheck(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@_register("embedding_ivf_persisted", _ivf_sqlcheck_sql())
+def _embedding_ivf_persisted(spark: SparkSession, sf: str) -> DataFrame:
+    """The PERSISTED-index variant of embedding_ivf_sqlcheck — same
+    oracle, bit-identical result, different physical story: the
+    corpus is assigned to centroids ONCE and written partitionBy(cell)
+    (similarity.build_ivf_index); the probe reads only the probed cell
+    DIRECTORIES via a literal partition filter (ivf_probe_index) and
+    never re-assigns or re-scans the rest. This is the 100 TB serving
+    path the in-flight ivf_topk docstring promises; at daily cadence
+    new vectors append against frozen centroids (append_ivf_index),
+    the exact analogue of dedup_incremental_lsh."""
+    import os
+
+    emb = read_table(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    path = "/tmp/spark_graft_ivf_index_" + os.path.basename(
+        os.path.normpath(sf)
+    )
+    SIM.build_ivf_index(
+        emb,
+        path,
+        n_centroids=16,
+        centroid_source=emb.filter(F.col("vec_id") < 16),
+    )
+    return SIM.ivf_probe_index(queries, path, k=10, n_probe=8)
+
+
 def _pq_common_sql(dim: int = 64, m: int = 8, ks: int = 16) -> str:
     """Shared CTEs for the product-quantization twins: quantized
     vectors, j-indexed codebook (first ks vectors by id), and the

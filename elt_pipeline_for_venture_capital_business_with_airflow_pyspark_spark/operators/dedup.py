@@ -599,11 +599,21 @@ def build_lsh_index(
 def read_lsh_index(spark, path: str) -> tuple[DataFrame, DataFrame]:
     """Load a persisted LSH index → ``(signatures, bands)`` frames
     with the exact schemas :func:`band_entries` produces (band is
-    partition-encoded; cast back to int for join parity)."""
+    partition-encoded; cast back to int for join parity). An index
+    built from an EMPTY corpus has a bands dir with no partition
+    directories at all (a partitioned write of zero rows emits no
+    files), so schema inference has nothing to read — fall back to an
+    empty frame typed off the signatures schema."""
     sig = spark.read.parquet(f"{path}/signatures")
-    bands = spark.read.parquet(f"{path}/bands").select(
-        "id", F.col("band").cast("int").alias("band"), "bucket"
-    )
+    try:
+        bands = spark.read.parquet(f"{path}/bands").select(
+            "id", F.col("band").cast("int").alias("band"), "bucket"
+        )
+    except Exception:
+        id_type = sig.schema["id"].dataType.simpleString()
+        bands = spark.createDataFrame(
+            [], f"id {id_type}, band int, bucket long"
+        )
     return sig, bands
 
 

@@ -206,6 +206,42 @@ def lsh_ann_topk(
     )
 
 
+def _pick_centroids(
+    corpus: DataFrame,
+    n_centroids: int,
+    id_col: str,
+    vec_col: str,
+    centroid_source: DataFrame | None = None,
+) -> list:
+    """Deterministic centroid rows (≤ ``n_centroids``, KB-sized driver
+    collect — the sanctioned bounded-metadata pattern). Hash-ordered
+    sample of the corpus by default; ``centroid_source`` picks plain
+    id-ordered rows instead (the SQL-replicable variant). Corrupt
+    (whole- or partially-null) vectors never seed centroids."""
+    if centroid_source is not None:
+        cent_rows = (
+            centroid_source.select(
+                F.col(id_col).alias("cid"), F.col(vec_col).alias("cv")
+            )
+            .filter(F.col("cv").isNotNull())  # corrupt rows never seed centroids
+            .orderBy("cid")
+            .limit(n_centroids)
+            .collect()
+        )
+    else:
+        cent_rows = (
+            corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
+            .filter(F.col("cv").isNotNull())
+            .withColumn("__h", F.xxhash64(F.col("cid").cast("string")))
+            .orderBy("__h", "cid")
+            .limit(n_centroids)
+            .collect()
+        )
+    # a PARTIALLY-null vector would crash float(None) on the driver —
+    # skip it like whole-null vectors (same corrupt-row contract)
+    return [r for r in cent_rows if all(v is not None for v in r["cv"])]
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -236,36 +272,13 @@ def ivf_topk(
     corpus would be written ``partitionBy(cell)`` so a probe prunes
     parquet partitions instead of filtering a scan.
     """
-    if centroid_source is not None:
-        cent_rows = (
-            centroid_source.select(
-                F.col(id_col).alias("cid"), F.col(vec_col).alias("cv")
-            )
-            .filter(F.col("cv").isNotNull())  # corrupt rows never seed centroids
-            .orderBy("cid")
-            .limit(n_centroids)
-            .collect()
-        )
-    else:
-        cent_rows = (
-            corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
-            .filter(F.col("cv").isNotNull())
-            .withColumn("__h", F.xxhash64(F.col("cid").cast("string")))
-            .orderBy("__h", "cid")
-            .limit(n_centroids)
-            .collect()
-        )
+    cent_rows = _pick_centroids(
+        corpus, n_centroids, id_col, vec_col, centroid_source
+    )
     if not cent_rows:
         # empty corpus -> no centroids to fit; the search result is
         # defined (no neighbors), not an error — an empty slice must
         # flow through a pipeline
-        return corpus.sparkSession.createDataFrame(
-            [], "query_id long, rank int, neighbor_id long, cosine_sim double"
-        )
-    # a PARTIALLY-null vector would crash float(None) on the driver —
-    # skip it like whole-null vectors (same corrupt-row contract)
-    cent_rows = [r for r in cent_rows if all(v is not None for v in r["cv"])]
-    if not cent_rows:
         return corpus.sparkSession.createDataFrame(
             [], "query_id long, rank int, neighbor_id long, cosine_sim double"
         )
@@ -329,6 +342,190 @@ def ivf_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "cosine_sim")
+    )
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_source: DataFrame | None = None,
+) -> int:
+    """Persist an IVF index: ``<path>/centroids`` (cell, cid, cv) and
+    ``<path>/cells`` — the corpus assigned to its nearest centroid and
+    written ``partitionBy(cell)``, the layout :func:`ivf_topk`'s
+    docstring promises at 100 TB. A probe then reads ONLY the
+    ``n_probe`` cell directories it needs (parquet partition pruning),
+    so per-query scan volume is ~n_probe/n_centroids of the corpus at
+    the DIRECTORY level, not via a post-scan filter. Returns the
+    number of centroids fitted (0 on an empty/corrupt corpus — the
+    index is still created, and probing it returns no neighbors).
+
+    Centroid selection is the same deterministic hash-ordered sample
+    (or id-ordered ``centroid_source``) as :func:`ivf_topk`, collected
+    once as KB-sized plan literals. Cell ids are positions in that
+    centroid order."""
+    spark = corpus.sparkSession
+    cent_rows = _pick_centroids(
+        corpus, n_centroids, id_col, vec_col, centroid_source
+    )
+    cent_df = spark.createDataFrame(
+        [
+            (i, int(r["cid"]), [float(v) for v in r["cv"]])
+            for i, r in enumerate(cent_rows)
+        ],
+        "cell int, cid long, cv array<double>",
+    )
+    cent_df.coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    if not cent_rows:
+        # empty cells table with the right schema so probes read cleanly
+        spark.createDataFrame(
+            [], f"{id_col} long, {vec_col} array<float>, cell int"
+        ).write.mode("overwrite").parquet(f"{path}/cells")
+        return 0
+    assigned = _assign_cells(corpus, cent_rows, id_col, vec_col)
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(
+        f"{path}/cells"
+    )
+    return len(cent_rows)
+
+
+def _read_centroids(spark, path: str) -> list:
+    return (
+        spark.read.parquet(f"{path}/centroids").orderBy("cell").collect()
+    )
+
+
+def _assign_cells(
+    vectors: DataFrame, cent_rows: list, id_col: str, vec_col: str
+) -> DataFrame:
+    """(id, vec, cell) — nearest-centroid assignment with the exact
+    argmax-cosine / lowest-index-ties expression :func:`ivf_topk`
+    uses, so a persisted index and the in-flight operator agree
+    bit-for-bit."""
+    cmat = F.array(
+        *[F.array(*[F.lit(float(v)) for v in r["cv"]]) for r in cent_rows]
+    )
+    sims = F.transform(cmat, lambda c: cosine(F.col(vec_col), c))
+    return vectors.select(
+        F.col(id_col),
+        F.col(vec_col),
+        (F.array_position(sims, F.array_max(sims)) - 1)
+        .cast("int")
+        .alias("cell"),
+    )
+
+
+def append_ivf_index(
+    new_vectors: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Assign a new shard against the PERSISTED centroids (no
+    retraining, no corpus touch) and append it to the cell layout —
+    the daily-increment complement of :func:`build_ivf_index`, same
+    cadence story as ``dedup.incremental_lsh_pairs``. Centroids are
+    deliberately frozen: cell membership of existing vectors never
+    changes on append, so probe results over the union equal a
+    fresh index built with the SAME centroids (tested). Re-fit
+    centroids offline when drift degrades cell balance — that is a
+    rebuild, not an append."""
+    spark = new_vectors.sparkSession
+    cent_rows = _read_centroids(spark, path)
+    if not cent_rows:
+        raise ValueError(
+            f"IVF index at {path} has no centroids — build it from a "
+            "non-empty corpus before appending"
+        )
+    _assign_cells(new_vectors, cent_rows, id_col, vec_col).write.mode(
+        "append"
+    ).partitionBy("cell").parquet(f"{path}/cells")
+
+
+def ivf_probe_index(
+    queries: DataFrame,
+    path: str,
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Top-k ANN against a persisted IVF index. Per query, the
+    ``n_probe`` nearest cells are computed from the KB-sized centroid
+    table; the union of probed cells across the query batch (≤
+    n_centroids values, collected driver-side — bounded metadata) is
+    pushed as a PARTITION filter into the cells scan, so only those
+    cell directories are read at all. Scoring and ranking match
+    :func:`ivf_topk` exactly: cosine in double with sequential fold,
+    ties to the lowest neighbor id."""
+    spark = queries.sparkSession
+    cent_rows = _read_centroids(spark, path)
+    if not cent_rows:
+        return spark.createDataFrame(
+            [], "query_id long, rank int, neighbor_id long, cosine_sim double"
+        )
+    n_cent = len(cent_rows)
+    n_probe = min(n_probe, n_cent)
+    cmat = F.array(
+        *[F.array(*[F.lit(float(v)) for v in r["cv"]]) for r in cent_rows]
+    )
+    sims = F.transform(cmat, lambda c: cosine(F.col(vec_col), c))
+    idx_sims = F.transform(
+        F.sequence(F.lit(0), F.lit(n_cent - 1)),
+        lambda i: F.struct(
+            i.cast("int").alias("idx"),
+            F.element_at(F.col("__sims"), (i + 1).cast("int")).alias("sim"),
+        ),
+    )
+    by_sim_desc = F.array_sort(
+        idx_sims,
+        lambda x, y: F.when(x["sim"] > y["sim"], -1)
+        .when(x["sim"] < y["sim"], 1)
+        .otherwise(x["idx"] - y["idx"]),
+    )
+    probes = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).alias("__query_vec"),
+        sims.alias("__sims"),
+    ).select(
+        "query_id",
+        "__query_vec",
+        F.explode(
+            F.transform(F.slice(by_sim_desc, 1, n_probe), lambda s: s["idx"])
+        ).alias("cell"),
+    )
+    # bounded driver collect (≤ n_centroids ints): the probed-cell set
+    # becomes a LITERAL partition filter — the scan never lists, let
+    # alone reads, unprobed cell directories
+    probe_cells = sorted(
+        r["cell"] for r in probes.select("cell").distinct().collect()
+    )
+    cells = spark.read.parquet(f"{path}/cells").filter(
+        F.col("cell").isin(probe_cells)
+    )
+    scored = (
+        cells.join(F.broadcast(probes), on="cell")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .withColumn(
+            "cosine_sim", cosine(F.col("__query_vec"), F.col(vec_col))
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "rank",
+            F.col(id_col).alias("neighbor_id"),
+            "cosine_sim",
+        )
     )
 
 

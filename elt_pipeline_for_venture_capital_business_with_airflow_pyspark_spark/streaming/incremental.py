@@ -241,3 +241,74 @@ def dedup_stream(
     return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         key_cols
     )
+
+
+def streaming_incremental_dedup(
+    stream: DataFrame,
+    index_path: str,
+    pairs_path: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    k: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+):
+    """Continuous NEAR-dup detection: each micro-batch of documents is
+    signed, checked against the persisted LSH corpus index
+    (``operators.dedup.incremental_lsh_pairs``), appended to that
+    index, and its near-dup pairs (vs the whole corpus so far AND
+    within the batch) land in ``pairs_path`` tagged with the batch id.
+    The daily-shard cadence of ``dedup_incremental_lsh`` compressed to
+    micro-batch latency — per-batch cost is O(|batch| + one index
+    scan), never O(corpus).
+
+    Bootstraps from nothing: with no index at ``index_path`` the first
+    batch becomes the initial corpus (its intra-batch pairs are still
+    emitted). ``dedup_stream`` (exact key dedup) is the EXACT twin;
+    this is the fuzzy one — the two compose, exact-first.
+
+    Replay safety: foreachBatch is at-least-once, and an index append
+    is not naturally idempotent — so each batch first drops ids
+    already present in the index signatures (one broadcast anti-join
+    against the id column of a parquet scan). A replayed batch
+    therefore re-appends nothing and re-emits no corpus pairs;
+    ``pairs_path`` stays append-only (dedupe on (id_a, id_b) at read
+    time if the sink's batch-id tag matters downstream).
+    """
+    from ..operators import dedup as DD
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        try:
+            existing, _ = DD.read_lsh_index(spark, index_path)
+            batch_df = batch_df.join(
+                existing.select(F.col("id").alias(id_col)),
+                id_col,
+                "left_anti",
+            )
+        except Exception:
+            pass  # no index yet — first batch bootstraps it
+        if batch_df.isEmpty():
+            return
+        pairs = DD.incremental_lsh_pairs(
+            batch_df,
+            index_path,
+            id_col,
+            text_col,
+            k=k,
+            num_hashes=num_hashes,
+            bands=bands,
+            threshold=threshold,
+            update_index=True,
+        )
+        pairs.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(pairs_path)
+
+    return (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )

@@ -570,3 +570,111 @@ def test_incremental_lsh_shuffle_posture(spark, sf_dir, tmp_path):
             ]
             assert joins, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_ivf_persisted_index_equals_inflight(spark, sf_dir, tmp_path):
+    """build_ivf_index + ivf_probe_index must reproduce ivf_topk
+    bit-for-bit (same centroids, same assignment expression, same
+    scoring arithmetic) — the persisted layout changes WHERE the
+    corpus lives, never what the search returns."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cs = emb.filter(F.col("vec_id") < 16)
+    path = str(tmp_path / "ivf")
+    n = SIM.build_ivf_index(emb, path, n_centroids=16, centroid_source=cs)
+    assert n == 16
+    got = {
+        (r.query_id, r.rank, r.neighbor_id, r.cosine_sim)
+        for r in SIM.ivf_probe_index(queries, path, k=10, n_probe=8).collect()
+    }
+    want = {
+        (r.query_id, r.rank, r.neighbor_id, r.cosine_sim)
+        for r in SIM.ivf_topk(
+            emb, queries, dim=64, k=10, n_centroids=16, n_probe=8,
+            centroid_source=cs,
+        ).collect()
+    }
+    assert got == want
+
+
+def test_ivf_append_equals_rebuild_with_same_centroids(spark, sf_dir, tmp_path):
+    """Appending a shard against frozen centroids must equal an index
+    built over the full corpus with the SAME centroid set — cell
+    membership is a pure function of (vector, centroids)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 4 != 0)
+    shard = emb.filter(F.col("vec_id") % 4 == 0)
+    cs = emb.filter(F.col("vec_id") < 16)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+    inc_path = str(tmp_path / "ivf_inc")
+    SIM.build_ivf_index(corpus, inc_path, n_centroids=16, centroid_source=cs)
+    SIM.append_ivf_index(shard, inc_path)
+
+    full_path = str(tmp_path / "ivf_full")
+    SIM.build_ivf_index(emb, full_path, n_centroids=16, centroid_source=cs)
+
+    inc_cells = spark.read.parquet(inc_path + "/cells").select(
+        "vec_id", "cell"
+    )
+    full_cells = spark.read.parquet(full_path + "/cells").select(
+        "vec_id", "cell"
+    )
+    assert inc_cells.exceptAll(full_cells).isEmpty()
+    assert full_cells.exceptAll(inc_cells).isEmpty()
+
+    got = {
+        (r.query_id, r.rank, r.neighbor_id, r.cosine_sim)
+        for r in SIM.ivf_probe_index(queries, inc_path, k=10, n_probe=8).collect()
+    }
+    want = {
+        (r.query_id, r.rank, r.neighbor_id, r.cosine_sim)
+        for r in SIM.ivf_probe_index(queries, full_path, k=10, n_probe=8).collect()
+    }
+    assert got == want
+
+
+def test_ivf_probe_prunes_cell_partitions(spark, sf_dir, tmp_path):
+    """Scale contract: the probe's cells scan must carry the probed
+    cells as PARTITION filters (directory pruning), not a post-scan
+    data filter over everything."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    cs = emb.filter(F.col("vec_id") < 16)
+    path = str(tmp_path / "ivf")
+    SIM.build_ivf_index(emb, path, n_centroids=16, centroid_source=cs)
+    queries = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    probe = SIM.ivf_probe_index(queries, path, k=5, n_probe=2)
+    plan = probe._jdf.queryExecution().explainString(
+        getattr(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode,
+            "fromString",
+        )("formatted")
+    )
+    cells_scan = [
+        b for b in plan.split("\n\n") if "/cells" in b and "Scan parquet" in b
+    ]
+    assert cells_scan, plan
+    assert "PartitionFilters: [cell" in cells_scan[0].replace(
+        "PartitionFilters: [cell#", "PartitionFilters: [cell"
+    ) or "cell IN" in cells_scan[0], cells_scan[0]
+
+
+def test_ivf_empty_corpus_builds_probeable_empty_index(spark, sf_dir, tmp_path):
+    emb = read_table(spark, sf_dir, "embeddings")
+    empty = emb.filter(F.lit(False))
+    path = str(tmp_path / "ivf_empty")
+    assert SIM.build_ivf_index(empty, path, n_centroids=16) == 0
+    queries = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    assert SIM.ivf_probe_index(queries, path).count() == 0
+    import pytest
+
+    with pytest.raises(ValueError, match="no centroids"):
+        SIM.append_ivf_index(emb, path)

@@ -57,3 +57,83 @@ def test_stream_dedup_across_microbatches(spark, tmp_path):
     got = sorted((r["event_id"], r["value"]) for r in rows)
     assert [eid for eid, _ in got] == [1, 2, 3]  # one row per key
     assert dict(got)[2] == 2.0  # first arrival won, replay dropped
+
+
+DOC_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ]
+)
+
+
+def test_streaming_incremental_lsh_accumulates_to_full_recompute(
+    spark, sf_dir, tmp_path
+):
+    """Streaming micro-batches through the persisted-LSH sink must
+    accumulate EXACTLY the pair set a full batch recompute over all
+    ingested documents finds — batch boundaries cannot lose
+    cross-batch near-dups."""
+    from pyspark.sql import functions as F
+
+    from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.operators import (
+        dedup as DD,
+    )
+    from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.sources import (
+        read_table,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    src = tmp_path / "src"
+    src.mkdir()
+    # three files -> three micro-batches (maxFilesPerTrigger=1)
+    for i in range(3):
+        docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+
+    index = str(tmp_path / "lsh_index")
+    pairs = str(tmp_path / "pairs")
+    stream = (
+        spark.readStream.schema(DOC_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = INC.streaming_incremental_dedup(
+        stream, index, pairs, str(tmp_path / "chk")
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = {
+        (r.id_a, r.id_b, round(r.est_jaccard, 9))
+        for r in spark.read.parquet(pairs).collect()
+    }
+    want = {
+        (r.id_a, r.id_b, round(r.est_jaccard, 9))
+        for r in DD.minhash_lsh_pairs_poly(
+            docs, "doc_id", "text", threshold=0.5
+        ).collect()
+    }
+    assert got == want
+
+    # the accumulated index equals a one-shot build over everything
+    sig, _ = DD.read_lsh_index(spark, index)
+    full_index = str(tmp_path / "lsh_full")
+    DD.build_lsh_index(docs, full_index)
+    full_sig, _ = DD.read_lsh_index(spark, full_index)
+    assert sig.exceptAll(full_sig).isEmpty()
+    assert full_sig.exceptAll(sig).isEmpty()
+
+    # replay safety: a fresh checkpoint re-delivers every batch; ids
+    # already in the index are dropped, so nothing is re-appended and
+    # no pair is duplicated
+    q2 = INC.streaming_incremental_dedup(
+        stream, index, pairs, str(tmp_path / "chk2")
+    )
+    q2.processAllAvailable()
+    q2.stop()
+    replayed = spark.read.parquet(pairs)
+    assert replayed.count() == len(got)
+    sig2, _ = DD.read_lsh_index(spark, index)
+    assert sig2.count() == sig.count()
