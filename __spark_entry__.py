@@ -3303,6 +3303,91 @@ def _embedding_ann_sqlcheck(spark: SparkSession, sf: str) -> DataFrame:
     return SIM.lsh_ann_topk(emb, queries, dim=64, k=10, num_planes=16, bands=8)
 
 
+def _bitext_sql(dim: int = 64, k: int = 4, threshold: float = 1.0) -> str:
+    """ANSI-SQL twin of margin-based bitext mining: brute-force cosine
+    (explicit left-assoc fold, same as the IVF twin), per-side top-k
+    by (sim DESC, id), k-NN averages folded in RANK order via
+    list_reduce (matching the engine's sort_array + aggregate fold),
+    ratio margin, best-per-src with the same tie-break."""
+
+    def dot(a: str, b: str) -> str:
+        return " + ".join(
+            f"CAST({a}[{i}] AS DOUBLE)*CAST({b}[{i}] AS DOUBLE)"
+            for i in range(1, dim + 1)
+        )
+
+    def cos(a: str, b: str) -> str:
+        return f"(({dot(a, b)}) / (sqrt({dot(a, a)}) * sqrt({dot(b, b)})))"
+
+    return f"""
+    WITH l AS (
+      SELECT vec_id, embedding FROM embeddings WHERE label % 2 = 0
+    ), r AS (
+      SELECT vec_id, embedding FROM embeddings WHERE label % 2 = 1
+    ), fwd_all AS (
+      SELECT l.vec_id AS src_id, r.vec_id AS tgt_id,
+             {cos("l.embedding", "r.embedding")} AS cosine_sim
+      FROM l CROSS JOIN r WHERE l.vec_id <> r.vec_id
+    ), fwdk AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY src_id ORDER BY cosine_sim DESC, tgt_id) AS rnk
+        FROM fwd_all) WHERE rnk <= {k}
+    ), tgts AS (
+      SELECT DISTINCT tgt_id FROM fwdk
+    ), bwd_all AS (
+      SELECT t.tgt_id, l.vec_id AS back_id,
+             {cos("r.embedding", "l.embedding")} AS cosine_sim
+      FROM tgts t JOIN r ON r.vec_id = t.tgt_id
+      CROSS JOIN l WHERE l.vec_id <> t.tgt_id
+    ), bwdk AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY tgt_id ORDER BY cosine_sim DESC, back_id) AS rnk
+        FROM bwd_all) WHERE rnk <= {k}
+    ), af AS (
+      SELECT src_id,
+             list_reduce(list(cosine_sim ORDER BY rnk), (a, b) -> a + b)
+               / COUNT(*) AS avg_src
+      FROM fwdk GROUP BY src_id
+    ), ab AS (
+      SELECT tgt_id,
+             list_reduce(list(cosine_sim ORDER BY rnk), (a, b) -> a + b)
+               / COUNT(*) AS avg_tgt
+      FROM bwdk GROUP BY tgt_id
+    ), scored AS (
+      SELECT f.src_id, f.tgt_id, f.cosine_sim,
+             f.cosine_sim / ((af.avg_src + ab.avg_tgt) / 2.0) AS margin
+      FROM fwdk f
+      JOIN af ON af.src_id = f.src_id
+      JOIN ab ON ab.tgt_id = f.tgt_id
+    )
+    SELECT src_id, tgt_id, cosine_sim, margin FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY src_id ORDER BY margin DESC, tgt_id) AS rn
+      FROM scored)
+    WHERE rn = 1 AND margin >= {threshold}
+    """
+
+
+@_register("embedding_bitext_mine", _bitext_sql())
+def _embedding_bitext_mine(spark: SparkSession, sf: str) -> DataFrame:
+    """Margin-based parallel-pair mining
+    (similarity.bitext_margin_mine — the Artetxe & Schwenk ratio
+    margin behind CCMatrix-style bitext harvesting): even-label
+    vectors play the source language, odd-label the target; each
+    source's best forward neighbor is kept iff its cosine, normalized
+    by both sides' rank-order-folded k-NN averages, clears margin ≥ 1.
+    The backward pass scores only targets the forward pass surfaced.
+    Brute-force neighbor lists here (the oracle needs exact); at
+    corpus scale swap topk_fn for the persisted-IVF probe — the
+    margin stage is unchanged."""
+    emb = read_table(spark, sf, "embeddings")
+    left = emb.filter(F.col("label") % 2 == 0)
+    right = emb.filter(F.col("label") % 2 == 1)
+    return SIM.bitext_margin_mine(left, right, k=4, threshold=1.0)
+
+
 @_register(
     "agg_exact_median",
     """

@@ -81,6 +81,102 @@ def cosine_topk(
     )
 
 
+def _knn_avg(topk: DataFrame, out_id: str, out_avg: str) -> DataFrame:
+    """Deterministic mean of a query's top-k similarities: the sims
+    fold in RANK order (sort_array on (rank, sim) structs, then a
+    left fold) — a plain AVG would sum doubles in partition order and
+    break cross-engine hash parity."""
+    ns = F.sort_array(F.collect_list(F.struct("rank", "cosine_sim")))
+    return (
+        topk.groupBy("query_id")
+        .agg(ns.alias("__ns"))
+        .select(
+            F.col("query_id").alias(out_id),
+            (
+                F.aggregate(
+                    F.col("__ns"),
+                    F.lit(0.0),
+                    lambda acc, s: acc + s["cosine_sim"],
+                )
+                / F.size("__ns")
+            ).alias(out_avg),
+        )
+    )
+
+
+def bitext_margin_mine(
+    left: DataFrame,
+    right: DataFrame,
+    k: int = 4,
+    threshold: float = 1.0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    topk_fn=None,
+) -> DataFrame:
+    """Margin-based parallel-pair mining (the ratio-margin criterion
+    of Artetxe & Schwenk, "Margin-based Parallel Corpus Mining with
+    Multilingual Sentence Embeddings" — the public method behind
+    CCMatrix-style bitext harvesting): for each left vector, candidate
+    matches are its forward top-k in ``right``; each candidate is
+    scored by cos(x,y) normalized by the mean of both sides' k-NN
+    similarities — margin = cos(x,y) / ((avgk(x) + avgk(y)) / 2) —
+    which suppresses "hub" vectors that are close to everything; the
+    best-margin candidate per left vector is kept when margin ≥
+    ``threshold``. Raw cosine thresholds are incomparable across
+    density regions; the margin is the standard fix.
+
+    Returns (src_id, tgt_id, cosine_sim, margin) — one row per mined
+    left vector, ties broken by lowest tgt_id.
+
+    Scale shape: neighbor lists come from ``topk_fn`` (default
+    :func:`cosine_topk`, the broadcast brute-force baseline — right
+    for shard-vs-corpus mining where the shard broadcasts). For
+    corpus×corpus mining swap in an ANN path with the same output
+    schema, e.g. ``lambda c, q, k: ivf_probe_index(q, path, k=k)``
+    over a prebuilt index — the margin stage is unchanged. The
+    backward pass scores ONLY the candidate targets surfaced by the
+    forward pass (a semi join), never all of ``right``.
+
+    Determinism: k-NN averages fold in rank order (:func:`_knn_avg`),
+    margins are single IEEE divisions — hash-parity with the ANSI-SQL
+    oracle (``embedding_bitext_mine``)."""
+    if topk_fn is None:
+        topk_fn = cosine_topk
+    lq = left.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias(vec_col)
+    )
+    fwd = topk_fn(right, lq, k)
+    tgt_ids = fwd.select(F.col("neighbor_id").alias(id_col)).distinct()
+    rq = right.join(tgt_ids, id_col, "semi").select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias(vec_col)
+    )
+    bwd = topk_fn(left, rq, k)
+    af = _knn_avg(fwd, "src_id", "__avg_src")
+    ab = _knn_avg(bwd, "tgt_id", "__avg_tgt")
+    cand = fwd.select(
+        F.col("query_id").alias("src_id"),
+        F.col("neighbor_id").alias("tgt_id"),
+        "cosine_sim",
+    )
+    scored = (
+        cand.join(af, "src_id")
+        .join(ab, "tgt_id")
+        .withColumn(
+            "margin",
+            F.col("cosine_sim")
+            / ((F.col("__avg_src") + F.col("__avg_tgt")) / F.lit(2.0)),
+        )
+    )
+    w = Window.partitionBy("src_id").orderBy(
+        F.col("margin").desc(), F.col("tgt_id")
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter((F.col("__rn") == 1) & (F.col("margin") >= threshold))
+        .select("src_id", "tgt_id", "cosine_sim", "margin")
+    )
+
+
 def _plane_values(seed: int, plane: int, dim: int) -> list[float]:
     """Deterministic pseudo-random hyperplane components in [-1, 1):
     md5(seed:plane:j) → uniform double. Generated driver-side once and

@@ -721,3 +721,45 @@ def rollback_versioned(spark: SparkSession, path: str, version: int) -> None:
     if version not in list_versions(spark, path):
         raise FileNotFoundError(f"version {version} not present at {path}")
     _point_latest(spark, path, version)
+
+
+def vacuum_versioned(spark: SparkSession, path: str) -> list[str]:
+    """Remove crash debris from a versioned table: snapshot dirs whose
+    ``_SUCCESS`` marker never appeared (a writer died mid-commit — the
+    dir is invisible to readers but still holds space), reservation
+    markers whose snapshot is gone, and a stale ``_LATEST__tmp``
+    pointer temp. Returns the deleted paths.
+
+    SAFE BY CONSTRUCTION, not by timing: committed snapshots are
+    recognized by their ``_SUCCESS`` marker (written last), so nothing
+    a reader can currently see is ever deleted — no grace-period
+    heuristics needed. The ONE unsafe window is a writer mid-commit
+    RIGHT NOW (its dir has no marker yet and would be vacuumed);
+    run vacuum from the single-writer owner, the same assumption the
+    commit protocol already documents for reservation markers on
+    object stores."""
+    jvm, hpath, fs = _versions_fs(spark, path)
+    vdir = hpath(f"{path}/{_VERSIONS_DIR}")
+    deleted: list[str] = []
+    if not fs.exists(vdir):
+        return deleted
+    committed = set(list_versions(spark, path))
+    for st in fs.listStatus(vdir):
+        name = st.getPath().getName()
+        if name.startswith("v") and name[1:].isdigit():
+            if int(name[1:]) not in committed:
+                fs.delete(st.getPath(), True)
+                deleted.append(str(st.getPath()))
+        elif name.startswith(".v") and name.endswith(".reserved"):
+            core = name[1:-len(".reserved")]  # ".v00001.reserved" -> "v00001"
+            if core[1:].isdigit() and int(core[1:]) not in committed:
+                # keep the reservation if its snapshot dir still exists
+                # (that is the uncommitted dir handled above on THIS
+                # pass — both go together)
+                fs.delete(st.getPath(), False)
+                deleted.append(str(st.getPath()))
+    tmp = hpath(f"{path}/{_LATEST_FILE}__tmp")
+    if fs.exists(tmp):
+        fs.delete(tmp, False)
+        deleted.append(str(tmp))
+    return deleted

@@ -678,3 +678,97 @@ def test_ivf_empty_corpus_builds_probeable_empty_index(spark, sf_dir, tmp_path):
 
     with pytest.raises(ValueError, match="no centroids"):
         SIM.append_ivf_index(emb, path)
+
+
+def test_bitext_margin_suppresses_hub(spark):
+    """The point of margin over raw cosine: a 'hub' target close to
+    EVERY source must not win every pair. Sources s1,s2 each have a
+    dedicated near-match; the hub sits moderately close to both. Raw
+    cosine would give s1,s2 their dedicated matches anyway — but a
+    third source s3 with no dedicated match sees only the hub, and
+    its only candidate IS the hub — the hub's high backward k-NN
+    average (it is close to both other sources too) deflates that
+    pair's margin (≈1.33) well below the dedicated pairs' (≈1.70),
+    so a threshold between them keeps the real matches and drops the
+    hub pair. Raw cosine could not make this separation at any single
+    threshold that also accepts varied dedicated-match strengths."""
+    import math
+
+    def unit(v):
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v]
+
+    dim = 8
+
+    def vec(i, eps=0.0, base=None):
+        v = [0.0] * dim
+        if base is None:
+            v[i] = 1.0
+        else:
+            v = list(base)
+            v[(i + 3) % dim] += eps
+        return unit(v)
+
+    s1, s2, s3 = vec(0), vec(1), vec(2)
+    t1 = vec(0, 0.05, vec(0))        # dedicated match for s1
+    t2 = vec(1, 0.05, vec(1))        # dedicated match for s2
+    hub = unit([1.0] * dim)          # near everything, equally
+
+    left = spark.createDataFrame(
+        [(1, s1), (2, s2), (3, s3)], "vec_id long, embedding array<double>"
+    )
+    right = spark.createDataFrame(
+        [(11, t1), (12, t2), (13, hub)],
+        "vec_id long, embedding array<double>",
+    )
+    all_rows = {
+        r.src_id: r
+        for r in SIM.bitext_margin_mine(
+            left, right, k=2, threshold=0.0
+        ).collect()
+    }
+    # margin ORDERING: dedicated pairs clearly above the hub pair
+    assert all_rows[1].tgt_id == 11 and all_rows[2].tgt_id == 12
+    assert all_rows[3].tgt_id == 13
+    assert min(all_rows[1].margin, all_rows[2].margin) > all_rows[3].margin + 0.2
+
+    # a threshold between the two bands keeps real matches, drops the hub
+    mined = {
+        r.src_id: r
+        for r in SIM.bitext_margin_mine(
+            left, right, k=2, threshold=1.5
+        ).collect()
+    }
+    assert set(mined) == {1, 2}
+    assert mined[1].tgt_id == 11 and mined[2].tgt_id == 12
+
+
+def test_bitext_composes_with_ivf_probe(spark, sf_dir, tmp_path):
+    """The documented scale path: swap cosine_topk for the persisted
+    IVF probe — same output schema, margin stage unchanged, and (on
+    this weakly-clustered testdata with a generous probe) most
+    brute-force pairs survive the approximation."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    left = emb.filter(F.col("label") % 2 == 0)
+    right = emb.filter(F.col("label") % 2 == 1)
+
+    lp, rp = str(tmp_path / "ivf_left"), str(tmp_path / "ivf_right")
+    SIM.build_ivf_index(left, lp, n_centroids=8)
+    SIM.build_ivf_index(right, rp, n_centroids=8)
+
+    def ann(corpus, queries, k):
+        path = rp if corpus is right else lp
+        return SIM.ivf_probe_index(queries, path, k=k, n_probe=6)
+
+    exact = {
+        (r.src_id, r.tgt_id)
+        for r in SIM.bitext_margin_mine(left, right, k=4, threshold=1.0).collect()
+    }
+    approx_rows = SIM.bitext_margin_mine(
+        left, right, k=4, threshold=1.0, topk_fn=ann
+    )
+    assert approx_rows.columns == ["src_id", "tgt_id", "cosine_sim", "margin"]
+    approx = {(r.src_id, r.tgt_id) for r in approx_rows.collect()}
+    assert exact, "brute-force mining found nothing — testdata drifted"
+    overlap = len(exact & approx) / len(exact)
+    assert overlap >= 0.6, f"ANN-backed mining overlap too low: {overlap}"

@@ -26,6 +26,11 @@ NESTED_LOOP_OK = {
     # embedding_near_dup_lsh), which this audit keeps nested-loop-free.
     "embedding_topk_bruteforce",
     "embedding_near_dup_exact",
+    # bitext mining's oracle-exact neighbor lists use the same
+    # broadcast brute-force baseline (cosine_topk) by construction —
+    # at corpus scale the operator takes topk_fn=ivf_probe_index and
+    # this query stays the exact recall/margin oracle.
+    "embedding_bitext_mine",
     # tf-idf scoring cross-joins the ONE-ROW corpus-size aggregate —
     # same constant-cost shape as dq_expectations' verdict assembly.
     "text_tfidf_top3",

@@ -129,3 +129,38 @@ def test_versioned_commit_never_touches_prior_snapshots(spark, tmp_path):
         assert fh.read().strip() == "v00002"
     assert IO.read_versioned(spark, path).count() == 7
     assert IO.read_versioned(spark, path, version=1).count() == 5
+
+
+def test_vacuum_removes_only_uncommitted_debris(spark, tmp_path):
+    """vacuum_versioned deletes crashed-commit leftovers (snapshot dir
+    without _SUCCESS, orphan reservation marker, stale pointer temp)
+    and never touches committed snapshots or their reservations."""
+    path = str(tmp_path / "tbl")
+    IO.write_versioned(_mk(spark, 3), path)
+    IO.write_versioned(_mk(spark, 6), path)
+
+    vdir = os.path.join(path, "_versions")
+    # simulate a writer that died mid-commit of v3: reserved + wrote
+    # data files but no _SUCCESS
+    crashed = os.path.join(vdir, "v00003")
+    os.makedirs(crashed)
+    with open(os.path.join(crashed, "part-00000.parquet"), "wb") as fh:
+        fh.write(b"partial")
+    open(os.path.join(vdir, ".v00003.reserved"), "w").close()
+    # and a stale pointer temp from a dead pointer swing
+    open(os.path.join(path, "_LATEST__tmp"), "w").close()
+
+    deleted = IO.vacuum_versioned(spark, path)
+    assert {os.path.basename(d) for d in deleted} == {
+        "v00003", ".v00003.reserved", "_LATEST__tmp",
+    }
+    # committed state untouched and fully readable
+    assert IO.list_versions(spark, path) == [1, 2]
+    assert os.path.exists(os.path.join(vdir, ".v00001.reserved"))
+    assert os.path.exists(os.path.join(vdir, ".v00002.reserved"))
+    assert IO.read_versioned(spark, path).count() == 6
+    assert IO.read_versioned(spark, path, version=1).count() == 3
+    # idempotent on a clean table
+    assert IO.vacuum_versioned(spark, path) == []
+    # and the next commit proceeds normally, reusing the freed number
+    assert IO.write_versioned(_mk(spark, 9), path) == 3
