@@ -3389,6 +3389,290 @@ def _embedding_bitext_mine(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_register(
+    "timeseries_ohlc",
+    """
+    WITH t AS (
+      SELECT user_id, event_id, value, ts,
+             epoch_us(ts)
+               - (((epoch_us(ts) % 3600000000) + 3600000000) % 3600000000)
+               AS bucket_us
+      FROM events
+    ), r AS (
+      SELECT *,
+             ROW_NUMBER() OVER (PARTITION BY user_id, bucket_us
+                                ORDER BY ts, event_id) AS rna,
+             ROW_NUMBER() OVER (PARTITION BY user_id, bucket_us
+                                ORDER BY ts DESC, event_id DESC) AS rnd
+      FROM t
+    )
+    SELECT user_id, make_timestamp(bucket_us) AS bucket_start,
+           MAX(CASE WHEN rna = 1 THEN value END) AS open,
+           MAX(value) AS high, MIN(value) AS low,
+           MAX(CASE WHEN rnd = 1 THEN value END) AS close,
+           COUNT(*) AS n_points,
+           CAST(SUM(CAST(value AS DECIMAL(20,4))) AS DOUBLE) AS volume
+    FROM r GROUP BY user_id, bucket_us
+    """,
+)
+def _timeseries_ohlc(spark: SparkSession, sf: str) -> DataFrame:
+    """Candlestick downsampling (operators/timeseries.ohlc_resample):
+    per-user hourly buckets with open/high/low/close/count/volume.
+    ONE hash aggregation with map-side combine — open/close are the
+    lexicographic struct MIN/MAX over (ts, event_id, value), so ties
+    break on the unique id, never partition order; the oracle reaches
+    the same rows via ROW_NUMBER, proving the arg-min/arg-max
+    equivalence. Volume sums in exact decimal (raw ≤4-decimal input,
+    `_dsum` contract)."""
+    ev = read_table(spark, sf, "events")
+    return TS.ohlc_resample(
+        ev, ["user_id"], "ts", "value", bucket_seconds=3600, id_col="event_id"
+    )
+
+
+@_register(
+    "timeseries_ewma",
+    """
+    SELECT user_id, CAST(COUNT(*) AS INTEGER) AS n_points,
+           list_reduce(list(value ORDER BY ts, event_id),
+                       (acc, x) -> acc * CAST(0.75 AS DOUBLE)
+                                 + CAST(0.25 AS DOUBLE) * x) AS ewma
+    FROM events GROUP BY user_id
+    """,
+)
+def _timeseries_ewma(spark: SparkSession, sf: str) -> DataFrame:
+    """Exponential smoothing, final value per user
+    (operators/timeseries.ewma_last, alpha=0.25): y_t = 0.75*y_{t-1}
+    + 0.25*x_t left-folded in strict (ts, event_id) order. Engine
+    fold is F.aggregate over the sort_array'd series; oracle fold is
+    list_reduce over list(... ORDER BY ts, event_id) — identical
+    order and identical double expression, so the doubles hash-match
+    exactly (alpha=0.25 and 0.75 are binary-exact literals)."""
+    ev = read_table(spark, sf, "events")
+    return TS.ewma_last(
+        ev, ["user_id"], "ts", "value", alpha=0.25, id_col="event_id"
+    )
+
+
+def _lpa_sql(k: int) -> str:
+    """Unrolled ANSI-SQL twin of k synchronous label-propagation
+    iterations (same structure as _pagerank_sql: one CTE block per
+    iteration, deterministic (count DESC, label) arg-max)."""
+    blocks = [
+        """
+    WITH eo AS (
+      SELECT DISTINCT 'C' || CAST(o_custkey AS VARCHAR) AS src,
+                      'S' || CAST(l_suppkey AS VARCHAR) AS dst
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    edges AS (SELECT src, dst FROM eo UNION SELECT dst, src FROM eo),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    l0 AS (SELECT node, node AS label FROM nodes)"""
+    ]
+    for i in range(k):
+        blocks.append(
+            f""",
+    c{i} AS (
+      SELECT e.dst AS node, l.label, COUNT(*) AS cnt
+      FROM edges e JOIN l{i} l ON l.node = e.src
+      GROUP BY e.dst, l.label
+    ),
+    p{i} AS (
+      SELECT node, label FROM (
+        SELECT node, label, ROW_NUMBER() OVER (
+          PARTITION BY node ORDER BY cnt DESC, label) AS rn
+        FROM c{i}) WHERE rn = 1
+    ),
+    l{i + 1} AS (
+      SELECT n.node, COALESCE(p.label, n.label) AS label
+      FROM l{i} n LEFT JOIN p{i} p ON p.node = n.node
+    )"""
+        )
+    blocks.append(
+        f"""
+    SELECT label AS community, COUNT(*) AS n_members
+    FROM l{k} GROUP BY label"""
+    )
+    return "".join(blocks)
+
+
+@_register("graph_label_propagation", _lpa_sql(2))
+def _graph_label_propagation(spark: SparkSession, sf: str) -> DataFrame:
+    """Community detection over the customer↔supplier FK graph
+    (operators/graph.label_propagation_fixed): 2 synchronous LPA
+    iterations — every node simultaneously adopts its in-neighbors'
+    most frequent label, ties to the smallest label — then community
+    sizes. Sync + total-order tie-break is the determinism-first LPA
+    variant (async LPA is visit-order-dependent and unreproducible);
+    per iteration: edge⋈label join on the stable src key (AQE reuses
+    the edge exchange, same posture as pagerank_fixed) + map-side
+    combined groupBy(dst, label) + arg-max window over the aggregate,
+    per-node state one label."""
+    orders = read_table(spark, sf, "orders")
+    li = read_table(spark, sf, "lineitem")
+    eo = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"], "inner")
+        .select(
+            F.concat(F.lit("C"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    labels = GR.label_propagation_fixed(GR.symmetrize_edges(eo), n_iter=2)
+    return labels.groupBy(F.col("label").alias("community")).agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+
+
+@_register(
+    "join_lateral_topk",
+    """
+    SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+    FROM customer c, LATERAL (
+      SELECT o_orderkey, o_totalprice FROM orders
+      WHERE o_custkey = c.c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 3
+    ) o
+    """,
+)
+def _join_lateral_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Correlated LATERAL subquery with ORDER BY + LIMIT (S9 — SQL
+    surface): each customer's 3 priciest orders, the top-k-per-row
+    shape users write as a lateral instead of a window. Catalyst
+    decorrelates it (DecorrelateInnerQuery) into the same
+    join + per-key ranking plan window_topk_per_group builds by hand —
+    no per-row re-execution survives into the physical plan, so the
+    lateral is purely analyzer sugar at scale."""
+    read_table(spark, sf, "customer").createOrReplaceTempView("customer_lat_v")
+    read_table(spark, sf, "orders").createOrReplaceTempView("orders_lat_v")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+        FROM customer_lat_v c JOIN LATERAL (
+          SELECT o_orderkey, o_totalprice FROM orders_lat_v
+          WHERE o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey LIMIT 3
+        ) o
+        """
+    )
+
+
+@_register(
+    "temporal_interval_gaps",
+    """
+    WITH iv AS (
+      SELECT user_id, ts AS span_s, ts + INTERVAL 1 HOUR AS span_e
+      FROM events WHERE event_type = 'click'
+    ), flagged AS (
+      SELECT user_id, span_s, span_e,
+             CASE WHEN max(span_e) OVER (PARTITION BY user_id ORDER BY span_s, span_e
+                                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+                    OR span_s > max(span_e) OVER (PARTITION BY user_id ORDER BY span_s, span_e
+                                                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  THEN 1 ELSE 0 END AS new_island
+      FROM iv
+    ), islands AS (
+      SELECT user_id, span_s, span_e,
+             SUM(new_island) OVER (PARTITION BY user_id ORDER BY span_s, span_e
+                                   ROWS UNBOUNDED PRECEDING) AS island
+      FROM flagged
+    ), merged AS (
+      SELECT user_id, MIN(span_s) AS span_start, MAX(span_e) AS span_end
+      FROM islands GROUP BY user_id, island
+    ), g AS (
+      SELECT user_id,
+             LAG(span_end) OVER (PARTITION BY user_id ORDER BY span_start) AS gap_start,
+             span_start AS gap_end
+      FROM merged
+    )
+    SELECT user_id, gap_start, gap_end,
+           epoch_us(gap_end) - epoch_us(gap_start) AS gap_us
+    FROM g WHERE gap_start IS NOT NULL
+    """,
+)
+def _temporal_interval_gaps(spark: SparkSession, sf: str) -> DataFrame:
+    """Coverage holes between merged activity spans
+    (operators/temporal.interval_gaps): the complement of
+    temporal_merge_intervals — per user, the downtime between
+    consecutive merged 1-hour click spans, with microsecond width.
+    The lag window runs over the already-collapsed spans on the same
+    key partitioning as the merge, so the whole operator is still one
+    shuffle on user_id."""
+    ev = read_table(spark, sf, "events").filter(F.col("event_type") == "click")
+    iv = ev.select(
+        "user_id",
+        F.col("ts").alias("span_s"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("span_e"),
+    )
+    return TMP.interval_gaps(iv, ["user_id"], "span_s", "span_e")
+
+
+@_register(
+    "text_url_canonicalize",
+    """
+    WITH u AS (
+      SELECT doc_id,
+             'HTTPS://WWW.' || upper(source) || '.Example.COM:443/Docs/'
+               || CAST(doc_id AS VARCHAR)
+               || CASE WHEN doc_id % 3 = 0 THEN '?utm_source=feed&b=2&a=1#sec'
+                       WHEN doc_id % 3 = 1 THEN '?a=1&utm_campaign=x&ref=home'
+                       ELSE '' END AS url
+      FROM documents
+    ), s AS (
+      SELECT doc_id, regexp_replace(url, '#.*$', '') AS u FROM u
+    ), parts AS (
+      SELECT doc_id,
+             lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+             lower(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?]*)', 1)) AS auth,
+             regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*([^?]*)', 1) AS path0,
+             regexp_extract(u, '\\?(.*)$', 1) AS qs
+      FROM s
+    ), hostp AS (
+      SELECT doc_id, scheme,
+             CASE WHEN scheme = 'https' THEN regexp_replace(auth, ':443$', '')
+                  WHEN scheme = 'http' THEN regexp_replace(auth, ':80$', '')
+                  ELSE auth END AS host,
+             CASE WHEN path0 = '' THEN '/' ELSE path0 END AS path,
+             list_sort(list_filter(string_split(qs, '&'),
+               p -> NOT (p = '' OR starts_with(p, 'utm_')
+                         OR starts_with(p, 'gclid=') OR starts_with(p, 'fbclid=')
+                         OR starts_with(p, 'msclkid=') OR starts_with(p, 'ref=')))) AS kept
+      FROM parts
+    )
+    SELECT doc_id, host,
+           CASE WHEN len(kept) = 0 THEN scheme || '://' || host || path
+                ELSE scheme || '://' || host || path || '?'
+                     || array_to_string(kept, '&') END AS url_norm
+    FROM hostp
+    """,
+)
+def _text_url_canonicalize(spark: SparkSession, sf: str) -> DataFrame:
+    """URL canonicalization for web-corpus dedup
+    (functions/text.url_normalize + url_host): scheme/host lowercase,
+    default-port strip, fragment drop, tracking-parameter drop
+    (utm_*/gclid/fbclid/msclkid/ref), surviving params sorted, empty
+    path → '/'. Dirty inputs are synthesized deterministically from
+    the documents table (mixed case, :443, trackers, fragments) since
+    testdata carries no URL column — both engines build the identical
+    dirty string, then normalize with their own expression stacks.
+    Pure scalar expressions, runs inside the scan stage."""
+    docs = read_table(spark, sf, "documents")
+    url = F.concat(
+        F.lit("HTTPS://WWW."),
+        F.upper(F.col("source")),
+        F.lit(".Example.COM:443/Docs/"),
+        F.col("doc_id").cast("string"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("?utm_source=feed&b=2&a=1#sec"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("?a=1&utm_campaign=x&ref=home"))
+        .otherwise(F.lit("")),
+    )
+    return docs.select(
+        "doc_id",
+        TX.url_host(url).alias("host"),
+        TX.url_normalize(url).alias("url_norm"),
+    )
+
+
+@_register(
     "agg_exact_median",
     """
     SELECT o_orderpriority,

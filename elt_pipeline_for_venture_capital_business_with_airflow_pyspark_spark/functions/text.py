@@ -30,6 +30,9 @@ __all__ = [
     "pii_phone_count",
     "repetition_fraction",
     "chunk_windows",
+    "url_normalize",
+    "url_host",
+    "TRACKING_PARAM_PREFIXES",
     "STOPWORDS",
     "LANG_MARKERS",
 ]
@@ -409,4 +412,70 @@ def gopher_rules(col: str | Column) -> Column:
         r_sw.alias("r_stopwords"),
         r_sym.alias("r_symbolratio"),
         (r_wc & r_mwl & r_alpha & r_sw & r_sym).alias("pass_gopher"),
+    )
+
+
+# Query-string parameters dropped by url_normalize: click/campaign
+# trackers that vary per fetch without changing the resource — the
+# reason one page crawls as millions of "distinct" URLs. Prefix match
+# ('utm_' covers utm_source/medium/campaign/...; the others are
+# 'key=' prefixes, i.e. exact parameter names).
+TRACKING_PARAM_PREFIXES: tuple[str, ...] = (
+    "utm_", "gclid=", "fbclid=", "msclkid=", "ref=",
+)
+
+_URL_SCHEME_RE = "^([A-Za-z][A-Za-z0-9+.-]*)://"
+_URL_AUTH_RE = "^[A-Za-z][A-Za-z0-9+.-]*://([^/?]*)"
+_URL_PATH_RE = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*([^?]*)"
+
+
+def url_host(col: str | Column) -> Column:
+    """Lowercased host of a URL, default port stripped (``:443`` for
+    https, ``:80`` for http) — the grouping key for per-site corpus
+    stats. Malformed URLs (no ``scheme://``) yield ``''``."""
+    u = F.regexp_replace(_col(col), "#.*$", "")
+    scheme = F.lower(F.regexp_extract(u, _URL_SCHEME_RE, 1))
+    auth = F.lower(F.regexp_extract(u, _URL_AUTH_RE, 1))
+    return (
+        F.when(scheme == "https", F.regexp_replace(auth, ":443$", ""))
+        .when(scheme == "http", F.regexp_replace(auth, ":80$", ""))
+        .otherwise(auth)
+    )
+
+
+def url_normalize(col: str | Column) -> Column:
+    """Canonical URL for web-corpus dedup — the standard pre-pass
+    before exact/fuzzy dedup of crawled pages (one page otherwise
+    appears as millions of distinct URLs differing only in tracking
+    noise). Pure Column expressions, zero Python:
+
+    - scheme and host lowercased; default port stripped;
+    - fragment dropped (client-side only, never reaches the server);
+    - tracking parameters dropped (:data:`TRACKING_PARAM_PREFIXES`);
+    - surviving query parameters sorted (param order is
+      server-insignificant in practice and crawler-dependent);
+    - empty path → ``/``.
+
+    Out of scope (documented, not silently wrong): userinfo@host,
+    percent-encoding case, IDN — inputs are assumed pre-ASCII'd by
+    the fetcher. The ANSI-SQL twin (``text_url_canonicalize``) mirrors
+    every step with DuckDB list functions, including the empty-list
+    ``array_to_string`` guard."""
+    u = F.regexp_replace(_col(col), "#.*$", "")
+    scheme = F.lower(F.regexp_extract(u, _URL_SCHEME_RE, 1))
+    host = url_host(col)
+    path = F.regexp_extract(u, _URL_PATH_RE, 1)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    params = F.split(F.regexp_extract(u, r"\?(.*)$", 1), "&")
+
+    def _keep(p: Column) -> Column:
+        dropped = p == ""
+        for pref in TRACKING_PARAM_PREFIXES:
+            dropped = dropped | p.startswith(pref)
+        return ~dropped
+
+    kept = F.sort_array(F.filter(params, _keep))
+    base = F.concat(scheme, F.lit("://"), host, path)
+    return F.when(F.size(kept) == 0, base).otherwise(
+        F.concat(base, F.lit("?"), F.array_join(kept, "&"))
     )

@@ -33,7 +33,7 @@ truncated-power-iteration simplification; feed an undirected
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
@@ -41,6 +41,7 @@ __all__ = [
     "symmetrize_edges",
     "khop_min_dist",
     "triangle_counts",
+    "label_propagation_fixed",
     "release_materialized",
 ]
 
@@ -354,3 +355,60 @@ def triangle_counts(
     # whole wedge/close join tree appears (and runs) once, not thrice
     per_node = tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
     return per_node.groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+def label_propagation_fixed(
+    edges: DataFrame,
+    *,
+    n_iter: int = 2,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Synchronous label propagation (community detection), truncated
+    at ``n_iter`` iterations, fully deterministic.
+
+    ``edges`` is a distinct edge list — pass a symmetrized one
+    (:func:`symmetrize_edges`) for the usual undirected-community
+    semantics. Every node starts labeled with itself; each iteration
+    every node simultaneously adopts the most frequent label among its
+    in-neighbors, ties broken by the smallest label, keeping its own
+    label when it has no in-edges. Fixed iteration count (the
+    classic async-LPA is order-dependent and unreproducible; sync +
+    total-order tie-break is the determinism-first variant), so the
+    whole run is one lazy DAG — no convergence test reads data on the
+    driver.
+
+    Returns ``(node, label)`` for every node.
+
+    Scale shape per iteration: edge⋈label join keyed by ``src``
+    (stable key — AQE reuses the edge exchange across iterations),
+    partial-agg ``groupBy(dst, label)`` with map-side combine, then a
+    per-dst arg-max window over the (dst, label) *aggregate* (group
+    cardinality ≤ distinct neighbor labels, not edges). Per-node
+    state is one label — adjacency never materializes in memory.
+    """
+    if n_iter < 1:
+        raise ValueError("n_iter must be >= 1")
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    labels = nodes.select("node", F.col("node").alias("label"))
+    w = Window.partitionBy("dst").orderBy(F.col("_n").desc(), F.col("label"))
+    for _ in range(n_iter):
+        cnt = (
+            e.join(labels, e["src"] == labels["node"], "inner")
+            .groupBy("dst", "label")
+            .agg(F.count(F.lit(1)).alias("_n"))
+        )
+        best = (
+            cnt.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(F.col("dst"), F.col("label").alias("_new"))
+        )
+        labels = labels.join(best, labels["node"] == best["dst"], "left").select(
+            "node", F.coalesce("_new", "label").alias("label")
+        )
+    return labels

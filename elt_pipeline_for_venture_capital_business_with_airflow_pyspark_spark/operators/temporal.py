@@ -46,6 +46,7 @@ __all__ = [
     "consecutive_day_islands",
     "time_weighted_avg",
     "asof_join_nearest",
+    "interval_gaps",
 ]
 
 
@@ -411,4 +412,43 @@ def asof_join_nearest(
             F.when(use_b, F.col(f"__b_{n}")).otherwise(F.col(f"__f_{n}")).alias(n)
             for n in names
         ],
+    )
+
+
+def interval_gaps(
+    df: DataFrame,
+    key_cols: list[str],
+    start_col: str,
+    end_col: str,
+) -> DataFrame:
+    """Complement of :func:`merge_intervals`: the uncovered gaps
+    BETWEEN a key's merged activity spans — downtime windows between
+    sessions, coverage holes in an SLA feed. Returns one row per gap:
+    ``(keys, gap_start, gap_end, gap_us)`` where ``gap_start`` is the
+    end of one merged span and ``gap_end`` the start of the next
+    (strictly later, since touching intervals merge), and ``gap_us``
+    the microsecond width. Keys with a single merged span emit
+    nothing — leading/trailing open-ended gaps are unbounded and
+    excluded by definition.
+
+    Scale shape: merge_intervals' single key shuffle, then a ``lag``
+    window over the *merged spans* (cardinality = islands per key,
+    already collapsed) on the same partitioning — the second window
+    reuses the first exchange, so the whole operator is still one
+    shuffle on the key.
+    """
+    merged = merge_intervals(df, key_cols, start_col, end_col)
+    w = Window.partitionBy(*key_cols).orderBy("span_start")
+    prev_end = F.lag("span_end").over(w)
+    return (
+        merged.withColumn("gap_start", prev_end)
+        .filter(F.col("gap_start").isNotNull())
+        .select(
+            *key_cols,
+            "gap_start",
+            F.col("span_start").alias("gap_end"),
+            (
+                F.unix_micros("span_start") - F.unix_micros("gap_start")
+            ).alias("gap_us"),
+        )
     )

@@ -151,3 +151,70 @@ def test_weighted_median_tie_block_invariant(spark):
     df = spark.createDataFrame(rows, "g string, v double, w double").repartition(7)
     out = ANA.weighted_median(df, ["g"], "v", "w").collect()[0]
     assert out["wmedian"] == 5.0 and out["total_weight"] == 11.0
+
+
+def test_ohlc_resample_golden(spark):
+    """Hourly OHLC over a hand-built series: open/close pick the
+    (ts, id)-ordered endpoints even when timestamps tie, high/low are
+    extremes, volume is the exact sum."""
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    rows = [
+        # bucket 10:00 — ts tie at 10:20 broken by id (3 before 4)
+        (1, t0 + dt.timedelta(minutes=5), 10.0),
+        (2, t0 + dt.timedelta(minutes=10), 30.0),
+        (3, t0 + dt.timedelta(minutes=20), 5.0),
+        (4, t0 + dt.timedelta(minutes=20), 7.0),
+        # bucket 11:00 — single point
+        (5, t0 + dt.timedelta(minutes=65), 42.0),
+    ]
+    df = spark.createDataFrame(
+        [(100, i, ts, v) for i, ts, v in rows],
+        "user_id long, event_id long, ts timestamp, value double",
+    )
+    out = {
+        r["bucket_start"]: r
+        for r in TS.ohlc_resample(
+            df, ["user_id"], "ts", "value", bucket_seconds=3600, id_col="event_id"
+        ).collect()
+    }
+    b0 = out[t0]
+    assert (b0["open"], b0["high"], b0["low"], b0["close"]) == (10.0, 30.0, 5.0, 7.0)
+    assert b0["n_points"] == 4 and b0["volume"] == 52.0
+    b1 = out[t0 + dt.timedelta(hours=1)]
+    assert (b1["open"], b1["close"], b1["n_points"]) == (42.0, 42.0, 1)
+
+
+def test_ewma_last_and_series_match_python(spark):
+    """ewma_last equals the per-key Python fold; ewma_series returns
+    the full running prefix at row grain in (ts, id) order."""
+    t0 = dt.datetime(2024, 3, 1)
+    vals = [3.0, -1.0, 7.5, 0.25, 10.0]
+    df = spark.createDataFrame(
+        [(7, i, t0 + dt.timedelta(hours=i), v) for i, v in enumerate(vals)]
+        + [(8, 99, t0, 5.0)],
+        "user_id long, event_id long, ts timestamp, value double",
+    )
+    a = 0.25
+    expect = vals[0]
+    series = [expect]
+    for v in vals[1:]:
+        expect = expect * (1 - a) + a * v
+        series.append(expect)
+
+    last = {
+        r["user_id"]: (r["n_points"], r["ewma"])
+        for r in TS.ewma_last(
+            df, ["user_id"], "ts", "value", alpha=a, id_col="event_id"
+        ).collect()
+    }
+    assert last[7] == (5, expect)
+    assert last[8] == (1, 5.0)
+
+    got = (
+        TS.ewma_series(df, ["user_id"], "ts", "value", alpha=a, id_col="event_id")
+        .filter(F.col("user_id") == 7)
+        .orderBy("ts")
+        .collect()
+    )
+    assert [r["ewma"] for r in got] == series
+    assert [r["value"] for r in got] == vals

@@ -211,3 +211,55 @@ def test_khop_materialize_modes_agree(spark):
 
     with pytest.raises(ValueError, match="materialize"):
         GR.khop_min_dist(edges, seeds, k=2, materialize="ram_forever")
+
+
+def test_label_propagation_two_communities(spark):
+    """Two triangles joined by one bridge edge: after 2 sync
+    iterations each triangle converges to its own min-node label, and
+    the result is reproducible (deterministic tie-breaks)."""
+    tri1 = [("a", "b"), ("b", "c"), ("a", "c")]
+    tri2 = [("x", "y"), ("y", "z"), ("x", "z")]
+    bridge = [("c", "x")]
+    edges = spark.createDataFrame(tri1 + tri2 + bridge, "src string, dst string")
+    und = GR.symmetrize_edges(edges)
+    got = {
+        r["node"]: r["label"]
+        for r in GR.label_propagation_fixed(und, n_iter=2).collect()
+    }
+    assert len(got) == 6
+    # triangle {a,b,c}: every node's neighborhood is dominated by
+    # min-label 'a' after iteration 1, community label 'a' sticks
+    assert got["a"] == got["b"] == got["c"] == "a"
+    # triangle {x,y,z}: bridge pulls 'c' into x's neighborhood but
+    # min tie-break keeps the community on its own min label side
+    assert got["y"] == got["z"]
+    rerun = {
+        r["node"]: r["label"]
+        for r in GR.label_propagation_fixed(und, n_iter=2).collect()
+    }
+    assert rerun == got
+
+
+def test_label_propagation_single_iteration_min_neighbor(spark):
+    """With n_iter=1 every neighbor label is distinct (count tie), so
+    each node adopts its smallest neighbor label — pinning the
+    (count DESC, label ASC) tie-break order."""
+    edges = spark.createDataFrame(
+        [("m", "q"), ("b", "q"), ("z", "q")], "src string, dst string"
+    )
+    got = {
+        r["node"]: r["label"]
+        for r in GR.label_propagation_fixed(edges, n_iter=1).collect()
+    }
+    # q's in-neighbors {m, b, z} all tie at count 1 -> min label 'b'
+    assert got["q"] == "b"
+    # sources have no in-edges in this directed list -> keep own label
+    assert got["m"] == "m" and got["b"] == "b" and got["z"] == "z"
+
+
+def test_label_propagation_rejects_bad_iter(spark):
+    import pytest
+
+    edges = spark.createDataFrame([("a", "b")], "src string, dst string")
+    with pytest.raises(ValueError, match="n_iter"):
+        GR.label_propagation_fixed(edges, n_iter=0)

@@ -772,3 +772,54 @@ def test_bitext_composes_with_ivf_probe(spark, sf_dir, tmp_path):
     assert exact, "brute-force mining found nothing — testdata drifted"
     overlap = len(exact & approx) / len(exact)
     assert overlap >= 0.6, f"ANN-backed mining overlap too low: {overlap}"
+
+
+def test_url_normalize_golden(spark):
+    """Canonicalization cases: case folding, default-port strip,
+    fragment drop, tracking-param drop, param sort, empty path."""
+    urls = [
+        # full noise: case, :443, trackers, fragment, unsorted params
+        (1, "HTTPS://Sub.Example.COM:443/Path/Pg?b=2&utm_source=x&a=1#frag"),
+        # http default port, ref tracker, no survivors -> no '?'
+        (2, "http://EXAMPLE.com:80/x?ref=home&utm_campaign=y"),
+        # no path, no query
+        (3, "https://example.com"),
+        # non-default port preserved; gclid dropped
+        (4, "https://example.com:8443/a?gclid=1&z=9"),
+        # scheme-less garbage -> host '', base degrades honestly
+        (5, "not a url"),
+    ]
+    df = spark.createDataFrame(urls, "id long, url string")
+    got = {
+        r["id"]: (r["host"], r["norm"])
+        for r in df.select(
+            "id",
+            TX.url_host("url").alias("host"),
+            TX.url_normalize("url").alias("norm"),
+        ).collect()
+    }
+    assert got[1] == ("sub.example.com", "https://sub.example.com/Path/Pg?a=1&b=2")
+    assert got[2] == ("example.com", "http://example.com/x")
+    assert got[3] == ("example.com", "https://example.com/")
+    assert got[4] == ("example.com:8443", "https://example.com:8443/a?z=9")
+    assert got[5][0] == ""
+
+
+def test_url_normalize_is_dedup_key(spark):
+    """The point of the operator: tracking-noise variants of one page
+    collapse to a single canonical URL, distinct pages stay distinct."""
+    variants = [
+        "https://example.com/page?utm_source=a",
+        "HTTPS://EXAMPLE.COM:443/page#top",
+        "https://example.com/page?utm_campaign=x&fbclid=z",
+    ]
+    other = "https://example.com/other"
+    df = spark.createDataFrame(
+        [(u,) for u in variants + [other]], "url string"
+    )
+    n = (
+        df.select(TX.url_normalize("url").alias("u"))
+        .distinct()
+        .count()
+    )
+    assert n == 2

@@ -368,3 +368,27 @@ def test_asof_nearest_picks_closer_side_backward_on_tie(spark):
     got = {r["tid"]: r["px"] for r in out.collect()}
     # 10:05 has two quotes (101, 102); greatest qid wins -> 102
     assert got == {20: 100.0, 21: 102.0, 22: 100.0, 23: 50.0, 24: None}
+
+
+def test_interval_gaps_golden(spark):
+    """Gaps are the complement of merged spans: overlapping/touching
+    intervals collapse first, single-span keys emit nothing, widths
+    are exact microseconds."""
+    t = lambda h, m=0: datetime(2024, 5, 1, h, m)  # noqa: E731
+    rows = [
+        # key 1: [9,10) + [9:30,11) merge; [12,13) after a 1h gap;
+        # [13,14) touches -> merges with [12,13), no zero-width gap
+        (1, t(9), t(10)),
+        (1, t(9, 30), t(11)),
+        (1, t(12), t(13)),
+        (1, t(13), t(14)),
+        # key 2: single span -> no gaps
+        (2, t(8), t(9)),
+    ]
+    df = spark.createDataFrame(rows, "k long, s timestamp, e timestamp")
+    out = TMP.interval_gaps(df, ["k"], "s", "e").collect()
+    assert len(out) == 1
+    g = out[0]
+    assert g["k"] == 1
+    assert (g["gap_start"], g["gap_end"]) == (t(11), t(12))
+    assert g["gap_us"] == 3_600_000_000
