@@ -3436,7 +3436,9 @@ def _timeseries_ohlc(spark: SparkSession, sf: str) -> DataFrame:
            list_reduce(list(value ORDER BY ts, event_id),
                        (acc, x) -> acc * CAST(0.75 AS DOUBLE)
                                  + CAST(0.25 AS DOUBLE) * x) AS ewma
-    FROM events GROUP BY user_id
+    FROM events
+    WHERE ts IS NOT NULL AND value IS NOT NULL
+    GROUP BY user_id
     """,
 )
 def _timeseries_ewma(spark: SparkSession, sf: str) -> DataFrame:
@@ -3446,8 +3448,14 @@ def _timeseries_ewma(spark: SparkSession, sf: str) -> DataFrame:
     fold is F.aggregate over the sort_array'd series; oracle fold is
     list_reduce over list(... ORDER BY ts, event_id) — identical
     order and identical double expression, so the doubles hash-match
-    exactly (alpha=0.25 and 0.75 are binary-exact literals)."""
-    ev = read_table(spark, sf, "events")
+    exactly (alpha=0.25 and 0.75 are binary-exact literals).
+    Null policy is EXPLICIT on both sides: undatable (null ts) and
+    missing (null value) observations are excluded before the fold —
+    a null anywhere in a sequential recurrence would otherwise poison
+    the tail, and null ORDER positions differ across engines."""
+    ev = read_table(spark, sf, "events").filter(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )
     return TS.ewma_last(
         ev, ["user_id"], "ts", "value", alpha=0.25, id_col="event_id"
     )
@@ -3502,11 +3510,14 @@ def _graph_label_propagation(spark: SparkSession, sf: str) -> DataFrame:
     iterations — every node simultaneously adopts its in-neighbors'
     most frequent label, ties to the smallest label — then community
     sizes. Sync + total-order tie-break is the determinism-first LPA
-    variant (async LPA is visit-order-dependent and unreproducible);
-    per iteration: edge⋈label join on the stable src key (AQE reuses
-    the edge exchange, same posture as pagerank_fixed) + map-side
-    combined groupBy(dst, label) + arg-max window over the aggregate,
-    per-node state one label."""
+    variant (async LPA is visit-order-dependent and unreproducible).
+    Round 1 is the operator's MIN(src)-per-dst fast path (identity
+    labels + distinct edges ⇒ no join); round 2 is the generic
+    edge⋈label join on the stable src key + struct-MIN arg-max over
+    the (dst, label) aggregate, per-node state one label. The
+    symmetric union skips symmetrize_edges' safety distinct: 'C'/'S'
+    prefixes make the two direction spaces disjoint, so the union is
+    distinct by construction — one fewer 2×-edge shuffle."""
     orders = read_table(spark, sf, "orders")
     li = read_table(spark, sf, "lineitem")
     eo = (
@@ -3517,7 +3528,15 @@ def _graph_label_propagation(spark: SparkSession, sf: str) -> DataFrame:
         )
         .distinct()
     )
-    labels = GR.label_propagation_fixed(GR.symmetrize_edges(eo), n_iter=2)
+    sym = eo.unionByName(
+        eo.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    # default disk_persist: the derived edge frame materializes once
+    # (2 parquet scans total, 4 hash exchanges in the final plan) —
+    # measured as fast as any mode at sf0.1 AND the cluster-safe
+    # posture (lazy, recomputable on executor loss; lineage-free
+    # "none" re-executes the fact-table derivation per consumer).
+    labels = GR.label_propagation_fixed(sym, n_iter=2, symmetric=True)
     return labels.groupBy(F.col("label").alias("community")).agg(
         F.count(F.lit(1)).alias("n_members")
     )

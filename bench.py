@@ -87,6 +87,16 @@ HEADLINE = [
     # LSH index (timing includes the per-run index bootstrap + shard
     # append — a real daily run pays only the append + probe)
     "dedup_incremental_lsh",
+    # round-5 additions: single-agg OHLC rollup, deterministic EWMA
+    # fold, decorrelated LATERAL top-k, interval-gap complement,
+    # expression-only URL canonicalization, 2-iteration sync LPA over
+    # a persisted 1.2M-edge frame
+    "timeseries_ohlc",
+    "timeseries_ewma",
+    "join_lateral_topk",
+    "temporal_interval_gaps",
+    "text_url_canonicalize",
+    "graph_label_propagation",
 ]
 
 

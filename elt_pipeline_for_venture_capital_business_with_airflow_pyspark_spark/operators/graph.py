@@ -33,7 +33,7 @@ truncated-power-iteration simplification; feed an undirected
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = [
@@ -363,6 +363,8 @@ def label_propagation_fixed(
     n_iter: int = 2,
     src: str = "src",
     dst: str = "dst",
+    materialize: str = "disk_persist",
+    symmetric: bool = False,
 ) -> DataFrame:
     """Synchronous label propagation (community detection), truncated
     at ``n_iter`` iterations, fully deterministic.
@@ -383,31 +385,86 @@ def label_propagation_fixed(
     Scale shape per iteration: edge⋈label join keyed by ``src``
     (stable key — AQE reuses the edge exchange across iterations),
     partial-agg ``groupBy(dst, label)`` with map-side combine, then a
-    per-dst arg-max window over the (dst, label) *aggregate* (group
-    cardinality ≤ distinct neighbor labels, not edges). Per-node
-    state is one label — adjacency never materializes in memory.
+    per-dst arg-max as a lexicographic struct MIN over
+    (-count, label) — a second plain aggregate (map-side combined, no
+    window sort) over the (dst, label) aggregate, whose cardinality is
+    distinct neighbor labels, not edges. Per-node state is one label —
+    adjacency never materializes in memory.
+    ``materialize`` computes the edge frame once instead of
+    re-deriving it per iteration (modes and default as in
+    :func:`khop_min_dist`; ``release_materialized`` frees the pin).
+    ``symmetric=True`` declares that every edge already appears in
+    both directions (e.g. :func:`symmetrize_edges` output): every
+    node then appears as a ``dst``, so round 1's aggregate already
+    labels the full node set and the separate node-set derivation is
+    skipped — the edge frame is consumed exactly ``n_iter`` times.
+
+    Iteration 1 never joins: labels start as the node ids themselves,
+    so on a distinct edge list every neighbor label occurs exactly
+    once and the round-1 winner is simply MIN(src) per dst — one
+    aggregate straight off the edge frame. Only iterations ≥ 2 pay
+    the generic join + two-aggregate path.
     """
     if n_iter < 1:
         raise ValueError("n_iter must be >= 1")
+    if materialize not in ("local_checkpoint", "disk_persist", "none"):
+        raise ValueError(f"unknown materialize mode: {materialize!r}")
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-    nodes = (
-        e.select(F.col("src").alias("node"))
-        .unionByName(e.select(F.col("dst").alias("node")))
-        .distinct()
-    )
-    labels = nodes.select("node", F.col("node").alias("label"))
-    w = Window.partitionBy("dst").orderBy(F.col("_n").desc(), F.col("label"))
-    for _ in range(n_iter):
-        cnt = (
-            e.join(labels, e["src"] == labels["node"], "inner")
-            .groupBy("dst", "label")
-            .agg(F.count(F.lit(1)).alias("_n"))
+    # The edge frame is consumed once per iteration plus the node
+    # derivation; a DERIVED edge frame (join + distinct upstream)
+    # would re-run that derivation each time — the same trap
+    # khop_min_dist documents. Same mode set and default as khop:
+    # disk_persist is lazy, recomputable on executor loss, tracked in
+    # _PINNED for release_materialized().
+    if materialize == "local_checkpoint":
+        e = e.localCheckpoint()
+    elif materialize == "disk_persist":
+        from pyspark import StorageLevel
+
+        e = e.persist(StorageLevel.DISK_ONLY)
+        _PINNED.append(e)
+    if symmetric:
+        # In a symmetrized graph every node appears as a dst, so the
+        # round-1 aggregate below already yields a label for EVERY
+        # node — no separate node-set derivation (one fewer pass over
+        # the edge frame; total consumers = n_iter).
+        labels = None
+    else:
+        nodes = (
+            e.select(F.col("src").alias("node"))
+            .unionByName(e.select(F.col("dst").alias("node")))
+            .distinct()
         )
-        best = (
-            cnt.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .select(F.col("dst"), F.col("label").alias("_new"))
-        )
+        labels = nodes.select("node", F.col("node").alias("label"))
+    for it in range(n_iter):
+        if it == 0:
+            # Round 1 fast path (see docstring): distinct edges +
+            # identity labels ⇒ all neighbor-label counts are 1 ⇒ the
+            # (count DESC, label ASC) winner is MIN(src).
+            best = e.groupBy("dst").agg(F.min("src").alias("_new"))
+            if labels is None:
+                labels = best.select(
+                    F.col("dst").alias("node"), F.col("_new").alias("label")
+                )
+                continue
+        else:
+            cnt = (
+                e.join(labels, e["src"] == labels["node"], "inner")
+                .groupBy("dst", "label")
+                .agg(F.count(F.lit(1)).alias("_n"))
+            )
+            # arg-max by (count DESC, label ASC) as a lexicographic
+            # struct MIN over (-count, label): a plain aggregate with
+            # map-side combine instead of a row_number window — one
+            # hash exchange, no per-partition sort.
+            best = (
+                cnt.groupBy("dst")
+                .agg(
+                    F.min(F.struct((-F.col("_n")).alias("nn"), F.col("label")))
+                    .getField("label")
+                    .alias("_new")
+                )
+            )
         labels = labels.join(best, labels["node"] == best["dst"], "left").select(
             "node", F.coalesce("_new", "label").alias("label")
         )

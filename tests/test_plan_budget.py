@@ -88,6 +88,19 @@ SHUFFLE_BUDGET = {
     # not part of the returned plan). Budget 2 leaves room for AQE
     # picking a shuffle for the final scoring join at small SF.
     "dedup_incremental_lsh": 2,
+    # round-5 additions. OHLC/EWMA are single key-partitioned aggs;
+    # the lateral decorrelates to one WindowGroupLimit ranking
+    # exchange; interval gaps share the merge's key exchange; URL
+    # canonicalization is scan-stage-only (0). LPA: 4 measured
+    # (round-1 agg, round-2 (dst,label) agg, arg-max agg, final
+    # community agg — edge frame persisted, labels joins broadcast)
+    # + 1 slack for AQE flipping a label-sized broadcast to shuffle.
+    "timeseries_ohlc": 1,
+    "timeseries_ewma": 1,
+    "join_lateral_topk": 1,
+    "temporal_interval_gaps": 1,
+    "text_url_canonicalize": 0,
+    "graph_label_propagation": 5,
 }
 
 
