@@ -3692,6 +3692,33 @@ def _text_url_canonicalize(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_register(
+    "sample_weighted_bernoulli",
+    """
+    SELECT doc_id, lang, n_chars
+    FROM documents
+    WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'wq1'), 1, 8)
+               AS BIGINT) * 600
+          < LEAST(GREATEST(n_chars, 0), 600) * 4294967296
+    """,
+)
+def _sample_weighted_bernoulli(spark: SparkSession, sf: str) -> DataFrame:
+    """Quality-weighted corpus thinning
+    (operators/sampling.weighted_bernoulli_sample): each document kept
+    with probability n_chars/600 (longer docs favored, clamped at 1) —
+    decided by an EXACT integer inequality on the 32-bit md5 prefix of
+    doc_id||salt, so membership is bit-reproducible across engines,
+    executors and retries with no float/pow/log anywhere (the
+    A-Res-style u^(1/w) keys need transcendentals whose last-ulp libm
+    differences can flip borderline rows). Pure scan-stage filter,
+    zero shuffles; the oracle evaluates the identical integers via
+    DuckDB's hex cast."""
+    docs = read_table(spark, sf, "documents")
+    return SMP.weighted_bernoulli_sample(
+        docs, "doc_id", "n_chars", max_weight=600, salt="wq1"
+    ).select("doc_id", "lang", "n_chars")
+
+
+@_register(
     "agg_exact_median",
     """
     SELECT o_orderpriority,

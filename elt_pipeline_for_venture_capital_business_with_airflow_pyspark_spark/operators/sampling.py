@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-__all__ = ["cap_per_group", "weighted_mix"]
+__all__ = ["cap_per_group", "weighted_mix", "weighted_bernoulli_sample"]
 
 
 def cap_per_group(
@@ -78,3 +78,47 @@ def weighted_mix(
         joined.withColumn(epoch_col, F.explode(F.sequence(F.lit(1), w)))
         .drop("_mix_weight")
     )
+
+
+def weighted_bernoulli_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    max_weight: int,
+    *,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic weighted (importance) sampling: each row kept
+    independently with probability ``clamp(weight, 0, max_weight) /
+    max_weight`` — the quality-weighted corpus thinning step of a
+    pretraining pipeline ("keep high-quality documents more often"),
+    with the same determinism contract as :func:`cap_per_group`.
+
+    The coin flip is the row's 32-bit md5 prefix of ``id || salt``
+    compared against the row's weight — an EXACT integer inequality
+    (``hash32 * max_weight < weight * 2^32``), no floats and no
+    transcendental functions anywhere, so every engine, executor and
+    retry agrees on membership bit-for-bit (pow/log differ in the
+    last ulp across libms — enough to flip membership near the
+    threshold). Max product 2^32 · max_weight must stay in BIGINT:
+    enforced for max_weight up to ~2^30.
+
+    A pure scan-stage filter: pushes no worse than any derived
+    predicate, zero shuffles, composable with any downstream op.
+    Change ``salt`` to draw an independent sample (new epoch) —
+    membership across salts is uncorrelated but each is reproducible.
+    """
+    if not 0 < max_weight <= (1 << 30):
+        raise ValueError("max_weight must be in (0, 2^30]")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    w = F.least(
+        F.greatest(F.col(weight_col).cast("bigint"), F.lit(0)),
+        F.lit(int(max_weight)),
+    )
+    return df.filter(h * F.lit(int(max_weight)) < w * F.lit(4294967296))

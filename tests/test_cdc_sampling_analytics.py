@@ -331,3 +331,35 @@ def test_weighted_median_validate_off_skips_check(spark):
         [("a", 1.0, 2.0), ("a", 2.0, -1.0)], ["g", "v", "w"]
     )
     ANA.weighted_median(df, ["g"], "v", "w").collect()  # no raise
+
+
+def test_weighted_bernoulli_sample_rate_and_determinism(spark):
+    """Inclusion tracks the weight (0 -> never, max -> always), reruns
+    are byte-identical, and different salts draw different samples."""
+    from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.operators import (
+        sampling as SMP,
+    )
+
+    rows = [(i, 0 if i < 100 else (1000 if i < 200 else 500)) for i in range(300)]
+    df = spark.createDataFrame(rows, "id long, w long")
+    take = lambda salt: {  # noqa: E731
+        r["id"]
+        for r in SMP.weighted_bernoulli_sample(
+            df, "id", "w", max_weight=1000, salt=salt
+        ).collect()
+    }
+    got = take("s1")
+    # w=0 never sampled; w=max always sampled
+    assert not any(i < 100 for i in got)
+    assert all(i in got for i in range(100, 200))
+    # w=500 -> p=0.5: comfortably between the degenerate extremes
+    mid = sum(1 for i in got if i >= 200)
+    assert 20 <= mid <= 80
+    # reruns identical; a different salt draws a different mid-set
+    assert take("s1") == got
+    assert {i for i in take("other") if i >= 200} != {i for i in got if i >= 200}
+
+    import pytest
+
+    with pytest.raises(ValueError, match="max_weight"):
+        SMP.weighted_bernoulli_sample(df, "id", "w", max_weight=0)
