@@ -786,10 +786,14 @@ def _agg_weighted_median(spark: SparkSession, sf: str) -> DataFrame:
     Exact-decimal cumulative weights make the ``2·cumw ≥ totw``
     threshold an exact comparison (a float cumsum would make the
     boundary row partition-order-dependent); one shuffle on the group
-    key serves both window passes and the final group-by min."""
+    key serves both window passes and the final group-by min.
+    ``validate=False``: l_quantity is non-negative by the TPC-H data
+    contract (and by the testdata generator), so the negative-weight
+    guard is opted out for the codegen-fusion win the docstring
+    describes."""
     li = read_table(spark, sf, "lineitem")
     return ANA.weighted_median(
-        li, ["l_returnflag"], "l_extendedprice", "l_quantity"
+        li, ["l_returnflag"], "l_extendedprice", "l_quantity", validate=False
     )
 
 

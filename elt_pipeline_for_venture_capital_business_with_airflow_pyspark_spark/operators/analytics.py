@@ -315,7 +315,7 @@ def weighted_median(
     value_col: str,
     weight_col: str,
     weight_decimals: str = "decimal(20,4)",
-    validate: bool = False,
+    validate: bool = True,
 ) -> DataFrame:
     """Lower weighted median per group: the smallest value whose
     cumulative weight reaches half the total group weight
@@ -350,13 +350,15 @@ def weighted_median(
     the job (``WEIGHTED_MEDIAN_NEGATIVE_WEIGHT``) — a per-row
     comparison fused into the existing projection, no extra stage or
     exchange, though ``raise_error`` can inhibit codegen fusion in
-    some plan shapes, which is why it is opt-in (same contract as
-    ``cdc_apply_changes``). Note the check runs AFTER the NULL filter:
+    some plan shapes. Note the check runs AFTER the NULL filter:
     a negative weight paired with a NULL ``value_col`` is excluded by
     the filter before it can be checked — such rows cannot affect the
     result, so this is a completeness caveat of the diagnostic, not a
-    correctness hole. Default ``validate=False`` assumes clean
-    weights.
+    correctness hole. Default ``validate=True`` — fail loudly rather
+    than return a silently wrong median; callers that have PROVEN
+    their weights non-negative (a constraint, a prior gate, a
+    generated column) may opt out with ``validate=False`` for the
+    codegen-fusion win.
 
     Returns ``(group_cols…, wmedian, total_weight, n_rows)``.
     """

@@ -25,6 +25,8 @@ linear; everything shuffles on hash keys → uniform partitioning.
 
 from __future__ import annotations
 
+import json as _json
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -549,6 +551,54 @@ def _sig_fn(signature: str):
     raise ValueError(f"unknown signature family: {signature!r}")
 
 
+def _index_fs(spark, path: str):
+    """(jvm, Path-class, FileSystem) for an index root — the same
+    hadoop-FS triple :mod:`..sources.io` uses for versioned tables."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path
+    p = hpath(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    return jvm, hpath, fs
+
+
+def lsh_index_exists(spark, path: str) -> bool:
+    """True iff a persisted LSH index exists at ``path`` — defined as
+    the presence of its ``signatures`` table (written first by
+    :func:`build_lsh_index`, so it exists for any index in any state,
+    including a torn append). An explicit existence test, NOT a
+    try/except around a read: a transient read failure on a real
+    index must surface as an error, never masquerade as "no index
+    yet" (that misread would re-bootstrap and corrupt the corpus)."""
+    _, hpath, fs = _index_fs(spark, path)
+    return bool(fs.exists(hpath(f"{path}/signatures")))
+
+
+def _write_lsh_meta(spark, path: str, meta: dict) -> None:
+    """Persist index parameters as a one-line JSON under
+    ``<path>/meta`` (a text "table" so the write path is the same
+    engine-portable parquet/text sink that works on object stores —
+    no hadoop-FS stream plumbing). NOT underscore-prefixed: Spark's
+    file index treats ``_*`` paths as hidden and silently ignores
+    them, which would make the metadata unreadable by the very reader
+    that wrote it. The name cannot collide with data — signatures and
+    bands are read via their explicit subpaths, never by sweeping the
+    index root."""
+    spark.createDataFrame(
+        [(_json.dumps(meta, sort_keys=True),)], "value string"
+    ).coalesce(1).write.mode("overwrite").text(f"{path}/meta")
+
+
+def read_lsh_meta(spark, path: str) -> dict | None:
+    """Index parameters written by :func:`build_lsh_index` (k,
+    num_hashes, bands, signature family), or None for a pre-metadata
+    index (repair then needs explicit parameters)."""
+    _, hpath, fs = _index_fs(spark, path)
+    if not fs.exists(hpath(f"{path}/meta")):
+        return None
+    rows = spark.read.text(f"{path}/meta").collect()
+    return _json.loads(rows[0]["value"]) if rows else None
+
+
 def build_lsh_index(
     docs: DataFrame,
     path: str,
@@ -559,6 +609,7 @@ def build_lsh_index(
     bands: int = 16,
     signature: str = "poly",
     mode: str = "overwrite",
+    signatures: DataFrame | None = None,
 ) -> None:
     """Persist a corpus LSH index: ``<path>/signatures`` (id,
     signature) and ``<path>/bands`` (id, band, bucket), the state an
@@ -576,24 +627,55 @@ def build_lsh_index(
     column is the join key. ``mode="append"`` adds a shard to an
     existing index (used by the incremental path); ids must be unique
     across appends — this index models immutable document ids, not
-    updates."""
-    sig = _sig_fn(signature)(docs, id_col, text_col, k, num_hashes)
-    sig.write.mode(mode).parquet(f"{path}/signatures")
-    # derive band entries from the JUST-WRITTEN signatures, not the
-    # live plan: the expensive shingle→sign pipeline runs once (for
-    # the signature write); the band write is then a cheap projection
-    # over the parquet it produced
+    updates.
+
+    ``signatures`` may carry a precomputed signature frame for the
+    SAME docs, letting a caller that already evaluated the
+    shingle→sign pipeline (e.g. the streaming sink, which scores
+    pairs before it appends) reuse it instead of re-shingling.
+    CONTRACT: the frame must be lineage-free w.r.t. this index
+    (``localCheckpoint()`` it if its plan reads ``<path>/signatures``)
+    — in append mode the signature write below refreshes that path's
+    file listing, and a live plan that anti-joins against it would
+    re-evaluate to empty for the band write.
+
+    Durability note: signatures commit before bands — a crash between
+    the two writes leaves a detectable torn state (signature ids with
+    no band entries). Run :func:`repair_lsh_index` on recovery; see
+    :func:`verify_lsh_index`."""
     spark = docs.sparkSession
-    sig_on_disk = spark.read.parquet(f"{path}/signatures")
-    if mode == "append":
-        # the signatures dir now holds corpus + shard; band-expand
-        # only the appended shard rows
-        sig_on_disk = sig_on_disk.join(
-            F.broadcast(docs.select(F.col(id_col).alias("id"))), "id", "semi"
-        )
-    band_entries(sig_on_disk, num_hashes, bands).write.mode(
+    sig = (
+        signatures
+        if signatures is not None
+        else _sig_fn(signature)(docs, id_col, text_col, k, num_hashes)
+    )
+    sig.write.mode(mode).parquet(f"{path}/signatures")
+    if signatures is not None:
+        # caller persisted the frame: band-expand it directly
+        shard_sig = signatures
+    else:
+        # derive band entries from the JUST-WRITTEN signatures, not the
+        # live plan: the expensive shingle→sign pipeline runs once (for
+        # the signature write); the band write is then a cheap projection
+        # over the parquet it produced
+        shard_sig = spark.read.parquet(f"{path}/signatures")
+        if mode == "append":
+            # the signatures dir now holds corpus + shard; band-expand
+            # only the appended shard rows
+            shard_sig = shard_sig.join(
+                F.broadcast(docs.select(F.col(id_col).alias("id"))), "id", "semi"
+            )
+    band_entries(shard_sig, num_hashes, bands).write.mode(
         mode
     ).partitionBy("band").parquet(f"{path}/bands")
+    meta = {
+        "k": k,
+        "num_hashes": num_hashes,
+        "bands": bands,
+        "signature": signature,
+    }
+    if mode != "append" or read_lsh_meta(spark, path) is None:
+        _write_lsh_meta(spark, path, meta)
 
 
 def read_lsh_index(spark, path: str) -> tuple[DataFrame, DataFrame]:
@@ -602,19 +684,154 @@ def read_lsh_index(spark, path: str) -> tuple[DataFrame, DataFrame]:
     partition-encoded; cast back to int for join parity). An index
     built from an EMPTY corpus has a bands dir with no partition
     directories at all (a partitioned write of zero rows emits no
-    files), so schema inference has nothing to read — fall back to an
-    empty frame typed off the signatures schema."""
+    files), so schema inference has nothing to read — that ONE case
+    (checked explicitly: no ``band=*`` subdirectories) falls back to
+    an empty frame typed off the signatures schema. Every other
+    failure — corrupt footer, permissions, transient FS error, typo'd
+    path — propagates: a blanket fallback here would silently answer
+    "no corpus candidates" and turn an infrastructure fault into a
+    wrong dedup result."""
+    _, hpath, fs = _index_fs(spark, path)
     sig = spark.read.parquet(f"{path}/signatures")
-    try:
+    bands_dir = hpath(f"{path}/bands")
+    has_partitions = fs.exists(bands_dir) and any(
+        st.isDirectory() and st.getPath().getName().startswith("band=")
+        for st in fs.listStatus(bands_dir)
+    )
+    if has_partitions:
         bands = spark.read.parquet(f"{path}/bands").select(
             "id", F.col("band").cast("int").alias("band"), "bucket"
         )
-    except Exception:
+    else:
         id_type = sig.schema["id"].dataType.simpleString()
         bands = spark.createDataFrame(
             [], f"id {id_type}, band int, bucket long"
         )
     return sig, bands
+
+
+def verify_lsh_index(spark, path: str, bands: int | None = None) -> dict:
+    """Consistency report for a persisted LSH index. The signatures
+    table is the source of truth (:func:`build_lsh_index` commits it
+    first), so the torn-append states are:
+
+    - ``missing_band_ids`` — signature ids with NO band entries (the
+      crash-between-writes state; probes silently never surface these
+      docs as candidates);
+    - ``incomplete_band_ids`` — ids with some but not ``bands``
+      entries (not producible by the job-level commit, would indicate
+      task-level tearing or external edits);
+    - ``orphan_band_ids`` — band entries whose id has no signature
+      (scoring would drop them; also not producible by write order).
+
+    ``consistent`` is True iff all three are zero. Cost: one scan of
+    each table — run on recovery/startup, not per batch."""
+    meta = read_lsh_meta(spark, path)
+    if bands is None:
+        if meta is None:
+            raise ValueError(
+                f"LSH index at {path} has no _meta and no explicit "
+                "bands= was given"
+            )
+        bands = int(meta["bands"])
+    sig, bands_df = read_lsh_index(spark, path)
+    per_id = bands_df.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    joined = sig.select("id").join(per_id, "id", "left").select("n")
+    counts = joined.agg(
+        F.count(F.lit(1)).alias("n_sig"),
+        F.sum(F.when(F.col("n").isNull(), 1).otherwise(0)).alias("missing"),
+        F.sum(
+            F.when(F.col("n").isNotNull() & (F.col("n") != bands), 1).otherwise(0)
+        ).alias("incomplete"),
+    ).first()
+    orphans = per_id.join(sig.select("id"), "id", "left_anti").count()
+    missing = int(counts["missing"] or 0)
+    incomplete = int(counts["incomplete"] or 0)
+    return {
+        "signatures": int(counts["n_sig"]),
+        "missing_band_ids": missing,
+        "incomplete_band_ids": incomplete,
+        "orphan_band_ids": int(orphans),
+        "bands_per_id": bands,
+        "consistent": missing == 0 and incomplete == 0 and orphans == 0,
+    }
+
+
+def repair_lsh_index(spark, path: str) -> dict:
+    """Repair a torn append so probe correctness is restored:
+    signature ids missing their band entries are re-expanded from the
+    persisted signatures (a cheap projection — no re-shingling) and
+    appended; the pathological states (incomplete/orphan entries)
+    rebuild the whole bands table from signatures, which is always
+    sound because bands are a pure function of signatures. Idempotent,
+    and preserves ``incremental == full``: the repaired index is
+    content-identical to one whose appends never tore. Returns the
+    post-repair :func:`verify_lsh_index` report."""
+    meta = read_lsh_meta(spark, path)
+    if meta is None:
+        raise ValueError(
+            f"LSH index at {path} has no _meta — rebuild it with "
+            "build_lsh_index(mode='overwrite')"
+        )
+    num_hashes, n_bands = int(meta["num_hashes"]), int(meta["bands"])
+    report = verify_lsh_index(spark, path, bands=n_bands)
+    if report["consistent"]:
+        return report
+    sig, bands_df = read_lsh_index(spark, path)
+    if report["incomplete_band_ids"] or report["orphan_band_ids"]:
+        from ..sources.io import replace_parquet_atomic
+
+        replace_parquet_atomic(
+            spark,
+            band_entries(sig, num_hashes, n_bands),
+            f"{path}/bands",
+            partition_by=["band"],
+        )
+    else:
+        missing_sig = sig.join(
+            bands_df.select("id").dropDuplicates(["id"]), "id", "left_anti"
+        )
+        band_entries(missing_sig, num_hashes, n_bands).write.mode(
+            "append"
+        ).partitionBy("band").parquet(f"{path}/bands")
+    return verify_lsh_index(spark, path, bands=n_bands)
+
+
+def compact_lsh_index(
+    spark, path: str, target_file_mb: int = 256
+) -> dict:
+    """Small-file compaction for a persisted LSH index. Daily
+    ``mode="append"`` shards add one parquet file per band partition
+    per day — a year of daily increments is ~365 files per band
+    directory, and probe scan planning degrades with file count, not
+    data size. Rewrites ``signatures`` (plain) and ``bands``
+    (partition-preserving: still ``band=*`` directories, ~1 file per
+    target size per partition) via atomic rename swaps.
+
+    Content-identical by construction — only file layout changes — so
+    ``incremental == full`` and every probe/pair result is bit-for-bit
+    unchanged (pinned by tests). Run it on the same cadence as any
+    warehouse compaction (weekly, or when file counts cross a
+    threshold — :func:`..sources.io.table_file_stats` reports them).
+    Returns before/after file counts."""
+    from ..sources import io as IO
+
+    before_sig = IO.parquet_file_count(spark, f"{path}/signatures")
+    before_bands = IO.parquet_file_count(spark, f"{path}/bands")
+    IO.compact_parquet(spark, f"{path}/signatures", target_file_mb)
+    IO.compact_partitioned_parquet(
+        spark, f"{path}/bands", ["band"], target_file_mb
+    )
+    return {
+        "signatures_files": (
+            before_sig,
+            IO.parquet_file_count(spark, f"{path}/signatures"),
+        ),
+        "bands_files": (
+            before_bands,
+            IO.parquet_file_count(spark, f"{path}/bands"),
+        ),
+    }
 
 
 def incremental_lsh_pairs(
@@ -629,6 +846,7 @@ def incremental_lsh_pairs(
     signature: str = "poly",
     update_index: bool = True,
     broadcast_new: bool = True,
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental near-dup detection: today's shard vs a persisted
     corpus LSH index, WITHOUT recomputing anything over the corpus.
@@ -656,7 +874,22 @@ def incremental_lsh_pairs(
     pair plan is derived entirely from the on-disk index via
     semi/anti joins on the shard's id set — evaluating it re-reads
     parquet, never re-shingles — so index-update ∘ apply composes to
-    exactly the full-recompute index."""
+    exactly the full-recompute index.
+
+    Recovery contract: with ``update_index=True`` the append is EAGER
+    and happens before the caller consumes the pairs — a crash after
+    the append but before the caller durably lands its pairs means a
+    replayed run must NOT skip the shard based on "ids already
+    indexed" alone (that degrades pairs to at-most-once). Batch
+    callers that need exactly-once pair output should emit pairs
+    first with ``update_index=False`` then append — that ordering is
+    what :func:`...streaming.incremental.lsh_sink_batch` implements.
+    A crash inside the append itself can tear signatures/bands; run
+    :func:`repair_lsh_index` on recovery. ``signatures`` (used with
+    ``update_index=False``) passes a precomputed signature frame for
+    the shard so the shingle pipeline is not re-evaluated here —
+    lineage-free (``localCheckpoint``) if its plan reads this index,
+    see :func:`build_lsh_index`."""
     spark = new_docs.sparkSession
     new_ids = new_docs.select(F.col(id_col).alias("id"))
     if broadcast_new:
@@ -676,7 +909,11 @@ def incremental_lsh_pairs(
         new_bands = bands_all.join(new_ids, "id", "semi")
         corpus_bands = bands_all.join(new_ids, "id", "left_anti")
     else:
-        new_sig = _sig_fn(signature)(new_docs, id_col, text_col, k, num_hashes)
+        new_sig = (
+            signatures
+            if signatures is not None
+            else _sig_fn(signature)(new_docs, id_col, text_col, k, num_hashes)
+        )
         new_bands = band_entries(new_sig, num_hashes, bands)
         corpus_sig, corpus_bands = read_lsh_index(spark, index_path)
     nb = F.broadcast(new_bands) if broadcast_new else new_bands

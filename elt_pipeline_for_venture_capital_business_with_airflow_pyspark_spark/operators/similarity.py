@@ -549,6 +549,7 @@ def ivf_probe_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """Top-k ANN against a persisted IVF index. Per query, the
     ``n_probe`` nearest cells are computed from the KB-sized centroid
@@ -557,7 +558,15 @@ def ivf_probe_index(
     pushed as a PARTITION filter into the cells scan, so only those
     cell directories are read at all. Scoring and ranking match
     :func:`ivf_topk` exactly: cosine in double with sequential fold,
-    ties to the lowest neighbor id."""
+    ties to the lowest neighbor id.
+
+    ``broadcast_queries`` (default) ships each query vector
+    ``n_probe`` times to every executor — right for the typical
+    few-thousand-query batch, but a huge query batch would exceed
+    broadcast limits. Set it False to fall back to a shuffled hash
+    join on ``cell`` (both sides exchange; same results bit-for-bit —
+    the escape hatch mirroring ``dedup.incremental_lsh_pairs``'s
+    ``broadcast_new``)."""
     spark = queries.sparkSession
     cent_rows = _read_centroids(spark, path)
     if not cent_rows:
@@ -603,8 +612,9 @@ def ivf_probe_index(
     cells = spark.read.parquet(f"{path}/cells").filter(
         F.col("cell").isin(probe_cells)
     )
+    probe_side = F.broadcast(probes) if broadcast_queries else probes
     scored = (
-        cells.join(F.broadcast(probes), on="cell")
+        cells.join(probe_side, on="cell")
         .filter(F.col(id_col) != F.col("query_id"))
         .withColumn(
             "cosine_sim", cosine(F.col("__query_vec"), F.col(vec_col))
@@ -623,6 +633,26 @@ def ivf_probe_index(
             "cosine_sim",
         )
     )
+
+
+def compact_ivf_index(spark, path: str, target_file_mb: int = 256) -> dict:
+    """Small-file compaction for a persisted IVF index: daily
+    :func:`append_ivf_index` shards add one parquet file per cell
+    directory per day, and probe scan planning pays per-file listing
+    and footer overhead even with perfect partition pruning. Rewrites
+    ``cells`` preserving its ``cell=*`` layout (so probes keep pruning
+    at the directory level); the KB-sized ``centroids`` table is
+    already a single file and is left untouched — rewriting it could
+    only risk the frozen-centroid contract. Content-identical, so
+    probe results are bit-for-bit unchanged (pinned by tests).
+    Returns before/after file counts."""
+    from ..sources import io as IO
+
+    before = IO.parquet_file_count(spark, f"{path}/cells")
+    IO.compact_partitioned_parquet(
+        spark, f"{path}/cells", ["cell"], target_file_mb
+    )
+    return {"cells_files": (before, IO.parquet_file_count(spark, f"{path}/cells"))}
 
 
 def embedding_near_dup(

@@ -298,6 +298,7 @@ def replace_parquet_atomic(
     df: DataFrame,
     path: str,
     compression: str = "zstd",
+    partition_by: list[str] | None = None,
 ) -> None:
     """Overwrite ``path`` with ``df`` even when ``df``'s plan reads
     from ``path`` itself (self-referencing rewrites: compaction,
@@ -329,9 +330,12 @@ def replace_parquet_atomic(
 
     if fs.exists(staged):
         fs.delete(staged, True)
-    df.write.mode("overwrite").option("compression", compression).parquet(
-        path + "__swap_new"
-    )
+    writer = df.write.mode("overwrite").option("compression", compression)
+    if partition_by:
+        # preserve a hive-partitioned layout (e.g. an LSH band table's
+        # band=* directories) through the rewrite
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path + "__swap_new")
     if fs.exists(backup):
         fs.delete(backup, True)
     if fs.exists(jpath) and not fs.rename(jpath, backup):
@@ -370,6 +374,70 @@ def compact_parquet(
 
     replace_parquet_atomic(spark, spark.read.parquet(path).repartition(n_files), path)
     return n_files
+
+
+def parquet_file_count(spark: SparkSession, path: str) -> int:
+    """Recursive data-file count under a table dir (parquet files
+    only — markers/checksums skipped). Pure FS metadata, no job."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    n = 0
+    it = fs.listFiles(jpath, True)
+    while it.hasNext():
+        st = it.next()
+        name = st.getPath().getName()
+        if name.endswith(".parquet") and not name.startswith(("_", ".")):
+            n += 1
+    return n
+
+
+def compact_partitioned_parquet(
+    spark: SparkSession,
+    path: str,
+    partition_cols: list[str],
+    target_file_mb: int = 256,
+) -> int:
+    """:func:`compact_parquet` for hive-partitioned dirs: rewrites the
+    table while PRESERVING its ``col=value`` directory layout (so
+    partition-pruned probes keep pruning), collapsing each partition's
+    accumulated small files into ~⌈partition_bytes/target⌉ files.
+
+    Mechanics: rows are shuffled onto the partition columns so all of
+    one partition value lands in one task (one output file per
+    directory); when the average partition exceeds the target size a
+    deterministic row-hash salt widens the shuffle to ``m`` tasks per
+    value (``m`` output files per directory). Content-identical by
+    construction; lands via the same rename swap as
+    :func:`replace_parquet_atomic` (see its object-store caveat).
+    Returns the new file count."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    byte_total = 0
+    it = fs.listFiles(jpath, True)
+    while it.hasNext():
+        st = it.next()
+        if st.getPath().getName().endswith(".parquet"):
+            byte_total += st.getLen()
+
+    df = spark.read.parquet(path)
+    n_values = df.select(*partition_cols).distinct().count()
+    if n_values == 0:
+        return 0
+    target = target_file_mb * 1024 * 1024
+    m = int(max(1, -(-byte_total // (target * n_values))))
+    if m == 1:
+        out = df.repartition(*partition_cols)
+    else:
+        data_cols = [c for c in df.columns if c not in partition_cols]
+        out = (
+            df.withColumn("__salt", F.pmod(F.xxhash64(*data_cols), F.lit(m)))
+            .repartition(*(partition_cols + ["__salt"]))
+            .drop("__salt")
+        )
+    replace_parquet_atomic(spark, out, path, partition_by=partition_cols)
+    return parquet_file_count(spark, path)
 
 
 def write_bucketed(

@@ -243,6 +243,113 @@ def dedup_stream(
     )
 
 
+def lsh_sink_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    index_path: str,
+    pairs_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    k: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+) -> None:
+    """One micro-batch through the persisted LSH corpus index, with
+    EXACTLY-ONCE pair output within a checkpoint lineage. Write order
+    is the whole safety argument:
+
+    1. ids already in the index are dropped (explicit
+       ``lsh_index_exists`` existence test — a transient read failure
+       on a real index raises and lets the checkpoint retry the batch,
+       it is never mistaken for first-batch bootstrap);
+    2. the batch's near-dup pairs are computed WITHOUT updating the
+       index and land as an idempotent overwrite of the
+       ``batch_id=<n>`` partition of ``pairs_path``;
+    3. only then is the shard appended to the index.
+
+    A crash before (3) replays into the same state: the ids are still
+    unindexed, the pairs recompute identically, and the partition
+    overwrite replaces — never duplicates — the earlier attempt. A
+    crash after (3) replays to an empty ``fresh`` set, and because the
+    append is the LAST durable step, "already indexed" proves the
+    pairs already landed — the batch skips safely. (The prior design
+    appended the index first, so that same skip silently LOST the
+    batch's pairs — at-most-once, not exactly-once.) A crash inside
+    (3) itself can tear signatures/bands; ``repair_on_start`` in
+    :func:`streaming_incremental_dedup` heals it on restart.
+
+    The signature frame is computed once and locally checkpointed
+    across steps (2) and (3) — the shingle→sign pipeline never runs
+    twice, and the checkpoint's lineage truncation keeps step (3)'s
+    self-referencing write from re-evaluating it (see inline note).
+    ``batch_id`` partitions are scoped to one checkpoint lineage:
+    restarting from a FRESH checkpoint over the same paths is safe
+    only because already-indexed ids skip in (1); pointing a new
+    lineage over a partially-overlapping corpus at the same
+    ``pairs_path`` may re-key surviving pairs under new batch ids
+    (at-least-once across lineages)."""
+    from ..operators import dedup as DD
+
+    spark = batch_df.sparkSession
+    bootstrap = not DD.lsh_index_exists(spark, index_path)
+    if bootstrap:
+        fresh = batch_df
+    else:
+        existing, _ = DD.read_lsh_index(spark, index_path)
+        fresh = batch_df.join(
+            existing.select(F.col("id").alias(id_col)), id_col, "left_anti"
+        )
+    if fresh.isEmpty():
+        return
+    # localCheckpoint, NOT persist: `fresh`'s plan anti-joins against
+    # the index's signatures parquet, and step (3)'s append to that
+    # very path triggers Spark's recacheByPath — a merely-persisted
+    # frame would be invalidated and RE-EVALUATED against the
+    # refreshed file listing, where the anti-join now excludes the
+    # shard's own just-appended ids and everything downstream (the
+    # band append) silently evaluates to empty. Checkpointing
+    # truncates the lineage so the signatures are physically
+    # materialized once and never recomputed. (Executor loss drops
+    # local checkpoint blocks — the batch then fails and foreachBatch
+    # retries it, which the write order makes safe.)
+    sig = DD.minhash_signatures_poly(
+        fresh, id_col, text_col, k, num_hashes
+    ).localCheckpoint(eager=True)
+    try:
+        if bootstrap:
+            pairs = DD.banded_pairs(sig, num_hashes, bands, threshold)
+        else:
+            pairs = DD.incremental_lsh_pairs(
+                fresh,
+                index_path,
+                id_col,
+                text_col,
+                k=k,
+                num_hashes=num_hashes,
+                bands=bands,
+                threshold=threshold,
+                update_index=False,
+                signatures=sig,
+            )
+        pairs.write.mode("overwrite").parquet(
+            f"{pairs_path}/batch_id={batch_id}"
+        )
+        DD.build_lsh_index(
+            fresh,
+            index_path,
+            id_col,
+            text_col,
+            k,
+            num_hashes,
+            bands,
+            mode="overwrite" if bootstrap else "append",
+            signatures=sig,
+        )
+    finally:
+        sig.unpersist(blocking=False)
+
+
 def streaming_incremental_dedup(
     stream: DataFrame,
     index_path: str,
@@ -254,6 +361,7 @@ def streaming_incremental_dedup(
     k: int = 3,
     num_hashes: int = 64,
     bands: int = 16,
+    repair_on_start: bool = True,
 ):
     """Continuous NEAR-dup detection: each micro-batch of documents is
     signed, checked against the persisted LSH corpus index
@@ -269,46 +377,52 @@ def streaming_incremental_dedup(
     emitted). ``dedup_stream`` (exact key dedup) is the EXACT twin;
     this is the fuzzy one — the two compose, exact-first.
 
-    Replay safety: foreachBatch is at-least-once, and an index append
-    is not naturally idempotent — so each batch first drops ids
-    already present in the index signatures (one broadcast anti-join
-    against the id column of a parquet scan). A replayed batch
-    therefore re-appends nothing and re-emits no corpus pairs;
-    ``pairs_path`` stays append-only (dedupe on (id_a, id_b) at read
-    time if the sink's batch-id tag matters downstream).
+    Replay safety: foreachBatch is at-least-once; pair output is made
+    exactly-once (within a checkpoint lineage) by
+    :func:`lsh_sink_batch`'s write order — pairs land as an idempotent
+    ``batch_id`` partition overwrite BEFORE the index append, and
+    already-indexed ids (detected by an explicit index existence test,
+    never an exception fallback) skip the batch entirely, which is
+    safe precisely because the append commits last. With
+    ``repair_on_start`` (default) the index is verified once at query
+    start and any torn signatures/bands append (a crash inside the
+    append) is healed from the signatures source of truth before the
+    first batch runs.
     """
     from ..operators import dedup as DD
 
+    if repair_on_start and lsh_index_exists_safe(stream, index_path):
+        spark = stream.sparkSession
+        DD.repair_lsh_index(spark, index_path)
+
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        try:
-            existing, _ = DD.read_lsh_index(spark, index_path)
-            batch_df = batch_df.join(
-                existing.select(F.col("id").alias(id_col)),
-                id_col,
-                "left_anti",
-            )
-        except Exception:
-            pass  # no index yet — first batch bootstraps it
-        if batch_df.isEmpty():
-            return
-        pairs = DD.incremental_lsh_pairs(
+        lsh_sink_batch(
             batch_df,
+            batch_id,
             index_path,
-            id_col,
-            text_col,
+            pairs_path,
+            id_col=id_col,
+            text_col=text_col,
+            threshold=threshold,
             k=k,
             num_hashes=num_hashes,
             bands=bands,
-            threshold=threshold,
-            update_index=True,
         )
-        pairs.withColumn("batch_id", F.lit(batch_id)).write.mode(
-            "append"
-        ).parquet(pairs_path)
 
     return (
         stream.writeStream.foreachBatch(sink)
         .option("checkpointLocation", checkpoint)
         .start()
+    )
+
+
+def lsh_index_exists_safe(stream: DataFrame, index_path: str) -> bool:
+    """Existence + repairability test used by ``repair_on_start``: an
+    index is repairable iff its signatures table AND _meta exist (a
+    pre-metadata index verifies only with explicit parameters)."""
+    from ..operators import dedup as DD
+
+    spark = stream.sparkSession
+    return DD.lsh_index_exists(spark, index_path) and (
+        DD.read_lsh_meta(spark, index_path) is not None
     )

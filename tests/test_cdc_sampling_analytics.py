@@ -320,17 +320,18 @@ def test_weighted_median_rejects_negative_weights(spark):
         [("a", 1.0, 2.0), ("a", 2.0, -1.0)], ["g", "v", "w"]
     )
     with pytest.raises(Exception, match="WEIGHTED_MEDIAN_NEGATIVE_WEIGHT"):
-        ANA.weighted_median(df, ["g"], "v", "w", validate=True).collect()
+        # validate=True is the default: a negative weight fails the
+        # job rather than returning a silently wrong median
+        ANA.weighted_median(df, ["g"], "v", "w").collect()
 
 
 def test_weighted_median_validate_off_skips_check(spark):
-    # default validate=False: negative weights are the caller's
-    # responsibility; the job must NOT fail (perf contract — no
-    # raise_error in the projection)
+    # explicit validate=False opt-out for callers with proven-clean
+    # weights (perf contract — no raise_error in the projection)
     df = spark.createDataFrame(
         [("a", 1.0, 2.0), ("a", 2.0, -1.0)], ["g", "v", "w"]
     )
-    ANA.weighted_median(df, ["g"], "v", "w").collect()  # no raise
+    ANA.weighted_median(df, ["g"], "v", "w", validate=False).collect()  # no raise
 
 
 def test_weighted_bernoulli_sample_rate_and_determinism(spark):
