@@ -65,6 +65,9 @@ from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.operat
     similarity as SIM,
 )
 from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.operators import (
+    sketches as SKC,
+)
+from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.operators import (
     skew as SKW,
 )
 from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.operators import (
@@ -81,6 +84,9 @@ from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.operat
 )
 from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.plans import (
     dim_date as DDATE,
+)
+from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.plans import (
+    tpch_partsupp as PSUP,
 )
 from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.sources import (
     read_table,
@@ -3390,6 +3396,44 @@ def _embedding_bitext_mine(spark: SparkSession, sf: str) -> DataFrame:
     left = emb.filter(F.col("label") % 2 == 0)
     right = emb.filter(F.col("label") % 2 == 1)
     return SIM.bitext_margin_mine(left, right, k=4, threshold=1.0)
+
+
+@_register("embedding_bitext_ivf", None)
+def _embedding_bitext_ivf(spark: SparkSession, sf: str) -> DataFrame:
+    """The ANN-backed scale path of embedding_bitext_mine (its
+    hash-checked exact twin — same margin stage, same output schema;
+    rows-only here because IVF neighbor lists are approximate by
+    design, like the LSH trio): both sides are persisted as IVF
+    indexes (corpus partitionBy(cell), frozen deterministic
+    centroids), and the forward/backward top-k come from
+    ivf_probe_index — each probe reads ONLY the probed cell
+    directories via a literal partition filter, so the corpus×corpus
+    mining cost drops from |L|·|R| to |L|·(probed cells), the
+    sub-quadratic shape CCMatrix-scale harvesting needs. The margin
+    re-ranking is unchanged (bitext_margin_mine is oblivious to the
+    neighbor source); recall vs the exact twin is pinned ≥0.6 in
+    tests/test_llm_ops.py::test_bitext_composes_with_ivf_probe and
+    measured in BENCH_SCALING (round-6 addendum)."""
+    import os
+
+    emb = read_table(spark, sf, "embeddings")
+    left = emb.filter(F.col("label") % 2 == 0)
+    right = emb.filter(F.col("label") % 2 == 1)
+    tag = os.path.basename(os.path.normpath(sf))
+    lp = f"/tmp/spark_graft_bitext_ivf_left_{tag}"
+    rp = f"/tmp/spark_graft_bitext_ivf_right_{tag}"
+    SIM.build_ivf_index(
+        left, lp, n_centroids=8, centroid_source=left.filter(F.col("vec_id") < 20)
+    )
+    SIM.build_ivf_index(
+        right, rp, n_centroids=8, centroid_source=right.filter(F.col("vec_id") < 20)
+    )
+
+    def _ann(corpus: DataFrame, qdf: DataFrame, k: int) -> DataFrame:
+        path = rp if corpus is right else lp
+        return SIM.ivf_probe_index(qdf, path, k=k, n_probe=6)
+
+    return SIM.bitext_margin_mine(left, right, k=4, threshold=1.0, topk_fn=_ann)
 
 
 @_register(
@@ -7613,6 +7657,349 @@ def _q20_share_of_part(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# TPC-H partsupp closure (round 6): the driver testdata has no
+# `partsupp`, so q2/q11/q16 and the spec form of q20 were a documented
+# ceiling. `plans/tpch_partsupp.py` synthesizes the relation as a pure
+# function of the part × supplier keys (TPC-H 4.2.3 supplier schedule +
+# affine-mod attributes, integer cents) — generated IDENTICALLY inside
+# Spark and inside each DuckDB oracle below, so the four remaining
+# spec query classes get real hash-checked oracles. Substitutions per
+# query docstring (testdata lacks s_address/s_phone/s_comment/p_mfr).
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q2_min_cost_supplier",
+    f"""
+    WITH {PSUP.PARTSUPP_CTE}
+    SELECT CAST(s.s_acctbal AS DOUBLE) AS s_acctbal, s.s_name, n.n_name,
+           p.p_partkey, p.p_type, s.s_suppkey,
+           ps.ps_supplycost_cents
+    FROM part p
+    JOIN partsupp ps ON p.p_partkey = ps.ps_partkey
+    JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE p.p_size = 15 AND p.p_type = 'ECONOMY' AND r.r_name = 'EUROPE'
+      AND ps.ps_supplycost_cents = (
+        SELECT MIN(ps2.ps_supplycost_cents)
+        FROM partsupp ps2
+        JOIN supplier s2 ON s2.s_suppkey = ps2.ps_suppkey
+        JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+        JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+        WHERE ps2.ps_partkey = p.p_partkey AND r2.r_name = 'EUROPE')
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey, s_suppkey
+    LIMIT 100
+    """,
+)
+def _q2_min_cost_supplier(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q2 (minimum-cost supplier; adapted output columns — the
+    testdata has no s_address/s_phone/p_mfr, so p_type/s_suppkey stand
+    in). The load-bearing shape is the CORRELATED MIN SUBQUERY over the
+    same 4-way join: expressed here pre-decorrelated as a grouped MIN
+    joined back on (part, cost) — the plan Catalyst would produce, made
+    explicit. Region/nation/supplier are broadcast (≤1k rows at any
+    driver sf; at 100 TB supplier stays a broadcastable dim), so the
+    only shuffle is the per-part MIN aggregate; the min-cost frame is
+    itself broadcast back (|parts in one size×type cell| ≪ |partsupp|).
+    Cost is exact int64 cents end-to-end — no float compare.
+    LIMIT 100 with a total-order tiebreak (…, p_partkey, s_suppkey)."""
+    part = read_table(spark, sf, "part")
+    supp = read_table(spark, sf, "supplier")
+    nation = read_table(spark, sf, "nation")
+    region = read_table(spark, sf, "region")
+    ps = PSUP.synthetic_partsupp(part, supp)
+
+    eur_supp = (
+        supp.join(F.broadcast(nation), supp["s_nationkey"] == nation["n_nationkey"])
+        .join(
+            F.broadcast(region.filter(F.col("r_name") == "EUROPE")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    ps_eur = ps.join(
+        F.broadcast(eur_supp), ps["ps_suppkey"] == eur_supp["s_suppkey"], "inner"
+    )
+    min_cost = ps_eur.groupBy("ps_partkey").agg(
+        F.min("ps_supplycost_cents").alias("ps_min_cost")
+    )
+    sized = part.filter((F.col("p_size") == 15) & (F.col("p_type") == "ECONOMY")).select(
+        "p_partkey", "p_type"
+    )
+    return (
+        ps_eur.join(F.broadcast(sized), ps_eur["ps_partkey"] == sized["p_partkey"])
+        .join(
+            F.broadcast(min_cost.withColumnRenamed("ps_partkey", "mc_partkey")),
+            (F.col("p_partkey") == F.col("mc_partkey"))
+            & (F.col("ps_supplycost_cents") == F.col("ps_min_cost")),
+        )
+        .select(
+            F.col("s_acctbal").cast("double").alias("s_acctbal"),
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_type",
+            "s_suppkey",
+            "ps_supplycost_cents",
+        )
+        .orderBy(
+            F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey", "s_suppkey"
+        )
+        .limit(100)
+    )
+
+
+@_register(
+    "q11_important_stock",
+    f"""
+    WITH {PSUP.PARTSUPP_CTE},
+      nat_ps AS (
+        SELECT ps.ps_partkey,
+               ps.ps_supplycost_cents * ps.ps_availqty AS val
+        FROM partsupp ps
+        JOIN supplier s ON ps.ps_suppkey = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        WHERE n.n_name = 'NATION_7'
+      )
+    SELECT ps_partkey, SUM(val) AS value_cents
+    FROM nat_ps
+    GROUP BY ps_partkey
+    HAVING SUM(val) * 1000 > (SELECT SUM(val) FROM nat_ps)
+    ORDER BY value_cents DESC, ps_partkey
+    """,
+)
+def _q11_important_stock(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q11 (important stock): per-part inventory value within one
+    nation, kept where the part's share exceeds 1/1000 of the national
+    total (spec uses 0.0001/SF; 0.001 is scaled to the testdata part
+    counts). The shape is the UNCORRELATED SCALAR AGGREGATE under
+    HAVING: the national total is one broadcastable row computed from
+    the SAME filtered frame — one shuffle for the per-part SUM, the
+    total reused from a 1-row cross join, never a re-scan. All value
+    arithmetic is int64 (cents × qty ≤ 2^30 per row; the ×1000
+    threshold compare stays < 2^63 at any driver sf), so both engines
+    compare exactly — no float fraction."""
+    part = read_table(spark, sf, "part")
+    supp = read_table(spark, sf, "supplier")
+    nation = read_table(spark, sf, "nation")
+    ps = PSUP.synthetic_partsupp(part, supp)
+
+    nat_supp = (
+        supp.join(F.broadcast(nation), supp["s_nationkey"] == nation["n_nationkey"])
+        .filter(F.col("n_name") == "NATION_7")
+        .select("s_suppkey")
+    )
+    nat_ps = ps.join(
+        F.broadcast(nat_supp), ps["ps_suppkey"] == nat_supp["s_suppkey"]
+    ).select(
+        "ps_partkey",
+        (F.col("ps_supplycost_cents") * F.col("ps_availqty")).alias("val"),
+    )
+    per_part = nat_ps.groupBy("ps_partkey").agg(F.sum("val").alias("value_cents"))
+    total = nat_ps.agg(F.sum("val").alias("nat_total"))
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("value_cents") * 1000 > F.col("nat_total"))
+        .select("ps_partkey", "value_cents")
+        .orderBy(F.col("value_cents").desc(), "ps_partkey")
+    )
+
+
+@_register(
+    "q16_supplier_part_counts",
+    f"""
+    WITH {PSUP.PARTSUPP_CTE}
+    SELECT p.p_brand, p.p_type, p.p_size,
+           COUNT(DISTINCT ps.ps_suppkey) AS supplier_cnt
+    FROM partsupp ps
+    JOIN part p ON p.p_partkey = ps.ps_partkey
+    WHERE p.p_brand <> 'Brand#45'
+      AND p.p_type NOT LIKE 'MEDIUM%'
+      AND p.p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+      AND ps.ps_suppkey NOT IN
+            (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
+    """,
+)
+def _q16_supplier_part_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q16 (parts/supplier relationship): distinct suppliers per
+    (brand, type, size) cell over a triple-negative filter. The
+    complaint-supplier exclusion is adapted to s_acctbal < 0 (testdata
+    has no s_comment) but keeps the spec's NOT-IN shape — expressed as
+    a LEFT-ANTI join (s_suppkey is non-null by schema, so anti-join ≡
+    NOT IN), with the excluded-supplier frame broadcast. One shuffle:
+    the COUNT(DISTINCT) aggregate, which Spark expands to a two-phase
+    (partial-distinct then merge) plan — the 100 TB shape, since the
+    distinct set per cell is bounded by |supplier|."""
+    part = read_table(spark, sf, "part")
+    supp = read_table(spark, sf, "supplier")
+    ps = PSUP.synthetic_partsupp(part, supp)
+
+    bad_supp = supp.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    filtered_part = part.filter(
+        (F.col("p_brand") != "Brand#45")
+        & (~F.col("p_type").like("MEDIUM%"))
+        & (F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45))
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    return (
+        ps.join(
+            F.broadcast(bad_supp),
+            ps["ps_suppkey"] == bad_supp["s_suppkey"],
+            "left_anti",
+        )
+        .join(F.broadcast(filtered_part), ps["ps_partkey"] == filtered_part["p_partkey"])
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+@_register(
+    "q20_excess_stock",
+    f"""
+    WITH {PSUP.PARTSUPP_CTE}
+    SELECT s.s_name, CAST(s.s_acctbal AS DOUBLE) AS s_acctbal
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE n.n_name = 'NATION_3'
+      AND s.s_suppkey IN (
+        SELECT ps.ps_suppkey
+        FROM partsupp ps
+        WHERE ps.ps_partkey IN
+                (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+          AND CAST(ps.ps_availqty * 2 AS DECIMAL(20,4)) > (
+            SELECT SUM(CAST(l.l_quantity AS DECIMAL(20,4)))
+            FROM lineitem l
+            WHERE l.l_partkey = ps.ps_partkey
+              AND l.l_suppkey = ps.ps_suppkey
+              AND l.l_shipdate >= TIMESTAMP '1995-01-01'
+              AND l.l_shipdate <  TIMESTAMP '1996-01-01')
+      )
+    ORDER BY s_name
+    """,
+)
+def _q20_excess_stock(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q20 in its FULL spec form (the round-3 adaptation
+    `q20_share_of_part` kept only the correlated-scalar skeleton; the
+    synthetic partsupp restores the real three-level nesting): suppliers
+    in one nation holding excess stock (availqty > half the 1995 shipped
+    volume) of name-matched parts. Written in SQL so Catalyst performs
+    the full decorrelation: the correlated SUM over lineitem becomes a
+    grouped aggregate on (l_partkey, l_suppkey) joined back to partsupp
+    — ONE pass over lineitem with the date filter pushed to the scan,
+    never a per-row re-scan — and both IN subqueries become left-semi
+    joins (part-name filter broadcast). Spec's 0.5 factor is flipped to
+    an exact ×2 integer compare in decimal; NULL-sum groups (no 1995
+    shipments) are excluded by comparison semantics, matching spec."""
+    for name, tbl in (
+        ("part", "part"),
+        ("supplier", "supplier"),
+        ("nation", "nation"),
+        ("lineitem", "lineitem"),
+    ):
+        read_table(spark, sf, tbl).createOrReplaceTempView(f"{name}_q20f_v")
+    PSUP.synthetic_partsupp(
+        read_table(spark, sf, "part"), read_table(spark, sf, "supplier")
+    ).createOrReplaceTempView("partsupp_q20f_v")
+    return spark.sql(
+        """
+        SELECT s.s_name, CAST(s.s_acctbal AS DOUBLE) AS s_acctbal
+        FROM supplier_q20f_v s
+        JOIN nation_q20f_v n ON s.s_nationkey = n.n_nationkey
+        WHERE n.n_name = 'NATION_3'
+          AND s.s_suppkey IN (
+            SELECT ps.ps_suppkey
+            FROM partsupp_q20f_v ps
+            WHERE ps.ps_partkey IN
+                    (SELECT p_partkey FROM part_q20f_v WHERE p_name LIKE 'small%')
+              AND CAST(ps.ps_availqty * 2 AS DECIMAL(20,4)) > (
+                SELECT SUM(CAST(l.l_quantity AS DECIMAL(20,4)))
+                FROM lineitem_q20f_v l
+                WHERE l.l_partkey = ps.ps_partkey
+                  AND l.l_suppkey = ps.ps_suppkey
+                  AND l.l_shipdate >= TIMESTAMP '1995-01-01'
+                  AND l.l_shipdate <  TIMESTAMP '1996-01-01')
+          )
+        ORDER BY s_name
+        """
+    )
+
+
+@_register(
+    "sketch_countmin_topk",
+    """
+    WITH dd AS (SELECT UNNEST([0, 1, 2, 3]) AS d),
+    sketch AS (
+      SELECT dd.d,
+             CAST('0x' || substr(md5(CAST(dd.d AS VARCHAR) || ':'
+                                     || CAST(l_suppkey AS VARCHAR)), 1, 8)
+                  AS BIGINT) % 256 AS bucket,
+             COUNT(*) AS cnt
+      FROM lineitem, dd
+      GROUP BY 1, 2
+    ),
+    topk AS (
+      SELECT l_suppkey, COUNT(*) AS true_cnt
+      FROM lineitem GROUP BY 1
+      ORDER BY true_cnt DESC, l_suppkey LIMIT 20
+    ),
+    est AS (
+      SELECT t.l_suppkey, MIN(COALESCE(s.cnt, 0)) AS est_cnt
+      FROM topk t
+      CROSS JOIN dd
+      LEFT JOIN sketch s
+        ON s.d = dd.d
+       AND s.bucket = CAST('0x' || substr(md5(CAST(dd.d AS VARCHAR) || ':'
+                                     || CAST(t.l_suppkey AS VARCHAR)), 1, 8)
+                           AS BIGINT) % 256
+      GROUP BY 1
+    )
+    SELECT t.l_suppkey, t.true_cnt, e.est_cnt,
+           e.est_cnt >= t.true_cnt AS ge_true
+    FROM topk t JOIN est e USING (l_suppkey)
+    ORDER BY true_cnt DESC, l_suppkey
+    """,
+)
+def _sketch_countmin_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Count-min frequency sketch (operators/sketches.countmin_build /
+    countmin_estimate) — a sketch query with a REAL hash-checked
+    oracle, possible because the whole 4×256 counter state is
+    md5-derived and ANSI-SQL-expressible (same exact-integer idiom as
+    sample_weighted_bernoulli), no engine-internal estimator anywhere.
+    Shape: one scan of lineitem exploded ×4 into one counter groupBy
+    (KB-scale state regardless of input size, counter-wise mergeable
+    across slices — pinned in tests/test_sketches.py); estimates for
+    the top-20 true-frequency suppliers come from broadcasting the
+    counter table onto the keys, min over 4 counters each. The output
+    pins the CM overestimate guarantee (ge_true) per key, so a
+    hash-collision arithmetic drift in EITHER engine flips a boolean
+    the driver hashes."""
+    li = read_table(spark, sf, "lineitem")
+    sk = SKC.countmin_build(li, "l_suppkey", depth=4, width=256)
+    topk = (
+        li.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("true_cnt"))
+        .orderBy(F.col("true_cnt").desc(), "l_suppkey")
+        .limit(20)
+    )
+    est = SKC.countmin_estimate(
+        sk, topk.select("l_suppkey"), "l_suppkey", depth=4, width=256
+    )
+    return (
+        topk.join(est, "l_suppkey")
+        .select(
+            "l_suppkey",
+            "true_cnt",
+            "est_cnt",
+            (F.col("est_cnt") >= F.col("true_cnt")).alias("ge_true"),
+        )
+        .orderBy(F.col("true_cnt").desc(), "l_suppkey")
+    )
+
+
+# ---------------------------------------------------------------------------
 # driver verification window
 #
 # The correctness driver hash-checks the FIRST 50 registry entries in
@@ -7674,6 +8061,7 @@ _NO_ORACLE_TWINS: dict[str, str] = {
     "embedding_near_dup_lsh": "embedding_near_dup_sqlcheck",
     "embedding_ann_lsh": "embedding_ann_sqlcheck",
     "embedding_ivf_topk": "embedding_ivf_sqlcheck",
+    "embedding_bitext_ivf": "embedding_bitext_mine",
 }
 
 _DRIVER_WINDOW = 50

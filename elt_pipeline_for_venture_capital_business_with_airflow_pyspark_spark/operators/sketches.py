@@ -18,9 +18,12 @@ the whole — merge-of-partials == agg-of-whole, exactly the contract
 incremental materialized views need. KLL merges are estimate-stable
 within the sketch's rank-error bound rather than bit-exact.
 
-These are estimation operators; they are deliberately NOT registered
-as DuckDB-oracle queries (the estimate is engine-internal). Exactness
-is instead asserted against Spark's own exact aggregates in pytest.
+The HLL/KLL estimators are deliberately NOT registered as
+DuckDB-oracle queries (the estimate is engine-internal); exactness is
+instead asserted against Spark's own exact aggregates in pytest. The
+count-min sketch (round 6) is the exception: its state is md5-derived
+and fully ANSI-SQL-expressible, so `sketch_countmin_topk` carries a
+real hash-checked oracle.
 """
 
 from __future__ import annotations
@@ -33,6 +36,8 @@ __all__ = [
     "hll_rollup",
     "kll_quantile_partials",
     "kll_quantile_rollup",
+    "countmin_build",
+    "countmin_estimate",
 ]
 
 
@@ -130,3 +135,90 @@ def kll_quantile_rollup(
         for q in quantiles
     ]
     return merged.select(*group_cols, *cols)
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (round 6) — unlike the DataSketches HLL/KLL above,
+# this one is built from the repo's cross-engine md5 idiom, so its
+# whole state (and therefore every estimate) is DETERMINISTIC and
+# ANSI-SQL-expressible: the registry entry `sketch_countmin_topk`
+# hash-checks the estimates against a DuckDB oracle bit-for-bit —
+# a sketch with a real oracle, not just a pytest accuracy bound.
+# ---------------------------------------------------------------------------
+
+
+def _cm_bucket(key: F.Column, d: F.Column, width: int) -> F.Column:
+    """Row-``d`` bucket for a key: 32-bit md5 prefix of ``d:key`` mod
+    width — the same exact-integer hash family as
+    sampling.weighted_bernoulli_sample (DuckDB twin:
+    ``CAST('0x'||substr(md5(d||':'||key),1,8) AS BIGINT) % width``)."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(d.cast("string"), F.lit(":"), key.cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return F.pmod(h, F.lit(width))
+
+
+def countmin_build(
+    df: DataFrame,
+    key_col: str,
+    *,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Build a count-min sketch of ``key_col`` frequencies:
+    ``depth × width`` counters as rows ``(d, bucket, cnt)``.
+
+    One scan (the depth axis is an exploded literal array, not
+    ``depth`` passes) and one shuffle (the counter groupBy). The
+    counter table is ``depth·width`` rows — KB-scale state for any
+    input size, and MERGEABLE: sketches of disjoint slices sum
+    counter-wise to the sketch of the union (pinned in
+    tests/test_sketches.py), so per-day partials roll up without
+    revisiting raw data, the same contract as :func:`hll_partials`.
+
+    Cross-engine determinism: the counter values are plain COUNTs
+    under md5-derived bucketing — no RNG, no platform-dependent hash —
+    so a DuckDB replica of this SQL yields the identical counter
+    table."""
+    if depth < 1 or width < 1:
+        raise ValueError("depth and width must be positive")
+    d = F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("d")
+    return (
+        df.select(F.col(key_col).alias("__k"))
+        .select("__k", d)
+        .groupBy("d", _cm_bucket(F.col("__k"), F.col("d"), width).alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def countmin_estimate(
+    sketch: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    *,
+    depth: int = 4,
+    width: int = 256,
+    out_col: str = "est_cnt",
+) -> DataFrame:
+    """Point-estimate frequencies for ``keys`` from a
+    :func:`countmin_build` sketch: min over the key's ``depth``
+    counters (the classic CM guarantee: estimate ≥ true count, with
+    overestimate ≤ εN at probability 1-δ for width=e/ε, depth=ln 1/δ).
+
+    The sketch side is KB-scale, so it is BROADCAST onto the keys —
+    estimating any number of keys is a map-side join, no shuffle of
+    the key frame; a missing counter row can only mean count 0 and
+    coalesces accordingly."""
+    d = F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("d")
+    expanded = keys.select(F.col(key_col), d).withColumn(
+        "bucket", _cm_bucket(F.col(key_col), F.col("d"), width)
+    )
+    return (
+        expanded.join(F.broadcast(sketch), ["d", "bucket"], "left")
+        .groupBy(key_col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias(out_col))
+    )

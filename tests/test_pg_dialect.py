@@ -1,0 +1,106 @@
+"""Postgres dialect layer (round 6): upsert/DDL string generation unit
+tests, plus an executable semantics check — DuckDB implements the same
+``INSERT … ON CONFLICT (pk) DO UPDATE SET c = EXCLUDED.c`` surface, so
+the generated statements are RUN (with ``%s``→``?`` placeholder swap)
+to prove they actually merge, not just look right. No live Postgres
+needed; the remaining waiver is connectivity only."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import types as T
+
+from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.sources import (
+    dialects as D,
+)
+
+
+def test_upsert_update_statement_shape():
+    sql = D.pg_upsert_sql(
+        "dim_company", ["nk_company_id", "name", "city"], ["nk_company_id"]
+    )
+    assert sql == (
+        'INSERT INTO "dim_company" ("nk_company_id", "name", "city")\n'
+        "VALUES (%s, %s, %s)\n"
+        'ON CONFLICT ("nk_company_id") DO '
+        'UPDATE SET "name" = EXCLUDED."name", "city" = EXCLUDED."city"'
+    )
+
+
+def test_upsert_do_nothing_and_restricted_update():
+    sql = D.pg_upsert_sql("t", ["k", "a"], ["k"], when_matched="nothing")
+    assert sql.endswith("DO NOTHING")
+    sql2 = D.pg_upsert_sql("t", ["k", "a", "b"], ["k"], update_cols=["b"])
+    assert 'UPDATE SET "b" = EXCLUDED."b"' in sql2 and '"a" = EXCLUDED' not in sql2
+    # all-key table: update degrades to DO NOTHING (pg rejects empty SET)
+    assert D.pg_upsert_sql("t", ["k1", "k2"], ["k1", "k2"]).endswith("DO NOTHING")
+
+
+def test_identifier_quoting_hostile_names():
+    assert D.pg_quote_ident('we"ird') == '"we""ird"'
+    sql = D.pg_upsert_sql("order; drop", ['sel"ect', "v"], ['sel"ect'])
+    assert '"order; drop"' in sql and '"sel""ect"' in sql
+    with pytest.raises(ValueError):
+        D.pg_quote_ident("")
+
+
+def test_validation_errors():
+    with pytest.raises(ValueError, match="key columns"):
+        D.pg_upsert_sql("t", ["a"], ["k"])
+    with pytest.raises(ValueError, match="key columns"):
+        D.pg_upsert_sql("t", ["a"], [])
+    with pytest.raises(ValueError, match="non-key"):
+        D.pg_upsert_sql("t", ["k", "a"], ["k"], update_cols=["k"])
+    with pytest.raises(ValueError, match="when_matched"):
+        D.pg_upsert_sql("t", ["k", "a"], ["k"], when_matched="replace")
+
+
+def test_type_mapping():
+    assert D.pg_type_for(T.DoubleType()) == "DOUBLE PRECISION"
+    assert D.pg_type_for(T.DecimalType(12, 2)) == "NUMERIC(12,2)"
+    assert D.pg_type_for(T.ArrayType(T.FloatType())) == "REAL[]"
+    assert D.pg_type_for(T.LongType()) == "BIGINT"
+    assert D.pg_type_for(T.BinaryType()) == "BYTEA"
+    with pytest.raises(ValueError, match="flatten"):
+        D.pg_type_for(T.MapType(T.StringType(), T.LongType()))
+
+
+def test_create_table_ddl():
+    schema = T.StructType(
+        [
+            T.StructField("sk_id", T.LongType(), False),
+            T.StructField("name", T.StringType(), True),
+            T.StructField("amount_usd", T.DecimalType(20, 2), True),
+        ]
+    )
+    ddl = D.pg_create_table_sql(schema, "dim_funds", key_cols=["sk_id"])
+    assert '"sk_id" BIGINT NOT NULL' in ddl
+    assert '"amount_usd" NUMERIC(20,2)' in ddl
+    assert 'PRIMARY KEY ("sk_id")' in ddl
+    with pytest.raises(ValueError, match="not in schema"):
+        D.pg_create_table_sql(schema, "t", key_cols=["nope"])
+
+
+def test_generated_statements_execute_and_merge():
+    """Run the generated DDL + upsert against DuckDB's ON CONFLICT
+    implementation: insert, conflict-update, and conflict-ignore must
+    produce exactly the merged relation."""
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType(), False),
+            T.StructField("v", T.StringType(), True),
+            T.StructField("n", T.DoubleType(), True),
+        ]
+    )
+    con = duckdb.connect()
+    con.execute(D.pg_create_table_sql(schema, "t", key_cols=["k"]))
+    up = D.pg_upsert_sql("t", ["k", "v", "n"], ["k"]).replace("%s", "?")
+    con.executemany(up, [(1, "a", 1.0), (2, "b", 2.0)])
+    con.executemany(up, [(2, "B", 20.0), (3, "c", 3.0)])  # update + insert
+    ign = D.pg_upsert_sql("t", ["k", "v", "n"], ["k"], when_matched="nothing").replace(
+        "%s", "?"
+    )
+    con.executemany(ign, [(3, "XX", 99.0), (4, "d", 4.0)])  # ignored + insert
+    rows = con.execute("SELECT k, v, n FROM t ORDER BY k").fetchall()
+    assert rows == [(1, "a", 1.0), (2, "B", 20.0), (3, "c", 3.0), (4, "d", 4.0)]

@@ -87,3 +87,68 @@ def test_hll_partials_survive_parquet_round_trip(spark, sf_dir, tmp_path):
         for r in SK.hll_rollup(partials, ["event_type"]).collect()
     }
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch (round 6)
+# ---------------------------------------------------------------------------
+
+
+def test_countmin_estimate_never_undercounts(spark, sf_dir):
+    """The CM guarantee: est >= true for EVERY key (min over rows of
+    counters that each include the key's full count)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    sk = SK.countmin_build(li, "l_suppkey", depth=4, width=64)
+    true = li.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("t"))
+    est = SK.countmin_estimate(
+        sk, true.select("l_suppkey"), "l_suppkey", depth=4, width=64
+    )
+    bad = (
+        true.join(est, "l_suppkey")
+        .filter(F.col("est_cnt") < F.col("t"))
+        .count()
+    )
+    assert bad == 0
+
+
+def test_countmin_exact_when_width_dominates(spark, sf_dir):
+    """With width >> #keys and depth 4, collisions across all 4 rows
+    are (deterministically, for this data) absent — estimates equal
+    exact counts, proving the counter arithmetic itself is exact."""
+    li = read_table(spark, sf_dir, "lineitem")
+    sk = SK.countmin_build(li, "l_suppkey", depth=4, width=8192)
+    true = li.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("t"))
+    est = SK.countmin_estimate(
+        sk, true.select("l_suppkey"), "l_suppkey", depth=4, width=8192
+    )
+    diff = (
+        true.join(est, "l_suppkey").filter(F.col("est_cnt") != F.col("t")).count()
+    )
+    assert diff == 0
+
+
+def test_countmin_merge_of_partials_equals_whole(spark, sf_dir):
+    """Mergeability: counter-wise SUM of two disjoint slices' sketches
+    == sketch of the union, bit-for-bit (the daily-rollup contract)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_orderkey") % 2 == 0)
+    b = li.filter(F.col("l_orderkey") % 2 == 1)
+    merged = (
+        SK.countmin_build(a, "l_suppkey")
+        .unionByName(SK.countmin_build(b, "l_suppkey"))
+        .groupBy("d", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    whole = SK.countmin_build(li, "l_suppkey")
+    assert merged.exceptAll(whole).count() == 0
+    assert whole.exceptAll(merged).count() == 0
+
+
+def test_countmin_missing_key_estimates_small(spark, sf_dir):
+    """A key never inserted estimates as its collision mass only —
+    0 when some row has an untouched bucket (width >> keys)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    sk = SK.countmin_build(li, "l_suppkey", depth=4, width=8192)
+    ghost = spark.range(1).select(F.lit(10_000_000).alias("l_suppkey"))
+    est = SK.countmin_estimate(sk, ghost, "l_suppkey", depth=4, width=8192)
+    assert est.collect()[0]["est_cnt"] == 0
