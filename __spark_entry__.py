@@ -7999,6 +7999,66 @@ def _sketch_countmin_topk(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_HLL_CONST = 0.709 * 64 * 64 * (1 << 27)  # same association order both engines
+
+
+@_register(
+    "sketch_hll_deterministic",
+    f"""
+    WITH h AS (
+      SELECT o_orderstatus,
+             CAST('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 8)
+                  AS BIGINT) AS hv
+      FROM orders
+    ),
+    regs AS (
+      SELECT o_orderstatus, hv % 64 AS bucket,
+             MAX(CASE WHEN instr(lpad(bin(hv // 64), 26, '0'), '1') = 0
+                      THEN 27
+                      ELSE instr(lpad(bin(hv // 64), 26, '0'), '1') END) AS r
+      FROM h GROUP BY 1, 2
+    ),
+    est AS (
+      SELECT o_orderstatus,
+             CAST(SUM(CAST(1 AS BIGINT) << (27 - r))
+                  + (64 - COUNT(*)) * 134217728 AS BIGINT) AS register_sum,
+             CAST(64 - COUNT(*) AS BIGINT) AS zero_registers
+      FROM regs GROUP BY 1
+    ),
+    ex AS (
+      SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS exact_custs
+      FROM orders GROUP BY 1
+    )
+    SELECT e.o_orderstatus, ex.exact_custs, e.register_sum, e.zero_registers,
+           {_HLL_CONST!r} / e.register_sum AS hll_raw_est
+    FROM est e JOIN ex USING (o_orderstatus)
+    """,
+)
+def _sketch_hll_deterministic(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic HyperLogLog (operators/sketches.hll_det_registers
+    / hll_det_estimate): the oracle-checkable sibling of the
+    DataSketches HLL path — md5-bucketed registers, rho from string
+    ops on bin() (no log/pow anywhere), harmonic-mean denominator kept
+    as an EXACT scaled integer (absent registers contribute 2^27), one
+    final IEEE division of identical operands. The oracle replays the
+    identical arithmetic in DuckDB, so the register table, zero-count
+    AND the raw estimate hash-match bit-for-bit — a cardinality
+    sketch whose full state is cross-engine reproducible (per-bucket
+    MAX merge pinned in tests/test_sketches.py; DataSketches' HLL++
+    remains the production-accuracy path, hll_partials).
+    Exact counts ride along so the estimate is auditable per group."""
+    orders = read_table(spark, sf, "orders")
+    regs = SKC.hll_det_registers(orders, "o_custkey", ["o_orderstatus"])
+    est = SKC.hll_det_estimate(regs, ["o_orderstatus"])
+    exact = orders.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("exact_custs")
+    )
+    return est.join(exact, "o_orderstatus").select(
+        "o_orderstatus", "exact_custs", "register_sum", "zero_registers",
+        "hll_raw_est",
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver verification window
 #
@@ -8032,8 +8092,10 @@ _WINDOW_ORDER: list[str] = [
     "join_asof_backward", "join_range_interval", "scd2_order_status",
     # aggregation (S9 via spark.sql + stats family; agg_collect_sorted
     # moved to the tail sweep in r5 to make room for the incremental
-    # dedup flagship)
-    "agg_grouping_sets", "agg_stats", "agg_percentiles",
+    # dedup flagship; agg_percentiles moved to the tail in r6 to make
+    # room for the bitext-mining exact twin — the percentile family
+    # keeps agg_percentile_disc_cont + agg_exact_median in the sweep)
+    "agg_grouping_sets", "agg_stats",
     # windows / sessions (streaming batch-twin evidence)
     "window_topk_per_group", "sessionize",
     # data quality / hypertable / curation flagship
@@ -8046,8 +8108,10 @@ _WINDOW_ORDER: list[str] = [
     "dedup_exact_groups", "dedup_ngram_jaccard", "dedup_connected_components",
     "dedup_minhash_poly", "dedup_simhash_poly", "dedup_incremental_lsh",
     "dedup_edit1_names",
-    # embedding similarity (hash-checked twins of the LSH/IVF paths)
+    # embedding similarity (hash-checked twins of the LSH/IVF paths,
+    # + the exact bitext-mining twin of embedding_bitext_ivf)
     "embedding_near_dup_sqlcheck", "embedding_ann_sqlcheck", "embedding_ivf_sqlcheck",
+    "embedding_bitext_mine",
     # multimodal plumbing (Arrow boundary columns oracled)
     "multimodal_features", "multimodal_frame_sample",
 ]

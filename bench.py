@@ -97,6 +97,16 @@ HEADLINE = [
     "temporal_interval_gaps",
     "text_url_canonicalize",
     "graph_label_propagation",
+    # round-6 additions: the four TPC-H queries the synthetic partsupp
+    # unlocks (correlated MIN, uncorrelated scalar-agg HAVING, triple-
+    # negative COUNT DISTINCT, three-level nested IN + correlated SUM)
+    # and the oracle-checked count-min sketch build+estimate
+    "q2_min_cost_supplier",
+    "q11_important_stock",
+    "q16_supplier_part_counts",
+    "q20_excess_stock",
+    "sketch_countmin_topk",
+    "sketch_hll_deterministic",
 ]
 
 

@@ -147,6 +147,79 @@ def kll_quantile_rollup(
 # ---------------------------------------------------------------------------
 
 
+def hll_det_registers(
+    df: DataFrame,
+    key_col: str,
+    group_cols: list[str],
+    *,
+    m: int = 64,
+) -> DataFrame:
+    """Deterministic HyperLogLog register table — the oracle-checkable
+    sibling of :func:`hll_partials` (whose DataSketches state is
+    engine-internal): per group and bucket ``j = md5_32(key) % m``,
+    the register is ``max(rho)`` where rho is 1 + the number of
+    leading zeros of the hash's remaining 26 bits (Flajolet et al.'s
+    estimator, computed with string ops on ``bin()`` — no log/pow, so
+    Spark and an ANSI-SQL replica agree bit-for-bit).
+
+    Mergeable the HLL way: registers of disjoint slices combine by
+    per-bucket MAX into exactly the whole's registers (pinned in
+    tests/test_sketches.py). One shuffle; ≤ m rows per group."""
+    if m & (m - 1) or m < 2:
+        raise ValueError("m must be a power of two >= 2")
+    pane = 32 - (m.bit_length() - 1)  # bits left of the hash after bucketing
+    h = F.conv(
+        F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10
+    ).cast("bigint")
+    # h < 2^32 ⇒ h div m < 2^pane: rho scans a fixed pane-bit window
+    pos = F.instr(F.lpad(F.bin(F.expr(f"__h div {m}")), pane, "0"), "1")
+    rho = F.when(pos == 0, F.lit(pane + 1)).otherwise(pos)
+    return (
+        df.select(*group_cols, h.alias("__h"))
+        .withColumn("bucket", F.pmod(F.col("__h"), F.lit(m)))
+        .withColumn("__rho", rho)
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("__rho").alias("r"))
+    )
+
+
+def hll_det_estimate(
+    registers: DataFrame,
+    group_cols: list[str],
+    *,
+    m: int = 64,
+    out_col: str = "hll_raw_est",
+) -> DataFrame:
+    """Raw HLL estimate from a :func:`hll_det_registers` table, in
+    EXACT integer arithmetic until the single final division: the
+    harmonic-mean denominator Σ 2^-r is scaled by 2^27 so every term
+    (absent buckets contribute r=0 ⇒ 2^27) is an exact BIGINT — the
+    sum stays < m·2^27 ≪ 2^63 — and the estimate
+    ``0.709·m²·2^27 / S`` is one IEEE division of exact operands,
+    identical on any engine. No bias/small-range correction (those
+    need log; this estimator's contract is determinism — use the
+    DataSketches path when you want HLL++ accuracy), so accuracy is
+    pinned in pytest, cross-engine equality in the registry oracle."""
+    if m & (m - 1) or m < 2:
+        raise ValueError("m must be a power of two >= 2")
+    top = 32 - (m.bit_length() - 1) + 1  # rho_max; scale factor 2^top
+    n_present = F.count(F.lit(1))
+    s_present = F.sum(F.expr(f"shiftleft(cast(1 as bigint), {top} - r)"))
+    return (
+        registers.groupBy(*group_cols)
+        .agg(
+            (s_present + (F.lit(m) - n_present) * F.lit(1 << top)).alias(
+                "register_sum"
+            ),
+            (F.lit(m) - n_present).cast("bigint").alias("zero_registers"),
+        )
+        .withColumn(
+            out_col,
+            F.lit(float(0.709 * m * m * (1 << top))) / F.col("register_sum"),
+        )
+    )
+
+
 def _cm_bucket(key: F.Column, d: F.Column, width: int) -> F.Column:
     """Row-``d`` bucket for a key: 32-bit md5 prefix of ``d:key`` mod
     width — the same exact-integer hash family as

@@ -101,6 +101,23 @@ SHUFFLE_BUDGET = {
     "temporal_interval_gaps": 1,
     "text_url_canonicalize": 0,
     "graph_label_propagation": 5,
+    # round-6: partsupp TPC-H closure + count-min. q2/q11 measure 0 at
+    # sf0.001 (every join broadcast, partsupp derives shuffle-free
+    # from the part scan, the per-part MIN/SUM aggs land on AQE
+    # coalesced single-stage partials) — budget 1 leaves room for AQE
+    # keying the agg at larger SF. q16: partial-distinct expand +
+    # merge (2). q20: the decorrelated (l_partkey, l_suppkey) SUM (1)
+    # + 1 slack for a semi join flipping off broadcast. countmin: the
+    # counter groupBy, the true-count groupBy, and the estimate's
+    # per-key min agg (3) — the sketch side stays broadcast.
+    "q2_min_cost_supplier": 1,
+    "q11_important_stock": 1,
+    "q16_supplier_part_counts": 3,
+    "q20_excess_stock": 2,
+    "sketch_countmin_topk": 3,
+    # register groupBy + estimate groupBy + exact countDistinct's
+    # expand/merge pair (the audit ride-along, not the sketch)
+    "sketch_hll_deterministic": 4,
 }
 
 

@@ -152,3 +152,52 @@ def test_countmin_missing_key_estimates_small(spark, sf_dir):
     ghost = spark.range(1).select(F.lit(10_000_000).alias("l_suppkey"))
     est = SK.countmin_estimate(sk, ghost, "l_suppkey", depth=4, width=8192)
     assert est.collect()[0]["est_cnt"] == 0
+
+
+# ---------------------------------------------------------------------------
+# deterministic HLL (round 6)
+# ---------------------------------------------------------------------------
+
+
+def test_hll_det_merge_by_bucket_max_equals_whole(spark, sf_dir):
+    """HLL merge law for the deterministic registers: per-bucket MAX
+    of two disjoint slices' registers == the whole's registers."""
+    ev = read_table(spark, sf_dir, "orders")
+    a = ev.filter(F.col("o_orderkey") % 2 == 0)
+    b = ev.filter(F.col("o_orderkey") % 2 == 1)
+    merged = (
+        SK.hll_det_registers(a, "o_custkey", ["o_orderstatus"])
+        .unionByName(SK.hll_det_registers(b, "o_custkey", ["o_orderstatus"]))
+        .groupBy("o_orderstatus", "bucket")
+        .agg(F.max("r").alias("r"))
+    )
+    whole = SK.hll_det_registers(ev, "o_custkey", ["o_orderstatus"])
+    assert merged.exceptAll(whole).count() == 0
+    assert whole.exceptAll(merged).count() == 0
+
+
+def test_hll_det_estimate_within_rse_bound(spark, sf_dir):
+    """Raw-HLL accuracy on the all-registers-hit regime: m=64 gives
+    RSE ~1.04/sqrt(64) = 13%; allow 3 sigma. Only asserted for groups
+    big enough that no register is empty (the raw estimator's domain —
+    the operator documents that small-range correction is deliberately
+    absent)."""
+    ev = read_table(spark, sf_dir, "orders")
+    regs = SK.hll_det_registers(ev, "o_orderkey", ["o_orderstatus"])
+    est = SK.hll_det_estimate(regs, ["o_orderstatus"])
+    exact = ev.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_orderkey").alias("t")
+    )
+    rows = est.join(exact, "o_orderstatus").filter(
+        F.col("zero_registers") == 0
+    ).collect()
+    assert rows, "no saturated group — shrink m or pick a bigger key"
+    for r in rows:
+        assert abs(r.hll_raw_est - r.t) / r.t < 0.4, r
+
+
+def test_hll_det_rejects_non_power_of_two():
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        SK.hll_det_estimate(None, ["g"], m=48)
