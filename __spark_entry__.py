@@ -8059,6 +8059,265 @@ def _sketch_hll_deterministic(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@_register(
+    "sketch_hll_rollup",
+    f"""
+    WITH h AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS mon,
+             o_orderdate AS day,
+             CAST('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 8)
+                  AS BIGINT) AS hv
+      FROM orders
+    ),
+    daily AS (
+      SELECT mon, day, hv % 64 AS bucket,
+             MAX(CASE WHEN instr(lpad(bin(hv // 64), 26, '0'), '1') = 0
+                      THEN 27
+                      ELSE instr(lpad(bin(hv // 64), 26, '0'), '1') END) AS r
+      FROM h GROUP BY 1, 2, 3
+    ),
+    monthly AS (
+      SELECT mon, bucket, MAX(r) AS r FROM daily GROUP BY 1, 2
+    ),
+    est AS (
+      SELECT mon,
+             CAST(SUM(CAST(1 AS BIGINT) << (27 - r))
+                  + (64 - COUNT(*)) * 134217728 AS BIGINT) AS register_sum,
+             CAST(64 - COUNT(*) AS BIGINT) AS zero_registers
+      FROM monthly GROUP BY 1
+    ),
+    ex AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS mon,
+             COUNT(DISTINCT o_custkey) AS exact_custs
+      FROM orders GROUP BY 1
+    )
+    SELECT e.mon, ex.exact_custs, e.register_sum, e.zero_registers,
+           {_HLL_CONST!r} / e.register_sum AS hll_raw_est
+    FROM est e JOIN ex USING (mon)
+    """,
+)
+def _sketch_hll_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """Sketch ROLLUP without rescan (operators/sketches.hll_det_rollup):
+    per-(month, day) HLL register tables merge to per-month registers
+    by per-bucket MAX — the continuous-aggregate contract
+    (reference recounts whole tables per profiling run,
+    dags/data_profiling/query/data_profiling_function.sql:37; here a
+    month's distinct-customer count derives from the KB-scale daily
+    register table, never the raw orders again). The oracle replays
+    the identical two-level merge in DuckDB, so the rolled-up register
+    state AND the estimate hash-match bit-for-bit; exact per-month
+    distinct counts ride along for auditability."""
+    orders = read_table(spark, sf, "orders")
+    mon = F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("mon")
+    base = orders.select(
+        mon, F.col("o_orderdate").alias("day"), "o_custkey"
+    )
+    daily = SKC.hll_det_registers(base, "o_custkey", ["mon", "day"])
+    monthly = SKC.hll_det_rollup(daily, ["mon"])
+    est = SKC.hll_det_estimate(monthly, ["mon"])
+    exact = orders.groupBy(mon).agg(
+        F.countDistinct("o_custkey").alias("exact_custs")
+    )
+    return est.join(exact, "mon").select(
+        "mon", "exact_custs", "register_sum", "zero_registers", "hll_raw_est"
+    )
+
+
+@_register(
+    "sketch_kmv_setops",
+    """
+    WITH af AS (
+      SELECT DISTINCT o_orderpriority AS prio,
+             CAST('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 8)
+                  AS BIGINT) AS hv
+      FROM orders WHERE o_orderstatus = 'F'
+    ),
+    ak AS (
+      SELECT prio, hv FROM (
+        SELECT prio, hv,
+               row_number() OVER (PARTITION BY prio ORDER BY hv) AS rn
+        FROM af) WHERE rn <= 64
+    ),
+    bf AS (
+      SELECT DISTINCT o_orderpriority AS prio,
+             CAST('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 8)
+                  AS BIGINT) AS hv
+      FROM orders WHERE o_orderstatus = 'O'
+    ),
+    bk AS (
+      SELECT prio, hv FROM (
+        SELECT prio, hv,
+               row_number() OVER (PARTITION BY prio ORDER BY hv) AS rn
+        FROM bf) WHERE rn <= 64
+    ),
+    uni AS (
+      SELECT prio, hv FROM (
+        SELECT prio, hv,
+               row_number() OVER (PARTITION BY prio ORDER BY hv) AS rn
+        FROM (SELECT DISTINCT prio, hv FROM
+                (SELECT * FROM ak UNION ALL SELECT * FROM bk))
+      ) WHERE rn <= 64
+    ),
+    eu AS (
+      SELECT prio,
+             CASE WHEN COUNT(*) < 64 THEN CAST(COUNT(*) AS DOUBLE)
+                  ELSE CAST(270582939648 AS DOUBLE) / MAX(hv) END AS est_union,
+             COUNT(*) AS state_n
+      FROM uni GROUP BY 1
+    ),
+    nand AS (
+      SELECT u.prio, COUNT(*) AS n_and
+      FROM uni u
+      WHERE EXISTS (SELECT 1 FROM ak WHERE ak.prio = u.prio AND ak.hv = u.hv)
+        AND EXISTS (SELECT 1 FROM bk WHERE bk.prio = u.prio AND bk.hv = u.hv)
+      GROUP BY 1
+    ),
+    ea AS (
+      SELECT prio,
+             CASE WHEN COUNT(*) < 64 THEN CAST(COUNT(*) AS DOUBLE)
+                  ELSE CAST(270582939648 AS DOUBLE) / MAX(hv) END AS est_f
+      FROM ak GROUP BY 1
+    ),
+    eb AS (
+      SELECT prio,
+             CASE WHEN COUNT(*) < 64 THEN CAST(COUNT(*) AS DOUBLE)
+                  ELSE CAST(270582939648 AS DOUBLE) / MAX(hv) END AS est_o
+      FROM bk GROUP BY 1
+    ),
+    exu AS (
+      SELECT o_orderpriority AS prio,
+             COUNT(DISTINCT o_custkey) AS exact_union
+      FROM orders WHERE o_orderstatus IN ('F', 'O') GROUP BY 1
+    ),
+    exi AS (
+      SELECT prio, COUNT(*) AS exact_intersect FROM (
+        SELECT o_orderpriority AS prio, o_custkey
+        FROM orders WHERE o_orderstatus IN ('F', 'O')
+        GROUP BY 1, 2 HAVING COUNT(DISTINCT o_orderstatus) = 2
+      ) GROUP BY 1
+    )
+    SELECT eu.prio AS o_orderpriority, ea.est_f, eb.est_o, eu.est_union,
+           COALESCE(nand.n_and, 0) * eu.est_union / eu.state_n
+             AS est_intersect,
+           exu.exact_union, COALESCE(exi.exact_intersect, 0)
+             AS exact_intersect
+    FROM eu
+    JOIN ea USING (prio)
+    JOIN eb USING (prio)
+    LEFT JOIN nand USING (prio)
+    JOIN exu USING (prio)
+    LEFT JOIN exi USING (prio)
+    """,
+)
+def _sketch_kmv_setops(spark: SparkSession, sf: str) -> DataFrame:
+    """KMV bottom-k theta sketch SET OPERATIONS
+    (operators/sketches.kmv_state/kmv_union/kmv_setop_estimate):
+    distinct customers per priority with F-status vs O-status orders —
+    each population's cardinality, their union, and their intersection
+    estimated from two k=64 hash-sample states (Beyer et al.'s KMV
+    estimators), never from the raw rows. The whole state is
+    md5-derived integers under a total order, so the DuckDB oracle
+    reproduces every estimate bit-for-bit (single final divisions of
+    exact operands); exact union/intersection counts ride along. This
+    is the sketch the HLL family can't be: set-intersectable."""
+    orders = read_table(spark, sf, "orders")
+    grp = ["o_orderpriority"]
+    a = SKC.kmv_state(
+        orders.filter(F.col("o_orderstatus") == "F"), "o_custkey", grp, k=64
+    )
+    b = SKC.kmv_state(
+        orders.filter(F.col("o_orderstatus") == "O"), "o_custkey", grp, k=64
+    )
+    setops = SKC.kmv_setop_estimate(a, b, grp, k=64)
+    est_a = SKC.kmv_estimate(a, grp, k=64, out_col="est_f").select(
+        "o_orderpriority", "est_f"
+    )
+    est_b = SKC.kmv_estimate(b, grp, k=64, out_col="est_o").select(
+        "o_orderpriority", "est_o"
+    )
+    fo = orders.filter(F.col("o_orderstatus").isin("F", "O"))
+    exact_u = fo.groupBy(*grp).agg(
+        F.countDistinct("o_custkey").alias("exact_union")
+    )
+    exact_i = (
+        fo.groupBy(*grp, "o_custkey")
+        .agg(F.countDistinct("o_orderstatus").alias("__ns"))
+        .filter(F.col("__ns") == 2)
+        .groupBy(*grp)
+        .agg(F.count(F.lit(1)).alias("__xi"))
+    )
+    return (
+        setops.join(est_a, grp)
+        .join(est_b, grp)
+        .join(exact_u, grp)
+        .join(exact_i, grp, "left")
+        .select(
+            "o_orderpriority", "est_f", "est_o", "est_union",
+            "est_intersect", "exact_union",
+            F.coalesce(F.col("__xi"), F.lit(0)).alias("exact_intersect"),
+        )
+    )
+
+
+@_register(
+    "dedup_substring_spans",
+    """
+    WITH d AS (
+      SELECT doc_id, text FROM documents WHERE length(text) >= 40
+    ),
+    w AS (
+      SELECT doc_id, u.i AS pos, substr(text, u.i, 40) AS win
+      FROM d, UNNEST(generate_series(1, length(text) - 39)) AS u(i)
+    ),
+    dup AS (
+      SELECT win FROM w GROUP BY win HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    h AS (
+      SELECT w.doc_id, w.pos FROM w WHERE win IN (SELECT win FROM dup)
+    ),
+    m AS (
+      SELECT doc_id, pos,
+             CASE WHEN MAX(pos + 39) OVER (
+                    PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                  ) IS NULL
+                  OR pos > MAX(pos + 39) OVER (
+                    PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                  ) + 1
+                  THEN 1 ELSE 0 END AS new_isl
+      FROM h
+    ),
+    i AS (
+      SELECT doc_id, pos,
+             SUM(new_isl) OVER (PARTITION BY doc_id ORDER BY pos)
+               AS span_idx
+      FROM m
+    )
+    SELECT doc_id, CAST(span_idx AS BIGINT) AS span_idx,
+           MIN(pos) AS span_start, MAX(pos) + 39 AS span_end,
+           MAX(pos) + 39 - MIN(pos) + 1 AS span_len,
+           COUNT(*) AS n_windows
+    FROM i GROUP BY 1, 2
+    """,
+)
+def _dedup_substring_spans(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact substring dedup, Lee et al. 2022 style
+    (operators/dedup.substring_duplicate_spans): maximal spans whose
+    every 40-char window recurs in ≥2 distinct documents — the
+    boilerplate/template regions whole-document dedup can't see. The
+    stride-1 window explode, the duplicated-window groupBy, and the
+    gaps-and-islands span merge are all JVM expressions; the DuckDB
+    oracle regenerates identical windows via generate_series and
+    hash-matches every span boundary. Completes the dedup family's
+    exact axis: exact-doc (fingerprint), near-doc (MinHash/SimHash),
+    exact-substring (this)."""
+    docs = read_table(spark, sf, "documents")
+    return DD.substring_duplicate_spans(
+        docs, "doc_id", "text", k=40, min_docs=2
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver verification window
 #

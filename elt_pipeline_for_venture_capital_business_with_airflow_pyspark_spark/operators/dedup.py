@@ -1035,3 +1035,89 @@ def edit1_pairs(
     return cand.withColumn("dist", F.levenshtein("s_a", "s_b")).filter(
         F.col("dist") <= 1
     )
+
+
+def substring_duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    k: int = 40,
+    min_docs: int = 2,
+) -> DataFrame:
+    """EXACT substring deduplication (the Lee et al. 2022
+    "Deduplicating Training Data Makes Language Models Better"
+    operation, re-expressed relationally): find every maximal span of
+    a document whose every ``k``-char window also occurs in at least
+    ``min_docs`` distinct documents — the boilerplate/licence-header/
+    template regions a training pipeline clips out, which
+    whole-document dedup (exact/MinHash/SimHash above) cannot see
+    because the surrounding text differs.
+
+    Relational plan (no suffix array needed for fixed-k windows):
+    every stride-1 window is generated JVM-side (``transform`` over a
+    position ``sequence``, windows materialized inside the struct so
+    exploded rows never carry the full text), duplicated windows are
+    one groupBy, and maximal spans are the gaps-and-islands merge of
+    each doc's hit positions. Output: one row per (doc, span) —
+    ``(doc_id, span_idx, span_start, span_end, span_len,
+    n_windows)``, 1-based inclusive char positions.
+
+    Scale (100 TB): row amplification is |text| per doc but each
+    exploded row is k chars + 2 ints; the window groupBy is the one
+    big shuffle and keys are near-unique (no skew by construction —
+    a window string is its own uniform key; at petabyte scale swap
+    the string key for ``xxhash64(win)`` to shuffle 8 bytes instead
+    of k — same plan shape). The islands stage shuffles only the
+    duplicated hits. No Python anywhere."""
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    if min_docs < 1:
+        raise ValueError("min_docs must be >= 1")
+    s = F.col(text_col)
+    empty = F.array().cast(f"array<struct<pos:int,win:string>>")
+    wins = df.select(
+        F.col(id_col).alias(id_col),
+        F.explode(
+            F.when(
+                F.length(s) >= k,
+                F.transform(
+                    F.sequence(F.lit(1), F.length(s) - k + 1),
+                    lambda i: F.struct(
+                        i.alias("pos"), s.substr(i, F.lit(k)).alias("win")
+                    ),
+                ),
+            ).otherwise(empty)
+        ).alias("w"),
+    ).select(id_col, F.col("w.pos").alias("pos"), F.col("w.win").alias("win"))
+    dup = (
+        wins.groupBy("win")
+        .agg(F.countDistinct(id_col).alias("__nd"))
+        .filter(F.col("__nd") >= min_docs)
+        .select("win")
+    )
+    hits = wins.join(dup, "win", "left_semi")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    prev_end = F.max(F.col("pos") + (k - 1)).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    new_isl = F.when(
+        prev_end.isNull() | (F.col("pos") > prev_end + 1), F.lit(1)
+    ).otherwise(F.lit(0))
+    return (
+        hits.withColumn(
+            "span_idx",
+            F.sum(new_isl).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy(id_col, "span_idx")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + (k - 1)).alias("span_end"),
+            F.count(F.lit(1)).alias("n_windows"),
+        )
+        .withColumn("span_len", F.col("span_end") - F.col("span_start") + 1)
+        .select(
+            id_col, "span_idx", "span_start", "span_end", "span_len",
+            "n_windows",
+        )
+    )

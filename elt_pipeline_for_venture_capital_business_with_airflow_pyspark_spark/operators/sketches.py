@@ -28,7 +28,7 @@ real hash-checked oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
@@ -36,6 +36,13 @@ __all__ = [
     "hll_rollup",
     "kll_quantile_partials",
     "kll_quantile_rollup",
+    "hll_det_registers",
+    "hll_det_estimate",
+    "hll_det_rollup",
+    "kmv_state",
+    "kmv_estimate",
+    "kmv_union",
+    "kmv_setop_estimate",
     "countmin_build",
     "countmin_estimate",
 ]
@@ -138,12 +145,14 @@ def kll_quantile_rollup(
 
 
 # ---------------------------------------------------------------------------
-# Count-min sketch (round 6) — unlike the DataSketches HLL/KLL above,
-# this one is built from the repo's cross-engine md5 idiom, so its
-# whole state (and therefore every estimate) is DETERMINISTIC and
-# ANSI-SQL-expressible: the registry entry `sketch_countmin_topk`
-# hash-checks the estimates against a DuckDB oracle bit-for-bit —
-# a sketch with a real oracle, not just a pytest accuracy bound.
+# Deterministic sketches (round 6) — unlike the DataSketches HLL/KLL
+# above, these are built from the repo's cross-engine md5 idiom, so
+# their whole state (and therefore every estimate) is DETERMINISTIC
+# and ANSI-SQL-expressible: the registry entries (`sketch_countmin_
+# topk`, `sketch_hll_deterministic`, `sketch_hll_rollup`,
+# `sketch_kmv_setops`) hash-check the estimates against DuckDB
+# oracles bit-for-bit — sketches with real oracles, not just pytest
+# accuracy bounds.
 # ---------------------------------------------------------------------------
 
 
@@ -216,6 +225,147 @@ def hll_det_estimate(
         .withColumn(
             out_col,
             F.lit(float(0.709 * m * m * (1 << top))) / F.col("register_sum"),
+        )
+    )
+
+
+def hll_det_rollup(
+    registers: DataFrame,
+    to_group_cols: list[str],
+) -> DataFrame:
+    """Roll a :func:`hll_det_registers` table up a grouping lattice
+    (day→month→quarter): per-bucket MAX of the finer registers IS the
+    coarser level's register table, bit-for-bit (the HLL merge law,
+    pinned in tests/test_sketches.py) — so monthly distinct counts
+    derive from the KB-scale daily register table without ever
+    rescanning raw data, the same continuous-aggregate contract as
+    :func:`hll_rollup` but with fully oracle-checkable state.
+    ``to_group_cols`` must be a prefix/subset of the grouping the
+    registers were built with (minus the axis being merged away)."""
+    return registers.groupBy(*to_group_cols, "bucket").agg(
+        F.max("r").alias("r")
+    )
+
+
+def kmv_state(
+    df: DataFrame,
+    key_col: str,
+    group_cols: list[str],
+    *,
+    k: int = 64,
+) -> DataFrame:
+    """KMV (k-minimum-values / bottom-k theta) distinct-count sketch
+    state: per group, the ``k`` smallest DISTINCT 32-bit md5 hash
+    values of ``key_col`` — rows ``(group…, hv)``, ≤ k per group.
+
+    Unlike HLL registers, a KMV state supports SET OPERATIONS
+    (union/intersection estimates, :func:`kmv_union` /
+    :func:`kmv_setop_estimate`) because the state is an actual hash
+    sample: the bottom-k of a union is computable from the bottom-ks
+    of the parts (merge law pinned in tests/test_sketches.py).
+
+    Determinism: the state is md5-derived integers picked by a total
+    order — no RNG, no platform hash — so a DuckDB replica (DISTINCT
+    + ROW_NUMBER over the same md5 prefix) yields the identical
+    state. Two shuffles: the hash distinct and the per-group sort;
+    both keyed on the group columns → uniform unless a group is
+    itself skew-hot, in which case pre-aggregate per (group, salt)
+    bottom-k and re-rank (same merge law)."""
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    h = F.conv(
+        F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10
+    ).cast("bigint")
+    hv = df.select(*group_cols, h.alias("hv")).distinct()
+    w = Window.partitionBy(*group_cols).orderBy("hv")
+    return (
+        hv.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def kmv_estimate(
+    state: DataFrame,
+    group_cols: list[str],
+    *,
+    k: int = 64,
+    out_col: str = "kmv_est",
+) -> DataFrame:
+    """Distinct-count estimate from a :func:`kmv_state`: exact when
+    the group holds fewer than ``k`` distinct hashes (the state IS
+    the distinct set), else the classic unbiased KMV estimator
+    ``(k-1)·2^32 / h_(k)`` with ``h_(k)`` the k-th smallest hash —
+    exact BIGINT operands, one final IEEE division, identical on any
+    engine. RSE ≈ 1/√(k-2)."""
+    return state.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("__n"), F.max("hv").alias("__kth")
+    ).select(
+        *group_cols,
+        F.when(F.col("__n") < k, F.col("__n").cast("double"))
+        .otherwise(
+            F.lit(float((k - 1) * 4294967296)) / F.col("__kth")
+        )
+        .alias(out_col),
+        F.col("__n").alias("state_n"),
+    )
+
+
+def kmv_union(
+    state_a: DataFrame,
+    state_b: DataFrame,
+    group_cols: list[str],
+    *,
+    k: int = 64,
+) -> DataFrame:
+    """Union of two KMV states: the bottom-k of the merged distinct
+    hash sets — estimating the union's cardinality without touching
+    either side's raw data. Closed under composition: the result is
+    itself a valid :func:`kmv_state`."""
+    merged = state_a.unionByName(state_b).distinct()
+    w = Window.partitionBy(*group_cols).orderBy("hv")
+    return (
+        merged.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def kmv_setop_estimate(
+    state_a: DataFrame,
+    state_b: DataFrame,
+    group_cols: list[str],
+    *,
+    k: int = 64,
+) -> DataFrame:
+    """Union AND intersection cardinality estimates per group from two
+    KMV states (Beyer et al.'s KMV set-operation estimators): with
+    ``U`` the union state (bottom-k of the merge), the intersection
+    estimate is ``|U ∩ A ∩ B| · est(U) / |U|`` — the fraction of the
+    union's uniform hash sample present in both sides, scaled by the
+    union estimate. All counts are exact integers; the only floats
+    are est(U) (one division) and the final scale (one multiply, one
+    divide, fixed left-assoc order so any engine reproduces it
+    bit-for-bit). Exact (collision-modulo) when the union fits in k.
+    """
+    u = kmv_union(state_a, state_b, group_cols, k=k)
+    in_both = (
+        u.join(state_a, [*group_cols, "hv"], "left_semi")
+        .join(state_b, [*group_cols, "hv"], "left_semi")
+        .groupBy(*group_cols)
+        .agg(F.count(F.lit(1)).alias("n_and"))
+    )
+    est_u = kmv_estimate(u, group_cols, k=k, out_col="est_union")
+    return (
+        est_u.join(in_both, group_cols, "left")
+        .select(
+            *group_cols,
+            "est_union",
+            (
+                F.coalesce(F.col("n_and"), F.lit(0))
+                * F.col("est_union")
+                / F.col("state_n")
+            ).alias("est_intersect"),
         )
     )
 

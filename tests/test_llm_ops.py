@@ -823,3 +823,62 @@ def test_url_normalize_is_dedup_key(spark):
         .count()
     )
     assert n == 2
+
+
+# ---------------------------------------------------------------------------
+# exact substring dedup (round 6)
+# ---------------------------------------------------------------------------
+
+
+def test_substring_spans_planted_boilerplate(spark):
+    """Two docs share one exact 60-char block at different offsets amid
+    otherwise-unique text: exactly one span per doc, positioned on the
+    block, windows merged into a single maximal island."""
+    block = "B" * 25 + "SHARED LICENSE HEADER TEXT " + "C" * 8  # len 60
+    assert len(block) == 60
+    d1 = "x" * 30 + block + "y" * 40
+    d2 = "q" * 10 + block + "r" * 55
+    d3 = "unique content with no duplication at all " * 3
+    df = spark.createDataFrame(
+        [(1, d1), (2, d2), (3, d3)], ["doc_id", "text"]
+    )
+    spans = DD.substring_duplicate_spans(df, "doc_id", "text", k=40).collect()
+    by_doc = {r.doc_id: r for r in spans}
+    assert set(by_doc) == {1, 2}
+    # doc 1: block occupies chars 31..90 (1-based); 21 windows of 40
+    assert by_doc[1].span_start == 31 and by_doc[1].span_end == 90
+    assert by_doc[1].n_windows == 21 and by_doc[1].span_len == 60
+    assert by_doc[2].span_start == 11 and by_doc[2].span_end == 70
+
+
+def test_substring_spans_merges_adjacent_and_splits_gapped(spark):
+    """Two shared blocks separated by a unique gap in one doc yield
+    TWO spans (islands split on the gap), not one."""
+    b1, b2 = "A" * 45, "Z" * 45
+    d1 = b1 + "-unique-gap-that-is-long-enough-" + b2
+    d2 = "pre " + b1 + " mid filler text here " + b2 + " post"
+    df = spark.createDataFrame([(1, d1), (2, d2)], ["doc_id", "text"])
+    spans = DD.substring_duplicate_spans(df, "doc_id", "text", k=40).collect()
+    per_doc = {}
+    for r in spans:
+        per_doc.setdefault(r.doc_id, []).append(r)
+    assert len(per_doc[1]) == 2 and len(per_doc[2]) == 2
+    s1 = sorted(per_doc[1], key=lambda r: r.span_start)
+    assert s1[0].span_len == 45 and s1[1].span_len == 45
+
+
+def test_substring_spans_short_and_null_texts_no_rows(spark):
+    df = spark.createDataFrame(
+        [(1, "tiny"), (2, None), (3, "")], ["doc_id", "text"]
+    )
+    assert DD.substring_duplicate_spans(df, "doc_id", "text", k=40).count() == 0
+
+
+def test_substring_spans_rejects_bad_params(spark):
+    import pytest as _pytest
+
+    df = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
+    with _pytest.raises(ValueError):
+        DD.substring_duplicate_spans(df, "doc_id", "text", k=1)
+    with _pytest.raises(ValueError):
+        DD.substring_duplicate_spans(df, "doc_id", "text", min_docs=0)

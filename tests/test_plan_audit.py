@@ -42,6 +42,14 @@ NESTED_LOOP_OK = {
     "text_bm25_top5",
     # RFM cross-joins the ONE-ROW quintile-boundary aggregate.
     "customer_rfm_segments",
+    # the synthetic partsupp generator cross-joins the ONE-ROW
+    # supplier-count aggregate (plans/tpch_partsupp.synthetic_partsupp)
+    # — |supplier| as a broadcast scalar, same constant-cost shape as
+    # text_tfidf_top3; the generator itself introduces no shuffle.
+    "q2_min_cost_supplier",
+    "q11_important_stock",
+    "q16_supplier_part_counts",
+    "q20_excess_stock",
     # ABC classification cross-joins the ONE-ROW grand-total aggregate.
     "pareto_abc_lineitem",
     # TPC-H Q22's scalar subquery (global positive-balance average)

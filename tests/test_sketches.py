@@ -201,3 +201,89 @@ def test_hll_det_rejects_non_power_of_two():
 
     with _pytest.raises(ValueError):
         SK.hll_det_estimate(None, ["g"], m=48)
+
+
+# ---------------------------------------------------------------------------
+# deterministic HLL rollup + KMV set-op sketch (round 6)
+# ---------------------------------------------------------------------------
+
+
+def test_hll_det_rollup_equals_direct_coarse_registers(spark, sf_dir):
+    """day→month register rollup == registers built directly at month
+    grain, bit-for-bit (the merge law applied up the lattice)."""
+    ev = read_table(spark, sf_dir, "orders").select(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("mon"),
+        F.col("o_orderdate").alias("day"),
+        "o_custkey",
+    )
+    daily = SK.hll_det_registers(ev, "o_custkey", ["mon", "day"])
+    rolled = SK.hll_det_rollup(daily, ["mon"])
+    direct = SK.hll_det_registers(ev, "o_custkey", ["mon"])
+    assert rolled.exceptAll(direct).count() == 0
+    assert direct.exceptAll(rolled).count() == 0
+
+
+def test_kmv_merge_law_union_of_states_equals_state_of_union(spark, sf_dir):
+    """bottom-k of (bottom-k(A) ∪ bottom-k(B)) == bottom-k(A ∪ B)."""
+    ev = read_table(spark, sf_dir, "orders")
+    a = ev.filter(F.col("o_orderkey") % 2 == 0)
+    b = ev.filter(F.col("o_orderkey") % 2 == 1)
+    grp = ["o_orderpriority"]
+    merged = SK.kmv_union(
+        SK.kmv_state(a, "o_custkey", grp, k=32),
+        SK.kmv_state(b, "o_custkey", grp, k=32),
+        grp,
+        k=32,
+    )
+    whole = SK.kmv_state(ev, "o_custkey", grp, k=32)
+    assert merged.exceptAll(whole).count() == 0
+    assert whole.exceptAll(merged).count() == 0
+
+
+def test_kmv_estimate_exact_under_k_and_bounded_over_k(spark, sf_dir):
+    ev = read_table(spark, sf_dir, "orders")
+    grp = ["o_orderpriority"]
+    exact = ev.groupBy(*grp).agg(F.countDistinct("o_custkey").alias("t"))
+    # k larger than any group's cardinality → estimate is exactly t
+    big = SK.kmv_estimate(
+        SK.kmv_state(ev, "o_custkey", grp, k=200_000), grp, k=200_000
+    )
+    for r in big.join(exact, grp).collect():
+        assert r.kmv_est == float(r.t), r
+    # k=64 → RSE ≈ 1/sqrt(62) ≈ 12.7%; allow 3 sigma on saturated groups
+    small = SK.kmv_estimate(SK.kmv_state(ev, "o_custkey", grp, k=64), grp, k=64)
+    for r in small.join(exact, grp).filter(F.col("state_n") == 64).collect():
+        assert abs(r.kmv_est - r.t) / r.t < 0.4, r
+
+
+def test_kmv_setops_identical_sets_intersect_equals_union(spark, sf_dir):
+    """A == B ⇒ every union-sample hash is in both states, so
+    est_intersect == est_union exactly."""
+    ev = read_table(spark, sf_dir, "orders")
+    grp = ["o_orderpriority"]
+    s = SK.kmv_state(ev, "o_custkey", grp, k=64)
+    out = SK.kmv_setop_estimate(s, s, grp, k=64).collect()
+    assert out
+    for r in out:
+        assert r.est_intersect == r.est_union, r
+
+
+def test_kmv_setops_disjoint_sets_intersect_zero(spark):
+    """Hash-disjoint populations ⇒ n_and = 0 ⇒ est_intersect = 0."""
+    a = spark.range(0, 500).select(
+        F.lit("g").alias("g"), (F.col("id") * 2).alias("k")
+    )
+    b = spark.range(0, 500).select(
+        F.lit("g").alias("g"), (F.col("id") * 2 + 100_001).alias("k")
+    )
+    sa = SK.kmv_state(a, "k", ["g"], k=32)
+    sb = SK.kmv_state(b, "k", ["g"], k=32)
+    rows = SK.kmv_setop_estimate(sa, sb, ["g"], k=32).collect()
+    assert rows and rows[0].est_intersect == 0.0
+
+
+def test_kmv_rejects_tiny_k():
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        SK.kmv_state(None, "k", ["g"], k=1)
