@@ -8318,6 +8318,331 @@ def _dedup_substring_spans(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@_register(
+    "bloom_semi_prune",
+    """
+    WITH build AS (
+      SELECT s_suppkey FROM supplier
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'
+    ), hh AS (SELECT UNNEST([0, 1, 2]) AS i),
+    bits AS (
+      SELECT CAST(pos // 32 AS INT) AS chunk,
+             bit_or(CAST(power(2, CAST(pos % 32 AS INT)) AS BIGINT)) AS bits
+      FROM (
+        SELECT CAST('0x' || substr(md5(CAST(i AS VARCHAR) || ':'
+                                    || CAST(s_suppkey AS VARCHAR)), 1, 8)
+                    AS BIGINT) % 64 AS pos
+        FROM build, hh
+      ) GROUP BY 1
+    ),
+    probes AS (SELECT DISTINCT l_suppkey FROM lineitem),
+    pp AS (
+      SELECT l_suppkey, CAST(pos // 32 AS INT) AS chunk,
+             CAST(power(2, CAST(pos % 32 AS INT)) AS BIGINT) AS mask
+      FROM (
+        SELECT l_suppkey,
+               CAST('0x' || substr(md5(CAST(i AS VARCHAR) || ':'
+                                    || CAST(l_suppkey AS VARCHAR)), 1, 8)
+                    AS BIGINT) % 64 AS pos
+        FROM probes, hh
+      )
+    ),
+    mc AS (
+      SELECT l_suppkey,
+             (COUNT(*) FILTER (WHERE b.bits IS NOT NULL
+                                 AND (b.bits & p.mask) = p.mask)) = 3
+               AS might_contain
+      FROM pp p LEFT JOIN bits b USING (chunk)
+      GROUP BY 1
+    )
+    SELECT mc.might_contain, bd.s_suppkey IS NOT NULL AS is_member,
+           COUNT(*) AS n_keys
+    FROM mc LEFT JOIN build bd ON mc.l_suppkey = bd.s_suppkey
+    GROUP BY 1, 2
+    """,
+)
+def _bloom_semi_prune(spark: SparkSession, sf: str) -> DataFrame:
+    """Bloom-filter join pruning (operators/sketches.bloom_build /
+    bloom_probe): the bitmap of one nation-region's supplier keys is
+    built in ONE bit_or aggregation (KB state), broadcast, and probed
+    by every distinct lineitem supplier — the explicit form of Spark's
+    runtime row-level filtering, which at 100 TB drops non-candidate
+    fact rows at the scan, before the join's exchange. Output is the
+    (might_contain × is_member) confusion matrix; a deliberately tiny
+    m=64/k=3 filter forces REAL false positives into the hashed rows,
+    and the absent (false, true) cell IS the no-false-negatives
+    guarantee — a hash drift in either engine repaints the matrix.
+    Production sizing (m=4096+) drives fp below 1e-8; same plan."""
+    sup = read_table(spark, sf, "supplier")
+    nat = read_table(spark, sf, "nation")
+    reg = read_table(spark, sf, "region")
+    build = (
+        sup.join(nat, sup["s_nationkey"] == nat["n_nationkey"])
+        .join(reg, nat["n_regionkey"] == reg["r_regionkey"])
+        .filter(F.col("r_name") == "EUROPE")
+        .select("s_suppkey")
+    )
+    probes = (
+        read_table(spark, sf, "lineitem").select("l_suppkey").distinct()
+    )
+    flagged = SKC.bloom_probe(
+        SKC.bloom_build(build, "s_suppkey", m_bits=64, k=3),
+        probes,
+        "l_suppkey",
+        m_bits=64,
+        k=3,
+    )
+    return (
+        flagged.join(
+            build.withColumnRenamed("s_suppkey", "l_suppkey").withColumn(
+                "__m", F.lit(True)
+            ),
+            "l_suppkey",
+            "left",
+        )
+        .groupBy(
+            "might_contain",
+            F.col("__m").isNotNull().alias("is_member"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_keys"))
+    )
+
+
+@_register(
+    "timeseries_interpolate",
+    """
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(value AS DECIMAL(20,4))) AS DOUBLE) AS sum_value
+      FROM events GROUP BY user_id, CAST(ts AS DATE)
+    ), bounds AS (
+      SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY user_id
+    ), spine AS (
+      SELECT user_id,
+             CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+      FROM bounds
+    ), j AS (
+      SELECT s.user_id, s.day, d.sum_value, d.sum_value IS NULL AS is_gap
+      FROM spine s LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day
+    ), n AS (
+      SELECT *,
+        last_value(sum_value IGNORE NULLS) OVER (
+          PARTITION BY user_id ORDER BY day
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        last_value(CASE WHEN NOT is_gap THEN day END IGNORE NULLS) OVER (
+          PARTITION BY user_id ORDER BY day
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+        first_value(sum_value IGNORE NULLS) OVER (
+          PARTITION BY user_id ORDER BY day
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        first_value(CASE WHEN NOT is_gap THEN day END IGNORE NULLS) OVER (
+          PARTITION BY user_id ORDER BY day
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+      FROM j
+    )
+    SELECT user_id, day,
+           CASE WHEN NOT is_gap THEN sum_value
+                ELSE pv + (nv - pv) * (CAST(day - pd AS DOUBLE)
+                                       / CAST(nd - pd AS DOUBLE))
+           END AS sum_value,
+           is_gap
+    FROM n
+    """,
+)
+def _timeseries_interpolate(spark: SparkSession, sf: str) -> DataFrame:
+    """Linear-interpolation gap fill
+    (operators/timeseries.interpolate_linear): the TimescaleDB
+    ``interpolate()`` twin of `timeseries_gapfill` — gap days get
+    ``v0 + (v1-v0)·(Δd/Δspan)`` between their surrounding
+    observations instead of a carried step. Day deltas are exact
+    ints; the fill is one fixed-order float expression, so the
+    hash check pins every interpolated value bit-for-bit. Same
+    scale shape as the ffill variant: per-key spine explode + two
+    constant-state window passes over one partitioning."""
+    ev = read_table(spark, sf, "events")
+    daily = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        _dsum(F.col("value")).alias("sum_value")
+    )
+    return TS.interpolate_linear(daily, ["user_id"], "day", "sum_value").select(
+        "user_id", "day", "sum_value", "is_gap"
+    )
+
+
+@_register(
+    "anomaly_rolling_zscore",
+    """
+    WITH b AS (
+      SELECT user_id, event_id, ts, value,
+             CAST(value AS DECIMAL(19,4)) AS xd
+      FROM events
+      WHERE ts IS NOT NULL AND value IS NOT NULL AND abs(value) <= 1000.0
+    ), w AS (
+      SELECT user_id, event_id, ts, value,
+             CAST(xd AS DOUBLE) AS x,
+             COUNT(xd) OVER win AS n,
+             CAST(SUM(xd) OVER win AS DOUBLE) AS s1,
+             CAST(SUM(CAST(xd AS DECIMAL(19,4)) * CAST(xd AS DECIMAL(19,4)))
+                  OVER win AS DOUBLE) AS s2
+      FROM b
+      WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+    ), z AS (
+      SELECT user_id, event_id, epoch_us(ts) AS ts_us, value,
+             n AS n_baseline,
+             (x - s1 / n) / NULLIF(
+               sqrt(greatest((s2 - s1 * (s1 / n)) / (n - 1), 0.0)), 0.0
+             ) AS z
+      FROM w WHERE n >= 8
+    )
+    SELECT * FROM z WHERE abs(z) > 3.0
+    """,
+)
+def _anomaly_rolling_zscore(spark: SparkSession, sf: str) -> DataFrame:
+    """Trailing-window anomaly detection
+    (operators/timeseries.rolling_zscore): each event scored against
+    its user's previous ≤20 observations (self excluded), flagged at
+    |z| > 3 — the per-point alerting complement to the GLOBAL
+    dq_outlier_iqr/mad family. Mean/variance come from exact decimal
+    window sums (frame-aggregation order can't perturb a bit in
+    either engine) and the float finish is fixed-order with a
+    correctly-rounded sqrt, so the z values themselves hash-match.
+    One shuffle on user_id, constant frame state — the single-pass
+    shape that survives a year of events per key. The |value| <= 1000
+    domain guard (covers the full real data range, max 560) keeps the
+    trailing sum-of-squares under 2^53 in scaled units, where BOTH
+    engines' decimal->double casts are exact — above that the cast
+    itself can diverge by an ulp. NULL timestamps are excluded
+    explicitly: a null has no place on a timeline, and window-order
+    null placement is an engine default (Spark NULLS FIRST vs DuckDB
+    NULLS LAST) this surface must not depend on."""
+    ev = read_table(spark, sf, "events").filter(
+        F.col("ts").isNotNull()
+        & F.col("value").isNotNull()
+        & (F.abs("value") <= 1000.0)
+    )
+    scored = TS.rolling_zscore(
+        ev, ["user_id"], "ts", "event_id", "value",
+        lookback=20, min_points=8,
+    )
+    return scored.filter(F.abs(F.col("z")) > 3.0).select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "value",
+        "n_baseline",
+        "z",
+    )
+
+
+@_register(
+    "text_pmi_pairs",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split(regexp_replace(lower(text),
+                    '[^a-z0-9 ]', ' ', 'g'), ' ')) AS term
+      FROM documents
+    ), pres AS (
+      SELECT DISTINCT doc_id, term FROM toks
+      WHERE term <> '' AND length(term) >= 3
+    ), nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+    vocab AS (
+      SELECT term, COUNT(*) AS df_t FROM pres GROUP BY term
+      HAVING COUNT(*) >= 5
+      ORDER BY df_t DESC, term LIMIT 200
+    ), hits AS (
+      SELECT p.doc_id, p.term, v.df_t FROM pres p JOIN vocab v USING (term)
+    ), pairs AS (
+      SELECT a.term AS term_a, b.term AS term_b,
+             a.df_t AS n_a, b.df_t AS n_b, COUNT(*) AS n_ab
+      FROM hits a JOIN hits b ON a.doc_id = b.doc_id AND a.term < b.term
+      GROUP BY 1, 2, 3, 4
+      HAVING COUNT(*) >= 3
+    )
+    SELECT term_a, term_b, n_ab, n_a, n_b,
+           n_ab * n_docs AS lift_num,
+           n_a * n_b AS lift_den,
+           CAST(n_ab * n_docs AS DOUBLE) / CAST(n_a * n_b AS DOUBLE) AS lift
+    FROM pairs, nd
+    """,
+)
+def _text_pmi_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus term co-occurrence with exact-arithmetic PMI ordering
+    (functions/text.term_cooccurrence): document-presence pairs over a
+    bounded top-200 vocabulary, lift = n_ab·N / (n_a·n_b) emitted as
+    exact BIGINT numerator/denominator plus ONE IEEE division — so
+    the collocation scores hash-check bit-for-bit (ln is left to the
+    caller; it isn't correctly-rounded across libms). The pair
+    explosion is vocab-bounded per document and both shuffles are
+    map-combinable — 100 TB of documents scales the pair ROWS, not
+    the per-doc cost."""
+    docs = read_table(spark, sf, "documents")
+    return TX.term_cooccurrence(
+        docs, "doc_id", "text", min_df=5, max_terms=200, min_pair_docs=3
+    )
+
+
+@_register(
+    "embedding_quantize_int8",
+    """
+    WITH x AS (
+      SELECT vec_id, len(embedding) AS n_dims,
+             list_transform(embedding, v -> CAST(v AS DOUBLE)) AS xd
+      FROM embeddings
+    ), s AS (
+      SELECT vec_id, n_dims, xd,
+             list_reduce(list_prepend(0.0, list_transform(xd, v -> abs(v))),
+                         (a, b) -> greatest(a, b)) AS maxabs
+      FROM x
+    ), t AS (
+      SELECT vec_id, n_dims, xd, maxabs / 127.0 AS scale,
+             CASE WHEN maxabs = 0
+                  THEN list_transform(xd, v -> 0)
+                  ELSE list_transform(xd, v ->
+                       CAST(floor(v / (maxabs / 127.0) + 0.5) AS INT))
+             END AS q
+      FROM s
+    ), e AS (
+      SELECT vec_id, n_dims, scale, q,
+             list_transform(list_zip(xd, q),
+                            z -> z[1] - CAST(z[2] AS DOUBLE) * scale)
+               AS err
+      FROM t
+    )
+    SELECT vec_id, n_dims, scale,
+           array_to_string(q, ',') AS q_str,
+           list_reduce(list_prepend(0.0, list_transform(err, v -> v * v)),
+                       (a, b) -> a + b) / n_dims AS mse,
+           list_reduce(list_prepend(0.0, list_transform(err, v -> abs(v))),
+                       (a, b) -> greatest(a, b)) AS max_abs_err
+    FROM e
+    """,
+)
+def _embedding_quantize_int8(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-vector symmetric int8 quantization + reconstruction audit
+    (operators/similarity.quantize_int8): the 4×-compression storage
+    tier a 100-TB embedding corpus serves from, as a PURE MAP — no
+    shuffle, no UDF, one codegen scan. floor(x/scale + 0.5) instead
+    of round() (whose half-rule differs across engines); scale, the
+    full int8 vector (serialized), MSE and max-abs-err all
+    hash-checked bit-for-bit against DuckDB's list_reduce over the
+    same fixed-order folds."""
+    emb = read_table(spark, sf, "embeddings")
+    out = SIM.quantize_int8(emb, "vec_id", "embedding")
+    return out.select(
+        "vec_id",
+        F.col("n_dims").cast("bigint").alias("n_dims"),
+        "scale",
+        F.array_join(
+            F.transform(F.col("q"), lambda v: v.cast("string")), ","
+        ).alias("q_str"),
+        "mse",
+        "max_abs_err",
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver verification window
 #

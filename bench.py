@@ -107,6 +107,15 @@ HEADLINE = [
     "q20_excess_stock",
     "sketch_countmin_topk",
     "sketch_hll_deterministic",
+    # round-6 continuation: Bloom join pruning (broadcast bitmap +
+    # confusion matrix), linear-interpolation gap fill, trailing-window
+    # anomaly z-scores, in-array PMI co-occurrence, zero-shuffle int8
+    # quantization scan
+    "bloom_semi_prune",
+    "timeseries_interpolate",
+    "anomaly_rolling_zscore",
+    "text_pmi_pairs",
+    "embedding_quantize_int8",
 ]
 
 

@@ -32,6 +32,7 @@ __all__ = [
     "chunk_windows",
     "url_normalize",
     "url_host",
+    "term_cooccurrence",
     "TRACKING_PARAM_PREFIXES",
     "STOPWORDS",
     "LANG_MARKERS",
@@ -478,4 +479,112 @@ def url_normalize(col: str | Column) -> Column:
     base = F.concat(scheme, F.lit("://"), host, path)
     return F.when(F.size(kept) == 0, base).otherwise(
         F.concat(base, F.lit("?"), F.array_join(kept, "&"))
+    )
+
+
+def term_cooccurrence(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    min_df: int = 5,
+    max_terms: int = 200,
+    min_pair_docs: int = 3,
+):
+    """Document-level term co-occurrence with an exact-arithmetic PMI
+    ordering — the corpus-statistics pass behind collocation mining,
+    taxonomy seeding, and embedding-evaluation word pairs ("which
+    terms travel together?"), which none of the per-document text ops
+    above can answer.
+
+    Pipeline (all JVM-side):
+    1. distinct (doc, term) presence from the corpus tokenizer
+       (lowercase, non-alnum → space, len ≥ 3) — presence, not counts,
+       so PMI is over document probabilities (the standard corpus
+       formulation);
+    2. vocabulary = terms in ≥ ``min_df`` docs, top ``max_terms`` by
+       (doc-freq, term) — a BOUNDED vocab that is broadcast back onto
+       the presence stream, capping the pair explosion at
+       C(vocab∩doc, 2) per document;
+    3. pairs via self-join on the doc id with ``term_a < term_b``
+       (canonical orientation — each pair counted once), one
+       map-combinable groupBy;
+    4. lift = P(a,b) / (P(a)·P(b)) computed as the EXACT integer cross
+       product ``n_ab·N / (n_a·n_b)`` — numerator and denominator are
+       emitted as BIGINTs and the ratio is ONE IEEE division, so the
+       DuckDB oracle hash-matches bit-for-bit; PMI = ln(lift) is left
+       to the caller because ln is not correctly-rounded across libms.
+
+    Scale: the presence `distinct` and the pair groupBy are the two
+    shuffles; pair keys are near-unique (no skew). The quadratic term
+    is per-document and vocab-bounded — 100 TB of documents changes
+    the number of pair rows linearly, not the per-doc cost. Returns
+    (term_a, term_b, n_ab, n_a, n_b, lift_num, lift_den, lift).
+    """
+    if min_df < 1 or max_terms < 2 or min_pair_docs < 1:
+        raise ValueError("min_df/min_pair_docs >= 1 and max_terms >= 2")
+    presence = (
+        df.select(
+            F.col(id_col).alias("__doc"),
+            F.explode(
+                F.split(
+                    F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9 ]", " "),
+                    " ",
+                )
+            ).alias("term"),
+        )
+        .filter((F.col("term") != "") & (F.length("term") >= 3))
+        .distinct()
+    )
+    n_docs = df.select(F.count(F.lit(1)).alias("n_docs"))
+    vocab = (
+        presence.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df_t"))
+        .filter(F.col("df_t") >= min_df)
+        .orderBy(F.col("df_t").desc(), "term")
+        .limit(max_terms)
+    )
+    hits = presence.join(F.broadcast(vocab), "term")
+    # pair generation INSIDE the per-doc array (sorted struct list →
+    # i<j combinations via transform/slice/flatten) — one groupBy on
+    # the doc id instead of a doc-keyed self-join, saving the join's
+    # two sort-merge exchanges; the array is vocab-bounded (≤ max_terms)
+    ts = F.sort_array(F.collect_list(F.struct("term", "df_t")))
+    per_doc = hits.groupBy("__doc").agg(ts.alias("__ts"))
+    arr = F.col("__ts")
+    combos = F.flatten(
+        F.transform(
+            arr,
+            lambda x, i: F.transform(
+                F.slice(arr, i + F.lit(2), F.size(arr)),
+                lambda y: F.struct(
+                    x["term"].alias("term_a"),
+                    y["term"].alias("term_b"),
+                    x["df_t"].alias("n_a"),
+                    y["df_t"].alias("n_b"),
+                ),
+            ),
+        )
+    )
+    pairs = (
+        per_doc.select(F.explode(combos).alias("__p"))
+        .select("__p.term_a", "__p.term_b", "__p.n_a", "__p.n_b")
+        .groupBy("term_a", "term_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= min_pair_docs)
+    )
+    num = F.col("n_ab") * F.col("__nd")
+    den = F.col("n_a") * F.col("n_b")
+    return (
+        pairs.crossJoin(F.broadcast(n_docs.select(F.col("n_docs").alias("__nd"))))
+        .select(
+            "term_a",
+            "term_b",
+            "n_ab",
+            "n_a",
+            "n_b",
+            num.alias("lift_num"),
+            den.alias("lift_den"),
+            (num.cast("double") / den.cast("double")).alias("lift"),
+        )
     )

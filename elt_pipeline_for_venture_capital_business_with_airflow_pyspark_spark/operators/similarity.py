@@ -931,3 +931,64 @@ def ivfpq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "approx_d2")
     )
+
+
+def quantize_int8(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-vector symmetric int8 scalar quantization — the storage
+    tier every 100-TB embedding corpus actually serves from (4×
+    smaller than float32, SIMD-dot-able), with the reconstruction
+    audit a quantization rollout needs: per-vector scale, MSE and max
+    absolute error of the dequantized vector.
+
+    q_i = floor(x_i/scale + 0.5) with scale = max|x| / 127 — floor of
+    a half-offset instead of round(), because round's half-rule
+    differs across engines (Spark HALF_UP vs banker's variants) while
+    floor is exact on any IEEE double. Zero vectors get scale 0 and
+    q = 0 (guarded division). All arithmetic is per-element double
+    math plus fixed left-assoc folds (`F.aggregate`), so the DuckDB
+    oracle (list_reduce over the same expressions) hash-matches
+    bit-for-bit — including the errors.
+
+    Scale shape: a pure map — no shuffle, no state, no UDF; quantizing
+    a corpus is one scan that pushes only (id, vector) through
+    codegen. Returns (id, scale, q array<int>, mse, max_abs_err).
+    """
+    x = F.col(vec_col)
+    xd = F.transform(x, lambda v: v.cast("double"))
+    maxabs = F.aggregate(
+        xd, F.lit(0.0), lambda acc, v: F.greatest(acc, F.abs(v))
+    )
+    scale = maxabs / F.lit(127.0)
+    q = F.when(maxabs == 0, F.transform(xd, lambda v: F.lit(0))).otherwise(
+        F.transform(
+            xd,
+            lambda v: F.floor(v / scale + F.lit(0.5)).cast("int"),
+        )
+    )
+    stage = vectors.select(
+        F.col(id_col),
+        F.size(x).alias("n_dims"),
+        scale.alias("scale"),
+        q.alias("q"),
+        xd.alias("__xd"),
+    )
+    err = F.zip_with(
+        F.col("__xd"),
+        F.col("q"),
+        lambda v, qi: v - qi.cast("double") * F.col("scale"),
+    )
+    sse = F.aggregate(err, F.lit(0.0), lambda acc, e: acc + e * e)
+    return stage.select(
+        id_col,
+        "n_dims",
+        "scale",
+        "q",
+        (sse / F.col("n_dims")).alias("mse"),
+        F.aggregate(
+            err, F.lit(0.0), lambda acc, e: F.greatest(acc, F.abs(e))
+        ).alias("max_abs_err"),
+    )

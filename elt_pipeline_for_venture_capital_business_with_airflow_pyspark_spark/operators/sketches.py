@@ -45,6 +45,8 @@ __all__ = [
     "kmv_setop_estimate",
     "countmin_build",
     "countmin_estimate",
+    "bloom_build",
+    "bloom_probe",
 ]
 
 
@@ -444,4 +446,92 @@ def countmin_estimate(
         expanded.join(F.broadcast(sketch), ["d", "bucket"], "left")
         .groupBy(key_col)
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias(out_col))
+    )
+
+
+def _bloom_pos(key: F.Column, i: F.Column, m_bits: int) -> F.Column:
+    """Bit position i-th hash of a key: the countmin md5 family
+    (`_cm_bucket`) mod ``m_bits`` — exact-integer, DuckDB-replicable."""
+    return _cm_bucket(key, i, m_bits)
+
+
+def bloom_build(
+    df: DataFrame,
+    key_col: str,
+    *,
+    m_bits: int = 4096,
+    k: int = 5,
+) -> DataFrame:
+    """Deterministic Bloom filter over ``key_col``: ``m_bits`` bits
+    packed 32-per-BIGINT as rows ``(chunk, bits)`` — ≤ m_bits/32 rows
+    of KB-scale state regardless of input size, built in ONE hash
+    aggregation (bit_or is commutative/associative, so the bitmap
+    combines map-side and unions across slices by the same bit_or —
+    the mergeability law pinned in tests).
+
+    This is the join-PRUNING sketch: build over the join keys of a
+    filtered dimension, broadcast the bitmap, and drop non-candidate
+    fact rows at the SCAN, before the shuffle — the pattern Spark's
+    own runtime row-level filtering (spark.sql.optimizer.runtime.
+    bloomFilter.enabled) automates for equi-joins, exposed here as an
+    explicit, engine-portable operator (:func:`bloom_probe`). False
+    positive rate ≈ (1 - e^{-kn/m})^k; no false negatives, pinned in
+    tests and in the registry oracle's ``no_false_negatives`` bit.
+
+    Determinism: positions are 32-bit md5 prefixes (the countmin
+    family) mod ``m_bits``; chunks pack 32 bits so masks stay far from
+    the BIGINT sign bit — both engines shift in pure positive range.
+    """
+    if m_bits % 32 != 0:
+        raise ValueError("m_bits must be a multiple of 32")
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    i = F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("i")
+    pos = _bloom_pos(F.col(key_col), F.col("i"), m_bits)
+    return (
+        df.select(F.col(key_col), i)
+        .select(
+            (pos / 32).cast("int").alias("chunk"),
+            F.pow(F.lit(2.0), (pos % 32).cast("int")).cast("bigint").alias(
+                "mask"
+            ),
+        )
+        .groupBy("chunk")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+
+
+def bloom_probe(
+    bloom: DataFrame,
+    probes: DataFrame,
+    key_col: str,
+    *,
+    m_bits: int = 4096,
+    k: int = 5,
+) -> DataFrame:
+    """Membership test of ``probes[key_col]`` against a
+    :func:`bloom_build` bitmap: adds ``might_contain`` (true ⇒ the key
+    MAY be in the build set; false ⇒ definitely not). The bitmap is
+    broadcast (≤ m_bits/32 rows), so probing any number of rows is a
+    map-side join + bit test per hash — no shuffle of the probe frame,
+    which is exactly why this prunes a 100-TB fact scan: the filter
+    runs where the data already is, and only surviving candidates pay
+    the real join's exchange."""
+    i = F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("i")
+    pos = _bloom_pos(F.col(key_col), F.col("i"), m_bits)
+    expanded = probes.select(F.col(key_col), i).select(
+        key_col,
+        (pos / 32).cast("int").alias("chunk"),
+        F.pow(F.lit(2.0), (pos % 32).cast("int")).cast("bigint").alias(
+            "mask"
+        ),
+    )
+    hit = (
+        F.col("bits").isNotNull()
+        & (F.col("bits").bitwiseAND(F.col("mask")) == F.col("mask"))
+    ).cast("int")
+    return (
+        expanded.join(F.broadcast(bloom), "chunk", "left")
+        .groupBy(key_col)
+        .agg((F.sum(hit) == k).alias("might_contain"))
     )

@@ -27,7 +27,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["gapfill_ffill", "ohlc_resample", "ewma_last", "ewma_series"]
+__all__ = [
+    "gapfill_ffill",
+    "interpolate_linear",
+    "ohlc_resample",
+    "ewma_last",
+    "ewma_series",
+    "rolling_zscore",
+]
 
 
 def gapfill_ffill(
@@ -62,6 +69,76 @@ def gapfill_ffill(
     for c in value_cols:
         joined = joined.withColumn(c, F.last(c, ignorenulls=True).over(w))
     return joined
+
+
+def interpolate_linear(
+    daily: DataFrame,
+    key_cols: list[str],
+    day_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Densify like :func:`gapfill_ffill` but fill each gap by LINEAR
+    interpolation between the surrounding observations instead of
+    carrying the last value — the TimescaleDB ``interpolate()`` /
+    pandas ``interpolate(method='linear')`` repair, correct for
+    continuously-varying metrics where a step function misstates the
+    gap (valuations, prices, sensor readings).
+
+    For a gap row at day d between observations (d0, v0) and (d1, v1):
+    ``v = v0 + (v1 - v0) * ((d - d0) / (d1 - d0))`` — day deltas are
+    exact integers, so the only floats are one subtraction, one
+    division and one fused-free multiply-add written in fixed
+    left-assoc order, reproducible on any IEEE engine. Gap rows are
+    flagged ``is_gap``; the spine spans each key's own [min, max] so
+    every gap has both neighbors by construction.
+
+    Scale shape: identical to ``gapfill_ffill`` — one shuffle on the
+    key for bounds, a map-side spine explode, and the neighbor lookup
+    is two window passes (``last ignorenulls`` forward, ``first
+    ignorenulls`` backward) over the SAME key partitioning, each
+    carrying constant per-key state. No self-join of the series to
+    itself, which is the O(gap²) trap naive interpolation joins hit.
+    """
+    bounds = daily.groupBy(*key_cols).agg(
+        F.min(day_col).alias("_d0"), F.max(day_col).alias("_d1")
+    )
+    spine = bounds.select(
+        *key_cols,
+        F.explode(F.sequence(F.col("_d0"), F.col("_d1"))).alias(day_col),
+    )
+    joined = spine.join(daily, [*key_cols, day_col], "left").withColumn(
+        "is_gap", F.col(value_col).isNull()
+    )
+    fwd = (
+        Window.partitionBy(*key_cols)
+        .orderBy(day_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # the "next observation" pass runs ordered DESCENDING with an
+    # unbounded-PRECEDING frame — same values as currentRow→
+    # unboundedFollowing, but Spark streams preceding frames in O(n)
+    # while an UnboundedFollowingWindowFunctionFrame RECOMPUTES the
+    # aggregate per row, O(n²) per partition: a single bad-date row
+    # stretching a key's spine to 100k days turns that into 5·10⁹
+    # updates (hours) — measured live on the extreme-values sweep.
+    bwd = (
+        Window.partitionBy(*key_cols)
+        .orderBy(F.col(day_col).desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    obs_day = F.when(~F.col("is_gap"), F.col(day_col))
+    prev_v = F.last(value_col, ignorenulls=True).over(fwd)
+    prev_d = F.last(obs_day, ignorenulls=True).over(fwd)
+    next_v = F.last(value_col, ignorenulls=True).over(bwd)
+    next_d = F.last(obs_day, ignorenulls=True).over(bwd)
+    frac = F.try_divide(
+        F.datediff(F.col(day_col), prev_d).cast("double"),
+        F.datediff(next_d, prev_d).cast("double"),
+    )
+    filled = F.when(~F.col("is_gap"), F.col(value_col)).otherwise(
+        prev_v + (next_v - prev_v) * frac
+    )
+    return joined.withColumn(value_col, filled)
 
 
 def ohlc_resample(
@@ -228,4 +305,80 @@ def ewma_series(
         F.col("__z")["__tiv"]["i"].alias(id_col),
         F.col("__z")["__tiv"]["v"].alias(value_col),
         F.col("__z")["__e"].alias("ewma"),
+    )
+
+
+def rolling_zscore(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    id_col: str,
+    value_col: str,
+    *,
+    lookback: int = 20,
+    min_points: int = 8,
+) -> DataFrame:
+    """Per-row z-score of ``value_col`` against the trailing
+    ``lookback`` observations of the same key (current row EXCLUDED,
+    so an anomaly never dilutes its own baseline) — the streaming-
+    detector shape behind every metrics-alerting pipeline, which the
+    reference's warehouse (raw event grain only) cannot answer.
+    Complements the GLOBAL per-group outlier ops (``dq_outlier_iqr`` /
+    ``dq_outlier_mad``): those flag against a whole distribution, this
+    flags against each point's own recent history, catching level
+    shifts the global view averages away.
+
+    Cross-engine determinism: the trailing mean/variance come from
+    window SUMs of the value cast once to DECIMAL(19,4) (the repo's
+    exact-sum idiom) and of its exact decimal square — both engines
+    accumulate integers, so frame aggregation order (Spark's sliding
+    accumulate vs DuckDB's segment tree) cannot perturb a bit. The
+    float finish is fixed-order: mean = s1/n, then the textbook
+    ``var = (s2 - s1*mean) / (n-1)``, sd = sqrt(max(var, 0)) — sqrt
+    is IEEE-correctly-rounded (unlike log/exp), so the z itself
+    hash-matches across engines. Sum magnitudes stay far below 2^53
+    in scaled units, so the decimal→double casts are exact.
+
+    Scale shape: ONE shuffle on the key, one sort per partition, and
+    the frame carries constant state (two decimal accumulators), so a
+    year of events per key streams through in a single window pass —
+    no self-join, no per-row re-aggregation.
+    """
+    xd = F.col("__xd")
+    xq = xd.cast("decimal(15,4)")
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(ts_col, id_col)
+        .rowsBetween(-int(lookback), -1)
+    )
+    n = F.count(xd).over(w)
+    s1 = F.sum(xd).over(w).cast("double")
+    # (15,4)² → decimal(31,8): exact in Spark (a (19,4)² would breach
+    # precision 38 and silently round scale 8 → 7, which DuckDB's
+    # int128 multiply does NOT do — the one-ulp trap this dodges).
+    s2 = F.sum(xq * xq).over(w).cast("double")
+    base = df.select(
+        *key_cols,
+        F.col(ts_col),
+        F.col(id_col),
+        F.col(value_col),
+        F.col(value_col).cast("decimal(19,4)").alias("__xd"),
+    )
+    scored = base.select(
+        *key_cols,
+        ts_col,
+        id_col,
+        value_col,
+        xd.cast("double").alias("__x"),
+        n.alias("n_baseline"),
+        s1.alias("__s1"),
+        s2.alias("__s2"),
+    )
+    mean = F.col("__s1") / F.col("n_baseline")
+    var = (F.col("__s2") - F.col("__s1") * mean) / (F.col("n_baseline") - 1)
+    sd = F.sqrt(F.greatest(var, F.lit(0.0)))
+    return (
+        scored.filter(F.col("n_baseline") >= int(min_points))
+        .withColumn("z", F.try_divide(F.col("__x") - mean, sd))
+        .drop("__x", "__s1", "__s2")
     )

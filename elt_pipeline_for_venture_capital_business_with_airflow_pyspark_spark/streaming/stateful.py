@@ -240,3 +240,120 @@ def running_count_stream_ap(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming rolling z-score — the continuous twin of
+# operators/timeseries.rolling_zscore (same baseline window, same
+# exclusion of the scored point, same float finish), pinned equal to
+# the batch operator in tests/test_stateful_streaming.py.
+# ---------------------------------------------------------------------------
+
+ZSCORE_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts_us", T.LongType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("n_baseline", T.LongType()),
+        T.StructField("z", T.DoubleType()),
+    ]
+)
+
+# state: the trailing window of scaled-int values (newest last)
+_ZSCORE_STATE_SCHEMA = T.StructType(
+    [T.StructField("ring", T.ArrayType(T.LongType()))]
+)
+
+
+def _zscore_fn(lookback: int, min_points: int, threshold: float):
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    quantum = Decimal("0.0001")
+
+    def fn(
+        key: tuple[Any, ...],
+        pdf_iter: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        ring: list[int] = list(state.get[0]) if state.exists else []
+        out: list[tuple[int, int, int, float, int, float]] = []
+        rows: list[tuple[int, int, float]] = []
+        for pdf in pdf_iter:
+            rows.extend(
+                (int(t), int(e), float(v))
+                for t, e, v in zip(pdf["ts_us"], pdf["event_id"], pdf["value"])
+            )
+        # micro-batch arrival order is not event order — sort locally;
+        # ACROSS batches the feed must be per-key time-ordered (the
+        # same at-the-source contract every keyed-state detector has)
+        rows.sort(key=lambda r: (r[0], r[1]))
+        for ts, eid, v in rows:
+            # exact scaled-int arithmetic replicating the batch op's
+            # DECIMAL(19,4) sums: HALF_UP like Spark's double→decimal
+            # cast, sums exact ints far below 2^53
+            q = int(
+                Decimal(v).quantize(quantum, rounding=ROUND_HALF_UP) * 10_000
+            )
+            n = len(ring)
+            if n >= min_points:
+                s1 = sum(ring) / 1e4
+                s2 = sum(x * x for x in ring) / 1e8
+                mean = s1 / n
+                var = (s2 - s1 * mean) / (n - 1)
+                # math.sqrt is IEEE-correctly-rounded (x**0.5 goes
+                # through pow, which is not) — must match JVM sqrt
+                sd = math.sqrt(max(var, 0.0))
+                if sd != 0.0:
+                    z = (q / 1e4 - mean) / sd
+                    if abs(z) > threshold:
+                        out.append((user_id, eid, ts, v, n, z))
+            ring.append(q)
+            if len(ring) > lookback:
+                ring.pop(0)
+        state.update((ring,))
+        yield pd.DataFrame(
+            out,
+            columns=["user_id", "event_id", "ts_us", "value", "n_baseline", "z"],
+        )
+
+    return fn
+
+
+def zscore_stream(
+    events: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    *,
+    lookback: int = 20,
+    min_points: int = 8,
+    threshold: float = 3.0,
+) -> DataFrame:
+    """Continuous per-event anomaly detection: each event z-scored
+    against its key's trailing ≤``lookback`` values (self excluded)
+    and emitted when |z| > ``threshold`` — the alerting form of the
+    batch ``rolling_zscore``, producing IDENTICAL flags and z values
+    when the stream replays the same data in per-key time order
+    (append semantics; pinned in tests). State per key is one
+    fixed-size ring of scaled ints — bounded by ``lookback``, not by
+    history length, so a year of stream is the same RocksDB footprint
+    as a day. The scaled-int sums reproduce the batch op's exact
+    decimal accumulation bit-for-bit; the float finish is the same
+    fixed-order expression."""
+    prepared = events.select(
+        F.col(user_col).cast("long").alias("user_id"),
+        F.col(id_col).cast("long").alias("event_id"),
+        F.unix_micros(F.col(ts_col)).alias("ts_us"),
+        F.col(value_col).cast("double").alias("value"),
+    )
+    return prepared.groupBy("user_id").applyInPandasWithState(
+        _zscore_fn(lookback, min_points, threshold),
+        outputStructType=ZSCORE_OUTPUT_SCHEMA,
+        stateStructType=_ZSCORE_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

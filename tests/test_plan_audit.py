@@ -50,6 +50,9 @@ NESTED_LOOP_OK = {
     "q11_important_stock",
     "q16_supplier_part_counts",
     "q20_excess_stock",
+    # PMI cross-joins the ONE-ROW corpus-size aggregate (broadcast
+    # scalar N for the lift numerator) — same shape as text_tfidf_top3.
+    "text_pmi_pairs",
     # ABC classification cross-joins the ONE-ROW grand-total aggregate.
     "pareto_abc_lineitem",
     # TPC-H Q22's scalar subquery (global positive-balance average)

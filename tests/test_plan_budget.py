@@ -118,6 +118,16 @@ SHUFFLE_BUDGET = {
     # register groupBy + estimate groupBy + exact countDistinct's
     # expand/merge pair (the audit ride-along, not the sketch)
     "sketch_hll_deterministic": 4,
+    # round-6 continuation (plans reviewed 2026-08-15): bloom = probe
+    # distinct + build bit_or + probe groupBy + confusion groupBy, all
+    # KB-state aggs; interpolate = bounds agg + spine window; zscore =
+    # ONE key shuffle; pmi = presence distinct ×2 (vocab + hits lobes)
+    # + vocab agg + per-doc collect + pair agg; quantize = pure map.
+    "bloom_semi_prune": 4,
+    "timeseries_interpolate": 2,
+    "anomaly_rolling_zscore": 1,
+    "text_pmi_pairs": 5,
+    "embedding_quantize_int8": 0,
 }
 
 

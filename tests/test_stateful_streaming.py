@@ -393,3 +393,101 @@ def test_transform_with_state_running_count_matches_batch(spark, sf_dir, tmp_pat
             )
         else:
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+# ---------------------------------------------------------------------------
+# streaming rolling z-score vs the batch operator
+# ---------------------------------------------------------------------------
+
+
+def _batch_anomalies(events):
+    from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.operators import (
+        timeseries as TS,
+    )
+
+    out = (
+        TS.rolling_zscore(
+            events, ["user_id"], "ts", "event_id", "value",
+            lookback=20, min_points=8,
+        )
+        .filter(F.abs(F.col("z")) > 3.0)
+        .select(
+            "user_id", "event_id",
+            F.unix_micros("ts").alias("ts_us"),
+            "value", "n_baseline", "z",
+        )
+    )
+    return {
+        (r["user_id"], r["event_id"]): (r["ts_us"], r["n_baseline"], r["z"])
+        for r in out.collect()
+    }
+
+
+def _run_zscore_stream(spark, src: str, chk: str, schema, qname: str):
+    stream = spark.readStream.schema(schema).parquet(src)
+    flagged = ST.zscore_stream(
+        stream, "ts", "user_id", "event_id", "value",
+        lookback=20, min_points=8, threshold=3.0,
+    )
+    return (
+        flagged.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .option("checkpointLocation", chk)
+        .start()
+    )
+
+
+def _collect_stream_anomalies(spark, qname: str):
+    rows = spark.sql(f"SELECT * FROM {qname}").collect()
+    return {
+        (r["user_id"], r["event_id"]): (r["ts_us"], r["n_baseline"], r["z"])
+        for r in rows
+    }
+
+
+def test_stream_zscore_matches_batch_single_batch(spark, sf_dir, tmp_path):
+    events = read_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+        & (F.col("user_id") < 40)
+    )
+    src = str(tmp_path / "zsrc")
+    events.coalesce(1).write.parquet(src)
+    q = _run_zscore_stream(spark, src, str(tmp_path / "zchk"), events.schema, "z_one")
+    try:
+        q.processAllAvailable()
+        got = _collect_stream_anomalies(spark, "z_one")
+    finally:
+        q.stop()
+    expected = _batch_anomalies(events)
+    assert got.keys() == expected.keys()
+    for k, (ts, n, z) in expected.items():
+        gts, gn, gz = got[k]
+        assert (gts, gn) == (ts, n)
+        assert gz == z  # bit-identical float finish, not approx
+
+
+def test_stream_zscore_state_carries_across_batches(spark, sf_dir, tmp_path):
+    """Split the feed at the time median: flags and z values must equal
+    the single-pass batch computation — baselines straddling the
+    micro-batch boundary come from carried state, exact."""
+    events = read_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+        & (F.col("user_id") < 40)
+    )
+    cut_us = events.select(
+        F.percentile(F.unix_micros("ts"), F.lit(0.5)).alias("p")
+    ).collect()[0]["p"]
+    cut = F.timestamp_micros(F.lit(int(cut_us)))
+    src = str(tmp_path / "zsrc2")
+    events.filter(F.col("ts") <= cut).coalesce(1).write.parquet(src)
+    q = _run_zscore_stream(spark, src, str(tmp_path / "zchk2"), events.schema, "z_two")
+    try:
+        q.processAllAvailable()
+        events.filter(F.col("ts") > cut).coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        got = _collect_stream_anomalies(spark, "z_two")
+    finally:
+        q.stop()
+    expected = _batch_anomalies(events)
+    assert got == expected
