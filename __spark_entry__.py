@@ -8643,6 +8643,152 @@ def _embedding_quantize_int8(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@_register(
+    "sketch_join_cardinality",
+    """
+    WITH ca AS (
+      SELECT l_partkey AS k, COUNT(*) AS cnt_a,
+             CAST('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 8)
+                  AS BIGINT) AS hv
+      FROM lineitem GROUP BY 1
+    ), sa AS (SELECT * FROM ca ORDER BY hv, k LIMIT 256),
+    cb AS (
+      SELECT p_partkey AS k, COUNT(*) AS cnt_b,
+             CAST('0x' || substr(md5(CAST(p_partkey AS VARCHAR)), 1, 8)
+                  AS BIGINT) AS hv
+      FROM part WHERE p_size >= 25 GROUP BY 1
+    ), sb AS (SELECT * FROM cb ORDER BY hv, k LIMIT 256),
+    ta AS (SELECT CASE WHEN COUNT(*) >= 256 THEN MAX(hv)
+                       ELSE 4294967296 END AS t FROM sa),
+    tb AS (SELECT CASE WHEN COUNT(*) >= 256 THEN MAX(hv)
+                       ELSE 4294967296 END AS t FROM sb),
+    tt AS (SELECT least(ta.t, tb.t) AS tau FROM ta, tb),
+    j AS (
+      SELECT tt.tau, sa.cnt_a, sb.cnt_b
+      FROM sa JOIN sb ON sa.k = sb.k AND sa.hv = sb.hv, tt
+      WHERE sa.hv < tt.tau
+    ),
+    agg AS (
+      SELECT tau, COUNT(*) AS n_sampled_pairs,
+             CAST(SUM(cnt_a * cnt_b) AS BIGINT) AS sum_pairs
+      FROM j GROUP BY 1
+    ),
+    tj AS (
+      SELECT COUNT(*) AS true_join
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE p_size >= 25
+    )
+    SELECT agg.tau, CAST(agg.tau AS DOUBLE) / 4294967296.0 AS p,
+           agg.n_sampled_pairs, agg.sum_pairs,
+           CAST(agg.sum_pairs AS DOUBLE)
+             / (CAST(agg.tau AS DOUBLE) / 4294967296.0) AS est_join,
+           tj.true_join
+    FROM agg, tj
+    """,
+)
+def _sketch_join_cardinality(spark: SparkSession, sf: str) -> DataFrame:
+    """Join-size estimation WITHOUT running the join
+    (operators/sketches.freq_sample / join_cardinality_estimate) —
+    correlated bottom-k sampling (Vengerov et al., VLDB'15): both
+    sides keep the 256 distinct keys with the smallest shared-hash
+    values plus their exact row counts; Σ cntA·cntB over the region
+    below τ = min(kth hashes), scaled by 1/p, estimates
+    |lineitem ⋈ part(p_size ≥ 25)| — the planner statistic that
+    decides broadcast vs shuffle vs pre-aggregation BEFORE paying for
+    a 100-TB join. States are KB-scale (one map-combinable count agg
+    + a distributed TakeOrdered each); everything after is metadata
+    math. Exact-integer state end-to-end, one IEEE division ⇒ the
+    estimate hash-matches DuckDB; the true join count rides along so
+    the estimate is auditable (and the estimator goes EXACT when both
+    key sets fit in k)."""
+    li = read_table(spark, sf, "lineitem")
+    pt = read_table(spark, sf, "part").filter(F.col("p_size") >= 25)
+    sa = SKC.freq_sample(li.select("l_partkey"), "l_partkey", k=256)
+    sb = SKC.freq_sample(pt.select("p_partkey"), "p_partkey", k=256)
+    est = SKC.join_cardinality_estimate(
+        sa, sb, "l_partkey", "p_partkey", k=256
+    )
+    true_j = (
+        li.join(pt, li["l_partkey"] == pt["p_partkey"])
+        .agg(F.count(F.lit(1)).alias("true_join"))
+    )
+    return est.crossJoin(F.broadcast(true_j))
+
+
+@_register(
+    "sketch_hll_sliding",
+    f"""
+    WITH b AS (
+      SELECT CAST(ts AS DATE) AS day, user_id,
+             CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)
+                  AS BIGINT) AS hv
+      FROM events WHERE ts IS NOT NULL
+    ),
+    daily AS (
+      SELECT day, hv % 64 AS bucket,
+             MAX(CASE WHEN instr(lpad(bin(hv // 64), 26, '0'), '1') = 0
+                      THEN 27
+                      ELSE instr(lpad(bin(hv // 64), 26, '0'), '1') END) AS r
+      FROM b GROUP BY 1, 2
+    ),
+    offs AS (SELECT UNNEST([0, 1, 2, 3, 4, 5, 6]) AS off),
+    slid AS (
+      SELECT day + off AS day, bucket, MAX(r) AS r
+      FROM daily, offs GROUP BY 1, 2
+    ),
+    est AS (
+      SELECT day,
+             CAST(SUM(CAST(1 AS BIGINT) << (27 - r))
+                  + (64 - COUNT(*)) * 134217728 AS BIGINT) AS register_sum,
+             CAST(64 - COUNT(*) AS BIGINT) AS zero_registers
+      FROM slid GROUP BY 1
+    ),
+    exact AS (
+      SELECT day + off AS day, COUNT(DISTINCT user_id) AS exact_users
+      FROM b, offs GROUP BY 1
+    ),
+    obs AS (SELECT DISTINCT day FROM b)
+    SELECT e.day, x.exact_users, e.register_sum, e.zero_registers,
+           {_HLL_CONST!r} / e.register_sum AS hll_raw_est
+    FROM est e JOIN exact x USING (day) JOIN obs USING (day)
+    """,
+)
+def _sketch_hll_sliding(spark: SparkSession, sf: str) -> DataFrame:
+    """Trailing-7-day distinct users, every day, from KB-scale daily
+    register state (operators/sketches.hll_det_sliding): each daily
+    register row is exploded to the ≤7 windows it influences (bounded
+    map-side explode) and per-bucket MAX-merged — the SLIDING form of
+    the rollup lattice merge, which a window range-frame cannot
+    produce (frames only fire on existing rows; absent (day, bucket)
+    combinations must still merge away). The raw events are scanned
+    once to build daily registers; every trailing window after that
+    is register arithmetic. Exact trailing distincts ride along via
+    the same explode for auditability; register state AND estimates
+    hash-match DuckDB bit-for-bit. Restricted to observed days so the
+    overhang past the last event day is not reported."""
+    ev = read_table(spark, sf, "events").filter(F.col("ts").isNotNull())
+    base = ev.select(F.to_date("ts").alias("day"), "user_id")
+    daily = SKC.hll_det_registers(base, "user_id", ["day"])
+    slid = SKC.hll_det_sliding(daily, [], "day", window_days=7)
+    est = SKC.hll_det_estimate(slid, ["day"])
+    exact = (
+        base.withColumn("__off", F.explode(F.sequence(F.lit(0), F.lit(6))))
+        .select(F.date_add("day", F.col("__off")).alias("day"), "user_id")
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("exact_users"))
+    )
+    obs = base.select("day").distinct()
+    return (
+        est.join(exact, "day")
+        .join(obs, "day", "left_semi")
+        .select(
+            "day", "exact_users", "register_sum", "zero_registers",
+            "hll_raw_est",
+        )
+    )
+
+
+
 # ---------------------------------------------------------------------------
 # driver verification window
 #

@@ -535,3 +535,144 @@ def bloom_probe(
         .groupBy(key_col)
         .agg((F.sum(hit) == k).alias("might_contain"))
     )
+
+
+def _key_hash(key_col: str) -> F.Column:
+    """32-bit md5 prefix of a key — the repo's cross-engine hash."""
+    return F.conv(
+        F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10
+    ).cast("bigint")
+
+
+def freq_sample(
+    df: DataFrame,
+    key_col: str,
+    *,
+    k: int = 256,
+) -> DataFrame:
+    """Bottom-k *frequency* sample of a key column: the ``k`` distinct
+    keys with the smallest 32-bit md5 hashes, each carrying its EXACT
+    row count — a KMV state enriched with multiplicities (rows
+    ``(key, hv, cnt)``). One groupBy (count per key, map-combinable)
+    + one KB-scale top-k; the sample is a uniform hash sample of the
+    key domain, so per-key aggregates over it extrapolate unbiasedly.
+    Used by :func:`join_cardinality_estimate`; the state is exact and
+    ANSI-SQL-expressible, hence oracle-checkable."""
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    counts = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("cnt"))
+    # orderBy().limit() compiles to TakeOrderedAndProject — a
+    # distributed top-k (per-partition heads merged on the driver), not
+    # the single-partition row_number shuffle a window would force on
+    # the full key domain; hash ties broken by the key for determinism
+    return (
+        counts.withColumn("hv", _key_hash(key_col))
+        .orderBy("hv", key_col)
+        .limit(k)
+    )
+
+
+def join_cardinality_estimate(
+    sample_a: DataFrame,
+    sample_b: DataFrame,
+    key_a: str,
+    key_b: str,
+    *,
+    k: int = 256,
+) -> DataFrame:
+    """Estimate |A ⋈ B| on a key WITHOUT running the join — correlated
+    bottom-k sampling (Vengerov et al., VLDB'15): because both sides
+    sample keys by the SAME hash, the samples align on the same key
+    subset, so Σ cntA·cntB over the shared sampled region scaled by
+    1/p is unbiased — the planner statistic that decides broadcast vs
+    shuffle vs pre-aggregation before paying for a 100-TB join.
+
+    τ = min(kth hash of A, kth hash of B) defines the sampled region
+    h < τ (each side's bottom-k is complete below its own kth hash,
+    so the intersection region is complete below τ); p = τ / 2³²;
+    estimate = Σ_{h<τ} cntA·cntB / p. When either side has < k
+    distinct keys its τ side is 2³² and the region is its WHOLE key
+    set — the estimate degrades gracefully toward exact (exactly
+    exact when both fit). All arithmetic before the final division is
+    exact BIGINT; one IEEE division ⇒ oracle hash-parity.
+
+    Output: one row (tau, p, n_sampled_pairs, sum_pairs, est_join).
+    Both inputs are KB-scale states; everything here is
+    driver-light metadata math executed as a tiny Spark plan."""
+    ka = sample_a.select(
+        F.col(key_a).alias("__k"), F.col("hv"), F.col("cnt").alias("cnt_a")
+    )
+    kb = sample_b.select(
+        F.col(key_b).alias("__k"), F.col("hv"), F.col("cnt").alias("cnt_b")
+    )
+    two32 = F.lit(4294967296)
+    tau_a = ka.agg(
+        F.when(F.count(F.lit(1)) >= k, F.max("hv")).otherwise(two32).alias("t")
+    )
+    tau_b = kb.agg(
+        F.when(F.count(F.lit(1)) >= k, F.max("hv")).otherwise(two32).alias("t")
+    )
+    tau = (
+        tau_a.crossJoin(tau_b.withColumnRenamed("t", "t2"))
+        .select(F.least("t", "t2").alias("tau"))
+    )
+    joined = (
+        ka.join(kb, ["__k", "hv"])
+        .crossJoin(F.broadcast(tau))
+        .filter(F.col("hv") < F.col("tau"))
+    )
+    return joined.groupBy("tau").agg(
+        F.count(F.lit(1)).alias("n_sampled_pairs"),
+        F.sum(F.col("cnt_a") * F.col("cnt_b")).alias("sum_pairs"),
+    ).select(
+        "tau",
+        (F.col("tau").cast("double") / F.lit(4294967296.0)).alias("p"),
+        "n_sampled_pairs",
+        "sum_pairs",
+        (
+            F.col("sum_pairs").cast("double")
+            / (F.col("tau").cast("double") / F.lit(4294967296.0))
+        ).alias("est_join"),
+    )
+
+
+def hll_det_sliding(
+    registers: DataFrame,
+    group_cols: list[str],
+    day_col: str,
+    *,
+    window_days: int = 7,
+) -> DataFrame:
+    """Sliding-window register merge: from a DAILY
+    :func:`hll_det_registers` table (built with the day in its group
+    columns), the merged register table for every trailing
+    ``window_days`` window — each daily register row is exploded to
+    the ≤``window_days`` output days it participates in (a bounded
+    map-side explode), then one per-(group, day, bucket) MAX. The
+    sliding version of :func:`hll_det_rollup`'s lattice merge: "7-day
+    distinct users, every day" from KB-scale daily state, never
+    rescanning raw data — the window shape a naive window function
+    CANNOT produce (a range frame only fires on existing rows; the
+    explode materializes every window a register influences).
+
+    Output grain: (group…, day, bucket, r) for every day any register
+    in the trailing window exists. Feed to :func:`hll_det_estimate`
+    grouped by (group…, day)."""
+    if window_days < 1:
+        raise ValueError("window_days must be >= 1")
+    out_day = F.date_add(
+        F.col(day_col), F.col("__off")
+    )
+    return (
+        registers.withColumn(
+            "__off", F.explode(F.sequence(F.lit(0), F.lit(window_days - 1)))
+        )
+        .select(
+            *group_cols,
+            out_day.alias(day_col),
+            F.col("bucket"),
+            F.col("r"),
+        )
+        .groupBy(*group_cols, day_col, "bucket")
+        .agg(F.max("r").alias("r"))
+    )

@@ -53,6 +53,9 @@ NESTED_LOOP_OK = {
     # PMI cross-joins the ONE-ROW corpus-size aggregate (broadcast
     # scalar N for the lift numerator) — same shape as text_tfidf_top3.
     "text_pmi_pairs",
+    # correlated-sampling join estimator cross-joins three ONE-ROW
+    # frames (tau_a, tau_b, true-join audit) onto KB-scale samples.
+    "sketch_join_cardinality",
     # ABC classification cross-joins the ONE-ROW grand-total aggregate.
     "pareto_abc_lineitem",
     # TPC-H Q22's scalar subquery (global positive-balance average)

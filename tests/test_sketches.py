@@ -287,3 +287,103 @@ def test_kmv_rejects_tiny_k():
 
     with _pytest.raises(ValueError):
         SK.kmv_state(None, "k", ["g"], k=1)
+
+
+# ---------------------------------------------------------------------------
+# correlated bottom-k join-cardinality estimation (round 6 continuation)
+# ---------------------------------------------------------------------------
+
+
+def test_join_cardinality_exact_when_small(spark):
+    """Both key sets under k → tau = 2^32, p = 1, estimate is EXACT."""
+    from pyspark.sql import functions as F
+
+    a = spark.range(0, 500).select((F.col("id") % 50).alias("ka"))  # 10 rows/key
+    b = spark.range(0, 25).select(F.col("id").alias("kb"), F.lit(1))
+    sa = SK.freq_sample(a, "ka", k=256)
+    sb = SK.freq_sample(b.select("kb"), "kb", k=256)
+    r = SK.join_cardinality_estimate(sa, sb, "ka", "kb", k=256).collect()[0]
+    true = a.join(b, a["ka"] == b["kb"]).count()
+    assert r["p"] == 1.0
+    assert r["est_join"] == float(true) == 250.0
+
+
+def test_join_cardinality_estimate_close_when_sampled(spark):
+    """Key domain ≫ k: the scaled estimate lands within a loose
+    multiplicative band of the truth (uniform FK join, RSE ~ 1/√k)."""
+    from pyspark.sql import functions as F
+
+    a = spark.range(0, 20_000).select((F.col("id") % 2000).alias("ka"))
+    b = spark.range(0, 1000).select(F.col("id").alias("kb"))
+    sa = SK.freq_sample(a, "ka", k=128)
+    sb = SK.freq_sample(b, "kb", k=128)
+    r = SK.join_cardinality_estimate(sa, sb, "ka", "kb", k=128).collect()[0]
+    true = a.join(b, a["ka"] == b["kb"]).count()  # 10_000
+    assert true == 10_000
+    assert 0.5 * true <= r["est_join"] <= 2.0 * true
+    assert r["p"] < 1.0  # sampling actually engaged
+
+
+def test_freq_sample_is_bottom_k_with_exact_counts(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 3000).select((F.col("id") % 300).alias("k"))
+    s = SK.freq_sample(df, "k", k=50)
+    rows = s.collect()
+    assert len(rows) == 50
+    assert all(r["cnt"] == 10 for r in rows)  # exact multiplicities
+    # bottom-k law: the sample's max hash bounds every sampled hash
+    kth = max(r["hv"] for r in rows)
+    all_hv = {
+        r["hv"]
+        for r in df.select("k").distinct()
+        .withColumn("hv", SK._key_hash("k")).collect()
+    }
+    assert {r["hv"] for r in rows} == {h for h in all_hv if h <= kth}
+
+
+# ---------------------------------------------------------------------------
+# sliding HLL register merge
+# ---------------------------------------------------------------------------
+
+
+def test_hll_sliding_equals_per_window_rebuild(spark):
+    """Merge law, sliding form: the exploded-merge registers for day D
+    equal registers built from scratch on the raw rows of [D-6, D]."""
+    import datetime as dt
+
+    from pyspark.sql import Row, functions as F
+
+    rows = [
+        Row(day=dt.date(2024, 1, 1 + (i * 7) % 20), uid=i % 37)
+        for i in range(400)
+    ]
+    base = spark.createDataFrame(rows)
+    daily = SK.hll_det_registers(base, "uid", ["day"])
+    slid = SK.hll_det_sliding(daily, [], "day", window_days=7)
+
+    probe_day = dt.date(2024, 1, 15)
+    got = {
+        (r["bucket"], r["r"])
+        for r in slid.filter(F.col("day") == probe_day).collect()
+    }
+    window_rows = base.filter(
+        (F.col("day") > dt.date(2024, 1, 8)) & (F.col("day") <= probe_day)
+    )
+    want = {
+        (r["bucket"], r["r"])
+        for r in SK.hll_det_registers(window_rows, "uid", []).collect()
+    }
+    assert got == want
+
+
+def test_hll_sliding_rejects_bad_window(spark):
+    import pytest as _pt
+
+    from pyspark.sql import Row
+    import datetime as dt
+
+    base = spark.createDataFrame([Row(day=dt.date(2024, 1, 1), uid=1)])
+    daily = SK.hll_det_registers(base, "uid", ["day"])
+    with _pt.raises(ValueError):
+        SK.hll_det_sliding(daily, [], "day", window_days=0)
