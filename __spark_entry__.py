@@ -8789,6 +8789,210 @@ def _sketch_hll_sliding(spark: SparkSession, sf: str) -> DataFrame:
 
 
 
+@_register(
+    "embedding_ann_int8",
+    """
+    WITH xd AS (
+      SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS xd
+      FROM embeddings
+    ), mx AS (
+      SELECT vec_id, xd,
+             list_reduce(list_prepend(0.0, list_transform(xd, v -> abs(v))),
+                         (a, b) -> greatest(a, b)) AS maxabs
+      FROM xd
+    ), q8 AS (
+      SELECT vec_id, maxabs / 127.0 AS scale,
+             CASE WHEN maxabs = 0 THEN list_transform(xd, v -> 0)
+                  ELSE list_transform(xd, v ->
+                       CAST(floor(v / (maxabs / 127.0) + 0.5) AS INT))
+             END AS q
+      FROM mx
+    ), scored AS (
+      SELECT qq.vec_id AS query_id, cc.vec_id AS neighbor_id,
+             list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                 list_transform(list_zip(cc.q, qq.q),
+                   z -> CAST(z[1] AS BIGINT) * CAST(z[2] AS BIGINT))),
+               (a, b) -> a + b) AS dot_int,
+             cc.scale AS sc, qq.scale AS sq
+      FROM q8 cc, q8 qq
+      WHERE qq.vec_id < 5 AND cc.vec_id <> qq.vec_id
+    ), ranked AS (
+      SELECT query_id, neighbor_id, dot_int,
+             dot_int * sc * sq AS score,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY dot_int * sc * sq DESC, neighbor_id)
+               AS rank
+      FROM scored
+    )
+    SELECT query_id, rank, neighbor_id, dot_int, score
+    FROM ranked WHERE rank <= 10
+    """,
+)
+def _embedding_ann_int8(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-k retrieval FROM THE QUANTIZED TIER
+    (operators/similarity.ann_topk_int8): both sides int8-quantized in
+    the scan projection, dots accumulated as exact BIGINTs (no float
+    sum anywhere), scores recovered by two fixed-order multiplies —
+    so unlike every float ANN path, the ranking key itself is
+    oracle-exact with no epsilon. Same single-scan broadcast shape as
+    the brute-force baseline; at 100 TB this is the 4×-less-IO serving
+    path, with recall vs the float exact top-k pinned in
+    tests/test_round6_ops.py."""
+    emb = read_table(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return SIM.ann_topk_int8(emb, queries, k=10)
+
+
+@_register(
+    "text_pmi_window",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(
+               string_split(regexp_replace(lower(text), '[^a-z0-9 ]', ' ',
+                                           'g'), ' '),
+               t -> t <> '' AND length(t) >= 3) AS ts
+      FROM documents
+    ), pos AS (
+      SELECT doc_id, unnest(ts) AS term,
+             unnest(range(1, len(ts) + 1)) AS p
+      FROM toks
+    ), pc AS (
+      SELECT least(a.term, b.term) AS term_a,
+             greatest(a.term, b.term) AS term_b,
+             COUNT(*) AS n_ab
+      FROM pos a JOIN pos b
+        ON a.doc_id = b.doc_id AND b.p - a.p BETWEEN 1 AND 4
+      WHERE a.term <> b.term
+      GROUP BY 1, 2 HAVING COUNT(*) >= 5
+    ), uni AS (SELECT term, COUNT(*) AS n FROM pos GROUP BY 1),
+    tot AS (SELECT COUNT(*) AS t FROM pos)
+    SELECT term_a, term_b, n_ab, ua.n AS n_a, ub.n AS n_b,
+           n_ab * tot.t AS lift_num,
+           4 * ua.n * ub.n AS lift_den,
+           CAST(n_ab * tot.t AS DOUBLE)
+             / CAST(4 * ua.n * ub.n AS DOUBLE) AS lift
+    FROM pc
+    JOIN uni ua ON pc.term_a = ua.term
+    JOIN uni ub ON pc.term_b = ub.term, tot
+    """,
+)
+def _text_pmi_window(spark: SparkSession, sf: str) -> DataFrame:
+    """Positional co-occurrence (functions/text.cooccurrence_window):
+    the skip-gram/GloVe counting pass — unordered pairs within 4
+    tokens, exact-BIGINT lift with the window-slot normalizer. Pair
+    generation stays inside the token array (transform/slice/flatten,
+    ≤ window×tokens rows, map-side); the oracle replays it as a
+    positional self-join and hash-matches every count and lift.
+    Complements document-level text_pmi_pairs: collocations vs
+    topical association."""
+    docs = read_table(spark, sf, "documents")
+    return TX.cooccurrence_window(
+        docs, "doc_id", "text", window=4, min_count=5
+    )
+
+
+@_register(
+    "sketch_hll_index_daily",
+    f"""
+    WITH b AS (
+      SELECT CAST(ts AS DATE) AS day, user_id,
+             CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)
+                  AS BIGINT) AS hv
+      FROM events WHERE ts IS NOT NULL
+    ),
+    bounds AS (SELECT MAX(day) AS d1 FROM b),
+    win AS (
+      SELECT b.* FROM b, bounds WHERE b.day >= d1 - 6 AND b.day <= d1
+    ),
+    regs AS (
+      SELECT hv % 64 AS bucket,
+             MAX(CASE WHEN instr(lpad(bin(hv // 64), 26, '0'), '1') = 0
+                      THEN 27
+                      ELSE instr(lpad(bin(hv // 64), 26, '0'), '1') END) AS r
+      FROM win GROUP BY 1
+    ),
+    est AS (
+      SELECT CAST(SUM(CAST(1 AS BIGINT) << (27 - r))
+                  + (64 - COUNT(*)) * 134217728 AS BIGINT) AS register_sum,
+             CAST(64 - COUNT(*) AS BIGINT) AS zero_registers
+      FROM regs
+    ),
+    ex AS (SELECT COUNT(DISTINCT user_id) AS exact_users FROM win)
+    SELECT est.register_sum, est.zero_registers,
+           {_HLL_CONST!r} / est.register_sum AS hll_raw_est,
+           ex.exact_users
+    FROM est, ex
+    """,
+)
+def _sketch_hll_index_daily(spark: SparkSession, sf: str) -> DataFrame:
+    """Persisted continuous-aggregate lifecycle for sketches
+    (operators/sketches.build_hll_index / hll_index_window_estimate):
+    the corpus's older days are indexed ONCE (daily register tables,
+    partitionBy(day)); each of the last 7 observed days is then
+    appended as its own daily shard — the reference's daily cadence
+    (dags/vcapital_staging/tasks/components/extract.py:41-43) applied
+    to distinct-count state. The trailing-7-day answer is a
+    partition-PRUNED read of exactly 7 day directories + one
+    per-bucket MAX. The ORACLE recomputes the window from raw events
+    with no index at all, so a hash match IS the incremental==full
+    proof: 7 sequential appends must leave register state identical
+    to a from-scratch build. Unlike the band-partitioned LSH index,
+    the day partition key is the append unit, so this index never
+    accrues small files and needs no compaction hook."""
+    import os
+
+    ev = read_table(spark, sf, "events").filter(F.col("ts").isNotNull())
+    base = ev.select(F.to_date("ts").alias("day"), "user_id")
+    days = sorted(
+        r["day"] for r in base.select("day").distinct().collect()
+    )  # bounded metadata collect: one row per observed day
+    if not days:
+        # no events at all: one all-NULL estimate row + exact 0, the
+        # same shape the oracle's global aggregates produce
+        est0 = SKC.hll_index_window_estimate(
+            spark, "/tmp/spark_graft_hll_idx_void", "day",
+            "1970-01-01", "1970-01-01",
+        )
+        exact0 = base.agg(F.countDistinct("user_id").alias("exact_users"))
+        return est0.crossJoin(F.broadcast(exact0)).select(
+            "register_sum", "zero_registers", "hll_raw_est", "exact_users"
+        )
+    # CALENDAR window [d1-6, d1] (not "last 7 observed days": with
+    # sparse days the two differ and the oracle's raw recompute is
+    # calendar-defined)
+    import datetime as _dt
+
+    d1 = days[-1]
+    w0 = d1 - _dt.timedelta(days=6)
+    shard_days = [d for d in days if d >= w0]
+    corpus_days = [d for d in days if d < w0]
+    path = "/tmp/spark_graft_hll_idx_" + os.path.basename(
+        os.path.normpath(sf)
+    )
+    SKC.build_hll_index(
+        base.filter(F.col("day").isin([str(d) for d in corpus_days])),
+        path, "user_id", "day", mode="overwrite",
+    )
+    for d in shard_days:
+        SKC.build_hll_index(
+            base.filter(F.col("day") == F.lit(str(d))),
+            path, "user_id", "day", mode="append",
+        )
+    est = SKC.hll_index_window_estimate(
+        spark, path, "day", str(w0), str(d1)
+    )
+    exact = base.filter(
+        (F.col("day") >= F.lit(str(w0))) & (F.col("day") <= F.lit(str(d1)))
+    ).agg(F.countDistinct("user_id").alias("exact_users"))
+    return est.crossJoin(F.broadcast(exact)).select(
+        "register_sum", "zero_registers", "hll_raw_est", "exact_users"
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver verification window
 #

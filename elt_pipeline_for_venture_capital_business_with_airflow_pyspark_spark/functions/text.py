@@ -33,6 +33,7 @@ __all__ = [
     "url_normalize",
     "url_host",
     "term_cooccurrence",
+    "cooccurrence_window",
     "TRACKING_PARAM_PREFIXES",
     "STOPWORDS",
     "LANG_MARKERS",
@@ -583,6 +584,95 @@ def term_cooccurrence(
             "n_ab",
             "n_a",
             "n_b",
+            num.alias("lift_num"),
+            den.alias("lift_den"),
+            (num.cast("double") / den.cast("double")).alias("lift"),
+        )
+    )
+
+
+def cooccurrence_window(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    window: int = 4,
+    min_count: int = 5,
+):
+    """POSITIONAL co-occurrence (the skip-gram / GloVe counting pass):
+    unordered term pairs within ``window`` tokens of each other, with
+    exact-ratio lift — the collocation statistic
+    :func:`term_cooccurrence` (document-level presence) deliberately
+    is not. "venture capital" scores here; two terms that merely share
+    long documents do not.
+
+    Pair generation never leaves the token array: for token position
+    i, partners are positions i+1 … i+window via transform/slice
+    inside one projection (row growth ≤ window×tokens — linear,
+    map-side), canonicalized least/greatest so each unordered pair
+    counts once per occurrence. Unigram totals come from one explode.
+    Two map-combinable groupBys + two count-table joins; nothing
+    quadratic anywhere. lift = n_ab·T / (window·n_a·n_b) with
+    T = total tokens, all exact BIGINTs, one IEEE division (the
+    window factor normalizes the pair-slot count so lift ≈ 1 means
+    independence, same calibration as the document-level form).
+
+    Returns (term_a, term_b, n_ab, n_a, n_b, lift_num, lift_den,
+    lift) for pairs with n_ab ≥ ``min_count``."""
+    if window < 1 or min_count < 1:
+        raise ValueError("window and min_count must be >= 1")
+    toks = F.filter(
+        F.split(
+            F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9 ]", " "), " "
+        ),
+        lambda t: (t != "") & (F.length(t) >= 3),
+    )
+    base = df.select(F.col(id_col).alias("__doc"), toks.alias("__ts"))
+    arr = F.col("__ts")
+    pairs_arr = F.flatten(
+        F.transform(
+            arr,
+            lambda x, i: F.transform(
+                F.slice(
+                    arr,
+                    i + F.lit(2),
+                    F.least(F.lit(window), F.size(arr) - i - 1),
+                ),
+                lambda y: F.struct(
+                    F.least(x, y).alias("term_a"),
+                    F.greatest(x, y).alias("term_b"),
+                ),
+            ),
+        )
+    )
+    pair_counts = (
+        base.select(F.explode(pairs_arr).alias("__p"))
+        .select("__p.term_a", "__p.term_b")
+        .filter(F.col("term_a") != F.col("term_b"))
+        .groupBy("term_a", "term_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= min_count)
+    )
+    uni = (
+        base.select(F.explode(arr).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = base.select(F.sum(F.size(arr)).alias("__t"))
+    num = F.col("n_ab") * F.col("__t")
+    den = F.lit(int(window)) * F.col("n_a") * F.col("n_b")
+    return (
+        pair_counts.join(
+            uni.select(F.col("term").alias("term_a"), F.col("n").alias("n_a")),
+            "term_a",
+        )
+        .join(
+            uni.select(F.col("term").alias("term_b"), F.col("n").alias("n_b")),
+            "term_b",
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "term_a", "term_b", "n_ab", "n_a", "n_b",
             num.alias("lift_num"),
             den.alias("lift_den"),
             (num.cast("double") / den.cast("double")).alias("lift"),

@@ -992,3 +992,68 @@ def quantize_int8(
             err, F.lit(0.0), lambda acc, e: F.greatest(acc, F.abs(e))
         ).alias("max_abs_err"),
     )
+
+
+def ann_topk_int8(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Top-k inner-product neighbors SERVED FROM THE QUANTIZED TIER:
+    both sides pass through :func:`quantize_int8`, the dot product is
+    an exact BIGINT (Σ int8·int8 — no float accumulation at all), and
+    the real-valued score is recovered as ``dot_int · scale_c ·
+    scale_q`` (two float multiplies, fixed order). This is how a
+    100-TB embedding corpus actually answers queries — 4× less IO
+    than float32, SIMD-able integer dots, and scores within
+    quantization error of the exact ones (bounded in tests against
+    :func:`cosine_topk` on L2-normalized inputs).
+
+    Oracle posture: stronger than the float paths — the ranking key's
+    integer part is EXACT cross-engine, so the registry entry
+    hash-checks dots, scores, and ranks with no epsilon anywhere.
+    Plan: same single-scan broadcast shape as cosine_topk; the
+    quantization happens inside the scan projection (zero extra
+    shuffles, zero extra passes)."""
+    cq = quantize_int8(corpus, id_col, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("scale").alias("__sc"),
+        F.col("q").alias("__qc"),
+    )
+    qq = quantize_int8(queries, query_id_col, vec_col).select(
+        F.col(query_id_col).alias("query_id"),
+        F.col("scale").alias("__sq"),
+        F.col("q").alias("__qq"),
+    )
+    dot_int = F.aggregate(
+        F.zip_with(
+            F.col("__qc"),
+            F.col("__qq"),
+            lambda a, b: a.cast("bigint") * b.cast("bigint"),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    scored = (
+        cq.join(F.broadcast(qq))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("dot_int", dot_int)
+        .withColumn(
+            "score", F.col("dot_int") * F.col("__sc") * F.col("__sq")
+        )
+    )
+    # rank by the RESCALED score (per-vector scales make raw integer
+    # dots incomparable across corpus rows); the score is exact-int ×
+    # two fixed-order multiplies, so the ordering is still
+    # deterministic cross-engine, tie-broken by neighbor id
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "dot_int", "score")
+    )

@@ -47,6 +47,11 @@ __all__ = [
     "countmin_estimate",
     "bloom_build",
     "bloom_probe",
+    "freq_sample",
+    "join_cardinality_estimate",
+    "hll_det_sliding",
+    "build_hll_index",
+    "hll_index_window_estimate",
 ]
 
 
@@ -676,3 +681,74 @@ def hll_det_sliding(
         .groupBy(*group_cols, day_col, "bucket")
         .agg(F.max("r").alias("r"))
     )
+
+
+def build_hll_index(
+    df: DataFrame,
+    path: str,
+    key_col: str,
+    day_col: str = "day",
+    *,
+    m: int = 64,
+    mode: str = "overwrite",
+) -> None:
+    """Persist daily HLL register tables at ``<path>/registers``,
+    ``partitionBy(day)`` — the continuous-aggregate state a
+    distinct-count pipeline carries between runs (the sketch-family
+    sibling of ``dedup.build_lsh_index``). Each day's registers are ≤
+    ``m`` rows of exact integers; a year of corpus is ~365·m rows of
+    KB-scale parquet, and any day-range question is a
+    partition-pruned read + per-bucket MAX (:func:`hll_index_window_
+    estimate`) — the raw data is never rescanned.
+
+    ``mode="append"`` adds one day's shard: because the partition key
+    IS the append unit, each append lands entirely inside its own new
+    ``day=…`` directory — unlike the band-partitioned LSH index (one
+    small file per band per day, needing compact_lsh_index), this
+    layout never accrues small files across days, so no compaction
+    hook is needed. Append-day == rebuild-whole equality is pinned in
+    tests/test_sketches.py. Re-appending the same day is NOT
+    idempotent (duplicate register rows would still MAX correctly but
+    double storage); the caller keys appends by day, same
+    at-the-source contract as the LSH daily shard."""
+    regs = hll_det_registers(df, key_col, [day_col], m=m)
+    regs.write.mode(mode).partitionBy(day_col).parquet(f"{path}/registers")
+
+
+def hll_index_window_estimate(
+    spark,
+    path: str,
+    day_col: str,
+    start,
+    end,
+    *,
+    m: int = 64,
+) -> DataFrame:
+    """Distinct-count estimate for day range [start, end] from a
+    persisted :func:`build_hll_index` — a partition-PRUNED scan of
+    just the window's ``day=…`` directories (unselected days are
+    never listed), one per-bucket MAX, one estimate row. The index
+    answers any window at the cost of (window_days × m) rows,
+    independent of raw-data size — the query shape that replaces
+    recounting history at 100 TB."""
+    # a register table built from an EMPTY corpus has no day=…
+    # partition directories at all (a partitioned write of zero rows
+    # emits no files) — that ONE case (checked explicitly, same
+    # convention as dedup.read_lsh_index) yields an empty register
+    # frame; every other read failure propagates.
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path
+    rdir = hpath(f"{path}/registers")
+    fs = rdir.getFileSystem(spark._jsc.hadoopConfiguration())
+    has_partitions = fs.exists(rdir) and any(
+        st.isDirectory() and st.getPath().getName().startswith(f"{day_col}=")
+        for st in fs.listStatus(rdir)
+    )
+    if has_partitions:
+        regs = spark.read.parquet(f"{path}/registers").filter(
+            (F.col(day_col) >= F.lit(start)) & (F.col(day_col) <= F.lit(end))
+        )
+    else:
+        regs = spark.createDataFrame([], "bucket bigint, r int")
+    merged = regs.groupBy("bucket").agg(F.max("r").alias("r"))
+    return hll_det_estimate(merged, [], m=m)

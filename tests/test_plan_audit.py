@@ -56,6 +56,15 @@ NESTED_LOOP_OK = {
     # correlated-sampling join estimator cross-joins three ONE-ROW
     # frames (tau_a, tau_b, true-join audit) onto KB-scale samples.
     "sketch_join_cardinality",
+    # int8 serving tier uses the same broadcast brute-force shape as
+    # embedding_topk_bruteforce (small query side against one corpus
+    # scan) — the documented semantics, not an accident.
+    "embedding_ann_int8",
+    # window PMI cross-joins the ONE-ROW total-token aggregate.
+    "text_pmi_window",
+    # HLL index query cross-joins the ONE-ROW exact-count audit onto
+    # the ONE-ROW window estimate.
+    "sketch_hll_index_daily",
     # ABC classification cross-joins the ONE-ROW grand-total aggregate.
     "pareto_abc_lineitem",
     # TPC-H Q22's scalar subquery (global positive-balance average)

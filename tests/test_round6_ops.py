@@ -294,3 +294,100 @@ def test_quantize_no_shuffle_pure_map(spark, sf_dir):
         .toString()
     )
     assert "Exchange" not in plan
+
+
+# ---------------------------------------------------------------------------
+# int8 ANN serving tier
+# ---------------------------------------------------------------------------
+
+
+def test_ann_int8_recall_vs_exact(spark, sf_dir):
+    """Quantized top-10 must substantially agree with the float exact
+    top-10 (inner product ≈ cosine on same-norm synthetic vectors)."""
+    from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.sources.io import (
+        read_table,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = SIM.ann_topk_int8(emb, queries, k=10).collect()
+    exact = SIM.cosine_topk(emb, queries, k=10).collect()
+    by_q_got: dict[int, set] = {}
+    by_q_exact: dict[int, set] = {}
+    for r in got:
+        by_q_got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    for r in exact:
+        by_q_exact.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recalls = [
+        len(by_q_got[q] & by_q_exact[q]) / 10 for q in by_q_exact
+    ]
+    assert sum(recalls) / len(recalls) >= 0.6
+
+
+def test_ann_int8_dot_is_exact_integer(spark):
+    df = spark.createDataFrame(
+        [
+            Row(vec_id=1, embedding=[1.0, -1.0, 0.5, 0.0]),
+            Row(vec_id=2, embedding=[0.5, 0.5, 0.5, 0.5]),
+        ]
+    )
+    q = df.filter(F.col("vec_id") == 1).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    r = SIM.ann_topk_int8(df, q, k=5).collect()
+    assert len(r) == 1
+    row = r[0]
+    # q(v1) = [127,-127,64,0] (scale 1/127); q(v2) = [127,127,127,127]
+    # (scale .5/127); dot = 127*127 - 127*127 + 64*127 = 8128
+    assert row["dot_int"] == 8128
+    assert row["score"] == pytest.approx(
+        8128 * (1.0 / 127) * (0.5 / 127), rel=1e-12
+    )
+
+
+# ---------------------------------------------------------------------------
+# positional window co-occurrence
+# ---------------------------------------------------------------------------
+
+
+def test_window_cooccurrence_counts_planted(spark):
+    # "alpha beta" adjacent 3×; "alpha ... delta" at distance 5 never
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text="alpha beta gap1 gap2 gap3 delta") for i in range(3)]
+    )
+    out = {
+        (r["term_a"], r["term_b"]): r["n_ab"]
+        for r in TX.cooccurrence_window(
+            docs, "doc_id", "text", window=4, min_count=1
+        ).collect()
+    }
+    assert out[("alpha", "beta")] == 3
+    assert ("alpha", "delta") not in out  # distance 5 > window 4
+    assert out[("beta", "delta")] == 3  # distance 4 == window
+
+
+def test_window_cooccurrence_unordered_canonical(spark):
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="zeta alpha zeta alpha zeta alpha")]
+    )
+    out = TX.cooccurrence_window(
+        docs, "doc_id", "text", window=2, min_count=1
+    ).collect()
+    # only one unordered pair key, canonicalized (alpha, zeta)
+    assert {(r["term_a"], r["term_b"]) for r in out} == {("alpha", "zeta")}
+
+
+def test_window_cooccurrence_repeated_term_excluded(spark):
+    docs = spark.createDataFrame([Row(doc_id=1, text="echo echo echo")])
+    out = TX.cooccurrence_window(
+        docs, "doc_id", "text", window=3, min_count=1
+    ).collect()
+    assert out == []  # self-pairs (same term) never counted
+
+
+def test_window_cooccurrence_rejects_bad_params(spark):
+    docs = spark.createDataFrame([Row(doc_id=1, text="a b")])
+    with pytest.raises(ValueError):
+        TX.cooccurrence_window(docs, window=0)

@@ -387,3 +387,83 @@ def test_hll_sliding_rejects_bad_window(spark):
     daily = SK.hll_det_registers(base, "uid", ["day"])
     with _pt.raises(ValueError):
         SK.hll_det_sliding(daily, [], "day", window_days=0)
+
+
+# ---------------------------------------------------------------------------
+# persisted HLL register index (daily lifecycle)
+# ---------------------------------------------------------------------------
+
+
+def _reg_set(spark, path):
+    return {
+        (str(r["day"]), r["bucket"], r["r"])
+        for r in spark.read.parquet(f"{path}/registers").collect()
+    }
+
+
+def test_hll_index_appends_equal_full_build(spark, tmp_path):
+    """N sequential daily appends leave register state bit-identical
+    to one from-scratch build — the incremental==full contract."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    rows = [
+        Row(day=dt.date(2024, 2, 1 + i % 10), user_id=i % 97)
+        for i in range(600)
+    ]
+    base = spark.createDataFrame(rows)
+    full, incr = str(tmp_path / "full"), str(tmp_path / "incr")
+    SK.build_hll_index(base, full, "user_id", "day")
+    days = sorted(r["day"] for r in base.select("day").distinct().collect())
+    SK.build_hll_index(
+        base.filter(F.col("day") == days[0]), incr, "user_id", "day"
+    )
+    for d in days[1:]:
+        SK.build_hll_index(
+            base.filter(F.col("day") == d), incr, "user_id", "day",
+            mode="append",
+        )
+    assert _reg_set(spark, full) == _reg_set(spark, incr)
+
+
+def test_hll_index_window_prunes_partitions(spark, tmp_path):
+    """The window read must push the day range as a partition filter —
+    unselected day directories never reach the scan."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    base = spark.createDataFrame(
+        [Row(day=dt.date(2024, 3, 1 + i % 20), user_id=i) for i in range(400)]
+    )
+    path = str(tmp_path / "idx")
+    SK.build_hll_index(base, path, "user_id", "day")
+    est = SK.hll_index_window_estimate(
+        spark, path, "day", "2024-03-05", "2024-03-08"
+    )
+    plan = est._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "day" in plan.split(
+        "PartitionFilters"
+    )[1].split("]")[0]
+    # and the estimate equals a raw recompute on the same window
+    win = base.filter(
+        (F.col("day") >= dt.date(2024, 3, 5))
+        & (F.col("day") <= dt.date(2024, 3, 8))
+    )
+    raw = SK.hll_det_estimate(
+        SK.hll_det_registers(win, "user_id", []), []
+    ).collect()[0]
+    got = est.collect()[0]
+    assert got["register_sum"] == raw["register_sum"]
+    assert got["hll_raw_est"] == raw["hll_raw_est"]
+
+
+def test_hll_index_empty_corpus_returns_null_estimate(spark, tmp_path):
+    est = SK.hll_index_window_estimate(
+        spark, str(tmp_path / "nothing_here"), "day",
+        "2024-01-01", "2024-01-07",
+    ).collect()
+    assert len(est) == 1
+    assert est[0]["register_sum"] is None
+    assert est[0]["zero_registers"] == 64
