@@ -8993,6 +8993,86 @@ def _sketch_hll_index_daily(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@_register(
+    "sketch_quantile_sample",
+    """
+    WITH ids AS (
+      SELECT CAST(l_orderkey AS VARCHAR) || '-'
+               || CAST(l_linenumber AS VARCHAR) AS id,
+             l_extendedprice
+      FROM lineitem
+    ), smp AS (
+      SELECT l_extendedprice,
+             CAST('0x' || substr(md5(id), 1, 8) AS BIGINT) AS hv, id
+      FROM ids ORDER BY hv, id LIMIT 512
+    ), est AS (
+      SELECT CAST(0.5 AS DOUBLE) AS quantile,
+             quantile_disc(l_extendedprice, 0.5) AS est_value FROM smp
+      UNION ALL
+      SELECT CAST(0.9 AS DOUBLE),
+             quantile_disc(l_extendedprice, 0.9) FROM smp
+      UNION ALL
+      SELECT CAST(0.99 AS DOUBLE),
+             quantile_disc(l_extendedprice, 0.99) FROM smp
+    ), ex AS (
+      SELECT CAST(0.5 AS DOUBLE) AS quantile,
+             quantile_disc(l_extendedprice, 0.5) AS exact_value
+      FROM lineitem
+      UNION ALL
+      SELECT CAST(0.9 AS DOUBLE),
+             quantile_disc(l_extendedprice, 0.9) FROM lineitem
+      UNION ALL
+      SELECT CAST(0.99 AS DOUBLE),
+             quantile_disc(l_extendedprice, 0.99) FROM lineitem
+    )
+    SELECT est.quantile, est.est_value, ex.exact_value
+    FROM est JOIN ex USING (quantile)
+    """,
+)
+def _sketch_quantile_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Quantile estimation from a deterministic bottom-k row sample
+    (operators/sketches.row_sample_bottomk / quantile_from_sample) —
+    the oracle-checkable DISC-quantile sketch that
+    agg_percentile_disc_cont's docstring notes KLL cannot be (its
+    state is engine-internal): the 512 rows whose unique ids md5-hash
+    smallest form a reproducible, MERGEABLE uniform sample (bottom-k
+    of union == bottom-k of parts' bottom-ks, pinned in tests; the
+    sample ships as a TakeOrderedAndProject — per-partition heads, no
+    global shuffle), and percentile_disc OVER the sample estimates
+    the population quantile with √(q(1-q)/k) rank error. Exact
+    population quantiles ride along so the error is auditable; every
+    value here EXISTS in the data, so the hash check is epsilon-free.
+    """
+    li = read_table(spark, sf, "lineitem")
+    ids = li.select(
+        F.concat(
+            F.col("l_orderkey").cast("string"),
+            F.lit("-"),
+            F.col("l_linenumber").cast("string"),
+        ).alias("id"),
+        "l_extendedprice",
+    )
+    smp = SKC.row_sample_bottomk(ids, "id", ["l_extendedprice"], k=512)
+    est = SKC.quantile_from_sample(
+        smp, "l_extendedprice", [0.5, 0.9, 0.99]
+    )
+    exact = li.agg(
+        *[
+            F.expr(
+                f"percentile_disc({q}) WITHIN GROUP"
+                " (ORDER BY l_extendedprice)"
+            ).alias(f"__e{i}")
+            for i, q in enumerate((0.5, 0.9, 0.99))
+        ]
+    ).selectExpr(
+        "stack(3, 0.5D, __e0, 0.9D, __e1, 0.99D, __e2)"
+        " AS (quantile, exact_value)"
+    )
+    return est.join(F.broadcast(exact), "quantile").select(
+        "quantile", "est_value", "exact_value"
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver verification window
 #

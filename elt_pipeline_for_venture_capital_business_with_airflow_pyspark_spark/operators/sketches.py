@@ -52,6 +52,8 @@ __all__ = [
     "hll_det_sliding",
     "build_hll_index",
     "hll_index_window_estimate",
+    "row_sample_bottomk",
+    "quantile_from_sample",
 ]
 
 
@@ -752,3 +754,67 @@ def hll_index_window_estimate(
         regs = spark.createDataFrame([], "bucket bigint, r int")
     merged = regs.groupBy("bucket").agg(F.max("r").alias("r"))
     return hll_det_estimate(merged, [], m=m)
+
+
+def row_sample_bottomk(
+    df: DataFrame,
+    id_col: str,
+    cols: list[str],
+    *,
+    k: int = 512,
+) -> DataFrame:
+    """Deterministic uniform row sample: the ``k`` rows whose unique
+    ids hash smallest (32-bit md5) — a fixed-size sample that is (a)
+    REPRODUCIBLE on any engine/retry (no RNG), (b) MERGEABLE: the
+    bottom-k of a union equals the bottom-k of the parts' bottom-ks
+    (pinned in tests), so per-partition / per-day samples compose
+    without touching raw data again, and (c) a TakeOrderedAndProject
+    plan — per-partition heads, no global shuffle.
+
+    This is the repo's sampling answer to quantile sketching: exact
+    quantiles OF the sample estimate population quantiles with the
+    standard √k error, and because the sample itself is deterministic
+    the whole estimate is oracle-checkable — unlike KLL, whose state
+    is engine-internal (see :func:`quantile_from_sample`)."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    return (
+        df.select(F.col(id_col), *cols)
+        .withColumn("hv", _key_hash(id_col))
+        .orderBy("hv", id_col)
+        .limit(k)
+    )
+
+
+def quantile_from_sample(
+    sample: DataFrame,
+    value_col: str,
+    quantiles: list[float],
+) -> DataFrame:
+    """Discrete quantile estimates from a :func:`row_sample_bottomk`
+    frame: one row per requested quantile, ``percentile_disc``
+    semantics (the smallest sampled value whose rank fraction ≥ q —
+    value-exact and engine-portable, no interpolation arithmetic).
+    Error vs the population quantile is the sample's rank error
+    (RSE ≈ √(q(1-q)/k)), audited in the registry entry against the
+    exact population quantiles."""
+    qs = sorted(set(float(q) for q in quantiles))
+    if not qs or any(q <= 0 or q > 1 for q in qs):
+        raise ValueError("quantiles must be in (0, 1]")
+    # one percentile_disc AGGREGATE over the (KB-scale) sample, then
+    # stack to long form — an aggregate (unlike a rank-pick filter)
+    # yields exactly one row per quantile even on an EMPTY or
+    # null-heavy sample, with NULL estimates, matching what the same
+    # aggregate produces in any other engine
+    aggs = [
+        F.expr(
+            f"percentile_disc({q}) WITHIN GROUP (ORDER BY `{value_col}`)"
+        ).alias(f"__q{i}")
+        for i, q in enumerate(qs)
+    ]
+    stack_args = ", ".join(
+        f"CAST({q} AS DOUBLE), __q{i}" for i, q in enumerate(qs)
+    )
+    return sample.agg(*aggs).selectExpr(
+        f"stack({len(qs)}, {stack_args}) AS (quantile, est_value)"
+    )

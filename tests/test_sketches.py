@@ -467,3 +467,71 @@ def test_hll_index_empty_corpus_returns_null_estimate(spark, tmp_path):
     assert len(est) == 1
     assert est[0]["register_sum"] is None
     assert est[0]["zero_registers"] == 64
+
+
+# ---------------------------------------------------------------------------
+# deterministic bottom-k row sample → quantile estimates
+# ---------------------------------------------------------------------------
+
+
+def test_row_sample_merge_law(spark):
+    """bottom-k(A ∪ B) == bottom-k(bottom-k(A) ∪ bottom-k(B)) — the
+    mergeability that lets per-day samples compose without rescans."""
+    a = spark.range(0, 700).select(
+        F.col("id").cast("string").alias("id"), (F.col("id") * 2).alias("v")
+    )
+    b = spark.range(700, 1500).select(
+        F.col("id").cast("string").alias("id"), (F.col("id") * 2).alias("v")
+    )
+    whole = SK.row_sample_bottomk(a.unionByName(b), "id", ["v"], k=64)
+    parts = SK.row_sample_bottomk(
+        SK.row_sample_bottomk(a, "id", ["v"], k=64).unionByName(
+            SK.row_sample_bottomk(b, "id", ["v"], k=64)
+        ),
+        "id", ["v"], k=64,
+    )
+    assert sorted(r["id"] for r in whole.collect()) == sorted(
+        r["id"] for r in parts.collect()
+    )
+
+
+def test_row_sample_deterministic_across_runs(spark):
+    df = spark.range(0, 2000).select(
+        F.col("id").cast("string").alias("id"), F.col("id").alias("v")
+    )
+    s1 = sorted(r["id"] for r in SK.row_sample_bottomk(df, "id", ["v"], k=100).collect())
+    s2 = sorted(
+        r["id"]
+        for r in SK.row_sample_bottomk(
+            df.repartition(7), "id", ["v"], k=100
+        ).collect()
+    )
+    assert s1 == s2  # partitioning-invariant, no RNG anywhere
+
+
+def test_quantile_from_sample_median_close(spark):
+    df = spark.range(0, 10_000).select(
+        F.col("id").cast("string").alias("id"),
+        F.col("id").cast("double").alias("v"),
+    )
+    smp = SK.row_sample_bottomk(df, "id", ["v"], k=512)
+    out = {
+        r["quantile"]: r["est_value"]
+        for r in SK.quantile_from_sample(smp, "v", [0.5, 0.9]).collect()
+    }
+    # rank RSE ≈ √(0.25/512) ≈ 2.2% — allow 4 sigma
+    assert abs(out[0.5] - 5000) / 10_000 < 0.09
+    assert abs(out[0.9] - 9000) / 10_000 < 0.06
+
+
+def test_quantile_from_sample_rejects_bad_q(spark):
+    import pytest as _pt
+
+    df = spark.range(3).select(
+        F.col("id").cast("string").alias("id"), F.col("id").alias("v")
+    )
+    smp = SK.row_sample_bottomk(df, "id", ["v"], k=3)
+    with _pt.raises(ValueError):
+        SK.quantile_from_sample(smp, "v", [0.0])
+    with _pt.raises(ValueError):
+        SK.quantile_from_sample(smp, "v", [1.5])
