@@ -116,6 +116,16 @@ HEADLINE = [
     "anomaly_rolling_zscore",
     "text_pmi_pairs",
     "embedding_quantize_int8",
+    # round-6 continuation, parts 2-4: planner-statistics sketch,
+    # sliding/persisted HLL lifecycle, int8 serving tier, positional
+    # PMI, bottom-k quantile sample
+    "sketch_join_cardinality",
+    "sketch_hll_sliding",
+    "sketch_hll_index_daily",
+    "embedding_ann_int8",
+    "text_pmi_window",
+    "sketch_quantile_sample",
+    "skew_diagnose_events",
 ]
 
 

@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["salted_sum_count", "salted_join"]
+__all__ = ["salted_sum_count", "salted_join", "skew_diagnose"]
 
 
 def _salt_col(df: DataFrame, salts: int, exclude: list[str]) -> Column:
@@ -84,3 +84,55 @@ def salted_join(
         salted_big["__salt"] == salted_small["__salt"]
     )
     return salted_big.join(salted_small, cond, how).drop("__salt")
+
+
+def skew_diagnose(
+    df: DataFrame,
+    key_col: str,
+    *,
+    top_n: int = 10,
+    target_rows_per_task: int = 10_000,
+) -> DataFrame:
+    """Join/agg-key skew diagnostic — the measurement that decides
+    whether :func:`salted_join` / AQE skew handling is needed BEFORE a
+    100-TB shuffle finds out the hard way. One count aggregation +
+    KB-scale top-k; emits the ``top_n`` heaviest keys with:
+
+    - ``n_rows``, ``share_ppm`` (parts-per-million of total: exact
+      integer products, ONE deterministic division, explicit floor —
+      floor, not a bigint cast, because cast-of-double rounds on some
+      engines and truncates on others),
+    - ``skew_ratio_x1000`` — key size vs the MEAN key size ×1000,
+      the number AQE's skewedPartitionFactor thresholds against,
+    - ``rec_salts`` — ceil(n_rows / target_rows_per_task), the salt
+      fan-out :func:`salted_join` would need so no single (key, salt)
+      partition exceeds the target.
+
+    All columns are exact integers (oracle hash-parity with no
+    epsilon); the top-k ships as a TakeOrderedAndProject."""
+    if top_n < 1 or target_rows_per_task < 1:
+        raise ValueError("top_n and target_rows_per_task must be >= 1")
+    counts = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("n_rows"))
+    totals = counts.agg(
+        F.sum("n_rows").alias("__total"),
+        F.count(F.lit(1)).alias("__n_keys"),
+    )
+    return (
+        counts.orderBy(F.col("n_rows").desc(), key_col)
+        .limit(top_n)
+        .crossJoin(F.broadcast(totals))
+        .select(
+            key_col,
+            "n_rows",
+            F.floor(
+                F.col("n_rows") * F.lit(1_000_000) / F.col("__total")
+            ).alias("share_ppm"),
+            F.floor(
+                F.col("n_rows") * F.col("__n_keys") * F.lit(1000)
+                / F.col("__total")
+            ).alias("skew_ratio_x1000"),
+            F.ceil(
+                F.col("n_rows") / F.lit(int(target_rows_per_task))
+            ).cast("bigint").alias("rec_salts"),
+        )
+    )

@@ -65,6 +65,12 @@ NESTED_LOOP_OK = {
     # HLL index query cross-joins the ONE-ROW exact-count audit onto
     # the ONE-ROW window estimate.
     "sketch_hll_index_daily",
+    # quantile-sample audit cross-joins the ONE-ROW total-count frame
+    # onto the value histogram; the est⋈exact join is 3 rows × 3 rows.
+    "sketch_quantile_sample",
+    # skew diagnostic cross-joins the ONE-ROW (total, n_keys) frame
+    # onto the KB-scale top-k.
+    "skew_diagnose_events",
     # ABC classification cross-joins the ONE-ROW grand-total aggregate.
     "pareto_abc_lineitem",
     # TPC-H Q22's scalar subquery (global positive-balance average)

@@ -128,6 +128,25 @@ SHUFFLE_BUDGET = {
     "anomaly_rolling_zscore": 1,
     "text_pmi_pairs": 5,
     "embedding_quantize_int8": 0,
+    # round-6 continuation parts 2-4 (plans reviewed 2026-08-15):
+    # join-cardinality = two count aggs + sample TakeOrdereds + pair
+    # join; hll_sliding = daily regs + slide merge + estimate + the
+    # exact-audit lobe (distinct + window count + semi); index_daily =
+    # register build + estimate merge (reads prune at partition level);
+    # int8 ANN = one per-query ranking exchange; window PMI = pair agg
+    # + unigram agg + two count joins; quantile sample = the sample
+    # side is agg-only, the exact-audit lobe adds the value-histogram
+    # groupBy (its cumulative window is single-partition over distinct
+    # values, not an exchange).
+    "sketch_join_cardinality": 4,
+    "sketch_hll_sliding": 6,
+    "sketch_hll_index_daily": 2,
+    "embedding_ann_int8": 1,
+    "text_pmi_window": 3,
+    "sketch_quantile_sample": 1,
+    # skew diagnostic: the key-count agg + the counts-frame reuse for
+    # the totals lobe (TakeOrdered ships driver-side, no exchange).
+    "skew_diagnose_events": 2,
 }
 
 

@@ -391,3 +391,51 @@ def test_window_cooccurrence_rejects_bad_params(spark):
     docs = spark.createDataFrame([Row(doc_id=1, text="a b")])
     with pytest.raises(ValueError):
         TX.cooccurrence_window(docs, window=0)
+
+
+# ---------------------------------------------------------------------------
+# skew diagnostics
+# ---------------------------------------------------------------------------
+
+
+def test_skew_diagnose_hot_key_measured(spark):
+    from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.operators import (
+        skew as SKW,
+    )
+
+    # one key holds 80% of rows
+    df = spark.range(0, 1000).select(
+        F.when(F.col("id") < 800, F.lit("hot"))
+        .otherwise(F.concat(F.lit("k"), F.col("id")))
+        .alias("k")
+    )
+    out = SKW.skew_diagnose(df, "k", top_n=3, target_rows_per_task=100)
+    rows = {r["k"]: r for r in out.collect()}
+    hot = rows["hot"]
+    assert hot["n_rows"] == 800
+    assert hot["share_ppm"] == 800_000
+    # 201 keys total: hot is 800 / (1000/201) ≈ 160.8× the mean
+    assert hot["skew_ratio_x1000"] == 160_800
+    assert hot["rec_salts"] == 8
+
+
+def test_skew_diagnose_uniform_keys_ratio_near_1000(spark):
+    from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.operators import (
+        skew as SKW,
+    )
+
+    df = spark.range(0, 1000).select((F.col("id") % 10).alias("k"))
+    out = SKW.skew_diagnose(df, "k", top_n=10).collect()
+    assert len(out) == 10
+    assert all(r["skew_ratio_x1000"] == 1000 for r in out)
+    assert all(r["rec_salts"] == 1 for r in out)
+
+
+def test_skew_diagnose_rejects_bad_params(spark):
+    from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.operators import (
+        skew as SKW,
+    )
+
+    df = spark.range(3).select(F.col("id").alias("k"))
+    with pytest.raises(ValueError):
+        SKW.skew_diagnose(df, "k", top_n=0)
