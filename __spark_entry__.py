@@ -8669,9 +8669,14 @@ def _embedding_quantize_int8(spark: SparkSession, sf: str) -> DataFrame:
       WHERE sa.hv < tt.tau
     ),
     agg AS (
-      SELECT tau, COUNT(*) AS n_sampled_pairs,
-             CAST(SUM(cnt_a * cnt_b) AS BIGINT) AS sum_pairs
-      FROM j GROUP BY 1
+      -- global agg + tau reattached: one row even when the sampled
+      -- region is empty (mirrors join_cardinality_estimate's
+      -- always-one-row contract)
+      SELECT tt.tau, a.n_sampled_pairs, a.sum_pairs
+      FROM tt, (SELECT COUNT(*) AS n_sampled_pairs,
+                       CAST(COALESCE(SUM(cnt_a * cnt_b), 0) AS BIGINT)
+                         AS sum_pairs
+                FROM j) a
     ),
     tj AS (
       SELECT COUNT(*) AS true_join

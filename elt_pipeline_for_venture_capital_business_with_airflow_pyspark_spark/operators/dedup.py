@@ -1048,11 +1048,23 @@ def substring_duplicate_spans(
     """EXACT substring deduplication (the Lee et al. 2022
     "Deduplicating Training Data Makes Language Models Better"
     operation, re-expressed relationally): find every maximal span of
-    a document whose every ``k``-char window also occurs in at least
-    ``min_docs`` distinct documents — the boilerplate/licence-header/
-    template regions a training pipeline clips out, which
-    whole-document dedup (exact/MinHash/SimHash above) cannot see
-    because the surrounding text differs.
+    a document covered by overlapping-or-adjacent ``k``-char windows
+    that each occur in at least ``min_docs`` distinct documents — the
+    boilerplate/licence-header/template regions a training pipeline
+    clips out, which whole-document dedup (exact/MinHash/SimHash
+    above) cannot see because the surrounding text differs.
+
+    Span semantics, precisely: the gaps-and-islands merge starts a
+    new island only when a hit position exceeds the previous
+    window's END + 1, so a span guarantees every char of it lies
+    inside SOME duplicated window (coverage), and duplicated windows
+    up to k-1 positions apart (still overlapping/adjacent in char
+    terms) merge into one span. It does NOT guarantee that every
+    k-char window STARTING inside the span is itself duplicated —
+    that stricter per-start property would need the island break
+    ``pos > prev_pos + 1`` and clips spans at the last duplicated
+    start. Coverage is the Lee et al. clipping contract (the merged
+    region is exactly the text removable as duplicated bytes).
 
     Relational plan (no suffix array needed for fixed-k windows):
     every stride-1 window is generated JVM-side (``transform`` over a

@@ -213,13 +213,28 @@ def hll_det_estimate(
     harmonic-mean denominator Σ 2^-r is scaled by 2^27 so every term
     (absent buckets contribute r=0 ⇒ 2^27) is an exact BIGINT — the
     sum stays < m·2^27 ≪ 2^63 — and the estimate
-    ``0.709·m²·2^27 / S`` is one IEEE division of exact operands,
+    ``alpha_m·m²·2^27 / S`` is one IEEE division of exact operands,
     identical on any engine. No bias/small-range correction (those
     need log; this estimator's contract is determinism — use the
     DataSketches path when you want HLL++ accuracy), so accuracy is
     pinned in pytest, cross-engine equality in the registry oracle."""
     if m & (m - 1) or m < 2:
         raise ValueError("m must be a power of two >= 2")
+    # Flajolet et al.'s alpha_m bias constant DEPENDS on m: 0.673 for
+    # m=16 (and the sub-16 sizes this determinism-first estimator
+    # still accepts), 0.697 for 32, 0.709 for 64, and the closed form
+    # 0.7213/(1+1.079/m) for larger registers. A single hardcoded
+    # 0.709 is only unbiased at m=64 — every registry oracle embeds
+    # the matching literal for its m, so the constant must track m
+    # here too.
+    if m <= 16:
+        alpha = 0.673
+    elif m == 32:
+        alpha = 0.697
+    elif m == 64:
+        alpha = 0.709
+    else:
+        alpha = 0.7213 / (1 + 1.079 / m)
     top = 32 - (m.bit_length() - 1) + 1  # rho_max; scale factor 2^top
     n_present = F.count(F.lit(1))
     s_present = F.sum(F.expr(f"shiftleft(cast(1 as bigint), {top} - r)"))
@@ -233,7 +248,7 @@ def hll_det_estimate(
         )
         .withColumn(
             out_col,
-            F.lit(float(0.709 * m * m * (1 << top))) / F.col("register_sum"),
+            F.lit(float(alpha * m * m * (1 << top))) / F.col("register_sum"),
         )
     )
 
@@ -603,9 +618,13 @@ def join_cardinality_estimate(
     exact when both fit). All arithmetic before the final division is
     exact BIGINT; one IEEE division ⇒ oracle hash-parity.
 
-    Output: one row (tau, p, n_sampled_pairs, sum_pairs, est_join).
-    Both inputs are KB-scale states; everything here is
-    driver-light metadata math executed as a tiny Spark plan."""
+    Output: ALWAYS exactly one row (tau, p, n_sampled_pairs,
+    sum_pairs, est_join) — when no sampled keys are shared below tau
+    the row carries n_sampled_pairs=0, sum_pairs=0, est_join=0.0
+    rather than vanishing, so consumers that join on the result never
+    silently drop the disjoint-keys case. Both inputs are KB-scale
+    states; everything here is driver-light metadata math executed as
+    a tiny Spark plan."""
     ka = sample_a.select(
         F.col(key_a).alias("__k"), F.col("hv"), F.col("cnt").alias("cnt_a")
     )
@@ -628,10 +647,16 @@ def join_cardinality_estimate(
         .crossJoin(F.broadcast(tau))
         .filter(F.col("hv") < F.col("tau"))
     )
-    return joined.groupBy("tau").agg(
+    # global agg (not groupBy tau): an empty sampled region still
+    # yields one row (count 0, sum NULL→0); tau rides back in via the
+    # one-row cross so the single-row contract holds in every regime
+    agg = joined.agg(
         F.count(F.lit(1)).alias("n_sampled_pairs"),
-        F.sum(F.col("cnt_a") * F.col("cnt_b")).alias("sum_pairs"),
-    ).select(
+        F.coalesce(
+            F.sum(F.col("cnt_a") * F.col("cnt_b")), F.lit(0).cast("bigint")
+        ).alias("sum_pairs"),
+    )
+    return tau.crossJoin(agg).select(
         "tau",
         (F.col("tau").cast("double") / F.lit(4294967296.0)).alias("p"),
         "n_sampled_pairs",

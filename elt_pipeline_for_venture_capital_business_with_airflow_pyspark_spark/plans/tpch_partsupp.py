@@ -80,8 +80,31 @@ def synthetic_partsupp(part: DataFrame, supplier: DataFrame) -> DataFrame:
     All arithmetic is int64; no shuffle is introduced: the result
     inherits ``part``'s partitioning, which co-locates the q2/q16
     ``p_partkey`` joins.
+
+    Precondition |supplier| >= 4 is ENFORCED, not assumed: with
+    S div 4 == 0 the four supplier offsets collapse and the relation
+    emits duplicate (ps_partkey, ps_suppkey) rows — a PK violation.
+    The check is an ``assert_true`` folded into the one-row supplier
+    count (evaluated once per job, unprunable because it feeds the
+    ps_s column every row reads; zero per-row cost).
     """
-    s_cnt = supplier.agg(F.count(F.lit(1)).alias("ps_s"))
+    s_cnt = supplier.agg(F.count(F.lit(1)).alias("__ps_s_raw")).select(
+        (
+            F.col("__ps_s_raw")
+            + F.coalesce(
+                F.assert_true(
+                    F.col("__ps_s_raw") >= 4,
+                    F.lit(
+                        "synthetic_partsupp requires |supplier| >= 4: "
+                        "S div 4 == 0 collapses the four supplier "
+                        "offsets into duplicate (ps_partkey, "
+                        "ps_suppkey) rows"
+                    ),
+                ).cast("long"),
+                F.lit(0),
+            )
+        ).alias("ps_s")
+    )
     exploded = (
         part.select("p_partkey")
         .join(F.broadcast(s_cnt))  # 1-row cross: supplier count as a column

@@ -535,3 +535,43 @@ def test_quantile_from_sample_rejects_bad_q(spark):
         SK.quantile_from_sample(smp, "v", [0.0])
     with _pt.raises(ValueError):
         SK.quantile_from_sample(smp, "v", [1.5])
+
+
+def test_join_cardinality_disjoint_keys_emits_one_zero_row(spark):
+    """Single-row contract in the empty-region regime: disjoint key
+    sets share no sampled keys below tau, but the estimator must
+    still return one row with n_sampled_pairs=0, sum_pairs=0,
+    est_join=0.0 — consumers that join on the result would silently
+    drop the est=0 case if the row vanished."""
+    from pyspark.sql import functions as F
+
+    a = spark.range(0, 400).select((F.col("id") % 40).alias("ka"))
+    b = spark.range(1000, 1400).select((F.col("id") % 37 + 5000).alias("kb"))
+    sa = SK.freq_sample(a, "ka", k=16)
+    sb = SK.freq_sample(b, "kb", k=16)
+    rows = SK.join_cardinality_estimate(sa, sb, "ka", "kb", k=16).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["n_sampled_pairs"] == 0
+    assert r["sum_pairs"] == 0
+    assert r["est_join"] == 0.0
+    assert r["tau"] is not None and r["p"] > 0.0
+
+
+def test_hll_det_estimate_alpha_tracks_m(spark):
+    """The HLL bias constant alpha_m depends on m (0.673/0.697/0.709/
+    closed-form) — pin that the estimate equals alpha_m * m^2 * 2^top
+    / register_sum for a non-64 m, i.e. the constant is not a
+    hardcoded 0.709."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 5000).select(F.col("id").cast("string").alias("k"))
+    for m, alpha in [(16, 0.673), (32, 0.697), (64, 0.709), (256, 0.7213 / (1 + 1.079 / 256))]:
+        regs = SK.hll_det_registers(df.withColumn("g", F.lit(1)), "k", ["g"], m=m)
+        r = SK.hll_det_estimate(regs, ["g"], m=m).collect()[0]
+        top = 32 - (m.bit_length() - 1) + 1
+        want = float(alpha * m * m * (1 << top)) / r["register_sum"]
+        assert r["hll_raw_est"] == want, (m, r["hll_raw_est"], want)
+        # sanity: raw estimate in the right ballpark once saturated
+        if r["zero_registers"] == 0:
+            assert abs(r["hll_raw_est"] - 5000) / 5000 < 1.04 / (m ** 0.5) * 4

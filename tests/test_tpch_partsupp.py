@@ -75,3 +75,26 @@ def test_deterministic_across_invocations(ps, spark, sf_dir):
     again = PSUP.synthetic_partsupp(part, supp)
     assert ps.exceptAll(again).count() == 0
     assert again.exceptAll(ps).count() == 0
+
+
+def test_rejects_fewer_than_four_suppliers(spark):
+    """|supplier| < 4 collapses the four supplier offsets (S div 4 ==
+    0) into duplicate (ps_partkey, ps_suppkey) rows — the documented
+    precondition is enforced by an assert_true folded into the
+    supplier-count aggregate, raising at job time."""
+
+    part = spark.range(1, 11).select(F.col("id").alias("p_partkey"))
+    supplier = spark.range(1, 4).select(F.col("id").alias("s_suppkey"))
+    ps = PSUP.synthetic_partsupp(part, supplier)
+    with pytest.raises(Exception) as exc:
+        ps.collect()
+    assert "requires |supplier| >= 4" in str(exc.value)
+
+
+def test_exactly_four_suppliers_is_valid(spark):
+    """The boundary S=4 must pass the guard and keep the PK unique."""
+    part = spark.range(1, 51).select(F.col("id").alias("p_partkey"))
+    supplier = spark.range(1, 5).select(F.col("id").alias("s_suppkey"))
+    ps = PSUP.synthetic_partsupp(part, supplier)
+    assert ps.count() == 200
+    assert ps.select("ps_partkey", "ps_suppkey").distinct().count() == 200
