@@ -3778,16 +3778,29 @@ def _sample_weighted_bernoulli(spark: SparkSession, sf: str) -> DataFrame:
     """,
 )
 def _agg_exact_median(spark: SparkSession, sf: str) -> DataFrame:
-    """Exact interpolated percentiles (median + p90) per group — the
-    linear-interpolation definition is identical in Spark's
-    percentile() and DuckDB's quantile_cont, down to the IEEE
-    midpoint arithmetic. (The approx_percentile family is covered
+    """Exact interpolated percentiles (median + p90) per group via
+    operators/features.exact_quantiles — the distinct-value histogram
+    + two-phase bucketed cumulative count, whose "cont" interpolation
+    mirrors Spark percentile()'s IEEE expression exactly (and DuckDB's
+    quantile_cont). Unlike the builtin — whose aggregation buffer
+    holds every distinct value of a group in ONE task — every stage
+    here is partition-parallel even with 5 giant groups: the
+    histogram shuffle carries distinct values, the cumsum is bucketed
+    on the value, and only the KB-sized (group × bucket) totals see a
+    per-group window. (The approx_percentile family is covered
     separately in agg_percentiles.)"""
     orders = read_table(spark, sf, "orders")
-    return orders.groupBy("o_orderpriority").agg(
-        F.expr("percentile(o_totalprice, 0.5D)").alias("median_price"),
-        F.expr("percentile(o_totalprice, 0.9D)").alias("p90_price"),
-        F.count(F.lit(1)).alias("n"),
+    return FT.exact_quantiles(
+        orders,
+        "o_totalprice",
+        [0.5, 0.9],
+        group_cols=["o_orderpriority"],
+        out_cols=["median_price", "p90_price"],
+    ).select(
+        "o_orderpriority",
+        "median_price",
+        "p90_price",
+        F.col("n_rows").alias("n"),
     )
 
 
@@ -6076,19 +6089,22 @@ def _text_rarity_score(spark: SparkSession, sf: str) -> DataFrame:
     rare-ranked are OOD/noise candidates; mostly top-ranked ones are
     boilerplate candidates — both tails are what a curation pass
     inspects. Plan: one explode feeding a term-frequency partial agg;
-    the ranked vocabulary (small vs the corpus) broadcasts back onto
-    the token stream; one final per-doc agg. The vocab rank window
-    sorts only the vocabulary, never the corpus."""
+    the ranked vocabulary (small vs the corpus, but still Heap's-law
+    data-sized — billions of terms at 100 TB) broadcasts back onto
+    the token stream; one final per-doc agg. The vocab rank is the
+    TWO-PHASE surrogate.bucketed_rank, not a global window: since the
+    (tf, term) order is total over unique rows, DENSE_RANK == ROW_
+    NUMBER, and tf DESC rewrites as -tf ASC — so no vocabulary-sized
+    SinglePartition sort anywhere (the last such window, retired in
+    r7; pinned by the plan-audit Window/SinglePartition sweep)."""
     docs = read_table(spark, sf, "documents")
     tok = docs.select("doc_id", F.explode(TX.tokens("text")).alias("term"))
     freq = tok.groupBy("term").agg(F.count(F.lit(1)).alias("tf"))
-    ranked = freq.select(
-        "term",
-        F.dense_rank()
-        .over(Window.orderBy(F.col("tf").desc(), F.col("term")))
-        .cast("long")
-        .alias("rarity"),
-    )
+    ranked = SK.bucketed_rank(
+        freq.withColumn("__negtf", -F.col("tf")),
+        ["__negtf", "term"],
+        out_col="rarity",
+    ).select("term", F.col("rarity").cast("long").alias("rarity"))
     return (
         tok.join(F.broadcast(ranked), "term")
         .groupBy("doc_id")
@@ -9061,33 +9077,40 @@ def _sketch_quantile_sample(spark: SparkSession, sf: str) -> DataFrame:
     est = SKC.quantile_from_sample(
         smp, "l_extendedprice", [0.5, 0.9, 0.99]
     )
-    # exact population DISC quantiles via the value-histogram +
-    # cumulative-window shape (agg_exact_median's proven-cheap plan:
-    # the single-partition window runs over DISTINCT values, and the
-    # per-value counts arrive map-combined) — NOT percentile_disc,
-    # whose implementation buffers every row in one reducer and was
-    # measured 6.4 s / exponent 1.06 at sf0.1 before this rewrite.
-    # Smallest value with cum ≥ q·n IS percentile_disc semantics.
-    vals = li.filter(F.col("l_extendedprice").isNotNull())
-    hist = vals.groupBy("l_extendedprice").agg(
-        F.count(F.lit(1)).alias("__c")
+    # exact population DISC quantiles via features.exact_quantiles —
+    # the value-histogram + TWO-PHASE BUCKETED cumulative count (no
+    # SinglePartition window anywhere: per-bucket local cumsums +
+    # KB-sized prefix offsets; NOT percentile_disc, whose
+    # implementation buffers every row in one reducer and was
+    # measured 6.4 s / exponent 1.06 at sf0.1; and no longer the
+    # r6 global Window.orderBy over distinct values, whose
+    # single-reducer histogram pass this rewrite retires). Smallest
+    # value with cum ≥ q·n IS percentile_disc semantics.
+    one = FT.exact_quantiles(
+        li,
+        "l_extendedprice",
+        [0.5, 0.9, 0.99],
+        mode="disc",
+        out_cols=["__v50", "__v90", "__v99"],
     )
-    wcum = Window.orderBy("l_extendedprice").rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    cum = (
-        hist.withColumn("__cum", F.sum("__c").over(wcum))
-        .crossJoin(
-            F.broadcast(vals.agg(F.count(F.lit(1)).alias("__n")))
-        )
-    )
-    picks = [
-        cum.filter(F.col("__cum") >= F.lit(q) * F.col("__n"))
-        .agg(F.min("l_extendedprice").alias("exact_value"))
-        .select(F.lit(q).alias("quantile"), "exact_value")
-        for q in (0.5, 0.9, 0.99)
-    ]
-    exact = picks[0].unionByName(picks[1]).unionByName(picks[2])
+    exact = one.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(0.5).alias("quantile"),
+                    F.col("__v50").alias("exact_value"),
+                ),
+                F.struct(
+                    F.lit(0.9).alias("quantile"),
+                    F.col("__v90").alias("exact_value"),
+                ),
+                F.struct(
+                    F.lit(0.99).alias("quantile"),
+                    F.col("__v99").alias("exact_value"),
+                ),
+            )
+        ).alias("s")
+    ).select("s.quantile", "s.exact_value")
     return est.join(F.broadcast(exact), "quantile").select(
         "quantile", "est_value", "exact_value"
     )

@@ -35,6 +35,7 @@ __all__ = [
     "quantile_bins",
     "class_weights",
     "partitioned_cumsum",
+    "exact_quantiles",
     "pareto_class",
 ]
 
@@ -188,6 +189,7 @@ def partitioned_cumsum(
     *,
     out_col: str = "cum",
     num_partitions: int | None = None,
+    group_cols: list[str] | None = None,
 ) -> DataFrame:
     """Running total over a TOTAL order without a single-reducer sort —
     the two-phase prefix-sum pattern (same construction as
@@ -212,6 +214,16 @@ def partitioned_cumsum(
     a pure function of the value), so ties never straddle a bucket
     boundary and the within-bucket sort over the full ``order_cols``
     finishes the total order.
+
+    ``group_cols`` runs an independent cumulative sum PER GROUP over
+    the same global value buckets — the shape for few-but-huge groups
+    (e.g. 5 order priorities), where a plain
+    ``Window.partitionBy(group)`` would funnel each group through one
+    reducer. In grouped mode the cross-bucket offsets stay in-plan: a
+    per-group running total over the (group × bucket) totals frame —
+    KB-state by construction (≤ groups·nbuckets rows), broadcast-
+    joined back — so there is no driver collect and no literal-map
+    size limit when group cardinality is large.
     """
     keys = [F.col(c) if isinstance(c, str) else c for c in order_cols]
     if num_partitions is None:
@@ -245,6 +257,57 @@ def partitioned_cumsum(
         desc=lead_desc, nulls_last=lead_nulls_last,
     )
 
+    if group_cols:
+        # grouped mode: offsets computed IN-PLAN as a per-group
+        # running total over the (group, bucket) totals — that frame
+        # is ≤ |groups|·nbuckets rows (KB-state), so the window
+        # partitioned by group over it is metadata math, never a
+        # data-sized single reducer; broadcast back onto the data
+        totals = tagged.groupBy(*group_cols, "__cs_b").agg(
+            F.sum(value_col).alias("__cs_tot")
+        )
+        woff = (
+            Window.partitionBy(*group_cols)
+            .orderBy("__cs_b")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        offsets_df = totals.select(
+            *group_cols,
+            "__cs_b",
+            F.sum("__cs_tot").over(woff).alias("__cs_off"),
+        )
+        wloc = (
+            Window.partitionBy(*group_cols, "__cs_b")
+            .orderBy(*keys)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        local = tagged.withColumn("__cs_loc", F.sum(value_col).over(wloc))
+        # null-SAFE offset join: a NULL group key is a real group
+        # (groupBy keeps it) and a plain equi join would zero its
+        # offsets, silently mis-splicing that group's running totals
+        offs = offsets_df
+        for c in group_cols:
+            offs = offs.withColumnRenamed(c, f"__cs_g_{c}")
+        offs = offs.withColumnRenamed("__cs_b", "__cs_ob")
+        cond = local["__cs_b"] == offs["__cs_ob"]
+        for c in group_cols:
+            cond = cond & local[c].eqNullSafe(offs[f"__cs_g_{c}"])
+        return (
+            local.join(F.broadcast(offs), cond, "left")
+            .withColumn(
+                out_col,
+                F.col("__cs_loc")
+                + F.coalesce(F.col("__cs_off"), F.lit(0)),
+            )
+            .drop(
+                "__cs_b",
+                "__cs_loc",
+                "__cs_off",
+                "__cs_ob",
+                *[f"__cs_g_{c}" for c in group_cols],
+            )
+        )
+
     # per-bucket totals -> prefix offsets on the driver (one row per
     # occupied bucket, KB-sized; recomputation-safe: bucket ids are
     # value-deterministic)
@@ -273,6 +336,160 @@ def partitioned_cumsum(
     return (
         local.withColumn(out_col, F.col("__cs_loc") + F.coalesce(offset_expr, F.lit(0)))
         .drop("__cs_b", "__cs_loc")
+    )
+
+
+def exact_quantiles(
+    df: DataFrame,
+    value_col: str,
+    quantiles: list[float],
+    *,
+    group_cols: list[str] | None = None,
+    mode: str = "cont",
+    out_cols: list[str] | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """EXACT per-group quantiles with NO data-sized single reducer —
+    the scale-safe replacement for both ``percentile()`` (whose
+    aggregation buffer holds every distinct value of a group in ONE
+    task) and ``percentile_disc`` (which buffers every ROW): the
+    classic distinct-value histogram + two-phase cumulative count.
+
+    Plan: one groupBy((group), value) builds the histogram (map-side
+    combined, so the shuffle carries distinct values, not rows);
+    :func:`partitioned_cumsum` attaches cumulative counts with
+    value-bucketed parallelism (grouped mode splits even a 5-group
+    frame across all buckets — no per-group reducer); then ONE
+    aggregation reads the target ranks off the histogram. Every stage
+    is partition-parallel; driver traffic is nil in grouped mode and
+    one KB offsets collect ungrouped.
+
+    ``mode="cont"`` reproduces Spark ``percentile()`` / DuckDB
+    ``quantile_cont`` bit-for-bit — the interpolation mirrors
+    Percentile's exact IEEE expression
+    ``(higher-pos)*vlo + (pos-lower)*vhi`` with ``pos = q·(n-1)``
+    over non-null count n, so results hash-match the builtin it
+    replaces. ``mode="disc"`` returns the smallest value whose
+    cumulative count reaches ``q·n`` (``percentile_disc`` /
+    ``quantile_disc`` semantics — every output EXISTS in the data).
+
+    Output: one row per group (all groups retained, including
+    all-NULL groups → NULL quantiles, matching the builtins) with
+    ``n_rows``, ``n_values`` and one column per quantile
+    (``out_cols`` or ``q0_5``-style names derived from ``quantiles``).
+    """
+    if mode not in ("cont", "disc"):
+        raise ValueError("mode must be 'cont' or 'disc'")
+    if not quantiles:
+        raise ValueError("quantiles must be non-empty")
+    for q in quantiles:
+        if not (0.0 <= q <= 1.0):
+            raise ValueError(f"quantile {q} outside [0, 1]")
+    if out_cols is None:
+        out_cols = ["q" + str(q).replace(".", "_") for q in quantiles]
+    if len(out_cols) != len(quantiles):
+        raise ValueError("out_cols must align 1:1 with quantiles")
+    gcols = list(group_cols or [])
+    v = F.col(value_col)
+
+    base = df.groupBy(*gcols).agg(
+        F.count(F.lit(1)).alias("n_rows"), F.count(v).alias("__nn")
+    )
+    hist = (
+        df.filter(v.isNotNull())
+        .groupBy(*gcols, value_col)
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    cum = partitioned_cumsum(
+        hist,
+        [value_col],
+        "__c",
+        out_col="__cum",
+        num_partitions=num_partitions,
+        group_cols=gcols or None,
+    )
+    nn_frame = base.select(*gcols, "__nn")
+    if gcols:
+        # null-safe: the NULL group is a real group
+        cum2 = _join_group_stats(cum, nn_frame, gcols)
+    else:
+        cum2 = cum.crossJoin(F.broadcast(nn_frame))
+
+    rank_aggs: list = []
+    for q, name in zip(quantiles, out_cols):
+        if mode == "disc":
+            # smallest value whose cumulative count reaches q·n —
+            # the comparison is double (q·n) vs bigint cum, same
+            # arithmetic as DuckDB quantile_disc's rank cut
+            rank_aggs.append(
+                F.min(
+                    F.when(
+                        F.col("__cum") >= F.lit(q) * F.col("__nn"), v
+                    )
+                ).alias(f"__v_{name}")
+            )
+        else:
+            pos = F.lit(q) * (F.col("__nn") - F.lit(1)).cast("double")
+            lower = F.floor(pos)
+            higher = F.ceil(pos)
+            rank_aggs.append(
+                F.min(F.when(F.col("__cum") >= lower + 1, v)).alias(
+                    f"__lo_{name}"
+                )
+            )
+            rank_aggs.append(
+                F.min(F.when(F.col("__cum") >= higher + 1, v)).alias(
+                    f"__hi_{name}"
+                )
+            )
+    stats = (
+        cum2.groupBy(*gcols).agg(*rank_aggs, F.first("__nn").alias("__snn"))
+        if gcols
+        else cum2.agg(*rank_aggs, F.first("__nn").alias("__snn"))
+    )
+    if gcols:
+        # null-safe LEFT join: all-NULL-value groups are absent from
+        # the histogram/stats but must stay in the output (NULL
+        # quantiles), and a NULL group key must still find its stats
+        s = stats
+        for c in gcols:
+            s = s.withColumnRenamed(c, f"__eq_{c}")
+        cond = None
+        for c in gcols:
+            clause = base[c].eqNullSafe(s[f"__eq_{c}"])
+            cond = clause if cond is None else (cond & clause)
+        joined = base.join(F.broadcast(s), cond, "left").drop(
+            *[f"__eq_{c}" for c in gcols]
+        )
+    else:
+        joined = base.crossJoin(F.broadcast(stats))
+
+    outs: list = []
+    for q, name in zip(quantiles, out_cols):
+        if mode == "disc":
+            outs.append(F.col(f"__v_{name}").alias(name))
+        else:
+            # EXACTLY Spark Percentile.getPercentile: pos = q·(n-1);
+            # equal floor/ceil → the value itself, else the two-sided
+            # IEEE blend (higher-pos)·vlo + (pos-lower)·vhi — the
+            # weights sum to 1 but the blend is kept verbatim so the
+            # result is bit-identical to the builtin it replaces
+            pos = F.lit(q) * (F.col("__snn") - F.lit(1)).cast("double")
+            lower = F.floor(pos)
+            higher = F.ceil(pos)
+            vlo = F.col(f"__lo_{name}").cast("double")
+            vhi = F.col(f"__hi_{name}").cast("double")
+            outs.append(
+                F.when(F.col("__snn") == 0, F.lit(None).cast("double"))
+                .when(higher == lower, vlo)
+                .otherwise(
+                    (higher.cast("double") - pos) * vlo
+                    + (pos - lower.cast("double")) * vhi
+                )
+                .alias(name)
+            )
+    return joined.select(
+        *gcols, "n_rows", F.col("__nn").alias("n_values"), *outs
     )
 
 

@@ -244,3 +244,114 @@ def test_order_bucket_nan_does_not_collapse_parallelism(spark):
     nan_bucket = [b for x, b in zip([r["x"] for r in out.collect()], buckets)
                   if x != x]
     assert nan_bucket == [8]  # one past the last numeric bucket
+
+
+def test_partitioned_cumsum_grouped_matches_per_group_window(spark):
+    """Grouped mode must equal the straightforward per-group running
+    total (Window.partitionBy(g).orderBy(k)) — including NULL group
+    keys, which are real groups and must not lose their offsets in
+    the null-safe offset join."""
+    from pyspark.sql import Window
+
+    rows = [
+        (g, k, float(k * 10 + (0 if g is None else ord(g))))
+        for g in ["a", "b", None]
+        for k in range(1, 30)
+    ]
+    df = spark.createDataFrame(rows, "g string, k int, v double").withColumn(
+        "vd", F.col("v").cast("decimal(18,4)")
+    )
+    got = FT.partitioned_cumsum(
+        df, [F.col("k").asc()], "vd", out_col="cum",
+        group_cols=["g"], num_partitions=5,
+    )
+    w = (
+        Window.partitionBy("g")
+        .orderBy("k")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    want = df.withColumn("cum", F.sum("vd").over(w))
+    g1 = {(r["g"], r["k"]): r["cum"] for r in got.collect()}
+    w1 = {(r["g"], r["k"]): r["cum"] for r in want.collect()}
+    assert g1 == w1
+
+
+def test_exact_quantiles_cont_matches_builtin_percentile(spark, sf_dir):
+    """mode='cont' must be BIT-IDENTICAL to percentile() — same IEEE
+    interpolation expression — per group, including the n counts."""
+    from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.sources.io import (
+        read_table,
+    )
+
+    orders = read_table(spark, sf_dir, "orders")
+    got = FT.exact_quantiles(
+        orders, "o_totalprice", [0.25, 0.5, 0.9],
+        group_cols=["o_orderpriority"], out_cols=["q25", "q50", "q90"],
+    )
+    want = orders.groupBy("o_orderpriority").agg(
+        F.expr("percentile(o_totalprice, 0.25D)").alias("q25"),
+        F.expr("percentile(o_totalprice, 0.5D)").alias("q50"),
+        F.expr("percentile(o_totalprice, 0.9D)").alias("q90"),
+    )
+    g = {r["o_orderpriority"]: (r["q25"], r["q50"], r["q90"]) for r in got.collect()}
+    w = {r["o_orderpriority"]: (r["q25"], r["q50"], r["q90"]) for r in want.collect()}
+    assert g == w
+
+
+def test_exact_quantiles_disc_values_exist_and_match_builtin(spark, sf_dir):
+    from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.sources.io import (
+        read_table,
+    )
+
+    li = read_table(spark, sf_dir, "lineitem")
+    got = FT.exact_quantiles(
+        li, "l_extendedprice", [0.5, 0.99], mode="disc", out_cols=["m", "p99"]
+    ).collect()[0]
+    want = li.agg(
+        F.expr(
+            "percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice)"
+        ).alias("m"),
+        F.expr(
+            "percentile_disc(0.99) WITHIN GROUP (ORDER BY l_extendedprice)"
+        ).alias("p99"),
+    ).collect()[0]
+    assert (got["m"], got["p99"]) == (want["m"], want["p99"])
+
+
+def test_exact_quantiles_null_and_empty_groups(spark):
+    """All-NULL groups stay in the output with NULL quantiles (like
+    the builtin); NULL group keys keep their real quantiles."""
+    df = spark.createDataFrame(
+        [(None, 1.0), (None, 3.0), ("a", None), ("b", 2.0)],
+        "g string, v double",
+    )
+    r = {
+        row["g"]: (row["m"], row["n_rows"], row["n_values"])
+        for row in FT.exact_quantiles(
+            df, "v", [0.5], group_cols=["g"], out_cols=["m"]
+        ).collect()
+    }
+    assert r[None] == (2.0, 2, 2)
+    assert r["a"] == (None, 1, 0)
+    assert r["b"] == (2.0, 1, 1)
+    # empty frame -> empty result, not an error
+    assert (
+        FT.exact_quantiles(
+            df.filter(F.lit(False)), "v", [0.5], group_cols=["g"]
+        ).count()
+        == 0
+    )
+
+
+def test_exact_quantiles_rejects_bad_args(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1.0,)], "v double")
+    with pytest.raises(ValueError):
+        FT.exact_quantiles(df, "v", [])
+    with pytest.raises(ValueError):
+        FT.exact_quantiles(df, "v", [1.5])
+    with pytest.raises(ValueError):
+        FT.exact_quantiles(df, "v", [0.5], mode="nearest")
+    with pytest.raises(ValueError):
+        FT.exact_quantiles(df, "v", [0.5, 0.9], out_cols=["only_one"])

@@ -109,3 +109,67 @@ def test_plan_has_no_scale_red_flags(spark, sf_dir, name):
         assert "ArrowEvalPython" not in plan, (
             f"{name}: unexpected Python boundary\n{plan}"
         )
+
+
+# windows whose required child distribution is SinglePartition but
+# whose INPUT is provably KB-state, not data-sized — the only two
+# exemptions the sweep allows:
+#   dq_benford_totalprice — running share over the 9-row leading-digit
+#     histogram (Benford audit); input is exactly ≤ 9 rows.
+#   feature_class_weights — running total over the per-class count
+#     frame; input is |classes| rows (a label-cardinality constant).
+# Everything else must rank/cumsum through the two-phase bucketed
+# forms (surrogate.bucketed_rank / features.partitioned_cumsum) — a
+# data-sized single-reducer window is the canonical 100× scale
+# failure (VERDICT r6 item 1; text_rarity_score's vocabulary rank was
+# the last one, retired in r7).
+WINDOW_SINGLE_PARTITION_OK = {
+    "dq_benford_totalprice",
+    "feature_class_weights",
+}
+
+_DEPTH_RE = __import__("re").compile(r"^[\s:+*-]*")
+
+
+def _subtree(lines: list[str], i: int) -> list[str]:
+    d = len(_DEPTH_RE.match(lines[i]).group(0))
+    out = []
+    for j in range(i + 1, len(lines)):
+        if len(_DEPTH_RE.match(lines[j]).group(0)) <= d and lines[j].strip():
+            break
+        out.append(lines[j])
+    return out
+
+
+@pytest.mark.parametrize("name", sorted(entry.queries()))
+def test_no_data_sized_single_partition_window(spark, sf_dir, name):
+    """No Window operator may require a SinglePartition child
+    exchange unless its input is a KB-state frame (allowlist above):
+    the window's FIRST exchange below it is the distribution it
+    demanded, and SinglePartition there means every input row funnels
+    through one task regardless of cluster size."""
+    import re
+
+    df = entry.queries()[name](spark, sf_dir)
+    plan = df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "simple"
+        )
+    )
+    lines = plan.splitlines()
+    offenders = []
+    for i, line in enumerate(lines):
+        if re.search(r"\bWindow(GroupLimit)? \[", line):
+            exch = [s for s in _subtree(lines, i) if "Exchange" in s]
+            if exch and "SinglePartition" in exch[0]:
+                offenders.append(line.strip()[:120])
+    if name in WINDOW_SINGLE_PARTITION_OK:
+        assert offenders, (
+            f"{name}: allowlisted for a SinglePartition window but none "
+            "found — remove it from WINDOW_SINGLE_PARTITION_OK"
+        )
+    else:
+        assert not offenders, (
+            f"{name}: Window over SinglePartition exchange — use "
+            f"bucketed_rank / partitioned_cumsum:\n" + "\n".join(offenders)
+        )
