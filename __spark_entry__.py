@@ -2277,6 +2277,111 @@ def _multimodal_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
     return multimodal.frame_sample_plan(media, every_ms=1000)
 
 
+@_register(
+    "multimodal_audio_features",
+    """
+    WITH p AS (
+      SELECT doc_id,
+             ((COALESCE(n_chars, 0) % 400) + 400) % 400 + 50 AS n,
+             ((doc_id % 100000) + 100000) % 100000 AS d
+      FROM documents WHERE doc_id IS NOT NULL
+    ), s AS (
+      SELECT doc_id, d, n, unnest(range(0, n)) AS i FROM p
+    ), c AS (
+      SELECT doc_id, n, i,
+             (((d * 7919 + i * 131) % 256) + 256) % 256 - 128 AS v
+      FROM s
+    ), lagd AS (
+      SELECT doc_id, i, v,
+             LAG(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv
+      FROM c
+    ), agg AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_samples,
+             CAST(MAX(ABS(v)) AS BIGINT) AS peak,
+             CAST(SUM(v * v) AS BIGINT) AS sum_sq,
+             CAST(SUM(CASE WHEN pv IS NOT NULL
+                            AND ((v >= 0) != (pv >= 0))
+                           THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+      FROM lagd GROUP BY doc_id
+    )
+    SELECT doc_id AS media_id,
+           CAST(8000 AS INT) AS sample_rate,
+           CAST(8 AS INT) AS bits,
+           CAST(1 AS INT) AS n_channels,
+           n_samples,
+           n_samples * 1000 // 8000 AS duration_ms,
+           peak, sum_sq, zero_crossings,
+           sqrt(CAST(sum_sq AS DOUBLE) / n_samples) AS rms
+    FROM agg
+    """,
+)
+def _multimodal_audio_features(spark: SparkSession, sf: str) -> DataFrame:
+    """Audio features through the REAL stdlib WAV/PCM codec
+    (multimodal.encode_wav / decode_wav / extract_audio_features —
+    the second honest modality, closing the r6 audio stub): each
+    document synthesizes a deterministic 8-bit mono PCM fixture
+    (sample i = floor-mod pseudo-noise of doc_id — floor-mod on BOTH
+    engines, with doc_id reduced mod 1e5 so the arithmetic can't
+    overflow bigint on extreme ids), the payload round-trips through
+    genuine RIFF bytes, and every feature is exact integer arithmetic
+    on the decoded samples — so DuckDB reproduces peak / energy /
+    zero-crossings / duration bit-for-bit from the sample formula
+    alone, and the one float (rms) is a single IEEE sqrt-of-division
+    of exact operands. Plan: the two sanctioned Arrow stages (encode
+    fixture, decode+extract) back-to-back, then JVM-side select; no
+    shuffle at all."""
+    docs = (
+        read_table(spark, sf, "documents")
+        .filter(F.col("doc_id").isNotNull())
+        .select(
+            F.col("doc_id").alias("media_id"),
+            (F.pmod(F.coalesce(F.col("n_chars"), F.lit(0)), F.lit(400)) + 50)
+            .cast("int")
+            .alias("n"),
+            F.pmod(F.col("doc_id"), F.lit(100000)).alias("d"),
+        )
+    )
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = [
+                bytearray(
+                    multimodal.encode_wav(
+                        8000,
+                        [
+                            ((int(d) * 7919 + i * 131) % 256) - 128
+                            for i in range(int(n))
+                        ],
+                        bits=8,
+                    )
+                )
+                for d, n in zip(pdf["d"], pdf["n"])
+            ]
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "payload": payloads}
+            )
+
+    media = docs.mapInPandas(gen, "media_id long, payload binary")
+    feats = multimodal.extract_audio_features(media)
+    return feats.select(
+        "media_id",
+        "sample_rate",
+        "bits",
+        "n_channels",
+        "n_samples",
+        "duration_ms",
+        "peak",
+        "sum_sq",
+        "zero_crossings",
+        F.sqrt(F.col("sum_sq").cast("double") / F.col("n_samples")).alias(
+            "rms"
+        ),
+    )
+
+
 @_register("embedding_ivf_topk", None)
 def _embedding_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     """IVF approximate top-k: corpus bucketed by nearest deterministic

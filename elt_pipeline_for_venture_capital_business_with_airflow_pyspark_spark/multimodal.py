@@ -3,13 +3,15 @@
 Image/audio/video payloads are opaque ``binary`` columns with a typed
 metadata struct alongside. The Spark-side machinery — schema,
 partition-friendly layout, Arrow-batched UDF signatures — is real and
-tested. Pixel work runs for REAL on the formats decodable with the
-standard library + numpy (binary PPM, uncompressed 24-bit BMP, and —
-round 6 — 8-bit non-interlaced PNG via stdlib zlib:
+tested. Pixel/sample work runs for REAL on the formats decodable with the
+standard library + numpy (binary PPM, uncompressed 24-bit BMP, 8-bit
+non-interlaced PNG via stdlib zlib —
 ``decode_image``/``resize_rgb``/``encode_ppm``/``encode_png``,
-pixel-level tests); formats needing codec libraries absent in this
-container (JPEG/audio/video) raise ``NotImplementedError`` at the
-decode layer, with
+pixel-level tests — and, round 7, RIFF/WAVE integer PCM audio —
+``decode_wav``/``encode_wav``/``extract_audio_features``,
+sample-level tests); formats needing codec libraries absent in this
+container (JPEG/float-or-ADPCM WAV/video) raise
+``NotImplementedError`` at the decode layer, with
 documented deterministic fallbacks at the pipeline layer so the
 distributed shape stays verifiable end-to-end.
 
@@ -508,3 +510,189 @@ def resize_images(
         "payload",
     )
     return pruned.mapInPandas(run, schema=RESIZE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Audio: WAV/PCM codec (round 7) — RIFF container + 8/16-bit integer
+# PCM are fully stdlib-decodable (`struct`), so audio joins PPM/BMP/PNG
+# as a REAL codec behind the same mapInPandas boundary. Compressed or
+# float WAV (IEEE float, ADPCM, mu-law) and every non-WAV audio format
+# stay an honest NotImplementedError — the module policy: a real codec
+# or a loud refusal, never a silent wrong answer.
+# ---------------------------------------------------------------------------
+
+
+def encode_wav(
+    sample_rate: int,
+    samples: "list[int]",
+    *,
+    bits: int = 16,
+    n_channels: int = 1,
+) -> bytes:
+    """Serialize CENTERED integer PCM samples (interleaved if
+    multi-channel) as a canonical RIFF/WAVE file: 'fmt ' (PCM, format
+    tag 1) + 'data'. 8-bit WAV stores unsigned bytes, so centered
+    values shift by +128 on the way in (and back on decode) — the
+    asymmetry every WAV reader must honor. Byte-identical output for
+    identical input on any platform (fixed little-endian layout)."""
+    import struct
+
+    if bits not in (8, 16):
+        raise ValueError(f"bits must be 8 or 16, got {bits}")
+    if n_channels < 1:
+        raise ValueError("n_channels must be >= 1")
+    if sample_rate <= 0:
+        raise ValueError("sample_rate must be positive")
+    if len(samples) % n_channels:
+        raise ValueError(
+            f"{len(samples)} samples not divisible by {n_channels} channels"
+        )
+    lo, hi = (-128, 127) if bits == 8 else (-32768, 32767)
+    for s in samples:
+        if not (lo <= s <= hi):
+            raise ValueError(f"sample {s} outside {bits}-bit range [{lo},{hi}]")
+    if bits == 8:
+        data = bytes((s + 128) for s in samples)
+    else:
+        data = struct.pack(f"<{len(samples)}h", *samples)
+    block_align = n_channels * bits // 8
+    fmt = struct.pack(
+        "<HHIIHH", 1, n_channels, sample_rate, sample_rate * block_align,
+        block_align, bits,
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+        + (b"\x00" if len(data) % 2 else b"")  # RIFF chunks word-align
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(payload: bytes) -> "tuple[int, int, int, list[int]]":
+    """Decode a RIFF/WAVE payload to ``(sample_rate, bits, n_channels,
+    samples)`` where ``samples`` are CENTERED ints, interleaved
+    (8-bit unsigned storage shifts back by -128). Walks the chunk list
+    properly — unknown chunks (LIST/INFO/cue) are skipped over their
+    declared+padded length, so real-world files with metadata decode —
+    and only integer PCM (format tag 1, 8/16-bit) is accepted: IEEE
+    float (3), ADPCM (2/17), mu-law (7) and truncated files raise
+    ``NotImplementedError`` (same honest-boundary policy as
+    ``decode_image``)."""
+    import struct
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise NotImplementedError(
+            f"not a RIFF/WAVE payload (magic {payload[:4]!r})"
+        )
+    pos = 12
+    fmt_chunk = None
+    data = None
+    while pos + 8 <= len(payload):
+        ctype = payload[pos : pos + 4]
+        (clen,) = struct.unpack_from("<I", payload, pos + 4)
+        body = payload[pos + 8 : pos + 8 + clen]
+        if len(body) != clen:
+            raise NotImplementedError(f"truncated WAV chunk {ctype!r}")
+        if ctype == b"fmt ":
+            fmt_chunk = body
+        elif ctype == b"data":
+            data = body
+        pos += 8 + clen + (clen % 2)  # skip the word-align pad byte
+    if fmt_chunk is None or data is None:
+        raise NotImplementedError("WAV missing fmt /data chunk")
+    if len(fmt_chunk) < 16:
+        raise NotImplementedError("WAV fmt chunk too short")
+    tag, n_channels, sample_rate, _brate, _balign, bits = struct.unpack_from(
+        "<HHIIHH", fmt_chunk, 0
+    )
+    if tag != 1:
+        raise NotImplementedError(
+            f"WAV format tag {tag} unsupported (only integer PCM=1; "
+            "float/ADPCM/mu-law need codec tables not implemented here)"
+        )
+    if bits not in (8, 16):
+        raise NotImplementedError(f"WAV bit depth {bits} unsupported (8/16)")
+    if n_channels < 1 or sample_rate <= 0:
+        raise NotImplementedError("WAV non-positive channels/sample rate")
+    frame = n_channels * bits // 8
+    if len(data) % frame:
+        raise NotImplementedError("WAV data not frame-aligned")
+    if bits == 8:
+        samples = [b - 128 for b in data]
+    else:
+        samples = list(struct.unpack(f"<{len(data) // 2}h", data))
+    return sample_rate, bits, n_channels, samples
+
+
+AUDIO_FEATURE_SCHEMA = (
+    "media_id long, sample_rate int, bits int, n_channels int, "
+    "n_samples long, duration_ms long, peak long, sum_sq long, "
+    "zero_crossings long"
+)
+
+
+def extract_audio_features(media: DataFrame) -> DataFrame:
+    """Audio feature extraction over binary WAV payloads — the second
+    REAL modality behind the mapInPandas boundary (mirrors the PNG
+    image path): decode is the stdlib PCM codec above; every emitted
+    feature is EXACT integer arithmetic on the decoded samples, so an
+    oracle that knows the sample values reproduces them bit-for-bit:
+
+    - ``n_samples``: frames (samples per channel);
+    - ``duration_ms``: ``n_samples * 1000 div sample_rate`` (integer
+      floor — no float rounding);
+    - ``peak``: max |centered sample| over all channels;
+    - ``sum_sq``: Σ sample² as int64 (loudness/RMS numerator; 16-bit
+      peak² is 2³⁰, so ~2³³ samples fit before overflow — chunk
+      upstream for longer audio);
+    - ``zero_crossings``: per-channel count of adjacent sign flips
+      (sign = value >= 0), summed over channels.
+
+    RMS itself is left to the caller as ``sqrt(sum_sq/n)`` — one IEEE
+    expression over exact integers, identical on any engine.
+    Undecodable/NULL payloads yield NULL features (dead blobs route
+    onward, quarantine-style — the batch never dies). numpy does the
+    per-sample work; no Python loop over samples."""
+    import numpy as np
+
+    def _feats(payload):
+        if payload is None:
+            return (None,) * 8
+        try:
+            rate, bits, nch, samples = decode_wav(bytes(payload))
+        except NotImplementedError:
+            return (None,) * 8
+        arr = np.asarray(samples, dtype=np.int64)
+        frames = len(arr) // nch
+        if frames == 0:
+            # zero-frame file: defined zeros except peak (max of
+            # nothing is undefined -> NULL)
+            return (rate, bits, nch, 0, 0, None, 0, 0)
+        chans = arr.reshape(frames, nch)
+        nonneg = chans >= 0
+        zc = int((nonneg[1:] != nonneg[:-1]).sum()) if frames > 1 else 0
+        return (
+            rate,
+            bits,
+            nch,
+            frames,
+            frames * 1000 // rate,
+            int(np.abs(arr).max()),
+            int((arr * arr).sum()),
+            zc,
+        )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [
+            "sample_rate", "bits", "n_channels", "n_samples",
+            "duration_ms", "peak", "sum_sq", "zero_crossings",
+        ]
+        for pdf in batches:
+            rows = [_feats(p) for p in pdf["payload"]]
+            out = pd.DataFrame(rows, columns=cols)
+            out.insert(0, "media_id", pdf["media_id"].values)
+            yield out
+
+    pruned = media.select("media_id", "payload")
+    return pruned.mapInPandas(run, schema=AUDIO_FEATURE_SCHEMA)

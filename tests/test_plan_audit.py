@@ -86,7 +86,13 @@ NESTED_LOOP_OK = {
 # row-at-a-time Python eval (BatchEvalPython) is never acceptable;
 # Arrow-batched eval (ArrowEvalPython / MapInPandas / FlatMapGroupsInPandas)
 # is the sanctioned Python boundary (multimodal + stateful ops).
-ARROW_OK = {"multimodal_features", "multimodal_resize"}
+ARROW_OK = {
+    "multimodal_features",
+    "multimodal_resize",
+    # WAV fixture encode + PCM decode/extract — the two sanctioned
+    # codec-boundary Arrow stages back-to-back (no shuffle between).
+    "multimodal_audio_features",
+}
 
 
 @pytest.mark.parametrize("name", sorted(entry.queries()))
