@@ -3156,6 +3156,119 @@ def _embedding_ivf_persisted(spark: SparkSession, sf: str) -> DataFrame:
     return SIM.ivf_probe_index(queries, path, k=10, n_probe=8)
 
 
+def _ivf_int8_sql(dim: int = 64, n_probe: int = 8, k: int = 10) -> str:
+    """ANSI-SQL twin of the int8-QUANTIZED persisted IVF probe: cell
+    assignment/choice replicate the float geometry (same explicit
+    fold-order cosine as _ivf_sqlcheck_sql), scoring replicates
+    ann_topk_int8's exact-BIGINT integer dot + two fixed-order scale
+    multiplies — so dots, scores and ranks all hash-match."""
+
+    def dot(a: str, b: str) -> str:
+        return " + ".join(
+            f"CAST({a}[{i}] AS DOUBLE)*CAST({b}[{i}] AS DOUBLE)"
+            for i in range(1, dim + 1)
+        )
+
+    def cos(a: str, b: str) -> str:
+        return f"(({dot(a, b)}) / (sqrt({dot(a, a)}) * sqrt({dot(b, b)})))"
+
+    return f"""
+    WITH c AS (
+      SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 16
+    ), assigned AS (
+      SELECT e.vec_id AS neighbor_id, e.embedding AS nv, c.cid,
+             {cos("e.embedding", "c.cv")} AS sim
+      FROM embeddings e CROSS JOIN c
+    ), acell AS (
+      SELECT neighbor_id, cid AS cell FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY neighbor_id ORDER BY sim DESC, cid) AS rn
+        FROM assigned) WHERE rn = 1
+    ), xd AS (
+      SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS xd
+      FROM embeddings
+    ), mx AS (
+      SELECT vec_id, xd,
+             list_reduce(list_prepend(0.0, list_transform(xd, v -> abs(v))),
+                         (a, b) -> greatest(a, b)) AS maxabs
+      FROM xd
+    ), q8 AS (
+      SELECT vec_id, maxabs / 127.0 AS scale,
+             CASE WHEN maxabs = 0 THEN list_transform(xd, v -> 0)
+                  ELSE list_transform(xd, v ->
+                       CAST(floor(v / (maxabs / 127.0) + 0.5) AS INT))
+             END AS q
+      FROM mx
+    ), q AS (
+      SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+      WHERE vec_id < 5
+    ), qsim AS (
+      SELECT query_id, cid, {cos("qv", "cv")} AS sim
+      FROM q CROSS JOIN c
+    ), probes AS (
+      SELECT query_id, cid AS cell FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY query_id ORDER BY sim DESC, cid) AS rn
+        FROM qsim) WHERE rn <= {n_probe}
+    ), scored AS (
+      SELECT p.query_id, a.neighbor_id,
+             list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                 list_transform(list_zip(cc.q, qq.q),
+                   z -> CAST(z[1] AS BIGINT) * CAST(z[2] AS BIGINT))),
+               (x, y) -> x + y) AS dot_int,
+             cc.scale AS sc, qq.scale AS sq
+      FROM probes p
+      JOIN acell a ON p.cell = a.cell
+      JOIN q8 cc ON cc.vec_id = a.neighbor_id
+      JOIN q8 qq ON qq.vec_id = p.query_id
+      WHERE a.neighbor_id <> p.query_id
+    ), ranked AS (
+      SELECT query_id, neighbor_id, dot_int,
+             dot_int * sc * sq AS score,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY dot_int * sc * sq DESC, neighbor_id)
+               AS rank
+      FROM scored
+    )
+    SELECT query_id, rank, neighbor_id, dot_int, score
+    FROM ranked WHERE rank <= {k}
+    """
+
+
+@_register("embedding_ivf_int8", _ivf_int8_sql())
+def _embedding_ivf_int8(spark: SparkSession, sf: str) -> DataFrame:
+    """The COMPOSED serving tier (r7): int8 vectors INSIDE the
+    persisted IVF index — build_ivf_index(quantize=True) stores
+    (id, scale, q) per cell (quantization in the write projection,
+    zero extra passes), the probe detects the tier from the cells
+    schema, reads 4× fewer bytes from only the probed cell
+    DIRECTORIES, and scores with the exact-BIGINT integer dot. Cell
+    choice is bit-identical to the float tier; this is the shape a
+    100-TB embedding corpus actually serves from (directory pruning ×
+    quantized IO). Fully oracle-hash-checked — dots, scores, ranks —
+    because the ranking key's integer part is exact cross-engine
+    (append==rebuild + recall-vs-float laws pinned in
+    tests/test_index_lifecycle.py)."""
+    import os
+
+    emb = read_table(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    path = "/tmp/spark_graft_ivf_int8_" + os.path.basename(
+        os.path.normpath(sf)
+    )
+    SIM.build_ivf_index(
+        emb,
+        path,
+        n_centroids=16,
+        centroid_source=emb.filter(F.col("vec_id") < 16),
+        quantize=True,
+    )
+    return SIM.ivf_probe_index(queries, path, k=10, n_probe=8)
+
+
 def _pq_common_sql(dim: int = 64, m: int = 8, ks: int = 16) -> str:
     """Shared CTEs for the product-quantization twins: quantized
     vectors, j-indexed codebook (first ks vectors by id), and the

@@ -448,6 +448,7 @@ def build_ivf_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroid_source: DataFrame | None = None,
+    quantize: bool = False,
 ) -> int:
     """Persist an IVF index: ``<path>/centroids`` (cell, cid, cv) and
     ``<path>/cells`` — the corpus assigned to its nearest centroid and
@@ -462,7 +463,19 @@ def build_ivf_index(
     Centroid selection is the same deterministic hash-ordered sample
     (or id-ordered ``centroid_source``) as :func:`ivf_topk`, collected
     once as KB-sized plan literals. Cell ids are positions in that
-    centroid order."""
+    centroid order.
+
+    ``quantize=True`` composes the serving tier (round 7): the cells
+    layout stores ``(id, scale, q array<int>, cell)`` — the int8
+    quantization applied IN the index-write projection
+    (:func:`quantize_int8`, zero extra passes) instead of the float
+    vector, so a probe reads 4× fewer bytes per cell on top of the
+    directory pruning, and scoring switches to the exact-BIGINT
+    integer dot (:func:`ann_topk_int8`'s arithmetic). Cell ASSIGNMENT
+    still happens on the float vectors (centroids stay float — KB),
+    so the quantized index probes the same cells as the float one.
+    The choice is self-describing: :func:`append_ivf_index` and
+    :func:`ivf_probe_index` detect the tier from the cells schema."""
     spark = corpus.sparkSession
     cent_rows = _pick_centroids(
         corpus, n_centroids, id_col, vec_col, centroid_source
@@ -477,11 +490,20 @@ def build_ivf_index(
     cent_df.coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
     if not cent_rows:
         # empty cells table with the right schema so probes read cleanly
-        spark.createDataFrame(
-            [], f"{id_col} long, {vec_col} array<float>, cell int"
-        ).write.mode("overwrite").parquet(f"{path}/cells")
+        empty_schema = (
+            f"{id_col} long, scale double, q array<int>, cell int"
+            if quantize
+            else f"{id_col} long, {vec_col} array<float>, cell int"
+        )
+        spark.createDataFrame([], empty_schema).write.mode(
+            "overwrite"
+        ).parquet(f"{path}/cells")
         return 0
     assigned = _assign_cells(corpus, cent_rows, id_col, vec_col)
+    if quantize:
+        assigned = quantize_int8(
+            assigned, id_col, vec_col, extra_cols=("cell",)
+        ).select(id_col, "scale", "q", "cell")
     assigned.write.mode("overwrite").partitionBy("cell").parquet(
         f"{path}/cells"
     )
@@ -528,7 +550,12 @@ def append_ivf_index(
     changes on append, so probe results over the union equal a
     fresh index built with the SAME centroids (tested). Re-fit
     centroids offline when drift degrades cell balance — that is a
-    rebuild, not an append."""
+    rebuild, not an append.
+
+    The storage tier is read off the persisted cells schema (a ``q``
+    column means int8 — see ``build_ivf_index(quantize=True)``): the
+    shard is quantized IDENTICALLY at append time, so the
+    append == rebuild law holds for the quantized tier too (tested)."""
     spark = new_vectors.sparkSession
     cent_rows = _read_centroids(spark, path)
     if not cent_rows:
@@ -536,9 +563,14 @@ def append_ivf_index(
             f"IVF index at {path} has no centroids — build it from a "
             "non-empty corpus before appending"
         )
-    _assign_cells(new_vectors, cent_rows, id_col, vec_col).write.mode(
-        "append"
-    ).partitionBy("cell").parquet(f"{path}/cells")
+    assigned = _assign_cells(new_vectors, cent_rows, id_col, vec_col)
+    if "q" in spark.read.parquet(f"{path}/cells").columns:
+        assigned = quantize_int8(
+            assigned, id_col, vec_col, extra_cols=("cell",)
+        ).select(id_col, "scale", "q", "cell")
+    assigned.write.mode("append").partitionBy("cell").parquet(
+        f"{path}/cells"
+    )
 
 
 def ivf_probe_index(
@@ -566,13 +598,30 @@ def ivf_probe_index(
     broadcast limits. Set it False to fall back to a shuffled hash
     join on ``cell`` (both sides exchange; same results bit-for-bit —
     the escape hatch mirroring ``dedup.incremental_lsh_pairs``'s
-    ``broadcast_new``)."""
+    ``broadcast_new``).
+
+    Against an int8 index (``build_ivf_index(quantize=True)``,
+    detected from the cells schema) the probe serves from the
+    quantized tier: queries quantize in the probe projection, the
+    per-pair score is the exact-BIGINT integer dot rescaled by the
+    two per-vector scales (:func:`ann_topk_int8`'s arithmetic — the
+    ranking key's integer part is oracle-exact), and the output is
+    ``(query_id, rank, neighbor_id, dot_int, score)``. Cell CHOICE is
+    identical to the float tier (float centroids, float query) — only
+    scanning and scoring ride the 4×-smaller representation."""
     spark = queries.sparkSession
     cent_rows = _read_centroids(spark, path)
+    cells_df = spark.read.parquet(f"{path}/cells")
+    quantized = "q" in cells_df.columns
     if not cent_rows:
-        return spark.createDataFrame(
-            [], "query_id long, rank int, neighbor_id long, cosine_sim double"
+        empty_schema = (
+            "query_id long, rank int, neighbor_id long, dot_int bigint, "
+            "score double"
+            if quantized
+            else "query_id long, rank int, neighbor_id long, "
+            "cosine_sim double"
         )
+        return spark.createDataFrame([], empty_schema)
     n_cent = len(cent_rows)
     n_probe = min(n_probe, n_cent)
     cmat = F.array(
@@ -592,13 +641,32 @@ def ivf_probe_index(
         .when(x["sim"] < y["sim"], 1)
         .otherwise(x["idx"] - y["idx"]),
     )
-    probes = queries.select(
+    qsrc = queries
+    if quantized:
+        # quantize the query side in the probe projection (zero extra
+        # passes); keep the float vector for cell CHOICE so the
+        # quantized tier probes exactly the cells the float tier would
+        qsrc = quantize_int8(
+            queries, query_id_col, vec_col, extra_cols=(vec_col,)
+        ).select(
+            query_id_col,
+            F.col("scale").alias("__sq"),
+            F.col("q").alias("__qq"),
+            vec_col,
+        )
+    carry = (
+        [F.col("__sq"), F.col("__qq")]
+        if quantized
+        else [F.col(vec_col).alias("__query_vec")]
+    )
+    carry_names = ["__sq", "__qq"] if quantized else ["__query_vec"]
+    probes = qsrc.select(
         F.col(query_id_col).alias("query_id"),
-        F.col(vec_col).alias("__query_vec"),
+        *carry,
         sims.alias("__sims"),
     ).select(
         "query_id",
-        "__query_vec",
+        *carry_names,
         F.explode(
             F.transform(F.slice(by_sim_desc, 1, n_probe), lambda s: s["idx"])
         ).alias("cell"),
@@ -609,10 +677,40 @@ def ivf_probe_index(
     probe_cells = sorted(
         r["cell"] for r in probes.select("cell").distinct().collect()
     )
-    cells = spark.read.parquet(f"{path}/cells").filter(
-        F.col("cell").isin(probe_cells)
-    )
+    cells = cells_df.filter(F.col("cell").isin(probe_cells))
     probe_side = F.broadcast(probes) if broadcast_queries else probes
+    if quantized:
+        dot_int = F.aggregate(
+            F.zip_with(
+                F.col("q"),
+                F.col("__qq"),
+                lambda a, b: a.cast("bigint") * b.cast("bigint"),
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, v: acc + v,
+        )
+        scored = (
+            cells.join(probe_side, on="cell")
+            .filter(F.col(id_col) != F.col("query_id"))
+            .withColumn("dot_int", dot_int)
+            .withColumn(
+                "score", F.col("dot_int") * F.col("scale") * F.col("__sq")
+            )
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("score").desc(), F.col(id_col)
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(
+                "query_id",
+                "rank",
+                F.col(id_col).alias("neighbor_id"),
+                "dot_int",
+                "score",
+            )
+        )
     scored = (
         cells.join(probe_side, on="cell")
         .filter(F.col(id_col) != F.col("query_id"))
@@ -937,6 +1035,7 @@ def quantize_int8(
     vectors: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Per-vector symmetric int8 scalar quantization — the storage
     tier every 100-TB embedding corpus actually serves from (4×
@@ -955,7 +1054,9 @@ def quantize_int8(
 
     Scale shape: a pure map — no shuffle, no state, no UDF; quantizing
     a corpus is one scan that pushes only (id, vector) through
-    codegen. Returns (id, scale, q array<int>, mse, max_abs_err).
+    codegen. Returns (id, scale, q array<int>, mse, max_abs_err);
+    ``extra_cols`` carries additional input columns through unchanged
+    (e.g. the IVF ``cell`` id when quantizing at index-write time).
     """
     x = F.col(vec_col)
     xd = F.transform(x, lambda v: v.cast("double"))
@@ -975,6 +1076,7 @@ def quantize_int8(
         scale.alias("scale"),
         q.alias("q"),
         xd.alias("__xd"),
+        *extra_cols,
     )
     err = F.zip_with(
         F.col("__xd"),
@@ -991,6 +1093,7 @@ def quantize_int8(
         F.aggregate(
             err, F.lit(0.0), lambda acc, e: F.greatest(acc, F.abs(e))
         ).alias("max_abs_err"),
+        *extra_cols,
     )
 
 

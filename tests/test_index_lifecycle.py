@@ -324,3 +324,86 @@ def test_compact_ivf_index_preserves_probe_results(spark, sf_dir, tmp_path):
         ).collect()
     }
     assert shuffled == before
+
+
+def _int8_probe_set(df):
+    return {
+        (r["query_id"], r["rank"], r["neighbor_id"], r["dot_int"], r["score"])
+        for r in df.collect()
+    }
+
+
+def test_int8_ivf_append_equals_rebuild_and_recall(spark, sf_dir, tmp_path):
+    """The serving-tier composition (r7): int8 vectors INSIDE the
+    persisted IVF cells. Pins (a) append==rebuild for the quantized
+    tier (frozen centroids + identical write-time quantization), (b)
+    tier auto-detection on append and probe, (c) recall vs the float
+    IVF probe of the same index geometry, (d) compaction preserving
+    the quantized probe bit-for-bit."""
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    cent_src = emb.filter(F.col("vec_id") < 8)
+    base = emb.filter(F.col("vec_id") % 3 != 0)
+    shard = emb.filter(F.col("vec_id") % 3 == 0)
+    queries = emb.filter(F.col("vec_id") % 89 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+    inc = str(tmp_path / "ivf_q_inc")
+    SIM.build_ivf_index(
+        base, inc, n_centroids=8, centroid_source=cent_src, quantize=True
+    )
+    # tier is self-describing: the append quantizes without being told
+    SIM.append_ivf_index(shard, inc)
+
+    oneshot = str(tmp_path / "ivf_q_full")
+    SIM.build_ivf_index(
+        emb, oneshot, n_centroids=8, centroid_source=cent_src, quantize=True
+    )
+    got_inc = _int8_probe_set(
+        SIM.ivf_probe_index(queries, inc, k=5, n_probe=3)
+    )
+    got_full = _int8_probe_set(
+        SIM.ivf_probe_index(queries, oneshot, k=5, n_probe=3)
+    )
+    assert got_inc == got_full and got_full
+
+    # recall vs the float tier with identical geometry: the int8 tier
+    # must mostly agree on who the neighbors are
+    flt = str(tmp_path / "ivf_float")
+    SIM.build_ivf_index(
+        emb, flt, n_centroids=8, centroid_source=cent_src
+    )
+    float_ids = {
+        (r["query_id"], r["neighbor_id"])
+        for r in SIM.ivf_probe_index(queries, flt, k=5, n_probe=3).collect()
+    }
+    int8_ids = {(q, n) for q, _rk, n, _d, _s in got_full}
+    assert float_ids, "no float probe results — fixture broke"
+    recall = len(int8_ids & float_ids) / len(float_ids)
+    assert recall >= 0.6, f"int8 IVF recall {recall:.2f} vs float IVF"
+
+    # compaction is tier-agnostic: bit-identical quantized probes
+    report = SIM.compact_ivf_index(spark, oneshot)
+    assert report["cells_files"][1] <= report["cells_files"][0]
+    assert (
+        _int8_probe_set(SIM.ivf_probe_index(queries, oneshot, k=5, n_probe=3))
+        == got_full
+    )
+
+
+def test_int8_ivf_empty_corpus_probe_shape(spark, tmp_path):
+    """Empty quantized index: probes return the int8-shaped empty
+    frame (dot_int/score columns), not the float shape."""
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    path = str(tmp_path / "ivf_q_empty")
+    assert (
+        SIM.build_ivf_index(empty, path, n_centroids=4, quantize=True) == 0
+    )
+    q = spark.createDataFrame([], "query_id long, embedding array<float>")
+    out = SIM.ivf_probe_index(q, path, k=3)
+    assert out.columns == [
+        "query_id", "rank", "neighbor_id", "dot_int", "score",
+    ]
+    assert out.count() == 0
