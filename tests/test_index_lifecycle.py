@@ -407,3 +407,104 @@ def test_int8_ivf_empty_corpus_probe_shape(spark, tmp_path):
         "query_id", "rank", "neighbor_id", "dot_int", "score",
     ]
     assert out.count() == 0
+
+
+def test_maybe_compact_index_30_day_loop_bounded_and_bit_identical(
+    spark, sf_dir, tmp_path
+):
+    """The auto-compaction POLICY (r7): 30 simulated daily appends
+    with maybe_compact_index after each. Must (a) keep the file count
+    bounded (never grows past threshold + one day's worth), (b) not
+    thrash (compactions ≪ days — hysteresis: a just-compacted index
+    is below the count floor), (c) leave the final probe bit-for-bit
+    equal to a never-compacted twin fed the same appends."""
+    from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.operators import (
+        maintenance as MNT,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    cent_src = emb.filter(F.col("vec_id") < 8)
+    base = emb.filter(F.col("vec_id") % 31 == 30)  # tiny seed
+    managed = str(tmp_path / "ivf_managed")
+    twin = str(tmp_path / "ivf_twin")
+    for p in (managed, twin):
+        SIM.build_ivf_index(
+            base, p, n_centroids=8, centroid_source=cent_src
+        )
+
+    min_files = 48
+    n_compactions = 0
+    max_seen = 0
+    for day in range(30):
+        shard = emb.filter(F.col("vec_id") % 31 == day)
+        SIM.append_ivf_index(shard, managed)
+        SIM.append_ivf_index(shard, twin)
+        r = MNT.maybe_compact_index(spark, managed, min_files=min_files)
+        max_seen = max(max_seen, r["n_files"])
+        if r["compacted"]:
+            n_compactions += 1
+            assert r["report"]["cells_files"][1] < r["report"]["cells_files"][0]
+    # bounded: the policy never let the count run away (one day adds
+    # at most n_centroids files past the floor before firing)
+    assert max_seen <= min_files + 8 + 1, max_seen
+    # hysteresis: fired a handful of times, not ~daily
+    assert 1 <= n_compactions <= 10, n_compactions
+    # immediately after the loop, a second call must be a no-op if the
+    # last day compacted, and in ANY case two consecutive calls cannot
+    # both compact (the first resets the count below the floor)
+    r1 = MNT.maybe_compact_index(spark, managed, min_files=min_files)
+    r2 = MNT.maybe_compact_index(spark, managed, min_files=min_files)
+    assert not (r1["compacted"] and r2["compacted"])
+    assert not r2["compacted"]
+
+    queries = emb.filter(F.col("vec_id") % 17 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    probe = lambda p: {
+        (r["query_id"], r["rank"], r["neighbor_id"], r["cosine_sim"])
+        for r in SIM.ivf_probe_index(queries, p, k=5, n_probe=3).collect()
+    }
+    assert probe(managed) == probe(twin) and probe(twin)
+
+
+def test_maybe_compact_index_lsh_kind_detection_and_threshold(
+    spark, sf_dir, tmp_path
+):
+    """Policy over an LSH index: layout detection picks the LSH
+    compactor, a too-large mean file size disarms the trigger, and a
+    fired compaction leaves pair results bit-identical."""
+    from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.operators import (
+        maintenance as MNT,
+    )
+    import pytest as _pytest
+
+    docs = _docs(spark, sf_dir)
+    index = str(tmp_path / "lsh_managed")
+    DD.build_lsh_index(
+        docs.filter(F.col("doc_id") % 5 == 0), index, k=3,
+        num_hashes=16, bands=4,
+    )
+    for day in (1, 2, 3, 4):
+        DD.incremental_lsh_pairs(
+            docs.filter(F.col("doc_id") % 5 == day),
+            index, k=3, num_hashes=16, bands=4,
+        ).collect()
+    assert MNT.index_kind(spark, index) == "lsh"
+    before = _sig_set(DD.read_lsh_index(spark, index)[0])
+
+    # mean-size guard: with a tiny floor fraction the mean is "fine",
+    # so even a high file count must NOT trigger
+    r_guard = MNT.maybe_compact_index(
+        spark, index, min_files=4, mean_floor_frac=1e-12
+    )
+    assert not r_guard["compacted"]
+    # real thresholds: small test files are far below 25% of 256 MB
+    r = MNT.maybe_compact_index(spark, index, min_files=4)
+    assert r["kind"] == "lsh" and r["compacted"]
+    assert r["report"]["bands_files"][1] <= r["report"]["bands_files"][0]
+    assert _sig_set(DD.read_lsh_index(spark, index)[0]) == before
+
+    with _pytest.raises(ValueError):
+        MNT.index_kind(spark, str(tmp_path / "not_an_index"))
