@@ -693,12 +693,23 @@ def _point_latest(spark: SparkSession, path: str, version: int) -> None:
         raise IOError(f"could not publish {_LATEST_FILE} for {path}")
 
 
+class VersionConflictError(RuntimeError):
+    """Optimistic-concurrency failure: the table's latest version
+    moved between the caller's read and its commit — the write was
+    ABORTED (snapshot dir + reservation removed), the table is
+    untouched. Re-read, re-derive, retry."""
+
+
+_EXPECTED_UNSET = object()
+
+
 def write_versioned(
     df: DataFrame,
     path: str,
     *,
     keep: int = 3,
     compression: str = "zstd",
+    expected_parent: "int | None | object" = _EXPECTED_UNSET,
 ) -> int:
     """Commit ``df`` as a NEW immutable snapshot of the table at
     ``path`` and return its version number — snapshot isolation on
@@ -734,9 +745,34 @@ def write_versioned(
     lost). Note object stores without atomic create (e.g. S3 without
     a consistency layer) degrade to last-writer-wins on the marker —
     run single-writer or front with a lock service there.
+
+    ``expected_parent`` adds optimistic-concurrency DETECTION for
+    read-modify-write commits (the lost-update case the default
+    last-wins pointer cannot see): pass the version your transaction
+    READ (``latest_version(...)``, or None for "I expect to create
+    the table"). If the table's latest has moved by commit time —
+    checked cheaply before the data write and again immediately
+    before the pointer swing — the commit ABORTS with
+    :class:`VersionConflictError`: the just-written snapshot dir and
+    its reservation are removed, the pointer never swings, and the
+    winner's commit is untouched; re-read, re-derive, retry. The
+    check-then-swing pair is not itself atomic (a filesystem has no
+    pointer CAS — the same object-store caveat as the reservation
+    marker), so two conflicting writers that pass the final check in
+    the same instant can still both swing; this detects every
+    interleaving where the commits are not simultaneous, which is the
+    lost-update race a daily pipeline actually hits.
     """
     spark = df.sparkSession
     jvm, hpath, fs = _versions_fs(spark, path)
+    if expected_parent is not _EXPECTED_UNSET:
+        current = latest_version(spark, path)
+        if current != expected_parent:
+            raise VersionConflictError(
+                f"{path}: expected parent {expected_parent}, found "
+                f"{current} before write — another commit landed since "
+                "your read"
+            )
     versions = list_versions(spark, path)
     version = (versions[-1] + 1) if versions else 1
     for _ in range(1000):
@@ -752,6 +788,24 @@ def write_versioned(
     df.write.mode("overwrite").option("compression", compression).parquet(
         f"{path}/{_VERSIONS_DIR}/{_vname(version)}"
     )
+    if expected_parent is not _EXPECTED_UNSET:
+        current = latest_version(spark, path)
+        # the just-written snapshot has a _SUCCESS marker, so it IS the
+        # highest committed version right now — the parent check must
+        # look at what latest resolves to WITHOUT this commit
+        if current == version:
+            others = [v for v in list_versions(spark, path) if v != version]
+            current = others[-1] if others else None
+        if current != expected_parent:
+            # abort: remove this commit's dir + reservation so the
+            # pointer-loss fallback can never resurrect the loser
+            fs.delete(hpath(f"{path}/{_VERSIONS_DIR}/{_vname(version)}"), True)
+            fs.delete(marker, False)
+            raise VersionConflictError(
+                f"{path}: expected parent {expected_parent}, found "
+                f"{current} at commit time — lost update detected, "
+                "write aborted"
+            )
     _point_latest(spark, path, version)
     # prune: keep the newest `keep` snapshots (and their markers)
     for old in list_versions(spark, path)[:-keep] if keep > 0 else []:

@@ -164,3 +164,66 @@ def test_vacuum_removes_only_uncommitted_debris(spark, tmp_path):
     assert IO.vacuum_versioned(spark, path) == []
     # and the next commit proceeds normally, reusing the freed number
     assert IO.write_versioned(_mk(spark, 9), path) == 3
+
+
+def test_versioned_optimistic_conflict_interleaved_writers(spark, tmp_path):
+    """Lost-update DETECTION (r7): two writers read the same parent,
+    both derive, writer A commits first — writer B's commit must fail
+    cleanly with VersionConflictError, its snapshot must leave no
+    debris (dir + reservation removed, so the pointer-loss fallback
+    can't resurrect it), and the table must still read as A's
+    commit."""
+    import pytest
+
+    path = str(tmp_path / "vt_occ")
+    v1 = IO.write_versioned(_mk(spark, 5), path)
+    parent = IO.latest_version(spark, path)
+    assert parent == v1
+
+    # writer A wins the race
+    v_a = IO.write_versioned(
+        _mk(spark, 50), path, expected_parent=parent
+    )
+    assert v_a == v1 + 1
+
+    # writer B, still holding the stale parent, must be rejected
+    with pytest.raises(IO.VersionConflictError):
+        IO.write_versioned(_mk(spark, 999), path, expected_parent=parent)
+
+    # table is consistent: latest is A's commit, B left no snapshot
+    assert IO.latest_version(spark, path) == v_a
+    assert IO.list_versions(spark, path) == [v1, v_a]
+    assert IO.read_versioned(spark, path).count() == 50
+    # no orphan reservation for the aborted version
+    vdir = tmp_path / "vt_occ" / "_versions"
+    orphan = [p.name for p in vdir.iterdir() if "reserved" in p.name]
+    assert f".v{v_a + 1:05d}.reserved" not in orphan
+
+    # B retries the CAS loop correctly: re-read, re-derive, commit
+    v_b = IO.write_versioned(
+        _mk(spark, 7), path, expected_parent=IO.latest_version(spark, path)
+    )
+    assert v_b == v_a + 1
+    assert IO.read_versioned(spark, path).count() == 7
+
+
+def test_versioned_expected_parent_none_creates_or_conflicts(spark, tmp_path):
+    """expected_parent=None means 'I create this table': succeeds on
+    an empty path, conflicts once anyone has committed."""
+    import pytest
+
+    path = str(tmp_path / "vt_create")
+    v1 = IO.write_versioned(_mk(spark, 3), path, expected_parent=None)
+    assert v1 == 1
+    with pytest.raises(IO.VersionConflictError):
+        IO.write_versioned(_mk(spark, 4), path, expected_parent=None)
+    assert IO.list_versions(spark, path) == [1]
+
+
+def test_versioned_default_stays_last_wins(spark, tmp_path):
+    """Without expected_parent the documented single-writer/last-wins
+    behavior is unchanged — no accidental strictness."""
+    path = str(tmp_path / "vt_lw")
+    IO.write_versioned(_mk(spark, 3), path)
+    IO.write_versioned(_mk(spark, 4), path)
+    assert IO.read_versioned(spark, path).count() == 4
