@@ -594,6 +594,42 @@ def freq_sample(
     )
 
 
+def merge_freq_samples(
+    samples: "list[DataFrame]",
+    key_col: str,
+    *,
+    k: int = 256,
+) -> DataFrame:
+    """Merge :func:`freq_sample` states from DISJOINT slices of a feed
+    into the state of their union — EXACTLY (pinned in tests):
+    per-key counts add (each slice's count is exact for that slice),
+    the hash rides the key unchanged, and re-truncating to the ``k``
+    smallest hashes is the union's own bottom-k because membership is
+    a pure function of the key hash: any key inside the union's
+    bottom-k has fewer than ``k`` union keys hashing below it, hence
+    fewer in every slice it appears in — so every slice retained it
+    and no count is lost. Iterated merging (a streaming foreachBatch
+    folding batch samples into a persisted state) therefore equals
+    the one-shot sample over the whole feed bit-for-bit — the
+    continuously-maintained join statistic
+    (:func:`join_cardinality_estimate`) a long-running pipeline
+    consults before paying for a shuffle."""
+    if not samples:
+        raise ValueError("samples must be non-empty")
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    unioned = samples[0]
+    for s in samples[1:]:
+        unioned = unioned.unionByName(s)
+    return (
+        unioned.groupBy(key_col, "hv")
+        .agg(F.sum("cnt").alias("cnt"))
+        .select(key_col, "cnt", "hv")
+        .orderBy("hv", key_col)
+        .limit(k)
+    )
+
+
 def join_cardinality_estimate(
     sample_a: DataFrame,
     sample_b: DataFrame,

@@ -1,0 +1,132 @@
+"""Streaming twin for the planner sketches: a foreachBatch loop that
+folds each micro-batch's bottom-k frequency sample
+(``sketches.freq_sample``) into a persisted state via
+``merge_freq_samples`` must end BIT-IDENTICAL to the one-shot sample
+over the full feed — and the ``join_cardinality_estimate`` computed
+from that continuously-maintained state must equal the batch
+estimate row exactly.
+
+This is the statistic a long-running 100-TB pipeline actually keeps:
+the fact stream's key sample stays fresh at delta cost (each batch
+touches only its own rows; state is ≤ k rows), and "how big would
+this join be?" is answerable at any moment without scanning history.
+Same harness shape as test_stream_continuous_aggregate.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.operators import (
+    sketches as SK,
+)
+
+SCHEMA = T.StructType([T.StructField("fk", T.LongType())])
+
+K = 32
+
+
+def _sample_rows(df_or_path_rows):
+    return {
+        (r["fk"], r["cnt"], r["hv"]) for r in df_or_path_rows.collect()
+    }
+
+
+def test_streaming_freq_sample_equals_one_shot_and_estimates_match(
+    spark, tmp_path
+):
+    src = tmp_path / "src"
+    state_dir = str(tmp_path / "state")
+    src.mkdir()
+
+    # three micro-batches with overlapping hot keys and a long tail —
+    # replayed keys MUST accumulate their counts across batches
+    batches = [
+        [(i % 40,) for i in range(300)],
+        [(i % 55 + 10,) for i in range(400)],
+        [(i % 23,) for i in range(200)] + [(999,), (999,)],
+    ]
+
+    def emit(rows):
+        spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+
+    emit(batches[0])
+    spark.createDataFrame([], "fk long, cnt long, hv long").write.mode(
+        "overwrite"
+    ).parquet(state_dir)
+
+    def sink(batch_df, batch_id):
+        s = batch_df.sparkSession
+        existing = s.read.parquet(state_dir)
+        batch_sample = SK.freq_sample(batch_df, "fk", k=K)
+        merged = SK.merge_freq_samples([existing, batch_sample], "fk", k=K)
+        merged.localCheckpoint().write.mode("overwrite").parquet(state_dir)
+
+    q = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "chk"))
+        .start()
+    )
+    q.processAllAvailable()
+    emit(batches[1])
+    q.processAllAvailable()
+    emit(batches[2])
+    q.processAllAvailable()
+    q.stop()
+
+    got = _sample_rows(spark.read.parquet(state_dir))
+
+    full = spark.createDataFrame(
+        [r for b in batches for r in b], SCHEMA
+    )
+    want = _sample_rows(SK.freq_sample(full, "fk", k=K))
+    assert got == want and len(want) == K
+
+    # the planner statistic from the ACCUMULATED state equals the
+    # batch statistic bit-for-bit (tau, p, pairs, estimate)
+    dim = spark.range(0, 45).select(F.col("id").alias("pk"))
+    dim_sample = SK.freq_sample(dim, "pk", k=K)
+    est_stream = SK.join_cardinality_estimate(
+        spark.read.parquet(state_dir), dim_sample, "fk", "pk", k=K
+    ).collect()[0]
+    est_batch = SK.join_cardinality_estimate(
+        SK.freq_sample(full, "fk", k=K), dim_sample, "fk", "pk", k=K
+    ).collect()[0]
+    assert est_stream.asDict() == est_batch.asDict()
+    assert est_stream["n_sampled_pairs"] > 0
+
+
+def test_merge_freq_samples_law_disjoint_slices(spark):
+    """Merge-of-parts == sample-of-whole for any disjoint split, and
+    iterated (left-fold) merging equals one flat merge."""
+    full = spark.range(0, 5000).select((F.col("id") % 170).alias("fk"))
+    parts = [
+        full.filter(F.col("fk") % 3 == i) for i in range(3)
+    ]
+    part_samples = [SK.freq_sample(p, "fk", k=K) for p in parts]
+    flat = _sample_rows(SK.merge_freq_samples(part_samples, "fk", k=K))
+    whole = _sample_rows(SK.freq_sample(full, "fk", k=K))
+    assert flat == whole
+
+    folded = part_samples[0]
+    for s in part_samples[1:]:
+        folded = SK.merge_freq_samples([folded, s], "fk", k=K)
+    assert _sample_rows(folded) == whole
+
+
+def test_merge_freq_samples_rejects_bad_args(spark):
+    import pytest
+
+    with pytest.raises(ValueError):
+        SK.merge_freq_samples([], "fk")
+    s = SK.freq_sample(
+        spark.range(5).select(F.col("id").alias("fk")), "fk", k=4
+    )
+    with pytest.raises(ValueError):
+        SK.merge_freq_samples([s], "fk", k=1)
