@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["salted_sum_count", "salted_join", "skew_diagnose"]
+__all__ = ["salted_sum_count", "salted_join", "skew_diagnose", "plan_join"]
 
 
 def _salt_col(df: DataFrame, salts: int, exclude: list[str]) -> Column:
@@ -136,3 +136,89 @@ def skew_diagnose(
             ).cast("bigint").alias("rec_salts"),
         )
     )
+
+
+def plan_join(
+    big: DataFrame,
+    small: DataFrame,
+    big_key: str,
+    small_key: str,
+    *,
+    broadcast_threshold_rows: int = 100_000,
+    skew_ratio_threshold_x1000: int = 5_000,
+    target_rows_per_task: int = 10_000,
+    k: int = 256,
+) -> dict:
+    """Join-strategy ADVISOR: turn the two diagnostics this module and
+    ``sketches`` already own into the decision they exist for —
+    broadcast / shuffle / salted-shuffle, WITH the evidence row, all
+    from KB-scale statistics gathered before paying for the join:
+
+    1. ``small.count()`` — one metadata-cheap aggregate — against
+       ``broadcast_threshold_rows`` (the row-count analogue of
+       ``spark.sql.autoBroadcastJoinThreshold``): a broadcastable
+       small side ends the analysis, because a broadcast join never
+       shuffles the big side and skew is irrelevant to a map-side
+       join.
+    2. :func:`skew_diagnose` top-1 on the big side's key:
+       ``skew_ratio_x1000`` ≥ threshold (default 5× the mean key —
+       AQE's skewedPartitionFactor spirit) AND a hot key bigger than
+       one task's target ⇒ the shuffle needs :func:`salted_join`,
+       with the diagnostic's own ``rec_salts`` as the fan-out.
+    3. :func:`sketches.join_cardinality_estimate` over correlated
+       bottom-``k`` samples of both key columns — the estimated
+       output size rides along in the evidence (always one row, even
+       for disjoint keys), so the caller also sees whether the join
+       EXPLODES before running it.
+
+    Returns ``{strategy, rec_salts, evidence}`` where evidence holds
+    every measured number (small_rows, top key/rows/ratio, est_join,
+    tau/p). Driver cost: three bounded jobs (1-row count, top-1
+    diagnose, 1-row estimate). The recommendation matches what Spark
+    itself would execute in the clear regimes (pinned in
+    tests/test_join_advisor.py): a small side under the threshold
+    plans as BroadcastHashJoin, a large one as a shuffle join, and a
+    hot-key shuffle is exactly what ``salted_join`` row-identically
+    repairs."""
+    from . import sketches as SK
+
+    small_rows = small.count()
+    diag = skew_diagnose(
+        big, big_key, top_n=1, target_rows_per_task=target_rows_per_task
+    ).collect()
+    top = diag[0] if diag else None
+    est = SK.join_cardinality_estimate(
+        SK.freq_sample(big.select(big_key), big_key, k=k),
+        SK.freq_sample(small.select(small_key), small_key, k=k),
+        big_key,
+        small_key,
+        k=k,
+    ).collect()[0]
+
+    if small_rows <= broadcast_threshold_rows:
+        strategy, rec_salts = "broadcast", 0
+    elif (
+        top is not None
+        and top["skew_ratio_x1000"] >= skew_ratio_threshold_x1000
+        and top["n_rows"] > target_rows_per_task
+    ):
+        strategy, rec_salts = "salted-shuffle", int(top["rec_salts"])
+    else:
+        strategy, rec_salts = "shuffle", 0
+
+    return {
+        "strategy": strategy,
+        "rec_salts": rec_salts,
+        "evidence": {
+            "small_rows": small_rows,
+            "broadcast_threshold_rows": broadcast_threshold_rows,
+            "top_key": top[big_key] if top is not None else None,
+            "top_key_rows": int(top["n_rows"]) if top is not None else 0,
+            "skew_ratio_x1000": (
+                int(top["skew_ratio_x1000"]) if top is not None else 0
+            ),
+            "est_join_rows": float(est["est_join"]),
+            "sample_tau": int(est["tau"]),
+            "sample_p": float(est["p"]),
+        },
+    }
