@@ -110,3 +110,64 @@ def test_window_outputs_are_canonicalizer_safe(spark, sf_dir):
             ):
                 offenders.append((name, f.name, f.dataType.simpleString()))
     assert not offenders, f"non-scalar window outputs: {offenders}"
+
+
+def test_readme_registry_block_in_sync():
+    """The README's generated registry table must match _REGISTRY
+    exactly (VERDICT r6 item 8): a registered-but-undocumented query,
+    a stale row, or hand-edits inside the generated block fail here —
+    the fix is one `python tools/gen_registry_docs.py`."""
+    import re
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    import gen_registry_docs as gen
+
+    with open("/root/repo/README.md") as f:
+        text = f.read()
+    m = re.search(
+        re.escape(gen.BEGIN) + r".*?" + re.escape(gen.END), text, re.DOTALL
+    )
+    assert m, "README.md lost its REGISTRY block markers"
+    assert m.group(0) == gen.render_block(), (
+        "README registry block out of date — run "
+        "python tools/gen_registry_docs.py"
+    )
+
+
+def test_readme_coverage_table_references_only_live_queries():
+    """Every backticked query name in the hand-maintained coverage
+    table must still exist in the registry — renames can't leave
+    stale documentation."""
+    import re
+
+    with open("/root/repo/README.md") as f:
+        text = f.read()
+    cov = text.split("## Operator coverage")[1].split("## Design for scale")[0]
+    live = set(entry_mod._REGISTRY)
+    # backticked tokens that LOOK like registry names (lower_snake
+    # with at least one underscore, no dots/slashes/parens)
+    refs = {
+        t
+        for t in re.findall(r"`([a-z0-9_]+)`", cov)
+        if "_" in t
+    }
+    # module/function tokens that are not query names
+    non_queries = {t for t in refs if t not in live}
+    stale = {
+        t
+        for t in non_queries
+        # a name matching a query-ish prefix of the registry is a
+        # strong signal it WAS a query once — flag it
+        if any(t.split("_")[0] == q.split("_")[0] for q in live)
+        and not t.endswith(("_py", "_md"))
+        and t.startswith(
+            tuple(sorted({q.split("_")[0] + "_" for q in live}))
+        )
+    }
+    # known non-query identifiers referenced in the table
+    allowed = {
+        "dedup_latest_wins", "text_pii_scrub",  # real queries (sanity)
+    } & live
+    stale -= allowed
+    assert not stale, f"coverage table references unknown queries: {stale}"
