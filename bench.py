@@ -126,6 +126,13 @@ HEADLINE = [
     "text_pmi_window",
     "sketch_quantile_sample",
     "skew_diagnose_events",
+    # round-7 additions: the real WAV/PCM codec through the Arrow
+    # boundary (fixture encode + decode + exact-integer features) and
+    # the composed int8-inside-IVF serving tier (build quantized index
+    # + directory-pruned BIGINT-ADC probe — lifecycle replay cost, like
+    # embedding_ivf_persisted)
+    "multimodal_audio_features",
+    "embedding_ivf_int8",
 ]
 
 
