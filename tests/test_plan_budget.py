@@ -55,7 +55,13 @@ SHUFFLE_BUDGET = {
     "skew_salted_join": 1,
     "unpivot_measures": 0,
     "embedding_label_centroids": 1,
-    "agg_exact_median": 1,
+    # r7 rewrite: exact_quantiles' two-phase histogram cumsum trades
+    # the builtin percentile's one-task distinct-value buffer for
+    # partition-parallel exchanges over the (group, value) histogram —
+    # hist agg + base agg + bucket totals + offsets window + local
+    # window + stats agg, all distinct-value- or KB-sized (8 measured
+    # with AQE at sf0.001)
+    "agg_exact_median": 8,
     "agg_incremental_maintenance": 2,
     "customer_rfm_segments": 2,
     "pareto_abc_lineitem": 4,
@@ -136,17 +142,22 @@ SHUFFLE_BUDGET = {
     # int8 ANN = one per-query ranking exchange; window PMI = pair agg
     # + unigram agg + two count joins; quantile sample = the sample
     # side is agg-only, the exact-audit lobe adds the value-histogram
-    # groupBy (its cumulative window is single-partition over distinct
-    # values, not an exchange).
+    # groupBy + the r7 bucketed-cumsum window exchange (the r6
+    # SinglePartition cumulative window is retired).
     "sketch_join_cardinality": 4,
     "sketch_hll_sliding": 6,
     "sketch_hll_index_daily": 2,
     "embedding_ann_int8": 1,
     "text_pmi_window": 3,
-    "sketch_quantile_sample": 1,
+    "sketch_quantile_sample": 2,
     # skew diagnostic: the key-count agg + the counts-frame reuse for
     # the totals lobe (TakeOrdered ships driver-side, no exchange).
     "skew_diagnose_events": 2,
+    # round-7: audio features are two Arrow map stages + a select —
+    # zero shuffles; int8 IVF probe = one per-query ranking exchange
+    # (index build/append are separate write jobs, not this plan).
+    "multimodal_audio_features": 0,
+    "embedding_ivf_int8": 1,
 }
 
 
