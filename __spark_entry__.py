@@ -32,6 +32,9 @@ from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.functi
     expr as E,
 )
 from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.functions import (
+    geo as GEO,
+)
+from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.functions import (
     text as TX,
 )
 from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.operators import (
@@ -9365,6 +9368,148 @@ def _skew_diagnose_events(spark: SparkSession, sf: str) -> DataFrame:
     ev = read_table(spark, sf, "events")
     return SKW.skew_diagnose(
         ev, "event_type", top_n=10, target_rows_per_task=10_000
+    )
+
+
+# --- incremental JOIN view maintenance (operators/cdc.py) ------------------
+
+@_register(
+    "join_incremental_view",
+    """
+    SELECT o_orderpriority, l_returnflag,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE) AS sum_qty
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderpriority, l_returnflag
+    """,
+)
+def _join_incremental_view(spark: SparkSession, sf: str) -> DataFrame:
+    """Materialized-JOIN-view refresh under insert-only deltas
+    (operators/cdc.incremental_join_refresh): the standing
+    orders⋈lineitem view is maintained when a tail of recent orders
+    (o_orderdate ≥ 1998-05-01) and late-shipping lineitems
+    (l_shipdate ≥ 1998-08-01) arrive — Δ(A⋈B) = ΔA⋈B_old ∪ A_old⋈ΔB
+    ∪ ΔA⋈ΔB, each delta term a BROADCAST join against the unshuffled
+    big side, the old big⋈big join never recomputed. The oracle joins
+    the full tables from scratch: delta algebra == full recompute,
+    the invariant that lets a 100-TB fact⋈fact view cost one day's
+    delta per refresh. Exact count + decimal-sum output; double cast
+    once at the end."""
+    a = read_table(spark, sf, "orders").select(
+        F.col("o_orderkey").alias("okey"), "o_orderpriority", "o_orderdate"
+    )
+    b = read_table(spark, sf, "lineitem").select(
+        F.col("l_orderkey").alias("okey"), "l_returnflag", "l_quantity",
+        "l_shipdate",
+    )
+    a_cut = F.lit("1998-05-01").cast("timestamp")
+    b_cut = F.lit("1998-08-01").cast("timestamp")
+    old_a = a.filter(F.col("o_orderdate") < a_cut)
+    delta_a = a.filter(F.col("o_orderdate") >= a_cut)
+    old_b = b.filter(F.col("l_shipdate") < b_cut)
+    delta_b = b.filter(F.col("l_shipdate") >= b_cut)
+    old_result = old_a.join(old_b, ["okey"])
+    refreshed = CDC.incremental_join_refresh(
+        old_result, old_a, old_b, delta_a, delta_b, on=["okey"]
+    )
+    return refreshed.groupBy("o_orderpriority", "l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("l_quantity").cast("decimal(20,4)"))
+        .cast("double")
+        .alias("sum_qty"),
+    )
+
+
+# --- geo: cell-blocked proximity join (functions/geo.py) -------------------
+
+def _geo_coords(df: DataFrame, key_col: str, salt: str) -> DataFrame:
+    """Deterministic synthetic coordinates from the row key: two 32-bit
+    md5 prefixes mapped onto lat ∈ [-60, 60), lon ∈ [-180, 180) at
+    1e-4° resolution. Integer hash → exact integer modulo → one IEEE
+    division by 1e4 — every step is reproduced verbatim by the DuckDB
+    oracle, so both engines see bit-identical coordinates (the repo's
+    standard md5-integer determinism contract, cf.
+    sampling.weighted_bernoulli_sample)."""
+
+    def h(tag: str):
+        return F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(tag), F.col(key_col).cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+
+    return df.withColumn(
+        "latitude", (h(salt + "lat") % 1_200_000) / 10_000.0 - 60.0
+    ).withColumn("longitude", (h(salt + "lon") % 3_600_000) / 10_000.0 - 180.0)
+
+
+_GEO_COORD_SQL = (
+    "CAST('0x' || substr(md5('{salt}{axis}' || CAST({key} AS VARCHAR)), 1, 8)"
+    " AS BIGINT) % {mod} / 10000.0 - {off}"
+)
+
+
+def _geo_coord_sql(key: str, salt: str, axis: str) -> str:
+    mod, off = (1_200_000, "60.0") if axis == "lat" else (3_600_000, "180.0")
+    return _GEO_COORD_SQL.format(salt=salt, axis=axis, key=key, mod=mod, off=off)
+
+
+@_register(
+    "geo_radius_join",
+    f"""
+    WITH c AS (
+      SELECT c_custkey,
+             {_geo_coord_sql("c_custkey", "gc", "lat")} AS lat,
+             {_geo_coord_sql("c_custkey", "gc", "lon")} AS lon
+      FROM customer
+    ), s AS (
+      SELECT s_suppkey,
+             {_geo_coord_sql("s_suppkey", "gs", "lat")} AS lat,
+             {_geo_coord_sql("s_suppkey", "gs", "lon")} AS lon
+      FROM supplier
+    ), pairs AS (
+      SELECT c.c_custkey, s.s_suppkey,
+             2 * 6371.0088 * asin(sqrt(
+               pow(sin(radians(s.lat - c.lat) / 2), 2)
+               + cos(radians(c.lat)) * cos(radians(s.lat))
+                 * pow(sin(radians(s.lon - c.lon) / 2), 2)
+             )) AS dist_km
+      FROM c, s
+    )
+    SELECT c_custkey, s_suppkey,
+           CAST(floor(dist_km * 100) AS BIGINT) AS dist_km_x100
+    FROM pairs WHERE dist_km <= 500.0
+    """,
+)
+def _geo_radius_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Spatial proximity WITHOUT a cross join
+    (functions/geo.within_radius_join): every (customer, supplier)
+    pair within 500 km of each other over deterministic synthetic
+    coordinates. The reference schema stores office lat/lon
+    (init_stg.sql:39-40) but never computes with them; this is the
+    proximity query that schema exists for, built the 100-TB way —
+    both sides bucketed into radius-sized grid cells, the supplier
+    side replicated into its 3×3 cell neighborhood (lon wraps at the
+    antimeridian), equi-join on the cell key, exact haversine
+    predicate on the candidates. Cost is local-density-bounded and
+    linear in |points|; the DuckDB oracle affords the plain cross
+    join at sf≤0.1 and must agree pair-for-pair — proving the
+    blocking loses NO recall (the invariant the cell sizing math
+    guarantees for |lat| ≤ 66°)."""
+    cust = _geo_coords(
+        read_table(spark, sf, "customer").select("c_custkey"), "c_custkey", "gc"
+    )
+    supp = _geo_coords(
+        read_table(spark, sf, "supplier").select("s_suppkey"), "s_suppkey", "gs"
+    )
+    return GEO.within_radius_join(cust, supp, 500.0).select(
+        "c_custkey",
+        F.col("s_suppkey_r").alias("s_suppkey"),
+        F.floor(F.col("dist_km") * 100).cast("bigint").alias("dist_km_x100"),
     )
 
 

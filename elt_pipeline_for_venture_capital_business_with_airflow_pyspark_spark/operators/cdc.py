@@ -29,6 +29,7 @@ __all__ = [
     "schema_drift",
     "assert_schema_compatible",
     "apply_changes",
+    "incremental_join_refresh",
 ]
 
 
@@ -224,3 +225,53 @@ def apply_changes(
         ~F.coalesce(F.col(op_col) == F.lit(delete_op), F.lit(False))
     ).select(*base.columns)
     return untouched.unionByName(survivors)
+
+
+def incremental_join_refresh(
+    old_result: DataFrame,
+    old_a: DataFrame,
+    old_b: DataFrame,
+    delta_a: DataFrame,
+    delta_b: DataFrame,
+    on: list[str],
+    broadcast_deltas: bool = True,
+) -> DataFrame:
+    """Incrementally maintain a materialized JOIN view under
+    insert-only deltas — the join analogue of mergeable-agg refresh.
+
+    The standing view ``old_result = A_old ⋈ B_old`` is already
+    materialized; when new rows ΔA and ΔB arrive, the delta of the
+    join is exactly
+
+        Δ(A ⋈ B) = ΔA ⋈ B_old  ∪  A_old ⋈ ΔB  ∪  ΔA ⋈ ΔB
+
+    (insert-only multiset algebra — each new pair has its A-row, its
+    B-row, or both in the delta, and the three terms are disjoint
+    because membership of each side's row in old vs delta is a
+    partition). The refreshed view is ``old_result ∪ Δ`` — the big
+    A_old ⋈ B_old join is NEVER recomputed.
+
+    Scale shape: with daily deltas orders of magnitude smaller than
+    history, each delta term is a broadcast join against the big side
+    (``broadcast_deltas=True`` pins the hint), so history is scanned
+    once per refresh and never shuffled; ΔA ⋈ ΔB is small×small.
+    This is why a 100-TB fact⋈fact view costs one delta scan per day,
+    not a full re-join. Callers with large deltas pass
+    ``broadcast_deltas=False`` and rely on AQE.
+
+    Deletes/updates are out of scope by contract (insert-only feeds —
+    the reference's own append-only warehouse load shape,
+    dags/vcapital_warehouse/tasks/components/load.py); compose with
+    :func:`apply_changes` upstream when feeds mutate.
+    """
+    da = F.broadcast(delta_a) if broadcast_deltas else delta_a
+    db = F.broadcast(delta_b) if broadcast_deltas else delta_b
+    d1 = old_b.join(da, on)
+    d2 = old_a.join(db, on)
+    d3 = delta_a.join(db, on)
+    cols = old_result.columns
+    return (
+        old_result.unionByName(d1.select(*cols))
+        .unionByName(d2.select(*cols))
+        .unionByName(d3.select(*cols))
+    )

@@ -1,0 +1,158 @@
+"""Round-7 continuation operators: incremental JOIN view maintenance,
+geo radius join recall, zone-map pruned reads, and friends. Registry
+entries are hash-checked against DuckDB (tests/test_oracle_tail.py);
+these tests pin the SEMANTIC laws the oracle can't state —
+delta-algebra == full recompute under arbitrary splits, broadcast
+plan shape, blocking recall, pruning-never-changes-results.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.functions import (
+    geo as GEO,
+)
+from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.operators import (
+    cdc as CDC,
+)
+
+
+# ---------------------------------------------------------------------------
+# incremental_join_refresh
+# ---------------------------------------------------------------------------
+
+
+def _sorted_rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_join_refresh_equals_full_recompute(spark):
+    a = spark.createDataFrame(
+        [Row(k=i % 7, av=i) for i in range(40)]
+    )
+    b = spark.createDataFrame(
+        [Row(k=i % 5, bv=i * 10) for i in range(30)]
+    )
+    # arbitrary insert-only split: av/bv parity
+    old_a, delta_a = a.filter("av % 2 = 0"), a.filter("av % 2 = 1")
+    old_b, delta_b = b.filter("bv % 20 = 0"), b.filter("bv % 20 <> 0")
+    old_result = old_a.join(old_b, ["k"])
+    refreshed = CDC.incremental_join_refresh(
+        old_result, old_a, old_b, delta_a, delta_b, on=["k"]
+    )
+    assert _sorted_rows(refreshed) == _sorted_rows(a.join(b, ["k"]))
+
+
+def test_join_refresh_empty_deltas_is_identity(spark):
+    a = spark.createDataFrame([Row(k=1, av=1), Row(k=2, av=2)])
+    b = spark.createDataFrame([Row(k=1, bv=10), Row(k=3, bv=30)])
+    empty_a = a.filter("1 = 0")
+    empty_b = b.filter("1 = 0")
+    old_result = a.join(b, ["k"])
+    refreshed = CDC.incremental_join_refresh(
+        old_result, a, b, empty_a, empty_b, on=["k"]
+    )
+    assert _sorted_rows(refreshed) == _sorted_rows(old_result)
+
+
+def test_join_refresh_one_sided_delta(spark):
+    a = spark.createDataFrame([Row(k=i, av=i) for i in range(10)])
+    b = spark.createDataFrame([Row(k=i % 4, bv=i) for i in range(12)])
+    old_a, delta_a = a.filter("av < 7"), a.filter("av >= 7")
+    empty_b = b.filter("1 = 0")
+    refreshed = CDC.incremental_join_refresh(
+        old_a.join(b, ["k"]), old_a, b, delta_a, empty_b, on=["k"]
+    )
+    assert _sorted_rows(refreshed) == _sorted_rows(a.join(b, ["k"]))
+
+
+def test_join_refresh_delta_terms_broadcast(spark):
+    """The refresh plan must broadcast the delta sides — history is
+    scanned, never shuffled, which is the whole point of IVM."""
+    a = spark.range(0, 2000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("av")
+    )
+    b = spark.range(0, 2000).select(
+        (F.col("id") % 500).alias("k"), (F.col("id") * 3).alias("bv")
+    )
+    old_a, delta_a = a.filter("av < 3000"), a.filter("av >= 3000")
+    old_b, delta_b = b.filter("bv < 5000"), b.filter("bv >= 5000")
+    refreshed = CDC.incremental_join_refresh(
+        old_a.join(old_b, ["k"]), old_a, old_b, delta_a, delta_b, on=["k"]
+    )
+    plan = refreshed._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_join_refresh_duplicate_keys_multiset(spark):
+    """Multiset semantics: duplicate join keys on both sides multiply,
+    and the delta algebra must preserve the exact multiplicity."""
+    a = spark.createDataFrame([Row(k=1, av=i) for i in range(6)])
+    b = spark.createDataFrame([Row(k=1, bv=i) for i in range(4)])
+    old_a, delta_a = a.filter("av < 3"), a.filter("av >= 3")
+    old_b, delta_b = b.filter("bv < 2"), b.filter("bv >= 2")
+    refreshed = CDC.incremental_join_refresh(
+        old_a.join(old_b, ["k"]), old_a, old_b, delta_a, delta_b, on=["k"]
+    )
+    assert refreshed.count() == 24  # 6 × 4
+    assert _sorted_rows(refreshed) == _sorted_rows(a.join(b, ["k"]))
+
+
+# ---------------------------------------------------------------------------
+# geo radius join — recall + determinism laws
+# ---------------------------------------------------------------------------
+
+
+def _points(spark, n, seed):
+    rows = []
+    for i in range(n):
+        # deterministic spread inside the supported latitude band
+        rows.append(
+            Row(
+                pid=seed * 10_000 + i,
+                latitude=((i * 37 + seed * 11) % 1200) / 10.0 - 60.0,
+                longitude=((i * 91 + seed * 7) % 3600) / 10.0 - 180.0,
+            )
+        )
+    return spark.createDataFrame(rows)
+
+
+def test_geo_blocked_join_matches_cross_join(spark):
+    left = _points(spark, 120, seed=1)
+    right = _points(spark, 60, seed=2)
+    blocked = GEO.within_radius_join(left, right, 400.0)
+    got = sorted(
+        (r.pid, r.pid_r) for r in blocked.select("pid", "pid_r").collect()
+    )
+    dist = GEO.haversine_km(
+        F.col("latitude"),
+        F.col("longitude"),
+        F.col("latitude_r"),
+        F.col("longitude_r"),
+    )
+    brute = (
+        left.crossJoin(
+            right.select(*[F.col(c).alias(f"{c}_r") for c in right.columns])
+        )
+        .withColumn("d", dist)
+        .filter(F.col("d") <= 400.0)
+    )
+    want = sorted((r.pid, r.pid_r) for r in brute.select("pid", "pid_r").collect())
+    assert got == want
+
+
+def test_geo_antimeridian_pairs_found(spark):
+    left = spark.createDataFrame([Row(pid=1, latitude=10.0, longitude=179.9)])
+    right = spark.createDataFrame([Row(pid=2, latitude=10.0, longitude=-179.9)])
+    out = GEO.within_radius_join(left, right, 50.0)
+    assert out.count() == 1  # ~22 km apart across the seam
+
+
+def test_geo_no_duplicate_pairs(spark):
+    left = _points(spark, 80, seed=3)
+    right = _points(spark, 80, seed=4)
+    out = GEO.within_radius_join(left, right, 600.0).select("pid", "pid_r")
+    assert out.count() == out.distinct().count()
