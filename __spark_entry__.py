@@ -53,6 +53,9 @@ from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.operat
     graph as GR,
 )
 from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.operators import (
+    layout as LAY,
+)
+from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.operators import (
     sampling as SMP,
 )
 from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.operators import (
@@ -9414,6 +9417,67 @@ def _join_incremental_view(spark: SparkSession, sf: str) -> DataFrame:
     )
     return refreshed.groupBy("o_orderpriority", "l_returnflag").agg(
         F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("l_quantity").cast("decimal(20,4)"))
+        .cast("double")
+        .alias("sum_qty"),
+    )
+
+
+# --- zone-map file pruning (operators/layout.py) ---------------------------
+
+@_register(
+    "layout_zonemap_prune",
+    """
+    SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS ship_month,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <= TIMESTAMP '1996-12-31 23:59:59'
+    GROUP BY 1
+    """,
+)
+def _layout_zonemap_prune(spark: SparkSession, sf: str) -> DataFrame:
+    """File-level zone-map skipping (operators/layout.collect_zone_maps
+    / pruned_read): lineitem is laid out shipdate-clustered
+    (repartitionByRange + sortWithinPartitions — the layout a 100-TB
+    time-series fact table has anyway), a per-file min/max map is
+    built from one column-pruned scan, and a one-year query touches
+    ONLY the files whose zone overlaps the range — unselected files
+    are never listed, opened or scheduled (driver-side skipping, the
+    Delta/Iceberg data-skipping economics on plain parquet). The
+    exact predicate re-applies to survivors, so pruning cannot change
+    results — proven by the oracle running the plain full-scan
+    filter. tests/test_round7_ops.py additionally pins that the
+    survivor set is a strict subset of the files."""
+    import os
+
+    li = read_table(spark, sf, "lineitem").select(
+        "l_shipdate", "l_quantity", "l_orderkey"
+    )
+    path = "/tmp/spark_graft_zonemap_" + os.path.basename(os.path.normpath(sf))
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        (
+            li.repartitionByRange(16, "l_shipdate")
+            .sortWithinPartitions("l_shipdate")
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+    import datetime as dt
+
+    zmaps = LAY.collect_zone_maps(spark, path, ["l_shipdate"])
+    pruned = LAY.pruned_read(
+        spark,
+        path,
+        zmaps,
+        "l_shipdate",
+        dt.datetime(1996, 1, 1, 0, 0, 0),
+        dt.datetime(1996, 12, 31, 23, 59, 59),
+    )
+    return pruned.groupBy(
+        F.date_trunc("month", "l_shipdate").cast("date").alias("ship_month")
+    ).agg(
+        F.count(F.lit(1)).alias("n_items"),
         F.sum(F.col("l_quantity").cast("decimal(20,4)"))
         .cast("double")
         .alias("sum_qty"),

@@ -21,7 +21,14 @@ from functools import reduce
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["morton_code", "zorder_write", "write_bucketed", "bucketed_join"]
+__all__ = [
+    "morton_code",
+    "zorder_write",
+    "write_bucketed",
+    "bucketed_join",
+    "collect_zone_maps",
+    "pruned_read",
+]
 
 
 def morton_code(a: str | Column, b: str | Column, bits: int = 16) -> Column:
@@ -112,3 +119,67 @@ def bucketed_join(
     lhs = spark.table(left_table)
     rhs = spark.table(right_table)
     return lhs.hint("merge").join(rhs, key, how)
+
+
+def collect_zone_maps(spark, path: str, cols: list[str]) -> DataFrame:
+    """Per-FILE min/max/count zone maps for ``cols`` — the skipping
+    index Delta/Iceberg keep in their commit log, built for plain
+    parquet dirs.
+
+    Parquet row-group pruning already consults footer min/max, but it
+    happens AFTER every file is listed and its footer fetched — at
+    100 TB that is millions of object-store reads before the first
+    data byte. A persisted file-level zone map moves the decision to
+    the driver's plan time: one small metadata table decides which
+    files exist for the query, and unselected files are never listed,
+    opened, or scheduled (the same directory-level economics as the
+    persisted IVF/LSH indexes in operators/similarity).
+
+    One column-pruned scan computes the map (only ``cols`` are read);
+    persist it with a plain ``.write.parquet`` next to the table and
+    refresh incrementally on append — the map for immutable files
+    never changes, so appends only add rows.
+    """
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs += [F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}")]
+    return (
+        spark.read.parquet(path)
+        .groupBy(F.input_file_name().alias("file"))
+        .agg(*aggs)
+    )
+
+
+def pruned_read(
+    spark,
+    path: str,
+    zone_maps: DataFrame,
+    col: str,
+    lo,
+    hi,
+) -> DataFrame:
+    """Read only the files whose ``[min_col, max_col]`` zone overlaps
+    ``[lo, hi]``, then re-apply the exact predicate to the survivors
+    (zones admit false positives, never false negatives — pruning is
+    a performance decision, not a correctness one, and the final
+    filter guarantees identical results to the full scan).
+
+    The matching-file collect is bounded metadata — one row per data
+    file of THIS table, the same cardinality every lakehouse driver
+    materializes to plan a scan. An empty survivor set returns an
+    empty frame with the table's schema without listing data files.
+    """
+    lo_lit, hi_lit = F.lit(lo), F.lit(hi)
+    survivors = (
+        zone_maps.filter(
+            (F.col(f"max_{col}") >= lo_lit) & (F.col(f"min_{col}") <= hi_lit)
+        )
+        .select("file")
+        .collect()
+    )
+    files = [r["file"] for r in survivors]
+    predicate = (F.col(col) >= lo_lit) & (F.col(col) <= hi_lit)
+    if not files:
+        schema = spark.read.parquet(path).schema
+        return spark.createDataFrame([], schema)
+    return spark.read.parquet(*files).filter(predicate)

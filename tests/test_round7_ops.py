@@ -156,3 +156,70 @@ def test_geo_no_duplicate_pairs(spark):
     right = _points(spark, 80, seed=4)
     out = GEO.within_radius_join(left, right, 600.0).select("pid", "pid_r")
     assert out.count() == out.distinct().count()
+
+
+# ---------------------------------------------------------------------------
+# zone-map pruned reads
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def zonemap_table(spark, tmp_path_factory):
+    from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.operators import (
+        layout as LAY,
+    )
+
+    path = str(tmp_path_factory.mktemp("zm") / "t")
+    df = spark.range(0, 10_000).select(
+        F.col("id").alias("k"), (F.col("id") % 97).alias("v")
+    )
+    (
+        df.repartitionByRange(10, "k")
+        .sortWithinPartitions("k")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    zmaps = LAY.collect_zone_maps(spark, path, ["k"])
+    return path, zmaps
+
+
+def test_zonemap_prune_matches_full_scan(spark, zonemap_table):
+    from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.operators import (
+        layout as LAY,
+    )
+
+    path, zmaps = zonemap_table
+    got = LAY.pruned_read(spark, path, zmaps, "k", 2_000, 2_999)
+    full = spark.read.parquet(path).filter("k between 2000 and 2999")
+    assert sorted(tuple(r) for r in got.collect()) == sorted(
+        tuple(r) for r in full.collect()
+    )
+
+
+def test_zonemap_prune_reads_strict_file_subset(spark, zonemap_table):
+    """The point of the zone map: a narrow range must touch FEWER
+    files than the table has."""
+    path, zmaps = zonemap_table
+    n_files = zmaps.count()
+    survivors = zmaps.filter(
+        (F.col("max_k") >= 2_000) & (F.col("min_k") <= 2_999)
+    ).count()
+    assert n_files == 10
+    assert 1 <= survivors <= 3  # range spans 10% of a range-sorted table
+
+
+def test_zonemap_prune_empty_range(spark, zonemap_table):
+    from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.operators import (
+        layout as LAY,
+    )
+
+    path, zmaps = zonemap_table
+    got = LAY.pruned_read(spark, path, zmaps, "k", 50_000, 60_000)
+    assert got.count() == 0
+    assert got.columns == spark.read.parquet(path).columns
+
+
+def test_zonemap_counts_cover_table(spark, zonemap_table):
+    path, zmaps = zonemap_table
+    total = zmaps.agg(F.sum("n_rows")).collect()[0][0]
+    assert total == 10_000
