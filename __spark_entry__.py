@@ -9423,6 +9423,101 @@ def _join_incremental_view(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# --- MMR diversified retrieval (operators/similarity.py) -------------------
+
+def _mmr_sql(k: int = 4, n: int = 12) -> str:
+    """ANSI-SQL twin of similarity.mmr_rerank: the greedy selection is
+    unrolled into k CTE stages (pick argmax of 0.5·rel − 0.5·maxsim
+    with id tie-break, then fold the picked vector into every
+    survivor's maxsim). All similarities round to 6dp before any
+    comparison and λ=0.5 multiplications are exact, so scores and
+    therefore selections are bit-identical to the Spark plan."""
+
+    def cos(a: str, b: str) -> str:
+        return (
+            f"ROUND(list_dot_product({a}, {b}) / "
+            f"(sqrt(list_dot_product({a}, {a})) * "
+            f"sqrt(list_dot_product({b}, {b}))), 6)"
+        )
+
+    stages = []
+    prev = "s0"
+    unions = []
+    for i in range(1, k + 1):
+        stages.append(
+            f"""p{i} AS (
+      SELECT query_id, cand_id, rel, cvec,
+             0.5 * rel - 0.5 * maxsim AS score
+      FROM (SELECT *, ROW_NUMBER() OVER (
+              PARTITION BY query_id
+              ORDER BY 0.5 * rel - 0.5 * maxsim DESC, cand_id) AS rn
+            FROM {prev}) WHERE rn = 1
+    )"""
+        )
+        unions.append(
+            f"SELECT query_id, {i} AS rank, cand_id AS neighbor_id,"
+            f" score AS mmr_score FROM p{i}"
+        )
+        if i < k:
+            stages.append(
+                f"""s{i} AS (
+      SELECT s.query_id, s.cand_id, s.rel, s.cvec,
+             GREATEST(s.maxsim, {cos('s.cvec', 'p.cvec')}) AS maxsim
+      FROM {prev} s JOIN p{i} p USING (query_id)
+      WHERE s.cand_id <> p.cand_id
+    )"""
+            )
+            prev = f"s{i}"
+    stage_sql = ",\n    ".join(stages)
+    union_sql = "\n    UNION ALL ".join(unions)
+    return f"""
+    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qvec
+               FROM embeddings WHERE vec_id < 5),
+    c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cvec FROM embeddings),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS cand_id,
+             list_dot_product(q.qvec, c.cvec)
+               / (sqrt(list_dot_product(q.qvec, q.qvec))
+                  * sqrt(list_dot_product(c.cvec, c.cvec))) AS raw_cos,
+             c.cvec
+      FROM c, q WHERE c.vec_id <> q.query_id
+    ),
+    cand AS (
+      SELECT query_id, cand_id, ROUND(raw_cos, 6) AS rel, cvec
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                         ORDER BY raw_cos DESC, cand_id) AS rn
+            FROM scored) WHERE rn <= {n}
+    ),
+    s0 AS (SELECT query_id, cand_id, rel, cvec, 0.0 AS maxsim FROM cand),
+    {stage_sql}
+    {union_sql}
+    """
+
+
+@_register("embedding_mmr_rerank", _mmr_sql(4, 12))
+def _embedding_mmr_rerank(spark: SparkSession, sf: str) -> DataFrame:
+    """Diversified retrieval (similarity.mmr_rerank): brute top-12
+    cosine candidates per query re-ranked by Maximal Marginal
+    Relevance (λ=0.5, k=4) — the serving-tier step that keeps a
+    retrieved context from being k near-copies of one document. The
+    greedy loop is unrolled into the PLAN as four window+join stages
+    over candidate-sized data (no Python, no collect; cost independent
+    of corpus size because the input is retrieval output). Oracle:
+    the same greedy algebra unrolled as SQL CTEs — every selection
+    hash-matched, proving the plan-shaped loop implements the exact
+    textbook recurrence."""
+    emb = read_table(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cand = SIM.cosine_topk(emb, queries, k=12, id_col="vec_id")
+    cand = cand.join(
+        emb.select(F.col("vec_id").alias("neighbor_id"), "embedding"),
+        "neighbor_id",
+    )
+    return SIM.mmr_rerank(cand, k=4, lambda_=0.5)
+
+
 # --- zone-map file pruning (operators/layout.py) ---------------------------
 
 @_register(

@@ -1160,3 +1160,89 @@ def ann_topk_int8(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "dot_int", "score")
     )
+
+
+def mmr_rerank(
+    candidates: DataFrame,
+    k: int,
+    lambda_: float = 0.5,
+    query_col: str = "query_id",
+    id_col: str = "neighbor_id",
+    rel_col: str = "cosine_sim",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking: greedily pick ``k`` of
+    each query's candidates maximizing
+    ``λ·relevance − (1−λ)·max_sim_to_already_picked`` — the standard
+    diversified-retrieval objective (Carbonell & Goldstein 1998) that
+    keeps a RAG context window from filling with k near-copies of the
+    same document.
+
+    Candidates are expected to be an ANN/brute top-N per query
+    (bounded N per query — the input is retrieval output, never the
+    corpus), so the greedy loop runs over candidate-sized data only.
+    The k rounds are UNROLLED INTO THE PLAN as JVM-side window+join
+    stages partitioned by ``query_col`` — no Python in the loop, no
+    driver collect, arbitrarily many queries in parallel; cost is
+    k·(candidate-set shuffle), independent of corpus size.
+
+    Determinism contract: relevance and pairwise similarities are
+    rounded to 6dp before any comparison (the repo's cross-engine
+    cosine convention), λ defaults to 0.5 (exactly representable;
+    score arithmetic on rounded inputs is then bit-reproducible), and
+    score ties break by ascending candidate id. Queries with fewer
+    than k candidates yield fewer rows, never an error.
+    """
+    lam = float(lambda_)
+    base = candidates.select(
+        F.col(query_col).alias("query_id"),
+        F.col(id_col).alias("cand_id"),
+        F.round(F.col(rel_col), 6).alias("__rel"),
+        F.col(vec_col).alias("__vec"),
+    ).withColumn("__maxsim", F.lit(0.0))
+
+    picks: list[DataFrame] = []
+    state = base
+    for i in range(k):
+        scored = state.withColumn(
+            "__score",
+            F.lit(lam) * F.col("__rel") - F.lit(1.0 - lam) * F.col("__maxsim"),
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("__score").desc(), F.col("cand_id")
+        )
+        sel = (
+            scored.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select(
+                "query_id",
+                F.col("cand_id").alias("__sel_id"),
+                F.col("__vec").alias("__sel_vec"),
+                F.col("__score").alias("__sel_score"),
+            )
+        )
+        picks.append(
+            sel.select(
+                "query_id",
+                F.lit(i + 1).alias("rank"),
+                F.col("__sel_id").alias(id_col),
+                F.col("__sel_score").alias("mmr_score"),
+            )
+        )
+        if i < k - 1:
+            state = (
+                scored.join(sel, "query_id")
+                .filter(F.col("cand_id") != F.col("__sel_id"))
+                .withColumn(
+                    "__maxsim",
+                    F.greatest(
+                        F.col("__maxsim"),
+                        F.round(cosine(F.col("__vec"), F.col("__sel_vec")), 6),
+                    ),
+                )
+                .select("query_id", "cand_id", "__rel", "__vec", "__maxsim")
+            )
+    out = picks[0]
+    for p in picks[1:]:
+        out = out.unionByName(p)
+    return out

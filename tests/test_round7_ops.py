@@ -223,3 +223,91 @@ def test_zonemap_counts_cover_table(spark, zonemap_table):
     path, zmaps = zonemap_table
     total = zmaps.agg(F.sum("n_rows")).collect()[0][0]
     assert total == 10_000
+
+
+# ---------------------------------------------------------------------------
+# MMR re-ranking laws
+# ---------------------------------------------------------------------------
+
+
+def _mmr_fixture(spark):
+    """Two tight clusters + one outlier; query near cluster A."""
+    from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.operators import (
+        similarity as SIM,
+    )
+
+    # query = x-axis; clusters sit symmetrically OFF-axis, so members
+    # of opposite clusters are equally relevant yet mutually distant —
+    # the regime where diversification actually changes the answer
+    # (with the query direction itself in the candidate set, MMR is
+    # near-degenerate: rel ≈ sim-to-top1 for every candidate).
+    vecs = [
+        (1, [1.00, 0.30, 0.0]),   # cluster A seed
+        (2, [1.00, 0.30, 0.0]),   # exact duplicate of 1
+        (3, [1.00, 0.31, 0.0]),   # near-copy of 1
+        (4, [1.00, -0.30, 0.0]),  # cluster B: same relevance as 1
+        (5, [0.90, -0.30, 0.05]),
+    ]
+    cand = spark.createDataFrame(
+        [(100, i, v) for i, v in vecs],
+        "query_id long, neighbor_id long, embedding array<double>",
+    )
+    q = [1.0, 0.0, 0.0]
+    rel = SIM.cosine(
+        F.col("embedding"), F.array(*[F.lit(x) for x in q])
+    )
+    return cand.withColumn("cosine_sim", rel)
+
+
+def test_mmr_lambda1_is_pure_relevance(spark):
+    from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.operators import (
+        similarity as SIM,
+    )
+
+    cand = _mmr_fixture(spark)
+    got = SIM.mmr_rerank(cand, k=3, lambda_=1.0)
+    order = [r.neighbor_id for r in got.orderBy("rank").collect()]
+    # pure relevance with id tie-breaks: 1, 2 and 4 are equally
+    # relevant (mirror-image clusters), duplicates NOT penalized
+    assert order == [1, 2, 4]
+
+
+def test_mmr_diversifies_across_clusters(spark):
+    from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.operators import (
+        similarity as SIM,
+    )
+
+    cand = _mmr_fixture(spark)
+    got = SIM.mmr_rerank(cand, k=3, lambda_=0.5)
+    order = [r.neighbor_id for r in got.orderBy("rank").collect()]
+    # first pick is the most relevant; second must jump to cluster B
+    # (every cluster-A sibling is ~1.0-similar to the first pick)
+    assert order[0] == 1
+    assert order[1] in (4, 5)
+
+
+def test_mmr_short_candidate_sets(spark):
+    from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.operators import (
+        similarity as SIM,
+    )
+
+    cand = _mmr_fixture(spark).filter("neighbor_id <= 2")
+    got = SIM.mmr_rerank(cand, k=5, lambda_=0.5)
+    assert got.count() == 2  # fewer candidates than k: no error, no pads
+
+
+def test_mmr_ranks_are_dense_per_query(spark):
+    from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.operators import (
+        similarity as SIM,
+    )
+
+    cand = _mmr_fixture(spark)
+    two_q = cand.unionByName(
+        cand.withColumn("query_id", F.lit(200))
+    )
+    got = SIM.mmr_rerank(two_q, k=3, lambda_=0.5)
+    for qid in (100, 200):
+        ranks = sorted(
+            r.rank for r in got.filter(F.col("query_id") == qid).collect()
+        )
+        assert ranks == [1, 2, 3]
