@@ -56,6 +56,9 @@ from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.operat
     layout as LAY,
 )
 from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.operators import (
+    linkage as LNK,
+)
+from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.operators import (
     sampling as SMP,
 )
 from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.operators import (
@@ -9420,6 +9423,71 @@ def _join_incremental_view(spark: SparkSession, sf: str) -> DataFrame:
         F.sum(F.col("l_quantity").cast("decimal(20,4)"))
         .cast("double")
         .alias("sum_qty"),
+    )
+
+
+# --- record linkage (operators/linkage.py) ---------------------------------
+
+@_register(
+    "link_fellegi_sunter",
+    r"""
+    WITH p AS (
+      SELECT p_partkey, p_name, p_brand, p_type, p_size,
+             NULLIF(split_part(p_name, ' ', 2), '') AS blk
+      FROM part
+    ),
+    cand AS (
+      SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+             a.p_name AS name_a, b.p_name AS name_b,
+             a.p_type AS type_a, b.p_type AS type_b,
+             a.p_size AS size_a, b.p_size AS size_b
+      FROM p a JOIN p b
+        ON a.p_brand = b.p_brand AND a.blk = b.blk
+       AND a.p_partkey < b.p_partkey
+    ),
+    scored AS (
+      SELECT id_a, id_b,
+             CAST(
+               CASE WHEN levenshtein(
+                        regexp_replace(name_a, '[^\x20-\x7E]', '', 'g'),
+                        regexp_replace(name_b, '[^\x20-\x7E]', '', 'g')) * 100
+                      <= 20 * GREATEST(
+                        length(regexp_replace(name_a, '[^\x20-\x7E]', '', 'g')),
+                        length(regexp_replace(name_b, '[^\x20-\x7E]', '', 'g')))
+                    THEN 2000 ELSE -1000 END
+             + CASE WHEN type_a = type_b THEN 1500 ELSE -800 END
+             + CASE WHEN ABS(size_a - size_b) <= 1 THEN 1200 ELSE -900 END
+             AS BIGINT) AS score_x1000
+      FROM cand
+    )
+    SELECT id_a, id_b, score_x1000 FROM scored WHERE score_x1000 >= 2600
+    """,
+)
+def _link_fellegi_sunter(spark: SparkSession, sf: str) -> DataFrame:
+    """Probabilistic record linkage (operators/linkage.link_pairs):
+    which part rows describe the same product? Candidates blocked on
+    (brand, noun of the name) — an equi-join, never a cross join —
+    then Fellegi–Sunter scored with integer log-odds millis: name
+    edit-distance within 20% (on printable-ASCII-normalized values,
+    the cross-engine levenshtein contract) ±2000/−1000, exact type
+    ±1500/−800, size within 1 ±1200/−900; threshold 2600 means the
+    name must agree plus at least one corroborating attribute. All
+    predicates and the score are exact integers — bit-reproducible
+    across engines/executors/retries — and the pair set composes with
+    dedup.connected_components for golden-record clustering."""
+    part = read_table(spark, sf, "part")
+    blk = F.split(F.col("p_name"), " ").getItem(1)
+    part = part.withColumn("blk", F.when(blk != "", blk))
+    return LNK.link_pairs(
+        part,
+        "p_partkey",
+        ["p_brand", "blk"],
+        [
+            LNK.FieldRule("p_name", "lev_pct", 20, 2000, -1000),
+            LNK.FieldRule("p_type", "exact", 0, 1500, -800),
+            LNK.FieldRule("p_size", "abs_diff", 1, 1200, -900),
+        ],
+        threshold_x1000=2600,
     )
 
 

@@ -1,0 +1,126 @@
+"""Probabilistic record linkage: blocked candidate pairs scored with
+Fellegi–Sunter-style field-agreement weights.
+
+The reference pipeline normalizes entity names and addresses
+(`helper/utils/utils.py` clean_address / name scrubbing — re-expressed
+in functions/expr.py) but stops there: it never asks which cleaned
+records refer to the SAME real-world entity. Linkage is the step that
+normalization exists for, and at warehouse scale it is the difference
+between one golden customer row and five near-duplicates each holding
+a fifth of the history.
+
+Method (Fellegi & Sunter 1969): per comparison field, an agreement
+adds a positive log-odds weight and a disagreement a negative one;
+the pair's score is the sum, and pairs above a threshold are link
+candidates. Weights here are INTEGER millis (log-odds × 1000) and
+every agreement predicate is an exact integer condition — no floats
+anywhere, so scores are bit-reproducible across engines, executors
+and retries (the repo's md5-integer determinism discipline applied to
+linkage).
+
+Scale shape: candidates come from an equi-join on blocking keys —
+never a cross join. Cost is Σ|block|², linear for bounded block
+sizes; skewed blocks are visible to operators/skew.skew_diagnose and
+salvageable by refining the blocking key (the standard linkage
+remedy), exactly as LSH banding bounds the dedup family's candidate
+sets. String distances run on printable-ASCII-normalized copies: a
+linkage pipeline normalizes aggressively anyway, and byte-vs-codepoint
+edit-distance semantics differ across engines (DuckDB's levenshtein
+counts units Spark's does not) — the normalization makes the score a
+pure function of bytes both engines agree on.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["FieldRule", "link_pairs"]
+
+_ASCII_ONLY = "[^\\x20-\\x7E]"
+
+
+@dataclass(frozen=True)
+class FieldRule:
+    """One comparison field.
+
+    kind:
+      - ``exact``      : agree iff values are equal (null-safe: a NULL
+                         on either side disagrees).
+      - ``lev_pct``    : agree iff 100·levenshtein(a, b) ≤
+                         param·max(len(a), len(b)) over printable-ASCII
+                         normalized values — i.e. edit distance within
+                         ``param`` percent of the longer string.
+      - ``abs_diff``   : agree iff |a − b| ≤ param (numeric fields).
+    Weights are log-odds millis: ``w_agree`` added on agreement,
+    ``w_disagree`` (negative by convention) on disagreement or NULL.
+    """
+
+    col: str
+    kind: str
+    param: int
+    w_agree: int
+    w_disagree: int
+
+
+def _agree(rule: FieldRule, a: Column, b: Column) -> Column:
+    if rule.kind == "exact":
+        return a.eqNullSafe(b) & a.isNotNull()
+    if rule.kind == "lev_pct":
+        na = F.regexp_replace(a, _ASCII_ONLY, "")
+        nb = F.regexp_replace(b, _ASCII_ONLY, "")
+        return (F.levenshtein(na, nb) * 100) <= (
+            F.lit(rule.param) * F.greatest(F.length(na), F.length(nb))
+        )
+    if rule.kind == "abs_diff":
+        return F.abs(a - b) <= F.lit(rule.param)
+    raise ValueError(f"unknown FieldRule kind: {rule.kind}")
+
+
+def link_pairs(
+    df: DataFrame,
+    id_col: str,
+    block_cols: list[str],
+    rules: list[FieldRule],
+    threshold_x1000: int,
+) -> DataFrame:
+    """Self-linkage candidate pairs of ``df`` above the score
+    threshold.
+
+    Pairs are generated ONLY within equal blocking keys (equi-join;
+    NULL blocking keys produce no candidates on either engine's join
+    semantics), deduplicated by ``id_a < id_b``, and scored as the
+    integer sum of each rule's agree/disagree weight. Output:
+    ``(id_a, id_b, score_x1000)`` for pairs scoring ≥ the threshold.
+
+    The score is a pure integer function of the two rows, so the
+    operator composes with dedup.connected_components for golden-record
+    clustering and with skew_diagnose when a blocking key runs hot.
+    """
+    cols = [id_col, *block_cols, *[r.col for r in rules]]
+    # dedupe while preserving order
+    seen: set[str] = set()
+    keep = [c for c in cols if not (c in seen or seen.add(c))]
+    left = df.select(*[F.col(c).alias(f"{c}_a") for c in keep])
+    right = df.select(*[F.col(c).alias(f"{c}_b") for c in keep])
+    cond = [F.col(f"{c}_a") == F.col(f"{c}_b") for c in block_cols]
+    cond.append(F.col(f"{id_col}_a") < F.col(f"{id_col}_b"))
+    pairs = left.join(right, cond)
+    score = None
+    for r in rules:
+        term = F.when(
+            _agree(r, F.col(f"{r.col}_a"), F.col(f"{r.col}_b")),
+            F.lit(r.w_agree),
+        ).otherwise(F.lit(r.w_disagree))
+        score = term if score is None else score + term
+    return (
+        pairs.withColumn("score_x1000", score.cast("bigint"))
+        .filter(F.col("score_x1000") >= F.lit(threshold_x1000))
+        .select(
+            F.col(f"{id_col}_a").alias("id_a"),
+            F.col(f"{id_col}_b").alias("id_b"),
+            "score_x1000",
+        )
+    )

@@ -311,3 +311,94 @@ def test_mmr_ranks_are_dense_per_query(spark):
             r.rank for r in got.filter(F.col("query_id") == qid).collect()
         )
         assert ranks == [1, 2, 3]
+
+
+# ---------------------------------------------------------------------------
+# record linkage (Fellegi–Sunter)
+# ---------------------------------------------------------------------------
+
+
+def _link(spark, rows, rules, threshold):
+    from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.operators import (
+        linkage as LNK,
+    )
+
+    df = spark.createDataFrame(
+        rows, "rid long, blk string, name string, typ string, size int"
+    )
+    return LNK.link_pairs(df, "rid", ["blk"], rules, threshold)
+
+
+def _rules():
+    from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.operators import (
+        linkage as LNK,
+    )
+
+    return [
+        LNK.FieldRule("name", "lev_pct", 20, 2000, -1000),
+        LNK.FieldRule("typ", "exact", 0, 1500, -800),
+        LNK.FieldRule("size", "abs_diff", 1, 1200, -900),
+    ]
+
+
+def test_link_scores_are_weight_sums(spark):
+    rows = [
+        (1, "b1", "red widget", "ECONOMY", 5),
+        (2, "b1", "red widget", "ECONOMY", 6),   # all agree
+        (3, "b1", "red widget", "PREMIUM", 20),  # name only
+        (4, "b2", "red widget", "ECONOMY", 5),   # different block
+    ]
+    got = {
+        (r.id_a, r.id_b): r.score_x1000
+        for r in _link(spark, rows, _rules(), -10_000).collect()
+    }
+    assert got[(1, 2)] == 2000 + 1500 + 1200
+    assert got[(1, 3)] == 2000 - 800 - 900
+    assert (1, 4) not in got  # blocking prevents the pair entirely
+
+
+def test_link_null_fields_disagree_not_crash(spark):
+    rows = [
+        (1, "b1", None, "ECONOMY", 5),
+        (2, "b1", "red widget", "ECONOMY", None),
+    ]
+    got = _link(spark, rows, _rules(), -10_000).collect()
+    assert len(got) == 1
+    assert got[0].score_x1000 == -1000 + 1500 - 900
+
+
+def test_link_null_block_key_produces_no_pairs(spark):
+    rows = [
+        (1, None, "red widget", "ECONOMY", 5),
+        (2, None, "red widget", "ECONOMY", 5),
+    ]
+    assert _link(spark, rows, _rules(), -10_000).count() == 0
+
+
+def test_link_lev_pct_boundary(spark):
+    # "abcde12345" vs "abcde1234X": lev 1, len 10 → 100 ≤ 20·10 agree;
+    # two edits → 200 ≤ 200 still agree (boundary inclusive); three → not
+    rows = [
+        (1, "b", "abcde12345", "T", 1),
+        (2, "b", "abcde1234X", "T", 1),
+        (3, "b", "abcde123XX", "T", 1),
+        (4, "b", "abcde12XXX", "T", 1),
+    ]
+    got = {
+        (r.id_a, r.id_b): r.score_x1000
+        for r in _link(spark, rows, _rules(), -10_000).collect()
+    }
+    assert got[(1, 2)] == 2000 + 1500 + 1200
+    assert got[(1, 3)] == 2000 + 1500 + 1200  # inclusive boundary
+    assert got[(1, 4)] == -1000 + 1500 + 1200
+
+
+def test_link_unicode_normalized_before_distance(spark):
+    # identical ASCII skeletons with different CJK decorations agree:
+    # the distance runs on printable-ASCII-normalized values
+    rows = [
+        (1, "b", "red 日本 widget", "T", 1),
+        (2, "b", "red 中文 widget", "T", 1),
+    ]
+    got = _link(spark, rows, _rules(), -10_000).collect()
+    assert got[0].score_x1000 == 2000 + 1500 + 1200
