@@ -41,6 +41,9 @@ from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.operat
     analytics as ANA,
 )
 from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.operators import (
+    bpe as BPE,
+)
+from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.operators import (
     cdc as CDC,
 )
 from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.operators import (
@@ -9423,6 +9426,136 @@ def _join_incremental_view(spark: SparkSession, sf: str) -> DataFrame:
         F.sum(F.col("l_quantity").cast("decimal(20,4)"))
         .cast("double")
         .alias("sum_qty"),
+    )
+
+
+# --- BPE tokenizer training (operators/bpe.py) -----------------------------
+
+def _bpe_cte_chain(n: int) -> str:
+    """Shared CTE chain: v0 = char-symbol word vocab; per round i,
+    pc_i = pair counts, m_i = deterministic argmax (freq DESC, pair
+    ASC), v_i = vocab with the merge applied. Merge application uses
+    scalar subqueries with a '0' sentinel (symbols are [a-z] only, so
+    ' 0 0 ' never matches): when pairs exhaust early, the replace
+    no-ops and the vocab survives — exactly the Spark loop's break
+    semantics."""
+    parts = [
+        """v0 AS MATERIALIZED (
+      SELECT array_to_string(string_split(w, ''), ' ') AS sym, freq FROM (
+        SELECT w, COUNT(*) AS freq FROM (
+          SELECT UNNEST(regexp_split_to_array(lower(text), '[^a-z]+')) AS w
+          FROM documents) WHERE w <> '' GROUP BY w)
+    )"""
+    ]
+    for i in range(1, n + 1):
+        li = f"COALESCE((SELECT l FROM m{i}), '0')"
+        ri = f"COALESCE((SELECT r FROM m{i}), '0')"
+        parts.append(
+            f"""pc{i} AS MATERIALIZED (
+      SELECT u.p[1] AS l, u.p[2] AS r, CAST(SUM(u.freq) AS BIGINT) AS f
+      FROM (SELECT UNNEST(list_zip(s[1:len(s) - 1], s[2:len(s)])) AS p, freq
+            FROM (SELECT string_split(sym, ' ') AS s, freq FROM v{i - 1})) u
+      GROUP BY 1, 2
+    )"""
+        )
+        parts.append(
+            f"m{i} AS MATERIALIZED "
+            f"(SELECT l, r, f FROM pc{i} ORDER BY f DESC, l, r LIMIT 1)"
+        )
+        if i < n:
+            parts.append(
+                f"""v{i} AS MATERIALIZED (
+      SELECT trim(replace(' ' || sym || ' ',
+                          ' ' || {li} || ' ' || {ri} || ' ',
+                          ' ' || {li} || {ri} || ' ')) AS sym, freq
+      FROM v{i - 1}
+    )"""
+            )
+    return ",\n    ".join(parts)
+
+
+def _bpe_learn_sql(n: int = 8) -> str:
+    unions = "\n    UNION ALL ".join(
+        f"SELECT {i} AS merge_rank, l AS merge_left, r AS merge_right,"
+        f" f AS pair_freq FROM m{i}"
+        for i in range(1, n + 1)
+    )
+    return f"""
+    WITH {_bpe_cte_chain(n)}
+    {unions}
+    """
+
+
+_BPE_N_MERGES = 8
+
+
+@_register("text_bpe_learn", _bpe_learn_sql(_BPE_N_MERGES))
+def _text_bpe_learn(spark: SparkSession, sf: str) -> DataFrame:
+    """BPE tokenizer TRAINING on the corpus (operators/bpe.learn_bpe,
+    Sennrich et al. 2016): 8 merge rounds over the word-frequency
+    vocabulary. The vocab is one groupBy (Heap's-law bounded,
+    distributed, never collected); each round is one pair-count
+    aggregation + a ONE-ROW TakeOrdered collect whose winner becomes
+    a literal in the next round's plan — n sequential jobs, the same
+    honest lifecycle shape as the HLL index. Merge application is
+    pinned to non-rescanning leftmost replace (bit-identical in both
+    engines); ties break (freq DESC, pair ASC). The oracle unrolls
+    all 8 rounds as CTEs and must reproduce every (rank, left, right,
+    freq) — training is exactly reproducible."""
+    docs = read_table(spark, sf, "documents")
+    return BPE.learn_bpe(spark, docs, "text", _BPE_N_MERGES)
+
+
+def _bpe_tokenize_sql(n: int = 8, topk: int = 30) -> str:
+    padded = "' ' || array_to_string(string_split(w, ''), ' ') || ' '"
+    expr = padded
+    for i in range(1, n + 1):
+        li = f"COALESCE((SELECT l FROM m{i}), '0')"
+        ri = f"COALESCE((SELECT r FROM m{i}), '0')"
+        expr = (
+            f"replace({expr}, ' ' || {li} || ' ' || {ri} || ' ',"
+            f" ' ' || {li} || {ri} || ' ')"
+        )
+    return f"""
+    WITH {_bpe_cte_chain(n)},
+    words AS (
+      SELECT w FROM (
+        SELECT UNNEST(regexp_split_to_array(lower(text), '[^a-z]+')) AS w
+        FROM documents) WHERE w <> ''
+    ),
+    toks AS (
+      SELECT UNNEST(string_split(trim({expr}), ' ')) AS token FROM words
+    )
+    SELECT token, COUNT(*) AS n_occurrences
+    FROM toks GROUP BY token
+    ORDER BY n_occurrences DESC, token LIMIT {topk}
+    """
+
+
+@_register("text_bpe_tokenize", _bpe_tokenize_sql(_BPE_N_MERGES, 30))
+def _text_bpe_tokenize(spark: SparkSession, sf: str) -> DataFrame:
+    """End-to-end tokenization with the corpus-trained BPE
+    (operators/bpe.apply_bpe): train 8 merges, then tokenize every
+    document with the merge list folded into ONE JVM expression chain
+    (per word: char symbols + 8 literal replaces — no UDF, no
+    shuffle, a pure scan-stage map that composes with
+    curation_pack_sequences). Output: top-30 token frequencies
+    (deterministic count/lex ordering). The oracle re-trains AND
+    re-tokenizes in SQL — tokenizer and tokenization both
+    hash-checked."""
+    docs = read_table(spark, sf, "documents")
+    merges_df = BPE.learn_bpe(spark, docs, "text", _BPE_N_MERGES)
+    merges = [
+        (r["merge_left"], r["merge_right"])
+        for r in merges_df.orderBy("merge_rank").collect()
+    ]
+    toks = BPE.apply_bpe(docs, "text", merges)
+    return (
+        toks.select(F.explode("tokens").alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), "token")
+        .limit(30)
     )
 
 

@@ -1,0 +1,149 @@
+"""Byte-pair-encoding tokenizer training and application — the
+training-data pipeline's tokenizer, learned ON the corpus with Spark
+doing the counting.
+
+The reference pipeline stops at loading text; a pretraining corpus
+additionally needs a tokenizer fit to it (Sennrich et al. 2016). The
+expensive parts of BPE training are exactly Spark's strengths: the
+word-frequency vocabulary is one groupBy over the corpus (Heap's-law
+bounded but data-derived — it stays DISTRIBUTED, never collected),
+and each merge round is one pair-count aggregation over that vocab.
+Only the single winning pair per round comes back to the driver
+(n_merges one-row collects — bounded metadata), which then becomes a
+LITERAL in the next round's plan.
+
+Merge-application contract (pinned cross-engine, byte-for-byte): a
+merge replaces non-overlapping leftmost occurrences of the pair in
+one scan WITHOUT re-scanning replaced text — ``replace(' a b ',
+...)`` semantics, identical in Spark and DuckDB. This deviates from
+rescan-greedy BPE only on runs of ≥3 repeats of one symbol inside a
+single word (``'aaaa'`` merges to ``aa a a`` in the round, and the
+leftover pair merges in a later round if still most frequent);
+pair-count ties break by (pair_freq DESC, left ASC, right ASC), so
+training is fully deterministic.
+
+Pre-tokenization lowercases and keeps ``[a-z]+`` runs — symbols are
+always ASCII, making string comparisons and merge replacement
+identical across engines regardless of the corpus's unicode content.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = ["word_vocab", "learn_bpe", "apply_bpe"]
+
+
+def word_vocab(df: DataFrame, text_col: str) -> DataFrame:
+    """(sym, freq): space-joined character symbols per distinct word
+    with corpus frequency. One explode + one groupBy; the vocabulary
+    is corpus-derived but Heap's-law bounded, and it never leaves the
+    executors."""
+    words = df.select(
+        F.explode(F.split(F.lower(F.col(text_col)), "[^a-z]+")).alias("w")
+    ).filter(F.col("w") != "")
+    return words.groupBy("w").agg(F.count(F.lit(1)).alias("freq")).select(
+        F.array_join(F.split(F.col("w"), ""), " ").alias("sym"),
+        "freq",
+    )
+
+
+def _pair_counts(vocab: DataFrame) -> DataFrame:
+    pairs = F.expr(
+        "zip_with(slice(split(sym, ' '), 1, size(split(sym, ' ')) - 1), "
+        "         slice(split(sym, ' '), 2, size(split(sym, ' ')) - 1), "
+        "         (x, y) -> struct(x AS l, y AS r))"
+    )
+    return (
+        vocab.select(F.explode(pairs).alias("p"), "freq")
+        .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+        .agg(F.sum("freq").alias("f"))
+    )
+
+
+def learn_bpe(
+    spark: SparkSession, df: DataFrame, text_col: str, n_merges: int
+) -> DataFrame:
+    """Train ``n_merges`` BPE merges on the corpus. Returns a small
+    frame ``(merge_rank, merge_left, merge_right, pair_freq)`` — the
+    tokenizer. Each round: one distributed pair-count aggregation +
+    a one-row TakeOrdered collect; the vocab carries the applied
+    merges as a lazy column chain, persisted per round so round i
+    does not recount rounds 1..i-1. Stops early (fewer rows) when no
+    pair remains."""
+    vocab = word_vocab(df, text_col).persist()
+    merges: list[tuple[int, str, str, int]] = []
+    cur = vocab
+    prev_persisted = vocab
+    for rank in range(1, n_merges + 1):
+        top = (
+            _pair_counts(cur)
+            .orderBy(F.col("f").desc(), F.col("l"), F.col("r"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        l, r, f = top[0]["l"], top[0]["r"], top[0]["f"]
+        merges.append((rank, l, r, int(f)))
+        cur = cur.withColumn(
+            "sym",
+            F.trim(
+                F.replace(
+                    F.concat(F.lit(" "), F.col("sym"), F.lit(" ")),
+                    F.lit(f" {l} {r} "),
+                    F.lit(f" {l}{r} "),
+                )
+            ),
+        ).persist()
+        prev_persisted.unpersist()
+        prev_persisted = cur
+    prev_persisted.unpersist()
+    return spark.createDataFrame(
+        merges, "merge_rank int, merge_left string, merge_right string, pair_freq bigint"
+    )
+
+
+def apply_bpe(
+    df: DataFrame,
+    text_col: str,
+    merges: list[tuple[str, str]],
+    out_col: str = "tokens",
+) -> DataFrame:
+    """Tokenize ``text_col`` with a learned merge list: per word
+    (same ``[a-z]+`` pre-tokenization as training), apply each merge
+    in rank order with the training-time replacement contract, then
+    flatten word tokens into one document token array. The merge list
+    is a LITERAL folded into a single JVM expression chain — no UDF,
+    no shuffle, a pure scan-stage map at any corpus size."""
+    words = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z]+"), lambda w: w != ""
+    )
+    return df.withColumn(
+        out_col,
+        F.flatten(
+            F.transform(
+                words,
+                lambda w: F.split(
+                    F.trim(
+                        _apply_merges_str(
+                            F.concat(
+                                F.lit(" "),
+                                F.array_join(F.split(w, ""), " "),
+                                F.lit(" "),
+                            ),
+                            merges,
+                        )
+                    ),
+                    " ",
+                ),
+            )
+        ),
+    )
+
+
+def _apply_merges_str(expr, merges: list[tuple[str, str]]):
+    for l, r in merges:
+        expr = F.replace(expr, F.lit(f" {l} {r} "), F.lit(f" {l}{r} "))
+    return expr

@@ -402,3 +402,78 @@ def test_link_unicode_normalized_before_distance(spark):
     ]
     got = _link(spark, rows, _rules(), -10_000).collect()
     assert got[0].score_x1000 == 2000 + 1500 + 1200
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer training / application
+# ---------------------------------------------------------------------------
+
+
+def _bpe(spark):
+    from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.operators import (
+        bpe as BPE,
+    )
+
+    return BPE
+
+
+def test_bpe_learns_textbook_merges(spark):
+    BPE = _bpe(spark)
+    df = spark.createDataFrame(
+        [("the cat sat on the mat",), ("the hat and the cat chat",), ("that mat",)],
+        "text string",
+    )
+    got = [
+        (r.merge_rank, r.merge_left, r.merge_right, r.pair_freq)
+        for r in BPE.learn_bpe(spark, df, "text", 4).orderBy("merge_rank").collect()
+    ]
+    # hand-derived: 'at' appears in cat/sat/mat/hat/chat/that/mat = 8
+    assert got[0] == (1, "a", "t", 8)
+    assert got[1] == (2, "t", "h", 5)
+    assert got[2] == (3, "th", "e", 4)
+
+
+def test_bpe_tokens_reassemble_words(spark):
+    BPE = _bpe(spark)
+    df = spark.createDataFrame(
+        [("alpha beta gamma alpha beta",), ("beta gamma delta",)], "text string"
+    )
+    m = BPE.learn_bpe(spark, df, "text", 6)
+    merges = [
+        (r.merge_left, r.merge_right) for r in m.orderBy("merge_rank").collect()
+    ]
+    toks = BPE.apply_bpe(df, "text", merges)
+    for row in toks.collect():
+        # tokenization is a partition of the letters: concatenating
+        # tokens in order reproduces the lowercased alpha-only text
+        import re
+
+        want = "".join(re.findall(r"[a-z]+", row.text.lower()))
+        assert "".join(row.tokens) == want
+
+
+def test_bpe_early_stop_on_exhausted_pairs(spark):
+    BPE = _bpe(spark)
+    df = spark.createDataFrame([("a b c d",)], "text string")  # 1-char words
+    got = BPE.learn_bpe(spark, df, "text", 5)
+    assert got.count() == 0  # no adjacent pairs anywhere: zero merges
+
+
+def test_bpe_empty_merges_yield_char_tokens(spark):
+    BPE = _bpe(spark)
+    df = spark.createDataFrame([("abc de",)], "text string")
+    toks = BPE.apply_bpe(df, "text", []).collect()[0].tokens
+    assert toks == ["a", "b", "c", "d", "e"]
+
+
+def test_bpe_repeat_run_contract(spark):
+    """Pinned merge contract: non-rescanning leftmost replace —
+    'aaaa' with merge (a,a) becomes [aa, a, a] in ONE round (the
+    leftover pair merges only in a later round)."""
+    BPE = _bpe(spark)
+    df = spark.createDataFrame([("aaaa",)], "text string")
+    toks = BPE.apply_bpe(df, "text", [("a", "a")]).collect()[0].tokens
+    assert toks == ["aa", "a", "a"]
+    # a second application of the same pair closes the run
+    toks2 = BPE.apply_bpe(df, "text", [("a", "a"), ("a", "a")]).collect()[0].tokens
+    assert toks2 == ["aa", "aa"]
