@@ -133,6 +133,19 @@ HEADLINE = [
     # embedding_ivf_persisted)
     "multimodal_audio_features",
     "embedding_ivf_int8",
+    # round-7 continuation: incremental JOIN view refresh (broadcast
+    # delta algebra), cell-blocked geo radius join, zone-map pruned
+    # range scan, plan-unrolled MMR re-rank, blocked Fellegi-Sunter
+    # linkage, and the BPE tokenizer lifecycle (8-round training +
+    # literal-folded tokenization — training is n sequential jobs,
+    # the honest lifecycle cost like sketch_hll_index_daily)
+    "join_incremental_view",
+    "geo_radius_join",
+    "layout_zonemap_prune",
+    "embedding_mmr_rerank",
+    "link_fellegi_sunter",
+    "text_bpe_learn",
+    "text_bpe_tokenize",
 ]
 
 

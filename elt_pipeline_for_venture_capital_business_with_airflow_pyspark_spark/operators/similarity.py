@@ -1230,8 +1230,10 @@ def mmr_rerank(
             )
         )
         if i < k - 1:
+            # sel is ≤ one row per query by construction — broadcast,
+            # so the only per-round exchange is the ranking window's
             state = (
-                scored.join(sel, "query_id")
+                scored.join(F.broadcast(sel), "query_id")
                 .filter(F.col("cand_id") != F.col("__sel_id"))
                 .withColumn(
                     "__maxsim",

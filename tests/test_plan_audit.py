@@ -81,6 +81,20 @@ NESTED_LOOP_OK = {
     # the KB-sized broadcast that replaced sampled range boundaries.
     "surrogate_key_dim",
     "star_schema_build",
+    # r7 two-phase quantile rewrite: the exact-median and rarity
+    # ranks now ride attach_order_bucket / exact_quantiles, whose
+    # ONE-ROW [min, max] bounds (and one-row n-rows frame) attach via
+    # broadcast — the same constant-cost KB-broadcast shape as
+    # surrogate_key_dim, traded for the retired SinglePartition
+    # window (the strictly worse plan this audit exists to prevent).
+    "agg_exact_median",
+    "text_rarity_score",
+    # MMR's CANDIDATE stage is the brute cosine baseline
+    # (cosine_topk: broadcast queries × corpus scan), same documented
+    # shape as embedding_topk_bruteforce; the greedy re-rank stages
+    # themselves are equi-joins on query_id. At corpus scale the
+    # candidates come from ivf_probe_index instead.
+    "embedding_mmr_rerank",
 }
 
 # row-at-a-time Python eval (BatchEvalPython) is never acceptable;

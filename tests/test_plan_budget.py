@@ -144,7 +144,10 @@ SHUFFLE_BUDGET = {
     # side is agg-only, the exact-audit lobe adds the value-histogram
     # groupBy + the r7 bucketed-cumsum window exchange (the r6
     # SinglePartition cumulative window is retired).
-    "sketch_join_cardinality": 4,
+    # 4 + 1: the ADVICE-r06 exactly-one-row guarantee (right-join/
+    # union of the tau frame so an empty sampled region still emits
+    # est_join=0) costs one more KB-state exchange
+    "sketch_join_cardinality": 5,
     "sketch_hll_sliding": 6,
     "sketch_hll_index_daily": 2,
     "embedding_ann_int8": 1,
@@ -158,6 +161,24 @@ SHUFFLE_BUDGET = {
     # (index build/append are separate write jobs, not this plan).
     "multimodal_audio_features": 0,
     "embedding_ivf_int8": 1,
+    # round-7 continuation (plans reviewed 2026-08-15): IVM refresh =
+    # the one big old⋈old exchange pair collapses under AQE to a
+    # single join key exchange, delta terms broadcast (measured 1);
+    # geo join = broadcast cell join, 0; zonemap = the monthly agg
+    # (the pruned scan adds none); MMR = 4 per-round ranking windows
+    # + candidate re-keys, ALL candidate-set-sized (≤ queries × N
+    # rows — measured 7, +1 slack); linkage = blocked self-join
+    # broadcasts at sf0.001 (budget 2 for the shuffle-hash flip at
+    # scale); bpe_learn's returned frame is a driver literal (the
+    # training jobs are separate, like index builds); bpe_tokenize =
+    # the token-count agg.
+    "join_incremental_view": 2,
+    "geo_radius_join": 1,
+    "layout_zonemap_prune": 1,
+    "embedding_mmr_rerank": 8,
+    "link_fellegi_sunter": 2,
+    "text_bpe_learn": 0,
+    "text_bpe_tokenize": 1,
 }
 
 
