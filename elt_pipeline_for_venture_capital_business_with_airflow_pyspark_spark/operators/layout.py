@@ -28,6 +28,7 @@ __all__ = [
     "bucketed_join",
     "collect_zone_maps",
     "pruned_read",
+    "refresh_zone_maps",
 ]
 
 
@@ -183,3 +184,36 @@ def pruned_read(
         schema = spark.read.parquet(path).schema
         return spark.createDataFrame([], schema)
     return spark.read.parquet(*files).filter(predicate)
+
+
+def refresh_zone_maps(
+    spark, path: str, old_maps: DataFrame, cols: list[str]
+) -> DataFrame:
+    """Incrementally refresh a persisted zone map after appends: scan
+    ONLY files not yet mapped (parquet files are immutable, so an
+    existing file's zone never changes) and drop map rows for files
+    that disappeared (compaction). Appending a day of files to a
+    100-TB table costs a day-sized stats scan, never a re-profile of
+    the table — the same append-only economics as the LSH/IVF/HLL
+    index family.
+
+    File discovery is driver metadata (``inputFiles`` — one listing,
+    no data read), the same cardinality every scan planner holds.
+    Equality with a from-scratch ``collect_zone_maps`` is pinned in
+    tests/test_round7_ops.py.
+    """
+    current = set(spark.read.parquet(path).inputFiles())
+    known = {r["file"] for r in old_maps.select("file").collect()}
+    kept = old_maps.filter(F.col("file").isin(list(known & current) or [""]))
+    new_files = sorted(current - known)
+    if not new_files:
+        return kept
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs += [F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}")]
+    fresh = (
+        spark.read.parquet(*new_files)
+        .groupBy(F.input_file_name().alias("file"))
+        .agg(*aggs)
+    )
+    return kept.unionByName(fresh)

@@ -477,3 +477,53 @@ def test_bpe_repeat_run_contract(spark):
     # a second application of the same pair closes the run
     toks2 = BPE.apply_bpe(df, "text", [("a", "a"), ("a", "a")]).collect()[0].tokens
     assert toks2 == ["aa", "aa"]
+
+
+def test_zonemap_incremental_refresh_equals_rebuild(spark, tmp_path):
+    from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.operators import (
+        layout as LAY,
+    )
+
+    path = str(tmp_path / "t")
+    base = spark.range(0, 1_000).select(F.col("id").alias("k"))
+    base.repartitionByRange(4, "k").write.parquet(path)
+    maps0 = LAY.collect_zone_maps(spark, path, ["k"])
+
+    # append a new slab of files
+    spark.range(1_000, 1_500).select(F.col("id").alias("k")).repartitionByRange(
+        2, "k"
+    ).write.mode("append").parquet(path)
+
+    refreshed = LAY.refresh_zone_maps(spark, path, maps0, ["k"])
+    rebuilt = LAY.collect_zone_maps(spark, path, ["k"])
+    key = lambda df: sorted(tuple(r) for r in df.collect())
+    assert key(refreshed) == key(rebuilt)
+    assert refreshed.count() == 6
+
+    # no-op refresh: nothing new, nothing lost
+    again = LAY.refresh_zone_maps(spark, path, refreshed, ["k"])
+    assert key(again) == key(rebuilt)
+
+
+def test_zonemap_refresh_drops_vanished_files(spark, tmp_path):
+    from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.operators import (
+        layout as LAY,
+    )
+
+    path = str(tmp_path / "t")
+    spark.range(0, 100).select(F.col("id").alias("k")).repartitionByRange(
+        3, "k"
+    ).write.parquet(path)
+    # materialized, as a persisted zone-map table would be — a lazy
+    # map would re-scan files the compaction below deletes
+    maps0 = LAY.collect_zone_maps(spark, path, ["k"]).localCheckpoint()
+    # simulate compaction: rewrite the table as one file (materialize
+    # before overwriting the frame's own input)
+    spark.read.parquet(path).coalesce(1).localCheckpoint().write.mode(
+        "overwrite"
+    ).parquet(path)
+    refreshed = LAY.refresh_zone_maps(spark, path, maps0, ["k"])
+    rebuilt = LAY.collect_zone_maps(spark, path, ["k"])
+    key = lambda df: sorted(tuple(r) for r in df.collect())
+    assert key(refreshed) == key(rebuilt)
+    assert refreshed.count() == 1

@@ -1,0 +1,115 @@
+"""Streaming materialized-JOIN-view maintenance: a foreachBatch loop
+that folds each micro-batch's inserts (to EITHER side) into a
+persisted join view via ``cdc.incremental_join_refresh`` must end
+row-identical to one batch join over the two full tables.
+
+This is the streaming form of join_incremental_view's delta algebra —
+the standing fact⋈fact view a long-running pipeline maintains: per
+batch, only ΔA⋈B_old ∪ A_old⋈ΔB ∪ ΔA⋈ΔB is computed (delta-sized
+broadcast joins), the view and both base snapshots are extended, and
+the old big⋈big join is never recomputed. The batch twin is the
+oracle-checked reference (join_incremental_view); equality here pins
+the streaming loop to it across interleaved, uneven arrivals.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.operators import (
+    cdc as CDC,
+)
+
+FEED = T.StructType(
+    [
+        T.StructField("side", T.StringType()),
+        T.StructField("k", T.LongType()),
+        T.StructField("payload", T.LongType()),
+    ]
+)
+
+
+def _split(batch_df):
+    a = batch_df.filter(F.col("side") == "a").select(
+        "k", F.col("payload").alias("av")
+    )
+    b = batch_df.filter(F.col("side") == "b").select(
+        "k", F.col("payload").alias("bv")
+    )
+    return a, b
+
+
+def test_streaming_join_view_equals_batch_join(spark, tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    a_dir = str(tmp_path / "a")
+    b_dir = str(tmp_path / "b")
+    view_dir = str(tmp_path / "view")
+
+    spark.createDataFrame([], "k long, av long").write.parquet(a_dir)
+    spark.createDataFrame([], "k long, bv long").write.parquet(b_dir)
+    spark.createDataFrame([], "k long, av long, bv long").write.parquet(view_dir)
+
+    # interleaved arrivals: keys joining rows from EARLIER batches of
+    # the other side, same-batch matches, duplicates (multiset), and
+    # keys that never match
+    batches = [
+        [("a", 1, 10), ("a", 2, 20), ("b", 1, 100)],
+        [("b", 2, 200), ("b", 2, 201), ("a", 9, 90)],
+        [("a", 1, 11), ("b", 9, 900), ("b", 7, 700)],
+    ]
+
+    def emit(rows):
+        spark.createDataFrame(rows, FEED).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+
+    emit(batches[0])
+
+    def sink(batch_df, batch_id):
+        ss = batch_df.sparkSession
+        delta_a, delta_b = _split(batch_df)
+        old_a = ss.read.parquet(a_dir)
+        old_b = ss.read.parquet(b_dir)
+        view = ss.read.parquet(view_dir)
+        refreshed = CDC.incremental_join_refresh(
+            view, old_a, old_b, delta_a, delta_b, on=["k"]
+        )
+        refreshed.localCheckpoint().write.mode("overwrite").parquet(view_dir)
+        old_a.unionByName(delta_a).localCheckpoint().write.mode(
+            "overwrite"
+        ).parquet(a_dir)
+        old_b.unionByName(delta_b).localCheckpoint().write.mode(
+            "overwrite"
+        ).parquet(b_dir)
+
+    q = (
+        spark.readStream.schema(FEED)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "chk"))
+        .start()
+    )
+    q.processAllAvailable()
+    emit(batches[1])
+    q.processAllAvailable()
+    emit(batches[2])
+    q.processAllAvailable()
+    q.stop()
+
+    got = sorted(tuple(r) for r in spark.read.parquet(view_dir).collect())
+
+    full = spark.createDataFrame([r for b in batches for r in b], FEED)
+    fa, fb = _split(full)
+    want = sorted(
+        tuple(r)
+        for r in fa.join(fb, ["k"]).select("k", "av", "bv").collect()
+    )
+    assert got == want
+    # the multiset case really happened: key 2 has 1 a-row × 2 b-rows
+    assert sum(1 for t in got if t[0] == 2) == 2
+    # cross-batch matches in BOTH directions happened
+    assert any(t[0] == 9 for t in got)  # a arrived before b
+    assert sum(1 for t in got if t[0] == 1) == 2  # b before second a
