@@ -9874,6 +9874,59 @@ def _geo_radius_join(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_register(
+    "sample_negatives_contrastive",
+    """
+    WITH c AS (
+      SELECT vec_id AS cid, label AS clabel,
+             CAST('0x' || substr(md5('ng1b' || CAST(vec_id AS VARCHAR)), 1, 8)
+                  AS BIGINT) % 16 AS b
+      FROM embeddings
+    ), q AS (
+      SELECT e.vec_id AS qid, e.label AS qlabel,
+             CAST('0x' || substr(md5('ng1q' || CAST(e.vec_id AS VARCHAR)
+                  || '#' || CAST(a.i AS VARCHAR)), 1, 8) AS BIGINT) % 16 AS b
+      FROM embeddings e, generate_series(0, 5) a(i)
+      WHERE e.vec_id < 20
+    ), cand AS (
+      SELECT DISTINCT qid, cid FROM q JOIN c USING (b)
+      WHERE qid <> cid AND qlabel IS DISTINCT FROM clabel
+    )
+    SELECT query_id, neg_id, neg_rank FROM (
+      SELECT qid AS query_id, cid AS neg_id,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY
+               CAST('0x' || substr(md5('ng1r' || CAST(qid AS VARCHAR)
+                    || '@' || CAST(cid AS VARCHAR)), 1, 8) AS BIGINT),
+               cid) AS neg_rank
+      FROM cand
+    ) WHERE neg_rank <= 5
+    """,
+)
+def _sample_negatives_contrastive(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic negative sampling for contrastive pairs
+    (operators/sampling.sample_negatives): 5 different-label negatives
+    per query vector, drawn pseudo-uniformly via BUCKET PROBING — the
+    corpus hashes once into 16 md5 buckets, each query probes 6
+    hash-chosen buckets through a plain equi-join (cost linear in
+    |queries|, never |queries|·|corpus| — the no-cross-join contract
+    the whole sampling family keeps), then per-(query, candidate)
+    hash ranking cuts to k. Every step is exact md5-integer
+    arithmetic: the draw is bit-reproducible across engines,
+    executors, retries and epochs (salt = epoch)."""
+    emb = read_table(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    return SMP.sample_negatives(
+        queries.select("vec_id", "label"),
+        emb.select("vec_id", "label"),
+        "vec_id",
+        "label",
+        k=5,
+        n_buckets=16,
+        attempts=6,
+        salt="ng1",
+    )
+
+
+@_register(
     "geo_nearest_neighbor",
     f"""
     WITH c AS (

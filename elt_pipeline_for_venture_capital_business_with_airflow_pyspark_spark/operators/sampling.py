@@ -26,7 +26,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-__all__ = ["cap_per_group", "weighted_mix", "weighted_bernoulli_sample"]
+__all__ = [
+    "cap_per_group",
+    "weighted_mix",
+    "weighted_bernoulli_sample",
+    "sample_negatives",
+]
 
 
 def cap_per_group(
@@ -122,3 +127,96 @@ def weighted_bernoulli_sample(
         F.lit(int(max_weight)),
     )
     return df.filter(h * F.lit(int(max_weight)) < w * F.lit(4294967296))
+
+
+def _h32(*parts) -> F.Column:
+    """32-bit md5 prefix of the concatenated parts — the repo's
+    standard exact-integer determinism primitive."""
+    cols = [p if isinstance(p, F.Column) else F.lit(str(p)) for p in parts]
+    return F.conv(
+        F.substring(F.md5(F.concat(*cols)), 1, 8), 16, 10
+    ).cast("bigint")
+
+
+def sample_negatives(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    label_col: str,
+    k: int,
+    n_buckets: int = 64,
+    attempts: int = 6,
+    salt: str = "neg1",
+) -> DataFrame:
+    """Deterministic distributed negative sampling for contrastive
+    training pairs: up to ``k`` corpus items per query with a
+    DIFFERENT label, drawn pseudo-uniformly — with NO cross join.
+
+    The corpus is hashed once into ``n_buckets`` (md5 of the id —
+    stable across runs/engines); each query probes ``attempts``
+    pseudo-random buckets (md5 of query id × attempt index), giving
+    ``attempts · corpus/n_buckets`` candidates per query through a
+    plain equi-join on the bucket id. Candidates are deduped, label-
+    filtered (NULL labels count as different — a null-labeled item is
+    never a known positive), ranked by a per-(query, candidate) hash
+    and cut at ``k`` — every step an exact integer function of ids,
+    so the sample is bit-reproducible and oracle-checkable.
+
+    Scale sizing: pick ``n_buckets ≈ |corpus| / 32`` so each query
+    sees ~``32 · attempts`` candidates regardless of corpus size —
+    total cost linear in |queries|, never |queries|·|corpus|. Fewer
+    than ``k`` negatives come back only when the probed buckets are
+    label-starved (raise ``attempts``). Change ``salt`` for a fresh
+    epoch; samples across salts are uncorrelated, each reproducible.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("__cid"),
+        F.col(label_col).alias("__clabel"),
+        (_h32(salt + "b", F.col(id_col).cast("string")) % n_buckets).alias(
+            "__b"
+        ),
+    )
+    q = (
+        queries.select(
+            F.col(id_col).alias("__qid"),
+            F.col(label_col).alias("__qlabel"),
+        )
+        .withColumn(
+            "__attempt", F.explode(F.array(*[F.lit(i) for i in range(attempts)]))
+        )
+        .withColumn(
+            "__b",
+            _h32(
+                salt + "q",
+                F.col("__qid").cast("string"),
+                F.lit("#"),
+                F.col("__attempt").cast("string"),
+            )
+            % n_buckets,
+        )
+    )
+    cand = (
+        q.join(c, "__b")
+        .filter(
+            (F.col("__qid") != F.col("__cid"))
+            & ~F.col("__qlabel").eqNullSafe(F.col("__clabel"))
+        )
+        .select("__qid", "__cid")
+        .distinct()
+    )
+    rk = _h32(
+        salt + "r",
+        F.col("__qid").cast("string"),
+        F.lit("@"),
+        F.col("__cid").cast("string"),
+    )
+    w = Window.partitionBy("__qid").orderBy(rk, F.col("__cid"))
+    return (
+        cand.withColumn("neg_rank", F.row_number().over(w))
+        .filter(F.col("neg_rank") <= k)
+        .select(
+            F.col("__qid").alias("query_id"),
+            F.col("__cid").alias("neg_id"),
+            "neg_rank",
+        )
+    )

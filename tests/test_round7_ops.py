@@ -527,3 +527,93 @@ def test_zonemap_refresh_drops_vanished_files(spark, tmp_path):
     key = lambda df: sorted(tuple(r) for r in df.collect())
     assert key(refreshed) == key(rebuilt)
     assert refreshed.count() == 1
+
+
+# ---------------------------------------------------------------------------
+# negative sampling
+# ---------------------------------------------------------------------------
+
+
+def _neg_items(spark, n=200, labels=4):
+    return spark.createDataFrame(
+        [(i, i % labels) for i in range(n)], "vec_id long, label int"
+    )
+
+
+def test_negatives_never_share_label_or_self(spark):
+    from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.operators import (
+        sampling as SMP,
+    )
+
+    items = _neg_items(spark)
+    out = SMP.sample_negatives(
+        items.filter("vec_id < 10"), items, "vec_id", "label", k=4,
+        n_buckets=8, attempts=5,
+    )
+    joined = (
+        out.join(items.withColumnRenamed("label", "qlab"),
+                 out.query_id == items.vec_id)
+        .drop("vec_id")
+        .join(
+            items.select(
+                F.col("vec_id").alias("neg_id2"), F.col("label").alias("nlab")
+            ),
+            out.neg_id == F.col("neg_id2"),
+        )
+    )
+    bad = joined.filter(
+        (F.col("qlab") == F.col("nlab")) | (F.col("query_id") == F.col("neg_id"))
+    )
+    assert bad.count() == 0
+
+
+def test_negatives_at_most_k_and_dense_ranks(spark):
+    from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.operators import (
+        sampling as SMP,
+    )
+
+    items = _neg_items(spark)
+    out = SMP.sample_negatives(
+        items.filter("vec_id < 10"), items, "vec_id", "label", k=4,
+        n_buckets=8, attempts=5,
+    ).collect()
+    per_q = {}
+    for r in out:
+        per_q.setdefault(r.query_id, []).append(r.neg_rank)
+    for q, ranks in per_q.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+        assert len(ranks) <= 4
+
+
+def test_negatives_deterministic_and_salt_varies(spark):
+    from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.operators import (
+        sampling as SMP,
+    )
+
+    items = _neg_items(spark)
+    q = items.filter("vec_id < 10")
+    args = dict(k=4, n_buckets=8, attempts=5)
+    a = sorted(map(tuple, SMP.sample_negatives(q, items, "vec_id", "label",
+                                               salt="s1", **args).collect()))
+    b = sorted(map(tuple, SMP.sample_negatives(q, items, "vec_id", "label",
+                                               salt="s1", **args).collect()))
+    c = sorted(map(tuple, SMP.sample_negatives(q, items, "vec_id", "label",
+                                               salt="s2", **args).collect()))
+    assert a == b          # same epoch: bit-reproducible
+    assert a != c          # new epoch: a different draw
+
+
+def test_negatives_null_labels_are_valid_negatives(spark):
+    from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.operators import (
+        sampling as SMP,
+    )
+
+    items = spark.createDataFrame(
+        [(0, 1), (1, None), (2, None), (3, 2)], "vec_id long, label int"
+    )
+    out = SMP.sample_negatives(
+        items.filter("vec_id = 0"), items, "vec_id", "label", k=4,
+        n_buckets=1, attempts=2,
+    )
+    negs = {r.neg_id for r in out.collect()}
+    assert negs == {1, 2, 3}  # null-labeled items count as different
