@@ -9874,6 +9874,76 @@ def _geo_radius_join(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_register(
+    "layout_quantile_buckets",
+    """
+    WITH ids AS (
+      SELECT l_extendedprice AS v,
+             CAST(l_orderkey AS VARCHAR) || '-' ||
+             CAST(l_linenumber AS VARCHAR) AS rid
+      FROM lineitem
+    ),
+    samp AS (
+      SELECT v FROM (
+        SELECT v, rid,
+               CAST('0x' || substr(md5('qb1' || rid), 1, 8) AS BIGINT) AS h
+        FROM ids WHERE v IS NOT NULL AND NOT isnan(v)
+      ) ORDER BY h, rid LIMIT 256
+    ),
+    sorted AS (
+      SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS rn,
+             COUNT(*) OVER () AS m
+      FROM samp
+    ),
+    bnd AS (
+      SELECT g.j, s.v FROM sorted s, generate_series(1, 7) g(j)
+      WHERE s.rn = GREATEST(1, (g.j * s.m) // 8)
+    ),
+    buck AS (
+      SELECT ids.rid, ids.v,
+             CASE WHEN ids.v IS NULL THEN 8
+                  WHEN isnan(ids.v) THEN 8
+                  ELSE (SELECT COUNT(*) FROM bnd WHERE bnd.v <= ids.v)
+             END AS bucket
+      FROM ids
+    )
+    SELECT bucket, COUNT(*) AS n_rows,
+           MIN(v) AS min_price, MAX(v) AS max_price
+    FROM buck GROUP BY bucket
+    """,
+)
+def _layout_quantile_buckets(spark: SparkSession, sf: str) -> DataFrame:
+    """Skew-balanced deterministic partitioning
+    (operators/layout.attach_quantile_bucket): bucket boundaries from
+    the key's QUANTILES — estimated on the bottom-256 rows by
+    md5(salt‖id), a uniform row sample that is bit-reproducible
+    across engines, executors and re-evaluations (the determinism
+    repartitionByRange's re-sampled boundaries cannot give) — so a
+    skewed key spreads evenly where uniform [min,max] spans
+    (attach_order_bucket) would hot-spot. bucket(v) = #{boundaries ≤
+    v}: a pure function of the value, order-preserving, equal keys
+    never straddle. Output: per-bucket row count + value range; the
+    oracle recomputes sample, boundaries and assignment from
+    scratch."""
+    li = read_table(spark, sf, "lineitem").withColumn(
+        "rid",
+        F.concat(
+            F.col("l_orderkey").cast("string"),
+            F.lit("-"),
+            F.col("l_linenumber").cast("string"),
+        ),
+    )
+    bucketed = LAY.attach_quantile_bucket(
+        li, "l_extendedprice", "rid", nbuckets=8, out_col="bucket",
+        sample_k=256, salt="qb1",
+    )
+    return bucketed.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+    )
+
+
+@_register(
     "sample_negatives_contrastive",
     """
     WITH c AS (

@@ -29,6 +29,7 @@ __all__ = [
     "collect_zone_maps",
     "pruned_read",
     "refresh_zone_maps",
+    "attach_quantile_bucket",
 ]
 
 
@@ -217,3 +218,81 @@ def refresh_zone_maps(
         .agg(*aggs)
     )
     return kept.unionByName(fresh)
+
+
+def attach_quantile_bucket(
+    df: DataFrame,
+    key: str,
+    id_col: str,
+    nbuckets: int,
+    out_col: str,
+    sample_k: int = 1024,
+    salt: str = "qb1",
+) -> DataFrame:
+    """Value-deterministic, order-preserving, SKEW-BALANCED bucket
+    ids (0..nbuckets-1) for a numeric key.
+
+    ``surrogate.attach_order_bucket`` splits [min, max] into uniform
+    spans — value-deterministic, but a skewed key (a Zipf price
+    column, a hot timestamp range) lands most rows in a few spans and
+    the two-phase cumsum/rank family inherits the imbalance. This
+    operator takes boundaries from the key's QUANTILES instead,
+    estimated on a deterministic uniform row sample: the bottom-k
+    rows by md5(salt‖id) (reproducible across engines, executors,
+    retries and re-evaluations — the property repartitionByRange's
+    re-sampled boundaries cannot give, see partitioned_cumsum's
+    docstring), sorted, with boundary j = sample[floor(j·m/n)]
+    (1-based). bucket(v) = #{boundaries ≤ v} — a pure function of the
+    value, so equal keys never straddle a boundary and every subplan
+    that re-evaluates the bucketing agrees by construction.
+
+    The sample collect is ≤ ``sample_k`` rows of (hash, value) —
+    bounded driver metadata, the same budget as the IVF centroid
+    pick. NULL keys bucket to ``nbuckets`` (nulls-last); NaN (float
+    keys) to ``nbuckets`` as well (NaN sorts greatest in both
+    engines, sharing the past-the-end bucket keeps order).
+    """
+    if nbuckets < 1:
+        raise ValueError("nbuckets must be >= 1")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    from pyspark.sql import types as _T
+
+    finite = df.filter(F.col(key).isNotNull())
+    if isinstance(df.schema[key].dataType, (_T.FloatType, _T.DoubleType)):
+        # NaN must not enter the sample: Python's sort on NaN is
+        # undefined-order, and NaN already has its reserved bucket
+        finite = finite.filter(~F.isnan(F.col(key)))
+    sample = (
+        finite.select(F.col(key).alias("__v"), h.alias("__h"), F.col(id_col))
+        .orderBy("__h", id_col)
+        .limit(sample_k)
+        .collect()
+    )
+    vals = sorted(r["__v"] for r in sample)
+    m = len(vals)
+    bounds: list = []
+    if m:
+        for j in range(1, nbuckets):
+            idx = max(1, (j * m) // nbuckets)  # 1-based floor
+            bounds.append(vals[idx - 1])
+    v = F.col(key)
+    if bounds:
+        barr = F.array(*[F.lit(b) for b in bounds])
+        numeric = F.size(F.filter(barr, lambda b: b <= v))
+    else:
+        numeric = F.lit(0)
+    dt = df.schema[key].dataType
+    from pyspark.sql import types as T
+
+    is_float = isinstance(dt, (T.FloatType, T.DoubleType))
+    bucket = F.when(v.isNull(), F.lit(nbuckets))
+    if is_float:
+        bucket = bucket.when(F.isnan(v), F.lit(nbuckets))
+    bucket = bucket.otherwise(numeric)
+    return df.withColumn(out_col, bucket.cast("int"))

@@ -617,3 +617,78 @@ def test_negatives_null_labels_are_valid_negatives(spark):
     )
     negs = {r.neg_id for r in out.collect()}
     assert negs == {1, 2, 3}  # null-labeled items count as different
+
+
+# ---------------------------------------------------------------------------
+# quantile buckets: balance + determinism laws
+# ---------------------------------------------------------------------------
+
+
+def _lay(spark):
+    from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.operators import (
+        layout as LAY,
+    )
+
+    return LAY
+
+
+def _zipfish(spark, n=4000):
+    # heavily skewed: 75% of rows in the bottom 1% of the value range
+    return spark.range(n).select(
+        F.col("id").cast("string").alias("rid"),
+        F.when(F.col("id") % 4 < 3, (F.col("id") % 40).cast("double"))
+        .otherwise((F.col("id") % 4000).cast("double") * 100)
+        .alias("v"),
+    )
+
+
+def test_quantile_buckets_balance_skewed_keys(spark):
+    LAY = _lay(spark)
+    df = _zipfish(spark)
+    q = LAY.attach_quantile_bucket(df, "v", "rid", 8, "qb", sample_k=512)
+    counts = {r.qb: r.n for r in q.groupBy("qb").agg(F.count("*").alias("n")).collect()}
+    # every bucket within 3x of the ideal share (uniform spans would
+    # put ~75% of rows in bucket 0)
+    ideal = 4000 / 8
+    assert max(counts.values()) <= 3 * ideal
+    from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.operators import (
+        surrogate as SK,
+    )
+
+    u = SK.attach_order_bucket(df, "v", 8, "ob")
+    ucounts = {
+        r.ob: r.n for r in u.groupBy("ob").agg(F.count("*").alias("n")).collect()
+    }
+    assert max(ucounts.values()) > 0.7 * 4000  # the hot-spot being fixed
+
+
+def test_quantile_buckets_order_preserving(spark):
+    LAY = _lay(spark)
+    df = _zipfish(spark, 1000)
+    q = LAY.attach_quantile_bucket(df, "v", "rid", 8, "qb")
+    rows = q.select("v", "qb").collect()
+    for a in range(0, len(rows), 97):
+        for b in range(0, len(rows), 83):
+            if rows[a].v <= rows[b].v:
+                assert rows[a].qb <= rows[b].qb
+
+
+def test_quantile_buckets_deterministic_across_evaluations(spark):
+    LAY = _lay(spark)
+    df = _zipfish(spark, 1000)
+    q1 = LAY.attach_quantile_bucket(df, "v", "rid", 8, "qb")
+    q2 = LAY.attach_quantile_bucket(df, "v", "rid", 8, "qb")
+    a = sorted((r.rid, r.qb) for r in q1.collect())
+    b = sorted((r.rid, r.qb) for r in q2.collect())
+    assert a == b
+
+
+def test_quantile_buckets_null_nan_last(spark):
+    LAY = _lay(spark)
+    df = spark.createDataFrame(
+        [("1", 1.0), ("2", None), ("3", float("nan")), ("4", 2.0)],
+        "rid string, v double",
+    )
+    got = {r.rid: r.qb for r in LAY.attach_quantile_bucket(df, "v", "rid", 4, "qb").collect()}
+    assert got["2"] == 4 and got["3"] == 4
+    assert got["1"] <= 3 and got["4"] <= 3
