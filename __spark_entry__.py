@@ -10113,8 +10113,13 @@ _WINDOW_ORDER: list[str] = [
     # + the exact bitext-mining twin of embedding_bitext_ivf)
     "embedding_near_dup_sqlcheck", "embedding_ann_sqlcheck", "embedding_ivf_sqlcheck",
     "embedding_bitext_mine",
-    # multimodal plumbing (Arrow boundary columns oracled)
-    "multimodal_features", "multimodal_frame_sample",
+    # multimodal plumbing (Arrow boundary columns oracled;
+    # frame_sample moved to the tail sweep in r7 — multimodal_features
+    # keeps the Arrow boundary in-window — to make room for the BPE
+    # trainer, the tokenizer-lifecycle flagship)
+    "multimodal_features",
+    # corpus-trained BPE tokenizer (all 8 merge rounds hash-checked)
+    "text_bpe_learn",
 ]
 
 # Seeded-hash queries whose banding math is not ANSI-SQL-expressible,
