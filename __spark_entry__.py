@@ -9413,9 +9413,14 @@ def _join_incremental_view(spark: SparkSession, sf: str) -> DataFrame:
     )
     a_cut = F.lit("1998-05-01").cast("timestamp")
     b_cut = F.lit("1998-08-01").cast("timestamp")
-    old_a = a.filter(F.col("o_orderdate") < a_cut)
+    # Partition law: old ∪ delta must equal the table EXACTLY. A bare
+    # `< cut` / `>= cut` split drops NULL-dated rows from BOTH slices
+    # (both predicates are false for NULL), silently losing them from the
+    # maintained view while the full-recompute oracle keeps them (the
+    # join key is the non-null orderkey). NULLs go to the old side.
+    old_a = a.filter((F.col("o_orderdate") < a_cut) | F.col("o_orderdate").isNull())
     delta_a = a.filter(F.col("o_orderdate") >= a_cut)
-    old_b = b.filter(F.col("l_shipdate") < b_cut)
+    old_b = b.filter((F.col("l_shipdate") < b_cut) | F.col("l_shipdate").isNull())
     delta_b = b.filter(F.col("l_shipdate") >= b_cut)
     old_result = old_a.join(old_b, ["okey"])
     refreshed = CDC.incremental_join_refresh(
@@ -9609,7 +9614,10 @@ def _link_fellegi_sunter(spark: SparkSession, sf: str) -> DataFrame:
     across engines/executors/retries — and the pair set composes with
     dedup.connected_components for golden-record clustering."""
     part = read_table(spark, sf, "part")
-    blk = F.split(F.col("p_name"), " ").getItem(1)
+    # F.get (not getItem): a space-free name yields a 1-element array and
+    # getItem(1) raises INVALID_ARRAY_INDEX under ANSI mode; get() returns
+    # NULL past-the-end, matching the oracle's NULLIF(split_part(...), '').
+    blk = F.get(F.split(F.col("p_name"), " "), F.lit(1))
     part = part.withColumn("blk", F.when(blk != "", blk))
     return LNK.link_pairs(
         part,

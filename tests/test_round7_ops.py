@@ -101,6 +101,38 @@ def test_join_refresh_duplicate_keys_multiset(spark):
     assert _sorted_rows(refreshed) == _sorted_rows(a.join(b, ["k"]))
 
 
+def test_join_refresh_null_dated_rows_partition(spark):
+    """The slice partition law behind the join_incremental_view entry:
+    splitting on a nullable date with `< cut` / `>= cut` alone drops
+    NULL-dated rows from BOTH slices (both predicates are false for
+    NULL). The entry's null-inclusive old side must make old ∪ delta
+    PARTITION the table exactly, and the refreshed view must keep the
+    NULL-dated rows (their join key is non-null)."""
+    a = spark.createDataFrame(
+        [Row(k=1, av=1, d="2024-01-01"), Row(k=2, av=2, d=None),
+         Row(k=1, av=3, d="2024-06-01"), Row(k=3, av=4, d=None)]
+    ).withColumn("d", F.col("d").cast("timestamp"))
+    b = spark.createDataFrame(
+        [Row(k=1, bv=10, e="2024-03-01"), Row(k=2, bv=20, e=None),
+         Row(k=3, bv=30, e="2024-07-01")]
+    ).withColumn("e", F.col("e").cast("timestamp"))
+    cut = F.lit("2024-05-01").cast("timestamp")
+    old_a = a.filter((F.col("d") < cut) | F.col("d").isNull())
+    delta_a = a.filter(F.col("d") >= cut)
+    old_b = b.filter((F.col("e") < cut) | F.col("e").isNull())
+    delta_b = b.filter(F.col("e") >= cut)
+    # partition law: old ∪ delta == table, disjoint
+    assert old_a.count() + delta_a.count() == a.count()
+    assert old_b.count() + delta_b.count() == b.count()
+    assert old_a.intersect(delta_a).count() == 0
+    refreshed = CDC.incremental_join_refresh(
+        old_a.join(old_b, ["k"]), old_a, old_b, delta_a, delta_b, on=["k"]
+    )
+    assert _sorted_rows(refreshed) == _sorted_rows(a.join(b, ["k"]))
+    # the NULL-dated k=2 pair must survive maintenance
+    assert refreshed.filter("k = 2").count() == 1
+
+
 # ---------------------------------------------------------------------------
 # geo radius join — recall + determinism laws
 # ---------------------------------------------------------------------------
