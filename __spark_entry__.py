@@ -9634,19 +9634,29 @@ def _link_fellegi_sunter(spark: SparkSession, sf: str) -> DataFrame:
 
 # --- MMR diversified retrieval (operators/similarity.py) -------------------
 
-def _mmr_sql(k: int = 4, n: int = 12) -> str:
+def _mmr_sql(k: int = 4, n: int = 12, dim: int = 64) -> str:
     """ANSI-SQL twin of similarity.mmr_rerank: the greedy selection is
     unrolled into k CTE stages (pick argmax of 0.5·rel − 0.5·maxsim
     with id tie-break, then fold the picked vector into every
     survivor's maxsim). All similarities round to 6dp before any
     comparison and λ=0.5 multiplications are exact, so scores and
-    therefore selections are bit-identical to the Spark plan."""
+    therefore selections are bit-identical to the Spark plan. Dots are
+    the EXPLICIT left-to-right element sum (same fold order as the
+    Spark side's similarity.dot and the _ivf_int8_sql twin) — never
+    DuckDB's list_dot_product, whose summation order is unspecified:
+    a raw cosine landing on a 6dp rounding boundary could round
+    differently per engine and flip a greedy selection."""
+
+    def dot(a: str, b: str) -> str:
+        return " + ".join(
+            f"CAST({a}[{i}] AS DOUBLE)*CAST({b}[{i}] AS DOUBLE)"
+            for i in range(1, dim + 1)
+        )
 
     def cos(a: str, b: str) -> str:
         return (
-            f"ROUND(list_dot_product({a}, {b}) / "
-            f"(sqrt(list_dot_product({a}, {a})) * "
-            f"sqrt(list_dot_product({b}, {b}))), 6)"
+            f"ROUND(({dot(a, b)}) / "
+            f"(sqrt({dot(a, a)}) * sqrt({dot(b, b)})), 6)"
         )
 
     stages = []
@@ -9685,9 +9695,9 @@ def _mmr_sql(k: int = 4, n: int = 12) -> str:
     c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cvec FROM embeddings),
     scored AS (
       SELECT q.query_id, c.vec_id AS cand_id,
-             list_dot_product(q.qvec, c.cvec)
-               / (sqrt(list_dot_product(q.qvec, q.qvec))
-                  * sqrt(list_dot_product(c.cvec, c.cvec))) AS raw_cos,
+             ({dot('q.qvec', 'c.cvec')})
+               / (sqrt({dot('q.qvec', 'q.qvec')})
+                  * sqrt({dot('c.cvec', 'c.cvec')})) AS raw_cos,
              c.cvec
       FROM c, q WHERE c.vec_id <> q.query_id
     ),
@@ -9759,14 +9769,17 @@ def _layout_zonemap_prune(spark: SparkSession, sf: str) -> DataFrame:
     li = read_table(spark, sf, "lineitem").select(
         "l_shipdate", "l_quantity", "l_orderkey"
     )
+    # Rebuild the clustered copy unconditionally (mode=overwrite), like
+    # the sibling IVF entries: a _SUCCESS-keyed skip keyed on the sf-dir
+    # basename would silently serve a stale layout from a previous run
+    # against different data, or collide two sf paths sharing a basename.
     path = "/tmp/spark_graft_zonemap_" + os.path.basename(os.path.normpath(sf))
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        (
-            li.repartitionByRange(16, "l_shipdate")
-            .sortWithinPartitions("l_shipdate")
-            .write.mode("overwrite")
-            .parquet(path)
-        )
+    (
+        li.repartitionByRange(16, "l_shipdate")
+        .sortWithinPartitions("l_shipdate")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
     import datetime as dt
 
     zmaps = LAY.collect_zone_maps(spark, path, ["l_shipdate"])

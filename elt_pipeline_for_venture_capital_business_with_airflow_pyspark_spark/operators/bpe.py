@@ -97,6 +97,11 @@ def learn_bpe(
                 )
             ),
         ).persist()
+        # persist() is lazy: materialize the new vocab (reading from the
+        # still-live previous cache) BEFORE dropping that cache, or every
+        # round recomputes the whole merge chain from the raw corpus —
+        # O(n_merges^2) corpus scans instead of one map per round.
+        cur.count()
         prev_persisted.unpersist()
         prev_persisted = cur
     prev_persisted.unpersist()

@@ -190,6 +190,7 @@ def partitioned_cumsum(
     out_col: str = "cum",
     num_partitions: int | None = None,
     group_cols: list[str] | None = None,
+    broadcast_offsets: bool = True,
 ) -> DataFrame:
     """Running total over a TOTAL order without a single-reducer sort —
     the two-phase prefix-sum pattern (same construction as
@@ -220,10 +221,13 @@ def partitioned_cumsum(
     (e.g. 5 order priorities), where a plain
     ``Window.partitionBy(group)`` would funnel each group through one
     reducer. In grouped mode the cross-bucket offsets stay in-plan: a
-    per-group running total over the (group × bucket) totals frame —
-    KB-state by construction (≤ groups·nbuckets rows), broadcast-
-    joined back — so there is no driver collect and no literal-map
-    size limit when group cardinality is large.
+    per-group running total over the (group × bucket) totals frame
+    (≤ groups·nbuckets rows), joined back — no driver collect and no
+    literal-map limit. The offsets frame is BROADCAST by default,
+    which is right for the few-huge-groups contract but puts
+    |groups|·nbuckets rows on every executor and the driver: above
+    ~10^5 groups pass ``broadcast_offsets=False`` to use a shuffled
+    join instead (the offsets frame then scales like any other side).
     """
     keys = [F.col(c) if isinstance(c, str) else c for c in order_cols]
     if num_partitions is None:
@@ -292,8 +296,9 @@ def partitioned_cumsum(
         cond = local["__cs_b"] == offs["__cs_ob"]
         for c in group_cols:
             cond = cond & local[c].eqNullSafe(offs[f"__cs_g_{c}"])
+        offs_side = F.broadcast(offs) if broadcast_offsets else offs
         return (
-            local.join(F.broadcast(offs), cond, "left")
+            local.join(offs_side, cond, "left")
             .withColumn(
                 out_col,
                 F.col("__cs_loc")

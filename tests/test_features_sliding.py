@@ -275,6 +275,16 @@ def test_partitioned_cumsum_grouped_matches_per_group_window(spark):
     w1 = {(r["g"], r["k"]): r["cum"] for r in want.collect()}
     assert g1 == w1
 
+    # broadcast_offsets=False (the high-group-cardinality path: a
+    # shuffled offset join instead of forcing |groups|·nbuckets rows
+    # onto every executor) must produce identical results
+    got2 = FT.partitioned_cumsum(
+        df, [F.col("k").asc()], "vd", out_col="cum",
+        group_cols=["g"], num_partitions=5, broadcast_offsets=False,
+    )
+    g2 = {(r["g"], r["k"]): r["cum"] for r in got2.collect()}
+    assert g2 == w1
+
 
 def test_exact_quantiles_cont_matches_builtin_percentile(spark, sf_dir):
     """mode='cont' must be BIT-IDENTICAL to percentile() — same IEEE
