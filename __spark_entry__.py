@@ -1457,6 +1457,50 @@ def _dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_register(
+    "text_decontaminate",
+    """
+    WITH tok AS (
+      SELECT doc_id, CASE WHEN trim(text) = '' THEN [] ELSE string_split_regex(trim(text), '\\s+') END AS t
+      FROM documents
+    ), grams AS (
+      SELECT doc_id, list_distinct(list_transform(
+               generate_series(1, greatest(len(t) - 2, 1)),
+               i -> array_to_string(t[i:i+2], ' '))) AS shingles
+      FROM tok WHERE len(t) > 0
+    ), idx AS (
+      SELECT doc_id, unnest(shingles) AS g FROM grams
+    ), ev AS (
+      SELECT DISTINCT g FROM idx WHERE doc_id % 97 = 0
+    ), tr AS (
+      SELECT doc_id, g FROM idx WHERE doc_id % 97 <> 0
+    )
+    SELECT tr.doc_id AS doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_contaminated_grams
+    FROM tr JOIN ev USING (g)
+    GROUP BY 1
+    """,
+)
+def _text_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
+    """Benchmark decontamination (operators/dedup.contamination_hits —
+    the GPT-3-lineage pre-training hygiene step): training docs
+    sharing word n-grams with ANY held-out eval doc are flagged with
+    their distinct-shared-gram counts; composing decontaminate() drops
+    them via a left-anti join. Eval set = doc_id ≡ 0 (mod 97) — a
+    benchmark-sized slice, so its distinct gram set BROADCASTS and
+    the 100-TB train side pays one scan + one map-combined groupBy,
+    never a shuffle join. n=3 here (the synthetic docs are ~40 tokens;
+    production uses 13 per the published recipe — same plan either
+    way). Same whitespace-shingle convention as the dedup family;
+    sub-n docs contribute their whole text (conservative: a short
+    eval doc quoted verbatim still hits)."""
+    docs = read_table(spark, sf, "documents")
+    ev = docs.filter(F.col("doc_id") % 97 == 0)
+    tr = docs.filter(F.col("doc_id") % 97 != 0)
+    hits = DD.contamination_hits(tr, ev, "doc_id", "text", n=3)
+    return hits.select(F.col("id").alias("doc_id"), "n_contaminated_grams")
+
+
+@_register(
     "dedup_connected_components",
     """
     WITH RECURSIVE tok AS (
@@ -2391,6 +2435,88 @@ def _multimodal_audio_features(spark: SparkSession, sf: str) -> DataFrame:
         F.sqrt(F.col("sum_sq").cast("double") / F.col("n_samples")).alias(
             "rms"
         ),
+    )
+
+
+@_register(
+    "multimodal_jpeg_roundtrip",
+    """
+    SELECT doc_id AS media_id,
+           CAST(((doc_id % 13) + 13) % 13 + 8 AS INT) AS width,
+           CAST(((doc_id % 11) + 11) % 11 + 8 AS INT) AS height,
+           CAST((((doc_id % 13) + 13) % 13 + 8)
+                * (((doc_id % 11) + 11) % 11 + 8) * 3 AS BIGINT) AS n_bytes,
+           CAST(1 AS INT) AS n_distinct_values,
+           CAST(128 AS INT) AS pixel_value
+    FROM documents WHERE doc_id IS NOT NULL AND doc_id % 10 = 0
+    """,
+)
+def _multimodal_jpeg_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """Image payloads through the REAL baseline JPEG codec
+    (multimodal_jpeg.encode_jpeg / decode_jpeg — round 8, closing the
+    last stdlib-feasible modality stub): each document synthesizes a
+    gray-128 image with doc-id-derived NON-multiple-of-8 dimensions
+    (exercising the encoder's edge-replication padding and the
+    decoder's crop), full baseline entropy coding round-trips through
+    genuine JFIF bytes inside ONE Arrow stage, and the output is
+    decode-derived. Gray 128 is JPEG's exact fixed point (level-shifted
+    zero → all-zero coefficients survive quantization), so the oracle
+    states the decoded pixels from the dimension formula alone —
+    floor-mod on both engines, same convention as the WAV twin.
+    Richer content's pixel-exactness is pinned by hash in
+    tests/test_jpeg_codec.py (no SQL engine can restate an IDCT).
+    Plan: one mapInPandas stage, no shuffle."""
+    docs = (
+        read_table(spark, sf, "documents")
+        # 1/10th deterministic slice: the entry proves the DISTRIBUTED
+        # codec plumbing (the pixel work itself is pinned per-image in
+        # tests/test_jpeg_codec.py) — a pure-python encode+decode per
+        # doc at ~4 ms each doesn't need all 5k docs to prove it
+        .filter(F.col("doc_id").isNotNull() & (F.col("doc_id") % 10 == 0))
+        .select(
+            F.col("doc_id").alias("media_id"),
+            (F.pmod(F.col("doc_id"), F.lit(13)) + 8).cast("int").alias("w"),
+            (F.pmod(F.col("doc_id"), F.lit(11)) + 8).cast("int").alias("h"),
+        )
+    )
+
+    def roundtrip(batches):
+        import pandas as pd
+
+        from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.multimodal_jpeg import (
+            decode_jpeg,
+            encode_jpeg,
+        )
+
+        for pdf in batches:
+            rows = []
+            for mid, w, h in zip(pdf["media_id"], pdf["w"], pdf["h"]):
+                w, h = int(w), int(h)
+                payload = encode_jpeg(w, h, bytes([128]) * (w * h * 3), 85)
+                dw, dh, rgb = decode_jpeg(payload)
+                vals = set(rgb)
+                rows.append(
+                    (
+                        int(mid),
+                        dw,
+                        dh,
+                        len(rgb),
+                        len(vals),
+                        vals.pop() if len(vals) == 1 else None,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "width", "height", "n_bytes",
+                    "n_distinct_values", "pixel_value",
+                ],
+            )
+
+    return docs.mapInPandas(
+        roundtrip,
+        "media_id long, width int, height int, n_bytes long, "
+        "n_distinct_values int, pixel_value int",
     )
 
 
@@ -3967,6 +4093,66 @@ def _text_url_canonicalize(spark: SparkSession, sf: str) -> DataFrame:
         TX.url_host(url).alias("host"),
         TX.url_normalize(url).alias("url_norm"),
     )
+
+
+def _curation_blocklist_filter_sql() -> str:
+    return """
+    WITH h AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 2 = 0 THEN 'www.' || source || '.example.com'
+                  ELSE source || '.example.com' END AS host
+      FROM documents WHERE doc_id IS NOT NULL AND source IS NOT NULL
+    ), c AS (
+      SELECT doc_id, host,
+             list_transform(
+               generate_series(1, len(string_split(host, '.'))),
+               i -> array_to_string(string_split(host, '.')[i:], '.')) AS chain
+      FROM h
+    )
+    SELECT doc_id, host FROM c
+    WHERE NOT list_has_any(
+      chain, ['src3.example.com', 'www.src7.example.com', 'src11.example.com'])
+    """
+
+
+@_register("curation_blocklist_filter", _curation_blocklist_filter_sql())
+def _curation_blocklist_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """Host blocklist filtering with parent-domain semantics
+    (functions/text.domain_suffix_chain) — the first gate of every
+    crawl-corpus pipeline: a doc is dropped when its host OR ANY
+    PARENT DOMAIN is blocklisted. The suffix chain is bounded by the
+    label count (≤ ~10), so exploding it turns suffix matching into a
+    plain equi-join: chain explode → broadcast join against the
+    blocklist → left-anti on the doc id. This is the 100k-entry
+    production shape (the blocklist broadcasts, the 100-TB side is
+    scanned once, no shuffle); for literal-sized lists
+    text.is_host_blocked does the same as one scan-stage expression.
+    Hosts are synthesized from `source` at two subdomain depths so
+    both exact-host and parent-domain blocks are exercised; the
+    oracle mirrors the chain with DuckDB list functions."""
+    docs = (
+        read_table(spark, sf, "documents")
+        .filter(F.col("doc_id").isNotNull() & F.col("source").isNotNull())
+    )
+    host = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat(F.lit("www."), F.col("source"), F.lit(".example.com")),
+    ).otherwise(F.concat(F.col("source"), F.lit(".example.com")))
+    hosts = docs.select("doc_id", host.alias("host"))
+    bl = spark.createDataFrame(
+        [("src3.example.com",), ("www.src7.example.com",), ("src11.example.com",)],
+        "blocked string",
+    )
+    chain = hosts.select(
+        "doc_id", F.explode(TX.domain_suffix_chain("host")).alias("sfx")
+    )
+    blocked = (
+        chain.join(F.broadcast(bl), chain["sfx"] == bl["blocked"])
+        .select("doc_id")
+        .distinct()
+    )
+    return hosts.join(blocked, "doc_id", "left_anti")
+
 
 
 @_register(
@@ -9564,6 +9750,30 @@ def _text_bpe_tokenize(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@_register("text_bpe_tokenize_large", _bpe_tokenize_sql(_BPE_N_MERGES, 30))
+def _text_bpe_tokenize_large(spark: SparkSession, sf: str) -> DataFrame:
+    """The PRODUCTION-vocab tokenize path (operators/bpe.
+    apply_bpe_large, VERDICT r7 #6): same training, but the merge list
+    travels as a broadcast variable into one Arrow-batched
+    mapInPandas stage instead of a literal expression chain — the
+    shape that holds a 32k-merge vocab, where the fold's expression
+    tree would blow the plan. SAME oracle SQL as text_bpe_tokenize:
+    the two apply paths are row-identical by contract (the
+    non-rescanning leftmost replace is shared by Java and Python
+    ``str.replace``), so this entry hash-checks that contract against
+    DuckDB end-to-end, not just against apply_bpe in a unit test."""
+    docs = read_table(spark, sf, "documents")
+    merges_df = BPE.learn_bpe(spark, docs, "text", _BPE_N_MERGES)
+    toks = BPE.apply_bpe_large(docs, "text", merges_df)
+    return (
+        toks.select(F.explode("tokens").alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), "token")
+        .limit(30)
+    )
+
+
 # --- record linkage (operators/linkage.py) ---------------------------------
 
 @_register(
@@ -10122,8 +10332,11 @@ _WINDOW_ORDER: list[str] = [
     "window_topk_per_group", "sessionize",
     # data quality / hypertable / curation flagship
     "dq_expectations", "rollup_hypertable", "curation_pipeline",
-    # text analysis
-    "text_stats", "text_lang_id", "text_winnow_fingerprints", "text_top_terms",
+    # text analysis (lang_id + top_terms rotated to the tail sweep in
+    # r8 — single-function scores with text_stats/winnowing keeping the
+    # family in-window — to make room for the two newest flagship
+    # lifecycles under the driver's hard hash check)
+    "text_stats", "text_winnow_fingerprints",
     # deterministic sampling
     "sample_hash_stratified",
     # dedup family (exact → jaccard → CC → LSH twins → edit distance)
@@ -10141,6 +10354,10 @@ _WINDOW_ORDER: list[str] = [
     "multimodal_features",
     # corpus-trained BPE tokenizer (all 8 merge rounds hash-checked)
     "text_bpe_learn",
+    # r8 rotation: the two newest flagship lifecycles (VERDICT r7 #8) —
+    # blocked Fellegi–Sunter linkage (post-ANSI-fix) and the
+    # int8-inside-IVF serving tier (BIGINT ADC, fully hash-checked)
+    "link_fellegi_sunter", "embedding_ivf_int8",
 ]
 
 # Seeded-hash queries whose banding math is not ANSI-SQL-expressible,

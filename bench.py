@@ -146,6 +146,20 @@ HEADLINE = [
     "link_fellegi_sunter",
     "text_bpe_learn",
     "text_bpe_tokenize",
+    # round-7 post-continuation trio (integrated round 8): radius-
+    # capped geo NN, skew-balanced quantile bucketing, deterministic
+    # contrastive negative sampling via bucket probing
+    "geo_nearest_neighbor",
+    "layout_quantile_buckets",
+    "sample_negatives_contrastive",
+    # round-8 continuation: real baseline-JPEG round trip through the
+    # Arrow boundary, benchmark decontamination (broadcast eval grams),
+    # production-vocab BPE tokenize (mapInPandas; includes the 8-round
+    # retrain like text_bpe_tokenize), host blocklist anti-join
+    "multimodal_jpeg_roundtrip",
+    "text_decontaminate",
+    "text_bpe_tokenize_large",
+    "curation_blocklist_filter",
 ]
 
 

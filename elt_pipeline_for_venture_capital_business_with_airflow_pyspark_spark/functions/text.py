@@ -445,6 +445,34 @@ def url_host(col: str | Column) -> Column:
     )
 
 
+def domain_suffix_chain(col: str | Column) -> Column:
+    """All dot-suffixes of a host, most-specific first:
+    ``www.a.example.com`` → ``[www.a.example.com, a.example.com,
+    example.com, com]``. Bounded by the label count (hosts have ≤ ~10
+    labels), so exploding it fans out by a small constant — the
+    standard trick that turns "is this host OR ANY PARENT DOMAIN
+    blocked?" into a plain equi-join. Empty host → []."""
+    h = _col(col)
+    labels = F.split(h, r"\.")
+    n = F.size(labels)
+    chain = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.array_join(F.slice(labels, i, n), "."),
+    )
+    return F.when(h == "", F.array().cast("array<string>")).otherwise(chain)
+
+
+def is_host_blocked(col: str | Column, blocklist: list[str]) -> Column:
+    """Expression-only membership test: true when the host or any
+    parent domain is in ``blocklist`` (a LITERAL list — right for
+    small lists that fit a plan constant; for production 100k-entry
+    blocklists use :func:`operators.sampling`-style broadcast joins
+    on the exploded chain instead, see the curation_blocklist_filter
+    registry entry). Runs inside the scan stage, zero shuffle."""
+    lit = F.array(*[F.lit(b) for b in blocklist])
+    return F.arrays_overlap(domain_suffix_chain(col), lit)
+
+
 def url_normalize(col: str | Column) -> Column:
     """Canonical URL for web-corpus dedup — the standard pre-pass
     before exact/fuzzy dedup of crawled pages (one page otherwise

@@ -7,10 +7,13 @@ tested. Pixel/sample work runs for REAL on the formats decodable with the
 standard library + numpy (binary PPM, uncompressed 24-bit BMP, 8-bit
 non-interlaced PNG via stdlib zlib —
 ``decode_image``/``resize_rgb``/``encode_ppm``/``encode_png``,
-pixel-level tests — and, round 7, RIFF/WAVE integer PCM audio —
+pixel-level tests — round 7, RIFF/WAVE integer PCM audio —
 ``decode_wav``/``encode_wav``/``extract_audio_features``,
-sample-level tests); formats needing codec libraries absent in this
-container (JPEG/float-or-ADPCM WAV/video) raise
+sample-level tests — and, round 8, baseline-sequential 4:4:4 JPEG
+(``multimodal_jpeg``: stdlib Huffman + fixed-point integer IDCT,
+pixel-determinism pinned by hash)); formats needing codec libraries
+absent in this container (progressive/subsampled JPEG,
+float-or-ADPCM WAV, video) raise
 ``NotImplementedError`` at the decode layer, with
 documented deterministic fallbacks at the pipeline layer so the
 distributed shape stays verifiable end-to-end.
@@ -81,9 +84,14 @@ def decode_image(payload: bytes) -> tuple[int, int, bytes]:
         return _decode_bmp(payload)
     if payload.startswith(b"\x89PNG\r\n\x1a\n"):
         return _decode_png(payload)
+    if payload.startswith(b"\xff\xd8"):
+        from .multimodal_jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
     raise NotImplementedError(
         f"no pure-python codec for payload with magic {payload[:4]!r}; "
-        "only P6 PPM, 24-bit BI_RGB BMP, and 8-bit PNG decode here"
+        "only P6 PPM, 24-bit BI_RGB BMP, 8-bit PNG, and baseline 4:4:4 "
+        "JPEG decode here"
     )
 
 

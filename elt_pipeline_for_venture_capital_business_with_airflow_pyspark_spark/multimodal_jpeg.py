@@ -1,0 +1,652 @@
+"""Baseline-sequential JPEG codec, standard library only.
+
+Closes the last stdlib-feasible multimodal stub (VERDICT r7 #9): a
+real baseline JFIF encoder/decoder pair so `binary`-column JPEG
+payloads decode inside the same `mapInPandas` boundary as PNG/PPM/BMP
+(`multimodal.decode_image` dispatches on the 0xFFD8 magic). Scope is
+the honest-and-exact subset:
+
+- baseline sequential DCT (SOF0), 8-bit precision,
+- 4:4:4 (no chroma subsampling) or grayscale — the encoder only
+  emits 1x1 sampling factors and the decoder rejects anything else
+  with ``NotImplementedError`` (same boundary policy as the PNG
+  codec's Adam7 rejection),
+- Huffman entropy coding with inline-defined tables (the decoder
+  reads whatever DHT segments the file carries; the encoder emits
+  the ITU T.81 Annex K typical tables),
+- the decoder's IDCT is the Loeffler/AAN fixed-point INTEGER
+  algorithm (CONST_BITS=13, PASS1_BITS=2 — the arithmetic every
+  libjpeg-compatible decoder standardized on) and the YCbCr→RGB
+  step is 16-bit fixed point, so decoded pixels are bit-identical
+  across hosts/executors/retries — the determinism contract every
+  codec in this repo carries (cf. multimodal.decode_wav).
+
+Decode output is ``(width, height, rgb_bytes)`` — the same shape
+`multimodal.decode_image` returns for the other formats. JPEG is
+lossy: round-trips reproduce the IDCT of the quantized coefficients,
+not the source pixels; tests pin decoded bytes by hash (bit
+determinism) and against an independent float-IDCT twin (±1 of the
+exact transform), plus the exact gray-128 fixed point.
+
+Everything here derives from the public JPEG standard (ITU T.81) and
+the publicly documented fixed-point DCT literature. No reference-repo
+parity: the reference pipeline has no image path at all (SURVEY §2.8
+gap it never fills); this module serves the training-data side.
+"""
+
+from __future__ import annotations
+
+import struct
+
+__all__ = ["encode_jpeg", "decode_jpeg"]
+
+# ---------------------------------------------------------------------------
+# shared tables (ITU T.81)
+# ---------------------------------------------------------------------------
+
+ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+# Annex K base quantization tables (quality 50)
+_QUANT_LUMA = [
+    16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103, 99,
+]
+_QUANT_CHROMA = [
+    17, 18, 24, 47, 99, 99, 99, 99, 18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99, 47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+]
+
+# Annex K typical Huffman tables: (BITS counts[1..16], HUFFVAL symbols)
+_DC_LUMA = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_DC_CHROMA = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+        0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+        0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+        0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+        0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+        0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+        0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+        0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+        0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+        0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+_AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+        0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+        0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+        0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+        0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+        0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+        0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+        0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+        0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+        0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+        0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+        0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+        0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+
+
+def _scaled_quant(base: list[int], quality: int) -> list[int]:
+    """IJG quality scaling: 50 → base table, 1..100 clamps to [1,255]."""
+    quality = max(1, min(100, quality))
+    scale = 5000 // quality if quality < 50 else 200 - quality * 2
+    return [max(1, min(255, (q * scale + 50) // 100)) for q in base]
+
+
+def _build_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length) per T.81 C.2 canonical code assignment."""
+    codes: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+# ---------------------------------------------------------------------------
+# encoder
+# ---------------------------------------------------------------------------
+
+_DCT_COS: list[list[float]] | None = None
+
+
+def _dct_tables() -> list[list[float]]:
+    global _DCT_COS
+    if _DCT_COS is None:
+        import math
+
+        _DCT_COS = [
+            [math.cos((2 * x + 1) * u * math.pi / 16) for x in range(8)]
+            for u in range(8)
+        ]
+    return _DCT_COS
+
+
+def _fdct(block: list[int]) -> list[float]:
+    """Reference O(n^3) separable forward DCT (encoder only — the
+    encoder runs in one deterministic place; the DECODER is the
+    fixed-point path)."""
+    cos = _dct_tables()
+    tmp = [[0.0] * 8 for _ in range(8)]
+    for y in range(8):
+        for u in range(8):
+            tmp[y][u] = sum(block[y * 8 + x] * cos[u][x] for x in range(8))
+    out = [0.0] * 64
+    for v in range(8):
+        cv = 0.3535533905932738 if v == 0 else 0.5  # sqrt(1/8), sqrt(2/8)/sqrt(2)... C(v)/2
+        for u in range(8):
+            cu = 0.3535533905932738 if u == 0 else 0.5
+            s = sum(tmp[y][u] * cos[v][y] for y in range(8))
+            out[v * 8 + u] = cu * cv * s
+    return out
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            byte = (self.acc >> self.nbits) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:
+                self.buf.append(0x00)  # byte stuffing
+            self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # pad with 1s per T.81
+        return bytes(self.buf)
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """(size, amplitude bits) for a DC diff / AC coefficient."""
+    if v == 0:
+        return 0, 0
+    a = abs(v)
+    size = a.bit_length()
+    bits = v if v > 0 else v + (1 << size) - 1
+    return size, bits
+
+
+def _encode_block(
+    bw: _BitWriter,
+    coefs: list[int],
+    pred: int,
+    dc_codes: dict[int, tuple[int, int]],
+    ac_codes: dict[int, tuple[int, int]],
+) -> int:
+    zz = [coefs[ZIGZAG[i]] for i in range(64)]
+    size, bits = _magnitude(zz[0] - pred)
+    c, l = dc_codes[size]
+    bw.write(c, l)
+    if size:
+        bw.write(bits, size)
+    run = 0
+    for i in range(1, 64):
+        if zz[i] == 0:
+            run += 1
+            continue
+        while run > 15:
+            c, l = ac_codes[0xF0]  # ZRL
+            bw.write(c, l)
+            run -= 16
+        size, bits = _magnitude(zz[i])
+        c, l = ac_codes[(run << 4) | size]
+        bw.write(c, l)
+        bw.write(bits, size)
+        run = 0
+    if run:
+        c, l = ac_codes[0x00]  # EOB
+        bw.write(c, l)
+    return zz[0]
+
+
+def encode_jpeg(w: int, h: int, rgb: bytes, quality: int = 85) -> bytes:
+    """Baseline-sequential 4:4:4 JFIF encoder. Deterministic: float
+    FDCT in fixed evaluation order, round-half-away quantization."""
+    if len(rgb) != w * h * 3:
+        raise ValueError("rgb length != w*h*3")
+    ql = _scaled_quant(_QUANT_LUMA, quality)
+    qc = _scaled_quant(_QUANT_CHROMA, quality)
+
+    # RGB -> YCbCr (JFIF), integer rounded
+    ny, ncb, ncr = [], [], []
+    for i in range(w * h):
+        r, g, b = rgb[3 * i], rgb[3 * i + 1], rgb[3 * i + 2]
+        y = int(0.299 * r + 0.587 * g + 0.114 * b + 0.5)
+        cb = int(128.5 - 0.168735892 * r - 0.331264108 * g + 0.5 * b)
+        cr = int(128.5 + 0.5 * r - 0.418687589 * g - 0.081312411 * b)
+        ny.append(min(255, max(0, y)))
+        ncb.append(min(255, max(0, cb)))
+        ncr.append(min(255, max(0, cr)))
+
+    bw = _BitWriter()
+    dcl = _build_codes(*_DC_LUMA)
+    acl = _build_codes(*_AC_LUMA)
+    dcc = _build_codes(*_DC_CHROMA)
+    acc = _build_codes(*_AC_CHROMA)
+    preds = [0, 0, 0]
+    bw_blocks_y = (h + 7) // 8
+    bw_blocks_x = (w + 7) // 8
+    for by in range(bw_blocks_y):
+        for bx in range(bw_blocks_x):
+            for ci, (plane, qt, dc_c, ac_c) in enumerate(
+                ((ny, ql, dcl, acl), (ncb, qc, dcc, acc), (ncr, qc, dcc, acc))
+            ):
+                block = []
+                for yy in range(8):
+                    sy = min(h - 1, by * 8 + yy)
+                    for xx in range(8):
+                        sx = min(w - 1, bx * 8 + xx)
+                        block.append(plane[sy * w + sx] - 128)
+                coefs = _fdct(block)
+                qcoef = []
+                for i in range(64):
+                    v = coefs[i] / qt[i]
+                    qcoef.append(int(v + 0.5) if v >= 0 else -int(-v + 0.5))
+                preds[ci] = _encode_block(bw, qcoef, preds[ci], dc_c, ac_c)
+
+    out = bytearray()
+    out += b"\xff\xd8"  # SOI
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    for tid, qt in ((0, ql), (1, qc)):
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tid])
+        out += bytes(qt[ZIGZAG[i]] for i in range(64))
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 17, 8, h, w, 3)
+    for cid, tq in ((1, 0), (2, 1), (3, 1)):
+        out += bytes([cid, 0x11, tq])  # 1x1 sampling
+    for cls, tid, (bits, vals) in (
+        (0, 0, _DC_LUMA), (1, 0, _AC_LUMA), (0, 1, _DC_CHROMA), (1, 1, _AC_CHROMA)
+    ):
+        out += b"\xff\xc4" + struct.pack(">H", 19 + len(vals))
+        out += bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals)
+    out += b"\xff\xda" + struct.pack(">HB", 12, 3)
+    for cid, tabs in ((1, 0x00), (2, 0x11), (3, 0x11)):
+        out += bytes([cid, tabs])
+    out += b"\x00\x3f\x00"  # Ss=0 Se=63 Ah/Al=0
+    out += bw.flush()
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# decoder
+# ---------------------------------------------------------------------------
+
+
+class _BitReader:
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            if self.pos >= len(self.data):
+                raise NotImplementedError("JPEG entropy stream truncated")
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                if self.pos >= len(self.data):
+                    raise NotImplementedError("JPEG entropy stream truncated")
+                nxt = self.data[self.pos]
+                if nxt == 0x00:
+                    self.pos += 1  # stuffed byte
+                else:
+                    raise NotImplementedError(
+                        f"unexpected marker 0xFF{nxt:02X} inside entropy data "
+                        "(restart intervals unsupported)"
+                    )
+            self.acc = b
+            self.nbits = 8
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+
+def _extend(v: int, size: int) -> int:
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+class _HuffTable:
+    def __init__(self, bits: list[int], vals: list[int]) -> None:
+        # (length, code) -> symbol lookup, canonical T.81 assignment
+        self.lookup: dict[tuple[int, int], int] = {}
+        code = 0
+        k = 0
+        for length in range(1, 17):
+            for _ in range(bits[length - 1]):
+                self.lookup[(length, code)] = vals[k]
+                code += 1
+                k += 1
+            code <<= 1
+
+    def decode(self, br: _BitReader) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | br.read_bit()
+            sym = self.lookup.get((length, code))
+            if sym is not None:
+                return sym
+        raise NotImplementedError("invalid JPEG Huffman code")
+
+
+# Loeffler fixed-point IDCT constants (CONST_BITS=13 scaling of the
+# published rotation coefficients — the standard "islow" arithmetic)
+_CONST_BITS = 13
+_PASS1_BITS = 2
+_F_0_298631336 = 2446
+_F_0_390180644 = 3196
+_F_0_541196100 = 4433
+_F_0_765366865 = 6270
+_F_0_899976223 = 7373
+_F_1_175875602 = 9633
+_F_1_501321110 = 12299
+_F_1_847759065 = 15137
+_F_1_961570560 = 16069
+_F_2_053119869 = 16819
+_F_2_562915447 = 20995
+_F_3_072711026 = 25172
+
+
+def _idct_islow(coefs: list[int]) -> list[int]:
+    """Fixed-point 2-D 8x8 IDCT (Loeffler et al., integer arithmetic,
+    CONST_BITS=13 / PASS1_BITS=2). Output is the level-shifted sample
+    block in [-256, 255]ish range before clamping; all operations are
+    exact integer ops — bit-identical everywhere."""
+    ws = [0] * 64
+    # pass 1: columns
+    for c in range(8):
+        col = [coefs[r * 8 + c] for r in range(8)]
+        if not any(col[1:]):
+            dc = col[0] << _PASS1_BITS
+            for r in range(8):
+                ws[r * 8 + c] = dc
+            continue
+        z2, z3 = col[2], col[6]
+        z1 = (z2 + z3) * _F_0_541196100
+        tmp2 = z1 + z3 * (-_F_1_847759065)
+        tmp3 = z1 + z2 * _F_0_765366865
+        z2, z3 = col[0], col[4]
+        tmp0 = (z2 + z3) << _CONST_BITS
+        tmp1 = (z2 - z3) << _CONST_BITS
+        t10, t13 = tmp0 + tmp3, tmp0 - tmp3
+        t11, t12 = tmp1 + tmp2, tmp1 - tmp2
+        tmp0, tmp1, tmp2, tmp3 = col[7], col[5], col[3], col[1]
+        z1 = tmp0 + tmp3
+        z2 = tmp1 + tmp2
+        z3 = tmp0 + tmp2
+        z4 = tmp1 + tmp3
+        z5 = (z3 + z4) * _F_1_175875602
+        tmp0 *= _F_0_298631336
+        tmp1 *= _F_2_053119869
+        tmp2 *= _F_3_072711026
+        tmp3 *= _F_1_501321110
+        z1 *= -_F_0_899976223
+        z2 *= -_F_2_562915447
+        z3 = z3 * (-_F_1_961570560) + z5
+        z4 = z4 * (-_F_0_390180644) + z5
+        tmp0 += z1 + z3
+        tmp1 += z2 + z4
+        tmp2 += z2 + z3
+        tmp3 += z1 + z4
+        rnd = 1 << (_CONST_BITS - _PASS1_BITS - 1)
+        ws[0 * 8 + c] = (t10 + tmp3 + rnd) >> (_CONST_BITS - _PASS1_BITS)
+        ws[7 * 8 + c] = (t10 - tmp3 + rnd) >> (_CONST_BITS - _PASS1_BITS)
+        ws[1 * 8 + c] = (t11 + tmp2 + rnd) >> (_CONST_BITS - _PASS1_BITS)
+        ws[6 * 8 + c] = (t11 - tmp2 + rnd) >> (_CONST_BITS - _PASS1_BITS)
+        ws[2 * 8 + c] = (t12 + tmp1 + rnd) >> (_CONST_BITS - _PASS1_BITS)
+        ws[5 * 8 + c] = (t12 - tmp1 + rnd) >> (_CONST_BITS - _PASS1_BITS)
+        ws[3 * 8 + c] = (t13 + tmp0 + rnd) >> (_CONST_BITS - _PASS1_BITS)
+        ws[4 * 8 + c] = (t13 - tmp0 + rnd) >> (_CONST_BITS - _PASS1_BITS)
+    # pass 2: rows
+    out = [0] * 64
+    shift = _CONST_BITS + _PASS1_BITS + 3
+    rnd = 1 << (shift - 1)
+    for r in range(8):
+        row = ws[r * 8 : r * 8 + 8]
+        z2, z3 = row[2], row[6]
+        z1 = (z2 + z3) * _F_0_541196100
+        tmp2 = z1 + z3 * (-_F_1_847759065)
+        tmp3 = z1 + z2 * _F_0_765366865
+        tmp0 = (row[0] + row[4]) << _CONST_BITS
+        tmp1 = (row[0] - row[4]) << _CONST_BITS
+        t10, t13 = tmp0 + tmp3, tmp0 - tmp3
+        t11, t12 = tmp1 + tmp2, tmp1 - tmp2
+        tmp0, tmp1, tmp2, tmp3 = row[7], row[5], row[3], row[1]
+        z1 = tmp0 + tmp3
+        z2 = tmp1 + tmp2
+        z3 = tmp0 + tmp2
+        z4 = tmp1 + tmp3
+        z5 = (z3 + z4) * _F_1_175875602
+        tmp0 *= _F_0_298631336
+        tmp1 *= _F_2_053119869
+        tmp2 *= _F_3_072711026
+        tmp3 *= _F_1_501321110
+        z1 *= -_F_0_899976223
+        z2 *= -_F_2_562915447
+        z3 = z3 * (-_F_1_961570560) + z5
+        z4 = z4 * (-_F_0_390180644) + z5
+        tmp0 += z1 + z3
+        tmp1 += z2 + z4
+        tmp2 += z2 + z3
+        tmp3 += z1 + z4
+        out[r * 8 + 0] = (t10 + tmp3 + rnd) >> shift
+        out[r * 8 + 7] = (t10 - tmp3 + rnd) >> shift
+        out[r * 8 + 1] = (t11 + tmp2 + rnd) >> shift
+        out[r * 8 + 6] = (t11 - tmp2 + rnd) >> shift
+        out[r * 8 + 2] = (t12 + tmp1 + rnd) >> shift
+        out[r * 8 + 5] = (t12 - tmp1 + rnd) >> shift
+        out[r * 8 + 3] = (t13 + tmp0 + rnd) >> shift
+        out[r * 8 + 4] = (t13 - tmp0 + rnd) >> shift
+    return out
+
+
+def decode_jpeg(payload: bytes) -> tuple[int, int, bytes]:
+    """Decode a baseline-sequential 4:4:4 (or grayscale) JFIF payload
+    to ``(width, height, rgb)``. Progressive JPEG, chroma subsampling,
+    restart intervals, arithmetic coding, and 12-bit precision raise
+    ``NotImplementedError`` (honest boundary — same policy as the PNG
+    codec)."""
+    if not payload.startswith(b"\xff\xd8"):
+        raise NotImplementedError("not a JPEG payload (missing SOI)")
+    pos = 2
+    quant: dict[int, list[int]] = {}
+    huff: dict[tuple[int, int], _HuffTable] = {}
+    frame = None  # (w, h, [(cid, qtab)])
+    scan = None
+
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise NotImplementedError("JPEG marker desync")
+        marker = payload[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        seglen = struct.unpack(">H", payload[pos : pos + 2])[0]
+        seg = payload[pos + 2 : pos + seglen]
+        if marker == 0xDB:  # DQT
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 0xF
+                if pq != 0:
+                    raise NotImplementedError("16-bit JPEG quant tables unsupported")
+                zz = list(seg[p + 1 : p + 65])
+                if len(zz) < 64:
+                    raise NotImplementedError("truncated JPEG DQT segment")
+                tbl = [0] * 64
+                for i in range(64):
+                    tbl[ZIGZAG[i]] = zz[i]
+                quant[tq] = tbl
+                p += 65
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p < len(seg):
+                cls, tid = seg[p] >> 4, seg[p] & 0xF
+                bits = list(seg[p + 1 : p + 17])
+                n = sum(bits)
+                vals = list(seg[p + 17 : p + 17 + n])
+                if len(bits) < 16 or len(vals) < n:
+                    raise NotImplementedError("truncated JPEG DHT segment")
+                huff[(cls, tid)] = _HuffTable(bits, vals)
+                p += 17 + n
+        elif marker == 0xC0:  # SOF0 baseline
+            prec, fh, fw, nc = seg[0], struct.unpack(">H", seg[1:3])[0], struct.unpack(">H", seg[3:5])[0], seg[5]
+            if prec != 8:
+                raise NotImplementedError(f"JPEG precision {prec} unsupported")
+            if nc not in (1, 3):
+                raise NotImplementedError(f"JPEG with {nc} components unsupported")
+            comps = []
+            for i in range(nc):
+                cid, hv, tq = seg[6 + 3 * i], seg[7 + 3 * i], seg[8 + 3 * i]
+                if hv != 0x11:
+                    raise NotImplementedError(
+                        "chroma-subsampled JPEG unsupported (4:4:4 only)"
+                    )
+                comps.append((cid, tq))
+            frame = (fw, fh, comps)
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"non-baseline JPEG (SOF{marker - 0xC0}) unsupported"
+            )
+        elif marker == 0xDD:
+            raise NotImplementedError("JPEG restart intervals unsupported")
+        elif marker == 0xDA:  # SOS
+            ns = seg[0]
+            stabs = []
+            for i in range(ns):
+                cid, tabs = seg[1 + 2 * i], seg[2 + 2 * i]
+                stabs.append((cid, tabs >> 4, tabs & 0xF))
+            scan = (stabs, pos + seglen)
+            break
+        pos += seglen
+
+    if frame is None or scan is None:
+        raise NotImplementedError("JPEG missing SOF0/SOS")
+    w, h, comps = frame
+    if w <= 0 or h <= 0:
+        raise NotImplementedError("non-positive JPEG dimensions")
+    stabs, data_start = scan
+    # entropy data runs until EOI
+    end = payload.rfind(b"\xff\xd9")
+    if end < 0:
+        end = len(payload)
+    br = _BitReader(payload[data_start:end])
+
+    nbx, nby = (w + 7) // 8, (h + 7) // 8
+    planes = [[0] * (nbx * 8 * nby * 8) for _ in comps]
+    preds = [0] * len(comps)
+    comp_tabs = []
+    for (cid, tq) in comps:
+        match = [s for s in stabs if s[0] == cid]
+        if not match or tq not in quant:
+            raise NotImplementedError("JPEG scan/table wiring incomplete")
+        _, td, ta = match[0]
+        if (0, td) not in huff or (1, ta) not in huff:
+            raise NotImplementedError("JPEG missing Huffman table")
+        comp_tabs.append((quant[tq], huff[(0, td)], huff[(1, ta)]))
+
+    for by in range(nby):
+        for bx in range(nbx):
+            for ci, (qt, dct, act) in enumerate(comp_tabs):
+                coefs = [0] * 64
+                size = dct.decode(br)
+                diff = _extend(br.read_bits(size), size) if size else 0
+                preds[ci] += diff
+                coefs[0] = preds[ci] * qt[0]
+                k = 1
+                while k < 64:
+                    rs = act.decode(br)
+                    run, size = rs >> 4, rs & 0xF
+                    if size == 0:
+                        if run == 15:
+                            k += 16  # ZRL
+                            continue
+                        break  # EOB
+                    k += run
+                    if k > 63:
+                        raise NotImplementedError("JPEG AC index overflow")
+                    coefs[ZIGZAG[k]] = _extend(br.read_bits(size), size) * qt[ZIGZAG[k]]
+                    k += 1
+                px = _idct_islow(coefs)
+                row_w = nbx * 8
+                base = (by * 8) * row_w + bx * 8
+                plane = planes[ci]
+                for yy in range(8):
+                    off = base + yy * row_w
+                    for xx in range(8):
+                        v = px[yy * 8 + xx] + 128
+                        plane[off + xx] = 0 if v < 0 else (255 if v > 255 else v)
+
+    row_w = nbx * 8
+    rgb = bytearray(w * h * 3)
+    if len(comps) == 1:
+        yp = planes[0]
+        for y in range(h):
+            for x in range(w):
+                v = yp[y * row_w + x]
+                i = (y * w + x) * 3
+                rgb[i] = rgb[i + 1] = rgb[i + 2] = v
+        return w, h, bytes(rgb)
+    yp, cbp, crp = planes
+    # fixed-point YCbCr->RGB (16-bit fractional, round-half-up)
+    half = 1 << 15
+    for y in range(h):
+        for x in range(w):
+            p = y * row_w + x
+            Y, cb, cr = yp[p], cbp[p] - 128, crp[p] - 128
+            r = Y + ((91881 * cr + half) >> 16)
+            g = Y - ((22554 * cb + 46802 * cr + half) >> 16)
+            b = Y + ((116130 * cb + half) >> 16)
+            i = (y * w + x) * 3
+            rgb[i] = 0 if r < 0 else (255 if r > 255 else r)
+            rgb[i + 1] = 0 if g < 0 else (255 if g > 255 else g)
+            rgb[i + 2] = 0 if b < 0 else (255 if b > 255 else b)
+    return w, h, bytes(rgb)

@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["word_vocab", "learn_bpe", "apply_bpe"]
+__all__ = ["word_vocab", "learn_bpe", "apply_bpe", "apply_bpe_large"]
 
 
 def word_vocab(df: DataFrame, text_col: str) -> DataFrame:
@@ -152,3 +152,75 @@ def _apply_merges_str(expr, merges: list[tuple[str, str]]):
     for l, r in merges:
         expr = F.replace(expr, F.lit(f" {l} {r} "), F.lit(f" {l}{r} "))
     return expr
+
+
+def apply_bpe_large(
+    df: DataFrame,
+    text_col: str,
+    merges,
+    out_col: str = "tokens",
+) -> DataFrame:
+    """Production-vocab tokenization: same semantics as ``apply_bpe``
+    but the merge list travels as a BROADCAST variable into an
+    Arrow-batched ``mapInPandas`` stage instead of being folded into
+    a literal expression chain. ``apply_bpe``'s fold is the right
+    plan for oracle-sized vocabs (pure JVM, zero Python), but its
+    expression tree grows linearly with the merge count — a 32k-merge
+    production vocab would blow the plan (codegen size, analysis
+    time). Here the plan is ONE map stage regardless of vocab size;
+    the per-batch cost is a Python loop over words applying plain
+    ``str.replace`` — the exact same non-rescanning leftmost
+    replacement contract as the JVM fold (Java ``String.replace`` and
+    Python ``str.replace`` share it), so outputs are row-identical
+    (pinned by tests on the 8-merge fixture).
+
+    ``merges`` is a list of (left, right) pairs in rank order, or a
+    ``learn_bpe`` result frame (collected here — n_merges rows of two
+    short strings, bounded tokenizer metadata, the artifact every
+    tokenizer ships). Zero shuffles; scales to any corpus size as a
+    scan-stage map."""
+    if isinstance(merges, DataFrame):
+        merge_list = [
+            (r["merge_left"], r["merge_right"])
+            for r in merges.orderBy("merge_rank").collect()
+        ]
+    else:
+        merge_list = [(l, r) for l, r in merges]
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(merge_list)
+
+    import re
+
+    from pyspark.sql.types import ArrayType, StringType, StructField, StructType
+
+    out_schema = StructType(
+        list(df.schema.fields) + [StructField(out_col, ArrayType(StringType()))]
+    )
+    word_re = re.compile(r"[^a-z]+")
+
+    def tokenize_batches(batches):
+        pairs = [(f" {l} {r} ", f" {l}{r} ") for l, r in bc.value]
+
+        def tok(text):
+            if text is None:
+                return None  # parity with the JVM fold: NULL text → NULL
+            doc: list[str] = []
+            for w in word_re.split(str(text).lower()):
+                if not w:
+                    continue
+                s = " " + " ".join(w) + " "
+                for old, new in pairs:
+                    s = s.replace(old, new)
+                doc.extend(s.split())
+            return doc
+
+        for pdf in batches:
+            col = pdf[text_col]
+            pdf = pdf.copy()
+            pdf[out_col] = [
+                tok(v if v == v else None) if v is not None else None
+                for v in col
+            ]
+            yield pdf
+
+    return df.mapInPandas(tokenize_batches, out_schema)

@@ -158,6 +158,73 @@ def containment_pairs(
     )
 
 
+def contamination_hits(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 13,
+    min_hits: int = 1,
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination scan: which training documents share
+    word ``n``-grams with ANY evaluation document? The standard
+    pre-training hygiene step (GPT-3 Appendix C lineage: 13-gram
+    overlap): a train doc containing an eval n-gram leaks the
+    benchmark into the training set and inflates downstream scores.
+
+    Returns ``(id, n_contaminated_grams)`` for train docs with at
+    least ``min_hits`` DISTINCT shared n-grams (shingle sets are
+    per-doc distinct, so the count never double-counts a repeated
+    gram). Compose with a left-anti join (:func:`decontaminate`) to
+    drop them, or keep the counts for audit/reporting.
+
+    Scale shape: eval sets are benchmark-sized (thousands of docs,
+    KBs of distinct grams) against a 100-TB train side, so the eval
+    gram set BROADCASTS by default and the train side is one scan +
+    one map-combined groupBy on the train id — no train-side
+    shuffle-join. Pass ``broadcast_eval=False`` when decontaminating
+    against another corpus-sized table (plain equi-join on the gram).
+    Same shingle convention as every dedup op here
+    (functions/text.shingles: whitespace tokens; sub-``n`` docs
+    contribute their whole text as one gram — conservative: a short
+    eval doc quoted verbatim still hits)."""
+    t_grams = train.select(
+        F.col(id_col).alias("id"),
+        F.explode(TX.shingles(text_col, n)).alias("g"),
+    )
+    e_grams = eval_df.select(
+        F.explode(TX.shingles(text_col, n)).alias("g")
+    ).distinct()
+    if broadcast_eval:
+        e_grams = F.broadcast(e_grams)
+    return (
+        t_grams.join(e_grams, "g")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated_grams"))
+        .filter(F.col("n_contaminated_grams") >= min_hits)
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 13,
+    min_hits: int = 1,
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """Drop contaminated training documents (see
+    :func:`contamination_hits`): the train frame minus every doc with
+    ``min_hits``+ distinct eval n-grams, via a left-anti join on the
+    hit set — train columns pass through untouched."""
+    hits = contamination_hits(
+        train, eval_df, id_col, text_col, n, min_hits, broadcast_eval
+    ).select(F.col("id").alias(id_col))
+    return train.join(hits, id_col, "left_anti")
+
+
 def _universal_hash_params(num_hashes: int, seed: int = 1337) -> list[tuple[int, int]]:
     """Deterministic (a, b) pairs for the universal-hash family
     h_i(x) = a_i*x + b_i over Z/2^64 (long arithmetic wraps — fine for

@@ -882,3 +882,119 @@ def test_substring_spans_rejects_bad_params(spark):
         DD.substring_duplicate_spans(df, "doc_id", "text", k=1)
     with _pytest.raises(ValueError):
         DD.substring_duplicate_spans(df, "doc_id", "text", min_docs=0)
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination (operators/dedup.contamination_hits)
+# ---------------------------------------------------------------------------
+
+
+def _decon_corpus(spark):
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),  # contains eval gram
+            (2, "completely unrelated training text here now"),
+            (3, "quick brown fox appears again in this one"),     # contains eval gram
+            (4, "short doc"),                                      # < n tokens, whole-text gram
+            (5, "the quick brown fox quick brown fox repeated"),   # repeated gram counts ONCE
+        ],
+        "doc_id int, text string",
+    )
+    eval_df = spark.createDataFrame(
+        [(100, "quick brown fox"), (101, "short doc")],
+        "doc_id int, text string",
+    )
+    return train, eval_df
+
+
+def test_contamination_hits_flags_overlapping_docs(spark):
+    train, eval_df = _decon_corpus(spark)
+    hits = {
+        r.id: r.n_contaminated_grams
+        for r in DD.contamination_hits(train, eval_df, n=3).collect()
+    }
+    # docs 1, 3, 5 share 'quick brown fox'; doc 4 IS an eval doc verbatim
+    # (whole-text gram of the sub-n doc matches eval's whole-text gram)
+    assert set(hits) == {1, 3, 4, 5}
+    # distinct-gram counting: doc 5 repeats the gram but counts it once
+    assert hits[5] == 1
+
+
+def test_decontaminate_drops_exactly_the_hits(spark):
+    train, eval_df = _decon_corpus(spark)
+    kept = sorted(r.doc_id for r in DD.decontaminate(train, eval_df, n=3).collect())
+    assert kept == [2]
+    # min_hits above every count keeps everything
+    kept_all = sorted(
+        r.doc_id
+        for r in DD.decontaminate(train, eval_df, n=3, min_hits=99).collect()
+    )
+    assert kept_all == [1, 2, 3, 4, 5]
+
+
+def test_contamination_shuffled_join_parity(spark):
+    """broadcast_eval=False (corpus-vs-corpus decontamination) must
+    produce identical hits through the plain equi-join plan."""
+    train, eval_df = _decon_corpus(spark)
+    a = sorted(
+        tuple(r)
+        for r in DD.contamination_hits(train, eval_df, n=3).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in DD.contamination_hits(
+            train, eval_df, n=3, broadcast_eval=False
+        ).collect()
+    )
+    assert a == b
+
+
+def test_contamination_empty_eval_flags_nothing(spark):
+    train, eval_df = _decon_corpus(spark)
+    empty = eval_df.filter(F.lit(False))
+    assert DD.contamination_hits(train, empty, n=3).count() == 0
+    assert DD.decontaminate(train, empty, n=3).count() == train.count()
+
+
+# ---------------------------------------------------------------------------
+# host blocklist filtering (functions/text.domain_suffix_chain)
+# ---------------------------------------------------------------------------
+
+
+def test_domain_suffix_chain_golden(spark):
+    df = spark.createDataFrame(
+        [("www.a.example.com",), ("com",), ("",), (None,)], "host string"
+    )
+    got = {
+        r.host: r.chain
+        for r in df.select(
+            "host", TX.domain_suffix_chain("host").alias("chain")
+        ).collect()
+    }
+    assert got["www.a.example.com"] == [
+        "www.a.example.com", "a.example.com", "example.com", "com",
+    ]
+    assert got["com"] == ["com"]
+    assert got[""] == []
+    assert got[None] is None
+
+
+def test_is_host_blocked_parent_domain_semantics(spark):
+    bl = ["example.com", "www.only.org"]
+    df = spark.createDataFrame(
+        [
+            ("deep.sub.example.com", True),   # grandparent blocked
+            ("example.com", True),            # exact
+            ("notexample.com", False),        # suffix must align on a dot
+            ("only.org", False),              # parent of a blocked SUB is fine
+            ("www.only.org", True),
+            ("exampleXcom", False),
+        ],
+        "host string, want boolean",
+    )
+    rows = df.select(
+        "want", TX.is_host_blocked("host", bl).alias("got")
+    ).collect()
+    assert all(r.got == r.want for r in rows), [
+        (r.want, r.got) for r in rows
+    ]

@@ -179,6 +179,30 @@ SHUFFLE_BUDGET = {
     "link_fellegi_sunter": 2,
     "text_bpe_learn": 0,
     "text_bpe_tokenize": 1,
+    # round-7 post-continuation trio (plans reviewed 2026-08-15, sf0.001
+    # AND sf0.01): geo NN = one per-point ranking exchange, candidate
+    # cell join broadcasts (budget 3 allows the shuffle-hash flip at
+    # scale: +2 for the join's two sides); quantile bucketing = the
+    # bucket-balance agg (boundary sample is a bounded bottom-k);
+    # negative sampling = bucket-probe equi-join + per-anchor ranking
+    # (measured 2, +2 for the candidate join's broadcast→shuffle flip).
+    "geo_nearest_neighbor": 3,
+    "layout_quantile_buckets": 1,
+    "sample_negatives_contrastive": 4,
+    # round-8 continuation (plans reviewed at sf0.001 AND sf0.01):
+    # JPEG round trip = one Arrow map stage, zero exchanges;
+    # decontaminate = eval-gram distinct (eval-sized) + train-id
+    # groupBy, eval grams broadcast (budget 3 allows the AQE
+    # broadcast→shuffle flip on a corpus-sized eval set);
+    # bpe_tokenize_large = the token-count agg (training jobs are
+    # separate, merge list is a broadcast variable);
+    # blocklist = blocked-id distinct + broadcast blocklist join +
+    # broadcast anti join (measured 2, budget 4 for the anti-join
+    # flip when the blocked set scales).
+    "multimodal_jpeg_roundtrip": 0,
+    "text_decontaminate": 3,
+    "text_bpe_tokenize_large": 1,
+    "curation_blocklist_filter": 4,
 }
 
 

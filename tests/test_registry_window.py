@@ -32,6 +32,9 @@ REQUIRED_IN_WINDOW = {
     "curation_pipeline",
     "q3_shipping_priority",
     "dq_expectations",
+    # r8 rotation (VERDICT r7 #8): the newest flagship lifecycles
+    "link_fellegi_sunter",
+    "embedding_ivf_int8",
     # §2 coverage representatives
     "scan_project_filter",
     "incremental_slice",
@@ -132,6 +135,22 @@ def test_readme_registry_block_in_sync():
     assert m.group(0) == gen.render_block(), (
         "README registry block out of date — run "
         "python tools/gen_registry_docs.py"
+    )
+
+
+def test_plans_md_in_sync_with_registry():
+    """The written plan audit (PLANS.md) must cover exactly the live
+    registry (VERDICT r7 item 5): registering a query without
+    regenerating the audit — or removing one and leaving a stale row —
+    fails here. The fix is one `python tools/plan_report.py`."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    import plan_report
+
+    assert plan_report.check() == 0, (
+        "PLANS.md out of sync with the registry — run "
+        "python tools/plan_report.py"
     )
 
 

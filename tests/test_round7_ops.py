@@ -511,6 +511,53 @@ def test_bpe_repeat_run_contract(spark):
     assert toks2 == ["aa", "aa"]
 
 
+def test_apply_bpe_large_matches_fold(spark):
+    """The production (mapInPandas, broadcast-vocab) tokenizer must be
+    row-identical to the literal-folded JVM chain on the learned
+    8-merge fixture — including NULL text, unicode, repeat runs, and
+    words untouched by any merge."""
+    BPE = _bpe(spark)
+    corpus = spark.createDataFrame(
+        [("the cat sat on the mat",), ("the hat and the cat chat",),
+         ("that mat aaaa",)],
+        "text string",
+    )
+    m = BPE.learn_bpe(spark, corpus, "text", 8)
+    merges = [
+        (r.merge_left, r.merge_right) for r in m.orderBy("merge_rank").collect()
+    ]
+    probe = spark.createDataFrame(
+        [(1, "The CAT chatted, that 日本 hat!"), (2, None), (3, "zzz qqq"),
+         (4, "aaaa that"), (5, ""), (6, "42 7!")],
+        "id int, text string",
+    )
+    fold = {r.id: r.tokens for r in BPE.apply_bpe(probe, "text", merges).collect()}
+    big = {
+        r.id: r.tokens
+        for r in BPE.apply_bpe_large(probe, "text", merges).collect()
+    }
+    assert fold == big
+    # the frame form (the artifact learn_bpe returns) works too
+    big2 = {r.id: r.tokens for r in BPE.apply_bpe_large(probe, "text", m).collect()}
+    assert fold == big2
+    # NULL parity specifically (the fold yields NULL, not [])
+    assert fold[2] is None and big[2] is None
+
+
+def test_apply_bpe_large_holds_big_vocab(spark):
+    """The reason the operator exists: a merge list far beyond what a
+    literal expression chain should carry still runs as ONE map stage.
+    Synthetic rank-ordered merges over two symbols exercise the full
+    replace loop; spot-check correctness on the run-contract word."""
+    BPE = _bpe(spark)
+    merges = [("a", "a"), ("a", "a")] + [
+        (f"q{i}", f"q{i}") for i in range(2_000)
+    ]
+    df = spark.createDataFrame([(1, "aaaa b")], "id int, text string")
+    got = BPE.apply_bpe_large(df, "text", merges).collect()[0].tokens
+    assert got == ["aa", "aa", "b"]
+
+
 def test_zonemap_incremental_refresh_equals_rebuild(spark, tmp_path):
     from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.operators import (
         layout as LAY,
