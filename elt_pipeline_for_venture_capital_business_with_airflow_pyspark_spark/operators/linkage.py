@@ -34,10 +34,10 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["FieldRule", "link_pairs"]
+__all__ = ["FieldRule", "link_pairs", "golden_records"]
 
 _ASCII_ONLY = "[^\\x20-\\x7E]"
 
@@ -124,3 +124,69 @@ def link_pairs(
             "score_x1000",
         )
     )
+
+
+def golden_records(
+    records: DataFrame,
+    components: DataFrame,
+    id_col: str,
+    first_nonnull_cols: list[str] | None = None,
+    mode_cols: list[str] | None = None,
+) -> DataFrame:
+    """MDM survivorship: collapse each linked component to ONE golden
+    row — the step link_pairs + dedup.connected_components exist for.
+    ``components`` is the (id, component) frame connected_components
+    returns; ``records`` the original rows.
+
+    Two deterministic survivorship rules (both standard MDM policies,
+    both exact — no floats, no nondeterministic ``first()``):
+
+    - ``first_nonnull_cols``: the attribute of the LOWEST-id member
+      holding a non-null value (source-priority coalesce; id order is
+      the priority order after upstream id assignment). Implemented
+      as a sorted-struct fold inside ONE grouped aggregation — the
+      repo's _knn_avg pattern: ``collect_list(struct(id, v))`` →
+      ``sort_array`` → drop nulls → element 1. Component sizes are
+      dedup-cluster sizes (bounded, stars/cliques), so the per-group
+      list is KB-scale, never data-sized.
+    - ``mode_cols``: the most frequent non-null value in the
+      component, ties → smallest value. One count aggregation per
+      column + a row_number argmax, all component-sized.
+
+    Output: one row per component — ``(component, n_members,
+    <first_nonnull cols>, <mode cols>)``. Singleton components (rows
+    never linked) survive as themselves, so the output is a complete
+    deduplicated master table, not just the merged clusters."""
+    first_nonnull_cols = first_nonnull_cols or []
+    mode_cols = mode_cols or []
+    labeled = records.join(
+        components.select(F.col("id").alias(id_col), "component"), id_col
+    )
+
+    aggs = [F.count(F.lit(1)).alias("n_members")]
+    for c in first_nonnull_cols:
+        sorted_members = F.sort_array(
+            F.collect_list(F.struct(F.col(id_col).alias("i"), F.col(c).alias("v")))
+        )
+        nonnull = F.filter(sorted_members, lambda s: s["v"].isNotNull())
+        aggs.append(F.get(nonnull, 0)["v"].alias(c))
+    golden = labeled.groupBy("component").agg(*aggs)
+
+    for c in mode_cols:
+        counts = (
+            labeled.filter(F.col(c).isNotNull())
+            .groupBy("component", c)
+            .agg(F.count(F.lit(1)).alias("__n"))
+        )
+        w = Window.partitionBy("component").orderBy(
+            F.col("__n").desc(), F.col(c)
+        )
+        best = (
+            counts.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("component", F.col(c).alias(f"__mode_{c}"))
+        )
+        golden = golden.join(best, "component", "left").withColumnRenamed(
+            f"__mode_{c}", c
+        )
+    return golden
