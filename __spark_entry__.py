@@ -4154,6 +4154,62 @@ def _curation_blocklist_filter(spark: SparkSession, sf: str) -> DataFrame:
     return hosts.join(blocked, "doc_id", "left_anti")
 
 
+@_register(
+    "curation_quality_percentile",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, source, text, {_TOKENS_SQL} AS toks FROM documents
+    ), feats AS (
+      SELECT doc_id, source,
+             CAST(len(toks) AS INT) AS n_tokens,
+             CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 \\t\\n]')) AS INT) AS n_punct,
+             CAST(len(list_filter(toks, x -> list_contains({_SW_LIST}, x))) AS INT) AS n_stopwords,
+             CAST(length(text) AS INT) AS n_chars
+      FROM tok
+    ), scored AS (
+      SELECT doc_id, source,
+             CASE WHEN n_tokens = 0 THEN CAST(0.0 AS DOUBLE) ELSE
+               least(CAST(1.0 AS DOUBLE), CAST(n_tokens AS DOUBLE) / CAST(100.0 AS DOUBLE)) * CAST(0.4 AS DOUBLE)
+               + least(CAST(1.0 AS DOUBLE), (CAST(n_stopwords AS DOUBLE) / CAST(n_tokens AS DOUBLE)) * CAST(5.0 AS DOUBLE)) * CAST(0.3 AS DOUBLE)
+               + (CAST(1.0 AS DOUBLE) - least(CAST(1.0 AS DOUBLE), (CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE)) * CAST(4.0 AS DOUBLE))) * CAST(0.3 AS DOUBLE)
+             END AS quality
+      FROM feats
+    ), thr AS (
+      SELECT source, quantile_disc(quality, 0.75) AS q75
+      FROM scored GROUP BY source
+    )
+    SELECT s.doc_id, s.source, s.quality
+    FROM scored s JOIN thr t ON s.source = t.source
+    WHERE s.quality >= t.q75
+    """,
+)
+def _curation_quality_percentile(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source quality-percentile curation (functions/text.
+    quality_score + operators/features.exact_quantiles): keep each
+    source's top quality quartile — the relative-threshold curation
+    policy (an absolute quality cut would empty low-resource sources
+    and barely touch clean ones; CCNet-style pipelines cut per-bucket
+    for exactly this reason). The per-source 75th percentile comes
+    from the DISC two-phase histogram quantile (no data-sized single
+    reducer, no percentile() buffer — the r7 exact-quantiles rebuild
+    doing production work), joined back and applied as a plain
+    filter. DISC means the threshold is a quality value that EXISTS
+    in the source's data, so `>=` keeps at least one doc per source
+    by construction."""
+    docs = read_table(spark, sf, "documents")
+    scored = docs.select(
+        "doc_id", "source", TX.quality_score("text").alias("quality")
+    )
+    thr = FT.exact_quantiles(
+        scored, "quality", [0.75],
+        group_cols=["source"], mode="disc", out_cols=["q75"],
+    )
+    return (
+        scored.join(thr.select("source", "q75"), "source")
+        .filter(F.col("quality") >= F.col("q75"))
+        .select("doc_id", "source", "quality")
+    )
+
 
 @_register(
     "sample_weighted_bernoulli",

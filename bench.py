@@ -160,6 +160,12 @@ HEADLINE = [
     "text_decontaminate",
     "text_bpe_tokenize_large",
     "curation_blocklist_filter",
+    # round-8 continuation part 2: full entity-resolution pipeline
+    # (link -> components -> survivorship; CC rounds are checkpointed
+    # jobs, the honest lifecycle cost) and per-source quality-quartile
+    # curation on the two-phase exact quantile
+    "link_golden_records",
+    "curation_quality_percentile",
 ]
 
 

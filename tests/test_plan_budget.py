@@ -203,6 +203,15 @@ SHUFFLE_BUDGET = {
     "text_decontaminate": 3,
     "text_bpe_tokenize_large": 1,
     "curation_blocklist_filter": 4,
+    # golden records: survivorship lobes only (CC rounds run as
+    # checkpointed jobs) — component groupBy + mode counts + argmax
+    # window (measured 3, +2 for broadcast→shuffle flips at scale);
+    # quality percentile: the exact-quantiles two-phase machinery
+    # (histogram groupBy + bucketed cumsum + offsets + final agg) +
+    # the threshold join back — everything after the first exchange
+    # is histogram-sized (measured 8, +1 slack).
+    "link_golden_records": 5,
+    "curation_quality_percentile": 9,
 }
 
 
