@@ -1492,7 +1492,12 @@ def _text_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
     production uses 13 per the published recipe — same plan either
     way). Same whitespace-shingle convention as the dedup family;
     sub-n docs contribute their whole text (conservative: a short
-    eval doc quoted verbatim still hits)."""
+    eval doc quoted verbatim still hits). Complements the older
+    text_contamination entry (4-gram, >=4-token docs only, shared
+    shingle + eval-doc counts): THIS entry is the operator-API form —
+    dedup.contamination_hits / decontaminate with min_hits and the
+    left-anti drop, the streaming twin in
+    tests/test_stream_decontaminate.py."""
     docs = read_table(spark, sf, "documents")
     ev = docs.filter(F.col("doc_id") % 97 == 0)
     tr = docs.filter(F.col("doc_id") % 97 != 0)

@@ -246,14 +246,23 @@ def shingles_fast(col: str | Column, n: int = 3) -> Column:
 def shingles(col: str | Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles → array<string>. Docs shorter than
     n tokens yield a single shingle of the whole doc so they still
-    participate in dedup."""
+    participate in dedup. NULL text → NULL (standard SQL propagation):
+    without the explicit guard, Spark's null-SKIPPING ``greatest``
+    turns the NULL size into ``greatest(NULL, 1) = 1`` and the
+    NULL-sliced ``concat_ws`` into ``""`` — i.e. every NULL doc grows
+    a phantom empty-string shingle that cross-matches every other
+    NULL doc (caught by the null-heavy sweep on text_decontaminate)."""
     toks = tokens(col)
     k = F.size(toks)
     grams = F.transform(
         F.sequence(F.lit(1), F.greatest(k - (n - 1), F.lit(1))),
         lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
     )
-    return F.array_distinct(F.when(k == 0, F.array().cast("array<string>")).otherwise(grams))
+    return F.array_distinct(
+        F.when(toks.isNull(), F.lit(None).cast("array<string>"))
+        .when(k == 0, F.array().cast("array<string>"))
+        .otherwise(grams)
+    )
 
 
 def char_gram_hashes(df, id_col: str = "doc_id", text_col: str = "text", k: int = 3):

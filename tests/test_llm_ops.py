@@ -115,17 +115,21 @@ def test_profile_table_shape_and_counts(spark, sf_dir):
 
 def test_text_function_edge_cases(spark):
     df = spark.createDataFrame(
-        [("",), ("   ",), ("one",), ("a b  c",)], schema="text string"
+        [("",), ("   ",), ("one",), ("a b  c",), (None,)], schema="text string"
     )
     rows = df.select(
         TX.token_count("text").alias("n"),
         TX.fingerprint("text").alias("fp"),
         TX.shingles("text", 3).alias("sh"),
     ).collect()
-    assert [r["n"] for r in rows] == [0, 0, 1, 3]
+    assert [r["n"] for r in rows[:4]] == [0, 0, 1, 3]
     assert rows[0]["fp"] == rows[1]["fp"]  # both normalize to empty
     assert rows[2]["sh"] == ["one"]  # short doc → whole-doc shingle
     assert rows[3]["sh"] == ["a b c"]
+    # NULL text → NULL shingles (NOT a phantom "" shingle — Spark's
+    # null-skipping greatest() would otherwise manufacture one and
+    # cross-match every NULL doc; pinned by the null-heavy sweep)
+    assert rows[4]["sh"] is None
 
 
 def test_embedding_near_dup_lsh_recall_vs_exact(spark, sf_dir):
