@@ -10182,6 +10182,120 @@ def _layout_zonemap_prune(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@_register(
+    "scan_schema_evolution",
+    """
+    SELECT CASE WHEN doc_id % 2 = 0 THEN NULL ELSE lang END AS lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(text) AS BIGINT) AS n_with_text
+    FROM documents WHERE doc_id IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def _scan_schema_evolution(spark: SparkSession, sf: str) -> DataFrame:
+    """Schema-drift-tolerant scan (sources/io.read_parquet_evolving):
+    a lake directory whose schema WIDENED over time — here an early
+    batch written without `lang` and a later batch with it — must
+    still scan as one table, with the missing column surfacing as
+    typed NULLs in pre-widening files (the mergeSchema footer union,
+    Delta/Iceberg's add-column evolution on plain parquet). The entry
+    writes both generations into one directory every run (overwrite +
+    append — no stale-cache skip), reads them through the evolving
+    reader, and aggregates by the evolved column; the oracle states
+    the same result from the split law (even doc_ids = the legacy
+    batch → NULL lang). The hot path stays the explicit-schema
+    read_table — footer merging costs a metadata pass, paid only when
+    drift is real."""
+    import os
+
+    docs = (
+        read_table(spark, sf, "documents")
+        .filter(F.col("doc_id").isNotNull())
+    )
+    base = "/tmp/spark_graft_evolve_" + os.path.basename(os.path.normpath(sf))
+    (
+        docs.filter(F.col("doc_id") % 2 == 0)
+        .select("doc_id", "text")
+        .write.mode("overwrite")
+        .parquet(base)
+    )
+    (
+        docs.filter(F.col("doc_id") % 2 != 0)
+        .select("doc_id", "text", "lang")
+        .write.mode("append")
+        .parquet(base)
+    )
+    evolved = SIO.read_parquet_evolving(spark, base)
+    return evolved.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count("text").alias("n_with_text"),
+    )
+
+
+@_register(
+    "layout_zorder_prune",
+    """
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(20,4))), 4) AS DOUBLE)
+             AS sum_qty
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <= TIMESTAMP '1997-06-30 23:59:59'
+      AND l_quantity >= 10 AND l_quantity <= 20
+    GROUP BY 1
+    """,
+)
+def _layout_zorder_prune(spark: SparkSession, sf: str) -> DataFrame:
+    """Z-order clustering + MULTI-column zone-map skipping
+    (operators/layout.zorder_write / morton_code / pruned_read_multi):
+    lineitem is laid out by the Morton interleave of (shipdate-day,
+    quantity) — the Delta/Iceberg OPTIMIZE ZORDER technique — so every
+    file is narrow in BOTH dimensions and a 2-D predicate's survivor
+    set is the intersection of two small file lists. A 1-D
+    shipdate-clustered layout (layout_zonemap_prune's) answers the
+    same query by reading every file the DATE selects regardless of
+    quantity; the z-layout also prunes on the second column. Exact
+    predicates re-apply to survivors, so pruning cannot change
+    results — the oracle is the plain full-scan filter. The clustered
+    copy rebuilds unconditionally (no stale-cache skip, per the r7
+    zonemap advice); morton inputs are the bounded day-offset and
+    integer quantity (garbage z on adversarial values degrades only
+    clustering, never correctness)."""
+    li = read_table(spark, sf, "lineitem").select(
+        "l_shipdate", "l_quantity", "l_returnflag"
+    )
+    import os
+
+    path = "/tmp/spark_graft_zorder_" + os.path.basename(os.path.normpath(sf))
+    LAY.zorder_write(
+        li,
+        path,
+        F.datediff(F.col("l_shipdate"), F.lit("1992-01-01").cast("date")),
+        F.col("l_quantity").cast("int"),
+        files=16,
+    )
+    zmaps = LAY.collect_zone_maps(spark, path, ["l_shipdate", "l_quantity"])
+    import datetime as dt
+    from decimal import Decimal
+
+    pruned = LAY.pruned_read_multi(
+        spark,
+        path,
+        zmaps,
+        [
+            ("l_shipdate", dt.datetime(1997, 1, 1), dt.datetime(1997, 6, 30, 23, 59, 59)),
+            ("l_quantity", Decimal(10), Decimal(20)),
+        ],
+    )
+    return pruned.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(F.sum(F.col("l_quantity").cast("decimal(20,4)")), 4)
+        .cast("double")
+        .alias("sum_qty"),
+    )
+
+
 # --- geo: cell-blocked proximity join (functions/geo.py) -------------------
 
 def _geo_coords(df: DataFrame, key_col: str, salt: str) -> DataFrame:

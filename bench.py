@@ -166,6 +166,10 @@ HEADLINE = [
     # curation on the two-phase exact quantile
     "link_golden_records",
     "curation_quality_percentile",
+    # round-8 continuation part 3: z-order 2-D zone-map pruning and the
+    # schema-drift-tolerant evolving scan
+    "layout_zorder_prune",
+    "scan_schema_evolution",
 ]
 
 

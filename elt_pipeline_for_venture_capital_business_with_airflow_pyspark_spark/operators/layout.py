@@ -28,6 +28,7 @@ __all__ = [
     "bucketed_join",
     "collect_zone_maps",
     "pruned_read",
+    "pruned_read_multi",
     "refresh_zone_maps",
     "attach_quantile_bucket",
 ]
@@ -181,6 +182,35 @@ def pruned_read(
     )
     files = [r["file"] for r in survivors]
     predicate = (F.col(col) >= lo_lit) & (F.col(col) <= hi_lit)
+    if not files:
+        schema = spark.read.parquet(path).schema
+        return spark.createDataFrame([], schema)
+    return spark.read.parquet(*files).filter(predicate)
+
+
+def pruned_read_multi(
+    spark,
+    path: str,
+    zone_maps: DataFrame,
+    preds: "list[tuple[str, object, object]]",
+) -> DataFrame:
+    """Multi-column zone-map pruning: read only files whose zones
+    overlap EVERY ``(col, lo, hi)`` range, then re-apply all exact
+    predicates. This is what a z-ordered layout exists for — after
+    :func:`zorder_write` each file is narrow in BOTH dimensions, so a
+    2-D predicate's survivor set is the intersection of two small
+    file sets instead of "every file" (the failure mode of 1-D
+    clustering, where the second column's values span the full range
+    in every file). Same correctness contract as :func:`pruned_read`:
+    zones admit false positives only and survivors re-filter."""
+    cond = None
+    predicate = None
+    for col, lo, hi in preds:
+        c = (F.col(f"max_{col}") >= F.lit(lo)) & (F.col(f"min_{col}") <= F.lit(hi))
+        p = (F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi))
+        cond = c if cond is None else cond & c
+        predicate = p if predicate is None else predicate & p
+    files = [r["file"] for r in zone_maps.filter(cond).select("file").collect()]
     if not files:
         schema = spark.read.parquet(path).schema
         return spark.createDataFrame([], schema)

@@ -212,6 +212,10 @@ SHUFFLE_BUDGET = {
     # is histogram-sized (measured 8, +1 slack).
     "link_golden_records": 5,
     "curation_quality_percentile": 9,
+    # z-order prune: the final agg only (layout write + zone-map scans
+    # are separate jobs); evolving scan: the lang groupBy.
+    "layout_zorder_prune": 1,
+    "scan_schema_evolution": 1,
 }
 
 

@@ -88,3 +88,93 @@ def test_golden_records_composes_with_cc(spark):
     assert golden.count() == 3  # {1,2,3}, {9}, {10,11}
     by_comp = {r.component: r.n_members for r in golden.collect()}
     assert by_comp == {1: 3, 9: 1, 10: 2}
+
+
+# ---------------------------------------------------------------------------
+# z-order multi-column pruning (operators/layout.pruned_read_multi)
+# ---------------------------------------------------------------------------
+
+
+def _zorder_table(spark, tmp_path):
+    from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.operators import (
+        layout as LAY,
+    )
+
+    # two independent uniform dims so 1-D clustering cannot help dim b
+    df = spark.createDataFrame(
+        [(i, i % 97, (i * 31) % 89) for i in range(10_000)],
+        "id long, a int, b int",
+    )
+    zpath = str(tmp_path / "z")
+    LAY.zorder_write(df, zpath, F.col("a"), F.col("b"), files=16, bits=8)
+    apath = str(tmp_path / "a1d")
+    (
+        df.repartitionByRange(16, "a")
+        .sortWithinPartitions("a")
+        .write.parquet(apath)
+    )
+    return df, zpath, apath
+
+
+def test_zorder_prune_matches_full_scan(spark, tmp_path):
+    from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.operators import (
+        layout as LAY,
+    )
+
+    df, zpath, _ = _zorder_table(spark, tmp_path)
+    zmaps = LAY.collect_zone_maps(spark, zpath, ["a", "b"])
+    got = LAY.pruned_read_multi(
+        spark, zpath, zmaps, [("a", 10, 30), ("b", 10, 30)]
+    )
+    want = df.filter("a BETWEEN 10 AND 30 AND b BETWEEN 10 AND 30")
+    assert sorted(r.id for r in got.collect()) == sorted(
+        r.id for r in want.collect()
+    )
+    # strict subset of the table's files is opened
+    assert len(set(got.inputFiles())) < len(
+        set(spark.read.parquet(zpath).inputFiles())
+    )
+
+
+def test_zorder_prunes_second_dim_better_than_1d(spark, tmp_path):
+    """The reason z-order exists: on a predicate over BOTH dims, the
+    z-layout's survivor set must be smaller than the 1-D layout's for
+    the same zone-map logic (1-D files span b's full range, so the b
+    range never prunes them)."""
+    from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.operators import (
+        layout as LAY,
+    )
+
+    _, zpath, apath = _zorder_table(spark, tmp_path)
+    preds = [("a", 10, 30), ("b", 10, 30)]
+    z_files = len(
+        set(
+            LAY.pruned_read_multi(
+                spark, zpath, LAY.collect_zone_maps(spark, zpath, ["a", "b"]),
+                preds,
+            ).inputFiles()
+        )
+    )
+    a_files = len(
+        set(
+            LAY.pruned_read_multi(
+                spark, apath, LAY.collect_zone_maps(spark, apath, ["a", "b"]),
+                preds,
+            ).inputFiles()
+        )
+    )
+    assert z_files < a_files, (z_files, a_files)
+
+
+def test_zorder_prune_empty_range_keeps_schema(spark, tmp_path):
+    from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.operators import (
+        layout as LAY,
+    )
+
+    df, zpath, _ = _zorder_table(spark, tmp_path)
+    zmaps = LAY.collect_zone_maps(spark, zpath, ["a", "b"])
+    got = LAY.pruned_read_multi(
+        spark, zpath, zmaps, [("a", 1000, 2000), ("b", 0, 100)]
+    )
+    assert got.count() == 0
+    assert got.columns == df.columns
