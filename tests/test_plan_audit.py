@@ -89,6 +89,11 @@ NESTED_LOOP_OK = {
     # window (the strictly worse plan this audit exists to prevent).
     "agg_exact_median",
     "text_rarity_score",
+    # r8: per-source quality-quartile curation rides the same
+    # exact_quantiles machinery — the ONE-ROW global [min, max]
+    # bounds frame broadcasts (attach_order_bucket's value buckets
+    # are global; per-source state rides the equi-joined offsets).
+    "curation_quality_percentile",
     # MMR's CANDIDATE stage is the brute cosine baseline
     # (cosine_topk: broadcast queries × corpus scan), same documented
     # shape as embedding_topk_bruteforce; the greedy re-rank stages
