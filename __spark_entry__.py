@@ -6624,6 +6624,102 @@ def _sample_three_way_split(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_register(
+    "sample_temporal_embargo_split",
+    """
+    SELECT CASE WHEN ts < TIMESTAMP '2024-01-20 00:00:00' THEN 'train'
+                WHEN ts < TIMESTAMP '2024-01-22 00:00:00' THEN 'embargo'
+                WHEN ts >= TIMESTAMP '2024-01-22 00:00:00' THEN 'test'
+                ELSE 'unknown' END AS split,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    GROUP BY 1
+    """,
+)
+def _sample_temporal_embargo_split(spark: SparkSession, sf: str) -> DataFrame:
+    """Leakage-safe TEMPORAL train/test split with an embargo gap —
+    the forecasting/recsys counterpart of the hash split
+    (sample_three_way_split): training data ends STRICTLY BEFORE the
+    test window opens, and the embargo band between them is excluded
+    from both sides so lagged/windowed features computed near the
+    boundary cannot leak test-period information into training (the
+    standard purged-split discipline from financial ML, equally
+    load-bearing for any pipeline with rolling features). Pure
+    scan-stage CASE on the timestamp — zero shuffle before the audit
+    aggregation; NULL timestamps surface as an explicit 'unknown'
+    bucket instead of silently joining a side."""
+    ev = read_table(spark, sf, "events")
+    train_end = F.lit("2024-01-20 00:00:00").cast("timestamp")
+    test_start = F.lit("2024-01-22 00:00:00").cast("timestamp")
+    split = (
+        F.when(F.col("ts") < train_end, F.lit("train"))
+        .when(F.col("ts") < test_start, F.lit("embargo"))
+        .when(F.col("ts") >= test_start, F.lit("test"))
+        .otherwise(F.lit("unknown"))
+    )
+    return ev.groupBy(split.alias("split")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+@_register(
+    "events_markov_transitions",
+    """
+    WITH ordered AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (
+               PARTITION BY user_id
+               ORDER BY ts ASC NULLS FIRST, event_id ASC NULLS FIRST
+             ) AS prev_type
+      FROM events
+    ), pairs AS (
+      SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+      FROM ordered WHERE prev_type IS NOT NULL AND event_type IS NOT NULL
+      GROUP BY 1, 2
+    ), totals AS (
+      SELECT prev_type, SUM(n) AS row_total FROM pairs GROUP BY 1
+    )
+    SELECT p.prev_type, p.next_type,
+           CAST(p.n AS BIGINT) AS n_transitions,
+           CAST(p.n * 1000000 // t.row_total AS BIGINT) AS prob_ppm
+    FROM pairs p JOIN totals t ON p.prev_type = t.prev_type
+    """,
+)
+def _events_markov_transitions(spark: SparkSession, sf: str) -> DataFrame:
+    """First-order behavioral transition matrix: per user, consecutive
+    event pairs (ordered by the TOTAL order ts → event_id, null
+    placement pinned on BOTH engines — Spark defaults NULLS FIRST
+    ascending, DuckDB defaults NULLS LAST, the classic silent
+    cross-engine divergence) counted into (prev → next) transitions
+    with exact-integer row-normalized probabilities (ppm via
+    truncating div — no float division in the hash surface). The
+    session-analytics building block next to sessionize/funnel: one
+    per-user window + one map-combined pair aggregation; the matrix
+    is |event_type|² rows — KB forever."""
+    ev = read_table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc_nulls_first(), F.col("event_id").asc_nulls_first()
+    )
+    pairs = (
+        ev.select(
+            "user_id", "event_type",
+            F.lag("event_type").over(w).alias("prev_type"),
+        )
+        .filter(F.col("prev_type").isNotNull() & F.col("event_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    totals = pairs.groupBy("prev_type").agg(F.sum("n").alias("row_total"))
+    return pairs.join(totals, "prev_type").select(
+        "prev_type",
+        "next_type",
+        F.col("n").alias("n_transitions"),
+        F.expr("n * 1000000L div row_total").alias("prob_ppm"),
+    )
+
+
+@_register(
     "join_full_outer_reconcile",
     """
     WITH sys_a AS (

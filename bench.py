@@ -170,6 +170,10 @@ HEADLINE = [
     # schema-drift-tolerant evolving scan
     "layout_zorder_prune",
     "scan_schema_evolution",
+    # round-8 continuation part 4: leakage-safe temporal embargo split
+    # and the behavioral transition matrix (exact-integer ppm)
+    "sample_temporal_embargo_split",
+    "events_markov_transitions",
 ]
 
 

@@ -216,6 +216,12 @@ SHUFFLE_BUDGET = {
     # are separate jobs); evolving scan: the lang groupBy.
     "layout_zorder_prune": 1,
     "scan_schema_evolution": 1,
+    # embargo split = the split groupBy + countDistinct's expand/merge
+    # pair collapses to 2 measured; markov = per-user window + pair agg
+    # + row-total agg + the totals join (measured 4, KB after the
+    # window).
+    "sample_temporal_embargo_split": 2,
+    "events_markov_transitions": 4,
 }
 
 
