@@ -340,3 +340,163 @@ def test_day_islands_match_reference(spark, days):
         for s, e in runs
     )
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# round-8 operators
+# ---------------------------------------------------------------------------
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab cd", min_size=0, max_size=30),
+        min_size=1, max_size=6,
+    ),
+    n_merges=st.integers(min_value=0, max_value=6),
+)
+@_SETTINGS
+def test_apply_bpe_large_always_matches_fold(spark, texts, n_merges):
+    """The broadcast-mapInPandas tokenizer must be row-identical to the
+    literal JVM fold on CORPUS-LEARNED merges over adversarial text
+    (repeat runs, empty docs, whitespace soup)."""
+    from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.operators import (
+        bpe as BPE,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id int, text string"
+    )
+    m = BPE.learn_bpe(spark, df, "text", n_merges)
+    merges = [
+        (r.merge_left, r.merge_right) for r in m.orderBy("merge_rank").collect()
+    ]
+    fold = {r.id: r.tokens for r in BPE.apply_bpe(df, "text", merges).collect()}
+    big = {
+        r.id: r.tokens
+        for r in BPE.apply_bpe_large(df, "text", merges).collect()
+    }
+    assert fold == big
+
+
+@given(
+    pairs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=255),
+            st.integers(min_value=0, max_value=255),
+        ),
+        min_size=1, max_size=40,
+    )
+)
+@_SETTINGS
+def test_morton_code_deinterleaves_back(spark, pairs):
+    """morton(a, b) must be invertible: extracting even/odd bits
+    recovers (a, b) exactly — the bijectivity that makes z-ranges
+    meaningful."""
+    from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.operators import (
+        layout as LAY,
+    )
+
+    df = spark.createDataFrame(pairs, "a int, b int")
+    rows = df.select("a", "b", LAY.morton_code("a", "b", bits=8).alias("z")).collect()
+    for r in rows:
+        a = sum(((r.z >> (2 * i)) & 1) << i for i in range(8))
+        b = sum(((r.z >> (2 * i + 1)) & 1) << i for i in range(8))
+        assert (a, b) == (r.a, r.b)
+
+
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=12),
+            st.integers(min_value=0, max_value=12),
+        ),
+        min_size=0, max_size=15,
+    )
+)
+@_SETTINGS
+def test_golden_records_partition_law_random_graphs(spark, edges):
+    """On any random pair graph over 13 nodes: golden rows partition
+    the records (n_members sums to the node count, one row per
+    component) and every component equals the python union-find."""
+    from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.operators import (
+        dedup as DD,
+    )
+    from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.operators import (
+        linkage as LNK,
+    )
+
+    nodes = list(range(13))
+    edges = [(a, b) for a, b in edges if a != b]
+    recs = spark.createDataFrame(
+        [(i, f"n{i}") for i in nodes], "id int, name string"
+    )
+    pairs = spark.createDataFrame(edges or [(0, 0)], "id_a int, id_b int")
+    if not edges:
+        pairs = pairs.filter("1 = 0")
+    comps = DD.connected_components(recs.select("id"), pairs, id_col="id")
+    golden = LNK.golden_records(recs, comps, "id", first_nonnull_cols=["name"])
+    rows = golden.collect()
+    assert sum(r.n_members for r in rows) == len(nodes)
+
+    # python union-find reference
+    parent = {i: i for i in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent[find(a)] = find(b)
+    want_comps = {}
+    for i in nodes:
+        want_comps.setdefault(find(i), set()).add(i)
+    want = sorted((min(m), len(m)) for m in want_comps.values())
+    got = sorted((r.component, r.n_members) for r in rows)
+    assert got == want
+
+
+@given(
+    train=st.lists(
+        st.text(alphabet="xy z", min_size=0, max_size=25), min_size=1, max_size=5
+    ),
+    evals=st.lists(
+        st.text(alphabet="xy z", min_size=0, max_size=25), min_size=1, max_size=3
+    ),
+)
+@_SETTINGS
+def test_contamination_matches_python_reference(spark, train, evals):
+    """contamination_hits == a python set-intersection reference using
+    the same shingle contract (whitespace tokens, sub-n whole-doc)."""
+    from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.operators import (
+        dedup as DD,
+    )
+
+    n = 3
+
+    def grams(t):
+        toks = t.split()
+        if not toks:
+            return set()
+        if len(toks) < n:
+            return {" ".join(toks)}
+        return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+    tdf = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(train)], "doc_id int, text string"
+    )
+    edf = spark.createDataFrame(
+        [(100 + i, t) for i, t in enumerate(evals)], "doc_id int, text string"
+    )
+    got = {
+        (r.id, r.n_contaminated_grams)
+        for r in DD.contamination_hits(tdf, edf, n=n).collect()
+    }
+    eg = set().union(*[grams(t) for t in evals]) if evals else set()
+    want = {
+        (i, len(grams(t) & eg))
+        for i, t in enumerate(train)
+        if len(grams(t) & eg) >= 1
+    }
+    assert got == want
