@@ -44,6 +44,12 @@ STAGES: list[tuple[str, list[str]]] = [
                                "tests/test_partitioning_invariance_sweep.py"]),
     ("sweep_window_sf01", [sys.executable, "-m", "pytest", "-q",
                            "tests/test_oracle_window_sf01.py"]),
+    # the scale-posture audit (cartesian/nested-loop/row-Python red
+    # flags + the SinglePartition-window sweep over every registry
+    # query) — added r8 after it caught a red flag the oracle sweeps
+    # can't see (plans, not results)
+    ("plan_audit", [sys.executable, "-m", "pytest", "-q",
+                    "tests/test_plan_audit.py"]),
     ("doc_guards", [sys.executable, "-m", "pytest", "-q",
                     "tests/test_registry_window.py"]),
 ]
