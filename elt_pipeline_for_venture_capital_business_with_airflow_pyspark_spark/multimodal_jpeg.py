@@ -7,10 +7,12 @@ payloads decode inside the same `mapInPandas` boundary as PNG/PPM/BMP
 the honest-and-exact subset:
 
 - baseline sequential DCT (SOF0), 8-bit precision,
-- 4:4:4 (no chroma subsampling) or grayscale — the encoder only
-  emits 1x1 sampling factors and the decoder rejects anything else
-  with ``NotImplementedError`` (same boundary policy as the PNG
-  codec's Adam7 rejection),
+- grayscale, 4:4:4, and (round 9) the 2×-factor chroma-subsampled
+  forms — 4:2:0 / 4:2:2 / 4:4:0 — with deterministic
+  sample-replication upsampling; the encoder emits 4:4:4 or 4:2:0
+  (2×2 box-average downsample); sampling factors > 2 still raise
+  ``NotImplementedError`` (same boundary policy as the PNG codec's
+  Adam7 rejection),
 - Huffman entropy coding with inline-defined tables (the decoder
   reads whatever DHT segments the file carries; the encoder emits
   the ITU T.81 Annex K typical tables),
@@ -242,11 +244,41 @@ def _encode_block(
     return zz[0]
 
 
-def encode_jpeg(w: int, h: int, rgb: bytes, quality: int = 85) -> bytes:
-    """Baseline-sequential 4:4:4 JFIF encoder. Deterministic: float
-    FDCT in fixed evaluation order, round-half-away quantization."""
+def _extract_block(plane: list[int], pw: int, ph: int, bx: int, by: int) -> list[int]:
+    """8x8 level-shifted block at block coords (bx, by), edge-replicated
+    past the plane boundary."""
+    block = []
+    for yy in range(8):
+        sy = min(ph - 1, by * 8 + yy)
+        row = sy * pw
+        for xx in range(8):
+            sx = min(pw - 1, bx * 8 + xx)
+            block.append(plane[row + sx] - 128)
+    return block
+
+
+def _quantize(coefs: list[float], qt: list[int]) -> list[int]:
+    out = []
+    for i in range(64):
+        v = coefs[i] / qt[i]
+        out.append(int(v + 0.5) if v >= 0 else -int(-v + 0.5))
+    return out
+
+
+def encode_jpeg(
+    w: int, h: int, rgb: bytes, quality: int = 85, subsample: str = "444"
+) -> bytes:
+    """Baseline-sequential JFIF encoder. Deterministic: float FDCT in
+    fixed evaluation order, round-half-away quantization.
+
+    ``subsample``: ``"444"`` (1x1 factors, every component full-res)
+    or ``"420"`` (luma 2x2, chroma quarter-res via 2×2 box average
+    with round-half-up and edge replication — the dominant real-world
+    form, MCU-interleaved per T.81 A.2.3)."""
     if len(rgb) != w * h * 3:
         raise ValueError("rgb length != w*h*3")
+    if subsample not in ("444", "420"):
+        raise NotImplementedError(f"subsample mode {subsample!r} unsupported")
     ql = _scaled_quant(_QUANT_LUMA, quality)
     qc = _scaled_quant(_QUANT_CHROMA, quality)
 
@@ -267,25 +299,52 @@ def encode_jpeg(w: int, h: int, rgb: bytes, quality: int = 85) -> bytes:
     dcc = _build_codes(*_DC_CHROMA)
     acc = _build_codes(*_AC_CHROMA)
     preds = [0, 0, 0]
-    bw_blocks_y = (h + 7) // 8
-    bw_blocks_x = (w + 7) // 8
-    for by in range(bw_blocks_y):
-        for bx in range(bw_blocks_x):
-            for ci, (plane, qt, dc_c, ac_c) in enumerate(
-                ((ny, ql, dcl, acl), (ncb, qc, dcc, acc), (ncr, qc, dcc, acc))
-            ):
-                block = []
-                for yy in range(8):
-                    sy = min(h - 1, by * 8 + yy)
-                    for xx in range(8):
-                        sx = min(w - 1, bx * 8 + xx)
-                        block.append(plane[sy * w + sx] - 128)
-                coefs = _fdct(block)
-                qcoef = []
-                for i in range(64):
-                    v = coefs[i] / qt[i]
-                    qcoef.append(int(v + 0.5) if v >= 0 else -int(-v + 0.5))
-                preds[ci] = _encode_block(bw, qcoef, preds[ci], dc_c, ac_c)
+
+    if subsample == "444":
+        bw_blocks_y = (h + 7) // 8
+        bw_blocks_x = (w + 7) // 8
+        for by in range(bw_blocks_y):
+            for bx in range(bw_blocks_x):
+                for ci, (plane, qt, dc_c, ac_c) in enumerate(
+                    ((ny, ql, dcl, acl), (ncb, qc, dcc, acc), (ncr, qc, dcc, acc))
+                ):
+                    block = _extract_block(plane, w, h, bx, by)
+                    preds[ci] = _encode_block(
+                        bw, _quantize(_fdct(block), qt), preds[ci], dc_c, ac_c
+                    )
+        samplings = ((1, 0x11, 0), (2, 0x11, 1), (3, 0x11, 1))
+    else:  # 420
+        # quarter-res chroma: 2x2 box average, round-half-up, edge rows/
+        # cols replicated when w or h is odd
+        cw, ch = (w + 1) // 2, (h + 1) // 2
+        scb = [0] * (cw * ch)
+        scr = [0] * (cw * ch)
+        for cy in range(ch):
+            y0 = 2 * cy
+            y1 = min(h - 1, 2 * cy + 1)
+            for cx in range(cw):
+                x0 = 2 * cx
+                x1 = min(w - 1, 2 * cx + 1)
+                i00, i01 = y0 * w + x0, y0 * w + x1
+                i10, i11 = y1 * w + x0, y1 * w + x1
+                scb[cy * cw + cx] = (ncb[i00] + ncb[i01] + ncb[i10] + ncb[i11] + 2) >> 2
+                scr[cy * cw + cx] = (ncr[i00] + ncr[i01] + ncr[i10] + ncr[i11] + 2) >> 2
+        mcux = (w + 15) // 16
+        mcuy = (h + 15) // 16
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for by in range(2):
+                    for bx in range(2):
+                        block = _extract_block(ny, w, h, mx * 2 + bx, my * 2 + by)
+                        preds[0] = _encode_block(
+                            bw, _quantize(_fdct(block), ql), preds[0], dcl, acl
+                        )
+                for ci, plane in ((1, scb), (2, scr)):
+                    block = _extract_block(plane, cw, ch, mx, my)
+                    preds[ci] = _encode_block(
+                        bw, _quantize(_fdct(block), qc), preds[ci], dcc, acc
+                    )
+        samplings = ((1, 0x22, 0), (2, 0x11, 1), (3, 0x11, 1))
 
     out = bytearray()
     out += b"\xff\xd8"  # SOI
@@ -294,8 +353,8 @@ def encode_jpeg(w: int, h: int, rgb: bytes, quality: int = 85) -> bytes:
         out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tid])
         out += bytes(qt[ZIGZAG[i]] for i in range(64))
     out += b"\xff\xc0" + struct.pack(">HBHHB", 17, 8, h, w, 3)
-    for cid, tq in ((1, 0), (2, 1), (3, 1)):
-        out += bytes([cid, 0x11, tq])  # 1x1 sampling
+    for cid, hv, tq in samplings:
+        out += bytes([cid, hv, tq])
     for cls, tid, (bits, vals) in (
         (0, 0, _DC_LUMA), (1, 0, _AC_LUMA), (0, 1, _DC_CHROMA), (1, 1, _AC_CHROMA)
     ):
@@ -490,26 +549,46 @@ def _idct_islow(coefs: list[int]) -> list[int]:
 
 
 def decode_jpeg(payload: bytes) -> tuple[int, int, bytes]:
-    """Decode a baseline-sequential 4:4:4 (or grayscale) JFIF payload
-    to ``(width, height, rgb)``. Progressive JPEG, chroma subsampling,
-    restart intervals, arithmetic coding, and 12-bit precision raise
-    ``NotImplementedError`` (honest boundary — same policy as the PNG
-    codec)."""
+    """Decode a baseline-sequential JFIF payload to ``(width, height,
+    rgb)``. Supported sampling: grayscale, 4:4:4, and the 2×-factor
+    subsampled forms (4:2:0, 4:2:2, 4:4:0) — the shapes real-world
+    encoders emit. Chroma is upsampled by SAMPLE REPLICATION (the
+    deterministic nearest-neighbor contract; libjpeg's "-nosmooth"
+    path) so decoded pixels stay bit-identical across hosts.
+    Progressive JPEG, restart intervals, arithmetic coding, sampling
+    factors > 2, and 12-bit precision raise ``NotImplementedError``
+    (honest boundary — same policy as the PNG codec).
+
+    Marker parsing tolerates optional 0xFF fill bytes before a marker
+    code (legal per T.81 B.1.1.2) and the length-less standalone
+    markers (TEM 0x01, RST0-7) outside entropy data."""
     if not payload.startswith(b"\xff\xd8"):
         raise NotImplementedError("not a JPEG payload (missing SOI)")
     pos = 2
     quant: dict[int, list[int]] = {}
     huff: dict[tuple[int, int], _HuffTable] = {}
-    frame = None  # (w, h, [(cid, qtab)])
+    frame = None  # (w, h, [(cid, h_i, v_i, qtab)])
     scan = None
 
-    while pos + 4 <= len(payload):
+    while pos + 2 <= len(payload):
         if payload[pos] != 0xFF:
             raise NotImplementedError("JPEG marker desync")
-        marker = payload[pos + 1]
-        pos += 2
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may precede the
+        # marker code — skip them all.
+        while pos < len(payload) and payload[pos] == 0xFF:
+            pos += 1
+        if pos >= len(payload):
+            break
+        marker = payload[pos]
+        pos += 1
         if marker == 0xD9:  # EOI
             break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            # TEM / RSTn are standalone (no length field); legal to
+            # appear, nothing to consume.
+            continue
+        if pos + 2 > len(payload):
+            raise NotImplementedError("truncated JPEG marker segment")
         seglen = struct.unpack(">H", payload[pos : pos + 2])[0]
         seg = payload[pos + 2 : pos + seglen]
         if marker == 0xDB:  # DQT
@@ -546,11 +625,16 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, bytes]:
             comps = []
             for i in range(nc):
                 cid, hv, tq = seg[6 + 3 * i], seg[7 + 3 * i], seg[8 + 3 * i]
-                if hv != 0x11:
+                hi, vi = hv >> 4, hv & 0xF
+                if hi not in (1, 2) or vi not in (1, 2):
                     raise NotImplementedError(
-                        "chroma-subsampled JPEG unsupported (4:4:4 only)"
+                        f"JPEG sampling factor {hi}x{vi} unsupported (1 or 2 only)"
                     )
-                comps.append((cid, tq))
+                comps.append((cid, hi, vi, tq))
+            if nc == 1:
+                # single-component scans are non-interleaved: one block
+                # per MCU regardless of declared factors (T.81 A.2.2)
+                comps = [(comps[0][0], 1, 1, comps[0][3])]
             frame = (fw, fh, comps)
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
@@ -580,11 +664,16 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, bytes]:
         end = len(payload)
     br = _BitReader(payload[data_start:end])
 
-    nbx, nby = (w + 7) // 8, (h + 7) // 8
-    planes = [[0] * (nbx * 8 * nby * 8) for _ in comps]
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    # per-component subsampled plane (padded to whole MCUs)
+    plane_dims = [(mcux * hi * 8, mcuy * vi * 8) for (_cid, hi, vi, _tq) in comps]
+    planes = [[0] * (pw * ph) for (pw, ph) in plane_dims]
     preds = [0] * len(comps)
     comp_tabs = []
-    for (cid, tq) in comps:
+    for (cid, _hi, _vi, tq) in comps:
         match = [s for s in stabs if s[0] == cid]
         if not match or tq not in quant:
             raise NotImplementedError("JPEG scan/table wiring incomplete")
@@ -593,55 +682,74 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, bytes]:
             raise NotImplementedError("JPEG missing Huffman table")
         comp_tabs.append((quant[tq], huff[(0, td)], huff[(1, ta)]))
 
-    for by in range(nby):
-        for bx in range(nbx):
-            for ci, (qt, dct, act) in enumerate(comp_tabs):
-                coefs = [0] * 64
-                size = dct.decode(br)
-                diff = _extend(br.read_bits(size), size) if size else 0
-                preds[ci] += diff
-                coefs[0] = preds[ci] * qt[0]
-                k = 1
-                while k < 64:
-                    rs = act.decode(br)
-                    run, size = rs >> 4, rs & 0xF
-                    if size == 0:
-                        if run == 15:
-                            k += 16  # ZRL
-                            continue
-                        break  # EOB
-                    k += run
-                    if k > 63:
-                        raise NotImplementedError("JPEG AC index overflow")
-                    coefs[ZIGZAG[k]] = _extend(br.read_bits(size), size) * qt[ZIGZAG[k]]
-                    k += 1
-                px = _idct_islow(coefs)
-                row_w = nbx * 8
-                base = (by * 8) * row_w + bx * 8
-                plane = planes[ci]
-                for yy in range(8):
-                    off = base + yy * row_w
-                    for xx in range(8):
-                        v = px[yy * 8 + xx] + 128
-                        plane[off + xx] = 0 if v < 0 else (255 if v > 255 else v)
+    def _decode_block(ci: int, blk_x: int, blk_y: int) -> None:
+        qt, dct, act = comp_tabs[ci]
+        coefs = [0] * 64
+        size = dct.decode(br)
+        diff = _extend(br.read_bits(size), size) if size else 0
+        preds[ci] += diff
+        coefs[0] = preds[ci] * qt[0]
+        k = 1
+        while k < 64:
+            rs = act.decode(br)
+            run, size = rs >> 4, rs & 0xF
+            if size == 0:
+                if run == 15:
+                    k += 16  # ZRL
+                    continue
+                break  # EOB
+            k += run
+            if k > 63:
+                raise NotImplementedError("JPEG AC index overflow")
+            coefs[ZIGZAG[k]] = _extend(br.read_bits(size), size) * qt[ZIGZAG[k]]
+            k += 1
+        px = _idct_islow(coefs)
+        pw = plane_dims[ci][0]
+        plane = planes[ci]
+        base = (blk_y * 8) * pw + blk_x * 8
+        for yy in range(8):
+            off = base + yy * pw
+            for xx in range(8):
+                v = px[yy * 8 + xx] + 128
+                plane[off + xx] = 0 if v < 0 else (255 if v > 255 else v)
 
-    row_w = nbx * 8
+    # interleaved MCU order (T.81 A.2.3): within each MCU every
+    # component contributes h_i × v_i blocks, left-to-right then
+    # top-to-bottom; for 4:4:4 / grayscale this degenerates to the
+    # one-block-per-component order
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, (_cid, hi, vi, _tq) in enumerate(comps):
+                for by in range(vi):
+                    for bx in range(hi):
+                        _decode_block(ci, mx * hi + bx, my * vi + by)
+
     rgb = bytearray(w * h * 3)
     if len(comps) == 1:
         yp = planes[0]
+        pw = plane_dims[0][0]
         for y in range(h):
             for x in range(w):
-                v = yp[y * row_w + x]
+                v = yp[y * pw + x]
                 i = (y * w + x) * 3
                 rgb[i] = rgb[i + 1] = rgb[i + 2] = v
         return w, h, bytes(rgb)
     yp, cbp, crp = planes
-    # fixed-point YCbCr->RGB (16-bit fractional, round-half-up)
+    yw = plane_dims[0][0]
+    cbw, crw = plane_dims[1][0], plane_dims[2][0]
+    (_c0, yh_, yv_, _q0), (_c1, cbh, cbv, _q1), (_c2, crh, crv, _q2) = comps
+    # fixed-point YCbCr->RGB (16-bit fractional, round-half-up); chroma
+    # upsampled by sample replication: source index floor-scales by
+    # h_i/hmax (exact for the supported 1-or-2 factors)
     half = 1 << 15
     for y in range(h):
+        yy_y = y * yv_ // vmax
+        cb_y = y * cbv // vmax
+        cr_y = y * crv // vmax
         for x in range(w):
-            p = y * row_w + x
-            Y, cb, cr = yp[p], cbp[p] - 128, crp[p] - 128
+            Y = yp[yy_y * yw + (x * yh_ // hmax)]
+            cb = cbp[cb_y * cbw + (x * cbh // hmax)] - 128
+            cr = crp[cr_y * crw + (x * crh // hmax)] - 128
             r = Y + ((91881 * cr + half) >> 16)
             g = Y - ((22554 * cb + 46802 * cr + half) >> 16)
             b = Y + ((116130 * cb + half) >> 16)

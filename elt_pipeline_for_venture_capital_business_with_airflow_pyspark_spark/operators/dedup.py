@@ -218,11 +218,22 @@ def decontaminate(
     """Drop contaminated training documents (see
     :func:`contamination_hits`): the train frame minus every doc with
     ``min_hits``+ distinct eval n-grams, via a left-anti join on the
-    hit set — train columns pass through untouched."""
+    hit set — train columns pass through untouched.
+
+    NULL ``id_col`` handling: the anti-join is null-SAFE (``<=>``), so
+    NULL-id docs that share eval grams are dropped too — the
+    conservative direction for decontamination. Note the per-doc gram
+    count in :func:`contamination_hits` groups all NULL-id rows as ONE
+    logical doc (SQL ``GROUP BY`` null semantics on both engines), so
+    with NULL ids present ``min_hits`` is effectively counted across
+    their union — again err-on-dropping. Give docs real ids for exact
+    per-doc thresholds."""
     hits = contamination_hits(
         train, eval_df, id_col, text_col, n, min_hits, broadcast_eval
-    ).select(F.col("id").alias(id_col))
-    return train.join(hits, id_col, "left_anti")
+    ).select(F.col("id").alias("__contaminated_id"))
+    return train.join(
+        hits, F.col(id_col).eqNullSafe(F.col("__contaminated_id")), "left_anti"
+    )
 
 
 def _universal_hash_params(num_hashes: int, seed: int = 1337) -> list[tuple[int, int]]:

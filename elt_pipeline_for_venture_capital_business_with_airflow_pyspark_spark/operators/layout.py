@@ -202,7 +202,13 @@ def pruned_read_multi(
     file sets instead of "every file" (the failure mode of 1-D
     clustering, where the second column's values span the full range
     in every file). Same correctness contract as :func:`pruned_read`:
-    zones admit false positives only and survivors re-filter."""
+    zones admit false positives only and survivors re-filter.
+
+    ``preds`` must be non-empty — an empty predicate list would mean
+    "prune on nothing" and is almost certainly a caller bug (use a
+    plain ``spark.read.parquet`` for a full scan)."""
+    if not preds:
+        raise ValueError("pruned_read_multi: preds must be non-empty")
     cond = None
     predicate = None
     for col, lo, hi in preds:

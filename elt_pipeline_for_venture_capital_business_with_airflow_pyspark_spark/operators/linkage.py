@@ -159,6 +159,13 @@ def golden_records(
     deduplicated master table, not just the merged clusters."""
     first_nonnull_cols = first_nonnull_cols or []
     mode_cols = mode_cols or []
+    overlap = sorted(set(first_nonnull_cols) & set(mode_cols))
+    if overlap:
+        raise ValueError(
+            "golden_records: first_nonnull_cols and mode_cols must be "
+            f"disjoint (a column can have only one survivorship rule); "
+            f"overlap: {overlap}"
+        )
     labeled = records.join(
         components.select(F.col("id").alias(id_col), "component"), id_col
     )

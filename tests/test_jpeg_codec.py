@@ -117,10 +117,10 @@ def test_rejects_unsupported_variants():
     good = encode_jpeg(w, h, _gradient(w, h), 85)
     with pytest.raises(NotImplementedError):
         decode_jpeg(good[: len(good) // 2])
-    # chroma-subsampled sampling factors
+    # sampling factors beyond 2 stay an honest boundary
     sub = bytearray(good)
     idx = sub.find(b"\xff\xc0")
-    sub[idx + 11] = 0x22  # first component 2x2
+    sub[idx + 11] = 0x33  # first component 3x3
     with pytest.raises(NotImplementedError):
         decode_jpeg(bytes(sub))
     # not a JPEG at all
@@ -137,3 +137,239 @@ def test_pinned_fixture_hash():
     dw, dh, out = decode_jpeg(payload)
     assert (dw, dh) == (w, h)
     assert hashlib.sha256(out).hexdigest().startswith("c1bacfb4af602cd7")
+
+
+# ---------------------------------------------------------------------------
+# round 9: chroma subsampling (VERDICT r8 #5) + marker-loop tolerance
+# ---------------------------------------------------------------------------
+
+from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.multimodal_jpeg import (  # noqa: E402
+    _BitWriter,
+    _DC_LUMA,
+    _AC_LUMA,
+    _DC_CHROMA,
+    _AC_CHROMA,
+    _QUANT_LUMA,
+    _QUANT_CHROMA,
+    _build_codes,
+    _encode_block,
+    _extract_block,
+    _fdct,
+    _quantize,
+    _scaled_quant,
+)
+import struct  # noqa: E402
+
+
+def test_420_gray128_round_trips_exactly():
+    w, h = 37, 23  # odd dims: chroma edge replication + MCU padding
+    rgb = bytes([128] * (w * h * 3))
+    dw, dh, out = decode_jpeg(encode_jpeg(w, h, rgb, 85, subsample="420"))
+    assert (dw, dh) == (w, h)
+    assert out == rgb
+
+
+def test_420_decode_is_pinned():
+    """Bit-determinism pin for the subsampled path (the 4:4:4 pin
+    cannot cover the MCU-interleave / upsample arithmetic)."""
+    w, h = 24, 17
+    payload = encode_jpeg(w, h, _gradient(w, h), 90, subsample="420")
+    dw, dh, out = decode_jpeg(payload)
+    assert (dw, dh) == (w, h)
+    # SOF declares 2x2 luma / 1x1 chroma
+    idx = payload.find(b"\xff\xc0")
+    assert payload[idx + 11] == 0x22 and payload[idx + 14] == 0x11
+    assert payload == encode_jpeg(w, h, _gradient(w, h), 90, subsample="420")
+    outs = {hashlib.sha256(decode_jpeg(payload)[2]).hexdigest() for _ in range(3)}
+    assert len(outs) == 1
+
+
+def _reference_decode_420(w, h, rgb, quality):
+    """Independent float raster for a 4:2:0 encode: same logical
+    pipeline (box-downsample, DCT, quantize, dequantize, inverse DCT,
+    replicate-upsample, YCbCr->RGB) built from the EXACT float
+    transform, no shared code with the decoder's fixed-point path.
+    Codec output must land within rounding distance."""
+    ql = _scaled_quant(_QUANT_LUMA, quality)
+    qc = _scaled_quant(_QUANT_CHROMA, quality)
+    ny, ncb, ncr = [], [], []
+    for i in range(w * h):
+        r, g, b = rgb[3 * i], rgb[3 * i + 1], rgb[3 * i + 2]
+        y = int(0.299 * r + 0.587 * g + 0.114 * b + 0.5)
+        cb = int(128.5 - 0.168735892 * r - 0.331264108 * g + 0.5 * b)
+        cr = int(128.5 + 0.5 * r - 0.418687589 * g - 0.081312411 * b)
+        ny.append(min(255, max(0, y)))
+        ncb.append(min(255, max(0, cb)))
+        ncr.append(min(255, max(0, cr)))
+    cw, ch = (w + 1) // 2, (h + 1) // 2
+    scb, scr = [0] * (cw * ch), [0] * (cw * ch)
+    for cy in range(ch):
+        y0, y1 = 2 * cy, min(h - 1, 2 * cy + 1)
+        for cx in range(cw):
+            x0, x1 = 2 * cx, min(w - 1, 2 * cx + 1)
+            idx = (y0 * w + x0, y0 * w + x1, y1 * w + x0, y1 * w + x1)
+            scb[cy * cw + cx] = (sum(ncb[i] for i in idx) + 2) >> 2
+            scr[cy * cw + cx] = (sum(ncr[i] for i in idx) + 2) >> 2
+
+    def through_dct(plane, pw, ph, qt):
+        nbx, nby = (pw + 7) // 8, (ph + 7) // 8
+        out = [[0.0] * (nbx * 8) for _ in range(nby * 8)]
+        for by in range(nby):
+            for bx in range(nbx):
+                block = _extract_block(plane, pw, ph, bx, by)
+                q = _quantize(_fdct(block), qt)
+                deq = [q[i] * qt[i] for i in range(64)]
+                px = _idct_float(deq)
+                for yy in range(8):
+                    for xx in range(8):
+                        out[by * 8 + yy][bx * 8 + xx] = px[yy * 8 + xx] + 128
+        return out
+
+    ry = through_dct(ny, w, h, ql)
+    rcb = through_dct(scb, cw, ch, qc)
+    rcr = through_dct(scr, cw, ch, qc)
+    ref = []
+    for y in range(h):
+        for x in range(w):
+            Y = ry[y][x]
+            cb = rcb[y // 2][x // 2] - 128
+            cr = rcr[y // 2][x // 2] - 128
+            ref.extend(
+                (
+                    Y + 1.402 * cr,
+                    Y - 0.344136286 * cb - 0.714136286 * cr,
+                    Y + 1.772 * cb,
+                )
+            )
+    return ref
+
+
+def test_420_decode_matches_independent_float_reference():
+    """End-to-end cross-check of the subsampled decode path (MCU
+    interleave order, plane geometry, replicate upsample, color
+    convert) against an independently computed raster. A misplaced
+    block or wrong chroma index blows the tolerance immediately."""
+    w, h = 21, 14
+    rng = random.Random(99)
+    rgb = bytes(
+        min(255, max(0, (x * 9 + y * 5 + c * 17 + rng.randrange(0, 25)) % 256))
+        for y in range(h)
+        for x in range(w)
+        for c in range(3)
+    )
+    payload = encode_jpeg(w, h, rgb, 90, subsample="420")
+    _, _, out = decode_jpeg(payload)
+    ref = _reference_decode_420(w, h, rgb, 90)
+    worst = max(
+        abs(out[i] - min(255.0, max(0.0, ref[i]))) for i in range(len(out))
+    )
+    # fixed-point IDCT (<1 from exact) + fixed-point color (<1) + the
+    # plane clamp-before-convert ordering: <= 3 covers rounding only;
+    # any structural bug is tens-to-hundreds off
+    assert worst <= 3.0, worst
+
+
+def _encode_generic_luma_factors(w, h, rgb, quality, h1, v1):
+    """Test-local encoder for arbitrary luma factors (h1, v1) with 1x1
+    chroma — produces the 4:2:2 (2,1) and 4:4:0 (1,2) shapes the
+    production encoder doesn't emit, to exercise the decoder's generic
+    MCU walk. Chroma planes are subsampled by replication-safe box
+    average over h1 x v1 cells."""
+    ql = _scaled_quant(_QUANT_LUMA, quality)
+    qc = _scaled_quant(_QUANT_CHROMA, quality)
+    ny, ncb, ncr = [], [], []
+    for i in range(w * h):
+        r, g, b = rgb[3 * i], rgb[3 * i + 1], rgb[3 * i + 2]
+        y = int(0.299 * r + 0.587 * g + 0.114 * b + 0.5)
+        cb = int(128.5 - 0.168735892 * r - 0.331264108 * g + 0.5 * b)
+        cr = int(128.5 + 0.5 * r - 0.418687589 * g - 0.081312411 * b)
+        ny.append(min(255, max(0, y)))
+        ncb.append(min(255, max(0, cb)))
+        ncr.append(min(255, max(0, cr)))
+    cw, ch = (w + h1 - 1) // h1, (h + v1 - 1) // v1
+    scb, scr = [0] * (cw * ch), [0] * (cw * ch)
+    for cy in range(ch):
+        for cx in range(cw):
+            acc_b = acc_r = n = 0
+            for dy in range(v1):
+                for dx in range(h1):
+                    sy = min(h - 1, cy * v1 + dy)
+                    sx = min(w - 1, cx * h1 + dx)
+                    acc_b += ncb[sy * w + sx]
+                    acc_r += ncr[sy * w + sx]
+                    n += 1
+            scb[cy * cw + cx] = (acc_b + n // 2) // n
+            scr[cy * cw + cx] = (acc_r + n // 2) // n
+    bw = _BitWriter()
+    dcl, acl = _build_codes(*_DC_LUMA), _build_codes(*_AC_LUMA)
+    dcc, acc_t = _build_codes(*_DC_CHROMA), _build_codes(*_AC_CHROMA)
+    preds = [0, 0, 0]
+    mcux = (w + 8 * h1 - 1) // (8 * h1)
+    mcuy = (h + 8 * v1 - 1) // (8 * v1)
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for by in range(v1):
+                for bx in range(h1):
+                    blk = _extract_block(ny, w, h, mx * h1 + bx, my * v1 + by)
+                    preds[0] = _encode_block(
+                        bw, _quantize(_fdct(blk), ql), preds[0], dcl, acl
+                    )
+            for ci, plane in ((1, scb), (2, scr)):
+                blk = _extract_block(plane, cw, ch, mx, my)
+                preds[ci] = _encode_block(
+                    bw, _quantize(_fdct(blk), qc), preds[ci], dcc, acc_t
+                )
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    for tid, qt in ((0, ql), (1, qc)):
+        from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.multimodal_jpeg import ZIGZAG
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tid])
+        out += bytes(qt[ZIGZAG[i]] for i in range(64))
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 17, 8, h, w, 3)
+    for cid, hv, tq in ((1, (h1 << 4) | v1, 0), (2, 0x11, 1), (3, 0x11, 1)):
+        out += bytes([cid, hv, tq])
+    for cls, tid, (bits, vals) in (
+        (0, 0, _DC_LUMA), (1, 0, _AC_LUMA), (0, 1, _DC_CHROMA), (1, 1, _AC_CHROMA)
+    ):
+        out += b"\xff\xc4" + struct.pack(">H", 19 + len(vals))
+        out += bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals)
+    out += b"\xff\xda" + struct.pack(">HB", 12, 3)
+    for cid, tabs in ((1, 0x00), (2, 0x11), (3, 0x11)):
+        out += bytes([cid, tabs])
+    out += b"\x00\x3f\x00"
+    out += bw.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+@pytest.mark.parametrize("h1,v1", [(2, 1), (1, 2)])
+def test_422_and_440_luma_block_order(h1, v1):
+    """4:2:2 / 4:4:0 files (multi-block luma per MCU, 1x1 chroma):
+    a luma ramp with constant chroma (r=g=b) catches any MCU-internal
+    block misordering — a swapped block shifts the ramp by 8px and
+    blows the tolerance."""
+    w, h = 40, 24
+    rgb = bytes(
+        v for y in range(h) for x in range(w) for v in (min(255, 40 + x * 5),) * 3
+    )
+    payload = _encode_generic_luma_factors(w, h, rgb, 92, h1, v1)
+    dw, dh, out = decode_jpeg(payload)
+    assert (dw, dh) == (w, h)
+    diffs = [abs(a - b) for a, b in zip(rgb, out)]
+    assert max(diffs) <= 14 and sum(diffs) / len(diffs) < 3.0
+
+
+def test_fill_bytes_and_standalone_markers_tolerated():
+    """T.81 B.1.1.2: 0xFF fill bytes may pad before any marker; TEM
+    (0x01) and RSTn are length-less. All must parse to the identical
+    raster (ADVICE r8)."""
+    w, h = 16, 16
+    good = encode_jpeg(w, h, _gradient(w, h), 85)
+    i = good.index(b"\xff\xdb")
+    base = decode_jpeg(good)[2]
+    padded = good[:i] + b"\xff\xff\xff" + good[i:]
+    tem = good[:i] + b"\xff\x01" + good[i:]
+    rst = good[:i] + b"\xff\xd3" + good[i:]
+    assert decode_jpeg(padded)[2] == base
+    assert decode_jpeg(tem)[2] == base
+    assert decode_jpeg(rst)[2] == base
