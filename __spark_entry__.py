@@ -3314,6 +3314,98 @@ def _dedup_incremental_lsh(spark: SparkSession, sf: str) -> DataFrame:
     ).select("id_a", "id_b", "est_jaccard")
 
 
+def _poly_sig_corpus_sql(num_hashes: int = 64) -> str:
+    """ANSI-SQL twin of the persisted poly-signature table for the
+    corpus slice (doc_id % 5 != 0) — same (a, b) literals, signatures
+    serialized to a comma string for canonicalizer-safe comparison."""
+    from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.operators.dedup import (
+        _universal_hash_params,
+    )
+
+    params = _universal_hash_params(num_hashes)
+    sig_terms = ",\n             ".join(
+        f"list_min(list_transform(hs, x -> (CAST(x AS BIGINT)*{a}+{b}) % 2147483647))"
+        for a, b in params
+    )
+    return f"""
+    WITH n AS (
+      SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS s
+      FROM documents WHERE doc_id % 5 <> 0
+    ), g AS (
+      SELECT doc_id,
+             list_transform(generate_series(1, length(s) - 2),
+                            i -> ascii(s[i]) + ascii(s[i+1])*31 + ascii(s[i+2])*961) AS hs
+      FROM n WHERE length(s) >= 3
+    )
+    SELECT doc_id, array_to_string([{sig_terms}], ',') AS sig_str
+    FROM g
+    """
+
+
+def _incr_lsh_split_path(sf: str) -> str:
+    import os
+
+    return "/tmp/spark_graft_incr_lsh_split_v1_" + os.path.basename(
+        os.path.normpath(sf)
+    )
+
+
+@_register("dedup_incremental_lsh_build", _poly_sig_corpus_sql())
+def _dedup_incremental_lsh_build(spark: SparkSession, sf: str) -> DataFrame:
+    """BUILD leg of the incremental-LSH lifecycle, benchmarked and
+    gated separately from the probe (VERDICT r8 #4: the combined
+    15 s entry let a 2× probe regression hide under a stable build).
+    Builds the persisted corpus index (signatures + partitioned band
+    tables) from scratch and returns the signatures READ BACK from
+    parquet — the oracle recomputes every signature value in ANSI SQL,
+    so a torn write or a hash-family drift fails the hash, not just
+    the row count. The probe leg (registered next, and ordered after
+    this in bench/oracle runs) reuses this index read-only."""
+    docs = read_table(spark, sf, "documents")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    path = _incr_lsh_split_path(sf)
+    DD.build_lsh_index(corpus, path, mode="overwrite")
+    return (
+        spark.read.parquet(f"{path}/signatures")
+        .select(
+            F.col("id").alias("doc_id"),
+            F.array_join(F.col("signature").cast("array<string>"), ",").alias(
+                "sig_str"
+            ),
+        )
+    )
+
+
+@_register(
+    "dedup_incremental_lsh_probe",
+    _minhash_poly_sql(
+        extra_pred="AND (c.id_a % 5 = 0 OR c.id_b % 5 = 0)"
+    ),
+)
+def _dedup_incremental_lsh_probe(spark: SparkSession, sf: str) -> DataFrame:
+    """PROBE leg of the incremental-LSH lifecycle (VERDICT r8 #4):
+    today's shard (doc_id % 5 == 0) is signed and probed against the
+    persisted corpus index READ-ONLY (``update_index=False`` — the
+    probe is idempotent and pays exactly the daily marginal cost:
+    shard shingling + one scan of the band table with the shard's
+    band entries broadcast onto it). The index is built by
+    ``dedup_incremental_lsh_build`` (registered just before, so any
+    ordered run of the registry refreshes it); a missing index is
+    rebuilt here so the entry is self-contained. Oracle: identical to
+    the full lifecycle entry — pairs touching the shard from a full
+    recompute; a stale or torn index fails the hash loudly."""
+    docs = read_table(spark, sf, "documents")
+    shard = docs.filter(F.col("doc_id") % 5 == 0)
+    path = _incr_lsh_split_path(sf)
+    if DD.read_lsh_meta(spark, path) is None:
+        DD.build_lsh_index(
+            docs.filter(F.col("doc_id") % 5 != 0), path, mode="overwrite"
+        )
+    return DD.incremental_lsh_pairs(
+        shard, path, threshold=0.5, update_index=False
+    ).select("id_a", "id_b", "est_jaccard")
+
+
 def _simhash_poly_sql(bits: int = 60) -> str:
     """ANSI-SQL twin of the polynomial SimHash: per-bit ±1 votes from
     the affine family, sign-packed into a long — same (a, b) literals,
@@ -10849,17 +10941,22 @@ _WINDOW_ORDER: list[str] = [
     "scan_project_filter", "incremental_slice",
     # flagship SQL
     "q1_pricing_summary", "q3_shipping_priority",
-    # scalar function suites (F1-F6, F9; F2/F3 table-specific)
-    "scalar_part_suite", "scalar_to_usd", "scalar_entity_type", "scalar_try_cast_dirty",
-    # date dim + json (A8, F7, F10-F12)
-    "dim_date_full", "json_extract_agg", "json_flatten_struct",
-    # profiling (A2-A7)
-    "profile_catalog", "profile_orders", "profile_report_json",
-    # warehouse build (W1-W3, S7)
-    "surrogate_key_dim", "star_schema_build", "upsert_merge", "sort_limit_topk",
-    # joins (J1-J10)
+    # scalar function suites (F1/F5/F6 via part_suite, F2 via to_usd;
+    # entity_type/try_cast rotated to the tail sweep in r9 to make
+    # room for the r8 LLM-op rotation — VERDICT r8 #1)
+    "scalar_part_suite", "scalar_to_usd",
+    # date dim + json (A8, F7, F10-F12; flatten_struct rotated to the
+    # tail in r9 — extract_agg keeps the family)
+    "dim_date_full", "json_extract_agg",
+    # profiling (A2-A7; catalog loop rotated to the tail in r9 —
+    # profile_orders + report_json keep the family)
+    "profile_orders", "profile_report_json",
+    # warehouse build (W1-W3, S7; sort_limit_topk rotated to the tail
+    # in r9 — window_topk_per_group keeps the sort/limit family)
+    "surrogate_key_dim", "star_schema_build", "upsert_merge",
+    # joins (J1-J10; named-key left rotated to the tail in r9 —
+    # null-retention keeps the left-join family)
     "join_inner_fk_agg", "join_left_null_retention", "join_self_dual_role",
-    "join_named_key_left",
     # temporal (as-of / range / SCD2)
     "join_asof_backward", "join_range_interval", "scd2_order_status",
     # aggregation (S9 via spark.sql + stats family; agg_collect_sorted
@@ -10887,17 +10984,26 @@ _WINDOW_ORDER: list[str] = [
     # + the exact bitext-mining twin of embedding_bitext_ivf)
     "embedding_near_dup_sqlcheck", "embedding_ann_sqlcheck", "embedding_ivf_sqlcheck",
     "embedding_bitext_mine",
-    # multimodal plumbing (Arrow boundary columns oracled;
-    # frame_sample moved to the tail sweep in r7 — multimodal_features
-    # keeps the Arrow boundary in-window — to make room for the BPE
-    # trainer, the tokenizer-lifecycle flagship)
-    "multimodal_features",
+    # multimodal (r9 rotation: the REAL codec paths take the window —
+    # jpeg_roundtrip drives the baseline JPEG encoder/decoder,
+    # frame_sample_mjpeg drives RIFF/AVI walk + 4:2:0 JPEG decode
+    # end-to-end; multimodal_features' md5/bytes boundary moves to the
+    # tail sweep)
+    "multimodal_jpeg_roundtrip", "multimodal_frame_sample_mjpeg",
     # corpus-trained BPE tokenizer (all 8 merge rounds hash-checked)
-    "text_bpe_learn",
+    # + the production 32k-vocab apply path (broadcast + one Arrow
+    # stage — VERDICT r8 #1 rotation)
+    "text_bpe_learn", "text_bpe_tokenize_large",
     # r8 rotation: the two newest flagship lifecycles (VERDICT r7 #8) —
     # blocked Fellegi–Sunter linkage (post-ANSI-fix) and the
     # int8-inside-IVF serving tier (BIGINT ADC, fully hash-checked)
     "link_fellegi_sunter", "embedding_ivf_int8",
+    # r9 rotation (VERDICT r8 #1): the round-8 LLM-pipeline flagships
+    # under the driver's hard hash check — decontamination, the
+    # three-operator entity-resolution pipeline, per-source quality
+    # curation, and z-order data skipping
+    "text_decontaminate", "link_golden_records",
+    "curation_quality_percentile", "layout_zorder_prune",
 ]
 
 # Seeded-hash queries whose banding math is not ANSI-SQL-expressible,

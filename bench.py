@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -83,10 +84,14 @@ HEADLINE = [
     "events_day_streaks",
     "agg_weighted_median",
     "cdc_apply_changes",
-    # round-5 addition: incremental corpus dedup against a persisted
-    # LSH index (timing includes the per-run index bootstrap + shard
-    # append — a real daily run pays only the append + probe)
-    "dedup_incremental_lsh",
+    # round-5 addition, SPLIT in round 9 (VERDICT r8 #4): the
+    # incremental-LSH lifecycle benches as separate build + probe legs
+    # so the 2x gate sees each independently (the combined 15 s entry
+    # could hide a 2x probe regression under a stable build). Build =
+    # corpus shingle->sign->band->persist; probe = shard vs persisted
+    # index read-only (the daily marginal cost).
+    "dedup_incremental_lsh_build",
+    "dedup_incremental_lsh_probe",
     # round-5 additions: single-agg OHLC rollup, deterministic EWMA
     # fold, decorrelated LATERAL top-k, interval-gap complement,
     # expression-only URL canonicalization, 2-iteration sync LPA over
@@ -174,35 +179,54 @@ HEADLINE = [
     # and the behavioral transition matrix (exact-integer ppm)
     "sample_temporal_embargo_split",
     "events_markov_transitions",
+    # round-9 additions: 4:2:0 chroma-subsampled JPEG through the
+    # Arrow boundary (SOF byte proves subsampling) and frame sampling
+    # over genuine MJPEG-in-AVI container bytes (RIFF walk + JPEG
+    # decode of only the sampled frames)
+    "multimodal_jpeg_subsampled",
+    "multimodal_frame_sample_mjpeg",
 ]
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # SPARK_GRAFT_BENCH_REPS > 1 times each query that many times after
+    # the warm-up and reports per-query MEDIAN plus sample stddev
+    # ("sigma") — the variance-band recording protocol (VERDICT r8 #7:
+    # host noise spans 0.88-1.4x across rounds, so regression gating
+    # needs median + k*sigma, not a point sample vs bare 2x). The
+    # default single rep keeps the driver's per-round run unchanged.
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "1")))
     spark = build_session("bench")
 
     qs = entry_mod.queries()
     timings: dict[str, float] = {}
+    sigmas: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
         fn(spark, sf_dir).count()  # warm-up: plan + fill caches
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).count()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        samples = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).count()
+            samples.append(time.perf_counter() - t0)
+        timings[name] = round(statistics.median(samples), 3)
+        if reps > 1:
+            sigmas[name] = round(statistics.stdev(samples), 4)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_wall_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf),
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf),
+    }
+    if sigmas:
+        out["sigma"] = sigmas
+        out["reps"] = reps
+    print(json.dumps(out))
     spark.stop()
 
 

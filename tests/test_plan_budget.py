@@ -91,9 +91,16 @@ SHUFFLE_BUDGET = {
     # exchange (the candidate dedup); everything upstream is parquet
     # scans of the persisted index + broadcast semi/anti joins on the
     # shard id set (the eager index-append writes are separate jobs,
-    # not part of the returned plan). Budget 2 leaves room for AQE
-    # picking a shuffle for the final scoring join at small SF.
-    "dedup_incremental_lsh": 2,
+    # not part of the returned plan).
+    # Round 9 splits the BENCH gate into legs (VERDICT r8 #4): build's
+    # returned plan is a pure signature-parquet scan (measured 0 at
+    # both SFs — the heavy shingle->sign work happens in the write
+    # jobs the timing captures); probe's is the candidate dedup
+    # exchange (measured 1 at both SFs, +2 for AQE flipping the
+    # shard-broadcast scoring joins when the shard outgrows the
+    # broadcast threshold).
+    "dedup_incremental_lsh_build": 0,
+    "dedup_incremental_lsh_probe": 3,
     # round-5 additions. OHLC/EWMA are single key-partitioned aggs;
     # the lateral decorrelates to one WindowGroupLimit ranking
     # exchange; interval gaps share the merge's key exchange; URL
@@ -222,6 +229,12 @@ SHUFFLE_BUDGET = {
     # window).
     "sample_temporal_embargo_split": 2,
     "events_markov_transitions": 4,
+    # round-9: both pure Arrow map pipelines over a pruned documents
+    # scan — zero exchanges by construction (measured 0 at both SFs;
+    # a nonzero count here means the codec entries grew a shuffle,
+    # which would be a real plan bug).
+    "multimodal_jpeg_subsampled": 0,
+    "multimodal_frame_sample_mjpeg": 0,
 }
 
 

@@ -35,26 +35,32 @@ REQUIRED_IN_WINDOW = {
     # r8 rotation (VERDICT r7 #8): the newest flagship lifecycles
     "link_fellegi_sunter",
     "embedding_ivf_int8",
-    # §2 coverage representatives
+    # r9 rotation (VERDICT r8 #1): round-8 LLM flagships + the round-9
+    # real-codec multimodal paths under the driver's hard hash check
+    "text_decontaminate",
+    "link_golden_records",
+    "curation_quality_percentile",
+    "layout_zorder_prune",
+    "text_bpe_tokenize_large",
+    "multimodal_jpeg_roundtrip",
+    "multimodal_frame_sample_mjpeg",
+    # §2 coverage representatives (one per family; the r9 rotation
+    # moved the redundant siblings — entity_type/try_cast,
+    # flatten_struct, profile_catalog, sort_limit_topk,
+    # join_named_key_left, multimodal_features — to the CI tail sweep)
     "scan_project_filter",
     "incremental_slice",
     "scalar_part_suite",
     "scalar_to_usd",
-    "scalar_entity_type",
-    "scalar_try_cast_dirty",
     "dim_date_full",
     "json_extract_agg",
-    "json_flatten_struct",
-    "profile_catalog",
     "profile_orders",
     "profile_report_json",
     "surrogate_key_dim",
-    "sort_limit_topk",
     "agg_grouping_sets",
     "join_inner_fk_agg",
     "join_left_null_retention",
     "join_self_dual_role",
-    "join_named_key_left",
 }
 
 
