@@ -144,6 +144,30 @@ def test_readme_registry_block_in_sync():
     )
 
 
+def test_survey_status_block_in_sync():
+    """SURVEY §8's generated current-status block must match the live
+    registry + GATE.json (VERDICT r8 #8: six rounds of hand-written
+    status narrative kept accreting stale counts — the narrative moved
+    to SURVEY_HISTORY.md and the current state is generated). The fix
+    is one `python tools/gen_survey_status.py`."""
+    import re
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    import gen_survey_status as gen
+
+    with open("/root/repo/SURVEY.md") as f:
+        text = f.read()
+    m = re.search(
+        re.escape(gen.BEGIN) + r".*?" + re.escape(gen.END), text, re.DOTALL
+    )
+    assert m, "SURVEY.md lost its STATUS block markers"
+    assert m.group(0) == gen.render_block(), (
+        "SURVEY status block out of date — run "
+        "python tools/gen_survey_status.py"
+    )
+
+
 def test_plans_md_in_sync_with_registry():
     """The written plan audit (PLANS.md) must cover exactly the live
     registry (VERDICT r7 item 5): registering a query without
