@@ -53,9 +53,12 @@ def evaluate(
         if med is None:
             continue
         checked += 1
-        band = med + max(
-            k * base_sigma.get(name, 0.0), rel_floor * med, abs_floor
-        )
+        sigma = base_sigma.get(name)
+        # with a recorded sigma the variance band carries the gate and
+        # the relative floor tightens (0.6x the legacy floor); without
+        # one (legacy single-rep recordings) the full rel floor applies
+        rel = rel_floor * 0.6 if sigma is not None else rel_floor
+        band = med + max(k * (sigma or 0.0), rel * med, abs_floor)
         threshold = min(2.0 * med, band)
         if t > threshold:
             regressions.append(
