@@ -200,6 +200,15 @@ class _BitWriter:
             self.write((1 << pad) - 1, pad)  # pad with 1s per T.81
         return bytes(self.buf)
 
+    def emit_restart(self, n: int) -> None:
+        """Byte-align (1-bit padding, stuffing still applies) and emit
+        RSTn — restart markers are raw marker bytes, never stuffed."""
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)
+        self.buf.append(0xFF)
+        self.buf.append(0xD0 + (n & 7))
+
 
 def _magnitude(v: int) -> tuple[int, int]:
     """(size, amplitude bits) for a DC diff / AC coefficient."""
@@ -266,7 +275,12 @@ def _quantize(coefs: list[float], qt: list[int]) -> list[int]:
 
 
 def encode_jpeg(
-    w: int, h: int, rgb: bytes, quality: int = 85, subsample: str = "444"
+    w: int,
+    h: int,
+    rgb: bytes,
+    quality: int = 85,
+    subsample: str = "444",
+    restart_interval: int = 0,
 ) -> bytes:
     """Baseline-sequential JFIF encoder. Deterministic: float FDCT in
     fixed evaluation order, round-half-away quantization.
@@ -274,7 +288,11 @@ def encode_jpeg(
     ``subsample``: ``"444"`` (1x1 factors, every component full-res)
     or ``"420"`` (luma 2x2, chroma quarter-res via 2×2 box average
     with round-half-up and edge replication — the dominant real-world
-    form, MCU-interleaved per T.81 A.2.3)."""
+    form, MCU-interleaved per T.81 A.2.3).
+
+    ``restart_interval`` > 0 emits a DRI segment and an RSTn marker
+    (DC predictors reset) every that-many MCUs — the T.81 E.2.4
+    error-resilience framing most hardware encoders produce."""
     if len(rgb) != w * h * 3:
         raise ValueError("rgb length != w*h*3")
     if subsample not in ("444", "420"):
@@ -300,11 +318,23 @@ def encode_jpeg(
     acc = _build_codes(*_AC_CHROMA)
     preds = [0, 0, 0]
 
+    mcu_count = 0
+    rst_n = 0
+
+    def _maybe_restart() -> None:
+        nonlocal mcu_count, rst_n
+        if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+            bw.emit_restart(rst_n)
+            rst_n = (rst_n + 1) & 7
+            preds[0] = preds[1] = preds[2] = 0
+        mcu_count += 1
+
     if subsample == "444":
         bw_blocks_y = (h + 7) // 8
         bw_blocks_x = (w + 7) // 8
         for by in range(bw_blocks_y):
             for bx in range(bw_blocks_x):
+                _maybe_restart()
                 for ci, (plane, qt, dc_c, ac_c) in enumerate(
                     ((ny, ql, dcl, acl), (ncb, qc, dcc, acc), (ncr, qc, dcc, acc))
                 ):
@@ -333,6 +363,7 @@ def encode_jpeg(
         mcuy = (h + 15) // 16
         for my in range(mcuy):
             for mx in range(mcux):
+                _maybe_restart()
                 for by in range(2):
                     for bx in range(2):
                         block = _extract_block(ny, w, h, mx * 2 + bx, my * 2 + by)
@@ -352,6 +383,8 @@ def encode_jpeg(
     for tid, qt in ((0, ql), (1, qc)):
         out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tid])
         out += bytes(qt[ZIGZAG[i]] for i in range(64))
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     out += b"\xff\xc0" + struct.pack(">HBHHB", 17, 8, h, w, 3)
     for cid, hv, tq in samplings:
         out += bytes([cid, hv, tq])
@@ -396,7 +429,8 @@ class _BitReader:
                 else:
                     raise NotImplementedError(
                         f"unexpected marker 0xFF{nxt:02X} inside entropy data "
-                        "(restart intervals unsupported)"
+                        "(stream desynced — RSTn only legal at MCU-interval "
+                        "boundaries, which are consumed explicitly)"
                     )
             self.acc = b
             self.nbits = 8
@@ -408,6 +442,25 @@ class _BitReader:
         for _ in range(n):
             v = (v << 1) | self.read_bit()
         return v
+
+    def consume_restart(self) -> None:
+        """Discard padding bits, skip stuffed pad bytes, and consume
+        the byte-aligned RSTn marker (T.81 E.2.4)."""
+        self.nbits = 0
+        d = self.data
+        while (
+            self.pos + 1 < len(d)
+            and d[self.pos] == 0xFF
+            and d[self.pos + 1] == 0x00
+        ):
+            self.pos += 2  # stuffed 0xFF produced by 1-bit padding
+        if (
+            self.pos + 1 >= len(d)
+            or d[self.pos] != 0xFF
+            or not (0xD0 <= d[self.pos + 1] <= 0xD7)
+        ):
+            raise NotImplementedError("JPEG restart marker missing/desynced")
+        self.pos += 2
 
 
 def _extend(v: int, size: int) -> int:
@@ -555,9 +608,11 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, bytes]:
     encoders emit. Chroma is upsampled by SAMPLE REPLICATION (the
     deterministic nearest-neighbor contract; libjpeg's "-nosmooth"
     path) so decoded pixels stay bit-identical across hosts.
-    Progressive JPEG, restart intervals, arithmetic coding, sampling
-    factors > 2, and 12-bit precision raise ``NotImplementedError``
-    (honest boundary — same policy as the PNG codec).
+    Restart intervals (DRI + RSTn, T.81 E.2.4) are honored: DC
+    predictors reset and the stream re-aligns at each marker.
+    Progressive JPEG, arithmetic coding, sampling factors > 2, and
+    12-bit precision raise ``NotImplementedError`` (honest boundary —
+    same policy as the PNG codec).
 
     Marker parsing tolerates optional 0xFF fill bytes before a marker
     code (legal per T.81 B.1.1.2) and the length-less standalone
@@ -569,6 +624,7 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, bytes]:
     huff: dict[tuple[int, int], _HuffTable] = {}
     frame = None  # (w, h, [(cid, h_i, v_i, qtab)])
     scan = None
+    restart_interval = 0
 
     while pos + 2 <= len(payload):
         if payload[pos] != 0xFF:
@@ -640,8 +696,10 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, bytes]:
             raise NotImplementedError(
                 f"non-baseline JPEG (SOF{marker - 0xC0}) unsupported"
             )
-        elif marker == 0xDD:
-            raise NotImplementedError("JPEG restart intervals unsupported")
+        elif marker == 0xDD:  # DRI
+            if len(seg) < 2:
+                raise NotImplementedError("truncated JPEG DRI segment")
+            restart_interval = struct.unpack(">H", seg[:2])[0]
         elif marker == 0xDA:  # SOS
             ns = seg[0]
             stabs = []
@@ -716,9 +774,17 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, bytes]:
     # interleaved MCU order (T.81 A.2.3): within each MCU every
     # component contributes h_i × v_i blocks, left-to-right then
     # top-to-bottom; for 4:4:4 / grayscale this degenerates to the
-    # one-block-per-component order
+    # one-block-per-component order. With a DRI interval, every
+    # `restart_interval` MCUs the stream byte-aligns on an RSTn marker
+    # and DC predictors reset (T.81 E.2.4).
+    mcu_count = 0
     for my in range(mcuy):
         for mx in range(mcux):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                br.consume_restart()
+                for ci in range(len(preds)):
+                    preds[ci] = 0
+            mcu_count += 1
             for ci, (_cid, hi, vi, _tq) in enumerate(comps):
                 for by in range(vi):
                     for bx in range(hi):

@@ -373,3 +373,42 @@ def test_fill_bytes_and_standalone_markers_tolerated():
     assert decode_jpeg(padded)[2] == base
     assert decode_jpeg(tem)[2] == base
     assert decode_jpeg(rst)[2] == base
+
+
+def test_restart_intervals_decode_identically():
+    """DRI/RSTn framing (T.81 E.2.4) must not change decoded pixels:
+    the restart stream re-aligns on byte boundaries and resets DC
+    predictors, but the dequantized coefficients are identical — any
+    interval decodes bit-identically to the unframed stream. Also
+    covers the stuffed-0xFF-pad-before-marker corner (1-bit padding
+    can produce 0xFF00 right before RSTn)."""
+    w, h = 37, 23
+    rng = random.Random(7)
+    rgb = bytes(
+        min(255, (x * 7 + y * 3 + rng.randrange(0, 30) + c * 11) % 256)
+        for y in range(h)
+        for x in range(w)
+        for c in range(3)
+    )
+    for mode, n_mcus in (("444", 15), ("420", 6)):
+        base = decode_jpeg(encode_jpeg(w, h, rgb, 85, subsample=mode))[2]
+        for ri in (1, 2, 3, 7):
+            p = encode_jpeg(w, h, rgb, 85, subsample=mode, restart_interval=ri)
+            assert decode_jpeg(p)[2] == base, (mode, ri)
+            assert b"\xff\xdd" in p
+            if n_mcus > ri:
+                assert b"\xff\xd0" in p, (mode, ri)
+    # the exact fixed point survives restart framing too
+    flat = bytes([128]) * (w * h * 3)
+    got = decode_jpeg(encode_jpeg(w, h, flat, subsample="420", restart_interval=2))
+    assert got[2] == flat
+
+
+def test_restart_marker_desync_is_honest():
+    w, h = 24, 17
+    p = bytearray(encode_jpeg(w, h, _gradient(w, h), 85, restart_interval=2))
+    i = p.find(b"\xff\xd0")
+    assert i > 0
+    p[i + 1] = 0xD9  # corrupt RST0 -> EOI mid-stream
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(p))
