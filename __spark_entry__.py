@@ -6914,6 +6914,68 @@ def _sample_temporal_embargo_split(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_QUOTA_MIX_PPM = {
+    "src0": 300000,
+    "src1": 200000,
+    "src10": 100000,
+    **{f"src{i}": 50000 for i in range(2, 10)},
+}
+
+
+@_register(
+    "sample_quota_mix",
+    f"""
+    WITH w(source, ppm) AS (VALUES {", ".join(
+        f"('{k}', {v})" for k, v in sorted(_QUOTA_MIX_PPM.items())
+    )}),
+    s AS (
+      SELECT w.source,
+             (183 * w.ppm) // 1000000 AS base,
+             (183 * w.ppm) % 1000000 AS rem
+      FROM w
+    ), l AS (
+      SELECT 183 - SUM(base) AS leftover FROM s
+    ), q AS (
+      SELECT source,
+             base + CASE WHEN ROW_NUMBER() OVER (ORDER BY rem DESC, source)
+                              <= (SELECT leftover FROM l)
+                         THEN 1 ELSE 0 END AS quota
+      FROM s
+    ), r AS (
+      SELECT d.doc_id, d.source,
+             ROW_NUMBER() OVER (
+               PARTITION BY d.source
+               ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id
+             ) AS rn
+      FROM documents d JOIN q ON d.source = q.source
+      WHERE d.source IS NOT NULL
+    )
+    SELECT r.doc_id, r.source
+    FROM r JOIN q ON r.source = q.source
+    WHERE r.rn <= q.quota
+    """,
+)
+def _sample_quota_mix(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact-quota dataset mixing (operators/sampling.quota_mix): the
+    "30% src0 / 20% src1 / ..." corpus-composition step apportioned by
+    the LARGEST-REMAINDER method in pure BIGINT arithmetic — 183 seats
+    over 11 weighted sources leaves 3 fractional seats that go to the
+    largest remainders (src0/src1/src10 here), sources not in the
+    weight table are excluded entirely, and a quota exceeding a
+    source's row count yields every row (deliberate undershoot —
+    silently stealing the shortfall would skew the stated ratios).
+    Selection inside each source is md5-order, the repo's
+    deterministic-shuffle primitive. Per-source apportionment math
+    runs on the KB-state distinct-source frame; quotas broadcast back
+    onto the corpus scan; the only data-sized exchange is the
+    per-source row_number partition."""
+    docs = read_table(spark, sf, "documents")
+    out = SMP.quota_mix(
+        docs, "source", "doc_id", 183, weights_ppm=_QUOTA_MIX_PPM
+    )
+    return out.select("doc_id", "source")
+
+
 @_register(
     "events_markov_transitions",
     """

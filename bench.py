@@ -185,6 +185,10 @@ HEADLINE = [
     # decode of only the sampled frames)
     "multimodal_jpeg_subsampled",
     "multimodal_frame_sample_mjpeg",
+    # round-9 continuation: exact-quota dataset mixing by largest
+    # remainder (BIGINT apportionment on the KB source frame, quotas
+    # broadcast onto the corpus, one per-source ranking shuffle)
+    "sample_quota_mix",
 ]
 
 

@@ -31,6 +31,7 @@ __all__ = [
     "weighted_mix",
     "weighted_bernoulli_sample",
     "sample_negatives",
+    "quota_mix",
 ]
 
 
@@ -219,4 +220,107 @@ def sample_negatives(
             F.col("__cid").alias("neg_id"),
             "neg_rank",
         )
+    )
+
+
+def quota_mix(
+    df: DataFrame,
+    source_col: str,
+    id_col: str,
+    total_n: int,
+    *,
+    weights_ppm: dict[str, int] | None = None,
+    salt: str = "",
+) -> DataFrame:
+    """Exact-quota dataset mixing by the largest-remainder method —
+    the "compose a 1B-doc training mix as 30% web / 25% code / ..."
+    step, with integer-exact apportionment instead of per-row coin
+    flips (Bernoulli mixing misses small targets by O(sqrt(n)); a
+    quota mix hits each source's count exactly).
+
+    Apportionment (all BIGINT arithmetic, no floats anywhere):
+
+    - ``weights_ppm`` given (parts-per-million, must sum to 1e6):
+      ideal_i = total_n * ppm_i; base_i = ideal_i div 1e6; the
+      ``total_n - sum(base)`` leftover seats go to the largest
+      remainders ``ideal_i mod 1e6`` (ties -> lexicographically
+      smaller source — deterministic, engine-agnostic).
+    - ``weights_ppm`` omitted: proportional (stratified) to observed
+      source sizes — same method with denominator N = sum(n_j).
+
+    Row selection inside each source is md5-hash order (the repo's
+    deterministic-shuffle primitive, cf. :func:`cap_per_group`):
+    ``row_number() over (partition by source order by md5(id||salt),
+    id) <= quota``. Change ``salt`` for an independent draw.
+
+    A source whose quota exceeds its row count yields all its rows
+    and the mix undershoots ``total_n`` — deliberate (silently
+    stealing the shortfall from other sources would skew the stated
+    ratios; fix the weights instead). NULL sources are never sampled.
+
+    Scale shape: the per-source count aggregate and the
+    largest-remainder ranking run over the DISTINCT-source frame
+    (KB-state — corpus mixes have tens of sources, never data-sized);
+    quotas broadcast back onto the corpus scan, and the only
+    data-sized exchange is the per-source row_number partition — one
+    shuffle, same as any per-group top-k."""
+    if total_n < 0:
+        raise ValueError("total_n must be >= 0")
+    counts = (
+        df.filter(F.col(source_col).isNotNull())
+        .groupBy(source_col)
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    if weights_ppm is not None:
+        ssum = sum(weights_ppm.values())
+        if ssum != 1_000_000:
+            raise ValueError(f"weights_ppm must sum to 1_000_000, got {ssum}")
+        spark = df.sparkSession
+        wdf = spark.createDataFrame(
+            [(k, int(v)) for k, v in sorted(weights_ppm.items())],
+            schema=f"{source_col} string, _ppm bigint",
+        )
+        counts = counts.join(wdf, source_col, "inner")
+        counts = counts.withColumn("_denom", F.lit(1_000_000).cast("bigint"))
+        counts = counts.withColumn(
+            "_ideal", F.lit(int(total_n)).cast("bigint") * F.col("_ppm")
+        )
+    else:
+        counts = counts.withColumn(
+            "_denom", F.sum("_n").over(Window.partitionBy())
+        )
+        counts = counts.withColumn(
+            "_ideal", F.lit(int(total_n)).cast("bigint") * F.col("_n")
+        )
+    # `div` = exact BIGINT division (the `/` operator is double and
+    # loses exactness past 2^53 — total_n * count overflows that fast)
+    seats = counts.selectExpr(
+        source_col,
+        "_n",
+        "_ideal div _denom AS _base",
+        "_ideal % _denom AS _rem",
+    ).withColumn(
+        "_leftover",
+        F.lit(int(total_n)) - F.sum("_base").over(Window.partitionBy()),
+    )
+    rank = F.row_number().over(
+        Window.partitionBy().orderBy(F.col("_rem").desc(), F.col(source_col))
+    )
+    quotas = seats.select(
+        source_col,
+        (
+            F.col("_base")
+            + F.when(rank <= F.col("_leftover"), F.lit(1)).otherwise(F.lit(0))
+        ).alias("_quota"),
+    )
+    key = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
+    rn = F.row_number().over(
+        Window.partitionBy(source_col).orderBy(key, F.col(id_col))
+    )
+    return (
+        df.filter(F.col(source_col).isNotNull())
+        .join(F.broadcast(quotas), source_col)
+        .withColumn("_rn", rn)
+        .filter(F.col("_rn") <= F.col("_quota"))
+        .drop("_rn", "_quota")
     )

@@ -148,9 +148,15 @@ def test_plan_has_no_scale_red_flags(spark, sf_dir, name):
 # data-sized single-reducer window is the canonical 100× scale
 # failure (VERDICT r6 item 1; text_rarity_score's vocabulary rank was
 # the last one, retired in r7).
+#   sample_quota_mix — largest-remainder seat apportionment over the
+#     per-source quota frame; input is |sources| rows (a corpus-mix
+#     cardinality constant, tens of sources), quotas then BROADCAST
+#     back onto the corpus scan. The data-sized exchange in that plan
+#     is the per-source row_number hash partition, not this one.
 WINDOW_SINGLE_PARTITION_OK = {
     "dq_benford_totalprice",
     "feature_class_weights",
+    "sample_quota_mix",
 }
 
 _DEPTH_RE = __import__("re").compile(r"^[\s:+*-]*")

@@ -235,6 +235,11 @@ SHUFFLE_BUDGET = {
     # which would be a real plan bug).
     "multimodal_jpeg_subsampled": 0,
     "multimodal_frame_sample_mjpeg": 0,
+    # quota mixing: the per-source row_number partition + the count
+    # aggregate feeding the KB-state seat apportionment (measured 2 at
+    # both SFs; +1 for an AQE broadcast->shuffle flip of the quota
+    # join if sources ever stopped being KB-sized).
+    "sample_quota_mix": 3,
 }
 
 

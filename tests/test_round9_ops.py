@@ -138,3 +138,104 @@ def test_bench_gate_coerces_driver_records():
     }
     got = bench_gate._coerce_candidate(doc)["queries"]
     assert got == {"q1_pricing": 0.217, "dedup_lsh": 9.228}
+
+
+# ---------------------------------------------------------------------------
+# quota_mix — largest-remainder dataset mixing
+# ---------------------------------------------------------------------------
+
+
+def _lr_reference(counts: dict[str, int], weights_ppm: dict[str, int], total: int):
+    """Python largest-remainder reference (independent of the Spark
+    implementation)."""
+    seats = {}
+    rems = []
+    base_sum = 0
+    for s in weights_ppm:
+        ideal = total * weights_ppm[s]
+        seats[s] = ideal // 1_000_000
+        base_sum += seats[s]
+        rems.append((-(ideal % 1_000_000), s))
+    for _, s in sorted(rems)[: total - base_sum]:
+        seats[s] += 1
+    return {s: min(q, counts.get(s, 0)) for s, q in seats.items()}
+
+
+def test_quota_mix_exact_seats(spark):
+    from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.operators import (
+        sampling as SMP,
+    )
+
+    rows = [(i, f"s{i % 4}") for i in range(100)]  # 25 per source
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    w = {"s0": 500000, "s1": 300000, "s2": 150000, "s3": 50000}
+    out = SMP.quota_mix(df, "source", "doc_id", 37, weights_ppm=w)
+    got = {r["source"]: r["n"] for r in out.groupBy("source").agg(
+        __import__("pyspark.sql.functions", fromlist=["count"]).count("*").alias("n")
+    ).collect()}
+    ref = _lr_reference({f"s{i}": 25 for i in range(4)}, w, 37)
+    ref = {k: v for k, v in ref.items() if v > 0}
+    assert got == ref
+    assert sum(got.values()) == 37  # all quotas satisfiable -> exact total
+
+
+def test_quota_mix_proportional_and_undershoot(spark):
+    from pyspark.sql import functions as F
+
+    from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.operators import (
+        sampling as SMP,
+    )
+
+    # skewed sizes: 60 / 30 / 10 rows; proportional 50-seat mix
+    rows = (
+        [(i, "big") for i in range(60)]
+        + [(100 + i, "mid") for i in range(30)]
+        + [(200 + i, "small") for i in range(10)]
+        + [(300, None)]  # NULL source never sampled
+    )
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = SMP.quota_mix(df, "source", "doc_id", 50)
+    got = {
+        r["source"]: r["n"]
+        for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert got == {"big": 30, "mid": 15, "small": 5}
+    # quota above availability -> every row of that source, no stealing
+    out2 = SMP.quota_mix(
+        df, "source", "doc_id", 100,
+        weights_ppm={"small": 500000, "big": 500000},
+    )
+    got2 = {
+        r["source"]: r["n"]
+        for r in out2.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert got2 == {"small": 10, "big": 50}  # small undershoots its 50
+
+
+def test_quota_mix_determinism_and_salt(spark):
+    from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.operators import (
+        sampling as SMP,
+    )
+
+    rows = [(i, f"s{i % 3}") for i in range(90)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    a = sorted(r["doc_id"] for r in SMP.quota_mix(df, "source", "doc_id", 30).collect())
+    b = sorted(r["doc_id"] for r in SMP.quota_mix(df, "source", "doc_id", 30).collect())
+    c = sorted(
+        r["doc_id"]
+        for r in SMP.quota_mix(df, "source", "doc_id", 30, salt="x").collect()
+    )
+    assert a == b
+    assert len(c) == len(a) and c != a  # same quotas, different draw
+
+
+def test_quota_mix_validation(spark):
+    from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.operators import (
+        sampling as SMP,
+    )
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, source string")
+    with pytest.raises(ValueError, match="1_000_000"):
+        SMP.quota_mix(df, "source", "doc_id", 10, weights_ppm={"a": 999})
+    with pytest.raises(ValueError, match=">= 0"):
+        SMP.quota_mix(df, "source", "doc_id", -1)
