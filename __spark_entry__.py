@@ -6977,6 +6977,61 @@ def _sample_quota_mix(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_register(
+    "text_pack_chunks",
+    """
+    WITH d AS (
+      SELECT doc_id, SUM(CAST(n_chars AS BIGINT)) AS len,
+             md5(CAST(doc_id AS VARCHAR)) AS h
+      FROM documents
+      WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL AND n_chars > 0
+      GROUP BY doc_id
+    ), c AS (
+      SELECT doc_id, len,
+             SUM(len) OVER (ORDER BY h, doc_id
+                            ROWS UNBOUNDED PRECEDING) AS cum
+      FROM d
+    ), s AS (
+      SELECT doc_id, len, CAST(cum - len AS BIGINT) AS strt,
+             CAST((cum - len) // 2048 AS BIGINT) AS first_c,
+             CAST((cum - 1) // 2048 AS BIGINT) AS last_c
+      FROM c
+    ), e AS (
+      SELECT doc_id, len, strt,
+             CAST(unnest(generate_series(first_c, last_c)) AS BIGINT) AS chunk_id
+      FROM s
+    )
+    SELECT doc_id AS id, chunk_id,
+           CAST(greatest(strt, chunk_id*2048) - strt AS BIGINT) AS doc_off,
+           CAST(greatest(strt, chunk_id*2048) - chunk_id*2048 AS BIGINT)
+             AS chunk_off,
+           CAST(least(strt+len, (chunk_id+1)*2048)
+                - greatest(strt, chunk_id*2048) AS BIGINT) AS n_toks
+    FROM e
+    """,
+)
+def _text_pack_chunks(spark: SparkSession, sf: str) -> DataFrame:
+    """Concat-then-chunk sequence packing (operators/sampling.
+    pack_chunks): documents lie end-to-end in md5-order and the token
+    stream cuts into 2048-length training chunks — one row per
+    (document, chunk) overlap with exact BIGINT offsets, the batching
+    artifact a pretraining loader consumes. The global prefix sum is
+    the two-phase bucketed cumsum (features.partitioned_cumsum — no
+    single-reducer sort); the chunk fan-out is a map-side explode.
+    Oracle: DuckDB window cumsum + generate_series restatement.
+    Inputs pre-aggregate per doc_id so duplicate-id mutations (ties
+    sweep) keep the order total."""
+    docs = read_table(spark, sf, "documents").filter(
+        F.col("doc_id").isNotNull()
+        & F.col("n_chars").isNotNull()
+        & (F.col("n_chars") > 0)
+    )
+    d = docs.groupBy("doc_id").agg(
+        F.sum(F.col("n_chars").cast("bigint")).alias("len")
+    )
+    return SMP.pack_chunks(d, "doc_id", "len", 2048)
+
+
+@_register(
     "events_markov_transitions",
     """
     WITH ordered AS (

@@ -187,8 +187,10 @@ HEADLINE = [
     "multimodal_frame_sample_mjpeg",
     # round-9 continuation: exact-quota dataset mixing by largest
     # remainder (BIGINT apportionment on the KB source frame, quotas
-    # broadcast onto the corpus, one per-source ranking shuffle)
+    # broadcast onto the corpus, one per-source ranking shuffle) and
+    # concat-then-chunk sequence packing on the two-phase cumsum
     "sample_quota_mix",
+    "text_pack_chunks",
 ]
 
 

@@ -32,6 +32,7 @@ __all__ = [
     "weighted_bernoulli_sample",
     "sample_negatives",
     "quota_mix",
+    "pack_chunks",
 ]
 
 
@@ -323,4 +324,75 @@ def quota_mix(
         .withColumn("_rn", rn)
         .filter(F.col("_rn") <= F.col("_quota"))
         .drop("_rn", "_quota")
+    )
+
+
+def pack_chunks(
+    df: DataFrame,
+    id_col: str,
+    len_col: str,
+    chunk_size: int,
+    *,
+    salt: str = "",
+) -> DataFrame:
+    """Concat-then-chunk sequence packing — the pretraining batching
+    step: documents are laid end-to-end in a deterministic global
+    order (md5-hash shuffle, the repo's standard draw) and the
+    resulting token stream is cut into fixed ``chunk_size`` pieces;
+    each output row maps one (document, chunk) overlap with exact
+    offsets. This is the classic GPT-lineage packing (documents split
+    across chunk boundaries, no padding waste) as opposed to no-split
+    bin packing, whose remainder-reset recurrence is inherently
+    sequential — concat-then-chunk is what scales.
+
+    Output: one row per (doc, chunk) overlap —
+    ``(id, chunk_id, doc_off, chunk_off, n_toks)`` with
+    ``doc_off``/``chunk_off`` the segment's start inside the document
+    / chunk. Every value is exact BIGINT arithmetic over the global
+    prefix sum. Rows with NULL or non-positive ``len_col`` are
+    excluded (an empty document occupies no stream positions).
+
+    Scale shape: the global prefix sum is
+    :func:`..features.partitioned_cumsum` — two-phase bucketed cumsum,
+    NO single-reducer sort — and the chunk fan-out is a map-side
+    ``explode(sequence(first, last))``; per-doc fan-out is bounded by
+    ``len/chunk_size + 1``. One ranking-bucket exchange end to end.
+    """
+    if chunk_size <= 0:
+        raise ValueError("chunk_size must be positive")
+    from .features import partitioned_cumsum
+
+    rows = df.filter(
+        F.col(len_col).isNotNull() & (F.col(len_col) > 0)
+    ).select(
+        F.col(id_col).alias("id"),
+        F.col(len_col).cast("bigint").alias("_len"),
+        F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))).alias("_h"),
+    )
+    cum = partitioned_cumsum(
+        rows, [F.col("_h"), F.col("id")], "_len", out_col="_cum"
+    )
+    B = F.lit(int(chunk_size)).cast("bigint")
+    start = (F.col("_cum") - F.col("_len")).alias("_start")
+    spans = cum.select(
+        "id",
+        "_len",
+        start,
+        F.expr(f"(_cum - _len) div {int(chunk_size)}").alias("_first"),
+        F.expr(f"(_cum - 1) div {int(chunk_size)}").alias("_last"),
+    )
+    seg = spans.select(
+        "id",
+        "_len",
+        "_start",
+        F.explode(F.sequence(F.col("_first"), F.col("_last"))).alias("chunk_id"),
+    )
+    seg_start = F.greatest(F.col("_start"), F.col("chunk_id") * B)
+    seg_end = F.least(F.col("_start") + F.col("_len"), (F.col("chunk_id") + 1) * B)
+    return seg.select(
+        "id",
+        "chunk_id",
+        (seg_start - F.col("_start")).alias("doc_off"),
+        (seg_start - F.col("chunk_id") * B).alias("chunk_off"),
+        (seg_end - seg_start).alias("n_toks"),
     )

@@ -94,6 +94,11 @@ NESTED_LOOP_OK = {
     # bounds frame broadcasts (attach_order_bucket's value buckets
     # are global; per-source state rides the equi-joined offsets).
     "curation_quality_percentile",
+    # r9: sequence packing rides partitioned_cumsum, whose
+    # attach_order_bucket stage broadcasts the same ONE-ROW [min, max]
+    # bounds frame — identical constant-cost shape as
+    # surrogate_key_dim / agg_exact_median above.
+    "text_pack_chunks",
     # MMR's CANDIDATE stage is the brute cosine baseline
     # (cosine_topk: broadcast queries × corpus scan), same documented
     # shape as embedding_topk_bruteforce; the greedy re-rank stages

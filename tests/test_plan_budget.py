@@ -240,6 +240,10 @@ SHUFFLE_BUDGET = {
     # both SFs; +1 for an AQE broadcast->shuffle flip of the quota
     # join if sources ever stopped being KB-sized).
     "sample_quota_mix": 3,
+    # sequence packing: the per-doc pre-aggregate + the cumsum bucket
+    # exchange + the offsets equi-join (measured 3 at both SFs; the
+    # bounds frame rides a KB broadcast, see NESTED_LOOP_OK).
+    "text_pack_chunks": 4,
 }
 
 

@@ -239,3 +239,76 @@ def test_quota_mix_validation(spark):
         SMP.quota_mix(df, "source", "doc_id", 10, weights_ppm={"a": 999})
     with pytest.raises(ValueError, match=">= 0"):
         SMP.quota_mix(df, "source", "doc_id", -1)
+
+
+# ---------------------------------------------------------------------------
+# pack_chunks — concat-then-chunk sequence packing
+# ---------------------------------------------------------------------------
+
+
+def test_pack_chunks_matches_python_reference(spark):
+    import hashlib
+
+    from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.operators import (
+        sampling as SMP,
+    )
+
+    # lengths exercise: exact-boundary doc (512), doc > chunk (1300,
+    # spans 3+ chunks), tiny docs, zero/NULL excluded
+    rows = [(1, 512), (2, 1300), (3, 7), (4, 505), (5, 512), (6, 1),
+            (7, None), (8, 0)]
+    df = spark.createDataFrame(rows, "doc_id long, n long")
+    got = sorted(
+        (r["id"], r["chunk_id"], r["doc_off"], r["chunk_off"], r["n_toks"])
+        for r in SMP.pack_chunks(df, "doc_id", "n", 512).collect()
+    )
+    docs = sorted(
+        ((hashlib.md5(str(i).encode()).hexdigest(), i, n) for i, n in rows if n),
+        key=lambda t: (t[0], t[1]),
+    )
+    pos, ref = 0, []
+    for _, i, n in docs:
+        s, e = pos, pos + n
+        k = s // 512
+        while k * 512 < e:
+            ss, ee = max(s, k * 512), min(e, (k + 1) * 512)
+            ref.append((i, k, ss - s, ss - k * 512, ee - ss))
+            k += 1
+        pos = e
+    assert got == sorted(ref)
+    # stream-conservation invariants
+    total = sum(n for _, n in rows if n)
+    assert sum(t[4] for t in got) == total
+    per_chunk = {}
+    for _, k, _, _, t in got:
+        per_chunk[k] = per_chunk.get(k, 0) + t
+    last = max(per_chunk)
+    assert all(v == 512 for k, v in per_chunk.items() if k != last)
+    # per-doc offsets reassemble the doc exactly
+    per_doc = {}
+    for i, _, off, _, t in got:
+        per_doc.setdefault(i, []).append((off, t))
+    for i, n in rows:
+        if not n:
+            continue
+        segs = sorted(per_doc[i])
+        assert segs[0][0] == 0 and sum(t for _, t in segs) == n
+        acc = 0
+        for off, t in segs:
+            assert off == acc
+            acc += t
+
+
+def test_pack_chunks_salt_and_validation(spark):
+    from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.operators import (
+        sampling as SMP,
+    )
+
+    df = spark.createDataFrame(
+        [(i, 100) for i in range(20)], "doc_id long, n long"
+    )
+    a = {(r["id"], r["chunk_id"]) for r in SMP.pack_chunks(df, "doc_id", "n", 256).collect()}
+    b = {(r["id"], r["chunk_id"]) for r in SMP.pack_chunks(df, "doc_id", "n", 256, salt="x").collect()}
+    assert a != b  # different order -> different chunk assignment
+    with pytest.raises(ValueError, match="positive"):
+        SMP.pack_chunks(df, "doc_id", "n", 0)
