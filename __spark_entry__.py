@@ -2610,6 +2610,87 @@ def _multimodal_jpeg_subsampled(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_register(
+    "multimodal_jpeg_progressive",
+    """
+    SELECT doc_id AS media_id,
+           CAST(((doc_id % 15) + 15) % 15 + 9 AS INT) AS width,
+           CAST(((doc_id % 13) + 13) % 13 + 9 AS INT) AS height,
+           CAST(194 AS INT) AS sof_marker,
+           CAST((((doc_id % 15) + 15) % 15 + 9)
+                * (((doc_id % 13) + 13) % 13 + 9) * 3 AS BIGINT) AS n_bytes,
+           CAST(1 AS INT) AS n_distinct_values,
+           CAST(128 AS INT) AS pixel_value
+    FROM documents WHERE doc_id IS NOT NULL AND doc_id % 10 = 7
+    """,
+)
+def _multimodal_jpeg_progressive(spark: SparkSession, sf: str) -> DataFrame:
+    """PROGRESSIVE (SOF2) JPEG through the distributed boundary
+    (round 9 continuation): each document synthesizes a gray-128 image
+    with doc-id-derived dimensions, encodes with the 10-scan
+    progressive script (spectral selection + successive approximation,
+    4:2:0 chroma), reads the SOF marker byte back from the genuine
+    bytes (0xC2 = 194 — proving the file really is progressive), and
+    decodes through the Annex G scan-accumulation path. Gray 128 makes
+    every scan pure EOB-run coding and the decode JPEG's exact fixed
+    point, so the oracle states pixels from the dimension formula;
+    richer-content progressive exactness is pinned bit-for-bit against
+    the baseline decode in tests/test_jpeg_codec.py. Plan: one
+    mapInPandas stage, no shuffle."""
+    docs = (
+        read_table(spark, sf, "documents")
+        .filter(F.col("doc_id").isNotNull() & (F.col("doc_id") % 10 == 7))
+        .select(
+            F.col("doc_id").alias("media_id"),
+            (F.pmod(F.col("doc_id"), F.lit(15)) + 9).cast("int").alias("w"),
+            (F.pmod(F.col("doc_id"), F.lit(13)) + 9).cast("int").alias("h"),
+        )
+    )
+
+    def roundtrip(batches):
+        import pandas as pd
+
+        from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.multimodal_jpeg import (
+            decode_jpeg,
+            encode_jpeg_progressive,
+        )
+
+        for pdf in batches:
+            rows = []
+            for mid, w, h in zip(pdf["media_id"], pdf["w"], pdf["h"]):
+                w, h = int(w), int(h)
+                payload = encode_jpeg_progressive(
+                    w, h, bytes([128]) * (w * h * 3), 85, subsample="420"
+                )
+                sof = payload.index(b"\xff\xc2")
+                dw, dh, rgb = decode_jpeg(payload)
+                vals = set(rgb)
+                rows.append(
+                    (
+                        int(mid),
+                        dw,
+                        dh,
+                        payload[sof + 1],
+                        len(rgb),
+                        len(vals),
+                        vals.pop() if len(vals) == 1 else None,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "width", "height", "sof_marker",
+                    "n_bytes", "n_distinct_values", "pixel_value",
+                ],
+            )
+
+    return docs.mapInPandas(
+        roundtrip,
+        "media_id long, width int, height int, sof_marker int, "
+        "n_bytes long, n_distinct_values int, pixel_value int",
+    )
+
+
+@_register(
     "multimodal_frame_sample_mjpeg",
     """
     WITH m AS (

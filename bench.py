@@ -191,6 +191,10 @@ HEADLINE = [
     # concat-then-chunk sequence packing on the two-phase cumsum
     "sample_quota_mix",
     "text_pack_chunks",
+    # round-9 continuation: progressive (SOF2) JPEG through the Arrow
+    # boundary — spectral selection + successive approximation, the
+    # SOF marker byte proving the format end-to-end
+    "multimodal_jpeg_progressive",
 ]
 
 

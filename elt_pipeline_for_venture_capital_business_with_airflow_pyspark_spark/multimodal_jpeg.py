@@ -6,10 +6,12 @@ payloads decode inside the same `mapInPandas` boundary as PNG/PPM/BMP
 (`multimodal.decode_image` dispatches on the 0xFFD8 magic). Scope is
 the honest-and-exact subset:
 
-- baseline sequential DCT (SOF0), 8-bit precision,
+- baseline sequential DCT (SOF0) AND (round 9) progressive DCT (SOF2,
+  spectral selection + successive approximation — Annex G scan
+  accumulation with EOB runs and correction bits), 8-bit precision,
 - grayscale, 4:4:4, and (round 9) the 2×-factor chroma-subsampled
   forms — 4:2:0 / 4:2:2 / 4:4:0 — with deterministic
-  sample-replication upsampling; the encoder emits 4:4:4 or 4:2:0
+  sample-replication upsampling; the encoders emit 4:4:4 or 4:2:0
   (2×2 box-average downsample); sampling factors > 2 still raise
   ``NotImplementedError`` (same boundary policy as the PNG codec's
   Adam7 rejection),
@@ -40,7 +42,7 @@ from __future__ import annotations
 
 import struct
 
-__all__ = ["encode_jpeg", "decode_jpeg"]
+__all__ = ["encode_jpeg", "encode_jpeg_progressive", "decode_jpeg"]
 
 # ---------------------------------------------------------------------------
 # shared tables (ITU T.81)
@@ -610,7 +612,10 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, bytes]:
     path) so decoded pixels stay bit-identical across hosts.
     Restart intervals (DRI + RSTn, T.81 E.2.4) are honored: DC
     predictors reset and the stream re-aligns at each marker.
-    Progressive JPEG, arithmetic coding, sampling factors > 2, and
+    Progressive (SOF2) payloads route to the Annex G scan-accumulation
+    path (:func:`_decode_progressive` — spectral selection +
+    successive approximation, EOB runs, correction bits).
+    Arithmetic coding, hierarchical modes, sampling factors > 2, and
     12-bit precision raise ``NotImplementedError`` (honest boundary —
     same policy as the PNG codec).
 
@@ -692,7 +697,9 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, bytes]:
                 # per MCU regardless of declared factors (T.81 A.2.2)
                 comps = [(comps[0][0], 1, 1, comps[0][3])]
             frame = (fw, fh, comps)
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+        elif marker == 0xC2:  # SOF2: progressive — dedicated walk
+            return _decode_progressive(payload)
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
                 f"non-baseline JPEG (SOF{marker - 0xC0}) unsupported"
             )
@@ -790,6 +797,21 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, bytes]:
                     for bx in range(hi):
                         _decode_block(ci, mx * hi + bx, my * vi + by)
 
+    return w, h, _planes_to_rgb(w, h, comps, plane_dims, planes, hmax, vmax)
+
+
+def _planes_to_rgb(
+    w: int,
+    h: int,
+    comps: list,
+    plane_dims: list,
+    planes: list,
+    hmax: int,
+    vmax: int,
+) -> bytes:
+    """Shared decode tail: upsample component planes (sample
+    replication) and convert to RGB with 16-bit fixed-point YCbCr —
+    used by both the baseline and progressive paths."""
     rgb = bytearray(w * h * 3)
     if len(comps) == 1:
         yp = planes[0]
@@ -799,7 +821,7 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, bytes]:
                 v = yp[y * pw + x]
                 i = (y * w + x) * 3
                 rgb[i] = rgb[i + 1] = rgb[i + 2] = v
-        return w, h, bytes(rgb)
+        return bytes(rgb)
     yp, cbp, crp = planes
     yw = plane_dims[0][0]
     cbw, crw = plane_dims[1][0], plane_dims[2][0]
@@ -823,4 +845,593 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, bytes]:
             rgb[i] = 0 if r < 0 else (255 if r > 255 else r)
             rgb[i + 1] = 0 if g < 0 else (255 if g > 255 else g)
             rgb[i + 2] = 0 if b < 0 else (255 if b > 255 else b)
-    return w, h, bytes(rgb)
+    return bytes(rgb)
+
+
+# ---------------------------------------------------------------------------
+# progressive JPEG (SOF2): spectral selection + successive approximation
+# (round 9 — closes the last JPEG class; ITU T.81 Annex G, the same
+# coefficient bookkeeping libjpeg's jdphuff/jcphuff standardized)
+# ---------------------------------------------------------------------------
+
+
+def _prog_ac_first(block, act, ss, se, al, br, eobrun):
+    """AC first scan (Ah=0) for one block: run-length + EOBn coding of
+    the band [ss..se] at point transform Al. Returns the new EOB run."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = act.decode(br)
+        r, s = rs >> 4, rs & 0xF
+        if s == 0:
+            if r == 15:
+                k += 16  # ZRL
+                continue
+            eobrun = (1 << r) - 1
+            if r:
+                eobrun += br.read_bits(r)
+            break
+        k += r
+        if k > se:
+            raise NotImplementedError("progressive AC index past band end")
+        block[ZIGZAG[k]] = _extend(br.read_bits(s), s) * (1 << al)
+        k += 1
+    return eobrun
+
+
+def _prog_ac_refine(block, act, ss, se, al, br, eobrun):
+    """AC refinement scan (Ah=Al+1) for one block: newly-significant
+    coefficients arrive as ±2^Al; every already-nonzero coefficient in
+    the traversed band carries one correction bit (T.81 G.1.2.3 — the
+    jdphuff algorithm, incl. the two's-complement `coef & p1` test,
+    which agrees with the magnitude bit on the maintained multiple-of-
+    2^Al invariant). Returns the new EOB run."""
+    p1 = 1 << al
+    m1 = -p1
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = act.decode(br)
+            r, s = rs >> 4, rs & 0xF
+            val = 0
+            if s == 0:
+                if r < 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += br.read_bits(r)
+                    break
+                # r == 15: ZRL — skip 16 zero-history positions below
+            else:
+                if s != 1:
+                    raise NotImplementedError(
+                        "progressive refinement size != 1"
+                    )
+                val = p1 if br.read_bit() else m1
+            while k <= se:
+                z = ZIGZAG[k]
+                if block[z] != 0:
+                    if br.read_bit() and (block[z] & p1) == 0:
+                        block[z] += p1 if block[z] >= 0 else m1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val and k <= se:
+                block[ZIGZAG[k]] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            z = ZIGZAG[k]
+            if block[z] != 0:
+                if br.read_bit() and (block[z] & p1) == 0:
+                    block[z] += p1 if block[z] >= 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _decode_progressive(payload: bytes) -> tuple[int, int, bytes]:
+    """Progressive (SOF2) decode: accumulate raw quantized coefficients
+    across scans (DC/AC, first/refinement, interleaved or not), then
+    dequantize + fixed-point IDCT once — same pixel pipeline as the
+    baseline path from the coefficient level down."""
+    pos = 2
+    quant: dict[int, list[int]] = {}
+    huff: dict[tuple[int, int], _HuffTable] = {}
+    frame = None
+    restart_interval = 0
+    blocks = None  # per comp: list of 64-coef lists in padded raster order
+    grid = None    # per comp: (padded_bw, padded_bh, own_bw, own_bh)
+    n_scans = 0
+    end = payload.rfind(b"\xff\xd9")
+    if end < 0:
+        end = len(payload)
+
+    while pos + 2 <= len(payload):
+        # residual entropy padding: a scan whose 1-bit flush padding
+        # produced 0xFF carries a stuffed 0x00 the scan decoder never
+        # consumed — tolerate stuffed pairs / lone pad zeros here
+        while pos + 1 < len(payload) and payload[pos] == 0xFF and payload[pos + 1] == 0x00:
+            pos += 2
+        while pos < len(payload) and payload[pos] == 0x00:
+            pos += 1
+        if pos >= len(payload):
+            break
+        if payload[pos] != 0xFF:
+            raise NotImplementedError("JPEG marker desync")
+        while pos < len(payload) and payload[pos] == 0xFF:
+            pos += 1
+        if pos >= len(payload):
+            break
+        marker = payload[pos]
+        pos += 1
+        if marker == 0xD9:
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            continue
+        if pos + 2 > len(payload):
+            raise NotImplementedError("truncated JPEG marker segment")
+        seglen = struct.unpack(">H", payload[pos : pos + 2])[0]
+        seg = payload[pos + 2 : pos + seglen]
+        if marker == 0xDB:
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 0xF
+                if pq != 0:
+                    raise NotImplementedError("16-bit JPEG quant tables unsupported")
+                zz = list(seg[p + 1 : p + 65])
+                if len(zz) < 64:
+                    raise NotImplementedError("truncated JPEG DQT segment")
+                tbl = [0] * 64
+                for i in range(64):
+                    tbl[ZIGZAG[i]] = zz[i]
+                quant[tq] = tbl
+                p += 65
+        elif marker == 0xC4:
+            p = 0
+            while p < len(seg):
+                cls, tid = seg[p] >> 4, seg[p] & 0xF
+                bits = list(seg[p + 1 : p + 17])
+                n = sum(bits)
+                vals = list(seg[p + 17 : p + 17 + n])
+                if len(bits) < 16 or len(vals) < n:
+                    raise NotImplementedError("truncated JPEG DHT segment")
+                huff[(cls, tid)] = _HuffTable(bits, vals)
+                p += 17 + n
+        elif marker == 0xC2:
+            prec = seg[0]
+            fh = struct.unpack(">H", seg[1:3])[0]
+            fw = struct.unpack(">H", seg[3:5])[0]
+            nc = seg[5]
+            if prec != 8:
+                raise NotImplementedError(f"JPEG precision {prec} unsupported")
+            if nc not in (1, 3):
+                raise NotImplementedError(f"JPEG with {nc} components unsupported")
+            comps = []
+            for i in range(nc):
+                cid, hv, tq = seg[6 + 3 * i], seg[7 + 3 * i], seg[8 + 3 * i]
+                hi, vi = hv >> 4, hv & 0xF
+                if hi not in (1, 2) or vi not in (1, 2):
+                    raise NotImplementedError(
+                        f"JPEG sampling factor {hi}x{vi} unsupported (1 or 2 only)"
+                    )
+                comps.append((cid, hi, vi, tq))
+            frame = (fw, fh, comps)
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            mcux = (fw + 8 * hmax - 1) // (8 * hmax)
+            mcuy = (fh + 8 * vmax - 1) // (8 * vmax)
+            grid = []
+            blocks = []
+            for (_cid, hi, vi, _tq) in comps:
+                pbw, pbh = mcux * hi, mcuy * vi
+                own_w = (fw * hi + hmax - 1) // hmax
+                own_h = (fh * vi + vmax - 1) // vmax
+                grid.append((pbw, pbh, (own_w + 7) // 8, (own_h + 7) // 8))
+                blocks.append([[0] * 64 for _ in range(pbw * pbh)])
+        elif marker in (0xC0, 0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError("mixed/non-progressive SOF in SOF2 walk")
+        elif marker == 0xDD:
+            if len(seg) < 2:
+                raise NotImplementedError("truncated JPEG DRI segment")
+            restart_interval = struct.unpack(">H", seg[:2])[0]
+        elif marker == 0xDA:
+            if frame is None:
+                raise NotImplementedError("JPEG SOS before SOF2")
+            fw, fh, comps = frame
+            ns = seg[0]
+            scomps = []  # (comp index, dc table, ac table)
+            for i in range(ns):
+                cid, tabs = seg[1 + 2 * i], seg[2 + 2 * i]
+                ci = next(
+                    (j for j, c in enumerate(comps) if c[0] == cid), None
+                )
+                if ci is None:
+                    raise NotImplementedError("JPEG scan names unknown component")
+                scomps.append((ci, tabs >> 4, tabs & 0xF))
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0xF
+            if ss > se or se > 63:
+                raise NotImplementedError("bad progressive spectral band")
+            if ss == 0 and se != 0:
+                raise NotImplementedError("progressive scan mixes DC and AC")
+            if ss > 0 and ns != 1:
+                raise NotImplementedError("interleaved progressive AC scan")
+            br = _BitReader(payload[pos + seglen : end])
+            preds = [0] * len(comps)
+            eobrun = 0
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+
+            def _dc_block(ci, td, bx, by):
+                nonlocal preds
+                blk = blocks[ci][by * grid[ci][0] + bx]
+                if ah == 0:
+                    tab = huff.get((0, td))
+                    if tab is None:
+                        raise NotImplementedError("JPEG missing Huffman table")
+                    size = tab.decode(br)
+                    diff = _extend(br.read_bits(size), size) if size else 0
+                    preds[ci] += diff
+                    blk[0] = preds[ci] * (1 << al)
+                else:
+                    if br.read_bit():
+                        blk[0] |= 1 << al
+
+            if ss == 0:
+                # DC scan: interleaved MCU order (ns>1) or the single
+                # component's own block raster (ns==1)
+                if ns > 1:
+                    mcux = (fw + 8 * hmax - 1) // (8 * hmax)
+                    mcuy = (fh + 8 * vmax - 1) // (8 * vmax)
+                    n_mcu = 0
+                    for my in range(mcuy):
+                        for mx in range(mcux):
+                            if (restart_interval and n_mcu
+                                    and n_mcu % restart_interval == 0):
+                                br.consume_restart()
+                                preds = [0] * len(comps)
+                            n_mcu += 1
+                            for (ci, td, _ta) in scomps:
+                                hi, vi = comps[ci][1], comps[ci][2]
+                                for by in range(vi):
+                                    for bx in range(hi):
+                                        _dc_block(ci, td, mx * hi + bx,
+                                                  my * vi + by)
+                else:
+                    ci, td, _ta = scomps[0]
+                    _pbw, _pbh, cbw, cbh = grid[ci]
+                    n_mcu = 0
+                    for by in range(cbh):
+                        for bx in range(cbw):
+                            if (restart_interval and n_mcu
+                                    and n_mcu % restart_interval == 0):
+                                br.consume_restart()
+                                preds = [0] * len(comps)
+                            n_mcu += 1
+                            _dc_block(ci, td, bx, by)
+            else:
+                ci, _td, ta = scomps[0]
+                tab = huff.get((1, ta))
+                if tab is None:
+                    raise NotImplementedError("JPEG missing Huffman table")
+                _pbw, _pbh, cbw, cbh = grid[ci]
+                n_mcu = 0
+                for by in range(cbh):
+                    for bx in range(cbw):
+                        if (restart_interval and n_mcu
+                                and n_mcu % restart_interval == 0):
+                            br.consume_restart()
+                            eobrun = 0
+                        n_mcu += 1
+                        blk = blocks[ci][by * grid[ci][0] + bx]
+                        if ah == 0:
+                            eobrun = _prog_ac_first(
+                                blk, tab, ss, se, al, br, eobrun
+                            )
+                        else:
+                            if ah != al + 1:
+                                raise NotImplementedError(
+                                    "progressive Ah != Al+1"
+                                )
+                            eobrun = _prog_ac_refine(
+                                blk, tab, ss, se, al, br, eobrun
+                            )
+            # resume the marker walk right after the consumed entropy
+            # bits (partial-byte remainder is padding)
+            n_scans += 1
+            pos = pos + seglen + br.pos
+            continue
+        pos += seglen
+
+    if frame is None or blocks is None or n_scans == 0:
+        raise NotImplementedError("progressive JPEG missing SOF2/scan data")
+    fw, fh, comps = frame
+    if fw <= 0 or fh <= 0:
+        raise NotImplementedError("non-positive JPEG dimensions")
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    plane_dims = [(g[0] * 8, g[1] * 8) for g in grid]
+    planes = [[0] * (pw * ph) for (pw, ph) in plane_dims]
+    for ci, (_cid, _hi, _vi, tq) in enumerate(comps):
+        if tq not in quant:
+            raise NotImplementedError("JPEG scan/table wiring incomplete")
+        qt = quant[tq]
+        pbw = grid[ci][0]
+        pw = plane_dims[ci][0]
+        plane = planes[ci]
+        for bi, coefs in enumerate(blocks[ci]):
+            deq = [coefs[i] * qt[i] for i in range(64)]
+            px = _idct_islow(deq)
+            by, bx = divmod(bi, pbw)
+            base = (by * 8) * pw + bx * 8
+            for yy in range(8):
+                off = base + yy * pw
+                for xx in range(8):
+                    v = px[yy * 8 + xx] + 128
+                    plane[off + xx] = 0 if v < 0 else (255 if v > 255 else v)
+    return fw, fh, _planes_to_rgb(fw, fh, comps, plane_dims, planes, hmax, vmax)
+
+
+# --- progressive encoder ----------------------------------------------------
+
+# Flat Huffman tables for progressive scans. The Annex K AC tables lack
+# the EOBn symbols (0x10..0xE0) progressive EOB-run coding needs, so the
+# progressive encoder ships its own fixed tables: every symbol at one
+# code length (12 DC symbols at 4 bits; 176 AC symbols — EOB0-14, ZRL,
+# (r,s) for s 1..10 — at 8 bits). Canonically valid (all-ones code
+# unused at each length), trivially decodable by any T.81 decoder;
+# compression is not the point of these fixtures.
+_PROG_DC = ([0, 0, 0, 12] + [0] * 12, list(range(12)))
+_PROG_AC_SYMS = (
+    [r << 4 for r in range(15)]          # EOB0..EOB14
+    + [0xF0]                             # ZRL
+    + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+)
+_PROG_AC = ([0, 0, 0, 0, 0, 0, 0, len(_PROG_AC_SYMS)] + [0] * 8, _PROG_AC_SYMS)
+
+
+class _ProgScanWriter:
+    """Bit writer + EOB-run/correction-bit bookkeeping for one scan."""
+
+    def __init__(self, dc_codes, ac_codes):
+        self.bw = _BitWriter()
+        self.dc = dc_codes
+        self.ac = ac_codes
+        self.eobrun = 0
+
+    def sym_ac(self, s):
+        c, l = self.ac[s]
+        self.bw.write(c, l)
+
+    def sym_dc(self, s):
+        c, l = self.dc[s]
+        self.bw.write(c, l)
+
+    def flush_eobrun(self):
+        run = self.eobrun
+        self.eobrun = 0
+        if run > 0:
+            # run is kept < 2^15, so one EOBn symbol always covers it:
+            # r = floor(log2 run) <= 14, extra bits = run - 2^r < 2^r
+            r = run.bit_length() - 1
+            self.sym_ac(r << 4)
+            if r:
+                self.bw.write(run - (1 << r), r)
+
+    def done(self) -> bytes:
+        self.flush_eobrun()
+        return self.bw.flush()
+
+
+def _shift_coef(v: int, al: int) -> int:
+    """Point transform: v / 2^al rounded toward zero (T.81 G.1.1)."""
+    return v >> al if v >= 0 else -((-v) >> al)
+
+
+def _enc_ac_first(sw: _ProgScanWriter, block, ss, se, al):
+    r = 0
+    for k in range(ss, se + 1):
+        v = _shift_coef(block[ZIGZAG[k]], al)
+        if v == 0:
+            r += 1
+            continue
+        sw.flush_eobrun()
+        while r > 15:
+            sw.sym_ac(0xF0)
+            r -= 16
+        s = abs(v).bit_length()
+        bits = v if v > 0 else v + (1 << s) - 1
+        sw.sym_ac((r << 4) | s)
+        sw.bw.write(bits, s)
+        r = 0
+    if r > 0:
+        sw.eobrun += 1
+        if sw.eobrun == 0x7FFF:
+            sw.flush_eobrun()
+
+
+def _enc_ac_refine(sw: _ProgScanWriter, block, ss, se, al):
+    """Refinement scan for one block (jcphuff algorithm), with the EOB
+    flushed per block — correction bits for already-nonzero
+    coefficients buffer until the next emitted symbol."""
+    absv = {}
+    eob_k = ss - 1
+    for k in range(ss, se + 1):
+        t = _shift_coef(block[ZIGZAG[k]], al)
+        absv[k] = abs(t)
+        if absv[k] == 1:
+            eob_k = k
+    r = 0
+    pending = []
+    for k in range(ss, se + 1):
+        t = absv[k]
+        if t == 0:
+            r += 1
+            continue
+        while r > 15 and k <= eob_k:
+            sw.sym_ac(0xF0)
+            r -= 16
+            for b in pending:
+                sw.bw.write(b, 1)
+            pending = []
+        if t > 1:
+            pending.append(t & 1)
+            continue
+        sw.sym_ac((r << 4) | 1)
+        r = 0
+        sw.bw.write(1 if block[ZIGZAG[k]] >= 0 else 0, 1)
+        for b in pending:
+            sw.bw.write(b, 1)
+        pending = []
+    if r > 0 or pending:
+        sw.sym_ac(0x00)  # EOB (run 1): rest of band is corrections only
+        for b in pending:
+            sw.bw.write(b, 1)
+
+
+def encode_jpeg_progressive(
+    w: int, h: int, rgb: bytes, quality: int = 85, subsample: str = "444"
+) -> bytes:
+    """Progressive (SOF2) JFIF encoder: spectral selection AND
+    successive approximation over the SAME quantized coefficients the
+    baseline encoder produces — so a correct decode is bit-identical
+    to decoding the baseline encoding of the same image (pinned in
+    tests). Scan script: DC (Al=1) interleaved; per-component AC first
+    scans at Al=1 (luma split 1-5 / 6-63 to exercise banding); DC
+    refinement; per-component AC refinements to Al=0. Deterministic
+    throughout."""
+    if len(rgb) != w * h * 3:
+        raise ValueError("rgb length != w*h*3")
+    if subsample not in ("444", "420"):
+        raise NotImplementedError(f"subsample mode {subsample!r} unsupported")
+    ql = _scaled_quant(_QUANT_LUMA, quality)
+    qc = _scaled_quant(_QUANT_CHROMA, quality)
+
+    ny, ncb, ncr = [], [], []
+    for i in range(w * h):
+        r, g, b = rgb[3 * i], rgb[3 * i + 1], rgb[3 * i + 2]
+        y = int(0.299 * r + 0.587 * g + 0.114 * b + 0.5)
+        cb = int(128.5 - 0.168735892 * r - 0.331264108 * g + 0.5 * b)
+        cr = int(128.5 + 0.5 * r - 0.418687589 * g - 0.081312411 * b)
+        ny.append(min(255, max(0, y)))
+        ncb.append(min(255, max(0, cb)))
+        ncr.append(min(255, max(0, cr)))
+
+    if subsample == "444":
+        samplings = ((1, 0x11, 0), (2, 0x11, 1), (3, 0x11, 1))
+        hmax = vmax = 1
+        mcux, mcuy = (w + 7) // 8, (h + 7) // 8
+        comp_planes = [(ny, w, h, ql), (ncb, w, h, qc), (ncr, w, h, qc)]
+        factors = [(1, 1), (1, 1), (1, 1)]
+    else:
+        samplings = ((1, 0x22, 0), (2, 0x11, 1), (3, 0x11, 1))
+        hmax = vmax = 2
+        mcux, mcuy = (w + 15) // 16, (h + 15) // 16
+        cw, ch = (w + 1) // 2, (h + 1) // 2
+        scb = [0] * (cw * ch)
+        scr = [0] * (cw * ch)
+        for cy in range(ch):
+            y0, y1 = 2 * cy, min(h - 1, 2 * cy + 1)
+            for cx in range(cw):
+                x0, x1 = 2 * cx, min(w - 1, 2 * cx + 1)
+                idx = (y0 * w + x0, y0 * w + x1, y1 * w + x0, y1 * w + x1)
+                scb[cy * cw + cx] = (sum(ncb[i] for i in idx) + 2) >> 2
+                scr[cy * cw + cx] = (sum(ncr[i] for i in idx) + 2) >> 2
+        comp_planes = [(ny, w, h, ql), (scb, cw, ch, qc), (scr, cw, ch, qc)]
+        factors = [(2, 2), (1, 1), (1, 1)]
+
+    # quantized coefficient blocks over the MCU-padded grid per comp
+    blocks = []
+    grids = []  # (padded_bw, padded_bh, own_bw, own_bh)
+    for ci, (plane, pw_, ph_, qt) in enumerate(comp_planes):
+        hi, vi = factors[ci]
+        pbw, pbh = mcux * hi, mcuy * vi
+        own_bw, own_bh = (pw_ + 7) // 8, (ph_ + 7) // 8
+        grids.append((pbw, pbh, own_bw, own_bh))
+        comp_blocks = []
+        for by in range(pbh):
+            for bx in range(pbw):
+                blk = _extract_block(plane, pw_, ph_, bx, by)
+                comp_blocks.append(_quantize(_fdct(blk), qt))
+        blocks.append(comp_blocks)
+
+    dc_codes = _build_codes(*_PROG_DC)
+    ac_codes = _build_codes(*_PROG_AC)
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    for tid, qt in ((0, ql), (1, qc)):
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tid])
+        out += bytes(qt[ZIGZAG[i]] for i in range(64))
+    out += b"\xff\xc2" + struct.pack(">HBHHB", 17, 8, h, w, 3)
+    for cid, hv, tq in samplings:
+        out += bytes([cid, hv, tq])
+    for cls, tid, (bits, vals) in ((0, 0, _PROG_DC), (1, 0, _PROG_AC)):
+        out += b"\xff\xc4" + struct.pack(">H", 19 + len(vals))
+        out += bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals)
+
+    def sos_header(comp_ids, ss, se, ah, al) -> bytes:
+        hdr = struct.pack(">HB", 6 + 2 * len(comp_ids), len(comp_ids))
+        for cid in comp_ids:
+            hdr += bytes([cid, 0x00])  # DC table 0, AC table 0
+        hdr += bytes([ss, se, (ah << 4) | al])
+        return b"\xff\xda" + hdr
+
+    def dc_scan(ah, al) -> bytes:
+        sw = _ProgScanWriter(dc_codes, ac_codes)
+        preds = [0, 0, 0]
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for ci in range(3):
+                    hi, vi = factors[ci]
+                    pbw = grids[ci][0]
+                    for by in range(vi):
+                        for bx in range(hi):
+                            blk = blocks[ci][(my * vi + by) * pbw + (mx * hi + bx)]
+                            if ah == 0:
+                                t = blk[0] >> al  # arithmetic shift
+                                diff = t - preds[ci]
+                                preds[ci] = t
+                                s = abs(diff).bit_length()
+                                sw.sym_dc(s)
+                                if s:
+                                    bits = (
+                                        diff if diff > 0
+                                        else diff + (1 << s) - 1
+                                    )
+                                    sw.bw.write(bits, s)
+                            else:
+                                sw.bw.write((blk[0] >> al) & 1, 1)
+        return sw.done()
+
+    def ac_scan(ci, ss, se, ah, al) -> bytes:
+        sw = _ProgScanWriter(dc_codes, ac_codes)
+        pbw, _pbh, own_bw, own_bh = grids[ci]
+        for by in range(own_bh):
+            for bx in range(own_bw):
+                blk = blocks[ci][by * pbw + bx]
+                if ah == 0:
+                    _enc_ac_first(sw, blk, ss, se, al)
+                else:
+                    _enc_ac_refine(sw, blk, ss, se, al)
+        return sw.done()
+
+    # scan script: coarse DC, coarse AC (luma spectrally split), then
+    # refinements down to full precision
+    out += sos_header([1, 2, 3], 0, 0, 0, 1) + dc_scan(0, 1)
+    out += sos_header([1], 1, 5, 0, 1) + ac_scan(0, 1, 5, 0, 1)
+    out += sos_header([1], 6, 63, 0, 1) + ac_scan(0, 6, 63, 0, 1)
+    out += sos_header([2], 1, 63, 0, 1) + ac_scan(1, 1, 63, 0, 1)
+    out += sos_header([3], 1, 63, 0, 1) + ac_scan(2, 1, 63, 0, 1)
+    out += sos_header([1, 2, 3], 0, 0, 1, 0) + dc_scan(1, 0)
+    out += sos_header([1], 1, 5, 1, 0) + ac_scan(0, 1, 5, 1, 0)
+    out += sos_header([1], 6, 63, 1, 0) + ac_scan(0, 6, 63, 1, 0)
+    out += sos_header([2], 1, 63, 1, 0) + ac_scan(1, 1, 63, 1, 0)
+    out += sos_header([3], 1, 63, 1, 0) + ac_scan(2, 1, 63, 1, 0)
+    out += b"\xff\xd9"
+    return bytes(out)

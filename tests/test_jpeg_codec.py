@@ -412,3 +412,77 @@ def test_restart_marker_desync_is_honest():
     p[i + 1] = 0xD9  # corrupt RST0 -> EOI mid-stream
     with pytest.raises(NotImplementedError):
         decode_jpeg(bytes(p))
+
+
+# ---------------------------------------------------------------------------
+# round 9 continuation: progressive JPEG (SOF2 — spectral selection +
+# successive approximation)
+# ---------------------------------------------------------------------------
+
+from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.multimodal_jpeg import (  # noqa: E402
+    encode_jpeg_progressive,
+)
+
+
+@pytest.mark.parametrize("mode", ["444", "420"])
+@pytest.mark.parametrize("dims", [(37, 23), (8, 8), (9, 31)])
+def test_progressive_decodes_bit_identical_to_baseline(mode, dims):
+    """The progressive scan script transmits the SAME quantized
+    coefficients the baseline encoder produces (DC+AC first scans at
+    Al=1, refinements to Al=0 — successive approximation is lossless
+    once complete), so a correct progressive decode must reproduce the
+    baseline decode BIT-FOR-BIT. Any error in the EOB-run, ZRL,
+    correction-bit, or band bookkeeping corrupts coefficients and
+    fails this immediately."""
+    w, h = dims
+    rng = random.Random(11)
+    rgb = bytes(
+        min(255, (x * 7 + y * 3 + rng.randrange(0, 40) + c * 13) % 256)
+        for y in range(h)
+        for x in range(w)
+        for c in range(3)
+    )
+    base = decode_jpeg(encode_jpeg(w, h, rgb, 85, subsample=mode))
+    payload = encode_jpeg_progressive(w, h, rgb, 85, subsample=mode)
+    assert payload[2:4] == b"\xff\xe0" and b"\xff\xc2" in payload  # SOF2
+    prog = decode_jpeg(payload)
+    assert prog == base
+
+
+def test_progressive_eob_runs_across_blocks():
+    """A flat image makes every AC block pure EOB — 25 luma blocks
+    accumulate into one EOBn symbol with r>0 + extra bits, exercising
+    the cross-block EOB-run decode path; gray-128 must still be the
+    exact fixed point through the progressive pipeline."""
+    w, h = 40, 40
+    flat = bytes([128]) * (w * h * 3)
+    out = decode_jpeg(encode_jpeg_progressive(w, h, flat, 85))
+    assert out == (w, h, flat)
+    flat200 = bytes([200]) * (w * h * 3)
+    base = decode_jpeg(encode_jpeg(w, h, flat200, 85))
+    assert decode_jpeg(encode_jpeg_progressive(w, h, flat200, 85)) == base
+
+
+def test_progressive_truncation_is_honest():
+    w, h = 24, 17
+    p = encode_jpeg_progressive(w, h, _gradient(w, h), 85)
+    # cut before the first SOS: no scan data at all -> error, never a
+    # silent gray raster
+    first_sos = p.index(b"\xff\xda")
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(p[: first_sos - 1])
+    # cut mid-entropy in the first scan -> truncated-stream error
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(p[: first_sos + 20])
+
+
+def test_progressive_pinned_hash():
+    """Bit-determinism pin for the progressive path (payload and
+    pixels are pure functions of the input)."""
+    w, h = 24, 17
+    p1 = encode_jpeg_progressive(w, h, _gradient(w, h), 90)
+    p2 = encode_jpeg_progressive(w, h, _gradient(w, h), 90)
+    assert p1 == p2
+    # pixels must equal the baseline pin from test_pinned_fixture_hash
+    _, _, out = decode_jpeg(p1)
+    assert hashlib.sha256(out).hexdigest().startswith("c1bacfb4af602cd7")

@@ -244,6 +244,9 @@ SHUFFLE_BUDGET = {
     # exchange + the offsets equi-join (measured 3 at both SFs; the
     # bounds frame rides a KB broadcast, see NESTED_LOOP_OK).
     "text_pack_chunks": 4,
+    # progressive JPEG: pure Arrow map pipeline, zero exchanges by
+    # construction (measured 0 at both SFs).
+    "multimodal_jpeg_progressive": 0,
 }
 
 
