@@ -2610,6 +2610,95 @@ def _multimodal_jpeg_subsampled(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_register(
+    "multimodal_audio_adpcm",
+    """
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             ((doc_id % 9973) + 9973) % 9973 AS d,
+             CAST(((coalesce(n_chars, 0) % 600) + 600) % 600 + 520 AS INT) AS n
+      FROM documents WHERE doc_id IS NOT NULL AND doc_id % 10 = 9
+    )
+    SELECT media_id,
+           CAST(8000 AS INT) AS sample_rate,
+           CAST(4 AS INT) AS bits,
+           CAST(1 AS INT) AS n_channels,
+           CAST(n AS BIGINT) AS n_samples,
+           CAST((d * 31) % 2001 - 1000 AS BIGINT) AS first_sample,
+           CAST(list_sum(list_transform(
+             generate_series(0, CAST((n - 1) // 505 AS INT)),
+             k -> (d * 31 + k * 505 * 17) % 2001 - 1000
+           )) AS BIGINT) AS block_header_sum
+    FROM m
+    """,
+)
+def _multimodal_audio_adpcm(spark: SparkSession, sf: str) -> DataFrame:
+    """IMA/DVI ADPCM (WAV tag 17) through the distributed boundary
+    (round 9 continuation — the 4-bit compressed audio sibling of
+    multimodal_audio_features): each document synthesizes a
+    deterministic 16-bit signal, compresses it with encode_wav_adpcm,
+    and decodes through the block-structured nibble path. The oracle
+    proves the BLOCK SEGMENTATION end-to-end: every 505-sample block
+    header carries the exact source sample at its boundary, so
+    first_sample and the block-header checksum are pure formulas —
+    while nibble-reconstruction exactness (the step-table recurrence
+    no SQL engine can restate) is pinned sample-by-sample in
+    tests/test_audio_codec.py. Plan: one Arrow stage, no shuffle."""
+    docs = (
+        read_table(spark, sf, "documents")
+        .filter(F.col("doc_id").isNotNull() & (F.col("doc_id") % 10 == 9))
+        .select(
+            F.col("doc_id").alias("media_id"),
+            F.pmod(F.col("doc_id"), F.lit(9973)).alias("d"),
+            (F.pmod(F.coalesce(F.col("n_chars"), F.lit(0)), F.lit(600)) + 520)
+            .cast("int")
+            .alias("n"),
+        )
+    )
+
+    def roundtrip(batches):
+        import pandas as pd
+
+        from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.multimodal import (
+            decode_wav,
+            encode_wav_adpcm,
+        )
+
+        for pdf in batches:
+            rows = []
+            for mid, d, n in zip(pdf["media_id"], pdf["d"], pdf["n"]):
+                d, n = int(d), int(n)
+                src = [(d * 31 + i * 17) % 2001 - 1000 for i in range(n)]
+                rate, bits, nch, out = decode_wav(
+                    encode_wav_adpcm(8000, src)
+                )
+                nblocks = (n - 1) // 505 + 1
+                rows.append(
+                    (
+                        int(mid),
+                        rate,
+                        bits,
+                        nch,
+                        len(out),
+                        out[0],
+                        sum(out[505 * k] for k in range(nblocks)),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "sample_rate", "bits", "n_channels",
+                    "n_samples", "first_sample", "block_header_sum",
+                ],
+            )
+
+    return docs.mapInPandas(
+        roundtrip,
+        "media_id long, sample_rate int, bits int, n_channels int, "
+        "n_samples long, first_sample long, block_header_sum long",
+    )
+
+
+@_register(
     "multimodal_jpeg_progressive",
     """
     SELECT doc_id AS media_id,
@@ -7029,7 +7118,7 @@ _QUOTA_MIX_PPM = {
                ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id
              ) AS rn
       FROM documents d JOIN q ON d.source = q.source
-      WHERE d.source IS NOT NULL
+      WHERE d.source IS NOT NULL AND d.doc_id IS NOT NULL
     )
     SELECT r.doc_id, r.source
     FROM r JOIN q ON r.source = q.source
@@ -7050,7 +7139,13 @@ def _sample_quota_mix(spark: SparkSession, sf: str) -> DataFrame:
     runs on the KB-state distinct-source frame; quotas broadcast back
     onto the corpus scan; the only data-sized exchange is the
     per-source row_number partition."""
-    docs = read_table(spark, sf, "documents")
+    # NULL ids are excluded up front: the md5 selection key of a NULL
+    # id is NULL, and NULL sort position differs across engines
+    # (Spark NULLS FIRST vs DuckDB NULLS LAST) — caught by the
+    # null-heavy sweep in round 9
+    docs = read_table(spark, sf, "documents").filter(
+        F.col("doc_id").isNotNull()
+    )
     out = SMP.quota_mix(
         docs, "source", "doc_id", 183, weights_ppm=_QUOTA_MIX_PPM
     )

@@ -195,6 +195,9 @@ HEADLINE = [
     # boundary — spectral selection + successive approximation, the
     # SOF marker byte proving the format end-to-end
     "multimodal_jpeg_progressive",
+    # round-9 continuation: IMA/DVI ADPCM audio decode (4-bit nibble
+    # stream, exact-integer step tables) through the Arrow boundary
+    "multimodal_audio_adpcm",
 ]
 
 

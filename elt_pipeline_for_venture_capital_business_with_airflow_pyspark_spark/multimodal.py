@@ -650,16 +650,49 @@ def encode_wav(
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+_IMA_INDEX_TABLE = [-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8]
+_IMA_STEP_TABLE = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31,
+    34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+    157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544,
+    598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707,
+    1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871,
+    5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899,
+    15289, 16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+]
+
+
+def _ima_step(pred: int, index: int, nibble: int) -> "tuple[int, int]":
+    """One IMA ADPCM decode step (public DVI/IMA algorithm): returns
+    the new (predictor, index). Exact integer arithmetic."""
+    step = _IMA_STEP_TABLE[index]
+    diff = step >> 3
+    if nibble & 1:
+        diff += step >> 2
+    if nibble & 2:
+        diff += step >> 1
+    if nibble & 4:
+        diff += step
+    if nibble & 8:
+        diff = -diff
+    pred = max(-32768, min(32767, pred + diff))
+    index = max(0, min(88, index + _IMA_INDEX_TABLE[nibble]))
+    return pred, index
+
+
 def decode_wav(payload: bytes) -> "tuple[int, int, int, list[int]]":
     """Decode a RIFF/WAVE payload to ``(sample_rate, bits, n_channels,
     samples)`` where ``samples`` are CENTERED ints, interleaved
     (8-bit unsigned storage shifts back by -128). Walks the chunk list
     properly — unknown chunks (LIST/INFO/cue) are skipped over their
-    declared+padded length, so real-world files with metadata decode —
-    and only integer PCM (format tag 1, 8/16-bit) is accepted: IEEE
-    float (3), ADPCM (2/17), mu-law (7) and truncated files raise
-    ``NotImplementedError`` (same honest-boundary policy as
-    ``decode_image``)."""
+    declared+padded length, so real-world files with metadata decode.
+    Accepted formats: integer PCM (tag 1, 8/16-bit) and — round 9 —
+    IMA/DVI ADPCM (tag 17, 4-bit): per-block predictor+index headers,
+    nibble stream reconstructed with the exact-integer IMA step
+    tables, ``bits`` reported as 4 (the storage width; reconstructed
+    samples are 16-bit). IEEE float (3), MS-ADPCM (2), mu-law (7) and
+    truncated files raise ``NotImplementedError`` (same
+    honest-boundary policy as ``decode_image``)."""
     import struct
 
     if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
@@ -669,6 +702,7 @@ def decode_wav(payload: bytes) -> "tuple[int, int, int, list[int]]":
     pos = 12
     fmt_chunk = None
     data = None
+    fact_frames = None
     while pos + 8 <= len(payload):
         ctype = payload[pos : pos + 4]
         (clen,) = struct.unpack_from("<I", payload, pos + 4)
@@ -679,18 +713,33 @@ def decode_wav(payload: bytes) -> "tuple[int, int, int, list[int]]":
             fmt_chunk = body
         elif ctype == b"data":
             data = body
+        elif ctype == b"fact" and clen >= 4:
+            (fact_frames,) = struct.unpack_from("<I", body, 0)
         pos += 8 + clen + (clen % 2)  # skip the word-align pad byte
     if fmt_chunk is None or data is None:
         raise NotImplementedError("WAV missing fmt /data chunk")
     if len(fmt_chunk) < 16:
         raise NotImplementedError("WAV fmt chunk too short")
-    tag, n_channels, sample_rate, _brate, _balign, bits = struct.unpack_from(
+    tag, n_channels, sample_rate, _brate, balign, bits = struct.unpack_from(
         "<HHIIHH", fmt_chunk, 0
     )
+    if tag == 17:  # IMA/DVI ADPCM
+        if bits != 4:
+            raise NotImplementedError("IMA ADPCM with bits != 4 unsupported")
+        if n_channels < 1 or sample_rate <= 0 or balign <= 4 * n_channels:
+            raise NotImplementedError("IMA ADPCM malformed fmt fields")
+        if len(fmt_chunk) >= 20:
+            (spb,) = struct.unpack_from("<H", fmt_chunk, 18)
+        else:
+            spb = (balign - 4 * n_channels) * 2 // n_channels + 1
+        samples = _decode_ima_adpcm(
+            data, n_channels, balign, spb, fact_frames
+        )
+        return sample_rate, 4, n_channels, samples
     if tag != 1:
         raise NotImplementedError(
-            f"WAV format tag {tag} unsupported (only integer PCM=1; "
-            "float/ADPCM/mu-law need codec tables not implemented here)"
+            f"WAV format tag {tag} unsupported (integer PCM=1 and IMA "
+            "ADPCM=17 implemented; float/MS-ADPCM/mu-law are not)"
         )
     if bits not in (8, 16):
         raise NotImplementedError(f"WAV bit depth {bits} unsupported (8/16)")
@@ -704,6 +753,161 @@ def decode_wav(payload: bytes) -> "tuple[int, int, int, list[int]]":
     else:
         samples = list(struct.unpack(f"<{len(data) // 2}h", data))
     return sample_rate, bits, n_channels, samples
+
+
+def _decode_ima_adpcm(
+    data: bytes,
+    n_channels: int,
+    block_align: int,
+    samples_per_block: int,
+    fact_frames: "int | None",
+) -> "list[int]":
+    """IMA ADPCM block stream -> interleaved centered 16-bit samples.
+
+    Block layout (tag-17 WAV): per channel a 4-byte header (int16
+    predictor, uint8 step index, reserved), then nibble data in
+    4-byte-per-channel interleaved groups, LOW nibble first. The
+    header's predictor IS the block's first output sample. A 'fact'
+    chunk, when present, bounds the total frame count (the last block
+    is usually partial)."""
+    import struct as _struct
+
+    out: list[list[int]] = [[] for _ in range(n_channels)]
+    nblocks = len(data) // block_align
+    if len(data) % block_align:
+        raise NotImplementedError("IMA ADPCM data not block-aligned")
+    for b in range(nblocks):
+        blk = data[b * block_align : (b + 1) * block_align]
+        preds = []
+        idxs = []
+        for ch in range(n_channels):
+            pred = _struct.unpack_from("<h", blk, 4 * ch)[0]
+            idx = blk[4 * ch + 2]
+            if idx > 88:
+                raise NotImplementedError("IMA ADPCM step index out of range")
+            preds.append(pred)
+            idxs.append(idx)
+            out[ch].append(pred)  # header predictor = first sample
+        # nibble payload: groups of 4 bytes per channel, interleaved
+        payload_area = blk[4 * n_channels :]
+        n_groups = len(payload_area) // (4 * n_channels)
+        done = 1  # samples emitted per channel so far in this block
+        for g in range(n_groups):
+            if done >= samples_per_block:
+                break
+            for ch in range(n_channels):
+                chunk = payload_area[
+                    (g * n_channels + ch) * 4 : (g * n_channels + ch) * 4 + 4
+                ]
+                emitted = done
+                for byte in chunk:
+                    for nib in (byte & 0xF, byte >> 4):
+                        if emitted >= samples_per_block:
+                            break
+                        preds[ch], idxs[ch] = _ima_step(
+                            preds[ch], idxs[ch], nib
+                        )
+                        out[ch].append(preds[ch])
+                        emitted += 1
+            done = min(samples_per_block, done + 8)
+    frames = len(out[0])
+    if fact_frames is not None:
+        frames = min(frames, fact_frames)
+    samples: list[int] = []
+    for f in range(frames):
+        for ch in range(n_channels):
+            samples.append(out[ch][f])
+    return samples
+
+
+def encode_wav_adpcm(
+    sample_rate: int,
+    samples: "list[int]",
+    *,
+    n_channels: int = 1,
+    samples_per_block: int = 505,
+) -> bytes:
+    """Serialize centered 16-bit samples as an IMA/DVI ADPCM (tag 17)
+    RIFF/WAVE file — the 4-bit compressed sibling of
+    :func:`encode_wav`, so ADPCM decode has genuine fixtures. The
+    encoder quantizes with the standard IMA loop and tracks the
+    DECODER's exact reconstruction for the predictor, so
+    decode(encode(x)) drift is bounded by the current step size.
+    Deterministic byte output."""
+    import struct as _struct
+
+    if sample_rate <= 0:
+        raise ValueError("sample_rate must be positive")
+    if n_channels < 1:
+        raise ValueError("n_channels must be >= 1")
+    if len(samples) % n_channels:
+        raise ValueError("samples not divisible by channels")
+    if (samples_per_block - 1) % 8:
+        raise ValueError("samples_per_block must be 1 mod 8")
+    for s in samples:
+        if not (-32768 <= s <= 32767):
+            raise ValueError(f"sample {s} outside 16-bit range")
+    frames = len(samples) // n_channels
+    chans = [
+        [samples[f * n_channels + ch] for f in range(frames)]
+        for ch in range(n_channels)
+    ]
+    block_align = 4 * n_channels + (samples_per_block - 1) // 2 * n_channels
+    data = bytearray()
+    idxs = [0] * n_channels
+    f = 0
+    while f < frames:
+        n_here = min(samples_per_block, frames - f)
+        preds = [chans[ch][f] for ch in range(n_channels)]
+        nibbles: list[list[int]] = [[] for _ in range(n_channels)]
+        for ch in range(n_channels):
+            data += _struct.pack("<hBB", preds[ch], idxs[ch], 0)
+        for ch in range(n_channels):
+            pred, idx = preds[ch], idxs[ch]
+            for s in chans[ch][f + 1 : f + n_here]:
+                step = _IMA_STEP_TABLE[idx]
+                diff = s - pred
+                nib = 0
+                if diff < 0:
+                    nib = 8
+                    diff = -diff
+                if diff >= step:
+                    nib |= 4
+                    diff -= step
+                if diff >= step >> 1:
+                    nib |= 2
+                    diff -= step >> 1
+                if diff >= step >> 2:
+                    nib |= 1
+                pred, idx = _ima_step(pred, idx, nib)
+                nibbles[ch].append(nib)
+            # pad the block's nibble budget with repeats of "0" steps
+            while len(nibbles[ch]) < samples_per_block - 1:
+                pred, idx = _ima_step(pred, idx, 0)
+                nibbles[ch].append(0)
+            preds[ch], idxs[ch] = pred, idx
+        n_groups = (samples_per_block - 1) // 8
+        for g in range(n_groups):
+            for ch in range(n_channels):
+                for pair in range(4):
+                    lo = nibbles[ch][g * 8 + pair * 2]
+                    hi = nibbles[ch][g * 8 + pair * 2 + 1]
+                    data.append(lo | (hi << 4))
+        f += n_here
+    fmt = _struct.pack(
+        "<HHIIHHHH",
+        17, n_channels, sample_rate,
+        sample_rate * block_align // samples_per_block,
+        block_align, 4, 2, samples_per_block,
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + _struct.pack("<I", len(fmt)) + fmt
+        + b"fact" + _struct.pack("<II", 4, frames)
+        + b"data" + _struct.pack("<I", len(data)) + bytes(data)
+        + (b"\x00" if len(data) % 2 else b"")
+    )
+    return b"RIFF" + _struct.pack("<I", len(body)) + body
 
 
 AUDIO_FEATURE_SCHEMA = (

@@ -258,6 +258,9 @@ def quota_mix(
     and the mix undershoots ``total_n`` — deliberate (silently
     stealing the shortfall from other sources would skew the stated
     ratios; fix the weights instead). NULL sources are never sampled.
+    ``id_col`` must be non-null: a NULL id hashes to a NULL selection
+    key whose sort position is engine-dependent (Spark NULLS FIRST vs
+    ANSI NULLS LAST) — filter NULL ids upstream for reproducibility.
 
     Scale shape: the per-source count aggregate and the
     largest-remainder ranking run over the DISTINCT-source frame
@@ -267,37 +270,45 @@ def quota_mix(
     shuffle, same as any per-group top-k."""
     if total_n < 0:
         raise ValueError("total_n must be >= 0")
-    counts = (
-        df.filter(F.col(source_col).isNotNull())
-        .groupBy(source_col)
-        .agg(F.count(F.lit(1)).alias("_n"))
-    )
     if weights_ppm is not None:
         ssum = sum(weights_ppm.values())
         if ssum != 1_000_000:
             raise ValueError(f"weights_ppm must sum to 1_000_000, got {ssum}")
         spark = df.sparkSession
-        wdf = spark.createDataFrame(
+        # seat apportionment runs over the WEIGHT TABLE alone, never
+        # the observed sources: a weighted source absent from the data
+        # keeps its seats and simply undershoots (same no-stealing
+        # policy as a too-small source) — redistributing its quota
+        # would silently skew the stated ratios. Caught by the
+        # null-heavy sweep in round 9 (a fully-nulled source flipped
+        # the leftover count).
+        seats_src = spark.createDataFrame(
             [(k, int(v)) for k, v in sorted(weights_ppm.items())],
             schema=f"{source_col} string, _ppm bigint",
-        )
-        counts = counts.join(wdf, source_col, "inner")
-        counts = counts.withColumn("_denom", F.lit(1_000_000).cast("bigint"))
-        counts = counts.withColumn(
-            "_ideal", F.lit(int(total_n)).cast("bigint") * F.col("_ppm")
+        ).select(
+            source_col,
+            F.lit(1_000_000).cast("bigint").alias("_denom"),
+            (F.lit(int(total_n)).cast("bigint") * F.col("_ppm")).alias(
+                "_ideal"
+            ),
         )
     else:
-        counts = counts.withColumn(
-            "_denom", F.sum("_n").over(Window.partitionBy())
-        )
-        counts = counts.withColumn(
-            "_ideal", F.lit(int(total_n)).cast("bigint") * F.col("_n")
+        seats_src = (
+            df.filter(F.col(source_col).isNotNull())
+            .groupBy(source_col)
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .select(
+                source_col,
+                F.sum("_n").over(Window.partitionBy()).alias("_denom"),
+                (F.lit(int(total_n)).cast("bigint") * F.col("_n")).alias(
+                    "_ideal"
+                ),
+            )
         )
     # `div` = exact BIGINT division (the `/` operator is double and
     # loses exactness past 2^53 — total_n * count overflows that fast)
-    seats = counts.selectExpr(
+    seats = seats_src.selectExpr(
         source_col,
-        "_n",
         "_ideal div _denom AS _base",
         "_ideal % _denom AS _rem",
     ).withColumn(

@@ -134,3 +134,85 @@ def test_extract_audio_features_stereo_zero_crossings_per_channel(spark):
     assert f["n_channels"] == 2
     assert f["n_samples"] == 3  # frames, not raw samples
     assert f["zero_crossings"] == 2
+
+
+# ---------------------------------------------------------------------------
+# round 9: IMA/DVI ADPCM (WAV tag 17)
+# ---------------------------------------------------------------------------
+
+import math  # noqa: E402
+
+from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.multimodal import (  # noqa: E402
+    _ima_step,
+    encode_wav_adpcm,
+)
+
+
+def test_ima_step_hand_computed():
+    """Independent hand arithmetic of the public IMA step (T.81-style
+    verification discipline): pred=0,idx=0,nib=5 -> step 7, diff =
+    0 + (7>>2) + 7 = 8, index += 4; pred=100,idx=4,nib=8 -> step 11,
+    diff = -(11>>3) = -1, index -= 1."""
+    assert _ima_step(0, 0, 5) == (8, 4)
+    assert _ima_step(100, 4, 8) == (99, 3)
+
+
+def test_adpcm_mono_round_trip_tracks_signal():
+    sr = 8000
+    src = [int(8000 * math.sin(2 * math.pi * 440 * t / sr)) for t in range(2000)]
+    payload = encode_wav_adpcm(sr, src)
+    rate, bits, nch, out = MM.decode_wav(payload)
+    assert (rate, bits, nch) == (sr, 4, 1)
+    assert len(out) == len(src)
+    # block headers carry EXACT source samples (505-sample blocks)
+    for k in (0, 505, 1010, 1515):
+        assert out[k] == src[k]
+    # after the initial step-size adaptation ramp the 4-bit coder
+    # tracks a full-scale 440 Hz sine within quantization error
+    errs = [abs(a - b) for a, b in zip(src[100:], out[100:])]
+    assert max(errs) < 1500 and sum(errs) / len(errs) < 500
+
+
+def test_adpcm_stereo_interleave():
+    sr = 8000
+    left = [int(5000 * math.sin(2 * math.pi * 300 * t / sr)) for t in range(1013)]
+    right = [int(3000 * math.sin(2 * math.pi * 700 * t / sr)) for t in range(1013)]
+    inter = [v for pair in zip(left, right) for v in pair]
+    rate, bits, nch, out = MM.decode_wav(
+        encode_wav_adpcm(sr, inter, n_channels=2)
+    )
+    assert (nch, len(out)) == (2, len(inter))
+    # channel de-interleave is exact at block headers and bounded after
+    assert out[0] == left[0] and out[1] == right[0]
+    e_l = [abs(a - b) for a, b in zip(left[100:], out[200::2])]
+    e_r = [abs(a - b) for a, b in zip(right[100:], out[201::2])]
+    assert max(e_l) < 1500 and max(e_r) < 1500
+
+
+def test_adpcm_deterministic_and_flat_exact():
+    sr = 8000
+    # constant signal: every diff is 0 -> nibble 0 path; decode returns
+    # a near-constant line whose drift stays within the minimum step
+    src = [1000] * 600
+    p1 = encode_wav_adpcm(sr, src)
+    p2 = encode_wav_adpcm(sr, src)
+    assert p1 == p2
+    _, _, _, out = MM.decode_wav(p1)
+    assert out[0] == 1000 and max(abs(v - 1000) for v in out) <= 8
+
+
+def test_adpcm_rejections():
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        encode_wav_adpcm(0, [0])
+    with _pytest.raises(ValueError):
+        encode_wav_adpcm(8000, [0], samples_per_block=100)  # not 1 mod 8
+    with _pytest.raises(ValueError):
+        encode_wav_adpcm(8000, [40000])
+    # float WAV still honestly rejected
+    payload = bytearray(MM.encode_wav(8000, [0, 1, 2], bits=16))
+    i = payload.index(b"fmt ")
+    payload[i + 8 : i + 10] = (3).to_bytes(2, "little")  # tag 3 = float
+    with _pytest.raises(NotImplementedError):
+        MM.decode_wav(bytes(payload))

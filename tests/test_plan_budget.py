@@ -247,6 +247,8 @@ SHUFFLE_BUDGET = {
     # progressive JPEG: pure Arrow map pipeline, zero exchanges by
     # construction (measured 0 at both SFs).
     "multimodal_jpeg_progressive": 0,
+    # IMA ADPCM audio: pure Arrow map pipeline (measured 0 at both SFs).
+    "multimodal_audio_adpcm": 0,
 }
 
 
