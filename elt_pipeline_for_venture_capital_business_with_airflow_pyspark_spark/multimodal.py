@@ -4,23 +4,24 @@ Image/audio/video payloads are opaque ``binary`` columns with a typed
 metadata struct alongside. The Spark-side machinery — schema,
 partition-friendly layout, Arrow-batched UDF signatures — is real and
 tested. Pixel/sample work runs for REAL on the formats decodable with the
-standard library + numpy (binary PPM, uncompressed 24-bit BMP, 8-bit
-non-interlaced PNG via stdlib zlib —
+standard library + numpy (binary PPM, uncompressed 24-bit BMP, 8/16-bit
+plain-or-Adam7 PNG via stdlib zlib —
 ``decode_image``/``resize_rgb``/``encode_ppm``/``encode_png``,
 pixel-level tests — round 7, RIFF/WAVE integer PCM audio —
 ``decode_wav``/``encode_wav``/``extract_audio_features``,
-sample-level tests — round 8, baseline-sequential JPEG
-(``multimodal_jpeg``: stdlib Huffman + fixed-point integer IDCT,
-pixel-determinism pinned by hash; round 9 adds 4:2:0/4:2:2/4:4:0
-chroma subsampling with deterministic replicate-upsample) — and,
-round 9, MJPEG-in-AVI video (``multimodal_avi``: genuine RIFF
-container walk, frames decoded by the JPEG codec —
-``sample_frames_mjpeg`` runs frame sampling end-to-end on real
-bytes)); formats needing codec libraries absent in this container
-(progressive JPEG, float-or-ADPCM WAV, non-MJPEG video codecs) raise
-``NotImplementedError`` at the decode layer, with
-documented deterministic fallbacks at the pipeline layer so the
-distributed shape stays verifiable end-to-end.
+sample-level tests; round 9 adds IMA/DVI ADPCM — round 8,
+baseline-sequential JPEG (``multimodal_jpeg``: stdlib Huffman +
+fixed-point integer IDCT, pixel-determinism pinned by hash; round 9
+adds 4:2:0/4:2:2/4:4:0 chroma subsampling with deterministic
+replicate-upsample, restart intervals, AND progressive SOF2 with
+spectral selection + successive approximation) — and, round 9,
+MJPEG-in-AVI video (``multimodal_avi``: genuine RIFF container walk,
+frames decoded by the JPEG codec — ``sample_frames_mjpeg`` runs frame
+sampling end-to-end on real bytes)); the remaining genuinely-absent
+codecs (float/MS-ADPCM WAV, arithmetic/hierarchical JPEG, sub-byte
+PNG depths, non-MJPEG video) raise ``NotImplementedError`` at the
+decode layer, with documented deterministic fallbacks at the pipeline
+layer so the distributed shape stays verifiable end-to-end.
 
 At 100 TB: binaries live in the lake as parquet binary columns (or
 pointers to object-store blobs for >row-group-size payloads — the
@@ -65,10 +66,11 @@ FEATURE_SCHEMA = (
 
 # ---------------------------------------------------------------------------
 # Real pure-python codecs for the formats decodable without image
-# libraries: binary PPM (P6), uncompressed 24-bit BMP, 8-bit
-# non-interlaced PNG (stdlib zlib), baseline JPEG (multimodal_jpeg),
-# and MJPEG-in-AVI video (multimodal_avi). Everything else (16-bit or
-# Adam7 PNG, progressive JPEG, non-MJPEG video) stays an honest
+# libraries: binary PPM (P6), uncompressed 24-bit BMP, 8/16-bit
+# plain-or-Adam7 PNG (stdlib zlib), baseline+progressive JPEG
+# (multimodal_jpeg), IMA-ADPCM/PCM WAV, and MJPEG-in-AVI video
+# (multimodal_avi). Everything else (sub-byte PNG depths, arithmetic
+# JPEG, non-MJPEG video) stays an honest
 # NotImplementedError at the decode layer — the pipeline-level
 # fallback is the documented deterministic passthrough, never a
 # silent wrong answer.
@@ -80,7 +82,7 @@ def decode_image(payload: bytes) -> tuple[int, int, bytes]:
     ``rgb`` is ``width*height*3`` bytes in row-major RGB order.
 
     Supports binary PPM (``P6``), uncompressed 24-bit bottom-up or
-    top-down BMP (``BM`` + BI_RGB), 8-bit non-interlaced PNG, and
+    top-down BMP (``BM`` + BI_RGB), 8/16-bit plain-or-Adam7 PNG, and
     baseline-sequential JPEG (4:4:4 / 4:2:0 / 4:2:2 / 4:4:0 or
     grayscale — ``multimodal_jpeg``) — all decodable with the standard
     library (+ zlib) alone. Any other format raises
@@ -97,8 +99,8 @@ def decode_image(payload: bytes) -> tuple[int, int, bytes]:
         return decode_jpeg(payload)
     raise NotImplementedError(
         f"no pure-python codec for payload with magic {payload[:4]!r}; "
-        "only P6 PPM, 24-bit BI_RGB BMP, 8-bit PNG, and baseline 4:4:4 "
-        "JPEG decode here"
+        "only P6 PPM, 24-bit BI_RGB BMP, 8/16-bit plain-or-Adam7 PNG, "
+        "and baseline/progressive JPEG decode here"
     )
 
 
@@ -174,15 +176,68 @@ def _decode_bmp(payload: bytes) -> tuple[int, int, bytes]:
     return w, h, arr.tobytes()
 
 
+_ADAM7_PASSES = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+
+def _png_defilter(raw: bytes, offset: int, n_rows: int, stride: int, bpp: int):
+    """De-filter ``n_rows`` scanlines of ``stride`` bytes starting at
+    ``offset`` in the inflated stream; returns (rows ndarray, new
+    offset). PNG filters are byte-wise regardless of bit depth, so the
+    same walk serves 8- and 16-bit and every Adam7 pass (each pass
+    filters independently with a fresh zero prior row)."""
+    import numpy as np
+
+    out = np.empty((n_rows, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for r in range(n_rows):
+        if offset + 1 + stride > len(raw):
+            raise NotImplementedError("PNG decompressed size mismatch")
+        ftype = raw[offset]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=offset + 1
+        ).astype(np.int32)
+        offset += 1 + stride
+        if ftype == 0:
+            recon = line
+        elif ftype == 2:  # Up
+            recon = (line + prev) & 0xFF
+        elif ftype in (1, 3, 4):  # Sub / Average / Paeth
+            recon = np.empty(stride, dtype=np.int32)
+            for x in range(stride):
+                a = int(recon[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                if ftype == 1:
+                    pred = a
+                elif ftype == 3:
+                    pred = (a + b) // 2
+                else:
+                    c = int(prev[x - bpp]) if x >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                recon[x] = (int(line[x]) + pred) & 0xFF
+        else:
+            raise NotImplementedError(f"PNG filter type {ftype} unsupported")
+        out[r] = recon
+        prev = recon
+    return out, offset
+
+
 def _decode_png(payload: bytes) -> tuple[int, int, bytes]:
     """PNG critical-chunk decoder (round-6; closes the VERDICT r05 gap
     "PNG is feasible with stdlib zlib"): IHDR/PLTE/IDAT/IEND only,
-    bit depth 8, no interlace, all five scanline filters, color types
-    0 (gray), 2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA) — alpha
-    is dropped and gray replicated so the decode layer always yields
-    the same row-major RGB contract as PPM/BMP. Ancillary chunks are
-    skipped; chunk CRCs are verified (a corrupt blob must quarantine,
-    never yield silent wrong pixels). 16-bit depth and Adam7 interlace
+    bit depths 8 and — round 9 — 16 (downconverted by high byte, the
+    deterministic truncation), no-interlace AND Adam7 interlace
+    (round 9: seven independently-filtered passes scattered on the
+    standard origin/step lattice), all five scanline filters, color
+    types 0 (gray), 2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA) —
+    alpha is dropped and gray replicated so the decode layer always
+    yields the same row-major RGB contract as PPM/BMP. Ancillary
+    chunks are skipped; chunk CRCs are verified (a corrupt blob must
+    quarantine, never yield silent wrong pixels). Bit depths 1/2/4
     raise ``NotImplementedError`` — honest boundary, same policy as
     JPEG."""
     import struct
@@ -216,88 +271,85 @@ def _decode_png(payload: bytes) -> tuple[int, int, bytes]:
     w, h, depth, color, comp, filt, interlace = struct.unpack(">IIBBBBB", ihdr)
     if w <= 0 or h <= 0:
         raise NotImplementedError("non-positive PNG dimensions")
-    if depth != 8:
-        raise NotImplementedError(f"PNG bit depth {depth} unsupported (only 8)")
-    if interlace != 0:
-        raise NotImplementedError("Adam7-interlaced PNG unsupported")
+    if depth not in (8, 16):
+        raise NotImplementedError(f"PNG bit depth {depth} unsupported (8/16)")
+    if interlace not in (0, 1):
+        raise NotImplementedError(f"PNG interlace method {interlace} unsupported")
     if comp != 0 or filt != 0:
         raise NotImplementedError("nonstandard PNG compression/filter method")
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
     if channels is None:
         raise NotImplementedError(f"PNG color type {color} unsupported")
+    if color == 3 and depth == 16:
+        raise NotImplementedError("16-bit paletted PNG is not a legal combination")
     if color == 3 and (plte is None or len(plte) % 3 != 0 or not plte):
         raise NotImplementedError("paletted PNG without a valid PLTE")
     try:
         raw = zlib.decompress(b"".join(idat))
     except zlib.error as exc:
         raise NotImplementedError(f"PNG IDAT inflate failed: {exc}") from None
-    stride = w * channels
-    if len(raw) != (stride + 1) * h:
+
+    sample_bytes = depth // 8
+    bpp = channels * sample_bytes
+    # samples[y, x, ch] as 8-bit (16-bit depth keeps the high byte —
+    # deterministic truncation, within 1/257 of the exact rescale)
+    samples = np.empty((h, w, channels), dtype=np.uint8)
+    passes = _ADAM7_PASSES if interlace == 1 else [(0, 0, 1, 1)]
+    offset = 0
+    for (x0, y0, dx, dy) in passes:
+        pw = (w - x0 + dx - 1) // dx
+        ph = (h - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue  # empty pass contributes no scanlines at all
+        stride = pw * bpp
+        rows, offset = _png_defilter(raw, offset, ph, stride, bpp)
+        # byte rows -> 8-bit channel samples (high byte for 16-bit)
+        px = rows.reshape(ph, pw, channels, sample_bytes)[:, :, :, 0]
+        samples[y0::dy, x0::dx, :] = px
+    if offset != len(raw):
         raise NotImplementedError("PNG decompressed size mismatch")
 
-    # de-filter: Sub/Average/Paeth have a per-byte left dependency, so
-    # those rows walk bytes in Python — fixture-scale payloads only;
-    # None/Up rows stay vectorized
-    out = np.empty((h, stride), dtype=np.uint8)
-    prev = np.zeros(stride, dtype=np.int32)
-    bpp = channels
-    for r in range(h):
-        ftype = raw[r * (stride + 1)]
-        line = np.frombuffer(
-            raw, dtype=np.uint8, count=stride, offset=r * (stride + 1) + 1
-        ).astype(np.int32)
-        if ftype == 0:
-            recon = line
-        elif ftype == 2:  # Up
-            recon = (line + prev) & 0xFF
-        elif ftype in (1, 3, 4):  # Sub / Average / Paeth
-            recon = np.empty(stride, dtype=np.int32)
-            for x in range(stride):
-                a = int(recon[x - bpp]) if x >= bpp else 0
-                b = int(prev[x])
-                if ftype == 1:
-                    pred = a
-                elif ftype == 3:
-                    pred = (a + b) // 2
-                else:
-                    c = int(prev[x - bpp]) if x >= bpp else 0
-                    p = a + b - c
-                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                    pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
-                recon[x] = (int(line[x]) + pred) & 0xFF
-        else:
-            raise NotImplementedError(f"PNG filter type {ftype} unsupported")
-        out[r] = recon
-        prev = recon
-
     if color == 2:
-        rgb = out
+        rgb = samples
     elif color == 0:
-        rgb = np.repeat(out.reshape(h, w, 1), 3, axis=2)
+        rgb = np.repeat(samples, 3, axis=2)
     elif color == 4:
-        rgb = np.repeat(out.reshape(h, w, 2)[:, :, :1], 3, axis=2)
+        rgb = np.repeat(samples[:, :, :1], 3, axis=2)
     elif color == 6:
-        rgb = out.reshape(h, w, 4)[:, :, :3]
+        rgb = samples[:, :, :3]
     else:  # color == 3: palette lookup
         pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
-        idx = out.reshape(h, w)
+        idx = samples.reshape(h, w)
         if int(idx.max()) >= pal.shape[0]:
             raise NotImplementedError("PNG palette index out of range")
         rgb = pal[idx]
     return w, h, np.ascontiguousarray(rgb, dtype=np.uint8).reshape(h, w, 3).tobytes()
 
 
-def encode_png(w: int, h: int, rgb: bytes) -> bytes:
+def encode_png(
+    w: int,
+    h: int,
+    rgb: bytes,
+    *,
+    interlace: bool = False,
+    bit_depth: int = 8,
+) -> bytes:
     """Serialize row-major RGB bytes as a minimal truecolor PNG
     (filter 0 scanlines, one zlib IDAT, fixed-strategy compression so
     the bytes are deterministic across runs) — the fixture-side twin
     of ``_decode_png``, giving the same encode→decode pixel-exactness
-    contract PPM has via ``encode_ppm``."""
+    contract PPM has via ``encode_ppm``. Round 9 adds Adam7 interlace
+    (seven independently-filtered passes on the standard lattice) and
+    16-bit output (each 8-bit sample widened by the exact v*257 —
+    high-byte downconversion inverts it perfectly), so the decoder's
+    new paths have genuine fixtures."""
     import struct
     import zlib
 
     if len(rgb) != w * h * 3:
         raise ValueError(f"rgb length {len(rgb)} != {w}*{h}*3")
+    if bit_depth not in (8, 16):
+        raise ValueError("bit_depth must be 8 or 16")
 
     def chunk(ctype: bytes, data: bytes) -> bytes:
         return (
@@ -307,15 +359,32 @@ def encode_png(w: int, h: int, rgb: bytes) -> bytes:
             + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
         )
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
-    stride = w * 3
-    scanlines = b"".join(
-        b"\x00" + rgb[r * stride : (r + 1) * stride] for r in range(h)
+    def sample_bytes(v: int) -> bytes:
+        # v*257 widens 0..255 to 0..65535 exactly (0xAB -> 0xABAB)
+        return bytes([v]) if bit_depth == 8 else bytes([v, v])
+
+    passes = _ADAM7_PASSES if interlace else [(0, 0, 1, 1)]
+    scan = bytearray()
+    for (x0, y0, dx, dy) in passes:
+        pw = (w - x0 + dx - 1) // dx
+        ph = (h - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue
+        for j in range(ph):
+            y = y0 + j * dy
+            scan += b"\x00"
+            for i in range(pw):
+                x = x0 + i * dx
+                base = (y * w + x) * 3
+                for ch in range(3):
+                    scan += sample_bytes(rgb[base + ch])
+    ihdr = struct.pack(
+        ">IIBBBBB", w, h, bit_depth, 2, 0, 0, 1 if interlace else 0
     )
     return (
         b"\x89PNG\r\n\x1a\n"
         + chunk(b"IHDR", ihdr)
-        + chunk(b"IDAT", zlib.compress(scanlines, 9))
+        + chunk(b"IDAT", zlib.compress(bytes(scan), 9))
         + chunk(b"IEND", b"")
     )
 

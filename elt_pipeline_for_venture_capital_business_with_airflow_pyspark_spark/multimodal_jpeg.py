@@ -14,7 +14,7 @@ the honest-and-exact subset:
   sample-replication upsampling; the encoders emit 4:4:4 or 4:2:0
   (2×2 box-average downsample); sampling factors > 2 still raise
   ``NotImplementedError`` (same boundary policy as the PNG codec's
-  Adam7 rejection),
+  sub-byte-depth rejection),
 - Huffman entropy coding with inline-defined tables (the decoder
   reads whatever DHT segments the file carries; the encoder emits
   the ITU T.81 Annex K typical tables),

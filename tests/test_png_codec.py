@@ -174,8 +174,9 @@ def test_truncated_idat_raises():
 @pytest.mark.parametrize(
     "kw,match",
     [
-        ({"depth": 16}, "bit depth"),
-        ({"interlace": 1}, "interlaced"),
+        # 8 and 16 decode since round 9; sub-byte depths stay honest
+        ({"depth": 4}, "bit depth"),
+        ({"interlace": 7}, "interlace method"),
     ],
 )
 def test_unsupported_variants_raise(kw, match):
@@ -183,6 +184,38 @@ def test_unsupported_variants_raise(kw, match):
     scan = b"".join(b"\x00" + bytes(6) for _ in range(h))
     with pytest.raises(NotImplementedError, match=match):
         MM.decode_image(_png_from_scanlines(w, h, 2, scan, **kw))
+
+
+# ---------------------------------------------------------------------------
+# round 9: Adam7 interlace + 16-bit depth
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("interlace", [False, True])
+@pytest.mark.parametrize("bit_depth", [8, 16])
+@pytest.mark.parametrize("dims", [(37, 23), (1, 1), (7, 3), (2, 9)])
+def test_adam7_and_16bit_round_trip_exact(interlace, bit_depth, dims):
+    """Every (interlace, depth) combination round-trips pixel-exactly:
+    Adam7's seven passes filter independently and scatter on the
+    standard lattice (tiny dims exercise EMPTY passes); 16-bit widens
+    by v*257 so the high-byte downconversion inverts it perfectly."""
+    import random
+
+    w, h = dims
+    rng = random.Random(w * 100 + h)
+    rgb = bytes(rng.randrange(256) for _ in range(w * h * 3))
+    payload = MM.encode_png(w, h, rgb, interlace=interlace, bit_depth=bit_depth)
+    assert MM.decode_image(payload) == (w, h, rgb)
+
+
+def test_adam7_scatter_is_positionally_correct():
+    """A coordinate-encoded image catches any pass-lattice mistake:
+    pixel (x, y) carries its own coordinates in its channels."""
+    w, h = 19, 13
+    rgb = bytes(
+        v for y in range(h) for x in range(w) for v in (x * 13 % 256, y * 17 % 256, (x + y) % 256)
+    )
+    assert MM.decode_image(MM.encode_png(w, h, rgb, interlace=True)) == (w, h, rgb)
 
 
 def test_palette_index_out_of_range_raises():
