@@ -11216,6 +11216,241 @@ def _geo_nearest_neighbor(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@_register(
+    "multimodal_phash_near_dup",
+    """
+    WITH d AS (
+        SELECT doc_id, ((doc_id % 29) + 29) % 29 AS fam
+        FROM documents
+        WHERE doc_id IS NOT NULL AND ((doc_id % 10) + 10) % 10 = 3
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(0 AS INT) AS hamming
+    FROM d a JOIN d b ON a.fam = b.fam AND a.doc_id < b.doc_id
+    """,
+)
+def _multimodal_phash_near_dup(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-duplicate detection over an IMAGE corpus — the visual
+    sibling of SimHash text dedup (round 9 continuation; the reference
+    has no image surface, this is north-star LLM-pipeline coverage):
+    each document synthesizes a 48x40 pseudo-random RGB image keyed by
+    its FAMILY (doc_id mod 29), serialized as genuine binary PPM;
+    the pipeline then runs the real pHash path — decode_image ->
+    exact-integer BT.601 luma -> exact-integer 32x32 box mean -> 2-D
+    DCT-II -> median-threshold 64-bit fingerprint -> pigeonhole
+    4x16-bit chunk-banded hamming equi-join (never all-pairs).
+
+    Same-family docs carry byte-identical images, so their pHashes
+    collide at hamming 0 and the oracle states the pairs from the id
+    arithmetic alone. The 29 distinct family rasters are pairwise
+    hamming > 3 — pinned in tests/test_phash.py (content is fixed, so
+    the pin holds at every SF), which is what makes the oracle exact:
+    no cross-family pair can leak in. Rich perceptual behavior
+    (brightness robustness, random-image discrimination, independent
+    naive-DCT agreement) is pinned in the same test file — no SQL
+    engine can restate a DCT.
+
+    Plan: two Arrow stages (synthesize+encode, decode+hash) and ONE
+    shuffle (the banded candidate equi-join); fingerprints ship as
+    single longs, pixels never leave the hash stage."""
+    docs = (
+        read_table(spark, sf, "documents")
+        .filter(F.col("doc_id").isNotNull() & (F.pmod(F.col("doc_id"), F.lit(10)) == 3))
+        .select(
+            F.col("doc_id").alias("media_id"),
+            F.pmod(F.col("doc_id"), F.lit(29)).cast("long").alias("fam"),
+        )
+    )
+
+    def synth(batches):
+        import numpy as np
+        import pandas as pd
+
+        from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.multimodal import (
+            encode_ppm,
+        )
+
+        w, h = 48, 40
+        idx = np.arange(w * h * 3, dtype=np.uint64)
+        for pdf in batches:
+            rows = []
+            for mid, fam in zip(pdf["media_id"], pdf["fam"]):
+                x = idx * np.uint64(2654435761) + np.uint64(
+                    int(fam) * 1000003 + 12345
+                )
+                x ^= x >> np.uint64(13)
+                x = x * np.uint64(0x9E3779B97F4A7C15)
+                x ^= x >> np.uint64(7)
+                rgb = (x & np.uint64(255)).astype(np.uint8).tobytes()
+                rows.append((int(mid), encode_ppm(w, h, rgb)))
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    media = docs.mapInPandas(synth, "media_id long, payload binary")
+    pairs = multimodal.image_near_pairs(media, max_hamming=3)
+    return pairs.select(
+        "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
+    )
+
+
+@_register(
+    "multimodal_audio_spectrum",
+    """
+    SELECT doc_id AS media_id,
+           CAST(16000 AS INT) AS sample_rate,
+           CAST(1920 AS BIGINT) AS n_samples,
+           CAST(14 AS INT) AS n_frames,
+           CAST(1920 / ((((doc_id % 4) + 4) % 4 + 2) * 4) AS INT) AS dominant_bin,
+           CAST(0 AS BIGINT) AS dc_sum
+    FROM documents WHERE doc_id IS NOT NULL AND ((doc_id % 10) + 10) % 10 = 7
+    """,
+)
+def _multimodal_audio_spectrum(spark: SparkSession, sf: str) -> DataFrame:
+    """Frequency-domain audio features through the real WAV codec
+    (round 9 continuation — the spectral sibling of
+    multimodal_audio_features' time-domain stats): each document
+    synthesizes a 1920-sample 16 kHz square wave whose period
+    P = (doc_id mod 4 + 2) * 4 divides the length, encodes it as a
+    genuine RIFF/WAVE file, and the pipeline decodes + runs the
+    full-signal FFT and STFT framing (extract_spectral_features).
+
+    Every output is mathematically forced: the fundamental lands
+    EXACTLY on bin 1920/P and dominates its harmonics (square-wave
+    partials decay as 1/k), frame count is the closed-form
+    (1920-256)//128+1 = 14, and the DC sum of an exact half/half
+    ±8192 wave is integer zero (float summation of ±8192 is exact
+    under 2^53). FFT agreement with a naive O(n²) DFT and the
+    sine/argmax behavior are pinned in tests/test_spectral.py.
+    Plan: one mapInPandas stage, no shuffle."""
+    docs = (
+        read_table(spark, sf, "documents")
+        .filter(F.col("doc_id").isNotNull() & (F.pmod(F.col("doc_id"), F.lit(10)) == 7))
+        .select(
+            F.col("doc_id").alias("media_id"),
+            (F.pmod(F.col("doc_id"), F.lit(4)) + 2).cast("int").alias("quarter_period"),
+        )
+    )
+
+    def synth(batches):
+        import numpy as np
+        import pandas as pd
+
+        from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.multimodal import (
+            encode_wav,
+        )
+
+        n = 1920
+        i = np.arange(n)
+        for pdf in batches:
+            rows = []
+            for mid, qp in zip(pdf["media_id"], pdf["quarter_period"]):
+                p = int(qp) * 4
+                wave = np.where(i % p < p // 2, 8192, -8192)
+                rows.append(
+                    (int(mid), encode_wav(16000, wave.tolist(), bits=16))
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    media = docs.mapInPandas(synth, "media_id long, payload binary")
+    return multimodal.extract_spectral_features(media, frame=256, hop=128)
+
+
+@_register(
+    "multimodal_gif_roundtrip",
+    """
+    WITH d AS (
+        SELECT doc_id,
+               ((doc_id % 13) + 13) % 13 + 5 AS w,
+               ((doc_id % 9) + 9) % 9 + 4 AS h,
+               ((doc_id % 3) + 3) % 3 + 1 AS nf
+        FROM documents
+        WHERE doc_id IS NOT NULL AND ((doc_id % 10) + 10) % 10 = 1
+    )
+    SELECT doc_id AS media_id,
+           CAST(w AS INT) AS width,
+           CAST(h AS INT) AS height,
+           CAST(nf AS INT) AS n_frames,
+           CAST(2 AS INT) AS n_distinct_colors,
+           CAST(((w + 1) // 2) * ((h + 1) // 2)
+                + (w // 2) * (h // 2) AS BIGINT) AS count_color_a
+    FROM d
+    """,
+)
+def _multimodal_gif_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """GIF payloads through the REAL LZW codec (multimodal_gif —
+    round 9 continuation, the third from-scratch image compression
+    family after PNG/zlib and JPEG/Huffman): each document synthesizes
+    a 2-color checkerboard with doc-id-derived dimensions and a
+    doc-id-derived FRAME COUNT, encodes through genuine GIF87a/89a
+    bytes (variable-width LSB-first LZW, sub-block framing), then the
+    pipeline walks the container (gif_frame_count — pure block scan,
+    no LZW) and decodes the first frame back to pixels.
+
+    Every output is decode-derived and oracle-forced: dims echo the
+    formula, the frame walk must find exactly nf image descriptors,
+    and the checkerboard's color-A population is the closed-form
+    ceil/floor parity count ``ceil(w/2)*ceil(h/2) + floor(w/2)*
+    floor(h/2)`` — a wrong de-interlace, palette map, or LZW slip
+    changes it. Rich content (random palettes ≤256 colors, interlace,
+    12-bit table overflow, a hand-assembled spec fixture) is pinned in
+    tests/test_gif_codec.py. Plan: one mapInPandas stage, no
+    shuffle."""
+    docs = (
+        read_table(spark, sf, "documents")
+        .filter(F.col("doc_id").isNotNull() & (F.pmod(F.col("doc_id"), F.lit(10)) == 1))
+        .select(
+            F.col("doc_id").alias("media_id"),
+            (F.pmod(F.col("doc_id"), F.lit(13)) + 5).cast("int").alias("w"),
+            (F.pmod(F.col("doc_id"), F.lit(9)) + 4).cast("int").alias("h"),
+            (F.pmod(F.col("doc_id"), F.lit(3)) + 1).cast("int").alias("nf"),
+        )
+    )
+
+    def roundtrip(batches):
+        import numpy as np
+        import pandas as pd
+
+        from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.multimodal_gif import (
+            decode_gif,
+            encode_gif,
+            gif_frame_count,
+        )
+
+        ca = np.array([10, 20, 30], dtype=np.uint8)
+        cb = np.array([200, 210, 220], dtype=np.uint8)
+        for pdf in batches:
+            rows = []
+            for mid, w, h, nf in zip(pdf["media_id"], pdf["w"], pdf["h"], pdf["nf"]):
+                w, h, nf = int(w), int(h), int(nf)
+                par = (np.add.outer(np.arange(h), np.arange(w)) % 2)[..., None]
+                rgb = np.where(par == 0, ca, cb).astype(np.uint8).tobytes()
+                payload = encode_gif(w, h, rgb, n_frames=nf)
+                dw, dh, drgb = decode_gif(payload)
+                arr = np.frombuffer(drgb, dtype=np.uint8).reshape(dh * dw, 3)
+                uniq = np.unique(arr, axis=0)
+                rows.append(
+                    (
+                        int(mid),
+                        dw,
+                        dh,
+                        gif_frame_count(payload),
+                        len(uniq),
+                        int((arr == ca).all(axis=1).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "width", "height", "n_frames",
+                    "n_distinct_colors", "count_color_a",
+                ],
+            )
+
+    return docs.mapInPandas(
+        roundtrip,
+        "media_id long, width int, height int, n_frames int, "
+        "n_distinct_colors int, count_color_a long",
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver verification window
 #

@@ -198,6 +198,14 @@ HEADLINE = [
     # round-9 continuation: IMA/DVI ADPCM audio decode (4-bit nibble
     # stream, exact-integer step tables) through the Arrow boundary
     "multimodal_audio_adpcm",
+    # round-9 continuation: pHash image near-dup (decode -> integer
+    # luma/box-mean -> DCT -> chunk-banded hamming equi-join) and
+    # FFT/STFT audio spectral features — the visual/spectral siblings
+    # of the text dedup + audio stats families
+    "multimodal_phash_near_dup",
+    "multimodal_audio_spectrum",
+    # round-9 continuation: GIF LZW codec round-trip + frame walk
+    "multimodal_gif_roundtrip",
 ]
 
 

@@ -17,7 +17,11 @@ replicate-upsample, restart intervals, AND progressive SOF2 with
 spectral selection + successive approximation) — and, round 9,
 MJPEG-in-AVI video (``multimodal_avi``: genuine RIFF container walk,
 frames decoded by the JPEG codec — ``sample_frames_mjpeg`` runs frame
-sampling end-to-end on real bytes)); the remaining genuinely-absent
+sampling end-to-end on real bytes), and — round-9 continuation —
+GIF87a/89a (``multimodal_gif``: from-scratch variable-width LZW,
+interlace, transparency, frame walking), DCT perceptual image hashing
+(``phash64``/``image_near_pairs``) and FFT/STFT audio spectral
+features (``extract_spectral_features``)); the remaining genuinely-absent
 codecs (float/MS-ADPCM WAV, arithmetic/hierarchical JPEG, sub-byte
 PNG depths, non-MJPEG video) raise ``NotImplementedError`` at the
 decode layer, with documented deterministic fallbacks at the pipeline
@@ -82,9 +86,10 @@ def decode_image(payload: bytes) -> tuple[int, int, bytes]:
     ``rgb`` is ``width*height*3`` bytes in row-major RGB order.
 
     Supports binary PPM (``P6``), uncompressed 24-bit bottom-up or
-    top-down BMP (``BM`` + BI_RGB), 8/16-bit plain-or-Adam7 PNG, and
+    top-down BMP (``BM`` + BI_RGB), 8/16-bit plain-or-Adam7 PNG,
     baseline-sequential JPEG (4:4:4 / 4:2:0 / 4:2:2 / 4:4:0 or
-    grayscale — ``multimodal_jpeg``) — all decodable with the standard
+    grayscale — ``multimodal_jpeg``), and GIF87a/89a (LZW —
+    ``multimodal_gif``, round 9) — all decodable with the standard
     library (+ zlib) alone. Any other format raises
     ``NotImplementedError``."""
     if payload.startswith(b"P6"):
@@ -97,10 +102,14 @@ def decode_image(payload: bytes) -> tuple[int, int, bytes]:
         from .multimodal_jpeg import decode_jpeg
 
         return decode_jpeg(payload)
+    if payload.startswith((b"GIF87a", b"GIF89a")):
+        from .multimodal_gif import decode_gif
+
+        return decode_gif(payload)
     raise NotImplementedError(
         f"no pure-python codec for payload with magic {payload[:4]!r}; "
         "only P6 PPM, 24-bit BI_RGB BMP, 8/16-bit plain-or-Adam7 PNG, "
-        "and baseline/progressive JPEG decode here"
+        "baseline/progressive JPEG, and GIF87a/89a decode here"
     )
 
 
@@ -1050,3 +1059,266 @@ def extract_audio_features(media: DataFrame) -> DataFrame:
 
     pruned = media.select("media_id", "payload")
     return pruned.mapInPandas(run, schema=AUDIO_FEATURE_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# Perceptual image hashing (pHash) — round 9 continuation.
+#
+# The reference has no image pipeline at all (its entire surface is
+# Airflow ELT glue over Postgres); this is north-star LLM-pipeline
+# surface: near-duplicate detection over IMAGE corpora, the visual
+# sibling of the text MinHash/SimHash family in operators/dedup.py.
+# The hash is the classic DCT perceptual hash (Zauner, "Implementation
+# and Benchmarking of Perceptual Image Hash Functions", 2010; same
+# construction as the imagehash library's phash): grayscale -> 32x32
+# box downsample -> 2D DCT-II -> threshold the 8x8 low-frequency
+# block against its median -> 64-bit fingerprint. Near-identical
+# pixels land within a few bits; the fingerprint is ONE long, so the
+# candidate join is the same pigeonhole chunk-banding used for
+# SimHash (operators/dedup.py: hamming_near_pairs) — no all-pairs
+# comparison anywhere.
+# --------------------------------------------------------------------------
+
+
+def luma_u8(rgb: bytes, w: int, h: int):
+    """ITU-R BT.601 integer luma plane from row-major RGB bytes.
+
+    ``(77 R + 150 G + 29 B + 128) >> 8`` — the coefficients sum to
+    256, so a gray pixel (R=G=B=v) maps to exactly v and the whole
+    transform is exact integer arithmetic (bit-identical on any
+    platform, unlike a float dot product)."""
+    import numpy as np
+
+    arr = np.frombuffer(rgb, dtype=np.uint8).reshape(h, w, 3).astype(np.int64)
+    return (
+        (77 * arr[:, :, 0] + 150 * arr[:, :, 1] + 29 * arr[:, :, 2] + 128) >> 8
+    )
+
+
+def box_mean_gray(gray, tw: int, th: int):
+    """Exact-integer box-mean downsample of a 2-D integer array to
+    ``(th, tw)``: cell (i, j) averages the pixel block with floor
+    boundaries ``[i*h//th, (i+1)*h//th) x [j*w//tw, (j+1)*w//tw)``,
+    value = block_sum // block_area (floor). Images smaller than the
+    target grid replicate rows/cols (empty boxes take the nearest
+    boundary pixel), so any input size is legal. Integer end-to-end:
+    the downsample never introduces platform float drift."""
+    import numpy as np
+
+    h, w = gray.shape
+    if h == 0 or w == 0:
+        raise ValueError("empty image")
+    # 2-D prefix sums with a zero border: block sums in O(1) each
+    ps = np.zeros((h + 1, w + 1), dtype=np.int64)
+    ps[1:, 1:] = gray.astype(np.int64).cumsum(0).cumsum(1)
+    r = np.arange(th + 1) * h // th
+    c = np.arange(tw + 1) * w // tw
+    # replicate when a boundary pair collapses (image smaller than grid)
+    r1, r2 = r[:-1], np.maximum(r[1:], r[:-1] + 1).clip(max=h)
+    c1, c2 = c[:-1], np.maximum(c[1:], c[:-1] + 1).clip(max=w)
+    r1 = np.minimum(r1, h - 1)
+    c1 = np.minimum(c1, w - 1)
+    sums = (
+        ps[r2][:, c2] - ps[r1][:, c2] - ps[r2][:, c1] + ps[r1][:, c1]
+    )
+    areas = np.outer(r2 - r1, c2 - c1)
+    return sums // areas
+
+
+def dct2_f64(block):
+    """Orthonormal 2-D DCT-II of a square block (float64 separable
+    matrix form ``C X C^T``). numpy matmul is deterministic for a
+    fixed platform; the strict ``>`` threshold in :func:`phash64`
+    means a cross-platform last-ulp difference could only flip a bit
+    that exactly ties the median — pinned against a naive O(N^4)
+    reference in tests/test_phash.py."""
+    import numpy as np
+
+    n = block.shape[0]
+    k = np.arange(n).reshape(-1, 1)
+    m = np.arange(n).reshape(1, -1)
+    cmat = np.cos(np.pi * (2 * m + 1) * k / (2 * n)) * np.sqrt(2.0 / n)
+    cmat[0, :] = np.sqrt(1.0 / n)
+    x = block.astype(np.float64)
+    return cmat @ x @ cmat.T
+
+
+def phash64(payload: bytes | None) -> int | None:
+    """64-bit DCT perceptual hash of a decodable image payload.
+
+    grayscale (exact-integer BT.601) -> 32x32 exact-integer box mean
+    -> DCT-II -> bit i set iff low-frequency coefficient i (8x8
+    top-left block, row-major) is strictly greater than the median of
+    all 64. The DC term dwarfs the median so bit 0 is ~always set;
+    the remaining 63 bits split ~half/half (median threshold), which
+    maximizes discrimination entropy. Returned as a SIGNED 64-bit int
+    so it stores directly in a Spark ``long``. Undecodable/NULL
+    payloads -> None (quarantine-style routing, the batch never
+    dies)."""
+    import numpy as np
+
+    if payload is None:
+        return None
+    try:
+        w, h, rgb = decode_image(bytes(payload))
+    except (NotImplementedError, ValueError):
+        return None
+    small = box_mean_gray(luma_u8(rgb, w, h), 32, 32)
+    low = dct2_f64(small)[:8, :8].ravel()
+    med = float(np.median(low))
+    bits = low > med
+    v = 0
+    for i in range(64):
+        if bits[i]:
+            v |= 1 << i
+    return v - (1 << 64) if v >= 1 << 63 else v
+
+
+PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("phash", T.LongType()),
+    ]
+)
+
+
+def phash_images(media: DataFrame) -> DataFrame:
+    """(media_id, payload) -> (media_id, phash long) in ONE Arrow
+    stage. Column-pruned input; no shuffle; the 64-bit output is ~1e4×
+    smaller than the payloads, so everything downstream (the banded
+    hamming join, persisted indexes) ships longs, never pixels — the
+    posture that matters at 100 TB."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64"),
+                    "phash": pd.array(
+                        [phash64(p) for p in pdf["payload"]], dtype="Int64"
+                    ),
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        run, schema=PHASH_SCHEMA
+    )
+
+
+def image_near_pairs(media: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-duplicate IMAGE pairs: pHash fingerprints + the pigeonhole
+    chunk-banded hamming join shared with SimHash. Output
+    ``(id_a, id_b, hamming)`` with id_a < id_b. Candidates come from
+    16-bit chunk equality (hamming ≤ 3 ⇒ ≥1 of 4 chunks equal), so
+    the join is equi-key and shuffle-partitioned — never all-pairs."""
+    from .operators.dedup import hamming_near_pairs
+
+    fp = phash_images(media).filter(F.col("phash").isNotNull())
+    return hamming_near_pairs(
+        fp, id_col="media_id", hash_col="phash", max_hamming=max_hamming
+    )
+
+
+# --------------------------------------------------------------------------
+# Audio spectral analysis — round 9 continuation.
+#
+# The frequency-domain sibling of extract_audio_features' time-domain
+# stats: framed STFT power spectra and a dominant-frequency reduction,
+# the standard front end for audio curation (voice/music/tone
+# classification, silence detection, corpus QA) in an LLM data
+# pipeline. numpy rfft does the per-sample work inside one Arrow
+# stage; nothing here shuffles — a 100 TB audio corpus maps straight
+# through, shipping per-file scalar features out.
+# --------------------------------------------------------------------------
+
+
+def stft_power(samples, frame: int = 256, hop: int = 128):
+    """Framed power spectrogram of a 1-D integer/float signal:
+    ``n_frames x (frame//2 + 1)`` array of |rfft|^2 per frame (no
+    window function — a rectangular window keeps integer signals
+    exactly representable going into the FFT). Frame count is
+    ``(n - frame) // hop + 1`` (zero when the signal is shorter than
+    one frame) — the formula oracles restate."""
+    import numpy as np
+
+    x = np.asarray(samples, dtype=np.float64)
+    n = x.shape[0]
+    if frame <= 0 or hop <= 0:
+        raise ValueError("frame and hop must be positive")
+    n_frames = (n - frame) // hop + 1 if n >= frame else 0
+    if n_frames == 0:
+        return np.zeros((0, frame // 2 + 1))
+    idx = np.arange(frame)[None, :] + hop * np.arange(n_frames)[:, None]
+    spec = np.fft.rfft(x[idx], axis=1)
+    return (spec.real**2 + spec.imag**2)
+
+
+def dominant_bin(samples) -> int | None:
+    """Index of the strongest NON-DC bin of the full-signal power
+    spectrum (bin k = frequency k * rate / n). For a periodic tone
+    whose period divides the signal length the fundamental lands
+    exactly on one bin and dwarfs its harmonics, so the argmax is
+    deterministic; None for signals too short to carry a non-DC bin."""
+    import numpy as np
+
+    x = np.asarray(samples, dtype=np.float64)
+    if x.shape[0] < 2:
+        return None
+    spec = np.fft.rfft(x)
+    power = spec.real**2 + spec.imag**2
+    return int(power[1:].argmax()) + 1
+
+
+SPECTRAL_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("dominant_bin", T.IntegerType()),
+        T.StructField("dc_sum", T.LongType()),
+    ]
+)
+
+
+def extract_spectral_features(
+    media: DataFrame, frame: int = 256, hop: int = 128
+) -> DataFrame:
+    """(media_id, payload) -> spectral features per audio file in ONE
+    Arrow stage: sample count, STFT frame count at (frame, hop), the
+    dominant non-DC frequency bin of channel 0, and the exact-integer
+    DC sum (Σ samples — a zero-mean signal proves itself with a 0
+    any SQL engine can restate). Undecodable/NULL payloads -> NULL
+    features (quarantine-style routing; the batch never dies)."""
+    import numpy as np
+
+    def _feats(payload):
+        if payload is None:
+            return (None,) * 5
+        try:
+            rate, _bits, nch, samples = decode_wav(bytes(payload))
+        except NotImplementedError:
+            return (None,) * 5
+        ch0 = np.asarray(samples, dtype=np.int64)[::nch]
+        n = int(ch0.shape[0])
+        n_frames = (n - frame) // hop + 1 if n >= frame else 0
+        return (
+            rate,
+            n,
+            n_frames,
+            dominant_bin(ch0),
+            int(ch0.sum()),
+        )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["sample_rate", "n_samples", "n_frames", "dominant_bin", "dc_sum"]
+        for pdf in batches:
+            out = pd.DataFrame(
+                [_feats(p) for p in pdf["payload"]], columns=cols
+            )
+            out.insert(0, "media_id", pdf["media_id"].values)
+            yield out
+
+    return media.select("media_id", "payload").mapInPandas(
+        run, schema=SPECTRAL_SCHEMA
+    )

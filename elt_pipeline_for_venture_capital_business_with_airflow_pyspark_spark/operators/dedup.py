@@ -454,36 +454,54 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
     return sh.select("id", bits.alias("simhash_bits"))
 
 
-def simhash_near_pairs(
-    df: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
+def hamming_near_pairs(
+    fp: DataFrame,
+    id_col: str = "id",
+    hash_col: str = "h",
     max_hamming: int = 3,
+    n_chunks: int = 4,
 ) -> DataFrame:
-    """Near-dup pairs with hamming(simhash) ≤ max_hamming via 4×16-bit
-    chunk banding (pigeonhole: distance ≤3 ⇒ ≥1 of 4 chunks equal),
-    then exact hamming filter on candidates."""
-    sh = simhash_long(df, id_col, text_col)
-    # 16-bit chunk keys via shift+mask on the long fingerprint; the
+    """Pairs with ``hamming(hash) ≤ max_hamming`` over a 64-bit LONG
+    fingerprint column, via pigeonhole chunk banding: split the 64
+    bits into ``n_chunks`` contiguous chunks of ``64 // n_chunks``
+    bits; distance ≤ max_hamming < n_chunks ⇒ at least one chunk is
+    bit-identical (any leftover high bits when 64 % n_chunks != 0 sit
+    in NO chunk, which cannot break the pigeonhole — h differing bits
+    touch at most h of the h+1 chunks either way), so candidates come
+    from an EQUI-join on ``(chunk, chunk_value)`` — shuffle-
+    partitioned by key, never all-pairs — then the exact
+    ``bit_count(xor)`` filter. Shared by SimHash text dedup and pHash
+    image dedup (round 9). Output ``(id_a, id_b, hamming)`` with
+    id_a < id_b."""
+    if max_hamming >= n_chunks:
+        raise ValueError(
+            f"pigeonhole banding needs max_hamming < n_chunks "
+            f"(got {max_hamming} >= {n_chunks})"
+        )
+    width = 64 // n_chunks
+    # chunk keys via shift+mask on the long fingerprint; the
     # fingerprint itself rides along (it is one long — unlike minhash
-    # signatures there is nothing to save by rejoining it later)
-    chunks = sh.select(
-        "id",
-        "simhash",
+    # signatures there is nothing to save by rejoining it later).
+    # Arithmetic shiftright sign-extends the top chunk; the mask AND
+    # restores the unsigned bit pattern.
+    mask = F.lit((1 << width) - 1).cast("long")
+    chunks = fp.select(
+        F.col(id_col).alias("id"),
+        F.col(hash_col).alias("h"),
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(c).alias("chunk"),
-                        F.shiftright(F.col("simhash"), c * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftright(F.col(hash_col), c * width)
+                        .bitwiseAND(mask)
                         .alias("val"),
                     )
-                    for c in range(4)
+                    for c in range(n_chunks)
                 ]
             )
         ).alias("cv"),
-    ).select("id", "simhash", "cv.chunk", "cv.val")
+    ).select("id", "h", "cv.chunk", "cv.val")
 
     a, b = chunks.alias("a"), chunks.alias("b")
     cand = (
@@ -492,8 +510,8 @@ def simhash_near_pairs(
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.col("a.simhash").alias("h_a"),
-            F.col("b.simhash").alias("h_b"),
+            F.col("a.h").alias("h_a"),
+            F.col("b.h").alias("h_b"),
         )
         .dropDuplicates(["id_a", "id_b"])
     )
@@ -502,6 +520,29 @@ def simhash_near_pairs(
         cand.withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
+    )
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) ≤ max_hamming via chunk
+    banding (pigeonhole: distance ≤ h ⇒ ≥1 of h+1 chunks equal), then
+    exact hamming filter on candidates — the generic
+    :func:`hamming_near_pairs` over SimHash fingerprints. The chunk
+    count auto-sizes to ``max(4, max_hamming + 1)``; before round 9's
+    refactor a max_hamming > 3 request silently kept 4 chunks, which
+    could MISS pairs whose differing bits touch all four chunks."""
+    sh = simhash_long(df, id_col, text_col)
+    return hamming_near_pairs(
+        sh,
+        id_col="id",
+        hash_col="simhash",
+        max_hamming=max_hamming,
+        n_chunks=max(4, max_hamming + 1),
     )
 
 

@@ -249,6 +249,17 @@ SHUFFLE_BUDGET = {
     "multimodal_jpeg_progressive": 0,
     # IMA ADPCM audio: pure Arrow map pipeline (measured 0 at both SFs).
     "multimodal_audio_adpcm": 0,
+    # pHash near-dup: the banded-hamming candidate equi-join is the
+    # single exchange (AQE reuses the fingerprint scan on both sides;
+    # the dropDuplicates folds into the same keying — measured 1 at
+    # both SFs).
+    "multimodal_phash_near_dup": 1,
+    # FFT/STFT spectral features: pure Arrow map pipeline (measured 0
+    # at both SFs).
+    "multimodal_audio_spectrum": 0,
+    # GIF LZW round-trip + frame walk: pure Arrow map pipeline
+    # (measured 0 at both SFs).
+    "multimodal_gif_roundtrip": 0,
 }
 
 
