@@ -11260,6 +11260,19 @@ def _multimodal_phash_near_dup(spark: SparkSession, sf: str) -> DataFrame:
             F.pmod(F.col("doc_id"), F.lit(29)).cast("long").alias("fam"),
         )
     )
+    media = _synth_family_media(docs)
+    pairs = multimodal.image_near_pairs(media, max_hamming=3)
+    return pairs.select(
+        "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
+    )
+
+
+def _synth_family_media(docs: DataFrame) -> DataFrame:
+    """(media_id, fam) -> (media_id, payload) with a 48x40 pseudo-
+    random PPM image keyed by FAMILY: same fam ⇒ byte-identical
+    image. Shared by the pHash entries; the 29 family rasters'
+    pairwise hamming > 3 is pinned in tests/test_phash.py (the
+    formula there must stay in sync with this one)."""
 
     def synth(batches):
         import numpy as np
@@ -11284,8 +11297,56 @@ def _multimodal_phash_near_dup(spark: SparkSession, sf: str) -> DataFrame:
                 rows.append((int(mid), encode_ppm(w, h, rgb)))
             yield pd.DataFrame(rows, columns=["media_id", "payload"])
 
-    media = docs.mapInPandas(synth, "media_id long, payload binary")
-    pairs = multimodal.image_near_pairs(media, max_hamming=3)
+    return docs.mapInPandas(synth, "media_id long, payload binary")
+
+
+@_register(
+    "multimodal_phash_incremental",
+    """
+    WITH d AS (
+        SELECT doc_id,
+               ((doc_id % 29) + 29) % 29 AS fam,
+               ((doc_id % 40) + 40) % 40 = 33 AS in_shard
+        FROM documents
+        WHERE doc_id IS NOT NULL AND ((doc_id % 10) + 10) % 10 = 3
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(0 AS INT) AS hamming
+    FROM d a JOIN d b ON a.fam = b.fam AND a.doc_id < b.doc_id
+    WHERE a.in_shard OR b.in_shard
+    """,
+)
+def _multimodal_phash_incremental(spark: SparkSession, sf: str) -> DataFrame:
+    """Daily-cadence IMAGE dedup against a persisted pHash index
+    (round 9 continuation — the image sibling of
+    ``dedup_incremental_lsh``): the corpus 3/4 of the slice builds the
+    persisted (hashes, chunk-partitioned) index, then the shard 1/4
+    probes it via broadcast-onto-one-scan and appends — the corpus is
+    never re-decoded. Output: every hamming≤3 pair touching the
+    shard; the oracle states them from the family arithmetic (same
+    29-raster discrimination pin as multimodal_phash_near_dup).
+    Equivalence vs a from-scratch full run, torn-append repair, and
+    the broadcast_new escape hatch are pinned in
+    tests/test_phash_index.py. Plan: index build (2 Arrow stages + 2
+    writes) + probe (1 broadcast join, 1 banded self-join shuffle)."""
+    import os
+
+    base = (
+        read_table(spark, sf, "documents")
+        .filter(F.col("doc_id").isNotNull() & (F.pmod(F.col("doc_id"), F.lit(10)) == 3))
+        .select(
+            F.col("doc_id").alias("media_id"),
+            F.pmod(F.col("doc_id"), F.lit(29)).cast("long").alias("fam"),
+            (F.pmod(F.col("doc_id"), F.lit(40)) == 33).alias("in_shard"),
+        )
+    )
+    corpus = _synth_family_media(base.filter(~F.col("in_shard")).drop("in_shard"))
+    shard = _synth_family_media(base.filter(F.col("in_shard")).drop("in_shard"))
+
+    path = "/tmp/spark_graft_phash_idx_" + os.path.basename(os.path.normpath(sf))
+    multimodal.build_phash_index(corpus, path, mode="overwrite")
+    pairs = multimodal.incremental_phash_pairs(
+        shard, path, max_hamming=3, update_index=True
+    )
     return pairs.select(
         "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
     )
@@ -11448,6 +11509,126 @@ def _multimodal_gif_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
         roundtrip,
         "media_id long, width int, height int, n_frames int, "
         "n_distinct_colors int, count_color_a long",
+    )
+
+
+@_register(
+    "multimodal_audio_g711",
+    """
+    WITH d AS (
+        SELECT doc_id, ((doc_id % 5) + 5) % 5 AS fam
+        FROM documents
+        WHERE doc_id IS NOT NULL AND ((doc_id % 10) + 10) % 10 = 4
+    ),
+    codes AS (SELECT unnest(range(256)) AS c),
+    dec AS (
+        SELECT c,
+               CASE WHEN (255 - c) >= 128
+                    THEN -((((((255 - c) % 16) * 8 + 132)
+                             << (((255 - c) // 16) % 8)) - 132))
+                    ELSE (((((255 - c) % 16) * 8 + 132)
+                           << (((255 - c) // 16) % 8)) - 132)
+               END AS u_val,
+               CASE WHEN xor(c, 85) >= 128
+                    THEN CASE WHEN (xor(c, 85) // 16) % 8 = 0
+                              THEN (xor(c, 85) % 16) * 16 + 8
+                              ELSE ((xor(c, 85) % 16) * 16 + 264)
+                                   << ((xor(c, 85) // 16) % 8 - 1) END
+                    ELSE -(CASE WHEN (xor(c, 85) // 16) % 8 = 0
+                                THEN (xor(c, 85) % 16) * 16 + 8
+                                ELSE ((xor(c, 85) % 16) * 16 + 264)
+                                     << ((xor(c, 85) // 16) % 8 - 1) END)
+               END AS a_val
+        FROM codes
+    )
+    SELECT d.doc_id AS media_id,
+           CAST(count(*) AS BIGINT) AS n_codes,
+           CAST(sum(u_val) AS BIGINT) AS u_sum,
+           CAST(min(u_val) AS INT) AS u_min,
+           CAST(max(u_val) AS INT) AS u_max,
+           CAST(sum(a_val) AS BIGINT) AS a_sum,
+           CAST(min(a_val) AS INT) AS a_min,
+           CAST(max(a_val) AS INT) AS a_max
+    FROM d JOIN dec ON dec.c % 5 = d.fam
+    GROUP BY d.doc_id
+    """,
+)
+def _multimodal_audio_g711(spark: SparkSession, sf: str) -> DataFrame:
+    """G.711 telephony companding through the real WAV codec (round 9
+    continuation — closes the documented mu-law honest stub in
+    decode_wav): each document carries BOTH a tag-7 (mu-law) and a
+    tag-6 (A-law) RIFF/WAVE payload whose data section is all 256
+    companded codes; the pipeline decodes them and aggregates the
+    expanded samples over a doc-id-derived code residue class.
+
+    This is the one codec whose math an SQL engine CAN restate: the
+    oracle recomputes the full expansion law from the byte formula
+    (complement / 0x55 toggle, exponent-mantissa bit slicing, bias)
+    with DuckDB integer bit arithmetic — a single wrong bit in either
+    expansion table hash-mismatches. Encode + decode are additionally
+    pinned EXHAUSTIVELY against CPython's audioop (all 256 codes both
+    laws, all 65536 encode inputs) in tests/test_g711.py. Plan: one
+    mapInPandas stage, no shuffle."""
+    docs = (
+        read_table(spark, sf, "documents")
+        .filter(F.col("doc_id").isNotNull() & (F.pmod(F.col("doc_id"), F.lit(10)) == 4))
+        .select(
+            F.col("doc_id").alias("media_id"),
+            F.pmod(F.col("doc_id"), F.lit(5)).cast("int").alias("fam"),
+        )
+    )
+
+    def run(batches):
+        import pandas as pd
+
+        from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.multimodal import (
+            decode_wav,
+            encode_wav_g711,
+        )
+
+        # companded payloads holding every code 0..255: round-trip
+        # through encode (compress of the exact expansion) would bias
+        # toward self-consistency, so the data section is the raw code
+        # ramp — the decode is judged against SQL-recomputed expansion
+        import struct as _struct
+
+        def ramp_wav(tag: int) -> bytes:
+            fmt = _struct.pack("<HHIIHH", tag, 1, 8000, 8000, 1, 8)
+            body = (
+                b"fmt " + _struct.pack("<I", 16) + fmt
+                + b"data" + _struct.pack("<I", 256) + bytes(range(256))
+            )
+            return b"RIFF" + _struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+        pu = ramp_wav(7)
+        pa = ramp_wav(6)
+        _, _, _, u_all = decode_wav(pu)
+        _, _, _, a_all = decode_wav(pa)
+        # determinism guard: the library encoder must agree with the
+        # raw construction (exercises encode_wav_g711 in the entry too)
+        assert decode_wav(encode_wav_g711(8000, u_all, law="ulaw")) == (
+            8000, 8, 1, u_all
+        )
+        for pdf in batches:
+            rows = []
+            for mid, fam in zip(pdf["media_id"], pdf["fam"]):
+                fam = int(fam)
+                u = [v for c, v in enumerate(u_all) if c % 5 == fam]
+                a = [v for c, v in enumerate(a_all) if c % 5 == fam]
+                rows.append(
+                    (int(mid), len(u), sum(u), min(u), max(u),
+                     sum(a), min(a), max(a))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "n_codes", "u_sum", "u_min",
+                         "u_max", "a_sum", "a_min", "a_max"],
+            )
+
+    return docs.mapInPandas(
+        run,
+        "media_id long, n_codes long, u_sum long, u_min int, u_max int, "
+        "a_sum long, a_min int, a_max int",
     )
 
 

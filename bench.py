@@ -206,6 +206,12 @@ HEADLINE = [
     "multimodal_audio_spectrum",
     # round-9 continuation: GIF LZW codec round-trip + frame walk
     "multimodal_gif_roundtrip",
+    # round-9 continuation: G.711 mu-law/A-law companding (the SQL-
+    # restatable expansion law)
+    "multimodal_audio_g711",
+    # round-9 continuation: persisted+incremental pHash image index —
+    # the daily-cadence image-dedup lifecycle (build + probe + append)
+    "multimodal_phash_incremental",
 ]
 
 

@@ -814,10 +814,19 @@ def decode_wav(payload: bytes) -> "tuple[int, int, int, list[int]]":
             data, n_channels, balign, spb, fact_frames
         )
         return sample_rate, 4, n_channels, samples
+    if tag in (6, 7):  # G.711 A-law / mu-law (round-9 continuation)
+        if bits not in (0, 8):
+            raise NotImplementedError(f"G.711 WAV with bits={bits} unsupported")
+        if n_channels < 1 or sample_rate <= 0:
+            raise NotImplementedError("G.711 WAV non-positive channels/rate")
+        expand = _alaw2lin if tag == 6 else _ulaw2lin
+        samples = [expand(b) for b in data]
+        return sample_rate, 8, n_channels, samples
     if tag != 1:
         raise NotImplementedError(
-            f"WAV format tag {tag} unsupported (integer PCM=1 and IMA "
-            "ADPCM=17 implemented; float/MS-ADPCM/mu-law are not)"
+            f"WAV format tag {tag} unsupported (integer PCM=1, IMA "
+            "ADPCM=17, G.711 A-law=6/mu-law=7 implemented; "
+            "float/MS-ADPCM are not)"
         )
     if bits not in (8, 16):
         raise NotImplementedError(f"WAV bit depth {bits} unsupported (8/16)")
@@ -896,6 +905,120 @@ def _decode_ima_adpcm(
         for ch in range(n_channels):
             samples.append(out[ch][f])
     return samples
+
+
+# ---- G.711 companding (round-9 continuation) ------------------------------
+#
+# The telephony codec pair (ITU-T G.711): logarithmic 8-bit companding
+# of 16-bit PCM. Pure integer bit arithmetic — so unlike every other
+# codec here, the EXPANSION law itself is restatable in ANSI SQL, and
+# the registry entry's oracle recomputes the decode table from the
+# byte formula (see multimodal_audio_g711 in __spark_entry__.py).
+# Encode follows the CCITT g711.c reference conventions (14-bit
+# arithmetic-shift reduction for mu-law, 13-bit for A-law); both
+# directions are pinned EXHAUSTIVELY against CPython's audioop in
+# tests/test_g711.py (all 256 codes, all 65536 encode inputs).
+
+
+def _ulaw2lin(c: int) -> int:
+    """G.711 mu-law byte -> centered 16-bit sample (exact table)."""
+    b = ~c & 0xFF
+    exp = (b >> 4) & 7
+    val = (((b & 0x0F) << 3) + 0x84 << exp) - 0x84
+    return -val if b & 0x80 else val
+
+
+def _lin2ulaw(s: int) -> int:
+    """Centered 16-bit sample -> G.711 mu-law byte (g711.c 14-bit
+    convention: arithmetic >> 2, clip 8159, bias 33)."""
+    p = s >> 2
+    if p < 0:
+        p = -p
+        mask = 0x7F
+    else:
+        mask = 0xFF
+    if p > 8159:
+        p = 8159
+    p += 33
+    seg = max(0, p.bit_length() - 6)
+    if seg >= 8:
+        return 0x7F ^ mask
+    return ((seg << 4) | ((p >> (seg + 1)) & 0xF)) ^ mask
+
+
+def _alaw2lin(c: int) -> int:
+    """G.711 A-law byte -> centered 16-bit sample (exact table;
+    sign bit SET means positive after the 0x55 toggle)."""
+    a = c ^ 0x55
+    exp = (a >> 4) & 7
+    mant = a & 0x0F
+    if exp == 0:
+        val = (mant << 4) + 8
+    else:
+        val = ((mant << 4) + 0x108) << (exp - 1)
+    return val if a & 0x80 else -val
+
+
+def _lin2alaw(s: int) -> int:
+    """Centered 16-bit sample -> G.711 A-law byte (g711.c 13-bit
+    convention: arithmetic >> 3, negatives fold as -p-1)."""
+    p = s >> 3
+    if p >= 0:
+        mask = 0xD5
+    else:
+        mask = 0x55
+        p = -p - 1
+    if p >= 0x1000:
+        return 0x7F ^ mask
+    seg = max(0, p.bit_length() - 5)
+    if seg < 2:
+        aval = (seg << 4) | ((p >> 1) & 0xF)
+    else:
+        aval = (seg << 4) | ((p >> seg) & 0xF)
+    return aval ^ mask
+
+
+def encode_wav_g711(
+    sample_rate: int,
+    samples: "list[int]",
+    *,
+    law: str = "ulaw",
+    n_channels: int = 1,
+) -> bytes:
+    """Serialize centered 16-bit samples as a G.711 (tag 7 mu-law /
+    tag 6 A-law) RIFF/WAVE file: one companded byte per sample,
+    interleaved like PCM. Byte-identical output for identical input on
+    any platform."""
+    import struct
+
+    if law not in ("ulaw", "alaw"):
+        raise ValueError(f"law must be 'ulaw' or 'alaw', got {law!r}")
+    if n_channels < 1:
+        raise ValueError("n_channels must be >= 1")
+    if sample_rate <= 0:
+        raise ValueError("sample_rate must be positive")
+    if len(samples) % n_channels:
+        raise ValueError(
+            f"{len(samples)} samples not divisible by {n_channels} channels"
+        )
+    compress = _lin2ulaw if law == "ulaw" else _lin2alaw
+    tag = 7 if law == "ulaw" else 6
+    for s in samples:
+        if not -32768 <= s <= 32767:
+            raise ValueError(f"sample {s} out of 16-bit range")
+    data = bytes(compress(int(s)) for s in samples)
+    fmt = struct.pack(
+        "<HHIIHH", tag, n_channels, sample_rate,
+        sample_rate * n_channels, n_channels, 8,
+    )
+    fact = struct.pack("<I", len(samples) // n_channels)
+    body = (
+        b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"fact" + struct.pack("<I", 4) + fact
+        + b"data" + struct.pack("<I", len(data)) + data
+        + (b"\x00" if len(data) % 2 else b"")
+    )
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
 
 
 def encode_wav_adpcm(
@@ -1322,3 +1445,266 @@ def extract_spectral_features(
     return media.select("media_id", "payload").mapInPandas(
         run, schema=SPECTRAL_SCHEMA
     )
+
+
+# --------------------------------------------------------------------------
+# Persisted + incremental pHash image-dedup index — round 9
+# continuation. The IMAGE sibling of operators/dedup.py's persisted
+# MinHash-LSH text index: a daily 100-TB media pipeline does not
+# re-decode its whole corpus per run; it hashes each day's shard,
+# probes a persisted chunk table, and appends. Fingerprints are ONE
+# long each, so the whole index is ~16 bytes/image of hash state plus
+# the 4-row chunk expansion — pixels never persist, never shuffle.
+# --------------------------------------------------------------------------
+
+
+def phash_index_exists(spark, path: str) -> bool:
+    """True iff a persisted pHash index exists at ``path`` — presence
+    of its ``hashes`` table (written first, so it exists for any index
+    in any state including a torn append). Same explicit-existence
+    policy as ``dedup.lsh_index_exists``: a transient read failure
+    must surface, never masquerade as "no index yet"."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path
+    p = hpath(f"{path}/hashes")
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(p))
+
+
+def build_phash_index(
+    media: DataFrame,
+    path: str,
+    *,
+    n_chunks: int = 4,
+    mode: str = "overwrite",
+    fingerprints: DataFrame | None = None,
+) -> None:
+    """Persist a corpus image-dedup index: ``<path>/hashes``
+    (id, phash) and ``<path>/chunks`` (id, h, chunk, val) partitioned
+    by ``chunk`` — a chunk-restricted probe prunes at the directory
+    level, and within a chunk ``val`` is the equi-join key.
+
+    ``fingerprints`` may carry a precomputed ``(media_id, phash)``
+    frame (e.g. the incremental path, which hashes the shard once for
+    both probe and append); must be lineage-free w.r.t. this index
+    (``localCheckpoint()`` if its plan reads ``<path>/hashes``).
+    Hashes commit before chunks — a crash between the writes leaves a
+    detectable torn state; :func:`verify_phash_index` reports it and
+    :func:`repair_phash_index` re-expands from hashes (a cheap
+    projection — pixels are never needed again)."""
+    from .operators.dedup import hash_chunk_entries
+
+    spark = media.sparkSession
+    fp = (
+        fingerprints
+        if fingerprints is not None
+        else phash_images(media).filter(F.col("phash").isNotNull())
+    )
+    fp.write.mode(mode).parquet(f"{path}/hashes")
+    if fingerprints is not None:
+        shard_fp = fingerprints
+    else:
+        # derive chunks from the JUST-WRITTEN hashes: the expensive
+        # decode+DCT ran once for the hash write; the chunk write is a
+        # cheap projection over its output
+        shard_fp = spark.read.parquet(f"{path}/hashes")
+        if mode == "append":
+            shard_fp = shard_fp.join(
+                F.broadcast(
+                    media.select(F.col("media_id").alias("probe_id"))
+                ),
+                F.col("media_id") == F.col("probe_id"),
+                "semi",
+            )
+    hash_chunk_entries(
+        shard_fp, id_col="media_id", hash_col="phash", n_chunks=n_chunks
+    ).write.mode(mode).partitionBy("chunk").parquet(f"{path}/chunks")
+
+
+def read_phash_index(spark, path: str) -> tuple[DataFrame, DataFrame]:
+    """(hashes, chunks) frames of a persisted index, with the exact
+    schemas ``hash_chunk_entries`` produces (chunk is
+    partition-encoded; cast back to int for join parity). An index
+    built from an EMPTY corpus has a chunks dir with no partition
+    directories (a partitioned write of zero rows emits no files), so
+    schema inference has nothing to read — that ONE case (checked
+    explicitly: no ``chunk=*`` subdirectories) falls back to an empty
+    typed frame. Every other failure propagates — a blanket fallback
+    would silently answer "no corpus candidates" and turn an
+    infrastructure fault into a wrong dedup result (same policy as
+    ``dedup.read_lsh_index``)."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path
+    chunks_dir = hpath(f"{path}/chunks")
+    fs = chunks_dir.getFileSystem(spark._jsc.hadoopConfiguration())
+    hashes = spark.read.parquet(f"{path}/hashes")
+    has_partitions = fs.exists(chunks_dir) and any(
+        st.isDirectory() and st.getPath().getName().startswith("chunk=")
+        for st in fs.listStatus(chunks_dir)
+    )
+    if has_partitions:
+        chunks = spark.read.parquet(f"{path}/chunks").select(
+            "id", "h", F.col("chunk").cast("int").alias("chunk"), "val"
+        )
+    else:
+        id_type = hashes.schema["media_id"].dataType.simpleString()
+        chunks = spark.createDataFrame(
+            [], f"id {id_type}, h long, chunk int, val long"
+        )
+    return hashes, chunks
+
+
+def verify_phash_index(spark, path: str, n_chunks: int = 4) -> dict:
+    """Consistency report: every hash id must carry exactly
+    ``n_chunks`` chunk entries and every chunk id a hash. One scan of
+    each table — run on recovery/startup, not per batch."""
+    hashes, chunks = read_phash_index(spark, path)
+    per_id = chunks.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    joined = (
+        hashes.select(F.col("media_id").alias("id"))
+        .join(per_id, "id", "left")
+        .agg(
+            F.count(F.lit(1)).alias("n_hashes"),
+            F.sum(F.when(F.col("n").isNull(), 1).otherwise(0)).alias("missing"),
+            F.sum(
+                F.when(
+                    F.col("n").isNotNull() & (F.col("n") != n_chunks), 1
+                ).otherwise(0)
+            ).alias("incomplete"),
+        )
+        .first()
+    )
+    orphans = per_id.join(
+        hashes.select(F.col("media_id").alias("id")), "id", "left_anti"
+    ).count()
+    missing = int(joined["missing"] or 0)
+    incomplete = int(joined["incomplete"] or 0)
+    return {
+        "hashes": int(joined["n_hashes"]),
+        "missing_chunk_ids": missing,
+        "incomplete_chunk_ids": incomplete,
+        "orphan_chunk_ids": int(orphans),
+        "consistent": missing == 0 and incomplete == 0 and orphans == 0,
+    }
+
+
+def repair_phash_index(spark, path: str, n_chunks: int = 4) -> dict:
+    """Rebuild chunk entries for hash ids that lost them (torn
+    append), or the whole chunks table for pathological states —
+    always sound because chunks are a pure function of hashes.
+    Idempotent; returns the post-repair verify report."""
+    from .operators.dedup import hash_chunk_entries
+    from .sources.io import replace_parquet_atomic
+
+    report = verify_phash_index(spark, path, n_chunks)
+    if report["consistent"]:
+        return report
+    hashes, chunks = read_phash_index(spark, path)
+    if report["incomplete_chunk_ids"] or report["orphan_chunk_ids"]:
+        replace_parquet_atomic(
+            spark,
+            hash_chunk_entries(
+                hashes, id_col="media_id", hash_col="phash", n_chunks=n_chunks
+            ),
+            f"{path}/chunks",
+            partition_by=["chunk"],
+        )
+    else:
+        missing = hashes.join(
+            chunks.select("id").dropDuplicates(["id"]),
+            hashes["media_id"] == F.col("id"),
+            "left_anti",
+        )
+        hash_chunk_entries(
+            missing, id_col="media_id", hash_col="phash", n_chunks=n_chunks
+        ).write.mode("append").partitionBy("chunk").parquet(f"{path}/chunks")
+    return verify_phash_index(spark, path, n_chunks)
+
+
+def incremental_phash_pairs(
+    new_media: DataFrame,
+    index_path: str,
+    *,
+    max_hamming: int = 3,
+    n_chunks: int = 4,
+    update_index: bool = True,
+    broadcast_new: bool = True,
+    fingerprints: DataFrame | None = None,
+) -> DataFrame:
+    """Incremental image near-dup: today's shard vs a persisted pHash
+    index, WITHOUT re-decoding anything in the corpus.
+
+    Returns every pair with ``hamming ≤ max_hamming`` touching ≥1 new
+    image — new-vs-corpus plus new-vs-new — as ``(id_a, id_b,
+    hamming)`` with id_a < id_b. Equivalence contract (tested): given
+    disjoint ids, ``image_near_pairs(corpus ∪ shard) ==
+    image_near_pairs(corpus) ∪ incremental_phash_pairs(shard,
+    index(corpus))``.
+
+    Scale shape: the corpus chunk table is SCANNED once and never
+    shuffled — with ``broadcast_new=True`` the shard's chunk entries
+    (|shard| × n_chunks rows of four small columns) broadcast onto it,
+    so the day's cost is O(|shard| decode + |index| scan +
+    |candidates|). Set ``broadcast_new=False`` for shards too large to
+    broadcast (hash join on (chunk, val)). With ``update_index`` the
+    shard then appends (hashes first — same torn-state detectability
+    as the build)."""
+    from .operators.dedup import hamming_near_pairs, hash_chunk_entries
+
+    spark = new_media.sparkSession
+    if max_hamming >= n_chunks:
+        raise ValueError(
+            f"pigeonhole banding needs max_hamming < n_chunks "
+            f"(got {max_hamming} >= {n_chunks})"
+        )
+    fp = (
+        fingerprints
+        if fingerprints is not None
+        else phash_images(new_media).filter(F.col("phash").isNotNull())
+    )
+    # the shard probes AND appends: evaluate the decode+DCT once
+    fp = fp.localCheckpoint()
+
+    _hashes, corpus_chunks = read_phash_index(spark, index_path)
+    new_chunks = hash_chunk_entries(
+        fp, id_col="media_id", hash_col="phash", n_chunks=n_chunks
+    )
+    probe = F.broadcast(new_chunks) if broadcast_new else new_chunks
+    ham = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    cross = (
+        corpus_chunks.alias("c")
+        .join(probe.alias("n"), on=["chunk", "val"])
+        # corpus and shard ids are disjoint by contract; emit in
+        # canonical id_a < id_b order without losing either direction
+        .select(
+            F.least(F.col("c.id"), F.col("n.id")).alias("id_a"),
+            F.greatest(F.col("c.id"), F.col("n.id")).alias("id_b"),
+            F.when(F.col("c.id") < F.col("n.id"), F.col("c.h"))
+            .otherwise(F.col("n.h"))
+            .alias("h_a"),
+            F.when(F.col("c.id") < F.col("n.id"), F.col("n.h"))
+            .otherwise(F.col("c.h"))
+            .alias("h_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+    within = hamming_near_pairs(
+        fp,
+        id_col="media_id",
+        hash_col="phash",
+        max_hamming=max_hamming,
+        n_chunks=n_chunks,
+    )
+    pairs = cross.unionByName(within)
+    if update_index:
+        build_phash_index(
+            new_media,
+            index_path,
+            n_chunks=n_chunks,
+            mode="append",
+            fingerprints=fp,
+        )
+    return pairs

@@ -454,6 +454,42 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
     return sh.select("id", bits.alias("simhash_bits"))
 
 
+def hash_chunk_entries(
+    fp: DataFrame,
+    id_col: str = "id",
+    hash_col: str = "h",
+    n_chunks: int = 4,
+) -> DataFrame:
+    """``(id, h, chunk, val)`` rows from a 64-bit LONG fingerprint
+    frame: ``n_chunks`` contiguous chunks of ``64 // n_chunks`` bits
+    each, keyed via shift+mask. The fingerprint rides along (it is one
+    long — nothing to save by rejoining it later). Arithmetic
+    shiftright sign-extends the top chunk; the mask AND restores the
+    unsigned bit pattern. Shared by the in-flight banded hamming join
+    (:func:`hamming_near_pairs`) and the persisted pHash image index
+    (``multimodal.build_phash_index``) so a shard's in-flight entries
+    and a persisted corpus index always agree on bucketing."""
+    width = 64 // n_chunks
+    mask = F.lit((1 << width) - 1).cast("long")
+    return fp.select(
+        F.col(id_col).alias("id"),
+        F.col(hash_col).alias("h"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftright(F.col(hash_col), c * width)
+                        .bitwiseAND(mask)
+                        .alias("val"),
+                    )
+                    for c in range(n_chunks)
+                ]
+            )
+        ).alias("cv"),
+    ).select("id", "h", "cv.chunk", "cv.val")
+
+
 def hamming_near_pairs(
     fp: DataFrame,
     id_col: str = "id",
@@ -478,30 +514,7 @@ def hamming_near_pairs(
             f"pigeonhole banding needs max_hamming < n_chunks "
             f"(got {max_hamming} >= {n_chunks})"
         )
-    width = 64 // n_chunks
-    # chunk keys via shift+mask on the long fingerprint; the
-    # fingerprint itself rides along (it is one long — unlike minhash
-    # signatures there is nothing to save by rejoining it later).
-    # Arithmetic shiftright sign-extends the top chunk; the mask AND
-    # restores the unsigned bit pattern.
-    mask = F.lit((1 << width) - 1).cast("long")
-    chunks = fp.select(
-        F.col(id_col).alias("id"),
-        F.col(hash_col).alias("h"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(c).alias("chunk"),
-                        F.shiftright(F.col(hash_col), c * width)
-                        .bitwiseAND(mask)
-                        .alias("val"),
-                    )
-                    for c in range(n_chunks)
-                ]
-            )
-        ).alias("cv"),
-    ).select("id", "h", "cv.chunk", "cv.val")
+    chunks = hash_chunk_entries(fp, id_col, hash_col, n_chunks)
 
     a, b = chunks.alias("a"), chunks.alias("b")
     cand = (

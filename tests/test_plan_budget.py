@@ -260,6 +260,13 @@ SHUFFLE_BUDGET = {
     # GIF LZW round-trip + frame walk: pure Arrow map pipeline
     # (measured 0 at both SFs).
     "multimodal_gif_roundtrip": 0,
+    # G.711 companding: pure Arrow map pipeline (measured 0 at both
+    # SFs).
+    "multimodal_audio_g711": 0,
+    # incremental pHash image index: the banded within-shard self-join
+    # is the single exchange; the corpus probe rides a broadcast and
+    # the index build is write-side (measured 1 at both SFs).
+    "multimodal_phash_incremental": 1,
 }
 
 
