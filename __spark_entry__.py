@@ -11632,6 +11632,240 @@ def _multimodal_audio_g711(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@_register(
+    "multimodal_audio_msadpcm",
+    """
+    SELECT doc_id AS media_id,
+           CAST(8000 AS INT) AS sample_rate,
+           CAST(300 AS BIGINT) AS n_samples,
+           CAST(1 AS INT) AS n_distinct_values,
+           CAST((((doc_id % 101) + 101) % 101 - 50) * 601 AS INT) AS sample_value
+    FROM documents WHERE doc_id IS NOT NULL AND ((doc_id % 10) + 10) % 10 = 6
+    """,
+)
+def _multimodal_audio_msadpcm(spark: SparkSession, sf: str) -> DataFrame:
+    """MS-ADPCM (WAV tag 2) through the distributed boundary (round 9
+    continuation — the last compressed-WAV stub): each document
+    synthesizes a constant signal at a doc-id-derived level, encodes
+    through genuine MS-ADPCM blocks (predictor trial, per-block
+    headers, HIGH-first nibbles, 'fact' trim of the padded tail
+    block), and decodes back. A constant signal is MS-ADPCM's exact
+    fixed point — predictor 0 reproduces it with zero error
+    (pred = (c*256 + c*0)/256 = c, all-zero nibbles), so the oracle
+    states every decoded sample from the id formula alone. Tone
+    reconstruction bounds, stereo interleave, adaptation-table
+    behavior and the IMA-vs-MS nibble-order distinction are pinned in
+    tests/test_msadpcm_float.py. Plan: one mapInPandas stage, no
+    shuffle."""
+    docs = (
+        read_table(spark, sf, "documents")
+        .filter(F.col("doc_id").isNotNull() & (F.pmod(F.col("doc_id"), F.lit(10)) == 6))
+        .select(
+            F.col("doc_id").alias("media_id"),
+            ((F.pmod(F.col("doc_id"), F.lit(101)) - 50) * 601)
+            .cast("int")
+            .alias("level"),
+        )
+    )
+
+    def run(batches):
+        import pandas as pd
+
+        from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.multimodal import (
+            decode_wav,
+            encode_wav_ms_adpcm,
+        )
+
+        for pdf in batches:
+            rows = []
+            for mid, level in zip(pdf["media_id"], pdf["level"]):
+                payload = encode_wav_ms_adpcm(
+                    8000, [int(level)] * 300, samples_per_block=128
+                )
+                rate, _bits, _nch, out = decode_wav(payload)
+                vals = set(out)
+                rows.append(
+                    (
+                        int(mid), rate, len(out), len(vals),
+                        vals.pop() if len(vals) == 1 else None,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "sample_rate", "n_samples",
+                         "n_distinct_values", "sample_value"],
+            )
+
+    return docs.mapInPandas(
+        run,
+        "media_id long, sample_rate int, n_samples long, "
+        "n_distinct_values int, sample_value int",
+    )
+
+
+@_register(
+    "multimodal_audio_float",
+    """
+    WITH d AS (
+        SELECT doc_id,
+               (((doc_id % 65) + 65) % 65 - 32) * 32767 AS m
+        FROM documents
+        WHERE doc_id IS NOT NULL AND ((doc_id % 10) + 10) % 10 = 8
+    )
+    SELECT doc_id AS media_id,
+           CAST(32 AS INT) AS bits,
+           CAST(50 AS BIGINT) AS n_samples,
+           CAST(CASE WHEN m >= 0 THEN FLOOR(m / 64.0 + 0.5)
+                     ELSE CEIL(m / 64.0 - 0.5) END AS INT) AS sample_value
+    FROM d
+    """,
+)
+def _multimodal_audio_float(spark: SparkSession, sf: str) -> DataFrame:
+    """IEEE-float WAV (tag 3) through the distributed boundary
+    (round 9 continuation — closes the last WAV-format stub): each
+    document synthesizes 50 samples of the DYADIC value k/64
+    (k = doc_id-derived in [-32, 32], exactly representable in
+    float32), encodes as a genuine tag-3 file and decodes through the
+    canonical [-1,1] -> 16-bit conversion (scale 32767, clamp, round
+    half AWAY from zero). Because k/64 * 32767 = k*32767/64 is an
+    exact dyadic, the oracle restates the rounding in SQL float
+    arithmetic bit-for-bit. NaN routing, clipping, 64-bit doubles and
+    round-trip bounds are pinned in tests/test_msadpcm_float.py.
+    Plan: one mapInPandas stage, no shuffle."""
+    docs = (
+        read_table(spark, sf, "documents")
+        .filter(F.col("doc_id").isNotNull() & (F.pmod(F.col("doc_id"), F.lit(10)) == 8))
+        .select(
+            F.col("doc_id").alias("media_id"),
+            (F.pmod(F.col("doc_id"), F.lit(65)) - 32).cast("int").alias("k"),
+        )
+    )
+
+    def run(batches):
+        import pandas as pd
+
+        from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.multimodal import (
+            decode_wav,
+            encode_wav_float,
+        )
+
+        for pdf in batches:
+            rows = []
+            for mid, k in zip(pdf["media_id"], pdf["k"]):
+                payload = encode_wav_float(16000, [int(k) / 64.0] * 50)
+                _rate, bits, _nch, out = decode_wav(payload)
+                vals = set(out)
+                rows.append(
+                    (
+                        int(mid), bits, len(out),
+                        vals.pop() if len(vals) == 1 else None,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "bits", "n_samples", "sample_value"],
+            )
+
+    return docs.mapInPandas(
+        run,
+        "media_id long, bits int, n_samples long, sample_value int",
+    )
+
+
+@_register(
+    "multimodal_tiff_roundtrip",
+    """
+    WITH d AS (
+        SELECT doc_id,
+               ((doc_id % 11) + 11) % 11 + 6 AS w,
+               ((doc_id % 7) + 7) % 7 + 5 AS h,
+               ((doc_id % 4) + 4) % 4 + 1 AS np
+        FROM documents
+        WHERE doc_id IS NOT NULL AND ((doc_id % 10) + 10) % 10 = 2
+    )
+    SELECT doc_id AS media_id,
+           CAST(w AS INT) AS width,
+           CAST(h AS INT) AS height,
+           CAST(np AS INT) AS n_pages,
+           CAST(2 AS INT) AS n_distinct_colors,
+           CAST(((w + 1) // 2) * ((h + 1) // 2)
+                + (w // 2) * (h // 2) AS BIGINT) AS count_color_a
+    FROM d
+    """,
+)
+def _multimodal_tiff_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """TIFF payloads through the REAL IFD-walk codec (multimodal_tiff
+    — round 9 continuation, the tag-directory structural family the
+    streaming formats don't exercise): each document synthesizes a
+    2-color checkerboard with doc-id-derived dimensions and PAGE
+    count, encodes as PackBits-compressed multi-page big-endian TIFF
+    (strips of 3 rows — segmentation exercised on every image), then
+    the pipeline walks the IFD chain (tiff_page_count — no pixel
+    reads) and decodes the first page back to pixels.
+
+    Oracle-forced outputs: dims echo the formula, the chain walk must
+    find exactly np IFDs, and the checkerboard's color-A population is
+    the closed-form parity count — a wrong strip order, PackBits
+    slip, or byte-order bug changes it. Rich content (both byte
+    orders, grayscale photometric inversion, the PackBits spec
+    example byte-for-byte) is pinned in tests/test_tiff_codec.py.
+    Plan: one mapInPandas stage, no shuffle."""
+    docs = (
+        read_table(spark, sf, "documents")
+        .filter(F.col("doc_id").isNotNull() & (F.pmod(F.col("doc_id"), F.lit(10)) == 2))
+        .select(
+            F.col("doc_id").alias("media_id"),
+            (F.pmod(F.col("doc_id"), F.lit(11)) + 6).cast("int").alias("w"),
+            (F.pmod(F.col("doc_id"), F.lit(7)) + 5).cast("int").alias("h"),
+            (F.pmod(F.col("doc_id"), F.lit(4)) + 1).cast("int").alias("np"),
+        )
+    )
+
+    def roundtrip(batches):
+        import numpy as np
+        import pandas as pd
+
+        from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.multimodal_tiff import (
+            decode_tiff,
+            encode_tiff,
+            tiff_page_count,
+        )
+
+        ca = np.array([10, 20, 30], dtype=np.uint8)
+        cb = np.array([200, 210, 220], dtype=np.uint8)
+        for pdf in batches:
+            rows = []
+            for mid, w, h, npg in zip(pdf["media_id"], pdf["w"], pdf["h"], pdf["np"]):
+                w, h, npg = int(w), int(h), int(npg)
+                par = (np.add.outer(np.arange(h), np.arange(w)) % 2)[..., None]
+                rgb = np.where(par == 0, ca, cb).astype(np.uint8).tobytes()
+                payload = encode_tiff(
+                    w, h, rgb,
+                    compression="packbits", rows_per_strip=3,
+                    big_endian=True, n_pages=npg,
+                )
+                dw, dh, drgb = decode_tiff(payload)
+                arr = np.frombuffer(drgb, dtype=np.uint8).reshape(dh * dw, 3)
+                rows.append(
+                    (
+                        int(mid), dw, dh, tiff_page_count(payload),
+                        len(np.unique(arr, axis=0)),
+                        int((arr == ca).all(axis=1).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "width", "height", "n_pages",
+                         "n_distinct_colors", "count_color_a"],
+            )
+
+    return docs.mapInPandas(
+        roundtrip,
+        "media_id long, width int, height int, n_pages int, "
+        "n_distinct_colors int, count_color_a long",
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver verification window
 #

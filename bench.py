@@ -212,6 +212,13 @@ HEADLINE = [
     # round-9 continuation: persisted+incremental pHash image index —
     # the daily-cadence image-dedup lifecycle (build + probe + append)
     "multimodal_phash_incremental",
+    # round-9 continuation: the last WAV-format stubs closed —
+    # MS-ADPCM (tag 2) and IEEE float (tag 3)
+    "multimodal_audio_msadpcm",
+    "multimodal_audio_float",
+    # round-9 continuation: baseline TIFF (IFD walk + PackBits +
+    # multi-page chains, both byte orders)
+    "multimodal_tiff_roundtrip",
 ]
 
 

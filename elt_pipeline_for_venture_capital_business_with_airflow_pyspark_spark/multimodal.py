@@ -106,10 +106,15 @@ def decode_image(payload: bytes) -> tuple[int, int, bytes]:
         from .multimodal_gif import decode_gif
 
         return decode_gif(payload)
+    if payload.startswith((b"II*\x00", b"MM\x00*")):
+        from .multimodal_tiff import decode_tiff
+
+        return decode_tiff(payload)
     raise NotImplementedError(
         f"no pure-python codec for payload with magic {payload[:4]!r}; "
         "only P6 PPM, 24-bit BI_RGB BMP, 8/16-bit plain-or-Adam7 PNG, "
-        "baseline/progressive JPEG, and GIF87a/89a decode here"
+        "baseline/progressive JPEG, GIF87a/89a, and baseline TIFF "
+        "decode here"
     )
 
 
@@ -246,9 +251,10 @@ def _decode_png(payload: bytes) -> tuple[int, int, bytes]:
     alpha is dropped and gray replicated so the decode layer always
     yields the same row-major RGB contract as PPM/BMP. Ancillary
     chunks are skipped; chunk CRCs are verified (a corrupt blob must
-    quarantine, never yield silent wrong pixels). Bit depths 1/2/4
-    raise ``NotImplementedError`` — honest boundary, same policy as
-    JPEG."""
+    quarantine, never yield silent wrong pixels). Round-9
+    continuation: bit depths 1/2/4 (gray + palette, the spec's only
+    legal sub-byte color types) unpack MSB-first with the exact
+    255/(2^d-1) gray rescale — the last PNG depth boundary closed."""
     import struct
     import zlib
 
@@ -280,8 +286,13 @@ def _decode_png(payload: bytes) -> tuple[int, int, bytes]:
     w, h, depth, color, comp, filt, interlace = struct.unpack(">IIBBBBB", ihdr)
     if w <= 0 or h <= 0:
         raise NotImplementedError("non-positive PNG dimensions")
-    if depth not in (8, 16):
-        raise NotImplementedError(f"PNG bit depth {depth} unsupported (8/16)")
+    if depth not in (1, 2, 4, 8, 16):
+        raise NotImplementedError(f"PNG bit depth {depth} unsupported")
+    if depth < 8 and color not in (0, 3):
+        # the spec only defines sub-byte depths for gray and palette
+        raise NotImplementedError(
+            f"PNG bit depth {depth} illegal for color type {color}"
+        )
     if interlace not in (0, 1):
         raise NotImplementedError(f"PNG interlace method {interlace} unsupported")
     if comp != 0 or filt != 0:
@@ -298,10 +309,11 @@ def _decode_png(payload: bytes) -> tuple[int, int, bytes]:
     except zlib.error as exc:
         raise NotImplementedError(f"PNG IDAT inflate failed: {exc}") from None
 
-    sample_bytes = depth // 8
-    bpp = channels * sample_bytes
     # samples[y, x, ch] as 8-bit (16-bit depth keeps the high byte —
-    # deterministic truncation, within 1/257 of the exact rescale)
+    # deterministic truncation, within 1/257 of the exact rescale;
+    # sub-byte depths — round-9 continuation — unpack MSB-first and,
+    # for gray, rescale by the exact 255/(2^d - 1), an integer for
+    # d in {1,2,4})
     samples = np.empty((h, w, channels), dtype=np.uint8)
     passes = _ADAM7_PASSES if interlace == 1 else [(0, 0, 1, 1)]
     offset = 0
@@ -310,13 +322,30 @@ def _decode_png(payload: bytes) -> tuple[int, int, bytes]:
         ph = (h - y0 + dy - 1) // dy
         if pw <= 0 or ph <= 0:
             continue  # empty pass contributes no scanlines at all
-        stride = pw * bpp
-        rows, offset = _png_defilter(raw, offset, ph, stride, bpp)
-        # byte rows -> 8-bit channel samples (high byte for 16-bit)
-        px = rows.reshape(ph, pw, channels, sample_bytes)[:, :, :, 0]
+        if depth < 8:
+            stride = (pw * depth + 7) // 8
+            rows, offset = _png_defilter(raw, offset, ph, stride, 1)
+            bits = np.unpackbits(rows, axis=1)[:, : pw * depth]
+            weights = 1 << np.arange(depth - 1, -1, -1)
+            px = (
+                (bits.reshape(ph, pw, depth) * weights).sum(axis=2)
+                .astype(np.uint8)
+                .reshape(ph, pw, 1)
+            )
+        else:
+            sample_bytes = depth // 8
+            bpp = channels * sample_bytes
+            stride = pw * bpp
+            rows, offset = _png_defilter(raw, offset, ph, stride, bpp)
+            # byte rows -> 8-bit channel samples (high byte for 16-bit)
+            px = rows.reshape(ph, pw, channels, sample_bytes)[:, :, :, 0]
         samples[y0::dy, x0::dx, :] = px
     if offset != len(raw):
         raise NotImplementedError("PNG decompressed size mismatch")
+
+    if depth < 8 and color == 0:
+        # exact gray rescale: 255/(2^d-1) is an integer (255, 85, 17)
+        samples = samples * np.uint8(255 // ((1 << depth) - 1))
 
     if color == 2:
         rgb = samples
@@ -396,6 +425,65 @@ def encode_png(
         + chunk(b"IDAT", zlib.compress(bytes(scan), 9))
         + chunk(b"IEND", b"")
     )
+
+
+def encode_png_packed(
+    w: int,
+    h: int,
+    values: "bytes | list[int]",
+    *,
+    bit_depth: int,
+    palette: bytes | None = None,
+) -> bytes:
+    """Fixture-side encoder for SUB-BYTE PNGs (round-9 continuation):
+    packs per-pixel sample values (each in [0, 2^depth - 1]) MSB-first
+    into filter-0 scanlines as grayscale (color type 0) or, with
+    ``palette`` (flat RGB bytes), paletted (color type 3). Gives the
+    decoder's 1/2/4-bit paths genuine fixtures with deterministic
+    bytes; depth 8 is accepted for completeness."""
+    import struct
+    import zlib
+
+    if bit_depth not in (1, 2, 4, 8):
+        raise ValueError("bit_depth must be 1, 2, 4 or 8")
+    if len(values) != w * h:
+        raise ValueError(f"{len(values)} values != {w}*{h}")
+    maxv = (1 << bit_depth) - 1
+    for v in values:
+        if not 0 <= v <= maxv:
+            raise ValueError(f"value {v} out of {bit_depth}-bit range")
+    if palette is not None and (not palette or len(palette) % 3):
+        raise ValueError("palette must be non-empty flat RGB bytes")
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    scan = bytearray()
+    per_byte = 8 // bit_depth
+    for y in range(h):
+        scan += b"\x00"
+        acc = 0
+        nfilled = 0
+        for x in range(w):
+            acc = (acc << bit_depth) | values[y * w + x]
+            nfilled += 1
+            if nfilled == per_byte:
+                scan.append(acc)
+                acc = 0
+                nfilled = 0
+        if nfilled:
+            scan.append(acc << (bit_depth * (per_byte - nfilled)))
+    color = 3 if palette is not None else 0
+    ihdr = struct.pack(">IIBBBBB", w, h, bit_depth, color, 0, 0, 0)
+    out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+    if palette is not None:
+        out += chunk(b"PLTE", palette)
+    return out + chunk(b"IDAT", zlib.compress(bytes(scan), 9)) + chunk(b"IEND", b"")
 
 
 def encode_ppm(w: int, h: int, rgb: bytes) -> bytes:
@@ -814,6 +902,19 @@ def decode_wav(payload: bytes) -> "tuple[int, int, int, list[int]]":
             data, n_channels, balign, spb, fact_frames
         )
         return sample_rate, 4, n_channels, samples
+    if tag == 2:  # MS-ADPCM (round-9 continuation)
+        if bits != 4:
+            raise NotImplementedError("MS-ADPCM with bits != 4 unsupported")
+        if n_channels < 1 or sample_rate <= 0 or balign < 7 * n_channels + 1:
+            raise NotImplementedError("MS-ADPCM malformed fmt fields")
+        if len(fmt_chunk) >= 20:
+            (spb,) = struct.unpack_from("<H", fmt_chunk, 18)
+        else:
+            spb = (balign - 7 * n_channels) * 2 // n_channels + 2
+        samples = _decode_ms_adpcm(
+            data, n_channels, balign, spb, fact_frames
+        )
+        return sample_rate, 4, n_channels, samples
     if tag in (6, 7):  # G.711 A-law / mu-law (round-9 continuation)
         if bits not in (0, 8):
             raise NotImplementedError(f"G.711 WAV with bits={bits} unsupported")
@@ -822,11 +923,37 @@ def decode_wav(payload: bytes) -> "tuple[int, int, int, list[int]]":
         expand = _alaw2lin if tag == 6 else _ulaw2lin
         samples = [expand(b) for b in data]
         return sample_rate, 8, n_channels, samples
+    if tag == 3:  # IEEE float PCM (round-9 continuation)
+        if bits not in (32, 64):
+            raise NotImplementedError(f"float WAV bits={bits} unsupported")
+        if n_channels < 1 or sample_rate <= 0:
+            raise NotImplementedError("float WAV non-positive channels/rate")
+        width = bits // 8
+        if len(data) % width:
+            raise NotImplementedError("float WAV data not sample-aligned")
+        n = len(data) // width
+        vals = struct.unpack(f"<{n}{'f' if bits == 32 else 'd'}", data)
+        # canonical [-1, 1] -> centered 16-bit: scale by 32767, clamp,
+        # round half away from zero (floor(x+0.5) / ceil(x-0.5) —
+        # deterministic, no banker's rounding); NaN -> 0 (a dead
+        # sample must not poison the batch)
+        import math as _math
+
+        samples = []
+        for v in vals:
+            if v != v:  # NaN
+                samples.append(0)
+                continue
+            x = max(-32768.0, min(32767.0, v * 32767.0))
+            samples.append(
+                int(_math.floor(x + 0.5)) if x >= 0 else int(_math.ceil(x - 0.5))
+            )
+        return sample_rate, bits, n_channels, samples
     if tag != 1:
         raise NotImplementedError(
-            f"WAV format tag {tag} unsupported (integer PCM=1, IMA "
-            "ADPCM=17, G.711 A-law=6/mu-law=7 implemented; "
-            "float/MS-ADPCM are not)"
+            f"WAV format tag {tag} unsupported (integer PCM=1, "
+            "MS-ADPCM=2, IEEE float=3, G.711 A-law=6/mu-law=7, "
+            "IMA ADPCM=17 implemented)"
         )
     if bits not in (8, 16):
         raise NotImplementedError(f"WAV bit depth {bits} unsupported (8/16)")
@@ -905,6 +1032,246 @@ def _decode_ima_adpcm(
         for ch in range(n_channels):
             samples.append(out[ch][f])
     return samples
+
+
+def encode_wav_float(
+    sample_rate: int,
+    values: "list[float]",
+    *,
+    bits: int = 32,
+    n_channels: int = 1,
+) -> bytes:
+    """Serialize [-1, 1] float samples as an IEEE-float (tag 3)
+    RIFF/WAVE file (32- or 64-bit, interleaved, with the 'fact' chunk
+    tag-3 files conventionally carry). Byte-identical output for
+    identical input (fixed little-endian IEEE-754 layout)."""
+    import struct
+
+    if bits not in (32, 64):
+        raise ValueError(f"bits must be 32 or 64, got {bits}")
+    if n_channels < 1:
+        raise ValueError("n_channels must be >= 1")
+    if sample_rate <= 0:
+        raise ValueError("sample_rate must be positive")
+    if len(values) % n_channels:
+        raise ValueError(
+            f"{len(values)} samples not divisible by {n_channels} channels"
+        )
+    width = bits // 8
+    data = struct.pack(
+        f"<{len(values)}{'f' if bits == 32 else 'd'}", *values
+    )
+    fmt = struct.pack(
+        "<HHIIHH", 3, n_channels, sample_rate,
+        sample_rate * n_channels * width, n_channels * width, bits,
+    )
+    fact = struct.pack("<I", len(values) // n_channels)
+    body = (
+        b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"fact" + struct.pack("<I", 4) + fact
+        + b"data" + struct.pack("<I", len(data)) + data
+        + (b"\x00" if len(data) % 2 else b"")
+    )
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
+# ---- MS-ADPCM (WAV tag 2, round-9 continuation) ----------------------------
+#
+# Microsoft's 4-bit ADPCM: per-block per-channel header (predictor
+# index into the 7-entry coefficient table, initial delta, the block's
+# first TWO samples verbatim), then nibbles HIGH-first with a
+# linear-predictive reconstruction (the IMA variant is table-stepped
+# and LOW-first — the two are frequently confused; tests pin both).
+# All exact integer arithmetic with C-style truncating division.
+
+_MS_COEFS = ((256, 0), (512, -256), (0, 64), (192, 64), (240, 0),
+             (460, -208), (392, -232))
+_MS_ADAPT = (230, 230, 230, 230, 307, 409, 512, 614,
+             768, 614, 512, 409, 307, 230, 230, 230)
+
+
+def _trunc_div(a: int, b: int) -> int:
+    """C-style division truncating toward zero (Python's // floors)."""
+    q = abs(a) // abs(b)
+    return -q if (a < 0) != (b < 0) else q
+
+
+def _decode_ms_adpcm(
+    data: bytes,
+    n_channels: int,
+    block_align: int,
+    samples_per_block: int,
+    fact_frames: "int | None",
+) -> "list[int]":
+    """MS-ADPCM block stream -> interleaved centered 16-bit samples.
+
+    Block layout: per channel a predictor-index byte, then per channel
+    int16 idelta, int16 sample1, int16 sample2; header samples are
+    emitted FIRST (sample2 then sample1 — sample2 is the older one),
+    then nibble data HIGH nibble first, channels alternating per
+    nibble for multi-channel. A 'fact' chunk bounds total frames."""
+    import struct as _struct
+
+    if len(data) % block_align:
+        raise NotImplementedError("MS-ADPCM data not block-aligned")
+    out: list[list[int]] = [[] for _ in range(n_channels)]
+    nch = n_channels
+    for b in range(len(data) // block_align):
+        blk = data[b * block_align : (b + 1) * block_align]
+        preds = []
+        for ch in range(nch):
+            p = blk[ch]
+            if p > 6:
+                raise NotImplementedError(f"MS-ADPCM predictor {p} > 6")
+            preds.append(p)
+        deltas = list(
+            _struct.unpack_from(f"<{nch}h", blk, nch)
+        )
+        s1 = list(_struct.unpack_from(f"<{nch}h", blk, 3 * nch))
+        s2 = list(_struct.unpack_from(f"<{nch}h", blk, 5 * nch))
+        for ch in range(nch):
+            out[ch].append(s2[ch])
+            out[ch].append(s1[ch])
+        want = samples_per_block - 2  # nibble-coded samples per channel
+        emitted = 0
+        for byte in blk[7 * nch :]:
+            for nib in ((byte >> 4) & 0xF, byte & 0xF):
+                ch = emitted % nch
+                if emitted // nch >= want:
+                    break
+                c1, c2 = _MS_COEFS[preds[ch]]
+                pred = _trunc_div(s1[ch] * c1 + s2[ch] * c2, 256)
+                signed = nib - 16 if nib >= 8 else nib
+                new = max(-32768, min(32767, pred + signed * deltas[ch]))
+                s2[ch], s1[ch] = s1[ch], new
+                deltas[ch] = max(16, _trunc_div(_MS_ADAPT[nib] * deltas[ch], 256))
+                out[ch].append(new)
+                emitted += 1
+    total = min(len(o) for o in out)
+    if fact_frames is not None:
+        total = min(total, fact_frames)
+    inter: list[int] = []
+    for i in range(total):
+        for ch in range(nch):
+            inter.append(out[ch][i])
+    return inter
+
+
+def encode_wav_ms_adpcm(
+    sample_rate: int,
+    samples: "list[int]",
+    *,
+    n_channels: int = 1,
+    samples_per_block: int = 500,
+) -> bytes:
+    """Serialize centered 16-bit samples as an MS-ADPCM (tag 2)
+    RIFF/WAVE file. Per block per channel the encoder tries all 7
+    coefficient pairs and keeps the one with the least total
+    reconstruction error (ties -> lowest index — deterministic);
+    initial delta is the spec-recommended scaled mean absolute
+    first-difference of the block (floored at 16). Greedy
+    nearest-nibble quantization; exact mirror of the decoder's
+    integer arithmetic."""
+    import struct as _struct
+
+    if n_channels < 1:
+        raise ValueError("n_channels must be >= 1")
+    if sample_rate <= 0:
+        raise ValueError("sample_rate must be positive")
+    if len(samples) % n_channels:
+        raise ValueError(
+            f"{len(samples)} samples not divisible by {n_channels} channels"
+        )
+    if samples_per_block < 2:
+        raise ValueError("samples_per_block must be >= 2")
+    for s in samples:
+        if not -32768 <= s <= 32767:
+            raise ValueError(f"sample {s} out of 16-bit range")
+
+    nch = n_channels
+    frames = len(samples) // nch
+    chans = [samples[c::nch] for c in range(nch)]
+    spb = samples_per_block
+    block_align = 7 * nch + _trunc_div((spb - 2) * nch + 1, 2)
+
+    def encode_channel_block(xs: "list[int]", pred_i: int, idelta: int):
+        """Greedy-encode one channel's block with a fixed coefficient
+        pair; returns (nibbles, total_abs_error, decoded)."""
+        c1, c2 = _MS_COEFS[pred_i]
+        s2, s1 = xs[0], xs[1]
+        delta = idelta
+        nibs: list[int] = []
+        err = 0
+        for x in xs[2:]:
+            pred = _trunc_div(s1 * c1 + s2 * c2, 256)
+            diff = x - pred
+            half = delta >> 1
+            n = _trunc_div(diff + (half if diff >= 0 else -half), delta)
+            n = max(-8, min(7, n))
+            new = max(-32768, min(32767, pred + n * delta))
+            err += abs(x - new)
+            nibs.append(n & 0xF)
+            s2, s1 = s1, new
+            delta = max(16, _trunc_div(_MS_ADAPT[n & 0xF] * delta, 256))
+        return nibs, err
+
+    out = bytearray()
+    for b0 in range(0, frames, spb):
+        xs_all = [ch[b0 : b0 + spb] for ch in chans]
+        # pad the tail block by repeating the last sample so headers
+        # and nibble counts stay block-shaped; 'fact' trims on decode
+        for xs in xs_all:
+            while len(xs) < spb:
+                xs.append(xs[-1] if xs else 0)
+        preds, deltas, nibs_all = [], [], []
+        for xs in xs_all:
+            diffs = [abs(xs[i + 1] - xs[i]) for i in range(len(xs) - 1)]
+            idelta = max(16, _trunc_div(sum(diffs), max(1, len(diffs)) * 4))
+            idelta = min(idelta, 32767)
+            best = None
+            for p in range(7):
+                nibs, err = encode_channel_block(xs, p, idelta)
+                if best is None or err < best[0]:
+                    best = (err, p, nibs)
+                if err == 0:
+                    # nothing beats exact; lowest index wins ties
+                    # anyway, so stopping here changes no output
+                    break
+            preds.append(best[1])
+            deltas.append(idelta)
+            nibs_all.append(best[2])
+        blk = bytearray()
+        blk += bytes(preds)
+        for d in deltas:
+            blk += _struct.pack("<h", d)
+        for xs in xs_all:
+            blk += _struct.pack("<h", xs[1])  # sample1 = newer header sample
+        for xs in xs_all:
+            blk += _struct.pack("<h", xs[0])  # sample2 = older header sample
+        flat: list[int] = []
+        for i in range(spb - 2):
+            for ch in range(nch):
+                flat.append(nibs_all[ch][i])
+        if len(flat) % 2:
+            flat.append(0)
+        for i in range(0, len(flat), 2):
+            blk.append((flat[i] << 4) | flat[i + 1])
+        while len(blk) < block_align:
+            blk.append(0)
+        out += blk
+
+    fmt = _struct.pack(
+        "<HHIIHHHH", 2, nch, sample_rate,
+        sample_rate * block_align // spb + 1, block_align, 4, 2, spb,
+    )
+    fact = _struct.pack("<I", frames)
+    body = (
+        b"fmt " + _struct.pack("<I", len(fmt)) + fmt
+        + b"fact" + _struct.pack("<I", 4) + fact
+        + b"data" + _struct.pack("<I", len(out)) + bytes(out)
+        + (b"\x00" if len(out) % 2 else b"")
+    )
+    return b"RIFF" + _struct.pack("<I", 4 + len(body)) + b"WAVE" + body
 
 
 # ---- G.711 companding (round-9 continuation) ------------------------------
@@ -1657,13 +2024,17 @@ def incremental_phash_pairs(
             f"pigeonhole banding needs max_hamming < n_chunks "
             f"(got {max_hamming} >= {n_chunks})"
         )
-    fp = (
-        fingerprints
-        if fingerprints is not None
-        else phash_images(new_media).filter(F.col("phash").isNotNull())
-    )
-    # the shard probes AND appends: evaluate the decode+DCT once
-    fp = fp.localCheckpoint()
+    if fingerprints is not None:
+        # caller owns materialization (contract: lineage-free w.r.t.
+        # this index, already checkpointed if reused across steps)
+        fp = fingerprints
+    else:
+        # the shard probes AND appends: evaluate the decode+DCT once
+        fp = (
+            phash_images(new_media)
+            .filter(F.col("phash").isNotNull())
+            .localCheckpoint()
+        )
 
     _hashes, corpus_chunks = read_phash_index(spark, index_path)
     new_chunks = hash_chunk_entries(

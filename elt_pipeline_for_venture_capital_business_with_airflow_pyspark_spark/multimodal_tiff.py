@@ -1,0 +1,346 @@
+"""Baseline TIFF codec — pure stdlib, exact-integer end to end
+(round 9 continuation).
+
+TIFF is the container format of scanned-document and scientific-image
+corpora; unlike the streaming formats (PNG/JPEG/GIF) it is a
+random-access TAG directory (IFD) walk, so implementing it exercises
+the remaining structural family: typed tag entries, inline-vs-offset
+values, strip-segmented pixel data, chained IFDs (multi-page), and
+both byte orders. Compression: none (1) and PackBits RLE (32773) —
+the two baseline-TIFF requirements.
+
+Scope (same honest-boundary policy as ``multimodal.decode_image``):
+8-bit grayscale (photometric 0/1) and 8-bit chunky RGB, strip-based,
+little- ('II') and big-endian ('MM'), multi-page chains walked by
+:func:`tiff_page_count` and first-page-decoded by :func:`decode_tiff`.
+LZW/JPEG-in-TIFF, tiles, planar config 2, and sub-8-bit depths raise
+``NotImplementedError``.
+
+No code is shared with or derived from the reference repo (it has no
+image surface at all).
+"""
+
+from __future__ import annotations
+
+import struct
+
+_COMP_NONE = 1
+_COMP_PACKBITS = 32773
+
+
+# ----------------------------------------------------------------- PackBits
+
+
+def packbits_decode(data: bytes, expected: int) -> bytes:
+    """Apple PackBits RLE: header byte n in [0,127] copies n+1
+    literals; n in [129,255] (two's-complement -1..-127) repeats the
+    next byte 257-n times; 128 is a no-op. Stops at ``expected``
+    output bytes (TIFF strips are decoded independently)."""
+    out = bytearray()
+    pos = 0
+    while len(out) < expected:
+        if pos >= len(data):
+            raise ValueError(
+                f"PackBits stream exhausted at {len(out)}/{expected} bytes"
+            )
+        n = data[pos]
+        pos += 1
+        if n == 128:
+            continue
+        if n < 128:
+            chunk = data[pos : pos + n + 1]
+            if len(chunk) != n + 1:
+                raise ValueError("truncated PackBits literal run")
+            out += chunk
+            pos += n + 1
+        else:
+            if pos >= len(data):
+                raise ValueError("truncated PackBits repeat run")
+            out += bytes([data[pos]]) * (257 - n)
+            pos += 1
+    if len(out) != expected:
+        raise ValueError(
+            f"PackBits run overshoots strip: {len(out)} > {expected}"
+        )
+    return bytes(out)
+
+
+def packbits_encode(data: bytes) -> bytes:
+    """Greedy PackBits: repeat runs of ≥3 become repeat packets (max
+    128), everything else accumulates into literal packets (max 128).
+    Deterministic; round-trip pinned in tests."""
+    out = bytearray()
+    i = 0
+    n = len(data)
+    lit_start = i
+    while i < n:
+        run = 1
+        while i + run < n and data[i + run] == data[i] and run < 128:
+            run += 1
+        if run >= 3:
+            j = lit_start
+            while j < i:  # flush pending literals
+                take = min(128, i - j)
+                out.append(take - 1)
+                out += data[j : j + take]
+                j += take
+            out.append(257 - run)
+            out.append(data[i])
+            i += run
+            lit_start = i
+        else:
+            i += run
+    j = lit_start
+    while j < n:
+        take = min(128, n - j)
+        out.append(take - 1)
+        out += data[j : j + take]
+        j += take
+    return bytes(out)
+
+
+# ------------------------------------------------------------------ IFD walk
+
+_TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}
+
+
+def _read_ifd(payload: bytes, off: int, e: str) -> tuple[dict, int]:
+    """One IFD at ``off`` -> ({tag: [values]}, next_ifd_offset)."""
+    if off + 2 > len(payload):
+        raise ValueError("truncated TIFF: IFD header out of range")
+    (count,) = struct.unpack_from(f"{e}H", payload, off)
+    pos = off + 2
+    if pos + 12 * count + 4 > len(payload):
+        raise ValueError("truncated TIFF: IFD entries out of range")
+    tags: dict[int, list[int]] = {}
+    for _ in range(count):
+        tag, typ, n = struct.unpack_from(f"{e}HHI", payload, pos)
+        size = _TYPE_SIZES.get(typ)
+        if size is None:
+            pos += 12
+            continue  # unknown type: legal to skip (spec §2)
+        total = size * n
+        if total <= 4:
+            voff = pos + 8
+        else:
+            (voff,) = struct.unpack_from(f"{e}I", payload, pos + 8)
+            if voff + total > len(payload):
+                raise ValueError(f"truncated TIFF: tag {tag} values out of range")
+        if typ == 3:
+            vals = list(struct.unpack_from(f"{e}{n}H", payload, voff))
+        elif typ == 4:
+            vals = list(struct.unpack_from(f"{e}{n}I", payload, voff))
+        elif typ == 1:
+            vals = list(payload[voff : voff + n])
+        elif typ == 5:  # rational: keep numerators (unused here)
+            vals = [
+                struct.unpack_from(f"{e}II", payload, voff + 8 * i)[0]
+                for i in range(n)
+            ]
+        else:  # ASCII
+            vals = list(payload[voff : voff + n])
+        tags[tag] = vals
+        pos += 12
+    (nxt,) = struct.unpack_from(f"{e}I", payload, pos)
+    return tags, nxt
+
+
+def _endianness(payload: bytes) -> str:
+    if len(payload) < 8:
+        raise NotImplementedError("not a TIFF payload (too short)")
+    if payload[:4] == b"II*\x00":
+        return "<"
+    if payload[:4] == b"MM\x00*":
+        return ">"
+    raise NotImplementedError(f"not a TIFF payload (magic {payload[:4]!r})")
+
+
+def tiff_page_count(payload: bytes) -> int:
+    """Pages in the IFD chain — a pure directory walk (strip data
+    never touched): the metadata scan an ingest pipeline uses to
+    route multi-page scans without decoding."""
+    e = _endianness(payload)
+    (off,) = struct.unpack_from(f"{e}I", payload, 4)
+    count = 0
+    seen = set()
+    while off:
+        if off in seen:
+            raise ValueError("cyclic TIFF IFD chain")
+        seen.add(off)
+        _tags, off = _read_ifd(payload, off, e)
+        count += 1
+    return count
+
+
+def decode_tiff(payload: bytes) -> tuple[int, int, bytes]:
+    """Decode the FIRST page to ``(width, height, row-major RGB)``.
+    Grayscale replicates to RGB (photometric 0 inverts — WhiteIsZero);
+    strips concatenate in StripOffsets order, each PackBits strip
+    decoded independently per the spec."""
+    e = _endianness(payload)
+    (off,) = struct.unpack_from(f"{e}I", payload, 4)
+    if not off:
+        raise ValueError("TIFF has no IFD")
+    tags, _nxt = _read_ifd(payload, off, e)
+
+    def one(tag: int, default: int | None = None) -> int:
+        if tag in tags:
+            return tags[tag][0]
+        if default is None:
+            raise ValueError(f"TIFF missing required tag {tag}")
+        return default
+
+    w = one(256)
+    h = one(257)
+    if w <= 0 or h <= 0:
+        raise ValueError("non-positive TIFF dimensions")
+    spp = one(277, 1)
+    bits = tags.get(258, [8])
+    if any(b != 8 for b in bits):
+        raise NotImplementedError(f"TIFF bits-per-sample {bits} unsupported (8 only)")
+    comp = one(259, 1)
+    if comp not in (_COMP_NONE, _COMP_PACKBITS):
+        raise NotImplementedError(f"TIFF compression {comp} unsupported")
+    photo = one(262)
+    if photo not in (0, 1, 2):
+        raise NotImplementedError(f"TIFF photometric {photo} unsupported")
+    if photo == 2 and spp < 3:
+        raise ValueError("RGB TIFF with < 3 samples per pixel")
+    if one(284, 1) != 1:
+        raise NotImplementedError("TIFF planar configuration 2 unsupported")
+    if 322 in tags or 323 in tags:
+        raise NotImplementedError("tiled TIFF unsupported (strips only)")
+
+    offsets = tags.get(273)
+    counts = tags.get(279)
+    if not offsets or not counts or len(offsets) != len(counts):
+        raise ValueError("TIFF strip offsets/counts missing or mismatched")
+    rps = one(278, h)
+    row_bytes = w * spp
+    raw = bytearray()
+    rows_left = h
+    for i, (so, sc) in enumerate(zip(offsets, counts)):
+        strip = payload[so : so + sc]
+        if len(strip) != sc:
+            raise ValueError(f"truncated TIFF strip {i}")
+        rows = min(rps, rows_left)
+        want = rows * row_bytes
+        if comp == _COMP_PACKBITS:
+            raw += packbits_decode(strip, want)
+        else:
+            if len(strip) < want:
+                raise ValueError(f"TIFF strip {i} shorter than its rows")
+            raw += strip[:want]
+        rows_left -= rows
+    if rows_left > 0:
+        raise ValueError("TIFF strips cover fewer rows than ImageLength")
+
+    if photo == 2:
+        if spp == 3:
+            return w, h, bytes(raw)
+        # chunky RGBA/extra samples: drop the extras
+        out = bytearray(w * h * 3)
+        for p in range(w * h):
+            out[3 * p : 3 * p + 3] = raw[spp * p : spp * p + 3]
+        return w, h, bytes(out)
+    # grayscale: photometric 0 = WhiteIsZero inverts
+    lut = bytes(255 - v for v in range(256)) if photo == 0 else bytes(range(256))
+    out = bytearray(w * h * 3)
+    for p in range(w * h):
+        v = lut[raw[p * spp]]
+        out[3 * p] = out[3 * p + 1] = out[3 * p + 2] = v
+    return w, h, bytes(out)
+
+
+def encode_tiff(
+    w: int,
+    h: int,
+    rgb: bytes,
+    *,
+    compression: str = "none",
+    rows_per_strip: int | None = None,
+    big_endian: bool = False,
+    n_pages: int = 1,
+) -> bytes:
+    """Serialize row-major RGB as a baseline chunky-RGB TIFF
+    (photometric 2), optionally PackBits-compressed, strip-segmented,
+    in either byte order, with ``n_pages`` identical pages chained
+    through the IFD next-pointers (real multi-page structure for
+    :func:`tiff_page_count` to walk). Deterministic bytes for
+    identical input."""
+    if len(rgb) != w * h * 3:
+        raise ValueError(f"rgb length {len(rgb)} != {w}*{h}*3")
+    if n_pages < 1:
+        raise ValueError("n_pages must be >= 1")
+    if compression not in ("none", "packbits"):
+        raise ValueError(f"compression must be 'none' or 'packbits', got {compression!r}")
+    e = ">" if big_endian else "<"
+    rps = h if rows_per_strip is None else rows_per_strip
+    if rps < 1:
+        raise ValueError("rows_per_strip must be >= 1")
+
+    row_bytes = w * 3
+    strips = []
+    for y0 in range(0, h, rps):
+        seg = rgb[y0 * row_bytes : min(y0 + rps, h) * row_bytes]
+        strips.append(
+            packbits_encode(seg) if compression == "packbits" else seg
+        )
+    comp_code = _COMP_PACKBITS if compression == "packbits" else _COMP_NONE
+
+    out = bytearray()
+    out += b"MM\x00*" if big_endian else b"II*\x00"
+    out += struct.pack(f"{e}I", 0)  # first-IFD offset patched below
+
+    def entry(tag: int, typ: int, vals: list[int]) -> bytes:
+        size = _TYPE_SIZES[typ]
+        fmt = {1: "B", 3: "H", 4: "I"}[typ]
+        total = size * len(vals)
+        head = struct.pack(f"{e}HHI", tag, typ, len(vals))
+        if total <= 4:
+            packed = struct.pack(f"{e}{len(vals)}{fmt}", *vals)
+            return head + packed + b"\x00" * (4 - total)
+        nonlocal overflow, overflow_off
+        head += struct.pack(f"{e}I", overflow_off)
+        overflow += struct.pack(f"{e}{len(vals)}{fmt}", *vals)
+        overflow_off += total
+        return head
+
+    prev_next_ptr = 4  # header's IFD-offset field
+    for _page in range(n_pages):
+        # strip data first, then the IFD referencing it
+        strip_offsets = []
+        for s in strips:
+            strip_offsets.append(len(out))
+            out += s
+        if len(out) % 2:
+            out += b"\x00"  # IFDs must start on a word boundary
+        ifd_off = len(out)
+        struct.pack_into(f"{e}I", out, prev_next_ptr, ifd_off)
+
+        n_strips = len(strips)
+        entries = []
+        overflow = b""
+        # entries are 12 bytes each; overflow values land right after
+        # the IFD's next-pointer
+        ifd_size_guess = 2 + 12 * 9 + 4
+        overflow_off = ifd_off + ifd_size_guess
+        entries.append(entry(256, 4, [w]))
+        entries.append(entry(257, 4, [h]))
+        entries.append(entry(258, 3, [8, 8, 8]))
+        entries.append(entry(259, 3, [comp_code]))
+        entries.append(entry(262, 3, [2]))
+        entries.append(entry(273, 4, strip_offsets))
+        entries.append(entry(277, 3, [3]))
+        entries.append(entry(278, 4, [rps]))
+        entries.append(entry(279, 4, [len(s) for s in strips]))
+        assert len(entries) == 9
+        out += struct.pack(f"{e}H", len(entries))
+        for en in entries:
+            out += en
+        prev_next_ptr = len(out)
+        out += struct.pack(f"{e}I", 0)  # next-IFD, patched by next page
+        out += overflow
+        if len(out) % 2:
+            out += b"\x00"
+    return bytes(out)

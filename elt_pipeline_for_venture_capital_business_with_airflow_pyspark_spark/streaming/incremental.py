@@ -426,3 +426,128 @@ def lsh_index_exists_safe(stream: DataFrame, index_path: str) -> bool:
     return DD.lsh_index_exists(spark, index_path) and (
         DD.read_lsh_meta(spark, index_path) is not None
     )
+
+
+def phash_sink_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    index_path: str,
+    pairs_path: str,
+    max_hamming: int = 3,
+    n_chunks: int = 4,
+) -> None:
+    """One micro-batch of IMAGES through the persisted pHash corpus
+    index — the visual twin of :func:`lsh_sink_batch`, with the same
+    exactly-once write order (round-9 continuation):
+
+    1. already-indexed media ids drop via an explicit
+       ``phash_index_exists`` test + anti-join (a transient index
+       read failure raises and lets the checkpoint retry — never
+       mistaken for first-batch bootstrap);
+    2. the batch's near-dup pairs (vs corpus + within batch) land as
+       an idempotent overwrite of the ``batch_id=<n>`` partition;
+    3. only then does the shard append to the index.
+
+    The fingerprint frame is decoded/DCT'd ONCE and locally
+    checkpointed across (2) and (3) — same recacheByPath hazard as
+    the LSH sink: step (3) rewrites the very hashes parquet the
+    anti-join read, so an un-truncated lineage would re-evaluate to
+    empty for the chunk append."""
+    from .. import multimodal as MM
+    from ..operators import dedup as DD
+
+    spark = batch_df.sparkSession
+    bootstrap = not MM.phash_index_exists(spark, index_path)
+    if bootstrap:
+        fresh = batch_df
+    else:
+        existing, _ = MM.read_phash_index(spark, index_path)
+        fresh = batch_df.join(
+            existing.select("media_id"), "media_id", "left_anti"
+        )
+    if fresh.isEmpty():
+        return
+    fp = (
+        MM.phash_images(fresh)
+        .filter(F.col("phash").isNotNull())
+        .localCheckpoint(eager=True)
+    )
+    try:
+        if bootstrap:
+            pairs = DD.hamming_near_pairs(
+                fp,
+                id_col="media_id",
+                hash_col="phash",
+                max_hamming=max_hamming,
+                n_chunks=n_chunks,
+            )
+        else:
+            pairs = MM.incremental_phash_pairs(
+                fresh,
+                index_path,
+                max_hamming=max_hamming,
+                n_chunks=n_chunks,
+                update_index=False,
+                fingerprints=fp,
+            )
+        pairs.write.mode("overwrite").parquet(
+            f"{pairs_path}/batch_id={batch_id}"
+        )
+        MM.build_phash_index(
+            fresh,
+            index_path,
+            n_chunks=n_chunks,
+            mode="overwrite" if bootstrap else "append",
+            fingerprints=fp,
+        )
+    finally:
+        fp.unpersist(blocking=False)
+
+
+def streaming_image_dedup(
+    stream: DataFrame,
+    index_path: str,
+    pairs_path: str,
+    checkpoint: str,
+    max_hamming: int = 3,
+    n_chunks: int = 4,
+    repair_on_start: bool = True,
+):
+    """Continuous image near-dup detection: each micro-batch of
+    ``(media_id, payload)`` rows is pHashed, checked against the
+    persisted chunk index (``multimodal.incremental_phash_pairs``),
+    appended, and its pairs land in ``pairs_path`` tagged with the
+    batch id — the daily-shard cadence of
+    ``multimodal_phash_incremental`` compressed to micro-batch
+    latency. Per-batch cost is O(|batch| decode + one index scan),
+    never O(corpus); pixels never persist in state, only 8-byte
+    fingerprints.
+
+    Bootstraps from nothing (first batch becomes the corpus, its
+    intra-batch pairs still emitted). Replay safety: at-least-once
+    foreachBatch made exactly-once within a checkpoint lineage by
+    :func:`phash_sink_batch`'s write order. With ``repair_on_start``
+    a torn hashes/chunks append heals from the hashes source of
+    truth before the first batch."""
+    from .. import multimodal as MM
+
+    if repair_on_start:
+        spark = stream.sparkSession
+        if MM.phash_index_exists(spark, index_path):
+            MM.repair_phash_index(spark, index_path, n_chunks=n_chunks)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        phash_sink_batch(
+            batch_df,
+            batch_id,
+            index_path,
+            pairs_path,
+            max_hamming=max_hamming,
+            n_chunks=n_chunks,
+        )
+
+    return (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )

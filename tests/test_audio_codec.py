@@ -71,7 +71,11 @@ def test_wav_skips_unknown_chunks():
     "mutate, msg",
     [
         (lambda p: b"OggS" + p[4:], "RIFF"),
-        (lambda p: p[: p.index(b"fmt ") + 8] + struct.pack("<H", 3) + p[p.index(b"fmt ") + 10 :], "format tag 3"),
+        # tag 85 (MP3-in-WAV) stays honestly unsupported; tags 2/3/6/
+        # 7/17 gained real decoders across round 9
+        (lambda p: p[: p.index(b"fmt ") + 8] + struct.pack("<H", 85) + p[p.index(b"fmt ") + 10 :], "format tag 85"),
+        # tag 3 with 16-bit samples is malformed (floats are 32/64)
+        (lambda p: p[: p.index(b"fmt ") + 8] + struct.pack("<H", 3) + p[p.index(b"fmt ") + 10 :], "bits=16"),
         (lambda p: p[:-3], "truncated"),
     ],
 )

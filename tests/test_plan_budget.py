@@ -267,6 +267,12 @@ SHUFFLE_BUDGET = {
     # is the single exchange; the corpus probe rides a broadcast and
     # the index build is write-side (measured 1 at both SFs).
     "multimodal_phash_incremental": 1,
+    # MS-ADPCM / IEEE-float WAV: pure Arrow map pipelines (measured 0
+    # at both SFs).
+    "multimodal_audio_msadpcm": 0,
+    "multimodal_audio_float": 0,
+    # baseline TIFF: pure Arrow map pipeline (measured 0 at both SFs).
+    "multimodal_tiff_roundtrip": 0,
 }
 
 

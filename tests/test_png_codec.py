@@ -267,3 +267,65 @@ def test_resize_images_handles_png(spark):
     ow, oh, orgb = MM.decode_image(bytes(out[0].payload))
     assert (ow, oh) == (5, 4)
     assert orgb == MM.resize_rgb(rgb, w, h, 5, 4)
+
+
+# ---------------------------------------------------------- sub-byte depths
+
+
+def test_subbyte_gray_depths_rescale_exactly():
+    """1/2/4-bit grayscale (round-9 continuation): MSB-first unpack +
+    the exact 255/(2^d-1) rescale (255, 85, 17 — all integers)."""
+    import numpy as np
+
+    rng = np.random.default_rng(21)
+    for d in (1, 2, 4):
+        maxv = (1 << d) - 1
+        for w, h in [(1, 1), (7, 5), (16, 4), (33, 9)]:
+            vals = rng.integers(0, maxv + 1, size=w * h).tolist()
+            p = MM.encode_png_packed(w, h, vals, bit_depth=d)
+            dw, dh, rgb = MM.decode_image(p)
+            want = bytes(v * (255 // maxv) for v in vals for _ in range(3))
+            assert (dw, dh) == (w, h) and rgb == want, (d, w, h)
+
+
+def test_subbyte_palette_depths():
+    import numpy as np
+
+    rng = np.random.default_rng(22)
+    pal = bytes(rng.integers(0, 256, size=16 * 3, dtype=np.uint8))
+    for d in (1, 2, 4):
+        n = 1 << d
+        vals = rng.integers(0, n, size=21).tolist()
+        p = MM.encode_png_packed(7, 3, vals, bit_depth=d, palette=pal[: n * 3])
+        assert MM.decode_image(p)[2] == b"".join(
+            pal[3 * v : 3 * v + 3] for v in vals
+        )
+
+
+def test_subbyte_rgb_is_illegal():
+    """Sub-byte depths are only defined for gray/palette — a 2-bit
+    truecolor IHDR must be rejected, not misdecoded."""
+    import struct
+    import zlib
+
+    p = bytearray(MM.encode_png_packed(4, 4, [0] * 16, bit_depth=2))
+    # patch IHDR color type to 2 (truecolor) and fix the CRC
+    ihdr_at = p.index(b"IHDR")
+    body = bytearray(p[ihdr_at + 4 : ihdr_at + 17])
+    body[9] = 2
+    crc = zlib.crc32(b"IHDR" + bytes(body)) & 0xFFFFFFFF
+    p[ihdr_at + 4 : ihdr_at + 17] = body
+    p[ihdr_at + 17 : ihdr_at + 21] = struct.pack(">I", crc)
+    with pytest.raises(NotImplementedError):
+        MM.decode_image(bytes(p))
+
+
+def test_encode_png_packed_validation():
+    with pytest.raises(ValueError):
+        MM.encode_png_packed(2, 2, [0, 1, 2], bit_depth=2)  # wrong count
+    with pytest.raises(ValueError):
+        MM.encode_png_packed(2, 1, [0, 4], bit_depth=2)  # out of range
+    with pytest.raises(ValueError):
+        MM.encode_png_packed(1, 1, [0], bit_depth=3)
+    with pytest.raises(ValueError):
+        MM.encode_png_packed(1, 1, [0], bit_depth=1, palette=b"\x01\x02")

@@ -1,0 +1,172 @@
+"""Baseline TIFF codec (multimodal_tiff) — IFD walk, strips, PackBits,
+byte orders, multi-page chains (round 9 continuation).
+
+The registry entry ``multimodal_tiff_roundtrip`` proves the
+distributed boundary against a closed-form oracle; the codec substance
+is pinned here: a HAND-ASSEMBLED grayscale fixture (independent of the
+encoder — exercises photometric 0/1 inversion and inline tag values),
+PackBits unit laws, round trips across compression × endianness ×
+strip segmentation, page walking, and the error taxonomy.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.multimodal import (
+    decode_image,
+)
+from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.multimodal_tiff import (
+    decode_tiff,
+    encode_tiff,
+    packbits_decode,
+    packbits_encode,
+    tiff_page_count,
+)
+
+
+# ----------------------------------------------------------------- PackBits
+
+
+def test_packbits_spec_example():
+    # the canonical example from the PackBits spec (TIFF 6.0 §9):
+    # AAx3 | 80 00 2A | AAx4 | 80 00 2A 22 | AAx10
+    data = bytes.fromhex("aaaaaa80002aaaaaaaaa80002a22") + b"\xaa" * 10
+    enc = bytes.fromhex("feaa0280002afdaa0380002a22f7aa")
+    assert packbits_decode(enc, len(data)) == data
+    # the greedy encoder reproduces the spec packing byte-for-byte
+    assert packbits_encode(data) == enc
+
+
+def test_packbits_roundtrip_fuzz():
+    rng = np.random.default_rng(3)
+    for n in (0, 1, 2, 3, 127, 128, 129, 300, 1000):
+        for alphabet in (2, 256):
+            b = rng.integers(0, alphabet, size=n).astype(np.uint8).tobytes()
+            assert packbits_decode(packbits_encode(b), n) == b
+
+
+def test_packbits_compresses_runs():
+    enc = packbits_encode(b"\x07" * 1000)
+    assert len(enc) <= 16
+    assert packbits_decode(enc, 1000) == b"\x07" * 1000
+
+
+def test_packbits_error_paths():
+    with pytest.raises(ValueError):
+        packbits_decode(b"\x05\x01\x02", 6)  # truncated literal
+    with pytest.raises(ValueError):
+        packbits_decode(b"", 1)  # exhausted
+    with pytest.raises(ValueError):
+        packbits_decode(b"\xfe\x09", 2)  # 3-byte repeat overshoots 2
+
+
+# -------------------------------------------------------------- hand fixture
+
+
+def _gray_fixture(photometric: int) -> bytes:
+    """Hand-assembled 3x2 8-bit grayscale TIFF, little-endian, one
+    uncompressed strip, all tag values inline. Pixels 10..60."""
+    pixels = bytes([10, 20, 30, 40, 50, 60])
+    # layout: header(8) + pixels(6) + IFD
+    ifd_off = 8 + len(pixels)
+    out = bytearray()
+    out += b"II*\x00" + struct.pack("<I", ifd_off)
+    out += pixels
+
+    def entry(tag, typ, vals):
+        fmt = {3: "H", 4: "I"}[typ]
+        head = struct.pack("<HHI", tag, typ, len(vals))
+        packed = struct.pack(f"<{len(vals)}{fmt}", *vals)
+        return head + packed + b"\x00" * (4 - len(packed))
+
+    entries = [
+        entry(256, 4, [3]),
+        entry(257, 4, [2]),
+        entry(258, 3, [8]),
+        entry(259, 3, [1]),
+        entry(262, 3, [photometric]),
+        entry(273, 4, [8]),
+        entry(277, 3, [1]),
+        entry(278, 4, [2]),
+        entry(279, 4, [6]),
+    ]
+    out += struct.pack("<H", len(entries))
+    for e in entries:
+        out += e
+    out += struct.pack("<I", 0)
+    return bytes(out)
+
+
+def test_hand_assembled_grayscale_black_is_zero():
+    w, h, rgb = decode_tiff(_gray_fixture(1))
+    assert (w, h) == (3, 2)
+    assert rgb == bytes(v for p in [10, 20, 30, 40, 50, 60] for v in (p,) * 3)
+
+
+def test_hand_assembled_grayscale_white_is_zero_inverts():
+    _w, _h, rgb = decode_tiff(_gray_fixture(0))
+    assert rgb[:3] == bytes([245] * 3) and rgb[-3:] == bytes([195] * 3)
+
+
+# -------------------------------------------------------------- round trips
+
+
+def test_roundtrip_matrix():
+    rng = np.random.default_rng(11)
+    for w, h in [(1, 1), (7, 5), (33, 17)]:
+        rgb = rng.integers(0, 256, size=w * h * 3, dtype=np.uint8).tobytes()
+        for comp in ("none", "packbits"):
+            for be in (False, True):
+                for rps in (None, 4):
+                    p = encode_tiff(
+                        w, h, rgb,
+                        compression=comp, big_endian=be, rows_per_strip=rps,
+                    )
+                    assert decode_tiff(p) == (w, h, rgb)
+                    assert decode_image(p) == (w, h, rgb)  # dispatch
+                    assert tiff_page_count(p) == 1
+
+
+def test_multipage_chain_walk_and_first_page_decode():
+    rng = np.random.default_rng(5)
+    rgb = rng.integers(0, 256, size=7 * 5 * 3, dtype=np.uint8).tobytes()
+    p = encode_tiff(7, 5, rgb, n_pages=4, compression="packbits")
+    assert tiff_page_count(p) == 4
+    assert decode_tiff(p) == (7, 5, rgb)
+
+
+def test_decode_error_taxonomy():
+    with pytest.raises(NotImplementedError):
+        decode_tiff(b"NOTATIFF" + b"\x00" * 10)
+    rgb = bytes(range(0, 150))
+    p = bytearray(encode_tiff(5, 10, rgb))
+    # flip compression tag to LZW (5): honestly unsupported
+    i = p.index(struct.pack("<HHI", 259, 3, 1))
+    lzw = bytearray(p)
+    lzw[i + 8 : i + 10] = struct.pack("<H", 5)
+    with pytest.raises(NotImplementedError):
+        decode_tiff(bytes(lzw))
+    with pytest.raises(ValueError):
+        decode_tiff(bytes(p[:40]))  # truncated IFD
+    # cyclic IFD chain must not hang the page walk
+    q = bytearray(encode_tiff(2, 2, bytes(12)))
+    (first_ifd,) = struct.unpack_from("<I", q, 4)
+    next_ptr = first_ifd + 2 + 12 * 9
+    struct.pack_into("<I", q, next_ptr, first_ifd)
+    with pytest.raises(ValueError):
+        tiff_page_count(bytes(q))
+
+
+def test_encode_validation():
+    with pytest.raises(ValueError):
+        encode_tiff(2, 2, b"\x00" * 5)
+    with pytest.raises(ValueError):
+        encode_tiff(1, 1, b"\x00" * 3, n_pages=0)
+    with pytest.raises(ValueError):
+        encode_tiff(1, 1, b"\x00" * 3, compression="lzw")
+    with pytest.raises(ValueError):
+        encode_tiff(1, 1, b"\x00" * 3, rows_per_strip=0)
