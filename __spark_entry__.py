@@ -11798,7 +11798,8 @@ def _multimodal_tiff_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     — round 9 continuation, the tag-directory structural family the
     streaming formats don't exercise): each document synthesizes a
     2-color checkerboard with doc-id-derived dimensions and PAGE
-    count, encodes as PackBits-compressed multi-page big-endian TIFF
+    count, encodes as multi-page big-endian TIFF (odd ids LZW —
+    the MSB-first early-change variant — even ids PackBits)
     (strips of 3 rows — segmentation exercised on every image), then
     the pipeline walks the IFD chain (tiff_page_count — no pixel
     reads) and decodes the first page back to pixels.
@@ -11839,9 +11840,10 @@ def _multimodal_tiff_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
                 w, h, npg = int(w), int(h), int(npg)
                 par = (np.add.outer(np.arange(h), np.arange(w)) % 2)[..., None]
                 rgb = np.where(par == 0, ca, cb).astype(np.uint8).tobytes()
+                comp = "lzw" if mid % 2 else "packbits"
                 payload = encode_tiff(
                     w, h, rgb,
-                    compression="packbits", rows_per_strip=3,
+                    compression=comp, rows_per_strip=3,
                     big_endian=True, n_pages=npg,
                 )
                 dw, dh, drgb = decode_tiff(payload)
@@ -11863,6 +11865,147 @@ def _multimodal_tiff_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
         roundtrip,
         "media_id long, width int, height int, n_pages int, "
         "n_distinct_colors int, count_color_a long",
+    )
+
+
+@_register(
+    "multimodal_frame_sample_dib",
+    """
+    WITH d AS (
+        SELECT doc_id,
+               ((doc_id % 5) + 5) % 5 + 2 AS nf,
+               ((doc_id % 13) + 13) % 13 + 4 AS w,
+               ((doc_id % 9) + 9) % 9 + 3 AS h,
+               ((doc_id % 200) + 200) % 200 + 20 AS c
+        FROM documents
+        WHERE doc_id IS NOT NULL AND ((doc_id % 20) + 20) % 20 = 9
+    ),
+    idx AS (SELECT unnest(range(0, 6, 2)) AS i)
+    SELECT doc_id AS media_id,
+           CAST(i AS INT) AS frame_idx,
+           CAST(i * 100 AS INT) AS ts_ms,
+           CAST(w AS INT) AS width,
+           CAST(h AS INT) AS height,
+           CAST(w * h * 3 AS BIGINT) AS n_bytes,
+           CAST(1 AS INT) AS n_distinct_values,
+           CAST(c AS INT) AS pixel_value
+    FROM d JOIN idx ON i < nf
+    """,
+)
+def _multimodal_frame_sample_dib(spark: SparkSession, sf: str) -> DataFrame:
+    """Frame sampling over UNCOMPRESSED-DIB AVI video (round 9
+    continuation — the BI_RGB sibling of
+    multimodal_frame_sample_mjpeg): each document synthesizes an AVI
+    whose 'DIB ' stream carries 2-6 constant-color bottom-up padded
+    BGR frames at 10 fps, and the pipeline walks the RIFF container,
+    samples every 200 ms (step 2 — odd frames are never touched, the
+    point of sampling), and unswizzles only the sampled frames
+    (dib_to_rgb: bottom-up flip + BGR→RGB + stride un-padding).
+    Constant frames make every output SQL-forced: dims/color echo the
+    id formulas and sampled indices are range(0, nf, 2). Random-pixel
+    DIB exactness and the MJPEG/DIB codec dispatch are pinned in
+    tests/test_avi_mjpeg.py. Plan: one mapInPandas stage, no
+    shuffle."""
+    docs = (
+        read_table(spark, sf, "documents")
+        .filter(F.col("doc_id").isNotNull() & (F.pmod(F.col("doc_id"), F.lit(20)) == 9))
+        .select(
+            F.col("doc_id").alias("media_id"),
+            (F.pmod(F.col("doc_id"), F.lit(5)) + 2).cast("int").alias("nf"),
+            (F.pmod(F.col("doc_id"), F.lit(13)) + 4).cast("int").alias("w"),
+            (F.pmod(F.col("doc_id"), F.lit(9)) + 3).cast("int").alias("h"),
+            (F.pmod(F.col("doc_id"), F.lit(200)) + 20).cast("int").alias("c"),
+        )
+    )
+
+    def synth(batches):
+        import pandas as pd
+
+        from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.multimodal_avi import (
+            encode_avi_dib,
+        )
+
+        for pdf in batches:
+            rows = []
+            for mid, nf, w, h, c in zip(
+                pdf["media_id"], pdf["nf"], pdf["w"], pdf["h"], pdf["c"]
+            ):
+                w, h = int(w), int(h)
+                frame = bytes([int(c)]) * (w * h * 3)
+                rows.append(
+                    (int(mid), encode_avi_dib(w, h, [frame] * int(nf), fps=10))
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    media = docs.mapInPandas(synth, "media_id long, payload binary")
+    return multimodal.sample_frames_mjpeg(media, every_ms=200)
+
+
+
+
+_HG_FROM = TX._HOMOGLYPH_FROM
+_HG_TO = TX._HOMOGLYPH_TO
+_FW_FROM = "".join(chr(0xFF01 + i) for i in range(94))
+_FW_TO = "".join(chr(0x21 + i) for i in range(94))
+_HG_INJECTIONS = ["р\u0430yment", "ΑΤΜ\u03bds", "\uff26\uff32\uff25\uff25 \uff24\uff2f\uff37\uff2e"]
+
+
+def _sq(s: str) -> str:
+    """Escape a string for a single-quoted DuckDB literal."""
+    return s.replace("'", "''")
+
+
+@_register(
+    "text_homoglyph_fold",
+    f"""
+    WITH d AS (
+        SELECT doc_id,
+               concat(coalesce(substr(text, 1, 40), ''),
+                      CASE ((doc_id % 3) + 3) % 3
+                           WHEN 0 THEN '{_sq(_HG_INJECTIONS[0])}'
+                           WHEN 1 THEN '{_sq(_HG_INJECTIONS[1])}'
+                           ELSE '{_sq(_HG_INJECTIONS[2])}' END) AS attacked
+        FROM documents
+        WHERE doc_id IS NOT NULL AND ((doc_id % 20) + 20) % 20 = 11
+    )
+    SELECT doc_id,
+           translate(translate(attacked, '{_sq(_HG_FROM)}', '{_sq(_HG_TO)}'),
+                     '{_sq(_FW_FROM)}', '{_sq(_FW_TO)}') AS folded,
+           CAST(length(attacked)
+                - length(translate(attacked,
+                                   '{_sq(_HG_FROM + _FW_FROM)}', ''))
+                AS INT) AS n_confusables
+    FROM d
+    """,
+)
+def _text_homoglyph_fold(spark: SparkSession, sf: str) -> DataFrame:
+    """Homoglyph/confusable folding (round 9 continuation — the
+    poisoning-defense normalizer an LLM ingest pipeline runs FIRST):
+    each document gets a deterministic confusable injection (Cyrillic
+    'payment', Greek-salted 'ATM', fullwidth 'FREE DOWN') appended to
+    its text prefix, then the pipeline folds Cyrillic/Greek ASCII
+    lookalikes (one JVM-side ``translate`` over the curated TR39
+    table — no UDF, no regex) and fullwidth forms (a second
+    ``translate`` over U+FF01-FF5E), and counts the confusable code
+    points (the poisoning signal). The oracle restates both translate
+    chains with the IDENTICAL from/to tables — a single missing or
+    misordered map entry hash-mismatches. Whole-stage-codegen'd
+    end-to-end; no shuffle."""
+    inj = F.when(F.pmod(F.col("doc_id"), F.lit(3)) == 0, F.lit(_HG_INJECTIONS[0])) \
+        .when(F.pmod(F.col("doc_id"), F.lit(3)) == 1, F.lit(_HG_INJECTIONS[1])) \
+        .otherwise(F.lit(_HG_INJECTIONS[2]))
+    attacked = F.concat(
+        F.coalesce(F.substring(F.col("text"), 1, 40), F.lit("")), inj
+    )
+    strip_all = F.translate(attacked, _HG_FROM + _FW_FROM, "")
+    return (
+        read_table(spark, sf, "documents")
+        .filter(F.col("doc_id").isNotNull() & (F.pmod(F.col("doc_id"), F.lit(20)) == 11))
+        .select(
+            "doc_id",
+            TX.fold_fullwidth(TX.fold_homoglyphs(attacked)).alias("folded"),
+            (F.length(attacked) - F.length(strip_all)).cast("int").alias("n_confusables"),
+        )
     )
 
 

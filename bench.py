@@ -216,9 +216,15 @@ HEADLINE = [
     # MS-ADPCM (tag 2) and IEEE float (tag 3)
     "multimodal_audio_msadpcm",
     "multimodal_audio_float",
-    # round-9 continuation: baseline TIFF (IFD walk + PackBits +
+    # round-9 continuation: baseline TIFF (IFD walk + LZW/PackBits +
     # multi-page chains, both byte orders)
     "multimodal_tiff_roundtrip",
+    # round-9 continuation: uncompressed-DIB AVI frame sampling (the
+    # BI_RGB sibling of the MJPEG path)
+    "multimodal_frame_sample_dib",
+    # round-9 continuation: homoglyph/confusable folding (poisoning
+    # defense; one JVM-side translate, no UDF)
+    "text_homoglyph_fold",
 ]
 
 

@@ -715,3 +715,66 @@ def cooccurrence_window(
             (num.cast("double") / den.cast("double")).alias("lift"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Homoglyph / confusable folding — round 9 continuation.
+#
+# Adversarial text in web corpora substitutes visually-identical
+# non-Latin code points (Cyrillic а е о, Greek ο ν, fullwidth forms)
+# for ASCII — it defeats exact/blocked dedup, keyword filters, and
+# benchmark decontamination while reading identically to a human.
+# Folding is one JVM-side ``translate`` (a per-codepoint map lookup
+# inside whole-stage codegen — no UDF, no regex backtracking), so it
+# belongs at the very front of any text pipeline at 100 TB.
+#
+# The map covers the high-frequency Unicode-confusables entries for
+# ASCII letters/digits (Cyrillic + Greek lookalikes, fullwidth forms
+# are handled by the companion fullwidth fold) — deliberately a small
+# curated table, not the full Unicode confusables.txt: folding rare
+# confusables costs nothing here, but over-folding (e.g. all of
+# Cherokee) corrupts legitimate non-Latin text. Source: Unicode TR39
+# confusables, ASCII targets only.
+
+_HOMOGLYPH_FROM = (
+    "аеорсухіј"  # а е о р с у х і ј
+    "АВЕКМНОРСТХ"  # АВЕКМНОРСТХ
+    "ονια"  # ο ν ι α (Greek lower)
+    "ΑΒΕΖΗΙΚΜΝΟΡΤΥΧ"  # ΑΒΕΖΗΙΚΜΝΟΡΤΥΧ
+    "ЅѕІЈ"  # Ѕ ѕ І Ј
+)
+_HOMOGLYPH_TO = (
+    "aeopcyxij"
+    "ABEKMHOPCTX"
+    "onia"
+    "ABEZHIKMNOPTYX"
+    "SsIJ"
+)
+assert len(_HOMOGLYPH_FROM) == len(_HOMOGLYPH_TO)
+
+
+def fold_homoglyphs(col: str | Column) -> Column:
+    """Fold common Cyrillic/Greek ASCII-lookalike code points to their
+    ASCII forms — one ``translate``, whole-stage-codegen'd."""
+    return F.translate(_col(col), _HOMOGLYPH_FROM, _HOMOGLYPH_TO)
+
+
+def fold_fullwidth(col: str | Column) -> Column:
+    """Fold fullwidth ASCII forms (U+FF01-FF5E) to ASCII (U+21-7E) —
+    the other bulk confusable family (common in CJK web text). One
+    ``translate`` over the 94-character range."""
+    src = "".join(chr(0xFF01 + i) for i in range(94))
+    dst = "".join(chr(0x21 + i) for i in range(94))
+    return F.translate(_col(col), src, dst)
+
+
+def homoglyph_count(col: str | Column) -> Column:
+    """How many confusable code points a document carries — the
+    poisoning signal itself (a legit English doc has ~0; an evasion
+    attempt has many): length delta after stripping every mapped
+    character."""
+    c = _col(col)
+    return (
+        F.length(c)
+        - F.length(F.translate(c, _HOMOGLYPH_FROM, "" ))
+    ).cast("int")

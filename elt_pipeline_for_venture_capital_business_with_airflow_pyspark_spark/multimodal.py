@@ -622,7 +622,6 @@ def sample_frames_mjpeg(media: DataFrame, every_ms: int = 1000) -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from .multimodal_avi import parse_avi
-        from .multimodal_jpeg import decode_jpeg
 
         for pdf in batches:
             rows = []
@@ -633,7 +632,10 @@ def sample_frames_mjpeg(media: DataFrame, every_ms: int = 1000) -> DataFrame:
                 frame_ms = max(1, stream.frame_ms)
                 step = max(1, every_ms // frame_ms)
                 for idx in range(0, len(stream.frames), step):
-                    w, h, rgb = decode_jpeg(stream.frames[idx])
+                    # codec-appropriate decode: MJPEG frames through
+                    # the JPEG codec, uncompressed DIB unswizzled
+                    # (round-9 continuation)
+                    w, h, rgb = stream.decode_frame(idx)
                     vals = set(rgb)
                     rows.append(
                         (

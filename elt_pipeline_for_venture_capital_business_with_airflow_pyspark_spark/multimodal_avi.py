@@ -33,26 +33,50 @@ from __future__ import annotations
 import struct
 from typing import Iterator
 
-__all__ = ["encode_avi_mjpeg", "parse_avi", "AviStream"]
+__all__ = [
+    "encode_avi_mjpeg",
+    "encode_avi_dib",
+    "parse_avi",
+    "dib_to_rgb",
+    "AviStream",
+]
 
 
 class AviStream:
-    """Parsed AVI video stream: dimensions, frame cadence, and the raw
-    per-frame payloads (JPEG bytes for MJPEG) in container order."""
+    """Parsed AVI video stream: dimensions, frame cadence, codec
+    ("mjpeg" or "dib" — round-9 continuation adds uncompressed DIB),
+    and the raw per-frame payloads in container order."""
 
-    __slots__ = ("width", "height", "usec_per_frame", "frames")
+    __slots__ = ("width", "height", "usec_per_frame", "frames", "codec")
 
     def __init__(
-        self, width: int, height: int, usec_per_frame: int, frames: list[bytes]
+        self,
+        width: int,
+        height: int,
+        usec_per_frame: int,
+        frames: list[bytes],
+        codec: str = "mjpeg",
     ) -> None:
         self.width = width
         self.height = height
         self.usec_per_frame = usec_per_frame
         self.frames = frames
+        self.codec = codec
 
     @property
     def frame_ms(self) -> int:
         return self.usec_per_frame // 1000
+
+    def decode_frame(self, i: int) -> "tuple[int, int, bytes]":
+        """Frame i as (width, height, row-major RGB) through the
+        codec-appropriate path (JPEG decode / DIB unswizzle)."""
+        if self.codec == "mjpeg":
+            from .multimodal_jpeg import decode_jpeg
+
+            return decode_jpeg(self.frames[i])
+        return self.width, self.height, dib_to_rgb(
+            self.frames[i], self.width, self.height
+        )
 
 
 def _chunks(data: bytes, start: int, end: int) -> Iterator[tuple[bytes, int, int]]:
@@ -73,16 +97,16 @@ def _chunks(data: bytes, start: int, end: int) -> Iterator[tuple[bytes, int, int
 def parse_avi(payload: bytes) -> AviStream:
     """Walk a RIFF/AVI payload and return its MJPEG video stream.
 
-    Raises ``NotImplementedError`` for non-AVI bytes, non-MJPEG video
-    codecs, zero-video-stream files, and structurally truncated
-    containers."""
+    Raises ``NotImplementedError`` for non-AVI bytes, video codecs
+    other than MJPEG / uncompressed DIB, zero-video-stream files, and
+    structurally truncated containers."""
     if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
         raise NotImplementedError("not an AVI payload (missing RIFF/AVI header)")
     (riff_len,) = struct.unpack_from("<I", payload, 4)
     end = min(len(payload), 8 + riff_len)
 
     width = height = usec_per_frame = None
-    handler_ok = False
+    codec = None
     frames: list[bytes] = []
 
     for fourcc, body, length in _chunks(payload, 12, end):
@@ -100,12 +124,18 @@ def parse_avi(payload: bytes) -> AviStream:
                             fcc_type = payload[b3 : b3 + 4]
                             fcc_handler = payload[b3 + 4 : b3 + 8]
                             if fcc_type == b"vids":
-                                if fcc_handler not in (b"MJPG", b"mjpg"):
+                                if fcc_handler in (b"MJPG", b"mjpg"):
+                                    codec = "mjpeg"
+                                elif fcc_handler in (
+                                    b"DIB ", b"dib ", b"\x00\x00\x00\x00"
+                                ):
+                                    codec = "dib"
+                                else:
                                     raise NotImplementedError(
                                         "AVI video codec "
-                                        f"{fcc_handler!r} unsupported (MJPG only)"
+                                        f"{fcc_handler!r} unsupported "
+                                        "(MJPG / uncompressed DIB only)"
                                     )
-                                handler_ok = True
         elif list_type == b"movi":
             for f2, b2, l2 in _chunks(payload, body + 4, body + length):
                 # ##dc = compressed video frame, ##db = uncompressed;
@@ -113,11 +143,11 @@ def parse_avi(payload: bytes) -> AviStream:
                 if f2[2:4] in (b"dc", b"db"):
                     frames.append(payload[b2 : b2 + l2])
 
-    if not handler_ok:
-        raise NotImplementedError("AVI has no MJPEG video stream")
+    if codec is None:
+        raise NotImplementedError("AVI has no supported video stream")
     if width is None or usec_per_frame is None or usec_per_frame <= 0:
         raise NotImplementedError("AVI missing avih main header")
-    return AviStream(int(width), int(height), int(usec_per_frame), frames)
+    return AviStream(int(width), int(height), int(usec_per_frame), frames, codec)
 
 
 def encode_avi_mjpeg(
@@ -189,5 +219,97 @@ def encode_avi_mjpeg(
     movi = list_chunk(b"movi", movi_body)
     idx1 = chunk(b"idx1", b"".join(idx_entries))
 
+    riff_body = b"AVI " + hdrl + movi + idx1
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
+def dib_to_rgb(frame: bytes, width: int, height: int) -> bytes:
+    """Uncompressed 24-bit DIB frame -> row-major RGB: bottom-up row
+    order, BGR channel order, rows padded to 4-byte boundaries — the
+    same layout as a BI_RGB .bmp body (the AVI '00db' payload IS a
+    headerless DIB)."""
+    stride = (width * 3 + 3) & ~3
+    if len(frame) < stride * height:
+        raise NotImplementedError(
+            f"DIB frame {len(frame)}B shorter than {stride}x{height}"
+        )
+    out = bytearray(width * height * 3)
+    for y in range(height):
+        src = (height - 1 - y) * stride
+        dst = y * width * 3
+        for x in range(width):
+            b, g, r = frame[src + 3 * x : src + 3 * x + 3]
+            out[dst + 3 * x : dst + 3 * x + 3] = bytes((r, g, b))
+    return bytes(out)
+
+
+def encode_avi_dib(
+    width: int, height: int, rgb_frames: list[bytes], fps: int = 10
+) -> bytes:
+    """Minimal deterministic uncompressed-DIB AVI writer (round-9
+    continuation): one 'DIB ' video stream, '00db' frame chunks each
+    holding a bottom-up padded BGR raster, idx1 index — the
+    BI_RGB sibling of :func:`encode_avi_mjpeg`."""
+    if fps <= 0:
+        raise ValueError("fps must be positive")
+    if not rgb_frames:
+        raise ValueError("at least one frame required")
+    for f in rgb_frames:
+        if len(f) != width * height * 3:
+            raise ValueError(f"frame length {len(f)} != {width}*{height}*3")
+    stride = (width * 3 + 3) & ~3
+    dibs = []
+    for f in rgb_frames:
+        rows = []
+        for y in range(height - 1, -1, -1):
+            row = bytearray()
+            for x in range(width):
+                r, g, b = f[(y * width + x) * 3 : (y * width + x) * 3 + 3]
+                row += bytes((b, g, r))
+            row += b"\x00" * (stride - width * 3)
+            rows.append(bytes(row))
+        dibs.append(b"".join(rows))
+
+    usec = 1_000_000 // fps
+    frame_bytes = stride * height
+    avih = struct.pack(
+        "<IIIIIIIIII4I",
+        usec, frame_bytes * fps, 0, 0x10, len(dibs), 0, 1,
+        frame_bytes, width, height, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vids"
+        + b"DIB "
+        + struct.pack(
+            "<IHHIIIIIIII4H",
+            0, 0, 0, 0, 1, fps, 0, len(dibs), frame_bytes,
+            0xFFFFFFFF, frame_bytes,
+            0, 0, width & 0xFFFF, height & 0xFFFF,
+        )
+    )
+    strf = struct.pack(
+        "<IiiHH4sIiiII",
+        40, width, height, 1, 24, b"\x00\x00\x00\x00", frame_bytes, 0, 0, 0, 0
+    )
+
+    def chunk(fourcc: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) & 1 else b""
+        return fourcc + struct.pack("<I", len(body)) + body + pad
+
+    def list_chunk(list_type: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", list_type + body)
+
+    strl = list_chunk(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf))
+    hdrl = list_chunk(b"hdrl", chunk(b"avih", avih) + strl)
+    movi_body = b""
+    idx_entries = []
+    offset = 4
+    for d in dibs:
+        c = chunk(b"00db", d)
+        idx_entries.append(struct.pack("<4sIII", b"00db", 0x10, offset, len(d)))
+        movi_body += c
+        offset += len(c)
+    movi = list_chunk(b"movi", movi_body)
+    idx1 = chunk(b"idx1", b"".join(idx_entries))
     riff_body = b"AVI " + hdrl + movi + idx1
     return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body

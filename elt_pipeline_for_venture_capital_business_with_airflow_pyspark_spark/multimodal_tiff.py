@@ -6,14 +6,15 @@ corpora; unlike the streaming formats (PNG/JPEG/GIF) it is a
 random-access TAG directory (IFD) walk, so implementing it exercises
 the remaining structural family: typed tag entries, inline-vs-offset
 values, strip-segmented pixel data, chained IFDs (multi-page), and
-both byte orders. Compression: none (1) and PackBits RLE (32773) —
-the two baseline-TIFF requirements.
+both byte orders. Compression: none (1), LZW (5 — MSB-first with
+the spec's early-change width rule, distinct from GIF's LSB-first
+variant in multimodal_gif.py) and PackBits RLE (32773).
 
 Scope (same honest-boundary policy as ``multimodal.decode_image``):
 8-bit grayscale (photometric 0/1) and 8-bit chunky RGB, strip-based,
 little- ('II') and big-endian ('MM'), multi-page chains walked by
 :func:`tiff_page_count` and first-page-decoded by :func:`decode_tiff`.
-LZW/JPEG-in-TIFF, tiles, planar config 2, and sub-8-bit depths raise
+JPEG-in-TIFF, tiles, planar config 2, and sub-8-bit depths raise
 ``NotImplementedError``.
 
 No code is shared with or derived from the reference repo (it has no
@@ -25,7 +26,130 @@ from __future__ import annotations
 import struct
 
 _COMP_NONE = 1
+_COMP_LZW = 5
 _COMP_PACKBITS = 32773
+
+
+# ------------------------------------------------------------------ TIFF LZW
+#
+# TIFF's LZW (tag 5, spec §13) is the GIF algorithm with three twists:
+# bytes are the alphabet (fixed 8-bit "min code size"), codes pack
+# MSB-FIRST, and the code width grows ONE CODE EARLY (when the table
+# reaches 2^width - 1 — the spec's infamous "early change"). Both
+# directions below; the GIF variant lives in multimodal_gif.py and the
+# two are deliberately not shared — the bit order and change point
+# differ in exactly the places a merged implementation would hide.
+
+_T_CLEAR = 256
+_T_EOI = 257
+_MAX_CODE_WIDTH = 12
+_TABLE_CAP = 1 << _MAX_CODE_WIDTH  # 4096
+
+
+def _lzw_decode_tiff(data: bytes, expected: int) -> bytes:
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    width = 9
+    prev: bytes | None = None
+    out = bytearray()
+    acc = 0
+    nbits = 0
+    pos = 0
+    n = len(data)
+    while len(out) < expected:
+        while nbits < width:
+            if pos >= n:
+                raise ValueError(
+                    f"TIFF LZW exhausted at {len(out)}/{expected} bytes"
+                )
+            acc = (acc << 8) | data[pos]
+            pos += 1
+            nbits += 8
+        code = (acc >> (nbits - width)) & ((1 << width) - 1)
+        nbits -= width
+        acc &= (1 << nbits) - 1
+
+        if code == _T_CLEAR:
+            table = [bytes([i]) for i in range(256)] + [b"", b""]
+            width = 9
+            prev = None
+            continue
+        if code == _T_EOI:
+            break
+        if prev is None:
+            if code >= len(table):
+                raise ValueError(f"first TIFF LZW code {code} out of table")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+        elif code == len(table):
+            entry = prev + prev[:1]
+        else:
+            raise ValueError(f"TIFF LZW code {code} beyond table {len(table)}")
+        if prev is not None and len(table) < _TABLE_CAP:
+            table.append(prev + entry[:1])
+            # EARLY CHANGE: widen one code before the table fills
+            if len(table) == (1 << width) - 1 and width < _MAX_CODE_WIDTH:
+                width += 1
+        out += entry
+        prev = entry
+    return bytes(out)
+
+
+def _lzw_encode_tiff(data: bytes) -> bytes:
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def put(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            out.append((acc >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+            acc &= (1 << nbits) - 1
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    next_code = _T_EOI + 1
+    width = 9
+    dec_len = _T_EOI + 1  # decoder's table length, simulated
+    first = True
+    put(_T_CLEAR, width)
+
+    def emit_data(code: int) -> None:
+        nonlocal first, dec_len, width
+        put(code, width)
+        if first:
+            first = False
+        elif dec_len < _TABLE_CAP:
+            dec_len += 1
+            if dec_len == (1 << width) - 1 and width < _MAX_CODE_WIDTH:
+                width += 1
+
+    buf = b""
+    for px in data:
+        nxt = buf + bytes([px])
+        if nxt in table:
+            buf = nxt
+            continue
+        emit_data(table[buf])
+        if next_code < _TABLE_CAP:
+            table[nxt] = next_code
+            next_code += 1
+        else:
+            put(_T_CLEAR, width)
+            table = {bytes([i]): i for i in range(256)}
+            next_code = _T_EOI + 1
+            width = 9
+            dec_len = _T_EOI + 1
+            first = True
+        buf = bytes([px])
+    if buf:
+        emit_data(table[buf])
+    put(_T_EOI, width)
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
 
 
 # ----------------------------------------------------------------- PackBits
@@ -199,7 +323,7 @@ def decode_tiff(payload: bytes) -> tuple[int, int, bytes]:
     if any(b != 8 for b in bits):
         raise NotImplementedError(f"TIFF bits-per-sample {bits} unsupported (8 only)")
     comp = one(259, 1)
-    if comp not in (_COMP_NONE, _COMP_PACKBITS):
+    if comp not in (_COMP_NONE, _COMP_LZW, _COMP_PACKBITS):
         raise NotImplementedError(f"TIFF compression {comp} unsupported")
     photo = one(262)
     if photo not in (0, 1, 2):
@@ -227,6 +351,11 @@ def decode_tiff(payload: bytes) -> tuple[int, int, bytes]:
         want = rows * row_bytes
         if comp == _COMP_PACKBITS:
             raw += packbits_decode(strip, want)
+        elif comp == _COMP_LZW:
+            dec = _lzw_decode_tiff(strip, want)
+            if len(dec) != want:
+                raise ValueError(f"TIFF LZW strip {i} decoded short")
+            raw += dec
         else:
             if len(strip) < want:
                 raise ValueError(f"TIFF strip {i} shorter than its rows")
@@ -272,8 +401,10 @@ def encode_tiff(
         raise ValueError(f"rgb length {len(rgb)} != {w}*{h}*3")
     if n_pages < 1:
         raise ValueError("n_pages must be >= 1")
-    if compression not in ("none", "packbits"):
-        raise ValueError(f"compression must be 'none' or 'packbits', got {compression!r}")
+    if compression not in ("none", "lzw", "packbits"):
+        raise ValueError(
+            f"compression must be 'none', 'lzw' or 'packbits', got {compression!r}"
+        )
     e = ">" if big_endian else "<"
     rps = h if rows_per_strip is None else rows_per_strip
     if rps < 1:
@@ -283,10 +414,15 @@ def encode_tiff(
     strips = []
     for y0 in range(0, h, rps):
         seg = rgb[y0 * row_bytes : min(y0 + rps, h) * row_bytes]
-        strips.append(
-            packbits_encode(seg) if compression == "packbits" else seg
-        )
-    comp_code = _COMP_PACKBITS if compression == "packbits" else _COMP_NONE
+        if compression == "packbits":
+            strips.append(packbits_encode(seg))
+        elif compression == "lzw":
+            strips.append(_lzw_encode_tiff(seg))
+        else:
+            strips.append(seg)
+    comp_code = {
+        "none": _COMP_NONE, "lzw": _COMP_LZW, "packbits": _COMP_PACKBITS,
+    }[compression]
 
     out = bytearray()
     out += b"MM\x00*" if big_endian else b"II*\x00"

@@ -147,3 +147,62 @@ def test_decoded_sampled_frame_hash_pin():
     digest = hashlib.sha256(decode_jpeg(stream.frames[2])[2]).hexdigest()
     assert digest == hashlib.sha256(decode_jpeg(frames[2])[2]).hexdigest()
     assert decode_jpeg(stream.frames[2])[2] != decode_jpeg(stream.frames[0])[2]
+
+
+# ----------------------------------------------------- uncompressed DIB (r9)
+
+
+def test_dib_roundtrip_random_pixels():
+    import numpy as np
+
+    from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.multimodal_avi import (
+        encode_avi_dib,
+        parse_avi,
+    )
+
+    rng = np.random.default_rng(4)
+    # width 7 -> stride 24 != 21: row padding exercised
+    frames = [
+        rng.integers(0, 256, size=7 * 5 * 3, dtype=np.uint8).tobytes()
+        for _ in range(4)
+    ]
+    s = parse_avi(encode_avi_dib(7, 5, frames, fps=5))
+    assert s.codec == "dib" and (s.width, s.height) == (7, 5)
+    assert len(s.frames) == 4
+    for i, f in enumerate(frames):
+        assert s.decode_frame(i) == (7, 5, f), i
+
+
+def test_dib_and_mjpeg_streams_dispatch_by_codec():
+    from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.multimodal_avi import (
+        encode_avi_dib,
+        encode_avi_mjpeg,
+        parse_avi,
+    )
+    from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.multimodal_jpeg import (
+        encode_jpeg,
+    )
+
+    gray = bytes([128]) * (8 * 8 * 3)
+    mj = parse_avi(encode_avi_mjpeg(8, 8, [encode_jpeg(8, 8, gray, 85)]))
+    db = parse_avi(encode_avi_dib(8, 8, [gray]))
+    assert (mj.codec, db.codec) == ("mjpeg", "dib")
+    # both decode to the same constant raster (gray-128 is the JPEG
+    # fixed point)
+    assert mj.decode_frame(0) == db.decode_frame(0) == (8, 8, gray)
+
+
+def test_dib_frame_shorter_than_raster_rejected():
+    import struct
+
+    from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.multimodal_avi import (
+        dib_to_rgb,
+        encode_avi_dib,
+    )
+
+    with pytest.raises(NotImplementedError):
+        dib_to_rgb(b"\x00" * 10, 7, 5)
+    with pytest.raises(ValueError):
+        encode_avi_dib(2, 2, [b"\x00" * 5])
+    with pytest.raises(ValueError):
+        encode_avi_dib(2, 2, [])

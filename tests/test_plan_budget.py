@@ -273,6 +273,12 @@ SHUFFLE_BUDGET = {
     "multimodal_audio_float": 0,
     # baseline TIFF: pure Arrow map pipeline (measured 0 at both SFs).
     "multimodal_tiff_roundtrip": 0,
+    # DIB-AVI frame sampling: pure Arrow map pipeline (measured 0 at
+    # both SFs).
+    "multimodal_frame_sample_dib": 0,
+    # homoglyph folding: scan + translate projection, zero exchanges
+    # (measured 0 at both SFs).
+    "text_homoglyph_fold": 0,
 }
 
 

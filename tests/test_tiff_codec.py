@@ -144,12 +144,12 @@ def test_decode_error_taxonomy():
         decode_tiff(b"NOTATIFF" + b"\x00" * 10)
     rgb = bytes(range(0, 150))
     p = bytearray(encode_tiff(5, 10, rgb))
-    # flip compression tag to LZW (5): honestly unsupported
+    # flip compression tag to JPEG-in-TIFF (7): honestly unsupported
     i = p.index(struct.pack("<HHI", 259, 3, 1))
-    lzw = bytearray(p)
-    lzw[i + 8 : i + 10] = struct.pack("<H", 5)
+    jpg = bytearray(p)
+    jpg[i + 8 : i + 10] = struct.pack("<H", 7)
     with pytest.raises(NotImplementedError):
-        decode_tiff(bytes(lzw))
+        decode_tiff(bytes(jpg))
     with pytest.raises(ValueError):
         decode_tiff(bytes(p[:40]))  # truncated IFD
     # cyclic IFD chain must not hang the page walk
@@ -167,6 +167,71 @@ def test_encode_validation():
     with pytest.raises(ValueError):
         encode_tiff(1, 1, b"\x00" * 3, n_pages=0)
     with pytest.raises(ValueError):
-        encode_tiff(1, 1, b"\x00" * 3, compression="lzw")
+        encode_tiff(1, 1, b"\x00" * 3, compression="deflate")
     with pytest.raises(ValueError):
         encode_tiff(1, 1, b"\x00" * 3, rows_per_strip=0)
+
+
+# ------------------------------------------------------------------ TIFF LZW
+
+
+def test_tiff_lzw_hand_packed_example():
+    """b'\\x07\\x07\\x07' -> codes [CLEAR, 7, 258, EOI] at width 9,
+    MSB-first: 0x80 0x01 0xE0 0x50 0x10 (hand-packed from the spec's
+    bit order — independent of the encoder)."""
+    from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.multimodal_tiff import (
+        _lzw_decode_tiff,
+        _lzw_encode_tiff,
+    )
+
+    data = b"\x07\x07\x07"
+    enc = bytes([0x80, 0x01, 0xE0, 0x50, 0x10])
+    assert _lzw_encode_tiff(data) == enc
+    assert _lzw_decode_tiff(enc, 3) == data
+
+
+def test_tiff_lzw_roundtrip_fuzz_and_early_change():
+    from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.multimodal_tiff import (
+        _lzw_decode_tiff,
+        _lzw_encode_tiff,
+    )
+
+    rng = np.random.default_rng(9)
+    # lengths spanning the 9->10 early-change boundary (table 511)
+    # and the 12-bit cap (table 4096 -> clear reset)
+    for n in (0, 1, 5, 100, 300, 600, 5000, 40000):
+        for alpha in (2, 17, 256):
+            b = rng.integers(0, alpha, size=n).astype(np.uint8).tobytes()
+            assert _lzw_decode_tiff(_lzw_encode_tiff(b), n) == b, (n, alpha)
+    # structured repetition builds long table entries (KwKwK paths)
+    pat = bytes(range(250)) * 30
+    assert _lzw_decode_tiff(_lzw_encode_tiff(pat), len(pat)) == pat
+
+
+def test_tiff_lzw_differs_from_gif_lzw():
+    """Same bytes through the two LZW variants must differ (bit order
+    + early change) and each must NOT decode under the other —
+    guards against the variants silently aliasing."""
+    from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.multimodal_gif import (
+        _lzw_encode as gif_encode,
+    )
+    from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.multimodal_tiff import (
+        _lzw_encode_tiff,
+    )
+
+    data = bytes(np.random.default_rng(1).integers(0, 256, size=400, dtype=np.uint8))
+    assert _lzw_encode_tiff(data) != gif_encode(data, 8)
+
+
+def test_tiff_lzw_file_roundtrip():
+    rng = np.random.default_rng(13)
+    for w, h in [(7, 5), (33, 17)]:
+        rgb = rng.integers(0, 256, size=w * h * 3, dtype=np.uint8).tobytes()
+        for be in (False, True):
+            p = encode_tiff(
+                w, h, rgb, compression="lzw", big_endian=be, rows_per_strip=6
+            )
+            assert decode_tiff(p) == (w, h, rgb)
+            assert decode_image(p) == (w, h, rgb)
+    p = encode_tiff(7, 5, rgb[: 7 * 5 * 3], compression="lzw", n_pages=2)
+    assert tiff_page_count(p) == 2
