@@ -469,6 +469,12 @@ def hash_chunk_entries(
     (:func:`hamming_near_pairs`) and the persisted pHash image index
     (``multimodal.build_phash_index``) so a shard's in-flight entries
     and a persisted corpus index always agree on bucketing."""
+    if not 1 <= n_chunks <= 64:
+        # n_chunks > 64 would give zero-width chunks: every row keys
+        # to (chunk, 0) and the candidate join degenerates to an
+        # accidental cross product — exactly the failure mode the
+        # plan audit exists to keep out
+        raise ValueError(f"n_chunks must be in [1, 64], got {n_chunks}")
     width = 64 // n_chunks
     mask = F.lit((1 << width) - 1).cast("long")
     return fp.select(

@@ -217,3 +217,15 @@ def test_hamming_near_pairs_wider_banding(spark):
         for r in hamming_near_pairs(fp, max_hamming=7, n_chunks=8).collect()
     }
     assert got == {(1, 2): 1}  # 3 is 60+ bits from both
+
+
+def test_chunk_entries_reject_degenerate_chunk_count(spark):
+    from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.operators.dedup import (
+        hash_chunk_entries,
+    )
+
+    fp = spark.createDataFrame([(1, 0)], "id long, h long")
+    with pytest.raises(ValueError):
+        hash_chunk_entries(fp, n_chunks=65)  # zero-width chunks
+    with pytest.raises(ValueError):
+        hash_chunk_entries(fp, n_chunks=0)
