@@ -57,3 +57,21 @@ def test_fold_defeats_dedup_evasion(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     folded = df.select("doc_id", TX.fold_homoglyphs(F.col("text")).alias("t"))
     assert folded.groupBy("t").count().filter(F.col("count") == 2).count() == 1
+
+
+def test_confusable_table_invariants():
+    """Structural laws both engines' translate semantics depend on:
+    no duplicate source codepoints (first-occurrence tie-breaking
+    could diverge between engines), no overlap with the fullwidth
+    fold's range (chained folds must commute), ASCII-only targets,
+    and no fixed points (every mapped char actually changes)."""
+    from collections import Counter
+
+    src, dst = TX._HOMOGLYPH_FROM, TX._HOMOGLYPH_TO
+    assert len(src) == len(dst)
+    assert [c for c, n in Counter(src).items() if n > 1] == []
+    fw = {chr(0xFF01 + i) for i in range(94)}
+    assert set(src) & fw == set()
+    assert all(ord(c) < 128 for c in dst)
+    assert all(a != b for a, b in zip(src, dst))
+    assert all(ord(c) >= 128 for c in src)  # never remaps real ASCII
