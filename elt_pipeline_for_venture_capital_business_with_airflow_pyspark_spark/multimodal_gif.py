@@ -12,17 +12,20 @@ any platform.
 Scope (same honest-boundary policy as ``multimodal.decode_image``):
 
 - decode: GIF87a + GIF89a, global/local color tables, interlaced and
-  sequential images, Graphic Control Extension transparency for the
-  FIRST frame (painted over the logical-screen background), all other
-  extensions skipped by their declared sub-block lengths. The decoder
-  returns the logical screen after the first image — animated
-  compositing across frames (disposal methods) is out of scope and the
-  frame WALK is exposed instead (:func:`gif_frame_count`, a pure
-  block-structure scan that never runs LZW).
+  sequential images, Graphic Control Extension transparency, all other
+  extensions skipped by their declared sub-block lengths.
+  :func:`decode_gif` returns the logical screen after the first image
+  (the still-image contract shared with the other codecs);
+  :func:`decode_gif_frames` composites EVERY frame honoring the
+  spec's disposal methods (leave / restore-to-background /
+  restore-previous) with per-frame delays; :func:`gif_frame_count` is
+  the pure block-structure walk that never runs LZW.
 - encode: single- or repeated-frame GIF87a/89a with a palette built
   from the image's distinct colors (≤ 256, else ``ValueError``),
   optional interlace, LZW with the standard width-growth rule and a
-  table-full clear-code reset.
+  table-full clear-code reset; :func:`encode_gif_animation` writes
+  real multi-frame animations (per-frame rects, GCE delays, disposal
+  codes) so the compositor has genuine fixtures.
 
 No code is shared with or derived from the reference repo (it has no
 image surface at all — see VERDICT r8 copy-paste adjudication).
@@ -401,3 +404,193 @@ def encode_gif(
     out += frame * n_frames
     out.append(0x3B)
     return bytes(out)
+
+
+# ----------------------------------------------------------------- animation
+
+
+def encode_gif_animation(
+    w: int,
+    h: int,
+    frames: "list[tuple[int, int, int, bytes]]",
+    *,
+    delays_ms: "list[int] | None" = None,
+    disposals: "list[int] | None" = None,
+    background: bytes = b"\x00\x00\x00",
+) -> bytes:
+    """Serialize a real GIF89a ANIMATION: each frame is
+    ``(left, top, frame_w, frame_h, rgb)`` painted at an offset with
+    its own Graphic Control Extension (centisecond delay + disposal
+    method). One global palette built from the background + every
+    frame's distinct colors (≤ 256 total). Disposal codes follow the
+    spec: 0/1 leave, 2 restore-to-background, 3 restore-previous.
+    Deterministic bytes for identical input."""
+    if not frames:
+        raise ValueError("at least one frame required")
+    delays_ms = delays_ms or [100] * len(frames)
+    disposals = disposals or [1] * len(frames)
+    if len(delays_ms) != len(frames) or len(disposals) != len(frames):
+        raise ValueError("delays_ms/disposals must match frames")
+    for d in disposals:
+        if not 0 <= d <= 3:
+            raise ValueError(f"disposal {d} out of spec range 0-3")
+    if len(background) != 3:
+        raise ValueError("background must be one RGB triple")
+
+    palette: dict[bytes, int] = {bytes(background): 0}
+    per_frame_indices = []
+    for left, top, fw, fh, rgb in frames:
+        if left < 0 or top < 0 or left + fw > w or top + fh > h:
+            raise ValueError("frame rectangle outside logical screen")
+        if len(rgb) != fw * fh * 3:
+            raise ValueError(f"frame rgb length {len(rgb)} != {fw}*{fh}*3")
+        idx = bytearray()
+        for i in range(0, len(rgb), 3):
+            c = rgb[i : i + 3]
+            ci = palette.get(c)
+            if ci is None:
+                ci = len(palette)
+                if ci == 256:
+                    raise ValueError("more than 256 distinct colors")
+                palette[c] = ci
+            idx.append(ci)
+        per_frame_indices.append(bytes(idx))
+
+    bits = max(1, (len(palette) - 1).bit_length())
+    mcs = max(2, bits)
+    gct = b"".join(sorted(palette, key=palette.get))
+    gct += b"\x00\x00\x00" * ((2 << (bits - 1)) - len(palette))
+
+    out = bytearray()
+    out += b"GIF89a"
+    out += struct.pack("<HH", w, h)
+    out.append(0x80 | (bits - 1))
+    out += b"\x00\x00"  # bg index 0 (the background triple), no aspect
+    out += gct
+    for (left, top, fw, fh, _rgb), idx, delay, disp in zip(
+        frames, per_frame_indices, delays_ms, disposals
+    ):
+        # Graphic Control Extension: packed = disposal << 2
+        out += b"\x21\xf9" + bytes([4, (disp & 7) << 2])
+        out += struct.pack("<H", max(0, delay) // 10)  # centiseconds
+        out += bytes([0, 0])  # no transparency, terminator
+        out += b"\x2c" + struct.pack("<HHHH", left, top, fw, fh) + b"\x00"
+        out.append(mcs)
+        lzw = _lzw_encode(idx, mcs)
+        for i in range(0, len(lzw), 255):
+            chunk = lzw[i : i + 255]
+            out.append(len(chunk))
+            out += chunk
+        out.append(0)
+    out.append(0x3B)
+    return bytes(out)
+
+
+def decode_gif_frames(payload: bytes) -> "list[tuple[int, int, bytes]]":
+    """Composite EVERY frame of an animated GIF onto the logical
+    screen, honoring the spec's disposal methods — closes the
+    first-frame-only boundary :func:`decode_gif` documents. Returns
+    ``[(delay_ms, frame_index, rgb)]``-style tuples as
+    ``(delay_ms, w*h*3 position implied) — concretely
+    ``(delay_ms, disposal, rgb)`` per rendered frame, where ``rgb``
+    is the full logical screen AFTER painting that frame.
+
+    Disposal semantics (GIF89a §23): after a frame is displayed,
+    0/1 leave the canvas as painted, 2 restores the frame's RECT to
+    the background color, 3 restores the canvas to its state before
+    the frame was painted. GCE transparency leaves the underlying
+    canvas visible through transparent pixels."""
+    sw, sh, gct, bg, pos = _header(payload)
+    if gct is not None and 3 * bg + 3 <= len(gct):
+        bg_rgb = gct[3 * bg : 3 * bg + 3]
+    else:
+        bg_rgb = b"\x00\x00\x00"
+    canvas = bytearray(bg_rgb * (sw * sh))
+    rendered: list[tuple[int, int, bytes]] = []
+
+    transparent: int | None = None
+    delay_ms = 0
+    disposal = 0
+    while pos < len(payload):
+        b = payload[pos]
+        pos += 1
+        if b == 0x3B:
+            return rendered
+        if b == 0x21:
+            label = payload[pos]
+            if label == 0xF9:
+                data, pos = _sub_blocks(payload, pos + 1)
+                if len(data) >= 4:
+                    disposal = (data[0] >> 2) & 0x7
+                    delay_ms = struct.unpack_from("<H", data, 1)[0] * 10
+                    transparent = data[3] if data[0] & 0x01 else None
+            else:
+                pos = _skip_sub_blocks(payload, pos + 1)
+            continue
+        if b != 0x2C:
+            raise ValueError(f"unknown GIF block 0x{b:02x}")
+
+        if pos + 9 > len(payload):
+            raise ValueError("truncated GIF: short image descriptor")
+        left, top, iw, ih = struct.unpack_from("<HHHH", payload, pos)
+        ipacked = payload[pos + 8]
+        pos += 9
+        lct = None
+        if ipacked & 0x80:
+            size = 3 * (2 << (ipacked & 0x07))
+            lct = payload[pos : pos + size]
+            if len(lct) != size:
+                raise ValueError("truncated GIF: short local color table")
+            pos += size
+        pal = lct if lct is not None else gct
+        if pal is None:
+            raise ValueError("GIF image with no color table")
+        mcs = payload[pos]
+        if not 2 <= mcs <= 11:
+            raise ValueError(f"bad LZW min code size {mcs}")
+        data, pos = _sub_blocks(payload, pos + 1)
+        idx = _lzw_decode(data, mcs, iw * ih)
+        if ipacked & 0x40:
+            rows = bytearray(len(idx))
+            src = 0
+            for first, step in _INTERLACE_PASSES:
+                for y in range(first, ih, step):
+                    rows[y * iw : (y + 1) * iw] = idx[src : src + iw]
+                    src += iw
+            idx = rows
+
+        before = bytes(canvas) if disposal == 3 else None
+        n_colors = len(pal) // 3
+        for y in range(ih):
+            sy = top + y
+            if sy >= sh:
+                break
+            for x in range(iw):
+                sx = left + x
+                ci = idx[y * iw + x]
+                if sx >= sw or ci == transparent:
+                    continue
+                if ci >= n_colors:
+                    raise ValueError(f"palette index {ci} >= {n_colors}")
+                off = 3 * (sy * sw + sx)
+                canvas[off : off + 3] = pal[3 * ci : 3 * ci + 3]
+        rendered.append((delay_ms, disposal, bytes(canvas)))
+
+        # post-display disposal prepares the canvas for the NEXT frame
+        if disposal == 2:
+            for y in range(ih):
+                sy = top + y
+                if sy >= sh:
+                    break
+                for x in range(iw):
+                    sx = left + x
+                    if sx >= sw:
+                        continue
+                    off = 3 * (sy * sw + sx)
+                    canvas[off : off + 3] = bg_rgb
+        elif disposal == 3 and before is not None:
+            canvas = bytearray(before)
+        transparent = None
+        delay_ms = 0
+        disposal = 0
+    raise ValueError("truncated GIF: missing trailer")

@@ -171,3 +171,108 @@ def test_decode_error_taxonomy():
     empty = p[:13] + p[13 : 13 + 6] + b"\x3b"
     with pytest.raises(ValueError):
         decode_gif(empty)
+
+
+# ------------------------------------------------------------------ animation
+
+
+def test_animation_disposal_leave_accumulates():
+    from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.multimodal_gif import (
+        decode_gif_frames,
+        encode_gif_animation,
+    )
+
+    blue, white = b"\x00\x00\xff", b"\xff\xff\xff"
+    # 4x2 screen: frame 1 paints the left 2x2 blue, frame 2 the right
+    # 2x2 white; disposal 1 (leave) -> frame 2's canvas shows BOTH
+    p = encode_gif_animation(
+        4, 2,
+        [(0, 0, 2, 2, blue * 4), (2, 0, 2, 2, white * 4)],
+        delays_ms=[50, 120],
+        disposals=[1, 1],
+    )
+    frames = decode_gif_frames(p)
+    assert [d for d, _disp, _ in frames] == [50, 120]
+    f1, f2 = frames[0][2], frames[1][2]
+    assert f1 == blue * 2 + b"\x00\x00\x00" * 2 + blue * 2 + b"\x00\x00\x00" * 2
+    assert f2 == blue * 2 + white * 2 + blue * 2 + white * 2
+
+
+def test_animation_disposal_restore_background():
+    from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.multimodal_gif import (
+        decode_gif_frames,
+        encode_gif_animation,
+    )
+
+    red = b"\xff\x00\x00"
+    green = b"\x00\xff\x00"
+    # disposal 2 after frame 1 wipes its rect back to background, so
+    # frame 2's canvas shows ONLY frame 2
+    p = encode_gif_animation(
+        3, 1,
+        [(0, 0, 1, 1, red), (2, 0, 1, 1, green)],
+        disposals=[2, 1],
+        background=b"\x10\x20\x30",
+    )
+    frames = decode_gif_frames(p)
+    bg = b"\x10\x20\x30"
+    assert frames[0][2] == red + bg + bg
+    assert frames[1][2] == bg + bg + green
+
+
+def test_animation_disposal_restore_previous():
+    from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.multimodal_gif import (
+        decode_gif_frames,
+        encode_gif_animation,
+    )
+
+    a, b, c = b"\x01\x01\x01", b"\x02\x02\x02", b"\x03\x03\x03"
+    # frame1 paints whole 1x1 screen a (disposal 1); frame2 paints b
+    # with disposal 3 (restore previous); frame3 paints nothing new?
+    # paint c only on a sub-rect of a 2x1 screen to see the restore
+    p = encode_gif_animation(
+        2, 1,
+        [(0, 0, 2, 1, a + a), (0, 0, 1, 1, b), (1, 0, 1, 1, c)],
+        disposals=[1, 3, 1],
+    )
+    frames = decode_gif_frames(p)
+    assert frames[0][2] == a + a
+    assert frames[1][2] == b + a  # b painted over a
+    assert frames[2][2] == a + c  # b was undone by disposal 3
+
+
+def test_animation_first_frame_matches_still_decoder():
+    from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.multimodal_gif import (
+        decode_gif,
+        decode_gif_frames,
+        encode_gif_animation,
+        gif_frame_count,
+    )
+
+    rng = np.random.default_rng(17)
+    pal = rng.integers(0, 256, size=(7, 3), dtype=np.uint8)
+    f1 = pal[rng.integers(0, 7, size=12)].tobytes()
+    f2 = pal[rng.integers(0, 7, size=12)].tobytes()
+    p = encode_gif_animation(4, 3, [(0, 0, 4, 3, f1), (0, 0, 4, 3, f2)])
+    assert gif_frame_count(p) == 2
+    # the still decoder's first-frame contract agrees with frame 0 of
+    # the compositor
+    assert decode_gif(p)[2] == decode_gif_frames(p)[0][2]
+    assert decode_gif_frames(p)[1][2] == f2
+
+
+def test_animation_validation():
+    from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.multimodal_gif import (
+        encode_gif_animation,
+    )
+
+    with pytest.raises(ValueError):
+        encode_gif_animation(2, 2, [])
+    with pytest.raises(ValueError):
+        encode_gif_animation(2, 2, [(1, 1, 2, 2, b"\x00" * 12)])  # outside
+    with pytest.raises(ValueError):
+        encode_gif_animation(2, 2, [(0, 0, 2, 2, b"\x00" * 5)])  # bad len
+    with pytest.raises(ValueError):
+        encode_gif_animation(
+            2, 2, [(0, 0, 2, 2, b"\x00" * 12)], disposals=[7]
+        )
