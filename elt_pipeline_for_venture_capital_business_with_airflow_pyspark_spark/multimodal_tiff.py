@@ -11,10 +11,12 @@ the spec's early-change width rule, distinct from GIF's LSB-first
 variant in multimodal_gif.py) and PackBits RLE (32773).
 
 Scope (same honest-boundary policy as ``multimodal.decode_image``):
-8-bit grayscale (photometric 0/1) and 8-bit chunky RGB, strip-based,
-little- ('II') and big-endian ('MM'), multi-page chains walked by
-:func:`tiff_page_count` and first-page-decoded by :func:`decode_tiff`.
-JPEG-in-TIFF, tiles, planar config 2, and sub-8-bit depths raise
+8-bit grayscale (photometric 0/1) and 8-bit RGB, little- ('II') and
+big-endian ('MM'), multi-page chains walked by :func:`tiff_page_count`
+and first-page-decoded by :func:`decode_tiff`. Pixel layouts: chunky
+strips, planar-config-2 strips (per-channel planes), and tiles (tags
+322-325, edge tiles padded per spec §15) — each composing with every
+compression. JPEG-in-TIFF, tiled-planar-2, and sub-8-bit depths raise
 ``NotImplementedError``.
 
 No code is shared with or derived from the reference repo (it has no
@@ -296,11 +298,30 @@ def tiff_page_count(payload: bytes) -> int:
     return count
 
 
+def _decompress_seg(seg: bytes, want: int, comp: int, label: str) -> bytes:
+    """One strip/tile through the configured codec to exactly
+    ``want`` bytes."""
+    if comp == _COMP_PACKBITS:
+        return packbits_decode(seg, want)
+    if comp == _COMP_LZW:
+        dec = _lzw_decode_tiff(seg, want)
+        if len(dec) != want:
+            raise ValueError(f"TIFF LZW {label} decoded short")
+        return dec
+    if len(seg) < want:
+        raise ValueError(f"TIFF {label} shorter than its pixels")
+    return seg[:want]
+
+
 def decode_tiff(payload: bytes) -> tuple[int, int, bytes]:
     """Decode the FIRST page to ``(width, height, row-major RGB)``.
-    Grayscale replicates to RGB (photometric 0 inverts — WhiteIsZero);
-    strips concatenate in StripOffsets order, each PackBits strip
-    decoded independently per the spec."""
+    Grayscale replicates to RGB (photometric 0 inverts — WhiteIsZero).
+    Pixel layouts (round-9 continuation closes the last two
+    structural stubs): chunky strips, PLANAR strips (config 2 — one
+    plane of strips per channel, plane-major offset order), and TILED
+    images (tags 322-325: fixed tw×tl tiles across-then-down, edge
+    tiles padded to full size per spec §15, cropped on blit). Each
+    strip/tile decompresses independently."""
     e = _endianness(payload)
     (off,) = struct.unpack_from(f"{e}I", payload, 4)
     if not off:
@@ -330,39 +351,87 @@ def decode_tiff(payload: bytes) -> tuple[int, int, bytes]:
         raise NotImplementedError(f"TIFF photometric {photo} unsupported")
     if photo == 2 and spp < 3:
         raise ValueError("RGB TIFF with < 3 samples per pixel")
-    if one(284, 1) != 1:
-        raise NotImplementedError("TIFF planar configuration 2 unsupported")
-    if 322 in tags or 323 in tags:
-        raise NotImplementedError("tiled TIFF unsupported (strips only)")
+    planar = one(284, 1)
+    if planar not in (1, 2):
+        raise NotImplementedError(f"TIFF planar configuration {planar} unsupported")
+    tiled = 322 in tags or 323 in tags
+    if tiled and planar == 2:
+        raise NotImplementedError("tiled planar-2 TIFF unsupported")
 
-    offsets = tags.get(273)
-    counts = tags.get(279)
-    if not offsets or not counts or len(offsets) != len(counts):
-        raise ValueError("TIFF strip offsets/counts missing or mismatched")
-    rps = one(278, h)
-    row_bytes = w * spp
-    raw = bytearray()
-    rows_left = h
-    for i, (so, sc) in enumerate(zip(offsets, counts)):
-        strip = payload[so : so + sc]
-        if len(strip) != sc:
-            raise ValueError(f"truncated TIFF strip {i}")
-        rows = min(rps, rows_left)
-        want = rows * row_bytes
-        if comp == _COMP_PACKBITS:
-            raw += packbits_decode(strip, want)
-        elif comp == _COMP_LZW:
-            dec = _lzw_decode_tiff(strip, want)
-            if len(dec) != want:
-                raise ValueError(f"TIFF LZW strip {i} decoded short")
-            raw += dec
-        else:
-            if len(strip) < want:
-                raise ValueError(f"TIFF strip {i} shorter than its rows")
-            raw += strip[:want]
-        rows_left -= rows
-    if rows_left > 0:
-        raise ValueError("TIFF strips cover fewer rows than ImageLength")
+    if tiled:
+        tw, tl = one(322), one(323)
+        if tw <= 0 or tl <= 0:
+            raise ValueError("non-positive TIFF tile dimensions")
+        offsets = tags.get(324)
+        counts = tags.get(325)
+        across = (w + tw - 1) // tw
+        down = (h + tl - 1) // tl
+        if (
+            not offsets
+            or not counts
+            or len(offsets) != len(counts)
+            or len(offsets) != across * down
+        ):
+            raise ValueError("TIFF tile offsets/counts missing or mismatched")
+        raw = bytearray(w * h * spp)
+        for i, (so, sc) in enumerate(zip(offsets, counts)):
+            seg = payload[so : so + sc]
+            if len(seg) != sc:
+                raise ValueError(f"truncated TIFF tile {i}")
+            tile = _decompress_seg(seg, tw * tl * spp, comp, f"tile {i}")
+            ty, tx = divmod(i, across)
+            rows = min(tl, h - ty * tl)
+            cols = min(tw, w - tx * tw)
+            for y in range(rows):
+                src = y * tw * spp
+                dst = ((ty * tl + y) * w + tx * tw) * spp
+                raw[dst : dst + cols * spp] = tile[src : src + cols * spp]
+    elif planar == 2:
+        offsets = tags.get(273)
+        counts = tags.get(279)
+        rps = one(278, h)
+        per_plane = (h + rps - 1) // rps
+        if (
+            not offsets
+            or not counts
+            or len(offsets) != len(counts)
+            or len(offsets) != spp * per_plane
+        ):
+            raise ValueError(
+                "TIFF planar strip offsets/counts missing or mismatched"
+            )
+        raw = bytearray(w * h * spp)
+        for c in range(spp):
+            plane = bytearray()
+            rows_left = h
+            for s in range(per_plane):
+                i = c * per_plane + s
+                so, sc = offsets[i], counts[i]
+                seg = payload[so : so + sc]
+                if len(seg) != sc:
+                    raise ValueError(f"truncated TIFF strip {i}")
+                rows = min(rps, rows_left)
+                plane += _decompress_seg(seg, rows * w, comp, f"strip {i}")
+                rows_left -= rows
+            raw[c :: spp] = plane
+    else:
+        offsets = tags.get(273)
+        counts = tags.get(279)
+        if not offsets or not counts or len(offsets) != len(counts):
+            raise ValueError("TIFF strip offsets/counts missing or mismatched")
+        rps = one(278, h)
+        row_bytes = w * spp
+        raw = bytearray()
+        rows_left = h
+        for i, (so, sc) in enumerate(zip(offsets, counts)):
+            strip = payload[so : so + sc]
+            if len(strip) != sc:
+                raise ValueError(f"truncated TIFF strip {i}")
+            rows = min(rps, rows_left)
+            raw += _decompress_seg(strip, rows * row_bytes, comp, f"strip {i}")
+            rows_left -= rows
+        if rows_left > 0:
+            raise ValueError("TIFF strips cover fewer rows than ImageLength")
 
     if photo == 2:
         if spp == 3:
@@ -390,13 +459,18 @@ def encode_tiff(
     rows_per_strip: int | None = None,
     big_endian: bool = False,
     n_pages: int = 1,
+    tile: "tuple[int, int] | None" = None,
+    planar: int = 1,
 ) -> bytes:
-    """Serialize row-major RGB as a baseline chunky-RGB TIFF
-    (photometric 2), optionally PackBits-compressed, strip-segmented,
+    """Serialize row-major RGB as a baseline RGB TIFF (photometric 2)
     in either byte order, with ``n_pages`` identical pages chained
     through the IFD next-pointers (real multi-page structure for
-    :func:`tiff_page_count` to walk). Deterministic bytes for
-    identical input."""
+    :func:`tiff_page_count` to walk). Pixel layout (round-9
+    continuation): chunky strips (default), PLANAR strips
+    (``planar=2`` — per-channel strip planes, plane-major offsets), or
+    TILES (``tile=(tw, tl)`` — tags 322-325, edge tiles zero-padded to
+    full size per spec §15). Each layout composes with every
+    compression. Deterministic bytes for identical input."""
     if len(rgb) != w * h * 3:
         raise ValueError(f"rgb length {len(rgb)} != {w}*{h}*3")
     if n_pages < 1:
@@ -405,21 +479,53 @@ def encode_tiff(
         raise ValueError(
             f"compression must be 'none', 'lzw' or 'packbits', got {compression!r}"
         )
+    if planar not in (1, 2):
+        raise ValueError(f"planar must be 1 or 2, got {planar}")
+    if tile is not None and planar == 2:
+        raise ValueError("tiled planar-2 layout unsupported")
     e = ">" if big_endian else "<"
     rps = h if rows_per_strip is None else rows_per_strip
     if rps < 1:
         raise ValueError("rows_per_strip must be >= 1")
 
-    row_bytes = w * 3
-    strips = []
-    for y0 in range(0, h, rps):
-        seg = rgb[y0 * row_bytes : min(y0 + rps, h) * row_bytes]
+    def _pack(seg: bytes) -> bytes:
         if compression == "packbits":
-            strips.append(packbits_encode(seg))
-        elif compression == "lzw":
-            strips.append(_lzw_encode_tiff(seg))
-        else:
-            strips.append(seg)
+            return packbits_encode(seg)
+        if compression == "lzw":
+            return _lzw_encode_tiff(seg)
+        return seg
+
+    row_bytes = w * 3
+    segments: list[bytes] = []
+    if tile is not None:
+        tw, tl = tile
+        if tw < 1 or tl < 1:
+            raise ValueError("tile dimensions must be >= 1")
+        across = (w + tw - 1) // tw
+        down = (h + tl - 1) // tl
+        for ty in range(down):
+            for tx in range(across):
+                buf = bytearray(tw * tl * 3)  # zero-padded edge tiles
+                rows = min(tl, h - ty * tl)
+                cols = min(tw, w - tx * tw)
+                for y in range(rows):
+                    src = ((ty * tl + y) * w + tx * tw) * 3
+                    buf[y * tw * 3 : y * tw * 3 + cols * 3] = rgb[
+                        src : src + cols * 3
+                    ]
+                segments.append(_pack(bytes(buf)))
+    elif planar == 2:
+        for c in range(3):
+            plane = rgb[c::3]
+            for y0 in range(0, h, rps):
+                segments.append(
+                    _pack(plane[y0 * w : min(y0 + rps, h) * w])
+                )
+    else:
+        for y0 in range(0, h, rps):
+            segments.append(
+                _pack(rgb[y0 * row_bytes : min(y0 + rps, h) * row_bytes])
+            )
     comp_code = {
         "none": _COMP_NONE, "lzw": _COMP_LZW, "packbits": _COMP_PACKBITS,
     }[compression]
@@ -442,35 +548,46 @@ def encode_tiff(
         overflow_off += total
         return head
 
+    # entry count is layout-dependent and must be known before the
+    # first entry is built (overflow values land after the IFD)
+    n_entries = 10 if (tile is not None or planar == 2) else 9
+
     prev_next_ptr = 4  # header's IFD-offset field
     for _page in range(n_pages):
-        # strip data first, then the IFD referencing it
-        strip_offsets = []
-        for s in strips:
-            strip_offsets.append(len(out))
+        # pixel segments first, then the IFD referencing them
+        seg_offsets = []
+        for s in segments:
+            seg_offsets.append(len(out))
             out += s
         if len(out) % 2:
             out += b"\x00"  # IFDs must start on a word boundary
         ifd_off = len(out)
         struct.pack_into(f"{e}I", out, prev_next_ptr, ifd_off)
 
-        n_strips = len(strips)
         entries = []
         overflow = b""
         # entries are 12 bytes each; overflow values land right after
         # the IFD's next-pointer
-        ifd_size_guess = 2 + 12 * 9 + 4
-        overflow_off = ifd_off + ifd_size_guess
+        overflow_off = ifd_off + 2 + 12 * n_entries + 4
         entries.append(entry(256, 4, [w]))
         entries.append(entry(257, 4, [h]))
         entries.append(entry(258, 3, [8, 8, 8]))
         entries.append(entry(259, 3, [comp_code]))
         entries.append(entry(262, 3, [2]))
-        entries.append(entry(273, 4, strip_offsets))
-        entries.append(entry(277, 3, [3]))
-        entries.append(entry(278, 4, [rps]))
-        entries.append(entry(279, 4, [len(s) for s in strips]))
-        assert len(entries) == 9
+        if tile is not None:
+            entries.append(entry(277, 3, [3]))
+            entries.append(entry(322, 4, [tile[0]]))
+            entries.append(entry(323, 4, [tile[1]]))
+            entries.append(entry(324, 4, seg_offsets))
+            entries.append(entry(325, 4, [len(s) for s in segments]))
+        else:
+            entries.append(entry(273, 4, seg_offsets))
+            entries.append(entry(277, 3, [3]))
+            entries.append(entry(278, 4, [rps]))
+            entries.append(entry(279, 4, [len(s) for s in segments]))
+            if planar == 2:
+                entries.append(entry(284, 3, [2]))
+        assert len(entries) == n_entries
         out += struct.pack(f"{e}H", len(entries))
         for en in entries:
             out += en

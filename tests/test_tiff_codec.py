@@ -235,3 +235,54 @@ def test_tiff_lzw_file_roundtrip():
             assert decode_image(p) == (w, h, rgb)
     p = encode_tiff(7, 5, rgb[: 7 * 5 * 3], compression="lzw", n_pages=2)
     assert tiff_page_count(p) == 2
+
+
+# -------------------------------------------------------- tiles + planar (r9)
+
+
+def test_tiled_roundtrip_matrix_with_edge_padding():
+    rng = np.random.default_rng(19)
+    for w, h in [(1, 1), (7, 5), (33, 17), (64, 50)]:
+        rgb = rng.integers(0, 256, size=w * h * 3, dtype=np.uint8).tobytes()
+        for comp in ("none", "lzw", "packbits"):
+            for be in (False, True):
+                p = encode_tiff(
+                    w, h, rgb, compression=comp, big_endian=be, tile=(16, 16)
+                )
+                assert decode_tiff(p) == (w, h, rgb), (w, h, comp, be)
+                assert decode_image(p) == (w, h, rgb)
+
+
+def test_planar_config2_roundtrip():
+    rng = np.random.default_rng(23)
+    for w, h in [(7, 5), (33, 17)]:
+        rgb = rng.integers(0, 256, size=w * h * 3, dtype=np.uint8).tobytes()
+        for comp in ("none", "lzw", "packbits"):
+            p = encode_tiff(
+                w, h, rgb, compression=comp, planar=2, rows_per_strip=4
+            )
+            assert decode_tiff(p) == (w, h, rgb), (w, h, comp)
+
+
+def test_tiled_multipage_and_validation():
+    rng = np.random.default_rng(29)
+    rgb = rng.integers(0, 256, size=20 * 12 * 3, dtype=np.uint8).tobytes()
+    p = encode_tiff(20, 12, rgb, tile=(8, 8), n_pages=3, compression="lzw")
+    assert tiff_page_count(p) == 3
+    assert decode_tiff(p) == (20, 12, rgb)
+    with pytest.raises(ValueError):
+        encode_tiff(4, 4, bytes(48), tile=(0, 8))
+    with pytest.raises(ValueError):
+        encode_tiff(4, 4, bytes(48), tile=(8, 8), planar=2)
+    with pytest.raises(ValueError):
+        encode_tiff(4, 4, bytes(48), planar=3)
+
+
+def test_tiled_tile_count_mismatch_rejected():
+    p = bytearray(encode_tiff(20, 12, bytes(20 * 12 * 3), tile=(8, 8)))
+    # corrupt TileWidth so the expected grid disagrees with the
+    # recorded tile count
+    i = p.index(struct.pack("<HHI", 322, 4, 1))
+    p[i + 8 : i + 12] = struct.pack("<I", 4)
+    with pytest.raises(ValueError):
+        decode_tiff(bytes(p))
