@@ -313,6 +313,29 @@ def _decompress_seg(seg: bytes, want: int, comp: int, label: str) -> bytes:
     return seg[:want]
 
 
+def _undiff_rows(seg: bytes, row_w: int, stride: int) -> bytes:
+    """Invert TIFF predictor 2 (horizontal differencing, tag 317):
+    within each row, sample i is stored as the byte delta from sample
+    i-stride (stride = samples per pixel for chunky rows, 1 for planar
+    rows); decoding is a per-row cumulative sum mod 256. LZW TIFFs in
+    the wild almost always carry this predictor — deltas of smooth
+    rasters compress far better than raw bytes."""
+    out = bytearray(seg)
+    for r0 in range(0, len(out), row_w):
+        for i in range(r0 + stride, min(r0 + row_w, len(out))):
+            out[i] = (out[i] + out[i - stride]) & 0xFF
+    return bytes(out)
+
+
+def _diff_rows(seg: bytes, row_w: int, stride: int) -> bytes:
+    """Apply TIFF predictor 2 (inverse of :func:`_undiff_rows`)."""
+    out = bytearray(seg)
+    for r0 in range(0, len(seg), row_w):
+        for i in range(min(r0 + row_w, len(seg)) - 1, r0 + stride - 1, -1):
+            out[i] = (seg[i] - seg[i - stride]) & 0xFF
+    return bytes(out)
+
+
 def decode_tiff(payload: bytes) -> tuple[int, int, bytes]:
     """Decode the FIRST page to ``(width, height, row-major RGB)``.
     Grayscale replicates to RGB (photometric 0 inverts — WhiteIsZero).
@@ -354,6 +377,9 @@ def decode_tiff(payload: bytes) -> tuple[int, int, bytes]:
     planar = one(284, 1)
     if planar not in (1, 2):
         raise NotImplementedError(f"TIFF planar configuration {planar} unsupported")
+    predictor = one(317, 1)
+    if predictor not in (1, 2):
+        raise NotImplementedError(f"TIFF predictor {predictor} unsupported")
     tiled = 322 in tags or 323 in tags
     if tiled and planar == 2:
         raise NotImplementedError("tiled planar-2 TIFF unsupported")
@@ -379,6 +405,8 @@ def decode_tiff(payload: bytes) -> tuple[int, int, bytes]:
             if len(seg) != sc:
                 raise ValueError(f"truncated TIFF tile {i}")
             tile = _decompress_seg(seg, tw * tl * spp, comp, f"tile {i}")
+            if predictor == 2:
+                tile = _undiff_rows(tile, tw * spp, spp)
             ty, tx = divmod(i, across)
             rows = min(tl, h - ty * tl)
             cols = min(tw, w - tx * tw)
@@ -411,7 +439,10 @@ def decode_tiff(payload: bytes) -> tuple[int, int, bytes]:
                 if len(seg) != sc:
                     raise ValueError(f"truncated TIFF strip {i}")
                 rows = min(rps, rows_left)
-                plane += _decompress_seg(seg, rows * w, comp, f"strip {i}")
+                dec = _decompress_seg(seg, rows * w, comp, f"strip {i}")
+                if predictor == 2:
+                    dec = _undiff_rows(dec, w, 1)
+                plane += dec
                 rows_left -= rows
             raw[c :: spp] = plane
     else:
@@ -428,7 +459,10 @@ def decode_tiff(payload: bytes) -> tuple[int, int, bytes]:
             if len(strip) != sc:
                 raise ValueError(f"truncated TIFF strip {i}")
             rows = min(rps, rows_left)
-            raw += _decompress_seg(strip, rows * row_bytes, comp, f"strip {i}")
+            dec = _decompress_seg(strip, rows * row_bytes, comp, f"strip {i}")
+            if predictor == 2:
+                dec = _undiff_rows(dec, row_bytes, spp)
+            raw += dec
             rows_left -= rows
         if rows_left > 0:
             raise ValueError("TIFF strips cover fewer rows than ImageLength")
@@ -461,6 +495,7 @@ def encode_tiff(
     n_pages: int = 1,
     tile: "tuple[int, int] | None" = None,
     planar: int = 1,
+    predictor: int = 1,
 ) -> bytes:
     """Serialize row-major RGB as a baseline RGB TIFF (photometric 2)
     in either byte order, with ``n_pages`` identical pages chained
@@ -483,6 +518,8 @@ def encode_tiff(
         raise ValueError(f"planar must be 1 or 2, got {planar}")
     if tile is not None and planar == 2:
         raise ValueError("tiled planar-2 layout unsupported")
+    if predictor not in (1, 2):
+        raise ValueError(f"predictor must be 1 or 2, got {predictor}")
     e = ">" if big_endian else "<"
     rps = h if rows_per_strip is None else rows_per_strip
     if rps < 1:
@@ -513,19 +550,24 @@ def encode_tiff(
                     buf[y * tw * 3 : y * tw * 3 + cols * 3] = rgb[
                         src : src + cols * 3
                     ]
-                segments.append(_pack(bytes(buf)))
+                seg = bytes(buf)
+                if predictor == 2:
+                    seg = _diff_rows(seg, tw * 3, 3)
+                segments.append(_pack(seg))
     elif planar == 2:
         for c in range(3):
             plane = rgb[c::3]
             for y0 in range(0, h, rps):
-                segments.append(
-                    _pack(plane[y0 * w : min(y0 + rps, h) * w])
-                )
+                seg = plane[y0 * w : min(y0 + rps, h) * w]
+                if predictor == 2:
+                    seg = _diff_rows(seg, w, 1)
+                segments.append(_pack(seg))
     else:
         for y0 in range(0, h, rps):
-            segments.append(
-                _pack(rgb[y0 * row_bytes : min(y0 + rps, h) * row_bytes])
-            )
+            seg = rgb[y0 * row_bytes : min(y0 + rps, h) * row_bytes]
+            if predictor == 2:
+                seg = _diff_rows(seg, row_bytes, 3)
+            segments.append(_pack(seg))
     comp_code = {
         "none": _COMP_NONE, "lzw": _COMP_LZW, "packbits": _COMP_PACKBITS,
     }[compression]
@@ -550,7 +592,9 @@ def encode_tiff(
 
     # entry count is layout-dependent and must be known before the
     # first entry is built (overflow values land after the IFD)
-    n_entries = 10 if (tile is not None or planar == 2) else 9
+    n_entries = (10 if (tile is not None or planar == 2) else 9) + (
+        1 if predictor == 2 else 0
+    )
 
     prev_next_ptr = 4  # header's IFD-offset field
     for _page in range(n_pages):
@@ -576,6 +620,8 @@ def encode_tiff(
         entries.append(entry(262, 3, [2]))
         if tile is not None:
             entries.append(entry(277, 3, [3]))
+            if predictor == 2:
+                entries.append(entry(317, 3, [2]))
             entries.append(entry(322, 4, [tile[0]]))
             entries.append(entry(323, 4, [tile[1]]))
             entries.append(entry(324, 4, seg_offsets))
@@ -587,6 +633,8 @@ def encode_tiff(
             entries.append(entry(279, 4, [len(s) for s in segments]))
             if planar == 2:
                 entries.append(entry(284, 3, [2]))
+            if predictor == 2:
+                entries.append(entry(317, 3, [2]))
         assert len(entries) == n_entries
         out += struct.pack(f"{e}H", len(entries))
         for en in entries:

@@ -286,3 +286,59 @@ def test_tiled_tile_count_mismatch_rejected():
     p[i + 8 : i + 12] = struct.pack("<I", 4)
     with pytest.raises(ValueError):
         decode_tiff(bytes(p))
+
+
+# -------------------------------------------------------- predictor 2 (r9)
+
+
+def test_predictor2_roundtrip_all_layouts():
+    rng = np.random.default_rng(31)
+    for w, h in [(1, 1), (7, 5), (33, 17)]:
+        rgb = rng.integers(0, 256, size=w * h * 3, dtype=np.uint8).tobytes()
+        for comp in ("none", "lzw", "packbits"):
+            for layout in (
+                {"rows_per_strip": 4},
+                {"tile": (16, 16)},
+                {"planar": 2, "rows_per_strip": 4},
+            ):
+                p = encode_tiff(
+                    w, h, rgb, compression=comp, predictor=2, **layout
+                )
+                assert decode_tiff(p) == (w, h, rgb), (w, h, comp, layout)
+
+
+def test_predictor2_actually_helps_lzw():
+    """The reason the predictor exists: smooth rasters' horizontal
+    deltas compress far better than raw bytes."""
+    grad = bytes(
+        (x * 3 + c) % 256 for y in range(64) for x in range(64) for c in range(3)
+    )
+    raw = encode_tiff(64, 64, grad, compression="lzw")
+    diff = encode_tiff(64, 64, grad, compression="lzw", predictor=2)
+    assert len(diff) < len(raw) / 3
+    assert decode_tiff(diff) == (64, 64, grad)
+
+
+def test_predictor2_differencing_is_per_row_per_channel():
+    from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.multimodal_tiff import (
+        _diff_rows,
+        _undiff_rows,
+    )
+
+    # chunky 2px rows, 3 channels: delta never crosses a row boundary
+    # and subtracts the SAME channel of the previous pixel
+    seg = bytes([10, 20, 30, 13, 25, 36, 100, 0, 0, 90, 250, 7])
+    d = _diff_rows(seg, 6, 3)
+    assert d[:6] == bytes([10, 20, 30, 3, 5, 6])
+    assert d[6:9] == bytes([100, 0, 0])  # new row restarts
+    assert _undiff_rows(d, 6, 3) == seg
+
+
+def test_unknown_predictor_rejected():
+    p = bytearray(encode_tiff(4, 4, bytes(48), compression="lzw", predictor=2))
+    i = p.index(struct.pack("<HHI", 317, 3, 1))
+    p[i + 8 : i + 10] = struct.pack("<H", 3)  # floating-point predictor
+    with pytest.raises(NotImplementedError):
+        decode_tiff(bytes(p))
+    with pytest.raises(ValueError):
+        encode_tiff(1, 1, bytes(3), predictor=3)
