@@ -739,14 +739,14 @@ def cooccurrence_window(
 _HOMOGLYPH_FROM = (
     "аеорсухіј"  # а е о р с у х і ј
     "АВЕКМНОРСТХ"  # АВЕКМНОРСТХ
-    "ονια"  # ο ν ι α (Greek lower)
+    "ονια"  # ο ν ι α (Greek lower; ν → 'v' per TR39, not 'n')
     "ΑΒΕΖΗΙΚΜΝΟΡΤΥΧ"  # ΑΒΕΖΗΙΚΜΝΟΡΤΥΧ
     "ЅѕІЈ"  # Ѕ ѕ І Ј
 )
 _HOMOGLYPH_TO = (
     "aeopcyxij"
     "ABEKMHOPCTX"
-    "onia"
+    "ovia"
     "ABEZHIKMNOPTYX"
     "SsIJ"
 )

@@ -854,11 +854,15 @@ def decode_wav(payload: bytes) -> "tuple[int, int, int, list[int]]":
     (8-bit unsigned storage shifts back by -128). Walks the chunk list
     properly — unknown chunks (LIST/INFO/cue) are skipped over their
     declared+padded length, so real-world files with metadata decode.
-    Accepted formats: integer PCM (tag 1, 8/16-bit) and — round 9 —
-    IMA/DVI ADPCM (tag 17, 4-bit): per-block predictor+index headers,
-    nibble stream reconstructed with the exact-integer IMA step
-    tables, ``bits`` reported as 4 (the storage width; reconstructed
-    samples are 16-bit). IEEE float (3), MS-ADPCM (2), mu-law (7) and
+    Accepted formats: integer PCM (tag 1, 8/16-bit), MS-ADPCM
+    (tag 2, 4-bit: coefficient-table predictors, per-block headers),
+    IEEE float (tag 3, 32/64-bit, canonical [-1,1]→int16 with
+    half-away rounding), G.711 A-law (tag 6) and mu-law (tag 7)
+    companding, and IMA/DVI ADPCM (tag 17, 4-bit): per-block
+    predictor+index headers, nibble stream reconstructed with the
+    exact-integer IMA step tables. For the ADPCM tags ``bits``
+    reports the 4-bit storage width (reconstructed samples are
+    16-bit). Other format tags (e.g. proprietary codecs) and
     truncated files raise ``NotImplementedError`` (same
     honest-boundary policy as ``decode_image``)."""
     import struct

@@ -490,10 +490,9 @@ def decode_gif_frames(payload: bytes) -> "list[tuple[int, int, bytes]]":
     """Composite EVERY frame of an animated GIF onto the logical
     screen, honoring the spec's disposal methods — closes the
     first-frame-only boundary :func:`decode_gif` documents. Returns
-    ``[(delay_ms, frame_index, rgb)]``-style tuples as
-    ``(delay_ms, w*h*3 position implied) — concretely
-    ``(delay_ms, disposal, rgb)`` per rendered frame, where ``rgb``
-    is the full logical screen AFTER painting that frame.
+    one ``(delay_ms, disposal, rgb)`` tuple per rendered frame, where
+    ``rgb`` is the full ``w*h*3`` logical screen AFTER painting that
+    frame.
 
     Disposal semantics (GIF89a §23): after a frame is displayed,
     0/1 leave the canvas as painted, 2 restores the frame's RECT to

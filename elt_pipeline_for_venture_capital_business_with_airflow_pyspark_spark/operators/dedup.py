@@ -476,7 +476,16 @@ def hash_chunk_entries(
         # plan audit exists to keep out
         raise ValueError(f"n_chunks must be in [1, 64], got {n_chunks}")
     width = 64 // n_chunks
-    mask = F.lit((1 << width) - 1).cast("long")
+
+    def chunk_val(c: int):
+        shifted = F.shiftright(F.col(hash_col), c * width)
+        if width == 64:
+            # n_chunks=1: the chunk IS the full long. (1 << 64) - 1
+            # does not fit a long literal (F.lit would throw), and the
+            # AND would be an identity anyway — skip it.
+            return shifted
+        return shifted.bitwiseAND(F.lit((1 << width) - 1).cast("long"))
+
     return fp.select(
         F.col(id_col).alias("id"),
         F.col(hash_col).alias("h"),
@@ -485,9 +494,7 @@ def hash_chunk_entries(
                 *[
                     F.struct(
                         F.lit(c).alias("chunk"),
-                        F.shiftright(F.col(hash_col), c * width)
-                        .bitwiseAND(mask)
-                        .alias("val"),
+                        chunk_val(c).alias("val"),
                     )
                     for c in range(n_chunks)
                 ]

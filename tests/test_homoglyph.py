@@ -45,6 +45,14 @@ def test_legitimate_nonlatin_text_not_destroyed(spark):
     assert _one(spark, TX.fold_homoglyphs(F.lit(s))) == s
 
 
+def test_greek_nu_folds_to_v_per_tr39(spark):
+    # TR39 confusables map U+03BD (Greek nu) to LATIN 'v', not 'n' —
+    # pinned so the curated table can't silently diverge from the
+    # cited source again (ADVICE r9).
+    assert _one(spark, TX.fold_homoglyphs(F.lit("ν"))) == "v"
+    assert dict(zip(TX._HOMOGLYPH_FROM, TX._HOMOGLYPH_TO))["ν"] == "v"
+
+
 def test_homoglyph_count_signals_poisoning(spark):
     assert _one(spark, TX.homoglyph_count(F.lit("plain ascii"))) == 0
     assert _one(spark, TX.homoglyph_count(F.lit("раypаl"))) == 3

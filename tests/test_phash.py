@@ -229,3 +229,29 @@ def test_chunk_entries_reject_degenerate_chunk_count(spark):
         hash_chunk_entries(fp, n_chunks=65)  # zero-width chunks
     with pytest.raises(ValueError):
         hash_chunk_entries(fp, n_chunks=0)
+
+
+def test_chunk_entries_full_width_single_chunk(spark):
+    """n_chunks=1 is the documented lower boundary: the chunk IS the
+    whole long (a (1<<64)-1 mask literal would overflow Spark's long —
+    ADVICE r9). Values, including negative longs, pass through
+    unchanged, and hamming_near_pairs(max_hamming=0, n_chunks=1)
+    degenerates to exact-hash pairing."""
+    from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.operators.dedup import (
+        hamming_near_pairs,
+        hash_chunk_entries,
+    )
+
+    fp = spark.createDataFrame(
+        [(1, -1), (2, -1), (3, 7), (4, 7), (5, 8)], "id long, h long"
+    )
+    rows = hash_chunk_entries(fp, n_chunks=1).collect()
+    assert {r["chunk"] for r in rows} == {0}
+    assert {(r["id"], r["val"]) for r in rows} == {
+        (1, -1), (2, -1), (3, 7), (4, 7), (5, 8)
+    }
+    pairs = sorted(
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in hamming_near_pairs(fp, max_hamming=0, n_chunks=1).collect()
+    )
+    assert pairs == [(1, 2, 0), (3, 4, 0)]
