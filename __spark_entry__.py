@@ -3451,6 +3451,93 @@ def _dedup_minhash_poly(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _minhash_grouped_sql(
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+) -> str:
+    """ANSI-SQL restatement of the STAR-FORM grouped LSH contract
+    (``banded_pairs_star``): identical signatures collapse to their
+    min-id representative (member edges, est exactly 1.0), then the
+    banded join runs over distinct signatures only (lsh edges). The
+    SQL groups on the full signature LIST — the same
+    no-hash-collision rule the Spark side follows."""
+    from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.operators.dedup import (
+        _universal_hash_params,
+    )
+
+    params = _universal_hash_params(num_hashes)
+    r = num_hashes // bands
+    sig_terms = ",\n             ".join(
+        f"list_min(list_transform(hs, x -> (CAST(x AS BIGINT)*{a}+{b}) % 2147483647))"
+        for a, b in params
+    )
+    return f"""
+    WITH n AS (
+      SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS s
+      FROM documents
+    ), g AS (
+      SELECT doc_id,
+             list_transform(generate_series(1, length(s) - 2),
+                            i -> ascii(s[i]) + ascii(s[i+1])*31 + ascii(s[i+2])*961) AS hs
+      FROM n WHERE length(s) >= 3
+    ), sigt AS (
+      SELECT doc_id, [{sig_terms}] AS sig
+      FROM g
+    ), grp AS (
+      SELECT sig, MIN(doc_id) AS rep_id FROM sigt GROUP BY sig
+    ), mem AS (
+      SELECT s.doc_id, gr.rep_id
+      FROM sigt s JOIN grp gr ON s.sig = gr.sig
+      WHERE s.doc_id IS NOT NULL
+    ), reps AS (
+      SELECT rep_id AS doc_id, sig FROM grp WHERE rep_id IS NOT NULL
+    ), be AS (
+      SELECT doc_id, unnest(generate_series(0, {bands - 1})) AS band, sig FROM reps
+    ), bb AS (
+      SELECT doc_id, band, CAST(sig[{r}*band+1 : {r}*band+{r}] AS VARCHAR) AS bucket, sig FROM be
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bb a JOIN bb b ON a.band = b.band AND a.bucket = b.bucket
+      WHERE a.doc_id < b.doc_id
+    )
+    SELECT rep_id AS id_a, doc_id AS id_b,
+           CAST(1.0 AS DOUBLE) AS est_jaccard, 'member' AS kind
+    FROM mem WHERE doc_id <> rep_id
+    UNION ALL
+    SELECT c.id_a, c.id_b,
+           list_sum(list_transform(generate_series(1, {num_hashes}),
+               i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END)) / {num_hashes}.0
+             AS est_jaccard,
+           'lsh' AS kind
+    FROM cand c
+    JOIN sigt sa ON sa.doc_id = c.id_a
+    JOIN sigt sb ON sb.doc_id = c.id_b
+    WHERE list_sum(list_transform(generate_series(1, {num_hashes}),
+               i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END)) / {num_hashes}.0
+          >= {threshold}
+    """
+
+
+@_register("dedup_minhash_grouped", _minhash_grouped_sql())
+def _dedup_minhash_grouped(spark: SparkSession, sf: str) -> DataFrame:
+    """Star-form grouped LSH dedup (VERDICT r9 #1 — the hot-bucket
+    guard's native output contract): identical-signature groups emit
+    ``kind='member'`` rep→member edges (linear, never the k(k-1)/2
+    clique), distinct-signature near-dups emit ``kind='lsh'``
+    rep-level edges from the guarded band join. Same connected
+    components as the full pair set (``dedup_minhash_poly``, which
+    itself now runs the guard internally and expands — its unchanged
+    ungrouped oracle doubles as the grouped==ungrouped equivalence
+    proof). The oracle restates the grouped algorithm end to end,
+    grouping on the full signature list exactly as the Spark side
+    does."""
+    docs = read_table(spark, sf, "documents")
+    return DD.minhash_lsh_edges_grouped_poly(
+        docs, "doc_id", "text", threshold=0.5
+    ).select("id_a", "id_b", "est_jaccard", "kind")
+
+
 @_register(
     "dedup_incremental_lsh",
     _minhash_poly_sql(
@@ -12027,16 +12114,17 @@ _WINDOW_ORDER: list[str] = [
     "scan_project_filter", "incremental_slice",
     # flagship SQL
     "q1_pricing_summary", "q3_shipping_priority",
-    # scalar function suites (F1/F5/F6 via part_suite, F2 via to_usd;
-    # entity_type/try_cast rotated to the tail sweep in r9 to make
-    # room for the r8 LLM-op rotation — VERDICT r8 #1)
-    "scalar_part_suite", "scalar_to_usd",
+    # scalar function suites (F1/F5/F6 via part_suite;
+    # entity_type/try_cast rotated to the tail sweep in r9,
+    # scalar_to_usd in r10 — part_suite keeps the family under the
+    # hard hash check; to_usd stays hash-checked in the CI tail)
+    "scalar_part_suite",
     # date dim + json (A8, F7, F10-F12; flatten_struct rotated to the
     # tail in r9 — extract_agg keeps the family)
     "dim_date_full", "json_extract_agg",
-    # profiling (A2-A7; catalog loop rotated to the tail in r9 —
-    # profile_orders + report_json keep the family)
-    "profile_orders", "profile_report_json",
+    # profiling (A2-A7; catalog loop rotated to the tail in r9,
+    # report_json in r10 — profile_orders keeps the family)
+    "profile_orders",
     # warehouse build (W1-W3, S7; sort_limit_topk rotated to the tail
     # in r9 — window_topk_per_group keeps the sort/limit family)
     "surrogate_key_dim", "star_schema_build", "upsert_merge",
@@ -12045,41 +12133,49 @@ _WINDOW_ORDER: list[str] = [
     "join_inner_fk_agg", "join_left_null_retention", "join_self_dual_role",
     # temporal (as-of / range / SCD2)
     "join_asof_backward", "join_range_interval", "scd2_order_status",
-    # aggregation (S9 via spark.sql + stats family; agg_collect_sorted
-    # moved to the tail sweep in r5 to make room for the incremental
-    # dedup flagship; agg_percentiles moved to the tail in r6 to make
-    # room for the bitext-mining exact twin — the percentile family
-    # keeps agg_percentile_disc_cont + agg_exact_median in the sweep)
-    "agg_grouping_sets", "agg_stats",
+    # aggregation (S9 via spark.sql; agg_collect_sorted moved to the
+    # tail sweep in r5, agg_percentiles in r6, agg_stats in r10 —
+    # grouping_sets keeps the family; the percentile family keeps
+    # agg_percentile_disc_cont + agg_exact_median in the sweep)
+    "agg_grouping_sets",
     # windows / sessions (streaming batch-twin evidence)
     "window_topk_per_group", "sessionize",
     # data quality / hypertable / curation flagship
     "dq_expectations", "rollup_hypertable", "curation_pipeline",
     # text analysis (lang_id + top_terms rotated to the tail sweep in
-    # r8 — single-function scores with text_stats/winnowing keeping the
-    # family in-window — to make room for the two newest flagship
-    # lifecycles under the driver's hard hash check)
-    "text_stats", "text_winnow_fingerprints",
-    # deterministic sampling
-    "sample_hash_stratified",
-    # dedup family (exact → jaccard → CC → LSH twins → edit distance)
-    "dedup_exact_groups", "dedup_ngram_jaccard", "dedup_connected_components",
+    # r8, winnow_fingerprints in r10 — text_stats keeps the family;
+    # the r9/r10 flagships below add homoglyph folding + packing)
+    "text_stats",
+    # r10 rotation (VERDICT r9 #4): round-9 flagships under the hard
+    # hash check — poisoning-defense homoglyph folding, sequence
+    # packing, and largest-remainder quota mixing (which also keeps
+    # the sampling family after sample_hash_stratified moved to the
+    # tail)
+    "text_homoglyph_fold", "text_pack_chunks", "sample_quota_mix",
+    # dedup family (exact → CC → LSH twins → r10 grouped star form;
+    # ngram_jaccard + edit1_names rotated to the tail in r10 —
+    # minhash_poly keeps the jaccard family)
+    "dedup_exact_groups", "dedup_connected_components",
     "dedup_minhash_poly", "dedup_simhash_poly", "dedup_incremental_lsh",
-    "dedup_edit1_names",
+    # r10: the hot-bucket guard's star-form contract (VERDICT r9 #1)
+    "dedup_minhash_grouped",
     # embedding similarity (hash-checked twins of the LSH/IVF paths,
     # + the exact bitext-mining twin of embedding_bitext_ivf)
     "embedding_near_dup_sqlcheck", "embedding_ann_sqlcheck", "embedding_ivf_sqlcheck",
     "embedding_bitext_mine",
     # multimodal (r9 rotation: the REAL codec paths take the window —
     # jpeg_roundtrip drives the baseline JPEG encoder/decoder,
-    # frame_sample_mjpeg drives RIFF/AVI walk + 4:2:0 JPEG decode
-    # end-to-end; multimodal_features' md5/bytes boundary moves to the
-    # tail sweep)
+    # frame_sample_mjpeg drives RIFF/AVI walk + 4:2:0 JPEG decode;
+    # r10 rotation adds the round-9 codec flagships: pHash image
+    # near-dup, TIFF IFD/PackBits/LZW round-trip, G.711 companding,
+    # and DIB-AVI frame sampling)
     "multimodal_jpeg_roundtrip", "multimodal_frame_sample_mjpeg",
-    # corpus-trained BPE tokenizer (all 8 merge rounds hash-checked)
-    # + the production 32k-vocab apply path (broadcast + one Arrow
-    # stage — VERDICT r8 #1 rotation)
-    "text_bpe_learn", "text_bpe_tokenize_large",
+    "multimodal_phash_near_dup", "multimodal_tiff_roundtrip",
+    "multimodal_audio_g711", "multimodal_frame_sample_dib",
+    # corpus-trained BPE: the production 32k-vocab apply path
+    # (broadcast + one Arrow stage); bpe_learn rotated to the tail in
+    # r10 — tokenize_large exercises the same learned-merge lifecycle
+    "text_bpe_tokenize_large",
     # r8 rotation: the two newest flagship lifecycles (VERDICT r7 #8) —
     # blocked Fellegi–Sunter linkage (post-ANSI-fix) and the
     # int8-inside-IVF serving tier (BIGINT ADC, fully hash-checked)

@@ -25,6 +25,15 @@ from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.sessio
     build_session,
 )
 
+# Control queries for host-state normalization (VERDICT r9 #3):
+# stable, code-frozen shapes — a codegen scan+agg, a text scan, a
+# broadcast join — whose relative drift measures the HOST, not the
+# code. tools/bench_gate.py normalizes every other query's time by
+# the median control ratio before applying the variance band. Keep in
+# sync with tools/bench_gate.py CONTROLS (tests/test_bench_controls.py
+# pins both lists and their HEADLINE membership).
+CONTROLS = ["q1_pricing_summary", "text_stats", "join_inner_fk_agg"]
+
 HEADLINE = [
     # round-3 TPC-H remainder representatives + multiset set op
     "q6_forecast_revenue",
@@ -225,6 +234,9 @@ HEADLINE = [
     # round-9 continuation: homoglyph/confusable folding (poisoning
     # defense; one JVM-side translate, no UDF)
     "text_homoglyph_fold",
+    # round-10: the hot-bucket guard's star-form output contract
+    # (VERDICT r9 #1) — linear edge volume on duplicate-heavy corpora
+    "dedup_minhash_grouped",
 ]
 
 
@@ -238,12 +250,27 @@ def main() -> None:
     # needs median + k*sigma, not a point sample vs bare 2x). The
     # default single rep keeps the driver's per-round run unchanged.
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "1")))
+    # SPARK_GRAFT_BENCH_ONLY="a,b,c" restricts the run to a subset
+    # (always unioned with CONTROLS so every recording carries the
+    # host-state evidence the control-normalized gate needs) — the
+    # 5-rep isolated re-record protocol for adjudicating drift flags.
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").strip()
+    if only:
+        requested = [n for n in only.split(",") if n.strip()]
+        unknown = [n for n in requested if n not in HEADLINE]
+        if unknown:
+            raise SystemExit(f"not in HEADLINE: {unknown}")
+        run_list = [
+            n for n in HEADLINE if n in set(requested) | set(CONTROLS)
+        ]
+    else:
+        run_list = HEADLINE
     spark = build_session("bench")
 
     qs = entry_mod.queries()
     timings: dict[str, float] = {}
     sigmas: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in run_list:
         fn = qs[name]
         fn(spark, sf_dir).count()  # warm-up: plan + fill caches
         samples = []

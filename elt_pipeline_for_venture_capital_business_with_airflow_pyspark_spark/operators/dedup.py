@@ -347,17 +347,105 @@ def band_entries(
     ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
 
+def collapse_identical_signatures(sig: DataFrame) -> "tuple[DataFrame, DataFrame]":
+    """Hot-bucket guard, phase 1 (VERDICT r9 #1): collapse
+    byte-identical signatures to one canonical representative.
+
+    Returns ``(reps, membership)`` where ``reps`` is ``(id,
+    signature)`` restricted to the min-id document of each distinct
+    signature and ``membership`` is ``(id, rep_id)`` for every
+    non-NULL-id document. Grouping key is the FULL signature array —
+    never a hash of it: a 64-bit hash collision would silently merge
+    two distinct signatures and emit false est=1.0 pairs, and at
+    10^10 docs the birthday bound makes that a real event. One
+    shuffle on the signature key (a window min — no self-join)."""
+    w = Window.partitionBy("signature")
+    with_rep = sig.withColumn("rep_id", F.min("id").over(w))
+    membership = with_rep.select("id", "rep_id").filter(F.col("id").isNotNull())
+    reps = with_rep.filter(F.col("id") == F.col("rep_id")).select("id", "signature")
+    return reps, membership
+
+
+def band_bucket_overflow(
+    sig: DataFrame,
+    num_hashes: int = 64,
+    bands: int = 16,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """Overflow accounting for the per-bucket cap: ``(band, bucket,
+    n_signatures)`` for every band bucket holding more than
+    ``max_bucket_size`` DISTINCT signatures (identical signatures
+    collapse first, so a million byte-identical boilerplate docs are
+    ONE signature here, not an overflow). Run this alongside a capped
+    :func:`banded_pairs` call to quantify what the cap dropped."""
+    reps, _ = collapse_identical_signatures(sig)
+    return (
+        band_entries(reps, num_hashes, bands)
+        .groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("n_signatures"))
+        .filter(F.col("n_signatures") > max_bucket_size)
+    )
+
+
 def banded_pairs(
     sig: DataFrame,
     num_hashes: int = 64,
     bands: int = 16,
     threshold: float = 0.8,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """LSH banding over a (id, signature array) frame: band-bucket
     collision candidates, deduped, then scored by estimated Jaccard
     (= fraction of matching signature positions) and thresholded.
-    Shared tail of every minhash variant."""
-    bt = band_entries(sig, num_hashes, bands)
+    Shared tail of every minhash variant.
+
+    Hot-bucket guard (VERDICT r9 #1): identical signatures collapse
+    to one representative BEFORE the band self-join, then scored
+    rep-level pairs expand back through the membership frame. k
+    byte-identical boilerplate docs (the dominant collision mode in
+    web crawls) contribute ONE node to the band join instead of k —
+    candidate volume stays linear; the k(k-1)/2 intra-group pairs are
+    emitted directly from membership (output-sized work, inherent to
+    the pair contract). Output is IDENTICAL to the ungrouped join —
+    the estimate depends only on signatures, so cross-group pairs
+    exist iff their rep pair exists, with the same score — which is
+    why the DuckDB oracle for ``dedup_minhash_poly`` (an ungrouped
+    SQL restatement) still hash-matches.
+
+    ``max_bucket_size`` is the second line of defense, for DISTINCT
+    signatures flooding one bucket (boilerplate-with-noise whose
+    sub-threshold candidates would be generated then discarded):
+    buckets with more than that many distinct signatures are skipped
+    in candidate generation — a documented recall trade, quantified
+    by :func:`band_bucket_overflow`. Default None = exact."""
+    rep_pairs, membership = _rep_level_pairs(
+        sig, num_hashes, bands, threshold, max_bucket_size
+    )
+    return _expand_rep_pairs(rep_pairs, membership, threshold)
+
+
+def _rep_level_pairs(
+    sig: DataFrame,
+    num_hashes: int,
+    bands: int,
+    threshold: float,
+    max_bucket_size: int | None = None,
+) -> "tuple[DataFrame, DataFrame]":
+    """Shared guarded core: collapse identical signatures, band-join
+    the representatives only, score. Returns ``(rep_pairs,
+    membership)``."""
+    reps, membership = collapse_identical_signatures(sig)
+    bt = band_entries(reps, num_hashes, bands)
+    if max_bucket_size is not None:
+        ok = (
+            bt.groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") <= max_bucket_size)
+            .drop("__n")
+        )
+        # same (band, bucket) key as the self-join below — AQE keeps
+        # these co-partitioned, no extra shuffle of the band table
+        bt = bt.join(ok, ["band", "bucket"])
     a = bt.alias("a")
     b = bt.alias("b")
     cand = (
@@ -366,7 +454,101 @@ def banded_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    return _score_candidates(cand, sig, sig, num_hashes, threshold)
+    rep_pairs = _score_candidates(cand, reps, reps, num_hashes, threshold)
+    return rep_pairs, membership
+
+
+def banded_pairs_star(
+    sig: DataFrame,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.8,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """The LINEAR-output form of :func:`banded_pairs` — what a 100 TB
+    dedup job should actually emit. Instead of the full pair clique
+    (k(k-1)/2 rows for k identical boilerplate docs), returns a
+    star-form edge set with the SAME connected components:
+
+    - ``kind='member'``: ``(rep_id, id, 1.0)`` for every non-rep
+      member of an identical-signature group — k-1 edges, not
+      k(k-1)/2; identical docs are definitionally duplicates.
+    - ``kind='lsh'``: representative-level near-dup pairs from the
+      guarded band join, one edge per PAIR OF GROUPS.
+
+    Transitive closure over these edges equals transitive closure
+    over the full :func:`banded_pairs` output (cross-group pairs
+    exist iff their rep pair exists — the estimate depends only on
+    the signatures), so connected-components / keep-first dedup
+    downstream is unchanged while the edge volume drops from
+    quadratic to linear in group size. Columns: ``(id_a, id_b,
+    est_jaccard, kind)`` with ``id_a < id_b``."""
+    rep_pairs, membership = _rep_level_pairs(
+        sig, num_hashes, bands, threshold, max_bucket_size
+    )
+    member = (
+        membership.filter(F.col("id") != F.col("rep_id"))
+        .select(
+            F.col("rep_id").alias("id_a"),
+            F.col("id").alias("id_b"),
+            F.lit(1.0).alias("est_jaccard"),
+            F.lit("member").alias("kind"),
+        )
+        .filter(F.lit(1.0) >= F.lit(float(threshold)))
+    )
+    lsh = rep_pairs.withColumn("kind", F.lit("lsh"))
+    return member.unionByName(lsh)
+
+
+def minhash_lsh_edges_grouped_poly(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Star-form near-dup edges over the SQL-replicable polynomial
+    MinHash — :func:`banded_pairs_star` on
+    :func:`minhash_signatures_poly`, fully oracle-hash-checkable."""
+    sig = minhash_signatures_poly(df, id_col, text_col, k, num_hashes)
+    return banded_pairs_star(sig, num_hashes, bands, threshold, max_bucket_size)
+
+
+def _expand_rep_pairs(
+    rep_pairs: DataFrame,
+    membership: DataFrame,
+    threshold: float,
+    score_col: str = "est_jaccard",
+) -> DataFrame:
+    """Expand representative-level scored pairs to document-level
+    pairs: intra-group pairs (identical signatures — score exactly
+    1.0, the same double the ungrouped zip_with match-fraction
+    produces) plus cross-group pairs carrying their rep pair's score.
+    Work here is proportional to the OUTPUT pair count, which is the
+    floor any implementation of the full-pair contract pays."""
+    m1 = membership.select(F.col("rep_id").alias("__g"), F.col("id").alias("id_a"))
+    m2 = membership.select(F.col("rep_id").alias("__g"), F.col("id").alias("id_b"))
+    intra = (
+        m1.join(m2, "__g")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.lit(1.0).alias(score_col))
+        .filter(F.lit(1.0) >= F.lit(float(threshold)))
+    )
+    ma = membership.select(F.col("rep_id").alias("id_a"), F.col("id").alias("__ma"))
+    mb = membership.select(F.col("rep_id").alias("id_b"), F.col("id").alias("__mb"))
+    cross = (
+        rep_pairs.join(ma, "id_a")
+        .join(mb, "id_b")
+        .select(
+            F.least("__ma", "__mb").alias("id_a"),
+            F.greatest("__ma", "__mb").alias("id_b"),
+            score_col,
+        )
+    )
+    return intra.unionByName(cross)
 
 
 def _score_candidates(
@@ -527,7 +709,24 @@ def hamming_near_pairs(
             f"pigeonhole banding needs max_hamming < n_chunks "
             f"(got {max_hamming} >= {n_chunks})"
         )
-    chunks = hash_chunk_entries(fp, id_col, hash_col, n_chunks)
+    # hot-bucket guard (VERDICT r9 #1, same as banded_pairs): collapse
+    # identical fingerprints to a min-id representative before the
+    # chunk self-join — k byte-identical docs (hence identical
+    # SimHash/pHash longs) contribute ONE node to every chunk bucket
+    # instead of k, keeping candidate volume linear on
+    # boilerplate-heavy corpora. The distance depends only on the
+    # fingerprint, so expanding scored rep pairs through the
+    # membership frame reproduces the ungrouped output exactly
+    # (intra-group pairs have hamming 0, always <= max_hamming >= 0).
+    w = Window.partitionBy(hash_col)
+    with_rep = fp.withColumn("__rep", F.min(id_col).over(w))
+    membership = with_rep.select(
+        F.col(id_col).alias("id"), F.col("__rep").alias("rep_id")
+    ).filter(F.col(id_col).isNotNull())
+    reps = with_rep.filter(F.col(id_col) == F.col("__rep")).select(
+        F.col(id_col).alias("id"), F.col(hash_col).alias("h")
+    )
+    chunks = hash_chunk_entries(reps, "id", "h", n_chunks)
 
     a, b = chunks.alias("a"), chunks.alias("b")
     cand = (
@@ -542,11 +741,30 @@ def hamming_near_pairs(
         .dropDuplicates(["id_a", "id_b"])
     )
     hamming = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
-    return (
+    rep_pairs = (
         cand.withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+    m1 = membership.select(F.col("rep_id").alias("__g"), F.col("id").alias("id_a"))
+    m2 = membership.select(F.col("rep_id").alias("__g"), F.col("id").alias("id_b"))
+    intra = (
+        m1.join(m2, "__g")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.lit(0).cast("int").alias("hamming"))
+    )
+    ma = membership.select(F.col("rep_id").alias("id_a"), F.col("id").alias("__ma"))
+    mb = membership.select(F.col("rep_id").alias("id_b"), F.col("id").alias("__mb"))
+    cross = (
+        rep_pairs.join(ma, "id_a")
+        .join(mb, "id_b")
+        .select(
+            F.least("__ma", "__mb").alias("id_a"),
+            F.greatest("__ma", "__mb").alias("id_b"),
+            "hamming",
+        )
+    )
+    return intra.unionByName(cross)
 
 
 def simhash_near_pairs(

@@ -44,18 +44,31 @@ REQUIRED_IN_WINDOW = {
     "text_bpe_tokenize_large",
     "multimodal_jpeg_roundtrip",
     "multimodal_frame_sample_mjpeg",
+    # r10 rotation (VERDICT r9 #4): round-9 flagships + the
+    # hot-bucket-guard star form (VERDICT r9 #1)
+    "sample_quota_mix",
+    "text_pack_chunks",
+    "text_homoglyph_fold",
+    "multimodal_phash_near_dup",
+    "multimodal_tiff_roundtrip",
+    "multimodal_audio_g711",
+    "multimodal_frame_sample_dib",
+    "dedup_minhash_grouped",
     # §2 coverage representatives (one per family; the r9 rotation
     # moved the redundant siblings — entity_type/try_cast,
     # flatten_struct, profile_catalog, sort_limit_topk,
-    # join_named_key_left, multimodal_features — to the CI tail sweep)
+    # join_named_key_left, multimodal_features — to the CI tail
+    # sweep; the r10 rotation moved scalar_to_usd,
+    # profile_report_json, agg_stats, text_winnow_fingerprints,
+    # sample_hash_stratified, dedup_ngram_jaccard, dedup_edit1_names
+    # and text_bpe_learn there, each leaving a family sibling under
+    # the hard hash check)
     "scan_project_filter",
     "incremental_slice",
     "scalar_part_suite",
-    "scalar_to_usd",
     "dim_date_full",
     "json_extract_agg",
     "profile_orders",
-    "profile_report_json",
     "surrogate_key_dim",
     "agg_grouping_sets",
     "join_inner_fk_agg",

@@ -17,9 +17,24 @@ For queries recorded before sigma existed (or single-rep recordings)
 the variance term drops out and the rel/abs floors still apply, so the
 gate degrades gracefully to "1.25x with a 150 ms floor, capped by 2x".
 
+Control normalization (VERDICT r9 #3): three rounds running, the
+single-rep per-round bench produced >1.5x flags that evaporated under
+5-rep isolation — the raw wall-time gate cannot separate host/JVM
+state from code regressions. Every bench run times the CONTROL
+queries (stable, code-frozen shapes: a scan+agg, a text scan, a
+broadcast join); the gate estimates the host factor as the median of
+(candidate_control / baseline_control) and normalizes every candidate
+time by it before applying the band. A genuinely regressed query
+moves AGAINST the controls and still flags; a uniformly slow host
+moves WITH them and doesn't. The factor is clamped to [0.67, 1.5] —
+beyond that the host is too disturbed to adjudicate and the run
+should be repeated instead of silently rescaled (the gate prints the
+raw factor either way).
+
 Usage:
     python tools/bench_gate.py CANDIDATE.json [--baseline BENCH.json]
                                [--k 5] [--rel 0.25] [--abs 0.15]
+                               [--no-controls]
 
 Exit 0 = no regressions; 1 = regressions (printed per query);
 missing baselines for new queries are reported but never fail the
@@ -31,9 +46,43 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import statistics
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# Stable, code-frozen shapes used to estimate host state. Keep in sync
+# with bench.py CONTROLS (guarded by tests/test_bench_controls.py).
+CONTROLS = ["q1_pricing_summary", "text_stats", "join_inner_fk_agg"]
+
+# beyond this the host is too disturbed to adjudicate by rescaling
+FACTOR_CLAMP = (0.67, 1.5)
+
+
+def _control_ratios(candidate: dict, baseline: dict, exclude: str | None = None):
+    base_q = baseline.get("queries", {})
+    cand_q = candidate.get("queries", {})
+    return [
+        cand_q[c] / base_q[c]
+        for c in CONTROLS
+        if c != exclude and c in cand_q and base_q.get(c)
+    ]
+
+
+def host_factor(
+    candidate: dict, baseline: dict, exclude: str | None = None
+) -> "tuple[float, float | None]":
+    """(clamped, raw) median candidate/baseline ratio over the control
+    queries present in both runs; (1.0, None) when fewer than two
+    controls are available. ``exclude`` drops one control from the
+    estimate — used to gate each control against its PEERS
+    (leave-one-out), so a uniformly slow host exonerates the controls
+    too while a single control that regressed in code still flags."""
+    ratios = _control_ratios(candidate, baseline, exclude)
+    if len(ratios) < 2:
+        return 1.0, None
+    raw = statistics.median(ratios)
+    return min(max(raw, FACTOR_CLAMP[0]), FACTOR_CLAMP[1]), raw
 
 
 def evaluate(
@@ -42,10 +91,14 @@ def evaluate(
     k: float = 5.0,
     rel_floor: float = 0.25,
     abs_floor: float = 0.15,
+    use_controls: bool = True,
 ) -> dict:
     base_q = baseline.get("queries", {})
     base_sigma = baseline.get("sigma", {})
     cand_q = candidate.get("queries", {})
+    factor, raw_factor = (
+        host_factor(candidate, baseline) if use_controls else (1.0, None)
+    )
     regressions = []
     checked = 0
     for name, t in cand_q.items():
@@ -53,6 +106,18 @@ def evaluate(
         if med is None:
             continue
         checked += 1
+        # control-normalize: judge the query against how the HOST
+        # moved, not the wall clock. A control is judged against its
+        # PEER controls (leave-one-out) — normalizing a control by a
+        # factor containing itself would blind the gate to a real
+        # regression in control code, while raw gating would flag all
+        # controls on any slow host.
+        if not use_controls:
+            t_norm = t
+        elif name in CONTROLS:
+            t_norm = t / host_factor(candidate, baseline, exclude=name)[0]
+        else:
+            t_norm = t / factor
         sigma = base_sigma.get(name)
         # with a recorded sigma the variance band carries the gate and
         # the relative floor tightens (0.6x the legacy floor); without
@@ -60,15 +125,16 @@ def evaluate(
         rel = rel_floor * 0.6 if sigma is not None else rel_floor
         band = med + max(k * (sigma or 0.0), rel * med, abs_floor)
         threshold = min(2.0 * med, band)
-        if t > threshold:
+        if t_norm > threshold:
             regressions.append(
                 {
                     "query": name,
                     "sec": t,
+                    "sec_normalized": round(t_norm, 3),
                     "baseline_median": med,
                     "sigma": base_sigma.get(name),
                     "threshold": round(threshold, 3),
-                    "ratio": round(t / med, 3) if med else None,
+                    "ratio": round(t_norm / med, 3) if med else None,
                 }
             )
     unrecorded = sorted(set(cand_q) - set(base_q))
@@ -79,6 +145,8 @@ def evaluate(
         "regressions": regressions,
         "unrecorded": unrecorded,
         "baseline_only": stale,
+        "host_factor": round(factor, 4),
+        "host_factor_raw": round(raw_factor, 4) if raw_factor else None,
     }
 
 
@@ -112,6 +180,11 @@ def main() -> int:
     ap.add_argument("--k", type=float, default=5.0)
     ap.add_argument("--rel", type=float, default=0.25)
     ap.add_argument("--abs", dest="abs_floor", type=float, default=0.15)
+    ap.add_argument(
+        "--no-controls",
+        action="store_true",
+        help="gate on raw wall time (legacy pre-r10 behavior)",
+    )
     args = ap.parse_args()
 
     with open(args.candidate) as f:
@@ -120,10 +193,26 @@ def main() -> int:
     with open(args.baseline) as f:
         baseline = json.load(f)
 
-    result = evaluate(candidate, baseline, args.k, args.rel, args.abs_floor)
+    result = evaluate(
+        candidate,
+        baseline,
+        args.k,
+        args.rel,
+        args.abs_floor,
+        use_controls=not args.no_controls,
+    )
+    print(
+        f"host factor {result['host_factor']}"
+        + (
+            f" (raw {result['host_factor_raw']})"
+            if result.get("host_factor_raw") is not None
+            else " (controls unavailable)"
+        )
+    )
     for r in result["regressions"]:
         print(
-            f"REGRESSION {r['query']}: {r['sec']}s vs median "
+            f"REGRESSION {r['query']}: {r['sec']}s "
+            f"(normalized {r['sec_normalized']}s) vs median "
             f"{r['baseline_median']}s (sigma={r['sigma']}, threshold "
             f"{r['threshold']}s, ratio {r['ratio']}x)"
         )
@@ -137,6 +226,7 @@ def main() -> int:
                 "checked": result["checked"],
                 "n_regressions": len(result["regressions"]),
                 "n_unrecorded": len(result["unrecorded"]),
+                "host_factor": result["host_factor"],
             }
         )
     )
