@@ -766,15 +766,52 @@ def embedding_near_dup(
     """All pairs (id_a < id_b) with cosine ≥ threshold, generated via
     sign-bit band collisions + exact rerank (high-cosine pairs collide
     in some band with high probability). Band join and pair dedup
-    shuffle bare ids; vectors rejoin once per side for the rerank."""
-    b_df = _band_entries(corpus, id_col, "id", vec_col, dim, num_planes, bands, seed)
+    shuffle bare ids; vectors rejoin once per side for the rerank.
+
+    Hot-bucket guard (round 10 — the embedding sibling of the
+    ``dedup.banded_pairs`` guard): byte-identical vectors (duplicate
+    docs embed identically, the dominant collision mode at crawl
+    scale) collapse to a min-id representative BEFORE the band
+    self-join, so k clones contribute ONE node per bucket instead of
+    k² candidates; candidate pairs then expand back through the
+    membership frame and EVERY expanded pair is scored by the same
+    cosine expression as before — identical floats give identical
+    scores, so the output (and the hash-checked
+    ``embedding_near_dup_sqlcheck`` oracle) is unchanged. Scoring is
+    output-sized work, the floor the all-pairs contract sets."""
+    with_rep = corpus.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("__vec")
+    ).withColumn("__rep", F.min("id").over(Window.partitionBy("__vec")))
+    membership = with_rep.select("id", F.col("__rep").alias("rep_id")).filter(
+        F.col("id").isNotNull()
+    )
+    reps = with_rep.filter(F.col("id") == F.col("__rep")).select("id", "__vec")
+    b_df = _band_entries(reps, "id", "id", "__vec", dim, num_planes, bands, seed)
     a, b = b_df.alias("a"), b_df.alias("b")
-    cand = (
+    rep_cand = (
         a.join(b, on=["band", "bucket"])
         .filter(F.col("a.id") < F.col("b.id"))
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
+    m1 = membership.select(F.col("rep_id").alias("__g"), F.col("id").alias("id_a"))
+    m2 = membership.select(F.col("rep_id").alias("__g"), F.col("id").alias("id_b"))
+    intra = (
+        m1.join(m2, "__g")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+    ma = membership.select(F.col("rep_id").alias("id_a"), F.col("id").alias("__ma"))
+    mb = membership.select(F.col("rep_id").alias("id_b"), F.col("id").alias("__mb"))
+    cross = (
+        rep_cand.join(ma, "id_a")
+        .join(mb, "id_b")
+        .select(
+            F.least("__ma", "__mb").alias("id_a"),
+            F.greatest("__ma", "__mb").alias("id_b"),
+        )
+    )
+    cand = intra.unionByName(cross)
     va = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
     vb = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
     return (

@@ -1,0 +1,296 @@
+"""Registry family: sampling (8 queries).
+
+- sample_hash_stratified
+- sample_weighted_bernoulli
+- sample_per_group_cap
+- mix_weighted_domains
+- sample_three_way_split
+- sample_temporal_embargo_split
+- sample_quota_mix
+- sample_negatives_contrastive
+"""
+
+from ._shared import *  # noqa: F401,F403
+from ._shared import _register  # noqa: F401
+
+
+
+@_register(
+    "sample_hash_stratified",
+    """
+    SELECT doc_id, lang
+    FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+          < CASE WHEN lang = 'en' THEN '10' ELSE '40' END
+    """,
+)
+def _sample_hash_stratified(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic stratified sampling by key hash: md5-prefix
+    threshold per stratum (en ≈ 6%, others ≈ 25%). Unlike
+    rand()/TABLESAMPLE this is reproducible across runs, engines and
+    retries — the only sane way to carve train/eval splits at 100 TB —
+    and the predicate pushes down to the scan."""
+    docs = read_table(spark, sf, "documents")
+    thresh = F.when(F.col("lang") == "en", F.lit("10")).otherwise(F.lit("40"))
+    return docs.filter(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < thresh
+    ).select("doc_id", "lang")
+
+
+@_register(
+    "sample_weighted_bernoulli",
+    """
+    SELECT doc_id, lang, n_chars
+    FROM documents
+    WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'wq1'), 1, 8)
+               AS BIGINT) * 600
+          < LEAST(GREATEST(n_chars, 0), 600) * 4294967296
+    """,
+)
+def _sample_weighted_bernoulli(spark: SparkSession, sf: str) -> DataFrame:
+    """Quality-weighted corpus thinning
+    (operators/sampling.weighted_bernoulli_sample): each document kept
+    with probability n_chars/600 (longer docs favored, clamped at 1) —
+    decided by an EXACT integer inequality on the 32-bit md5 prefix of
+    doc_id||salt, so membership is bit-reproducible across engines,
+    executors and retries with no float/pow/log anywhere (the
+    A-Res-style u^(1/w) keys need transcendentals whose last-ulp libm
+    differences can flip borderline rows). Pure scan-stage filter,
+    zero shuffles; the oracle evaluates the identical integers via
+    DuckDB's hex cast."""
+    docs = read_table(spark, sf, "documents")
+    return SMP.weighted_bernoulli_sample(
+        docs, "doc_id", "n_chars", max_weight=600, salt="wq1"
+    ).select("doc_id", "lang", "n_chars")
+
+
+@_register(
+    "sample_per_group_cap",
+    """
+    WITH ranked AS (
+      SELECT doc_id, source, lang,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+               AS sample_rank
+      FROM documents
+    )
+    SELECT doc_id, source, lang, CAST(sample_rank AS INT) AS sample_rank
+    FROM ranked WHERE sample_rank <= 10
+    """,
+)
+def _sample_per_group_cap(spark: SparkSession, sf: str) -> DataFrame:
+    """Domain balancing (operators/sampling.cap_per_group): at most 10
+    docs per source, chosen by md5-hash order — a deterministic uniform
+    draw that every engine, executor and rerun agrees on. One shuffle
+    (window partition); the per-group state is a single counter."""
+    docs = read_table(spark, sf, "documents").select("doc_id", "source", "lang")
+    capped = SMP.cap_per_group(docs, ["source"], "doc_id", 10)
+    return capped.select(
+        "doc_id", "source", "lang", F.col("sample_rank").cast("int").alias("sample_rank")
+    )
+
+
+@_register(
+    "mix_weighted_domains",
+    """
+    WITH w AS (
+      SELECT doc_id, lang,
+             CASE lang WHEN 'en' THEN 3 WHEN 'de' THEN 2 ELSE 1 END AS wt
+      FROM documents
+    )
+    SELECT doc_id, lang, CAST(unnest(range(1, wt + 1)) AS INT) AS epoch
+    FROM w
+    """,
+)
+def _mix_weighted_domains(spark: SparkSession, sf: str) -> DataFrame:
+    """Epoch-weighted corpus mixing (operators/sampling.weighted_mix):
+    en×3, de×2, rest×1 — the '3 epochs of Wikipedia, 1 of CommonCrawl'
+    recipe. Weights ride a broadcast join; replication is a map-side
+    sequence explode, zero shuffles end to end."""
+    docs = read_table(spark, sf, "documents").select("doc_id", "lang")
+    mixed = SMP.weighted_mix(
+        docs, spark, "lang", {"en": 3, "de": 2}, default_weight=1
+    )
+    return mixed.select("doc_id", "lang", F.col("epoch").cast("int").alias("epoch"))
+
+
+@_register(
+    "sample_three_way_split",
+    """
+    SELECT doc_id,
+           CASE WHEN h < '0a' THEN 'test'
+                WHEN h < '14' THEN 'val'
+                ELSE 'train' END AS split
+    FROM (SELECT doc_id, substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS h
+          FROM documents)
+    """,
+)
+def _sample_three_way_split(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic train/val/test assignment by key hash: md5-prefix
+    thresholds carve ≈3.9% test, ≈3.9% val, rest train. Reproducible
+    across runs/engines/retries (unlike rand()-based splits) and — the
+    property that matters at 100 TB — STABLE UNDER APPENDS: a document
+    keeps its split forever, so eval contamination can't creep in when
+    the corpus grows. Pure projection, no shuffle."""
+    docs = read_table(spark, sf, "documents")
+    h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    return docs.select(
+        "doc_id",
+        F.when(h < "0a", F.lit("test"))
+        .when(h < "14", F.lit("val"))
+        .otherwise(F.lit("train"))
+        .alias("split"),
+    )
+
+
+@_register(
+    "sample_temporal_embargo_split",
+    """
+    SELECT CASE WHEN ts < TIMESTAMP '2024-01-20 00:00:00' THEN 'train'
+                WHEN ts < TIMESTAMP '2024-01-22 00:00:00' THEN 'embargo'
+                WHEN ts >= TIMESTAMP '2024-01-22 00:00:00' THEN 'test'
+                ELSE 'unknown' END AS split,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    GROUP BY 1
+    """,
+)
+def _sample_temporal_embargo_split(spark: SparkSession, sf: str) -> DataFrame:
+    """Leakage-safe TEMPORAL train/test split with an embargo gap —
+    the forecasting/recsys counterpart of the hash split
+    (sample_three_way_split): training data ends STRICTLY BEFORE the
+    test window opens, and the embargo band between them is excluded
+    from both sides so lagged/windowed features computed near the
+    boundary cannot leak test-period information into training (the
+    standard purged-split discipline from financial ML, equally
+    load-bearing for any pipeline with rolling features). Pure
+    scan-stage CASE on the timestamp — zero shuffle before the audit
+    aggregation; NULL timestamps surface as an explicit 'unknown'
+    bucket instead of silently joining a side."""
+    ev = read_table(spark, sf, "events")
+    train_end = F.lit("2024-01-20 00:00:00").cast("timestamp")
+    test_start = F.lit("2024-01-22 00:00:00").cast("timestamp")
+    split = (
+        F.when(F.col("ts") < train_end, F.lit("train"))
+        .when(F.col("ts") < test_start, F.lit("embargo"))
+        .when(F.col("ts") >= test_start, F.lit("test"))
+        .otherwise(F.lit("unknown"))
+    )
+    return ev.groupBy(split.alias("split")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+@_register(
+    "sample_quota_mix",
+    f"""
+    WITH w(source, ppm) AS (VALUES {", ".join(
+        f"('{k}', {v})" for k, v in sorted(_QUOTA_MIX_PPM.items())
+    )}),
+    s AS (
+      SELECT w.source,
+             (183 * w.ppm) // 1000000 AS base,
+             (183 * w.ppm) % 1000000 AS rem
+      FROM w
+    ), l AS (
+      SELECT 183 - SUM(base) AS leftover FROM s
+    ), q AS (
+      SELECT source,
+             base + CASE WHEN ROW_NUMBER() OVER (ORDER BY rem DESC, source)
+                              <= (SELECT leftover FROM l)
+                         THEN 1 ELSE 0 END AS quota
+      FROM s
+    ), r AS (
+      SELECT d.doc_id, d.source,
+             ROW_NUMBER() OVER (
+               PARTITION BY d.source
+               ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id
+             ) AS rn
+      FROM documents d JOIN q ON d.source = q.source
+      WHERE d.source IS NOT NULL AND d.doc_id IS NOT NULL
+    )
+    SELECT r.doc_id, r.source
+    FROM r JOIN q ON r.source = q.source
+    WHERE r.rn <= q.quota
+    """,
+)
+def _sample_quota_mix(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact-quota dataset mixing (operators/sampling.quota_mix): the
+    "30% src0 / 20% src1 / ..." corpus-composition step apportioned by
+    the LARGEST-REMAINDER method in pure BIGINT arithmetic — 183 seats
+    over 11 weighted sources leaves 3 fractional seats that go to the
+    largest remainders (src0/src1/src10 here), sources not in the
+    weight table are excluded entirely, and a quota exceeding a
+    source's row count yields every row (deliberate undershoot —
+    silently stealing the shortfall would skew the stated ratios).
+    Selection inside each source is md5-order, the repo's
+    deterministic-shuffle primitive. Per-source apportionment math
+    runs on the KB-state distinct-source frame; quotas broadcast back
+    onto the corpus scan; the only data-sized exchange is the
+    per-source row_number partition."""
+    # NULL ids are excluded up front: the md5 selection key of a NULL
+    # id is NULL, and NULL sort position differs across engines
+    # (Spark NULLS FIRST vs DuckDB NULLS LAST) — caught by the
+    # null-heavy sweep in round 9
+    docs = read_table(spark, sf, "documents").filter(
+        F.col("doc_id").isNotNull()
+    )
+    out = SMP.quota_mix(
+        docs, "source", "doc_id", 183, weights_ppm=_QUOTA_MIX_PPM
+    )
+    return out.select("doc_id", "source")
+
+
+@_register(
+    "sample_negatives_contrastive",
+    """
+    WITH c AS (
+      SELECT vec_id AS cid, label AS clabel,
+             CAST('0x' || substr(md5('ng1b' || CAST(vec_id AS VARCHAR)), 1, 8)
+                  AS BIGINT) % 16 AS b
+      FROM embeddings
+    ), q AS (
+      SELECT e.vec_id AS qid, e.label AS qlabel,
+             CAST('0x' || substr(md5('ng1q' || CAST(e.vec_id AS VARCHAR)
+                  || '#' || CAST(a.i AS VARCHAR)), 1, 8) AS BIGINT) % 16 AS b
+      FROM embeddings e, generate_series(0, 5) a(i)
+      WHERE e.vec_id < 20
+    ), cand AS (
+      SELECT DISTINCT qid, cid FROM q JOIN c USING (b)
+      WHERE qid <> cid AND qlabel IS DISTINCT FROM clabel
+    )
+    SELECT query_id, neg_id, neg_rank FROM (
+      SELECT qid AS query_id, cid AS neg_id,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY
+               CAST('0x' || substr(md5('ng1r' || CAST(qid AS VARCHAR)
+                    || '@' || CAST(cid AS VARCHAR)), 1, 8) AS BIGINT),
+               cid) AS neg_rank
+      FROM cand
+    ) WHERE neg_rank <= 5
+    """,
+)
+def _sample_negatives_contrastive(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic negative sampling for contrastive pairs
+    (operators/sampling.sample_negatives): 5 different-label negatives
+    per query vector, drawn pseudo-uniformly via BUCKET PROBING — the
+    corpus hashes once into 16 md5 buckets, each query probes 6
+    hash-chosen buckets through a plain equi-join (cost linear in
+    |queries|, never |queries|·|corpus| — the no-cross-join contract
+    the whole sampling family keeps), then per-(query, candidate)
+    hash ranking cuts to k. Every step is exact md5-integer
+    arithmetic: the draw is bit-reproducible across engines,
+    executors, retries and epochs (salt = epoch)."""
+    emb = read_table(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    return SMP.sample_negatives(
+        queries.select("vec_id", "label"),
+        emb.select("vec_id", "label"),
+        "vec_id",
+        "label",
+        k=5,
+        n_buckets=16,
+        attempts=6,
+        salt="ng1",
+    )

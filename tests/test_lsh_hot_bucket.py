@@ -180,6 +180,76 @@ def test_bucket_cap_drops_and_reports_overflow(spark):
     assert all(a < 10 <= b for a, b in exact_pairs - capped_pairs)
 
 
+def test_embedding_near_dup_guard_identical_vectors(spark):
+    """The embedding sibling (similarity.embedding_near_dup): 2k
+    byte-identical vectors collapse to one band-join node; the full
+    cosine>=t pair contract is still honored with float-exact scores
+    (every pair scored by the original cosine expression)."""
+    from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.operators import (
+        similarity as SIM,
+    )
+
+    n = 2_000
+    base = [0.5, -0.25, 0.75, 0.1]
+    rows = [(i, base) for i in range(n)] + [(n, [-0.5, 0.25, -0.75, -0.1])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = SIM.embedding_near_dup(df, dim=4, threshold=0.95, id_col="vec_id")
+    assert out.count() == n * (n - 1) // 2  # anti-parallel vector never pairs
+    one = out.limit(1).first()
+    assert abs(one["cosine_sim"] - 1.0) < 1e-6
+
+
+def test_embedding_near_dup_guard_equivalence_mixed(spark):
+    """Grouped candidate generation == ungrouped on a mixed corpus:
+    two clone groups + a near (not identical) vector + an unrelated
+    one. Scores must be bit-identical (same cosine expression)."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.operators import (
+        similarity as SIM,
+    )
+    from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.operators.similarity import (
+        _band_entries,
+        cosine,
+    )
+
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [1.0, 0.0, 0.0, 0.0]),
+        (3, [0.999, 0.02, 0.0, 0.0]),
+        (4, [0.0, 1.0, 0.0, 0.0]),
+        (5, [0.0, 1.0, 0.0, 0.0]),
+        (6, [0.0, 0.0, 1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        (r["id_a"], r["id_b"]): r["cosine_sim"]
+        for r in SIM.embedding_near_dup(df, dim=4, threshold=0.9).collect()
+    }
+    # ungrouped restatement
+    b_df = _band_entries(df, "vec_id", "id", "embedding", 4, 16, 4, 7)
+    a, b = b_df.alias("a"), b_df.alias("b")
+    cand = (
+        a.join(b, on=["band", "bucket"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    va = df.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("vec_a"))
+    vb = df.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vec_b"))
+    want = {
+        (r["id_a"], r["id_b"]): r["cosine_sim"]
+        for r in (
+            cand.join(va, "id_a").join(vb, "id_b")
+            .withColumn("cosine_sim", cosine(F.col("vec_a"), F.col("vec_b")))
+            .filter(F.col("cosine_sim") >= 0.9)
+            .select("id_a", "id_b", "cosine_sim")
+        ).collect()
+    }
+    assert got == want
+    assert (1, 2) in got and (4, 5) in got and (1, 3) in got
+
+
 def test_null_ids_never_pair(spark):
     """NULL-id docs must not produce pairs (and must not corrupt
     least/greatest in the expansion — the r8 decontaminate hole,

@@ -27,6 +27,17 @@ Usage:
     python tools/scale_stress_10x.py [--rebuild] [--dir /tmp/spark_graft_scale10x]
                                      [query ...]
 Prints one JSON line {query: {t_1x, t_10x, exponent}}.
+
+Round 10 (VERDICT r9 #6) adds the NEXT octave: ``--octave`` builds a
+further 10x corpus (sf10-equivalent: 60M lineitem, 500k docs, 10M
+events, 200k embeddings) by replicating the sf1 corpus with a SECOND
+disjoint key offset and a SECOND, alphabet-disjoint text bijection
+(digits + a consonant set untouched by the level-1 rotation), so all
+100 (level1, level2) combinations are distinct bijections — within-
+replica near-dup structure still exact, cross-replica 3-gram overlap
+still broken. Timing then runs sf1 vs sf10 and reports
+log10(t_10x/t_1x) one decade higher, where memory pressure and
+shuffle-spill effects first appear on this host.
 """
 
 from __future__ import annotations
@@ -77,53 +88,76 @@ def _rot(s: str, k: int) -> str:
     return s[k:] + s[:k]
 
 
-def build_corpus(spark, out_dir: str) -> None:
+def build_corpus(spark, out_dir: str, src: str = SRC, level: int = 1) -> None:
+    """Replicate ``src`` 10x into ``out_dir``. ``level`` selects the
+    key offset and the text-bijection alphabet so a second decade
+    (sf1 -> sf10) composes with the first without rotation
+    collisions: level 1 permutes vowels + {r,s,t,l,n}; level 2
+    permutes digits + {m,d,g,p,c} — disjoint alphabets, so every
+    (i, j) pair of replicas applies a DISTINCT bijection and
+    cross-replica 3-gram overlap stays broken at 100 replicas."""
     from pyspark.sql import functions as F
 
     from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.sources.io import (
         read_table,
     )
 
+    key_offset = KEY_OFFSET if level == 1 else KEY_OFFSET * 1000
+    if level == 1:
+        alpha_a, alpha_b = "aeiou", "rstln"
+    else:
+        # high-frequency consonants DISJOINT from level 1's sets, so
+        # composed (L1, L2) bijections are all distinct and every
+        # level-2 replica rewrites a large fraction of characters
+        alpha_a, alpha_b = "mdgpc", "bhkvw"
     os.makedirs(out_dir, exist_ok=True)
     for t in COPY_AS_IS:
-        read_table(spark, SRC, t).write.mode("overwrite").parquet(
+        read_table(spark, src, t).write.mode("overwrite").parquet(
             f"{out_dir}/{t}.parquet"
         )
     for t, keys in KEY_COLS.items():
-        base = read_table(spark, SRC, t)
+        base = read_table(spark, src, t)
         reps = []
         for i in range(REPLICAS):
             rep = base
             for kcol in keys:
                 rep = rep.withColumn(
-                    kcol, F.col(kcol) + F.lit(i * KEY_OFFSET)
+                    kcol, F.col(kcol) + F.lit(i * key_offset)
                 )
             if t == "documents" and i > 0:
-                vow, cons = "aeiou", "rstln"
+                ka = i % len(alpha_a)
+                kb = (i // len(alpha_a)) * 2
                 rep = rep.withColumn(
                     "text",
                     F.translate(
-                        F.translate("text", vow, _rot(vow, i % 5)),
-                        cons,
-                        _rot(cons, (i // 5) * 2),
+                        F.translate("text", alpha_a, _rot(alpha_a, ka)),
+                        alpha_b,
+                        _rot(alpha_b, kb),
                     ),
                 )
             if t == "part" and i > 0:
                 rep = rep.withColumn(
-                    "p_brand", F.concat("p_brand", F.lit(f"-r{i}"))
+                    "p_brand", F.concat("p_brand", F.lit(f"-L{level}r{i}"))
                 )
             reps.append(rep)
         out = reps[0]
         for rep in reps[1:]:
             out = out.unionByName(rep)
         out.write.mode("overwrite").parquet(f"{out_dir}/{t}.parquet")
-        print(f"built {t}", file=sys.stderr)
+        print(f"built {t} (level {level})", file=sys.stderr)
 
 
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--rebuild", action="store_true")
     ap.add_argument("--dir", default="/tmp/spark_graft_scale10x")
+    ap.add_argument(
+        "--octave",
+        action="store_true",
+        help="run the sf1->sf10 decade instead of sf0.1->sf1 (builds "
+        "the level-2 corpus under --dir2 from --dir)",
+    )
+    ap.add_argument("--dir2", default="/tmp/spark_graft_scale100x")
     ap.add_argument("queries", nargs="*", default=None)
     args = ap.parse_args()
     queries = args.queries or DEFAULT_QUERIES
@@ -139,13 +173,23 @@ def main() -> int:
         t0 = time.time()
         build_corpus(spark, args.dir)
         print(f"corpus built in {time.time()-t0:.0f}s", file=sys.stderr)
+    lo_dir, hi_dir = SRC, args.dir
+    if args.octave:
+        marker2 = os.path.join(args.dir2, "documents.parquet", "_SUCCESS")
+        if args.rebuild or not os.path.exists(marker2):
+            t0 = time.time()
+            build_corpus(spark, args.dir2, src=args.dir, level=2)
+            print(
+                f"octave corpus built in {time.time()-t0:.0f}s", file=sys.stderr
+            )
+        lo_dir, hi_dir = args.dir, args.dir2
 
     qs = entry.queries()
     out = {}
     for name in queries:
         fn = qs[name]
         res = {}
-        for label, sf_dir in (("t_1x", SRC), ("t_10x", args.dir)):
+        for label, sf_dir in (("t_1x", lo_dir), ("t_10x", hi_dir)):
             fn(spark, sf_dir).count()  # warm-up
             t0 = time.perf_counter()
             fn(spark, sf_dir).count()
