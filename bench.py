@@ -237,6 +237,10 @@ HEADLINE = [
     # round-10: the hot-bucket guard's star-form output contract
     # (VERDICT r9 #1) — linear edge volume on duplicate-heavy corpora
     "dedup_minhash_grouped",
+    # round-10: SemDeDup per-vector keep/prune verdicts (cluster ->
+    # within-cell greedy keep-first; distinct from the cluster-summary
+    # embedding_semantic_dedup, which keeps one rep per k-means cell)
+    "embedding_semdedup_prune",
 ]
 
 

@@ -1285,3 +1285,117 @@ def mmr_rerank(
     for p in picks[1:]:
         out = out.unionByName(p)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Semantic deduplication (SemDeDup, Abbas et al. 2023, arXiv:2303.09540):
+# cluster the embedding space, then within each cluster prune every
+# vector that is ≥ threshold cosine-similar to a LOWER-ID vector —
+# the published greedy keep-first rule. Unlike MinHash/SimHash (which
+# catch lexical near-dups), this removes SEMANTIC duplicates —
+# paraphrases, translations, templated rewrites — which at web scale
+# are a large fraction of training tokens. Cost is within-cell
+# all-pairs, which is the published algorithm's shape: cells are
+# capacity-bounded by construction (n_centroids scales with the
+# corpus), so total work stays ~linear.
+# ---------------------------------------------------------------------------
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    dim: int,
+    n_centroids: int = 16,
+    threshold: float = 0.5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_source: DataFrame | None = None,
+) -> DataFrame:
+    """Per-vector keep/prune decisions: ``(vec_id, cell, kept,
+    pruned_by)`` where ``cell`` is the assigned centroid's id,
+    ``pruned_by`` is the smallest lower-id vector in the same cell
+    with cosine ≥ threshold (NULL ⇒ kept). Deterministic end to end:
+    id-ordered centroids via ``centroid_source`` make every cell
+    assignment and cosine double bit-identical in ANSI SQL (same
+    explicit fold-order contract as ``embedding_ivf_sqlcheck``).
+
+    Hot-bucket guard (same as ``embedding_near_dup``): byte-identical
+    vectors collapse to a min-id representative before the within-cell
+    self-join; representative-level qualifying pairs INCLUDE the self
+    pair ``(r, r)`` evaluated through the real cosine expression, so a
+    group member v is pruned by its own representative exactly when
+    the ungrouped rule would prune it (cos(v,v) ≥ threshold as
+    floats) — grouped output is bit-identical to the ungrouped
+    all-pairs rule, with candidate volume linear in clone count.
+
+    Scope: vectors with no cosine geometry — NULL, partially-NULL, or
+    zero-norm — are EXCLUDED from the output (an explicit
+    ``dot(v,v) > 0`` predicate, restated verbatim in the oracle), not
+    silently kept: a "kept" verdict on a vector the similarity math
+    never saw would be a lie."""
+    cent_rows = _pick_centroids(
+        corpus, n_centroids, id_col, vec_col, centroid_source
+    )
+    if not cent_rows:
+        return corpus.sparkSession.createDataFrame(
+            [], "vec_id long, cell long, kept boolean, pruned_by long"
+        )
+    cmat = F.array(
+        *[F.array(*[F.lit(float(v)) for v in r["cv"]]) for r in cent_rows]
+    )
+    cids = F.array(*[F.lit(int(r["cid"])) for r in cent_rows])
+
+    with_rep = (
+        corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("__vec"))
+        .filter(dot(F.col("__vec"), F.col("__vec")) > 0)
+        .withColumn("__rep", F.min("id").over(Window.partitionBy("__vec")))
+    )
+    membership = with_rep.select("id", F.col("__rep").alias("rep_id")).filter(
+        F.col("id").isNotNull()
+    )
+    reps = with_rep.filter(F.col("id") == F.col("__rep")).select("id", "__vec")
+
+    # assign representatives to cells: argmax centroid cosine, ties to
+    # the lowest centroid index (array_position returns the FIRST max)
+    sims = F.transform(cmat, lambda c: cosine(F.col("__vec"), c))
+    assigned = reps.withColumn("__sims", sims).select(
+        "id",
+        "__vec",
+        F.element_at(
+            cids, F.array_position(F.col("__sims"), F.array_max(F.col("__sims"))).cast("int")
+        ).alias("cell"),
+    )
+
+    # rep-level qualifying pairs within a cell, INCLUDING self-pairs
+    # (a self-pair qualifies iff cos(v,v) >= threshold as floats —
+    # that is exactly when the ungrouped rule prunes a clone)
+    a = assigned.select(
+        F.col("cell"), F.col("id").alias("rep_id"), F.col("__vec").alias("__va")
+    )
+    b = assigned.select(
+        F.col("cell"), F.col("id").alias("qual_rep"), F.col("__vec").alias("__vb")
+    )
+    qual = (
+        a.join(b, "cell")
+        .withColumn("__cos", cosine(F.col("__va"), F.col("__vb")))
+        .filter(F.col("__cos") >= F.lit(float(threshold)))
+        .select("cell", "rep_id", "qual_rep")
+    )
+
+    mem = membership.join(
+        assigned.select(F.col("id").alias("rep_id"), "cell"), "rep_id"
+    )
+    pruned = (
+        mem.join(qual, ["rep_id", "cell"])
+        .filter(F.col("qual_rep") < F.col("id"))
+        .groupBy("id")
+        .agg(F.min("qual_rep").alias("pruned_by"))
+    )
+    return (
+        mem.join(pruned, "id", "left")
+        .select(
+            F.col("id").alias("vec_id"),
+            F.col("cell").cast("long").alias("cell"),
+            F.col("pruned_by").isNull().alias("kept"),
+            "pruned_by",
+        )
+    )

@@ -523,3 +523,69 @@ def _embedding_mmr_rerank(spark: SparkSession, sf: str) -> DataFrame:
         "neighbor_id",
     )
     return SIM.mmr_rerank(cand, k=4, lambda_=0.5)
+
+
+def _semantic_dedup_sql(dim: int = 64, threshold: float = 0.4) -> str:
+    """ANSI-SQL twin of SemDeDup-style semantic dedup, restated
+    UNGROUPED (all pairs within a cell) — hash-matching it proves the
+    Spark side's identical-vector collapse changes nothing. Same
+    explicit fold-order float arithmetic as _ivf_sqlcheck_sql; the
+    ``dot(v,v) > 0`` scope predicate is the operator's documented
+    corrupt/zero-vector exclusion, restated verbatim."""
+
+    def dot(a: str, b: str) -> str:
+        return " + ".join(
+            f"CAST({a}[{i}] AS DOUBLE)*CAST({b}[{i}] AS DOUBLE)"
+            for i in range(1, dim + 1)
+        )
+
+    def cos(a: str, b: str) -> str:
+        return f"(({dot(a, b)}) / (sqrt({dot(a, a)}) * sqrt({dot(b, b)})))"
+
+    return f"""
+    WITH c AS (
+      SELECT vec_id AS cid, embedding AS cv FROM embeddings
+      WHERE vec_id < 16 AND embedding IS NOT NULL
+    ), live AS (
+      SELECT vec_id, embedding AS nv FROM embeddings
+      WHERE ({dot("embedding", "embedding")}) > 0
+    ), assigned AS (
+      SELECT l.vec_id, l.nv, c.cid, {cos("l.nv", "c.cv")} AS sim
+      FROM live l CROSS JOIN c
+    ), acell AS (
+      SELECT vec_id, nv, cid AS cell FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
+        FROM assigned) WHERE rn = 1
+    ), pruned AS (
+      SELECT a.vec_id, MIN(b.vec_id) AS pruned_by
+      FROM acell a JOIN acell b ON a.cell = b.cell AND b.vec_id < a.vec_id
+      WHERE {cos("a.nv", "b.nv")} >= {threshold}
+      GROUP BY a.vec_id
+    )
+    SELECT a.vec_id, CAST(a.cell AS BIGINT) AS cell,
+           p.pruned_by IS NULL AS kept, p.pruned_by
+    FROM acell a LEFT JOIN pruned p ON a.vec_id = p.vec_id
+    """
+
+
+@_register("embedding_semdedup_prune", _semantic_dedup_sql())
+def _embedding_semdedup_prune(spark: SparkSession, sf: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — semantic
+    deduplication, the embedding-space complement of MinHash/SimHash
+    (round 10): cluster by nearest id-ordered centroid, then within
+    each cluster prune every vector cosine-≥-0.4-similar to a
+    lower-id vector (the published greedy keep-first rule). Output is
+    a per-vector keep/prune verdict with provenance (pruned_by). The
+    oracle restates the UNGROUPED all-pairs-within-cell rule with
+    explicit fold-order float arithmetic, so the hash match doubles
+    as the grouped==ungrouped equivalence proof for the operator's
+    identical-vector hot-bucket guard."""
+    emb = read_table(spark, sf, "embeddings")
+    return SIM.semantic_dedup(
+        emb,
+        dim=64,
+        n_centroids=16,
+        threshold=0.4,
+        centroid_source=emb.filter(F.col("vec_id") < 16),
+    )

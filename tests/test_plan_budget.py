@@ -292,6 +292,11 @@ SHUFFLE_BUDGET = {
     # dedup (measured 3 real exchanges at both SFs — member edges are
     # a projection of the collapse output, no extra shuffle).
     "dedup_minhash_grouped": 3,
+    # r10 SemDeDup: identical-vector collapse window + the within-cell
+    # qualifying self-join pair of (rep_id, cell) exchanges + the
+    # per-vector min-qualifier groupBy (measured 5 at both SFs; every
+    # exchange is cell- or id-keyed, none data-cartesian).
+    "embedding_semdedup_prune": 5,
 }
 
 

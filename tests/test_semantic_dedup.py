@@ -1,0 +1,141 @@
+"""SemDeDup-style semantic dedup (similarity.semantic_dedup, round 10).
+
+The registry entry ``embedding_semantic_dedup`` hash-checks the full
+pipeline against an UNGROUPED ANSI-SQL restatement (which is also the
+hot-bucket-guard equivalence proof); these tests pin the operator's
+semantics on constructed corpora: the greedy keep-first rule, clone
+collapse, cell isolation, and the corrupt-vector scope predicate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.operators import (
+    similarity as SIM,
+)
+
+
+def _emb(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def _run(spark, rows, threshold=0.9, n_centroids=2, cent_ids=None):
+    df = _emb(spark, rows)
+    cents = (
+        df.filter(F.col("vec_id").isin(*cent_ids))
+        if cent_ids
+        else df.orderBy("vec_id").limit(n_centroids)
+    )
+    out = SIM.semantic_dedup(
+        df, dim=4, n_centroids=n_centroids, threshold=threshold,
+        centroid_source=cents,
+    )
+    return {r["vec_id"]: (r["cell"], r["kept"], r["pruned_by"]) for r in out.collect()}
+
+
+def test_greedy_keep_first_within_cell(spark):
+    # 1 and 2 nearly parallel (cos ~ 1), 3 orthogonal-ish; centroids
+    # are vectors 1 and 3, so {1,2} share a cell and 3 sits alone
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0, 0.0]),
+        (3, [0.0, 0.0, 1.0, 0.0]),
+    ]
+    got = _run(spark, rows, cent_ids=[1, 3])
+    assert got[1][1] is True and got[1][2] is None
+    assert got[2] == (got[1][0], False, 1)  # pruned by the lower id
+    assert got[3][1] is True
+
+
+def test_identical_clones_all_prune_to_min_id(spark):
+    rows = [(i, [0.5, 0.5, 0.0, 0.0]) for i in range(5)] + [
+        (10, [0.0, 0.0, 0.0, 1.0])
+    ]
+    got = _run(spark, rows)
+    assert got[0][1] is True
+    for i in range(1, 5):
+        assert got[i] == (got[0][0], False, 0)
+    assert got[10][1] is True
+
+
+def test_cells_isolate_similar_vectors(spark):
+    """Two near-identical vectors that land in DIFFERENT cells are
+    both kept — SemDeDup prunes within clusters only (the published
+    trade: cross-cluster duplicates survive, which is what makes the
+    cost linear)."""
+    rows = [
+        (1, [1.0, 0.05, 0.0, 0.0]),   # centroid A
+        (2, [0.05, 1.0, 0.0, 0.0]),   # centroid B
+        (3, [0.73, 0.70, 0.0, 0.0]),  # between, slightly A-side
+        (4, [0.70, 0.73, 0.0, 0.0]),  # between, slightly B-side
+    ]
+    got = _run(spark, rows, threshold=0.9)
+    if got[3][0] != got[4][0]:  # landed in different cells
+        assert got[3][1] is True and got[4][1] is True
+
+
+def test_corrupt_and_zero_vectors_excluded(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, None),
+        (3, [0.0, 0.0, 0.0, 0.0]),
+        (4, [1.0, None, 0.0, 0.0]),
+        (None, [1.0, 0.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = SIM.semantic_dedup(
+        df, dim=4, n_centroids=1, threshold=0.9,
+        centroid_source=df.filter(F.col("vec_id") == 1),
+    )
+    ids = [r["vec_id"] for r in out.collect()]
+    assert ids == [1]
+
+
+def test_empty_corpus_is_typed_empty(spark):
+    df = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    out = SIM.semantic_dedup(df, dim=4)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "vec_id", "cell", "kept", "pruned_by",
+    ]
+
+
+def test_grouped_equals_ungrouped_rule(spark):
+    """Direct ungrouped restatement (all pairs within cell, lower-id
+    qualifier, min) must equal the operator's output on a corpus with
+    clone groups + near pairs across two cells."""
+    rows = (
+        [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(3)]
+        + [(5, [0.98, 0.2, 0.0, 0.0]), (6, [0.0, 1.0, 0.0, 0.0]),
+           (7, [0.0, 1.0, 0.0, 0.0])]
+    )
+    df = _emb(spark, rows)
+    cents = df.filter(F.col("vec_id").isin(0, 6))
+    out = SIM.semantic_dedup(
+        df, dim=4, n_centroids=2, threshold=0.9, centroid_source=cents
+    )
+    got = {
+        r["vec_id"]: (r["kept"], r["pruned_by"]) for r in out.collect()
+    }
+    # ungrouped rule computed in plain python over the same geometry
+    import math
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b)))
+
+    vecs = dict(rows)
+    cents_v = {0: vecs[0], 6: vecs[6]}
+    cell = {
+        i: max(sorted(cents_v), key=lambda c: (cos(v, cents_v[c]), -c))
+        for i, v in vecs.items()
+    }
+    want = {}
+    for i, v in vecs.items():
+        quals = [
+            j for j, u in vecs.items()
+            if j < i and cell[j] == cell[i] and cos(u, v) >= 0.9 - 1e-9
+        ]
+        want[i] = (not quals, min(quals) if quals else None)
+    assert got == want
