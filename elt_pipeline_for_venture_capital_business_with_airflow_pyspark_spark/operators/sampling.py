@@ -407,3 +407,42 @@ def pack_chunks(
         (seg_start - F.col("chunk_id") * B).alias("chunk_off"),
         (seg_end - seg_start).alias("n_toks"),
     )
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    epoch: int,
+    id_col: str = "doc_id",
+    n_shards: int = 64,
+) -> DataFrame:
+    """Deterministic per-epoch global shuffle + reshard — the
+    dataloader step of a pretraining pipeline: every epoch the corpus
+    is visited in a fresh pseudo-random order, and that order must be
+    REPRODUCIBLE (across engines, executors, retries and restarts —
+    rand() is none of these) so a crashed epoch resumes at an exact
+    position.
+
+    Order key = 32-bit md5 prefix of ``"{epoch}:{id}"`` (the repo's
+    exact-integer determinism primitive, :func:`_h32` — restatable in
+    ANSI SQL); ``shard = key mod n_shards`` balances output shards;
+    ``pos`` ranks within a shard by ``(key, id)`` — a per-shard
+    window, never a global sort. Different epochs give uncorrelated
+    orders; the same epoch is bit-identical every run.
+
+    Size ``n_shards`` to the consumer's parallelism (files, workers)
+    — the ranking window's parallelism IS n_shards, so at 100 TB use
+    thousands, not eight. Rows with NULL ids are EXCLUDED: an
+    unidentifiable row has no stable position by definition.
+
+    Output: input columns + ``(shuffle_key, shard, pos)`` with pos
+    starting at 1 per shard."""
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    key = _h32(F.lit(f"{epoch}:"), F.col(id_col).cast("string"))
+    w = Window.partitionBy("shard").orderBy("shuffle_key", id_col)
+    return (
+        df.filter(F.col(id_col).isNotNull())
+        .withColumn("shuffle_key", key)
+        .withColumn("shard", F.pmod(F.col("shuffle_key"), F.lit(int(n_shards))).cast("int"))
+        .withColumn("pos", F.row_number().over(w))
+    )

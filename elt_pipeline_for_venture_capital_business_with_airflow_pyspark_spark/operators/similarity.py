@@ -18,6 +18,14 @@ Four tiers:
                           per candidate (the FAISS-style scale combo).
 - ``embedding_near_dup``: all pairs with cosine ≥ threshold via LSH
                           banding over sign bits.
+- ``semantic_dedup``    : SemDeDup-style per-vector keep/prune
+                          verdicts (cluster → within-cell greedy
+                          keep-first) — the semantic complement of
+                          the lexical MinHash/SimHash dedup family.
+
+The banded paths carry the round-10 hot-bucket guard: byte-identical
+vectors collapse to a min-id representative before any band/cell
+self-join, so boilerplate clones cost O(n), never O(n²), candidates.
 """
 
 from __future__ import annotations

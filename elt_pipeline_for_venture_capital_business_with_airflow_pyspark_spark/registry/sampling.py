@@ -294,3 +294,32 @@ def _sample_negatives_contrastive(spark: SparkSession, sf: str) -> DataFrame:
         attempts=6,
         salt="ng1",
     )
+
+
+@_register(
+    "sample_epoch_shuffle",
+    """
+    WITH k AS (
+      SELECT doc_id, lang,
+             CAST('0x' || substr(md5('3:' || CAST(doc_id AS VARCHAR)), 1, 8)
+                  AS BIGINT) AS shuffle_key
+      FROM documents WHERE doc_id IS NOT NULL
+    )
+    SELECT doc_id, lang, shuffle_key,
+           CAST(((shuffle_key % 16) + 16) % 16 AS INT) AS shard,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY ((shuffle_key % 16) + 16) % 16
+             ORDER BY shuffle_key, doc_id) AS INT) AS pos
+    FROM k
+    """,
+)
+def _sample_epoch_shuffle(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic epoch-3 training shuffle + 16-way reshard
+    (sampling.epoch_shuffle, round 10): md5-keyed pseudo-random order,
+    reproducible bit-for-bit across engines/retries (the property
+    rand() shuffles lack — a crashed epoch must resume at an exact
+    position), fresh and uncorrelated each epoch. The per-shard
+    ranking window's parallelism is n_shards — size it to the
+    consumer at scale; 16 here keeps the sf0.01 oracle cheap."""
+    docs = read_table(spark, sf, "documents").select("doc_id", "lang")
+    return SMP.epoch_shuffle(docs, epoch=3, n_shards=16)
