@@ -241,6 +241,8 @@ HEADLINE = [
     # within-cell greedy keep-first; distinct from the cluster-summary
     # embedding_semantic_dedup, which keeps one rep per k-means cell)
     "embedding_semdedup_prune",
+    # round-10: deterministic per-epoch training shuffle + reshard
+    "sample_epoch_shuffle",
 ]
 
 

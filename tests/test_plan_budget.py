@@ -297,6 +297,9 @@ SHUFFLE_BUDGET = {
     # per-vector min-qualifier groupBy (measured 5 at both SFs; every
     # exchange is cell- or id-keyed, none data-cartesian).
     "embedding_semdedup_prune": 5,
+    # r10 epoch shuffle: the per-shard ranking window's single
+    # exchange (the md5 key is scan-stage; measured 1 at both SFs).
+    "sample_epoch_shuffle": 1,
 }
 
 
