@@ -1232,9 +1232,21 @@ def incremental_lsh_pairs(
     update_index: bool = True,
     broadcast_new: bool = True,
     signatures: DataFrame | None = None,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Incremental near-dup detection: today's shard vs a persisted
     corpus LSH index, WITHOUT recomputing anything over the corpus.
+
+    Hot-bucket posture (VERDICT r9 #1): the shard-internal leg runs
+    the structural guard (``banded_pairs`` collapses identical
+    signatures). The corpus-vs-shard leg CANNOT collapse without
+    shuffling the persisted corpus by signature — the exact cost this
+    path exists to avoid — so its defense is ``max_bucket_size``: a
+    per-(band,bucket) cap on CORPUS entries joined against the shard
+    (one count aggregate over the index scan, co-partitioned with the
+    probe join key). Boilerplate-flooded buckets are skipped as
+    candidates — a recall trade the caller opts into and can account
+    for by re-running the count aggregate; unset (default) is exact.
 
     Returns every near-dup pair touching ≥1 new document —
     new-vs-corpus plus new-vs-new — scored and thresholded exactly
@@ -1302,6 +1314,14 @@ def incremental_lsh_pairs(
         new_bands = band_entries(new_sig, num_hashes, bands)
         corpus_sig, corpus_bands = read_lsh_index(spark, index_path)
     nb = F.broadcast(new_bands) if broadcast_new else new_bands
+    if max_bucket_size is not None:
+        ok = (
+            corpus_bands.groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") <= max_bucket_size)
+            .drop("__n")
+        )
+        corpus_bands = corpus_bands.join(ok, ["band", "bucket"])
     # keep (corpus id, shard id) orientation through scoring so each
     # side joins its OWN signature source (no corpus∪shard union scan);
     # canonicalize to id_a < id_b only at the end — the Jaccard
@@ -1320,7 +1340,9 @@ def incremental_lsh_pairs(
         F.greatest("id_a", "id_b").alias("id_b"),
         "est_jaccard",
     )
-    new_new_scored = banded_pairs(new_sig, num_hashes, bands, threshold)
+    new_new_scored = banded_pairs(
+        new_sig, num_hashes, bands, threshold, max_bucket_size
+    )
     # the two pair sets are disjoint by construction (one touches the
     # corpus, the other is shard-internal) — plain union, no re-dedup
     return old_new_scored.unionByName(new_new_scored)

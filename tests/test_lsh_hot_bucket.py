@@ -250,6 +250,37 @@ def test_embedding_near_dup_guard_equivalence_mixed(spark):
     assert (1, 2) in got and (4, 5) in got and (1, 3) in got
 
 
+def test_incremental_probe_bucket_cap(spark, tmp_path):
+    """The corpus-vs-shard probe leg: with max_bucket_size set, a
+    boilerplate-flooded corpus bucket is skipped as a candidate
+    source (recall trade), while shard-internal pairs — which run the
+    structural guard — are unaffected. Unset, the probe is exact."""
+    corpus = _docs(
+        spark,
+        [(i, _NEAR_A) for i in range(20)] + [(100, _OTHER)],
+    )
+    shard = _docs(spark, [(200, _NEAR_A), (201, _NEAR_A), (300, _OTHER)])
+    idx = str(tmp_path / "lsh_idx")
+    DD.build_lsh_index(corpus, idx)
+    exact = DD.incremental_lsh_pairs(
+        shard, idx, update_index=False, threshold=0.5
+    )
+    # every corpus clone pairs with both shard clones + the OTHER pair
+    assert exact.filter(F.col("id_b").isin(200, 201)).count() == 2 * 20 + 1
+    assert {r["id_a"] for r in exact.filter(F.col("id_b") == 300).collect()} == {100}
+    capped = DD.incremental_lsh_pairs(
+        shard, idx, update_index=False, threshold=0.5, max_bucket_size=5
+    )
+    rows = capped.collect()
+    # flooded corpus bucket skipped -> no corpus-vs-shard pairs for
+    # the boilerplate family; the singleton corpus doc still pairs,
+    # and the shard-internal clone pair survives (structural guard,
+    # not the cap)
+    got = {(r["id_a"], r["id_b"]) for r in rows}
+    assert (100, 300) in got and (200, 201) in got
+    assert not any(a < 100 and b in (200, 201) for a, b in got)
+
+
 def test_null_ids_never_pair(spark):
     """NULL-id docs must not produce pairs (and must not corrupt
     least/greatest in the expansion — the r8 decontaminate hole,
