@@ -2003,9 +2003,19 @@ def incremental_phash_pairs(
     update_index: bool = True,
     broadcast_new: bool = True,
     fingerprints: DataFrame | None = None,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Incremental image near-dup: today's shard vs a persisted pHash
     index, WITHOUT re-decoding anything in the corpus.
+
+    Hot-bucket posture (round 10, same as
+    ``dedup.incremental_lsh_pairs``): the shard-internal leg runs the
+    structural identical-fingerprint guard inside
+    ``hamming_near_pairs``; the corpus-vs-shard leg defends with
+    ``max_bucket_size`` — a per-(chunk,val) cap on CORPUS entries
+    joined against the shard (one count aggregate over the index
+    scan, co-partitioned with the probe key; a meme reposted a
+    million times floods one bucket). Unset (default) is exact.
 
     Returns every pair with ``hamming ≤ max_hamming`` touching ≥1 new
     image — new-vs-corpus plus new-vs-new — as ``(id_a, id_b,
@@ -2043,6 +2053,14 @@ def incremental_phash_pairs(
         )
 
     _hashes, corpus_chunks = read_phash_index(spark, index_path)
+    if max_bucket_size is not None:
+        ok = (
+            corpus_chunks.groupBy("chunk", "val")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") <= max_bucket_size)
+            .drop("__n")
+        )
+        corpus_chunks = corpus_chunks.join(ok, ["chunk", "val"])
     new_chunks = hash_chunk_entries(
         fp, id_col="media_id", hash_col="phash", n_chunks=n_chunks
     )
