@@ -44,6 +44,19 @@ def events_ts_unit(sf_dir: str) -> str:
         if not parts:
             return "us"
         path = parts[0]
+    pf = pq.ParquetFile(path)
+    try:
+        col = pf.schema.column(pf.schema.names.index("ts"))
+        if col.physical_type == "INT96":
+            # Spark's legacy timestamp encoding (its default
+            # outputTimestampType). Arrow REPORTS it as timestamp[ns],
+            # but it is not a ns INT64 column — the long-scan path
+            # would fail with a physical-type mismatch. Spark reads
+            # INT96 natively as TimestampType, so route it to the
+            # plain declared-schema read.
+            return "int96"
+    except (ValueError, AttributeError):
+        pass
     field = pq.read_schema(path).field("ts").type
     return getattr(field, "unit", "us")
 

@@ -102,6 +102,10 @@ def build_corpus(spark, out_dir: str, src: str = SRC, level: int = 1) -> None:
         read_table,
     )
 
+    # match the driver testdata's TIMESTAMP(MICROS) encoding — Spark's
+    # default INT96 would make the replica corpora read back through a
+    # different (legacy) scan path than the corpora they stand in for
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     key_offset = KEY_OFFSET if level == 1 else KEY_OFFSET * 1000
     if level == 1:
         alpha_a, alpha_b = "aeiou", "rstln"
