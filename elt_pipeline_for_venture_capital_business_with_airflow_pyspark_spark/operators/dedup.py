@@ -562,13 +562,19 @@ def _score_candidates(
     (fraction of matching signature positions), thresholded. The two
     signature sources may differ (corpus index vs new shard for the
     incremental path) — both id-keyed joins on the already-deduped
-    candidate set, far smaller than the band join."""
-    sig_a = sig_src_a.select(
-        F.col("id").alias("id_a"), F.col("signature").alias("sig_a")
-    )
-    sig_b = sig_src_b.select(
-        F.col("id").alias("id_b"), F.col("signature").alias("sig_b")
-    )
+    candidate set, far smaller than the band join.
+
+    Signatures are projected to ``array<int>`` for the scoring join:
+    every minhash family here is mod-2^31 (poly and xxhash variants
+    both), so the cast is lossless and the join rows carry half the
+    bytes — on a boilerplate-heavy corpus the candidate set is the
+    biggest intermediate of the whole pipeline (r10 octave stress:
+    175M candidates at the sf10 decade), and row width is what
+    decides whether it spills. Match equality and the est fraction
+    are unchanged."""
+    as_int = F.transform(F.col("signature"), lambda x: x.cast("int"))
+    sig_a = sig_src_a.select(F.col("id").alias("id_a"), as_int.alias("sig_a"))
+    sig_b = sig_src_b.select(F.col("id").alias("id_b"), as_int.alias("sig_b"))
     est = F.size(
         F.filter(
             F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
