@@ -243,6 +243,9 @@ HEADLINE = [
     "embedding_semdedup_prune",
     # round-10: deterministic per-epoch training shuffle + reshard
     "sample_epoch_shuffle",
+    # round-10: THE composed dedup flagship — guarded star edges ->
+    # checkpointed components -> keep-first survivors, one call
+    "dedup_survivors",
 ]
 
 

@@ -434,17 +434,15 @@ def _minhash_poly_sql(
     """
 
 
-def _minhash_grouped_sql(
+def _minhash_grouped_parts(
     num_hashes: int = 64,
     bands: int = 16,
     threshold: float = 0.5,
-) -> str:
-    """ANSI-SQL restatement of the STAR-FORM grouped LSH contract
-    (``banded_pairs_star``): identical signatures collapse to their
-    min-id representative (member edges, est exactly 1.0), then the
-    banded join runs over distinct signatures only (lsh edges). The
-    SQL groups on the full signature LIST — the same
-    no-hash-collision rule the Spark side follows."""
+) -> "tuple[str, str]":
+    """(cte_definitions, edge_select) for the star-form grouped LSH
+    restatement — split so composed oracles (dedup_survivors' closure)
+    can lift the CTEs to their own top-level WITH instead of nesting
+    a WITH inside a CTE body."""
     from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.operators.dedup import (
         _universal_hash_params,
     )
@@ -455,8 +453,7 @@ def _minhash_grouped_sql(
         f"list_min(list_transform(hs, x -> (CAST(x AS BIGINT)*{a}+{b}) % 2147483647))"
         for a, b in params
     )
-    return f"""
-    WITH n AS (
+    ctes = f"""n AS (
       SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS s
       FROM documents
     ), g AS (
@@ -483,7 +480,8 @@ def _minhash_grouped_sql(
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       FROM bb a JOIN bb b ON a.band = b.band AND a.bucket = b.bucket
       WHERE a.doc_id < b.doc_id
-    )
+    )"""
+    select = f"""
     SELECT rep_id AS id_a, doc_id AS id_b,
            CAST(1.0 AS DOUBLE) AS est_jaccard, 'member' AS kind
     FROM mem WHERE doc_id <> rep_id
@@ -500,6 +498,23 @@ def _minhash_grouped_sql(
                i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END)) / {num_hashes}.0
           >= {threshold}
     """
+    return ctes, select
+
+
+def _minhash_grouped_sql(
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+) -> str:
+    """ANSI-SQL restatement of the STAR-FORM grouped LSH contract
+    (``banded_pairs_star``): identical signatures collapse to their
+    min-id representative (member edges, est exactly 1.0), then the
+    banded join runs over distinct signatures only (lsh edges). The
+    SQL groups on the full signature LIST — the same
+    no-hash-collision rule the Spark side follows."""
+    ctes, select = _minhash_grouped_parts(num_hashes, bands, threshold)
+    return f"""
+    WITH {ctes}{select}"""
 
 
 def _poly_sig_corpus_sql(num_hashes: int = 64) -> str:

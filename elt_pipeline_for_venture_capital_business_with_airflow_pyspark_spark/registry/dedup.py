@@ -477,3 +477,55 @@ def _dedup_substring_spans(spark: SparkSession, sf: str) -> DataFrame:
     return DD.substring_duplicate_spans(
         docs, "doc_id", "text", k=40, min_docs=2
     )
+
+
+def _dedup_survivors_sql() -> str:
+    """ANSI-SQL twin of the composed end-to-end dedup kill chain:
+    grouped star-form LSH edges (the r10 hot-bucket contract) →
+    recursive transitive closure → keep-first survivorship. The edge
+    CTEs are lifted from _minhash_grouped_parts (a WITH cannot nest
+    inside a CTE body); the closure mirrors the
+    dedup_connected_components oracle's recursive CTE."""
+    ctes, edge_select = _minhash_grouped_parts()
+    return f"""
+    WITH RECURSIVE {ctes}, star AS (
+      {edge_select}
+    ), e AS (
+      SELECT id_a AS a, id_b AS b FROM star
+      UNION ALL
+      SELECT id_b, id_a FROM star
+    ), reach AS (
+      SELECT doc_id AS id, doc_id AS comp FROM documents
+      UNION
+      SELECT e.b AS id, r.comp AS comp FROM reach r JOIN e ON e.a = r.id
+    ), comp AS (
+      SELECT id AS doc_id, MIN(comp) AS component FROM reach GROUP BY id
+    )
+    SELECT doc_id, component, doc_id = component AS kept FROM comp
+    """
+
+
+@_register("dedup_survivors", _dedup_survivors_sql())
+def _dedup_survivors(spark: SparkSession, sf: str) -> DataFrame:
+    """THE composed dedup flagship (round 10): what a user actually
+    runs to dedup a 100 TB corpus in one call — guarded star-form
+    MinHash-LSH edges (linear candidate AND edge volume on
+    boilerplate; dedup_minhash_grouped's contract) → checkpointed
+    min-label connected components → keep-first survivorship
+    (kept ⟺ doc_id is its component's min). Every stage is the
+    registry's own oracle-checked operator; this entry hash-checks
+    their COMPOSITION end to end, proving the star-form edge set
+    yields the same components (hence the same survivors) as the full
+    quadratic pair set would."""
+    docs = read_table(spark, sf, "documents")
+    edges = DD.minhash_lsh_edges_grouped_poly(
+        docs, "doc_id", "text", threshold=0.5
+    ).select("id_a", "id_b")
+    comp = DD.connected_components(
+        docs.select("doc_id"), edges, id_col="doc_id"
+    )
+    return comp.select(
+        F.col("id").alias("doc_id"),
+        "component",
+        (F.col("id") == F.col("component")).alias("kept"),
+    )

@@ -300,6 +300,13 @@ SHUFFLE_BUDGET = {
     # r10 epoch shuffle: the per-shard ranking window's single
     # exchange (the md5 key is scan-stage; measured 1 at both SFs).
     "sample_epoch_shuffle": 1,
+    # r10 composed dedup flagship: the RETURNED plan reads the
+    # checkpointed component labels (CC rounds are separate
+    # checkpointed jobs, the honest lifecycle cost like
+    # link_golden_records) + the grouped-edge collapse window and
+    # shingle groupBy fold into the checkpoint; measured 2 at both
+    # SFs (label join + final agg keying).
+    "dedup_survivors": 2,
 }
 
 
