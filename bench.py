@@ -302,7 +302,42 @@ def main() -> None:
     if sigmas:
         out["sigma"] = sigmas
         out["reps"] = reps
+    # Truncation-proof record (VERDICT r10 #3): the driver keeps only
+    # the LAST ~2000 chars of stdout and json-parses them, so a single
+    # >2000-char line loses its head and `parsed` lands null (r9/r10
+    # artifacts both illegible beyond the tail). Emit the full map
+    # first (humans / logs), persist it to a repo artifact, and END
+    # with a compact summary line — controls + worst-10 + total —
+    # guaranteed to fit the captured tail whole.
     print(json.dumps(out))
+    full_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
+    )
+    try:
+        with open(full_path, "w") as f:
+            json.dump(out, f, indent=1, sort_keys=True)
+            f.write("\n")
+    except OSError:
+        pass  # read-only checkout: the printed full line still has it
+    worst = dict(
+        sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:10]
+    )
+    for c in CONTROLS:
+        if c in timings:
+            worst.setdefault(c, timings[c])
+    summary = {
+        "metric": "headline_queries_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": worst,
+        "sf": float(sf),
+        "n_queries": len(timings),
+        "queries_note": "worst-10 + controls; full per-query map in "
+                        "BENCH_FULL.json (also printed above)",
+    }
+    line = json.dumps(summary)
+    assert len(line) < 1900, f"summary line too long ({len(line)})"
+    print(line)
     spark.stop()
 
 

@@ -233,3 +233,49 @@ def test_readme_coverage_table_references_only_live_queries():
     } & live
     stale -= allowed
     assert not stale, f"coverage table references unknown queries: {stale}"
+
+
+def test_readme_tpch_prose_matches_registry():
+    """VERDICT r10 #6: the hand-written TPC-H coverage prose claimed
+    q2/q11/q16/q20 'stay unregistrable, permanently' three rounds
+    after they were registered via the synthetic partsupp. The
+    generated-block guard can't see hand prose, so pin the two facts
+    the prose states: (a) the 'N of 22' count must equal the number
+    of canonical TPC-H entries actually live, and (b) no live query
+    may be described as unregistrable/unimplemented anywhere in the
+    coverage section."""
+    import re
+
+    with open("/root/repo/README.md") as f:
+        text = f.read()
+    cov = text.split("## Operator coverage")[1].split("## Design for scale")[0]
+    live = set(entry_mod._REGISTRY)
+
+    canonical = {
+        1: "q1_pricing_summary", 2: "q2_min_cost_supplier",
+        3: "q3_shipping_priority", 4: "q4_priority_exists",
+        5: "q5_local_supplier_volume", 6: "q6_forecast_revenue",
+        7: "q7_volume_shipping", 8: "q8_market_share",
+        9: "q9_product_profit", 10: "q10_returned_items",
+        11: "q11_important_stock", 12: "q12_priority_by_delay",
+        13: "q13_customer_distribution", 14: "q14_promo_revenue",
+        15: "q15_top_supplier", 16: "q16_supplier_part_counts",
+        17: "q17_small_quantity_revenue", 18: "q18_large_volume_customer",
+        19: "q19_disjunctive_revenue", 20: "q20_excess_stock",
+        21: "q21_waiting_supplier", 22: "q22_dormant_customers",
+    }
+    n_live = sum(1 for q in canonical.values() if q in live)
+    m = re.search(r"TPC-H classics \((\d+) of 22", cov)
+    assert m, "README coverage table lost its TPC-H row"
+    assert int(m.group(1)) == n_live, (
+        f"README claims {m.group(1)}/22 TPC-H but registry has {n_live}/22"
+    )
+    # every live canonical query must be listed in the row
+    row = next(ln for ln in cov.splitlines() if "TPC-H classics" in ln)
+    unlisted = [q for q in canonical.values() if q in live and q not in row]
+    assert not unlisted, f"live TPC-H queries missing from README row: {unlisted}"
+    # negative-claim words must not be attached to live queries
+    for word in ("unregistrable", "permanently"):
+        assert word not in cov, (
+            f"coverage prose still contains {word!r} — stale negative claim"
+        )
