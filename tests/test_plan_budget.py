@@ -300,13 +300,18 @@ SHUFFLE_BUDGET = {
     # r10 epoch shuffle: the per-shard ranking window's single
     # exchange (the md5 key is scan-stage; measured 1 at both SFs).
     "sample_epoch_shuffle": 1,
-    # r10 composed dedup flagship: the RETURNED plan reads the
-    # checkpointed component labels (CC rounds are separate
-    # checkpointed jobs, the honest lifecycle cost like
-    # link_golden_records) + the grouped-edge collapse window and
-    # shingle groupBy fold into the checkpoint; measured 2 at both
-    # SFs (label join + final agg keying).
-    "dedup_survivors": 2,
+    # r11 LM perplexity (CCNet stupid backoff): unigram + bigram +
+    # trigram count groupBys over the training slice + the final
+    # per-doc groupBy; the three score-table attach joins and the
+    # one-row total all broadcast (measured 4 + 5 bcast at both SFs).
+    "text_lm_perplexity": 4,
+    # r11 edges->survivors probe (the composed dedup_survivors left
+    # the headline for this persisted-edge form, VERDICT r10 #5): the
+    # RETURNED plan reads the checkpointed component labels (CC
+    # rounds are separate checkpointed jobs) + the singleton
+    # anti-join; the edge build never appears — it's a parquet read.
+    # Measured 1 at both SFs.
+    "dedup_survivors_from_edges": 1,
 }
 
 
