@@ -62,6 +62,9 @@ from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.operat
     graph as GR,
 )
 from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.operators import (
+    lm as LM,
+)
+from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.operators import (
     layout as LAY,
 )
 from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.operators import (
@@ -543,6 +546,100 @@ def _poly_sig_corpus_sql(num_hashes: int = 64) -> str:
     SELECT doc_id, array_to_string([{sig_terms}], ',') AS sig_str
     FROM g
     """
+
+
+def _lm_backoff_parts(
+    train_pred: str = "doc_id % 5 != 0",
+    score_pred: str = "doc_id % 5 = 0",
+) -> "tuple[str, str]":
+    """(cte_definitions, per_doc_select) for the trigram
+    stupid-backoff LM restatement (operators/lm.py) — split like
+    ``_minhash_grouped_parts`` so composed oracles (the perplexity
+    percentile gate) can lift the CTEs into their own WITH. Every
+    literal (fixed point 2**30, mantissa 256, alpha 2/5 folded as
+    2/5 and 4/25) mirrors the operator module's constants; all
+    arithmetic is BIGINT-exact, the only doubles are the final
+    bits/token expression. Default predicates are the daily-cadence
+    split: train on the corpus (doc_id % 5 != 0), score the held-out
+    shard — so trigram/bigram backoff and the OOV floor (m = 1,
+    level 0) all genuinely fire."""
+    from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.operators.lm import (
+        FP_BITS,
+        MANT,
+    )
+
+    fp = 1 << FP_BITS
+    qexpr = (
+        f"(length(bin(m)) - 1) * {MANT} "
+        f"+ (m * {MANT}) // (CAST(1 AS BIGINT) << (length(bin(m)) - 1)) "
+        f"- {MANT}"
+    )
+    tok_expr = (
+        "list_filter(string_split(regexp_replace(lower(text), "
+        "'[^a-z0-9 ]', ' ', 'g'), ' '), t -> t <> '')"
+    )
+    ctes = f"""lmtok_train AS (
+      SELECT {tok_expr} AS ts FROM documents WHERE {train_pred}
+    ), lmtok_score AS (
+      SELECT doc_id, {tok_expr} AS ts FROM documents WHERE {score_pred}
+    ), lmuni AS (
+      SELECT w, COUNT(*) AS cu
+      FROM (SELECT unnest(ts) AS w FROM lmtok_train) GROUP BY 1
+    ), lmtot AS (SELECT SUM(cu) AS t FROM lmuni),
+    lmbi AS (
+      SELECT w1, w, COUNT(*) AS cb FROM (
+        SELECT ts[i-1] AS w1, ts[i] AS w
+        FROM (SELECT ts, unnest(generate_series(2, len(ts))) AS i
+              FROM lmtok_train)
+      ) GROUP BY 1, 2
+    ), lmtri AS (
+      SELECT w2, w1, w, COUNT(*) AS ct FROM (
+        SELECT ts[i-2] AS w2, ts[i-1] AS w1, ts[i] AS w
+        FROM (SELECT ts, unnest(generate_series(3, len(ts))) AS i
+              FROM lmtok_train)
+      ) GROUP BY 1, 2, 3
+    ), lmtri_pos AS (
+      SELECT doc_id, ts[i-2] AS w2, ts[i-1] AS w1, ts[i] AS w
+      FROM (SELECT doc_id, ts,
+                   unnest(generate_series(3, len(ts))) AS i FROM lmtok_score)
+    ), lmtri_s AS (
+      SELECT t.w2, t.w1, t.w,
+             greatest((t.ct * {fp}) // b.cb, 1) AS m_tri
+      FROM lmtri t JOIN lmbi b ON b.w1 = t.w2 AND b.w = t.w1
+    ), lmbi_s AS (
+      SELECT b.w1, b.w,
+             greatest((2 * b.cb * {fp}) // (5 * u.cu), 1) AS m_bi
+      FROM lmbi b JOIN lmuni u ON u.w = b.w1
+    ), lmuni_s AS (
+      SELECT u.w, greatest((4 * u.cu * {fp}) // (25 * lmtot.t), 1) AS m_uni
+      FROM lmuni u, lmtot
+    ), lmsc AS (
+      SELECT p.doc_id,
+             COALESCE(ts3.m_tri, bs.m_bi, us.m_uni, 1) AS m,
+             CASE WHEN ts3.m_tri IS NOT NULL THEN 3
+                  WHEN bs.m_bi IS NOT NULL THEN 2
+                  WHEN us.m_uni IS NOT NULL THEN 1 ELSE 0 END AS level
+      FROM lmtri_pos p
+      LEFT JOIN lmtri_s ts3
+        ON ts3.w2 = p.w2 AND ts3.w1 = p.w1 AND ts3.w = p.w
+      LEFT JOIN lmbi_s bs ON bs.w1 = p.w1 AND bs.w = p.w
+      LEFT JOIN lmuni_s us ON us.w = p.w
+    ), lmq AS (
+      SELECT doc_id, level, {qexpr} AS q FROM lmsc
+    )"""
+    per_doc_select = f"""
+      SELECT doc_id,
+             COUNT(*) AS n_scored,
+             CAST(SUM(CASE WHEN level = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_tri,
+             CAST(SUM(CASE WHEN level = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_bi,
+             CAST(SUM(CASE WHEN level = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_uni,
+             CAST(SUM(CASE WHEN level = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+             CAST(SUM(q) AS BIGINT) AS qsum,
+             {FP_BITS}.0 - CAST(SUM(q) AS DOUBLE)
+                           / ({MANT}.0 * COUNT(*)) AS bits_per_token
+      FROM lmq GROUP BY doc_id
+    """
+    return ctes, per_doc_select
 
 
 def _incr_lsh_split_path(sf: str) -> str:

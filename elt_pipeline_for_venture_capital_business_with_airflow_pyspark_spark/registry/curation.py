@@ -1,10 +1,11 @@
-"""Registry family: curation (5 queries).
+"""Registry family: curation (6 queries).
 
 - curation_pipeline
 - curation_blocklist_filter
 - curation_quality_percentile
 - curation_quality_gate
 - curation_pack_sequences
+- curation_lm_perplexity_gate
 """
 
 from ._shared import *  # noqa: F401,F403
@@ -247,4 +248,60 @@ def _curation_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
         "shard",
         "n_tokens",
         F.expr("(cum - n_tokens) div 2048").alias("seq_id"),
+    )
+
+
+def _curation_lm_gate_sql() -> str:
+    ctes, per_doc = _lm_backoff_parts()
+    return f"""
+    WITH {ctes}, lmdoc AS ({per_doc}),
+    scored AS (
+      SELECT d.doc_id, s.source, d.bits_per_token
+      FROM lmdoc d JOIN documents s USING (doc_id)
+    ), thr AS (
+      SELECT source, quantile_disc(bits_per_token, 0.75) AS q75
+      FROM scored GROUP BY source
+    )
+    SELECT s.doc_id, s.source, s.bits_per_token
+    FROM scored s JOIN thr t ON s.source = t.source
+    WHERE s.bits_per_token <= t.q75
+    """
+
+
+@_register("curation_lm_perplexity_gate", _curation_lm_gate_sql())
+def _curation_lm_perplexity_gate(spark: SparkSession, sf: str) -> DataFrame:
+    """The CCNet curation composition (VERDICT r10 #8): corpus-trained
+    trigram stupid-backoff perplexity (text_lm_perplexity's exact
+    fixed-point scoring) percentile-gated PER SOURCE — drop each
+    source's worst-perplexity quartile, keep the head+middle (CCNet
+    cuts per language/bucket for the same reason
+    curation_quality_percentile cuts per source: an absolute
+    perplexity bar would gut low-resource sources). The per-source
+    75th percentile is the DISC two-phase histogram quantile (a value
+    that exists in the data, so <= keeps at least one doc per
+    source); the threshold join is a broadcast of one row per
+    source. The LM trains on the corpus slice (doc_id % 5 != 0) and
+    the gate applies to the held-out shard — exactly the daily
+    cadence: "is today's crawl fluent under yesterday's corpus".
+    Documents under 3 tokens are unscored and therefore ungated —
+    route them to the length-based gates instead."""
+    docs = read_table(spark, sf, "documents")
+    scored = (
+        LM.lm_score_stupid_backoff(
+            docs.filter(F.col("doc_id") % 5 == 0),
+            "doc_id",
+            "text",
+            train_docs=docs.filter(F.col("doc_id") % 5 != 0),
+        )
+        .select(F.col("id").alias("doc_id"), "bits_per_token")
+        .join(docs.select("doc_id", "source"), "doc_id")
+    )
+    thr = FT.exact_quantiles(
+        scored, "bits_per_token", [0.75],
+        group_cols=["source"], mode="disc", out_cols=["q75"],
+    )
+    return (
+        scored.join(thr.select("source", "q75"), "source")
+        .filter(F.col("bits_per_token") <= F.col("q75"))
+        .select("doc_id", "source", "bits_per_token")
     )

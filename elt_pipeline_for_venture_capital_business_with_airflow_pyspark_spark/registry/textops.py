@@ -1,4 +1,4 @@
-"""Registry family: textops (22 queries).
+"""Registry family: textops (23 queries).
 
 - text_stats
 - text_winnow_fingerprints
@@ -22,6 +22,7 @@
 - text_bpe_tokenize
 - text_bpe_tokenize_large
 - text_homoglyph_fold
+- text_lm_perplexity
 """
 
 from ._shared import *  # noqa: F401,F403
@@ -1028,4 +1029,45 @@ def _text_homoglyph_fold(spark: SparkSession, sf: str) -> DataFrame:
             TX.fold_fullwidth(TX.fold_homoglyphs(attacked)).alias("folded"),
             (F.length(attacked) - F.length(strip_all)).cast("int").alias("n_confusables"),
         )
+    )
+
+
+def _text_lm_perplexity_sql() -> str:
+    ctes, per_doc = _lm_backoff_parts()
+    return f"""
+    WITH {ctes}
+    {per_doc}
+    """
+
+
+@_register("text_lm_perplexity", _text_lm_perplexity_sql())
+def _text_lm_perplexity(spark: SparkSession, sf: str) -> DataFrame:
+    """CCNet-style LM perplexity scoring (operators/lm.py, VERDICT
+    r10 #8): a trigram stupid-backoff LM is trained on the corpus
+    slice (doc_id % 5 != 0) in pure aggregations (unigram/bigram/
+    trigram count tables, one scan) and every held-out shard document
+    (doc_id % 5 == 0, the daily cadence split the incremental-LSH
+    family uses) with >= 3 tokens is scored — bits/token = log2
+    perplexity, lower = more fluent. The held-out split makes
+    backoff REAL: unseen trigrams fall to the bigram level, unseen
+    bigrams to unigram, unseen words to the 30-bit OOV floor (a
+    self-trained LM would see every scored trigram at least once).
+    Every per-position score is exact BIGINT fixed-point (num/den
+    rational backoff -> << 30 fixed point -> quantized 256*log2 via
+    bit-length + 8-bit mantissa), so the whole scoring pipeline
+    hash-checks bit-for-bit; the only IEEE arithmetic is the final
+    bits/token division, single-rounded identically in both engines
+    (the text_pmi_pairs discipline). Backoff level counts
+    (n_tri/n_bi/n_uni/n_oov) ride along — the LM-coverage diagnostic
+    a curation run monitors."""
+    docs = read_table(spark, sf, "documents")
+    return LM.lm_score_stupid_backoff(
+        docs.filter(F.col("doc_id") % 5 == 0),
+        "doc_id",
+        "text",
+        train_docs=docs.filter(F.col("doc_id") % 5 != 0),
+    ).select(
+        F.col("id").alias("doc_id"),
+        "n_scored", "n_tri", "n_bi", "n_uni", "n_oov", "qsum",
+        "bits_per_token",
     )
