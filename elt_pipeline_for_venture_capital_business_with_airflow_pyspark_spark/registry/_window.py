@@ -49,8 +49,10 @@ _WINDOW_ORDER: list[str] = [
     # grouping_sets keeps the family; the percentile family keeps
     # agg_percentile_disc_cont + agg_exact_median in the sweep)
     "agg_grouping_sets",
-    # windows / sessions (streaming batch-twin evidence)
-    "window_topk_per_group", "sessionize",
+    # windows / sessions (streaming batch-twin evidence; sessionize
+    # rotated to the tail in r11 — topk keeps the window family and
+    # the gate tail keeps sessionize hash-checked)
+    "window_topk_per_group",
     # data quality / hypertable / curation flagship
     "dq_expectations", "rollup_hypertable", "curation_pipeline",
     # text analysis (lang_id + top_terms rotated to the tail sweep in
@@ -63,13 +65,20 @@ _WINDOW_ORDER: list[str] = [
     # the sampling family after sample_hash_stratified moved to the
     # tail)
     "text_homoglyph_fold", "text_pack_chunks", "sample_quota_mix",
-    # dedup family (exact → CC → LSH twins → r10 grouped star form;
-    # ngram_jaccard + edit1_names rotated to the tail in r10 —
-    # minhash_poly keeps the jaccard family)
-    "dedup_exact_groups", "dedup_connected_components",
+    # dedup family (LSH twins → r10 grouped star form → r11 composed
+    # flagship; ngram_jaccard + edit1_names rotated to the tail in
+    # r10, exact_groups + connected_components in r11 —
+    # dedup_survivors hash-checks CC + keep-first end to end via its
+    # recursive-CTE oracle, so the CC semantics stay under the hard
+    # hash check)
     "dedup_minhash_poly", "dedup_simhash_poly", "dedup_incremental_lsh",
     # r10: the hot-bucket guard's star-form contract (VERDICT r9 #1)
     "dedup_minhash_grouped",
+    # r11 rotation (VERDICT r10 #1): the round-10 flagships under the
+    # driver's hard hash check — the composed one-call dedup kill
+    # chain, SemDeDup per-vector prune verdicts, and the
+    # deterministic per-epoch training shuffle
+    "dedup_survivors", "embedding_semdedup_prune", "sample_epoch_shuffle",
     # embedding similarity (hash-checked twins of the LSH/IVF paths,
     # + the exact bitext-mining twin of embedding_bitext_ivf)
     "embedding_near_dup_sqlcheck", "embedding_ann_sqlcheck", "embedding_ivf_sqlcheck",

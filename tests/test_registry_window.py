@@ -54,6 +54,14 @@ REQUIRED_IN_WINDOW = {
     "multimodal_audio_g711",
     "multimodal_frame_sample_dib",
     "dedup_minhash_grouped",
+    # r11 rotation (VERDICT r10 #1): round-10 flagships — the composed
+    # dedup kill chain (whose recursive-CTE oracle keeps the
+    # connected-components semantics under the hard hash check after
+    # dedup_connected_components/dedup_exact_groups/sessionize moved
+    # to the CI tail), SemDeDup pruning, and the epoch shuffle
+    "dedup_survivors",
+    "embedding_semdedup_prune",
+    "sample_epoch_shuffle",
     # §2 coverage representatives (one per family; the r9 rotation
     # moved the redundant siblings — entity_type/try_cast,
     # flatten_struct, profile_catalog, sort_limit_topk,
