@@ -1,0 +1,283 @@
+"""Scheduler-free orchestration semantics: run ledger, task sensor,
+backfill/catchup (SURVEY §2.8 orchestration tier; VERDICT r10
+"what's missing" #1 — the last reference behavior with no engine
+twin).
+
+The reference leans on three pieces of Airflow machinery beyond plain
+dependency ordering (which :mod:`plans.pipeline` and
+:mod:`plans.airflow_dag` already mirror):
+
+- ``catchup=False`` on both DAGs (dags/vcapital_staging/run.py:17,
+  dags/vcapital_warehouse/run.py:19): missed schedule intervals are
+  NOT replayed — only the latest interval runs;
+- ``airflow dags backfill``-style replay as the manual escape hatch
+  the catchup=False choice implies (re-run a date range, skipping
+  task instances that already succeeded);
+- ``ExternalTaskSensor`` (dags/vcapital_warehouse/tasks/main.py:63,
+  :93): each warehouse transform WAITS for the staging DAG's
+  matching load task, with ``target_execution_date`` PINNING the
+  upstream logical date (main.py:49-50 maps every run to the fixed
+  dataset date 2004-02-28 — the mapping is a function, not identity).
+
+This module reproduces those semantics against a plain file-backed
+RUN LEDGER instead of the Airflow metadata DB, so the engine needs no
+scheduler: the ledger is the source of truth for "has (dag, task, ds)
+succeeded", the sensor polls it, and backfill/catchup iterate logical
+dates through :func:`pipeline.run_warehouse_table` with per-task
+idempotent skip. At 100 TB the ledger stays tiny (one JSON line per
+task instance — metadata, never data), and the per-``ds`` work is the
+incremental merge path the pipeline already implements; a real
+deployment swaps the ledger file for its metadata store behind the
+same four-method surface.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import os
+import time
+from typing import Any, Callable, Iterable
+
+from pyspark.sql import SparkSession
+
+from . import pipeline as P
+
+__all__ = [
+    "RunLedger",
+    "SensorTimeout",
+    "wait_for_task",
+    "run_backfill",
+    "run_catchup",
+    "date_range",
+]
+
+
+class RunLedger:
+    """Append-only JSON-lines record of task-instance outcomes — the
+    engine-side twin of Airflow's task-instance table. One line per
+    attempt ``{dag_id, task_id, ds, status, ts}``; the LAST line for a
+    key wins, so a failed attempt followed by a successful re-run
+    reads as success (exactly Airflow's re-run semantics). Single
+    writer per ledger file (one scheduler), like Airflow's scheduler
+    process; the read path tolerates a torn final line (crash mid-
+    append) by skipping it."""
+
+    DAG_TASK = "__dag__"  # dag-level completion marker task id
+
+    def __init__(self, path: str):
+        self.path = path
+
+    def record(
+        self, dag_id: str, task_id: str, ds: str, status: str
+    ) -> None:
+        line = json.dumps(
+            {
+                "dag_id": dag_id,
+                "task_id": task_id,
+                "ds": ds,
+                "status": status,
+                "ts": time.time(),
+            }
+        )
+        with open(self.path, "a") as f:
+            f.write(line + "\n")
+            f.flush()
+            os.fsync(f.fileno())
+
+    def _scan(self) -> dict[tuple[str, str, str], str]:
+        out: dict[tuple[str, str, str], str] = {}
+        if not os.path.exists(self.path):
+            return out
+        with open(self.path) as f:
+            for line in f:
+                try:
+                    r = json.loads(line)
+                except ValueError:
+                    continue  # torn tail line from a crash mid-append
+                out[(r["dag_id"], r["task_id"], r["ds"])] = r["status"]
+        return out
+
+    def status(self, dag_id: str, task_id: str, ds: str) -> str | None:
+        return self._scan().get((dag_id, task_id, ds))
+
+    def is_success(self, dag_id: str, task_id: str, ds: str) -> bool:
+        return self.status(dag_id, task_id, ds) == "success"
+
+    def last_success_ds(self, dag_id: str) -> str | None:
+        """Latest ds with a dag-level success — what catchup resumes
+        after."""
+        ds_list = [
+            ds
+            for (d, t, ds), status in self._scan().items()
+            if d == dag_id and t == self.DAG_TASK and status == "success"
+        ]
+        return max(ds_list) if ds_list else None
+
+
+class SensorTimeout(TimeoutError):
+    """Raised when a sensor's timeout elapses — the engine twin of
+    AirflowSensorTimeout."""
+
+
+def wait_for_task(
+    ledger: RunLedger,
+    dag_id: str,
+    task_id: str,
+    ds: str,
+    timeout: float = 600.0,
+    poke_interval: float = 5.0,
+    execution_date_fn: Callable[[str], str] | None = None,
+    sleep: Callable[[float], None] = time.sleep,
+) -> str:
+    """ExternalTaskSensor twin: block until ``(dag_id, task_id)`` has
+    succeeded for the mapped logical date, polling the ledger every
+    ``poke_interval`` seconds; raise :class:`SensorTimeout` after
+    ``timeout``. ``execution_date_fn`` maps THIS run's ds to the
+    upstream dag's ds (the reference pins a constant date —
+    target_execution_date, main.py:49-50 — i.e.
+    ``lambda ds: "2004-02-28"``); default is identity, Airflow's
+    default too. Returns the upstream ds it observed. ``sleep`` is
+    injectable so tests (and reschedule-style callers) control time.
+    """
+    target_ds = ds if execution_date_fn is None else execution_date_fn(ds)
+    waited = 0.0
+    while True:
+        if ledger.is_success(dag_id, task_id, target_ds):
+            return target_ds
+        if waited >= timeout:
+            raise SensorTimeout(
+                f"sensor timed out after {timeout}s waiting for "
+                f"{dag_id}.{task_id} @ {target_ds}"
+            )
+        sleep(poke_interval)
+        waited += poke_interval
+
+
+def date_range(start_ds: str, end_ds: str) -> list[str]:
+    """Inclusive daily schedule intervals [start_ds, end_ds]."""
+    d0 = dt.date.fromisoformat(start_ds)
+    d1 = dt.date.fromisoformat(end_ds)
+    if d1 < d0:
+        return []
+    return [
+        (d0 + dt.timedelta(days=i)).isoformat()
+        for i in range((d1 - d0).days + 1)
+    ]
+
+
+def run_backfill(
+    spark: SparkSession,
+    staging_dir: str,
+    warehouse_dir: str,
+    start_ds: str,
+    end_ds: str,
+    ledger: RunLedger,
+    dag_id: str = "vc_warehouse",
+    tables: Iterable[str] = P.WAREHOUSE_ORDER,
+    upstream_wait: Callable[[str, str], None] | None = None,
+    on_failure: Callable[[dict[str, Any]], None] | None = None,
+    fail_fast: bool = True,
+) -> dict[str, dict[str, list[str]]]:
+    """``airflow dags backfill``-style replay of the warehouse DAG
+    over [start_ds, end_ds]: every logical date ascending, every table
+    in dependency order, SKIPPING task instances the ledger already
+    records as succeeded — a resumed backfill re-runs only what failed
+    or never ran (Airflow's re-run semantics). Each table runs the
+    incremental merge path (``run_warehouse_table(..., ds=ds)``), so
+    replaying a day converges instead of duplicating.
+
+    ``upstream_wait(table, ds)``: optional sensor hook invoked before
+    each table (wire :func:`wait_for_task` here to reproduce the
+    reference's wait_staging_* gates). ``on_failure`` receives the
+    Airflow-shaped context dict the pipeline runner uses. With
+    ``fail_fast`` (default) a failure stops the whole backfill after
+    recording it — later dates depend on earlier merges; pass False to
+    continue with the NEXT logical date (the failed date's remaining
+    tables are still skipped, matching Airflow's within-run ordering).
+
+    Returns ``{ds: {"ran": [...], "skipped": [...], "failed": [...]}}``.
+    """
+    report: dict[str, dict[str, list[str]]] = {}
+    for ds in date_range(start_ds, end_ds):
+        ran: list[str] = []
+        skipped: list[str] = []
+        failed: list[str] = []
+        report[ds] = {"ran": ran, "skipped": skipped, "failed": failed}
+        if ledger.is_success(dag_id, ledger.DAG_TASK, ds):
+            skipped.extend(t for t in tables)
+            continue
+        broken = False
+        for name in tables:
+            if ledger.is_success(dag_id, name, ds):
+                skipped.append(name)
+                continue
+            try:
+                if upstream_wait is not None:
+                    upstream_wait(name, ds)
+                P.run_warehouse_table(
+                    spark, name, staging_dir, warehouse_dir, ds=ds
+                )
+            except Exception as exc:
+                ledger.record(dag_id, name, ds, "failed")
+                failed.append(name)
+                if on_failure is not None:
+                    on_failure(
+                        {
+                            "task_id": name,
+                            "dag_id": dag_id,
+                            "ds": ds,
+                            "exception": exc,
+                        }
+                    )
+                if fail_fast:
+                    raise
+                broken = True
+                break  # downstream tables depend on this one
+            ledger.record(dag_id, name, ds, "success")
+            ran.append(name)
+        if not broken:
+            ledger.record(dag_id, ledger.DAG_TASK, ds, "success")
+    return report
+
+
+def run_catchup(
+    spark: SparkSession,
+    staging_dir: str,
+    warehouse_dir: str,
+    now_ds: str,
+    ledger: RunLedger,
+    dag_id: str = "vc_warehouse",
+    catchup: bool = False,
+    start_ds: str | None = None,
+    **backfill_kwargs: Any,
+) -> dict[str, dict[str, list[str]]]:
+    """Scheduler-tick twin of the DAG's ``catchup`` flag: with
+    ``catchup=False`` (the reference's setting on BOTH dags) only the
+    latest interval ``now_ds`` runs, regardless of how many days were
+    missed; with ``catchup=True`` every interval after the last
+    dag-level success (or from ``start_ds`` when the ledger is empty)
+    is replayed through :func:`run_backfill`. Idempotent under
+    re-invocation either way — completed intervals read as skips."""
+    if catchup:
+        last = ledger.last_success_ds(dag_id)
+        if last is not None:
+            nxt = (
+                dt.date.fromisoformat(last) + dt.timedelta(days=1)
+            ).isoformat()
+            first = max(nxt, start_ds) if start_ds else nxt
+        else:
+            first = start_ds or now_ds
+        first = min(first, now_ds)
+    else:
+        first = now_ds
+    return run_backfill(
+        spark,
+        staging_dir,
+        warehouse_dir,
+        first,
+        now_ds,
+        ledger,
+        dag_id=dag_id,
+        **backfill_kwargs,
+    )

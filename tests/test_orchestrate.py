@@ -1,0 +1,260 @@
+"""plans/orchestrate.py — scheduler-free catchup/backfill/sensor
+semantics (VERDICT r10 "missing" #1): run-ledger contract, the
+ExternalTaskSensor twin incl. the reference's pinned-execution-date
+mapping, idempotent backfill resume, and the catchup flag."""
+
+from __future__ import annotations
+
+import datetime as dt
+from decimal import Decimal
+
+import pytest
+
+from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark import schemas
+from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.plans import (
+    orchestrate as O,
+)
+from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.plans import (
+    pipeline as P,
+)
+
+TS_D1 = dt.datetime(2013, 7, 1, 12, 0, 0)
+TS_D2 = dt.datetime(2013, 7, 2, 12, 0, 0)
+D = dt.date(2013, 7, 1)
+
+
+@pytest.fixture(scope="module")
+def staging_dir(spark, tmp_path_factory):
+    """Two-day staging universe: company/fund activity created on
+    July 1 and an extra funding round + investment created July 2, so
+    ds=2013-07-02 and ds=2013-07-03 each slice a non-empty day."""
+    root = tmp_path_factory.mktemp("staging_orch")
+    rows = {
+        "company": [
+            (1, "c:1", None, "west", "1 Main St", None, "sf", None, None,
+             "us", None, None, TS_D1, TS_D1),
+            (2, "c:2", None, "east", "2 Side St", None, "ny", None, None,
+             "us", None, None, TS_D2, TS_D2),
+            (3, "f:1", None, None, None, None, None, None, None, None,
+             None, None, TS_D1, TS_D1),
+        ],
+        "funds": [
+            ("10", "f:1", " Fund One ", D, Decimal("100.00"), "EUR", None,
+             "desc", TS_D1, TS_D1),
+        ],
+        "funding_rounds": [
+            (100, "c:1", D, "series-a", "a", Decimal("5.00"),
+             Decimal("5.00"), "USD", None, None, None, None, None, None,
+             "3", True, False, None, TS_D1, TS_D1),
+            (101, "c:2", D, "series-b", "b", Decimal("7.00"),
+             Decimal("7.00"), "USD", None, None, None, None, None, None,
+             "2", True, False, None, TS_D2, TS_D2),
+        ],
+        "investments": [
+            (1000, 100, "c:1", "f:1", TS_D1, TS_D1),
+            (1001, 101, "c:2", "f:1", TS_D2, TS_D2),
+        ],
+        "ipos": [
+            ("500", "c:1", Decimal("1000.00"), "USD", Decimal("10.00"),
+             "USD", TS_D1, "ABC", None, "ipo desc", TS_D1, TS_D1),
+        ],
+        "acquisition": [
+            (700, "c:1", "c:2", "cash", Decimal("50.00"), "USD", TS_D1,
+             None, "deal", TS_D1, TS_D1),
+        ],
+        "people": [
+            ("p1", "p:1", "Ada", "Lovelace", None, "c:1"),
+        ],
+        "relationships": [
+            ("r1", "p:1", "c:1", "2010-01-01", None, "false", "1", "CEO",
+             "2013-07-01 12:00:00", "2013-07-01 12:00:00"),
+        ],
+    }
+    for name, data in rows.items():
+        spark.createDataFrame(data, schema=schemas.STAGING[name]).write.mode(
+            "overwrite"
+        ).parquet(f"{root}/{name}")
+    return str(root)
+
+
+# --- ledger ---------------------------------------------------------------
+
+def test_ledger_last_record_wins_and_torn_tail_tolerated(tmp_path):
+    led = O.RunLedger(str(tmp_path / "ledger.jsonl"))
+    assert led.status("d", "t", "2013-07-02") is None
+    led.record("d", "t", "2013-07-02", "failed")
+    assert not led.is_success("d", "t", "2013-07-02")
+    led.record("d", "t", "2013-07-02", "success")
+    assert led.is_success("d", "t", "2013-07-02")
+    # crash mid-append: a torn final line must not poison reads
+    with open(led.path, "a") as f:
+        f.write('{"dag_id": "d", "task_id"')
+    assert led.is_success("d", "t", "2013-07-02")
+
+
+def test_ledger_last_success_ds(tmp_path):
+    led = O.RunLedger(str(tmp_path / "l.jsonl"))
+    assert led.last_success_ds("d") is None
+    led.record("d", led.DAG_TASK, "2013-07-02", "success")
+    led.record("d", led.DAG_TASK, "2013-07-04", "success")
+    led.record("other", led.DAG_TASK, "2013-07-09", "success")
+    assert led.last_success_ds("d") == "2013-07-04"
+
+
+# --- sensor ---------------------------------------------------------------
+
+def test_sensor_immediate_and_poked_success(tmp_path):
+    led = O.RunLedger(str(tmp_path / "l.jsonl"))
+    led.record("staging", "load_company", "2013-07-02", "success")
+    assert (
+        O.wait_for_task(led, "staging", "load_company", "2013-07-02")
+        == "2013-07-02"
+    )
+
+    pokes = []
+
+    def sleep(s):
+        pokes.append(s)
+        if len(pokes) == 3:  # upstream lands on the third poke
+            led.record("staging", "load_funds", "2013-07-02", "success")
+
+    O.wait_for_task(
+        led, "staging", "load_funds", "2013-07-02",
+        timeout=60, poke_interval=1, sleep=sleep,
+    )
+    assert len(pokes) == 3
+
+
+def test_sensor_timeout_raises(tmp_path):
+    led = O.RunLedger(str(tmp_path / "l.jsonl"))
+    with pytest.raises(O.SensorTimeout):
+        O.wait_for_task(
+            led, "staging", "never", "2013-07-02",
+            timeout=3, poke_interval=1, sleep=lambda s: None,
+        )
+
+
+def test_sensor_pinned_execution_date_mapping(tmp_path):
+    """The reference maps EVERY warehouse run to the fixed staging
+    date 2004-02-28 (target_execution_date, main.py:49-50): the
+    sensor must check the MAPPED ds, not this run's ds."""
+    led = O.RunLedger(str(tmp_path / "l.jsonl"))
+    led.record("vcapital_staging", "load_company", "2004-02-28", "success")
+    with pytest.raises(O.SensorTimeout):  # identity mapping: not there
+        O.wait_for_task(
+            led, "vcapital_staging", "load_company", "2013-07-02",
+            timeout=1, poke_interval=1, sleep=lambda s: None,
+        )
+    got = O.wait_for_task(
+        led, "vcapital_staging", "load_company", "2013-07-02",
+        timeout=1, poke_interval=1, sleep=lambda s: None,
+        execution_date_fn=lambda ds: "2004-02-28",
+    )
+    assert got == "2004-02-28"
+
+
+# --- backfill / catchup -----------------------------------------------------
+
+def test_backfill_runs_then_resumes_as_skips(spark, staging_dir, tmp_path):
+    wh = str(tmp_path / "wh")
+    led = O.RunLedger(str(tmp_path / "ledger.jsonl"))
+    rep = O.run_backfill(
+        spark, staging_dir, wh, "2013-07-02", "2013-07-03", led
+    )
+    assert set(rep) == {"2013-07-02", "2013-07-03"}
+    for ds in rep:
+        assert rep[ds]["ran"] == list(P.WAREHOUSE_ORDER)
+        assert rep[ds]["failed"] == []
+    # both days merged: fct_investments carries day-1 AND day-2 rounds
+    fct = spark.read.parquet(f"{wh}/fct_investments")
+    assert fct.count() == 2
+    # resume: everything skips, nothing re-runs
+    rep2 = O.run_backfill(
+        spark, staging_dir, wh, "2013-07-02", "2013-07-03", led
+    )
+    for ds in rep2:
+        assert rep2[ds]["ran"] == []
+        assert set(rep2[ds]["skipped"]) == set(P.WAREHOUSE_ORDER)
+
+
+def test_backfill_failure_resume_and_callbacks(
+    spark, staging_dir, tmp_path, monkeypatch
+):
+    wh = str(tmp_path / "wh")
+    led = O.RunLedger(str(tmp_path / "ledger.jsonl"))
+    real = P.run_warehouse_table
+    contexts = []
+
+    def flaky(spark_, name, stg, whd, ds=None):
+        if name == "fct_ipos" and ds == "2013-07-02":
+            raise RuntimeError("injected fct_ipos failure")
+        return real(spark_, name, stg, whd, ds=ds)
+
+    monkeypatch.setattr(P, "run_warehouse_table", flaky)
+    rep = O.run_backfill(
+        spark, staging_dir, wh, "2013-07-02", "2013-07-03", led,
+        fail_fast=False, on_failure=contexts.append,
+    )
+    assert rep["2013-07-02"]["failed"] == ["fct_ipos"]
+    # downstream of the failure did NOT run on the failed date...
+    assert "fct_acquisition" not in rep["2013-07-02"]["ran"]
+    # ...but the next logical date proceeded (fail_fast=False)
+    assert rep["2013-07-03"]["failed"] == []
+    assert contexts and contexts[0]["task_id"] == "fct_ipos"
+    assert contexts[0]["ds"] == "2013-07-02"
+
+    # fix the fault and resume: ONLY the failed task and what never
+    # ran on 2013-07-02 execute; 2013-07-03 skips wholesale
+    monkeypatch.setattr(P, "run_warehouse_table", real)
+    rep2 = O.run_backfill(
+        spark, staging_dir, wh, "2013-07-02", "2013-07-03", led
+    )
+    assert "fct_ipos" in rep2["2013-07-02"]["ran"]
+    assert "dim_company" in rep2["2013-07-02"]["skipped"]
+    assert rep2["2013-07-03"]["ran"] == []
+
+
+def test_backfill_fail_fast_raises(spark, staging_dir, tmp_path, monkeypatch):
+    led = O.RunLedger(str(tmp_path / "ledger.jsonl"))
+
+    def boom(*a, **k):
+        raise RuntimeError("boom")
+
+    monkeypatch.setattr(P, "run_warehouse_table", boom)
+    with pytest.raises(RuntimeError, match="boom"):
+        O.run_backfill(
+            spark, staging_dir, str(tmp_path / "wh"),
+            "2013-07-02", "2013-07-02", led,
+        )
+    assert led.status("vc_warehouse", "dim_date", "2013-07-02") == "failed"
+
+
+def test_catchup_false_runs_only_latest_interval(
+    spark, staging_dir, tmp_path
+):
+    wh = str(tmp_path / "wh")
+    led = O.RunLedger(str(tmp_path / "ledger.jsonl"))
+    rep = O.run_catchup(
+        spark, staging_dir, wh, "2013-07-03", led, catchup=False
+    )
+    assert list(rep) == ["2013-07-03"]  # missed 07-02 NOT replayed
+
+
+def test_catchup_true_replays_after_last_success(
+    spark, staging_dir, tmp_path
+):
+    wh = str(tmp_path / "wh")
+    led = O.RunLedger(str(tmp_path / "ledger.jsonl"))
+    O.run_backfill(spark, staging_dir, wh, "2013-07-02", "2013-07-02", led)
+    rep = O.run_catchup(
+        spark, staging_dir, wh, "2013-07-04", led, catchup=True
+    )
+    assert list(rep) == ["2013-07-03", "2013-07-04"]
+    assert rep["2013-07-03"]["ran"] == list(P.WAREHOUSE_ORDER)
+
+
+def test_date_range_inclusive_and_reversed_empty():
+    assert O.date_range("2013-07-02", "2013-07-04") == [
+        "2013-07-02", "2013-07-03", "2013-07-04",
+    ]
+    assert O.date_range("2013-07-04", "2013-07-02") == []
