@@ -295,6 +295,13 @@ def _curation_lm_perplexity_gate(spark: SparkSession, sf: str) -> DataFrame:
         )
         .select(F.col("id").alias("doc_id"), "bits_per_token")
         .join(docs.select("doc_id", "source"), "doc_id")
+        # materialize ONCE: exact_quantiles' histogram/boundary/join
+        # branches would otherwise each re-evaluate the whole LM
+        # scoring pipeline (n-gram tables + three joins) — the
+        # checkpoint turns 8 replicated subplans into one pass over
+        # shard-sized score rows (same persist-before-reuse posture
+        # as the CC edge frames)
+        .localCheckpoint(eager=True)
     )
     thr = FT.exact_quantiles(
         scored, "bits_per_token", [0.75],

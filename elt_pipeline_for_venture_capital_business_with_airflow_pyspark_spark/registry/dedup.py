@@ -1,8 +1,9 @@
-"""Registry family: dedup (19 queries).
+"""Registry family: dedup (20 queries).
 
 - dedup_exact_groups
 - dedup_ngram_jaccard
 - dedup_connected_components
+- dedup_components_star
 - dedup_minhash_lsh
 - dedup_simhash
 - dedup_minhash_poly
@@ -77,9 +78,9 @@ def _dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     return DD.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.8)
 
 
-@_register(
-    "dedup_connected_components",
-    """
+# shared by the min-label and large-star/small-star CC entries: both
+# implementations must hash-match the same recursive-CTE closure
+_CC_NGRAM_ORACLE = """
     WITH RECURSIVE tok AS (
       SELECT doc_id, CASE WHEN trim(text) = '' THEN [] ELSE string_split_regex(trim(text), '\\s+') END AS t
       FROM documents
@@ -110,8 +111,10 @@ def _dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
       SELECT e.b AS id, r.comp AS comp FROM reach r JOIN e ON e.a = r.id
     )
     SELECT id, MIN(comp) AS component FROM reach GROUP BY id
-    """,
-)
+    """
+
+
+@_register("dedup_connected_components", _CC_NGRAM_ORACLE)
 def _dedup_connected_components(spark: SparkSession, sf: str) -> DataFrame:
     """Cluster resolution over the exact-Jaccard near-dup graph:
     iterative min-label propagation (operators.dedup.
@@ -120,6 +123,25 @@ def _dedup_connected_components(spark: SparkSession, sf: str) -> DataFrame:
     docs = read_table(spark, sf, "documents")
     pairs = DD.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.8)
     return DD.connected_components(
+        docs.select("doc_id"),
+        pairs.select("id_a", "id_b"),
+        id_col="doc_id",
+    )
+
+
+@_register("dedup_components_star", _CC_NGRAM_ORACLE)
+def _dedup_components_star(spark: SparkSession, sf: str) -> DataFrame:
+    """The SAME near-dup graph resolved by the alternating
+    large-star/small-star algorithm (operators.dedup.
+    connected_components_star, Kiveris et al. 2014 — the
+    large-diameter escape hatch, O(log² n) rounds vs min-label's
+    O(diameter)) against the IDENTICAL recursive-CTE oracle as
+    ``dedup_connected_components``: both implementations must
+    hash-match the same transitive closure, so algorithm swaps can
+    never silently change cluster assignments."""
+    docs = read_table(spark, sf, "documents")
+    pairs = DD.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.8)
+    return DD.connected_components_star(
         docs.select("doc_id"),
         pairs.select("id_a", "id_b"),
         id_col="doc_id",

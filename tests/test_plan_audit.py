@@ -53,6 +53,12 @@ NESTED_LOOP_OK = {
     # PMI cross-joins the ONE-ROW corpus-size aggregate (broadcast
     # scalar N for the lift numerator) — same shape as text_tfidf_top3.
     "text_pmi_pairs",
+    # LM scoring cross-joins the ONE-ROW corpus-token-total aggregate
+    # (broadcast scalar T for the unigram backoff denominator) — same
+    # constant-cost shape as text_tfidf_top3/text_pmi_pairs. The
+    # percentile-gate composition (curation_lm_perplexity_gate)
+    # checkpoints the scored frame and stays nested-loop-free.
+    "text_lm_perplexity",
     # correlated-sampling join estimator cross-joins three ONE-ROW
     # frames (tau_a, tau_b, true-join audit) onto KB-scale samples.
     "sketch_join_cardinality",
@@ -94,6 +100,14 @@ NESTED_LOOP_OK = {
     # bounds frame broadcasts (attach_order_bucket's value buckets
     # are global; per-source state rides the equi-joined offsets).
     "curation_quality_percentile",
+    # r11: the LM-perplexity gate rides the same exact_quantiles
+    # machinery (attach_order_bucket's ONE-ROW [min, max] bounds
+    # broadcast, as curation_quality_percentile above); the scored
+    # frame itself is checkpointed first, so these are the ONLY
+    # nested loops — without the checkpoint the quantile branches
+    # replicated the whole LM subplan (8 flags, all the same one-row
+    # shape, plus real recomputation).
+    "curation_lm_perplexity_gate",
     # r9: sequence packing rides partitioned_cumsum, whose
     # attach_order_bucket stage broadcasts the same ONE-ROW [min, max]
     # bounds frame — identical constant-cost shape as
