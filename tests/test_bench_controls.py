@@ -94,3 +94,33 @@ def test_no_controls_flag_restores_legacy_behavior():
     out = bench_gate.evaluate(cand, base, use_controls=False)
     assert out["host_factor"] == 1.0
     assert len(out["regressions"]) == len(names)
+
+
+def test_summary_line_fits_driver_tail_capture():
+    """VERDICT r10 #3: the driver keeps only the LAST ~2000 chars of
+    bench stdout and json-parses them, so the FINAL printed line (the
+    compact summary) must stay comfortably under that bound for the
+    full headline set — worst-case query names, 4-digit timings, all
+    controls appended. Headline growth that would overflow the tail
+    fails here, not in the round artifact."""
+    import json
+
+    longest = sorted(bench.HEADLINE, key=len, reverse=True)[:10]
+    worst = {name: 9999.999 for name in longest}
+    for c in bench.CONTROLS:
+        worst.setdefault(c, 9999.999)
+    summary = {
+        "metric": "headline_queries_wall_sec",
+        "value": 99999.999,
+        "unit": "sec",
+        "queries": worst,
+        "sf": 0.1,
+        "n_queries": len(bench.HEADLINE),
+        "queries_note": "worst-10 + controls; full per-query map in "
+                        "BENCH_FULL.json (also printed above)",
+    }
+    line = json.dumps(summary)
+    assert len(line) < 1900, (
+        f"bench summary line can reach {len(line)} chars — the driver "
+        "tail capture (2000) would truncate it"
+    )
