@@ -58,7 +58,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["lm_score_stupid_backoff"]
+__all__ = ["lm_score_stupid_backoff", "lm_score_kneser_ney"]
 
 # fixed-point exponent for the backoff fraction and mantissa width of
 # the quantized log2 — mirrored literally in the oracle SQL
@@ -222,6 +222,172 @@ def lm_score_stupid_backoff(
             F.when(F.col("m_tri").isNotNull(), F.lit(3))
             .when(F.col("m_bi").isNotNull(), F.lit(2))
             .when(F.col("m_uni").isNotNull(), F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("level"),
+        )
+        .withColumn("q", _qlog2("__m").cast("long"))
+    )
+
+    agg = scored.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_scored"),
+        F.sum((F.col("level") == 3).cast("long")).alias("n_tri"),
+        F.sum((F.col("level") == 2).cast("long")).alias("n_bi"),
+        F.sum((F.col("level") == 1).cast("long")).alias("n_uni"),
+        F.sum((F.col("level") == 0).cast("long")).alias("n_oov"),
+        F.sum("q").alias("qsum"),
+    )
+    return agg.select(
+        "id", "n_scored", "n_tri", "n_bi", "n_uni", "n_oov", "qsum",
+        (
+            F.lit(float(FP_BITS))
+            - F.col("qsum").cast("double")
+            / (F.lit(float(MANT)) * F.col("n_scored").cast("double"))
+        ).alias("bits_per_token"),
+    )
+
+
+def lm_score_kneser_ney(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    train_docs: DataFrame | None = None,
+) -> DataFrame:
+    """Interpolated Kneser-Ney trigram scoring (Kneser & Ney 1995;
+    Chen & Goodman 1998 — the modified-counts smoothing KenLM
+    implements), same exact fixed-point discipline and output shape
+    as :func:`lm_score_stupid_backoff`.
+
+    Absolute discount ``D = 3/4`` (rational, folded by multiplying
+    every level through by 4), continuation counts from the n-gram
+    TYPE tables:
+
+    - unigram:  P_cont(w)   = N1+(.w) / N1+(..)          (bigram types)
+    - bigram:   P(w|w1)     = max(N1+(.w1 w)-D, 0)/N1+(.w1 .)
+                              + D*M(w1)/N1+(.w1 .) * P_cont(w)
+                              (trigram-type continuation counts)
+    - trigram:  P(w|w2,w1)  = max(c3-D, 0)/c2(w2,w1)
+                              + D*N1+(w2 w1 .)/c2(w2,w1) * P(w|w1)
+                              (raw counts at the top level)
+
+    Every level is fixed-pointed bottom-up (``<< 30``, truncating
+    integer division, floor 1), so unlike backoff the UNSEEN-trigram
+    score still carries the context's interpolation weight — the
+    statistically better smoothing — while remaining bit-identical
+    in ANSI SQL. Unseen CONTEXT falls through the chain
+    (c2 -> mid -> unigram -> the 30-bit OOV floor), and the level
+    diagnostic reports the deepest table that knew the n-gram
+    (3/2/1/0), mirroring the backoff variant's columns.
+
+    Guards: every division is gated on a positive denominator (ANSI
+    ``div`` raises on zero; an empty training corpus floors every
+    position to OOV), truncation keeps each fixed-point value
+    <= 2**30 because interpolated KN probabilities are <= 1 by
+    construction. BIGINT headroom mirrors the backoff variant
+    (``(4*count) << 30`` needs count < 2**31).
+    """
+    train = docs if train_docs is None else train_docs
+    train_toks = train.select(_tokens(text_col).alias("ts"))
+    toks = docs.select(
+        F.col(id_col).alias("id"), _tokens(text_col).alias("ts")
+    )
+
+    bi = (
+        train_toks.filter(F.size("ts") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(2, size(ts)), i -> "
+                    "struct(element_at(ts, i-1) as w1, element_at(ts, i) as w))"
+                )
+            ).alias("g")
+        )
+        .select("g.w1", "g.w")
+        .groupBy("w1", "w")
+        .agg(F.count(F.lit(1)).alias("cb"))
+    )
+    tri_expr = F.explode(
+        F.expr(
+            "transform(sequence(3, size(ts)), i -> "
+            "struct(element_at(ts, i-2) as w2, element_at(ts, i-1) as w1, "
+            "element_at(ts, i) as w))"
+        )
+    )
+    tri = (
+        train_toks.filter(F.size("ts") >= 3)
+        .select(tri_expr.alias("g"))
+        .select("g.w2", "g.w1", "g.w")
+        .groupBy("w2", "w1", "w")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+
+    # continuation / type statistics
+    n1p_w = bi.groupBy("w").agg(F.count(F.lit(1)).alias("n1p"))
+    nbb = bi.agg(F.count(F.lit(1)).alias("nbb"))  # N1+(..): bigram types
+    cc = tri.groupBy("w1", "w").agg(F.count(F.lit(1)).alias("cc"))
+    mid_ctx = cc.groupBy("w1").agg(
+        F.sum("cc").alias("ctxm"),  # N1+(.w1 .)
+        F.count(F.lit(1)).alias("m1"),  # M(w1): distinct continuations
+    )
+    ctx3 = (
+        tri.groupBy("w2", "w1")
+        .agg(F.count(F.lit(1)).alias("n1p_ctx"))  # N1+(w2 w1 .)
+        .join(
+            bi.select(
+                F.col("w1").alias("w2"),
+                F.col("w").alias("w1"),
+                F.col("cb").alias("c2ctx"),
+            ),
+            ["w2", "w1"],
+        )
+    )
+
+    tri_pos = (
+        toks.filter(F.size("ts") >= 3)
+        .select("id", tri_expr.alias("g"))
+        .select("id", "g.w2", "g.w1", "g.w")
+    )
+
+    fp = 1 << FP_BITS
+    joined = (
+        tri_pos.join(tri, ["w2", "w1", "w"], "left")
+        .join(ctx3, ["w2", "w1"], "left")
+        .join(cc, ["w1", "w"], "left")
+        .join(mid_ctx, ["w1"], "left")
+        .join(n1p_w, ["w"], "left")
+        .crossJoin(F.broadcast(nbb))
+    )
+    m_uni = F.expr(
+        f"CASE WHEN n1p IS NOT NULL AND nbb > 0 "
+        f"THEN greatest((n1p * {fp}L) div nbb, 1L) END"
+    )
+    scored = (
+        joined.withColumn("m_uni", m_uni)
+        .withColumn(
+            "m_bi",
+            F.expr(
+                f"CASE WHEN ctxm IS NOT NULL AND ctxm > 0 THEN greatest("
+                f"(greatest(4 * coalesce(cc, 0L) - 3, 0L) * {fp}L)"
+                f" div (4 * ctxm)"
+                f" + (3 * m1 * coalesce(m_uni, 1L)) div (4 * ctxm), 1L)"
+                f" ELSE m_uni END"
+            ),
+        )
+        .withColumn(
+            "__m",
+            F.expr(
+                f"CASE WHEN c2ctx IS NOT NULL AND c2ctx > 0 THEN greatest("
+                f"(greatest(4 * coalesce(ct, 0L) - 3, 0L) * {fp}L)"
+                f" div (4 * c2ctx)"
+                f" + (3 * n1p_ctx * coalesce(m_bi, 1L)) div (4 * c2ctx), 1L)"
+                f" ELSE coalesce(m_bi, 1L) END"
+            ),
+        )
+        .select(
+            "id",
+            "__m",
+            F.when(F.col("ct").isNotNull(), F.lit(3))
+            .when(F.col("cc").isNotNull(), F.lit(2))
+            .when(F.col("n1p").isNotNull(), F.lit(1))
             .otherwise(F.lit(0))
             .alias("level"),
         )

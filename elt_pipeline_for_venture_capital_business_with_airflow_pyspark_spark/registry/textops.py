@@ -1,4 +1,4 @@
-"""Registry family: textops (23 queries).
+"""Registry family: textops (24 queries).
 
 - text_stats
 - text_winnow_fingerprints
@@ -23,6 +23,7 @@
 - text_bpe_tokenize_large
 - text_homoglyph_fold
 - text_lm_perplexity
+- text_lm_kneser_ney
 """
 
 from ._shared import *  # noqa: F401,F403
@@ -1062,6 +1063,133 @@ def _text_lm_perplexity(spark: SparkSession, sf: str) -> DataFrame:
     a curation run monitors."""
     docs = read_table(spark, sf, "documents")
     return LM.lm_score_stupid_backoff(
+        docs.filter(F.col("doc_id") % 5 == 0),
+        "doc_id",
+        "text",
+        train_docs=docs.filter(F.col("doc_id") % 5 != 0),
+    ).select(
+        F.col("id").alias("doc_id"),
+        "n_scored", "n_tri", "n_bi", "n_uni", "n_oov", "qsum",
+        "bits_per_token",
+    )
+
+
+def _text_lm_kn_sql() -> str:
+    """ANSI twin of interpolated Kneser-Ney (operators/lm.
+    lm_score_kneser_ney): continuation/type counts from the n-gram
+    type tables, D=3/4 folded by multiplying each level through by 4,
+    bottom-up fixed-point interpolation, every division gated on a
+    positive denominator — all BIGINT-exact."""
+    from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.operators.lm import (
+        FP_BITS,
+        MANT,
+    )
+
+    fp = 1 << FP_BITS
+    qexpr = (
+        f"(length(bin(m)) - 1) * {MANT} "
+        f"+ (m * {MANT}) // (CAST(1 AS BIGINT) << (length(bin(m)) - 1)) "
+        f"- {MANT}"
+    )
+    tok_expr = (
+        "list_filter(string_split(regexp_replace(lower(text), "
+        "'[^a-z0-9 ]', ' ', 'g'), ' '), t -> t <> '')"
+    )
+    return f"""
+    WITH kntok_train AS (
+      SELECT {tok_expr} AS ts FROM documents WHERE doc_id % 5 != 0
+    ), kntok_score AS (
+      SELECT doc_id, {tok_expr} AS ts FROM documents WHERE doc_id % 5 = 0
+    ), knbi AS (
+      SELECT w1, w, COUNT(*) AS cb FROM (
+        SELECT ts[i-1] AS w1, ts[i] AS w
+        FROM (SELECT ts, unnest(generate_series(2, len(ts))) AS i
+              FROM kntok_train)
+      ) GROUP BY 1, 2
+    ), kntri AS (
+      SELECT w2, w1, w, COUNT(*) AS ct FROM (
+        SELECT ts[i-2] AS w2, ts[i-1] AS w1, ts[i] AS w
+        FROM (SELECT ts, unnest(generate_series(3, len(ts))) AS i
+              FROM kntok_train)
+      ) GROUP BY 1, 2, 3
+    ), knn1pw AS (
+      SELECT w, COUNT(*) AS n1p FROM knbi GROUP BY 1
+    ), knnbb AS (SELECT COUNT(*) AS nbb FROM knbi),
+    kncc AS (
+      SELECT w1, w, COUNT(*) AS cc FROM kntri GROUP BY 1, 2
+    ), knmid AS (
+      SELECT w1, SUM(cc) AS ctxm, COUNT(*) AS m1 FROM kncc GROUP BY 1
+    ), knctx3 AS (
+      SELECT g.w2, g.w1, g.n1p_ctx, b.cb AS c2ctx
+      FROM (SELECT w2, w1, COUNT(*) AS n1p_ctx FROM kntri GROUP BY 1, 2) g
+      JOIN knbi b ON b.w1 = g.w2 AND b.w = g.w1
+    ), knpos AS (
+      SELECT doc_id, ts[i-2] AS w2, ts[i-1] AS w1, ts[i] AS w
+      FROM (SELECT doc_id, ts,
+                   unnest(generate_series(3, len(ts))) AS i FROM kntok_score)
+    ), kns1 AS (
+      SELECT p.doc_id, t.ct, x.c2ctx, x.n1p_ctx, c.cc, m.ctxm, m.m1,
+             u.n1p, knnbb.nbb
+      FROM knpos p
+      LEFT JOIN kntri t ON t.w2 = p.w2 AND t.w1 = p.w1 AND t.w = p.w
+      LEFT JOIN knctx3 x ON x.w2 = p.w2 AND x.w1 = p.w1
+      LEFT JOIN kncc c ON c.w1 = p.w1 AND c.w = p.w
+      LEFT JOIN knmid m ON m.w1 = p.w1
+      LEFT JOIN knn1pw u ON u.w = p.w
+      CROSS JOIN knnbb
+    ), kns2 AS (
+      SELECT *, CASE WHEN n1p IS NOT NULL AND nbb > 0
+                     THEN greatest((n1p * {fp}) // nbb, 1) END AS m_uni
+      FROM kns1
+    ), kns3 AS (
+      SELECT *, CASE WHEN ctxm IS NOT NULL AND ctxm > 0 THEN greatest(
+                  (greatest(4 * COALESCE(cc, 0) - 3, 0) * {fp})
+                    // (4 * ctxm)
+                  + (3 * m1 * COALESCE(m_uni, 1)) // (4 * ctxm), 1)
+                ELSE m_uni END AS m_bi
+      FROM kns2
+    ), knsc AS (
+      SELECT doc_id,
+             CASE WHEN c2ctx IS NOT NULL AND c2ctx > 0 THEN greatest(
+               (greatest(4 * COALESCE(ct, 0) - 3, 0) * {fp})
+                 // (4 * c2ctx)
+               + (3 * n1p_ctx * COALESCE(m_bi, 1)) // (4 * c2ctx), 1)
+             ELSE COALESCE(m_bi, 1) END AS m,
+             CASE WHEN ct IS NOT NULL THEN 3
+                  WHEN cc IS NOT NULL THEN 2
+                  WHEN n1p IS NOT NULL THEN 1 ELSE 0 END AS level
+      FROM kns3
+    ), knq AS (
+      SELECT doc_id, level, {qexpr} AS q FROM knsc
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_scored,
+           CAST(SUM(CASE WHEN level = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_tri,
+           CAST(SUM(CASE WHEN level = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_bi,
+           CAST(SUM(CASE WHEN level = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_uni,
+           CAST(SUM(CASE WHEN level = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+           CAST(SUM(q) AS BIGINT) AS qsum,
+           {FP_BITS}.0 - CAST(SUM(q) AS DOUBLE)
+                         / ({MANT}.0 * COUNT(*)) AS bits_per_token
+    FROM knq GROUP BY doc_id
+    """
+
+
+@_register("text_lm_kneser_ney", _text_lm_kn_sql())
+def _text_lm_kneser_ney(spark: SparkSession, sf: str) -> DataFrame:
+    """Interpolated Kneser-Ney trigram perplexity (operators/lm.
+    lm_score_kneser_ney — Kneser & Ney 1995, Chen & Goodman 1998),
+    the smoothed sibling of text_lm_perplexity's stupid backoff on
+    the same train/score split: continuation-type counts, absolute
+    discount 3/4 folded into exact rationals, bottom-up fixed-point
+    interpolation. Unlike backoff, an UNSEEN trigram in a SEEN
+    context still earns the context's interpolation mass — the
+    statistically better score — and the whole chain stays
+    BIGINT-exact, so it hash-checks like every other entry. The
+    level diagnostics report the deepest n-gram table that knew the
+    position (3/2/1/0)."""
+    docs = read_table(spark, sf, "documents")
+    return LM.lm_score_kneser_ney(
         docs.filter(F.col("doc_id") % 5 == 0),
         "doc_id",
         "text",

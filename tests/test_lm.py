@@ -121,3 +121,59 @@ def test_lower_perplexity_for_in_distribution_text(spark):
         for r in LM.lm_score_stupid_backoff(score, train_docs=train).collect()
     }
     assert rows[200] < rows[201]
+
+
+def test_kneser_ney_hand_checked_three_paths(spark):
+    """One scored doc exercising the seen-trigram, seen-context-with-
+    interpolation-only, and OOV-floor paths — qsum pinned to the
+    hand-computed fixed-point values (the same corpus the backoff
+    test uses, so the two scorers' diagnostics are comparable)."""
+    train = _docs(spark, [(1, "a b c a b c"), (2, "x a d")])
+    score = _docs(spark, [(10, "a b c d z")])
+    out = LM.lm_score_kneser_ney(score, train_docs=train).collect()[0]
+    # bigram types: (a,b),(b,c),(c,a),(x,a),(a,d) -> nbb = 5
+    # position (a,b,c): ct=2, c2(a,b)=2, N1+(ab.)=1;
+    #   cc(b,c)=1, ctxm(b)=1, M(b)=1; n1p(c)=1
+    m_uni_c = (1 * FP) // 5
+    m_bi_bc = (max(4 * 1 - 3, 0) * FP) // 4 + (3 * 1 * m_uni_c) // 4
+    m_abc = (max(4 * 2 - 3, 0) * FP) // 8 + (3 * 1 * m_bi_bc) // 8
+    # position (b,c,d): trigram unseen, context (b,c) seen (c2=2,
+    #   N1+(bc.)=1); (c,d) unseen but ctxm(c)=1, M(c)=1; n1p(d)=1
+    m_uni_d = (1 * FP) // 5
+    m_bi_cd = 0 + (3 * 1 * m_uni_d) // 4
+    m_bcd = 0 + (3 * 1 * m_bi_cd) // 8
+    # position (c,d,z): context (c,d) unseen, ctxm(d) absent,
+    #   z unseen everywhere -> floor 1
+    assert (out["n_tri"], out["n_bi"], out["n_uni"], out["n_oov"]) == (
+        1, 0, 1, 1,
+    )
+    assert out["qsum"] == qlog2(m_abc) + qlog2(m_bcd) + qlog2(1)
+
+
+def test_kneser_ney_interpolation_beats_backoff_on_unseen_trigram(spark):
+    """The point of KN over backoff: an unseen trigram in a
+    well-attested context still earns interpolation mass, so its
+    perplexity is finite and context-sensitive rather than a flat
+    backoff penalty. Both scorers agree on the level diagnostics."""
+    train = _docs(
+        spark,
+        [(i, "the cat sat on the mat") for i in range(5)]
+        + [(100, "the cat ran")],
+    )
+    score = _docs(spark, [(10, "the cat ran")])  # (the,cat,ran) seen once
+    kn = LM.lm_score_kneser_ney(score, train_docs=train).collect()[0]
+    sb = LM.lm_score_stupid_backoff(score, train_docs=train).collect()[0]
+    assert kn["n_scored"] == sb["n_scored"] == 1
+    assert kn["n_tri"] == sb["n_tri"] == 1
+    # KN discounts the seen trigram (c=1 -> max(4-3,0)/4c2) while
+    # backoff gives it full relative frequency -> KN strictly more
+    # conservative on singletons
+    assert kn["bits_per_token"] > sb["bits_per_token"]
+
+
+def test_kneser_ney_empty_training_floors_to_oov(spark):
+    train = _docs(spark, [(1, "")])
+    score = _docs(spark, [(10, "a b c d")])
+    out = LM.lm_score_kneser_ney(score, train_docs=train).collect()[0]
+    assert out["n_oov"] == out["n_scored"] == 2
+    assert out["bits_per_token"] == float(LM.FP_BITS)

@@ -59,6 +59,9 @@ NESTED_LOOP_OK = {
     # percentile-gate composition (curation_lm_perplexity_gate)
     # checkpoints the scored frame and stays nested-loop-free.
     "text_lm_perplexity",
+    # Kneser-Ney sibling: the ONE-ROW bigram-type total N1+(..) rides
+    # the same one-row broadcast cross join.
+    "text_lm_kneser_ney",
     # correlated-sampling join estimator cross-joins three ONE-ROW
     # frames (tau_a, tau_b, true-join audit) onto KB-scale samples.
     "sketch_join_cardinality",
