@@ -1,0 +1,124 @@
+"""Property-based invariants for the round-11 algorithm families:
+large-star/small-star connected components (vs a pure-Python
+union-find oracle on hypothesis-generated graphs) and the LM
+fixed-point quantized log2 (vs Python floats).
+
+Each Spark example costs real jobs, so example counts stay low; the
+qlog2 properties are pure Python and run wide.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.operators import (
+    dedup as DD,
+)
+from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.operators import (
+    lm as LM,
+)
+
+_SPARK_SETTINGS = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _union_find(n: int, edges: list[tuple[int, int]]) -> dict[int, int]:
+    parent = list(range(n))
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # component label = min node id in the component
+    comp_min: dict[int, int] = {}
+    for v in range(n):
+        r = find(v)
+        comp_min[r] = min(comp_min.get(r, v), v)
+    return {v: comp_min[find(v)] for v in range(n)}
+
+
+@given(
+    n=st.integers(min_value=1, max_value=24),
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=23),
+            st.integers(min_value=0, max_value=23),
+        ),
+        max_size=30,
+    ),
+)
+@_SPARK_SETTINGS
+def test_cc_star_matches_union_find(spark, n, edges):
+    edges = [(a, b) for a, b in edges if a < n and b < n]
+    expected = _union_find(n, edges)
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    edf = spark.createDataFrame(
+        edges or [(0, 0)], "id_a long, id_b long"
+    )
+    if not edges:
+        edf = edf.filter(F.lit(False))
+    got = {
+        r["id"]: r["component"]
+        for r in DD.connected_components_star(nodes, edf).collect()
+    }
+    assert got == expected
+
+
+# --- pure-Python qlog2 properties (no Spark): wide coverage -----------------
+
+def _qlog2_py(m: int) -> int:
+    bl = m.bit_length()
+    return (bl - 1) * LM.MANT + (m * LM.MANT) // (1 << (bl - 1)) - LM.MANT
+
+
+@given(m=st.integers(min_value=1, max_value=1 << LM.FP_BITS))
+@settings(max_examples=300, deadline=None)
+def test_qlog2_within_quantization_error(m):
+    import math
+
+    approx = _qlog2_py(m) / LM.MANT
+    true = math.log2(m)
+    # the linear mantissa UNDERestimates (x <= log2(1+x), gap peaks
+    # at 0.0861 bits) and the //256 truncation subtracts up to 1/256
+    # more — the quantized value is never above the true log2
+    assert true - 0.0862 - (1.0 / LM.MANT) <= approx <= true + 1e-9
+
+
+@given(
+    a=st.integers(min_value=1, max_value=1 << LM.FP_BITS),
+    b=st.integers(min_value=1, max_value=1 << LM.FP_BITS),
+)
+@settings(max_examples=300, deadline=None)
+def test_qlog2_monotone(a, b):
+    if a <= b:
+        assert _qlog2_py(a) <= _qlog2_py(b)
+
+
+def test_qlog2_exact_at_powers_of_two():
+    for k in range(0, LM.FP_BITS + 1):
+        assert _qlog2_py(1 << k) == k * LM.MANT
+
+
+@given(
+    num=st.integers(min_value=1, max_value=1 << 20),
+    den=st.integers(min_value=1, max_value=1 << 20),
+)
+@settings(max_examples=300, deadline=None)
+def test_fixed_point_fraction_stays_in_range(num, den):
+    if num > den:
+        num, den = den, num  # scores are probabilities: num <= den
+    m = max((num << LM.FP_BITS) // den, 1)
+    assert 1 <= m <= 1 << LM.FP_BITS
+    q = _qlog2_py(m)
+    assert 0 <= q <= LM.FP_BITS * LM.MANT
