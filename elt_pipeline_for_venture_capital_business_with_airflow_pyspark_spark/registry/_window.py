@@ -56,9 +56,16 @@ _WINDOW_ORDER: list[str] = [
     # data quality / hypertable / curation flagship
     "dq_expectations", "rollup_hypertable", "curation_pipeline",
     # text analysis (lang_id + top_terms rotated to the tail sweep in
-    # r8, winnow_fingerprints in r10 — text_stats keeps the family;
-    # the r9/r10 flagships below add homoglyph folding + packing)
-    "text_stats",
+    # r8, winnow_fingerprints in r10, text_stats in r12 — the family
+    # stays represented by the r9-r11 flagships below: homoglyph
+    # folding, packing, decontamination, BPE, and the two LM scorers;
+    # text_stats remains hash-checked in the CI tail and stays a
+    # bench CONTROL)
+    # r12 rotation (VERDICT r11 #1): the round-11 LM flagships under
+    # the driver's hard hash check — CCNet-style stupid-backoff
+    # perplexity and its interpolated Kneser-Ney sibling (exact
+    # BIGINT fixed-point end to end)
+    "text_lm_perplexity", "text_lm_kneser_ney",
     # r10 rotation (VERDICT r9 #4): round-9 flagships under the hard
     # hash check — poisoning-defense homoglyph folding, sequence
     # packing, and largest-remainder quota mixing (which also keeps
@@ -74,11 +81,18 @@ _WINDOW_ORDER: list[str] = [
     "dedup_minhash_poly", "dedup_simhash_poly", "dedup_incremental_lsh",
     # r10: the hot-bucket guard's star-form contract (VERDICT r9 #1)
     "dedup_minhash_grouped",
-    # r11 rotation (VERDICT r10 #1): the round-10 flagships under the
-    # driver's hard hash check — the composed one-call dedup kill
-    # chain, SemDeDup per-vector prune verdicts, and the
-    # deterministic per-epoch training shuffle
-    "dedup_survivors", "embedding_semdedup_prune", "sample_epoch_shuffle",
+    # r11 rotation (VERDICT r10 #1): SemDeDup per-vector prune
+    # verdicts and the deterministic per-epoch training shuffle; the
+    # composed one-call kill chain (dedup_survivors) served its
+    # window round in r11 and rotated to the tail in r12 — its exact
+    # semantics stay under the hard hash check via the edges→
+    # survivors split below, which shares the IDENTICAL oracle
+    "embedding_semdedup_prune", "sample_epoch_shuffle",
+    # r12 rotation (VERDICT r11 #1): the round-11 CC flagships under
+    # the driver's hard hash check — large-star/small-star connected
+    # components (the O(log² n) deep-graph form) and the persisted
+    # edges→survivors probe leg of the dedup lifecycle
+    "dedup_components_star", "dedup_survivors_from_edges",
     # embedding similarity (hash-checked twins of the LSH/IVF paths,
     # + the exact bitext-mining twin of embedding_bitext_ivf)
     "embedding_near_dup_sqlcheck", "embedding_ann_sqlcheck", "embedding_ivf_sqlcheck",
@@ -88,10 +102,14 @@ _WINDOW_ORDER: list[str] = [
     # frame_sample_mjpeg drives RIFF/AVI walk + 4:2:0 JPEG decode;
     # r10 rotation adds the round-9 codec flagships: pHash image
     # near-dup, TIFF IFD/PackBits/LZW round-trip, G.711 companding,
-    # and DIB-AVI frame sampling)
+    # and DIB-AVI frame sampling; r12 rotates the long-green
+    # tiff_roundtrip + frame_sample_dib to the tail (each served two
+    # window rounds; the family keeps four reps — baseline JPEG,
+    # MJPEG-AVI walk, pHash near-dup, G.711 audio — and both rotated
+    # entries stay hash-checked in the CI tail)
     "multimodal_jpeg_roundtrip", "multimodal_frame_sample_mjpeg",
-    "multimodal_phash_near_dup", "multimodal_tiff_roundtrip",
-    "multimodal_audio_g711", "multimodal_frame_sample_dib",
+    "multimodal_phash_near_dup",
+    "multimodal_audio_g711",
     # corpus-trained BPE: the production 32k-vocab apply path
     # (broadcast + one Arrow stage); bpe_learn rotated to the tail in
     # r10 — tokenize_large exercises the same learned-merge lifecycle
@@ -121,6 +139,124 @@ _NO_ORACLE_TWINS: dict[str, str] = {
 }
 
 _DRIVER_WINDOW = 50
+
+# ---------------------------------------------------------------------------
+# rotation rules (VERDICT r11 #8): the window-rotation discipline the
+# verdicts enforced by precedent (r8 #1, r9 #4, r10 #1, r11 #1) is now
+# a generated check — tools/round_gate.py runs it as its own stage via
+# tests/test_registry_window.py::test_window_rotation_rules.
+#
+# Rule 1 — "serve ≥1 round": a flagship rotated INTO the window at
+#   round N may leave the window no earlier than round N+1. Encoded by
+#   _ENTERED_ROUND (name → round its CURRENT window tenure began; names
+#   absent were never required in-window) + _CURRENT_ROUND.
+# Rule 2 — "every family keeps a representative": each operator family
+#   that has ever held a window slot must keep ≥1 window entry. Encoded
+#   by _FAMILY_REPS (family → names that count as its representative;
+#   the check asserts a nonempty intersection with the window).
+# Rule 3 — every _NO_ORACLE_TWINS value stays in the window (a parked
+#   seeded-hash query's correctness evidence IS its in-window twin).
+# ---------------------------------------------------------------------------
+
+_CURRENT_ROUND = 12
+
+# round each CURRENT window entry began its tenure (rotated-out names
+# are dropped — the ledger tracks the live window, the rule only needs
+# "entered this round ⇒ still here next round")
+_ENTERED_ROUND: dict[str, int] = {
+    "text_lm_perplexity": 12,
+    "text_lm_kneser_ney": 12,
+    "dedup_components_star": 12,
+    "dedup_survivors_from_edges": 12,
+    "embedding_semdedup_prune": 11,
+    "sample_epoch_shuffle": 11,
+    "dedup_minhash_grouped": 10,
+    "text_homoglyph_fold": 10,
+    "text_pack_chunks": 10,
+    "sample_quota_mix": 10,
+    "multimodal_phash_near_dup": 10,
+    "multimodal_audio_g711": 10,
+    "multimodal_jpeg_roundtrip": 9,
+    "multimodal_frame_sample_mjpeg": 9,
+    "text_decontaminate": 9,
+    "link_golden_records": 9,
+    "curation_quality_percentile": 9,
+    "layout_zorder_prune": 9,
+    "link_fellegi_sunter": 8,
+    "embedding_ivf_int8": 8,
+    # everything else predates the rotation ledger (rounds 1-7)
+}
+
+_FAMILY_REPS: dict[str, list[str]] = {
+    "scan": ["scan_project_filter", "incremental_slice"],
+    "tpch_sql": ["q1_pricing_summary", "q3_shipping_priority"],
+    "scalar": ["scalar_part_suite"],
+    "date_json": ["dim_date_full", "json_extract_agg"],
+    "profiling": ["profile_orders"],
+    "warehouse": ["surrogate_key_dim", "star_schema_build", "upsert_merge"],
+    "joins": [
+        "join_inner_fk_agg", "join_left_null_retention",
+        "join_self_dual_role",
+    ],
+    "temporal": [
+        "join_asof_backward", "join_range_interval", "scd2_order_status",
+    ],
+    "aggregation": ["agg_grouping_sets"],
+    "windows": ["window_topk_per_group"],
+    "quality_curation": [
+        "dq_expectations", "curation_pipeline",
+        "curation_quality_percentile",
+    ],
+    "hypertable": ["rollup_hypertable"],
+    "text": [
+        "text_homoglyph_fold", "text_pack_chunks", "text_decontaminate",
+        "text_bpe_tokenize_large", "text_lm_perplexity",
+        "text_lm_kneser_ney",
+    ],
+    "sampling": ["sample_quota_mix", "sample_epoch_shuffle"],
+    "dedup": [
+        "dedup_minhash_poly", "dedup_simhash_poly",
+        "dedup_incremental_lsh", "dedup_minhash_grouped",
+        "dedup_components_star", "dedup_survivors_from_edges",
+    ],
+    "embedding": [
+        "embedding_near_dup_sqlcheck", "embedding_ann_sqlcheck",
+        "embedding_ivf_sqlcheck", "embedding_bitext_mine",
+        "embedding_ivf_int8", "embedding_semdedup_prune",
+    ],
+    "multimodal": [
+        "multimodal_jpeg_roundtrip", "multimodal_frame_sample_mjpeg",
+        "multimodal_phash_near_dup", "multimodal_audio_g711",
+    ],
+    "linkage": ["link_fellegi_sunter", "link_golden_records"],
+    "layout": ["layout_zorder_prune"],
+}
+
+
+def rotation_violations() -> list[str]:
+    """Mechanical check of the three rotation rules above; empty list
+    = compliant. Run by the gate (and the window drift-guard tests)
+    so a rotation that breaks the discipline fails the build, not a
+    later verdict."""
+    window = set(_WINDOW_ORDER)
+    out: list[str] = []
+    for name, entered in _ENTERED_ROUND.items():
+        if entered > _CURRENT_ROUND:
+            out.append(f"{name}: entered round {entered} is in the future")
+        if entered == _CURRENT_ROUND and name not in window:
+            out.append(
+                f"{name}: rotated in at round {entered} but not in the "
+                "window — flagships serve >= 1 full round"
+            )
+    for fam, reps in _FAMILY_REPS.items():
+        if not window & set(reps):
+            out.append(f"family {fam}: no representative in the window")
+    for parked, twin in _NO_ORACLE_TWINS.items():
+        if twin not in window:
+            out.append(
+                f"{parked}: its oracle-checked twin {twin} left the window"
+            )
+    return out
 
 
 def _reorder_registry() -> None:

@@ -45,23 +45,29 @@ REQUIRED_IN_WINDOW = {
     "multimodal_jpeg_roundtrip",
     "multimodal_frame_sample_mjpeg",
     # r10 rotation (VERDICT r9 #4): round-9 flagships + the
-    # hot-bucket-guard star form (VERDICT r9 #1)
+    # hot-bucket-guard star form (VERDICT r9 #1); r12 rotated the
+    # long-green multimodal_tiff_roundtrip/frame_sample_dib to the
+    # CI tail (two window rounds served; four codec reps remain)
     "sample_quota_mix",
     "text_pack_chunks",
     "text_homoglyph_fold",
     "multimodal_phash_near_dup",
-    "multimodal_tiff_roundtrip",
     "multimodal_audio_g711",
-    "multimodal_frame_sample_dib",
     "dedup_minhash_grouped",
-    # r11 rotation (VERDICT r10 #1): round-10 flagships — the composed
-    # dedup kill chain (whose recursive-CTE oracle keeps the
-    # connected-components semantics under the hard hash check after
-    # dedup_connected_components/dedup_exact_groups/sessionize moved
-    # to the CI tail), SemDeDup pruning, and the epoch shuffle
-    "dedup_survivors",
+    # r11 rotation (VERDICT r10 #1): SemDeDup pruning and the epoch
+    # shuffle; the composed kill chain dedup_survivors served its r11
+    # window round and moved to the CI tail in r12 — its recursive-CTE
+    # oracle semantics stay under the hard hash check via
+    # dedup_survivors_from_edges (identical oracle)
     "embedding_semdedup_prune",
     "sample_epoch_shuffle",
+    # r12 rotation (VERDICT r11 #1): round-11 flagships — the two
+    # exact fixed-point LM scorers, large-star/small-star connected
+    # components, and the persisted edges→survivors probe leg
+    "text_lm_perplexity",
+    "text_lm_kneser_ney",
+    "dedup_components_star",
+    "dedup_survivors_from_edges",
     # §2 coverage representatives (one per family; the r9 rotation
     # moved the redundant siblings — entity_type/try_cast,
     # flatten_struct, profile_catalog, sort_limit_topk,
@@ -120,6 +126,34 @@ def test_no_oracle_queries_have_checked_twins():
 
 def test_window_names_unique():
     assert len(set(entry_mod._WINDOW_ORDER)) == len(entry_mod._WINDOW_ORDER)
+
+
+def test_window_rotation_rules():
+    """The rotation discipline the verdicts enforced by precedent
+    (r8 #1 .. r11 #1), codified per VERDICT r11 #8: every flagship
+    rotated in serves >= 1 full round before it can leave, every
+    family that ever held a slot keeps >= 1 representative, and every
+    parked no-oracle query's twin stays in the window. The mechanical
+    check lives next to the ledger in registry/_window.py; the gate
+    runs this test as its own stage."""
+    from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.registry import (
+        _window as W,
+    )
+
+    violations = W.rotation_violations()
+    assert not violations, "window rotation rule violations:\n" + "\n".join(
+        violations
+    )
+    # ledger hygiene: tenure entries must reference live window names
+    stale = set(W._ENTERED_ROUND) - set(W._WINDOW_ORDER)
+    assert not stale, f"rotation ledger entries not in the window: {stale}"
+    # family reps must be real registry names (catch typos at rotation
+    # time, not at verdict time)
+    all_names = set(entry_mod.queries())
+    bad = {
+        n for reps in W._FAMILY_REPS.values() for n in reps
+    } - all_names
+    assert not bad, f"family reps not registered: {bad}"
 
 
 def test_window_outputs_are_canonicalizer_safe(spark, sf_dir):

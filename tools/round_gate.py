@@ -52,6 +52,13 @@ STAGES: list[tuple[str, list[str]]] = [
                     "tests/test_plan_audit.py"]),
     ("doc_guards", [sys.executable, "-m", "pytest", "-q",
                     "tests/test_registry_window.py"]),
+    # the window-rotation discipline as its own named stage (VERDICT
+    # r11 #8): serve-one-round, family-representative, and
+    # twin-in-window rules from registry/_window.py — also covered by
+    # doc_guards, but surfaced separately so a rotation violation is
+    # legible in GATE.json at a glance
+    ("window_rotation", [sys.executable, "-m", "pytest", "-q",
+                         "tests/test_registry_window.py::test_window_rotation_rules"]),
 ]
 
 
