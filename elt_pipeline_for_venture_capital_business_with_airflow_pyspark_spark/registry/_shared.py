@@ -642,12 +642,52 @@ def _lm_backoff_parts(
     return ctes, per_doc_select
 
 
-def _incr_lsh_split_path(sf: str) -> str:
-    import os
+def _dataset_cache_path(kind: str, sf: str, table: str = "documents") -> str:
+    """Cache root for a PERSISTED index derived from ``<sf>/<table>``,
+    for registry entries that PROBE a pre-existing index instead of
+    rebuilding per call (incremental-LSH probe, edges→survivors, the
+    LM count index).
 
-    return "/tmp/spark_graft_incr_lsh_split_v1_" + os.path.basename(
-        os.path.normpath(sf)
+    Round-12 advice fix: the old paths were keyed only on the sf
+    directory BASENAME and validated only ``_SUCCESS`` existence — if
+    the dataset under the same sf name was regenerated, an ungated
+    run would silently probe STALE state. The path now embeds a
+    FINGERPRINT of the source parquet (relative file names + sizes +
+    mtimes, order-independent): regenerating the dataset changes the
+    fingerprint, so the probe sees "no index" and rebuilds — freshness
+    is validated by construction, not by a flag file. The per-user
+    subdirectory (uid in the path) removes the world-writable
+    predictable-path collision between users sharing a tmpdir; same-
+    user cross-process overwrites keep the last-writer-wins semantics
+    the overwrite-mode builders already have."""
+    import hashlib
+    import os
+    import tempfile
+
+    src = os.path.join(os.path.normpath(sf), f"{table}.parquet")
+    parts: list[str] = []
+    if os.path.isdir(src):
+        for root, _dirs, files in os.walk(src):
+            for fn in files:
+                fp = os.path.join(root, fn)
+                st = os.stat(fp)
+                parts.append(
+                    f"{os.path.relpath(fp, src)}:{st.st_size}:{st.st_mtime_ns}"
+                )
+    elif os.path.exists(src):
+        st = os.stat(src)
+        parts.append(f".:{st.st_size}:{st.st_mtime_ns}")
+    fprint = hashlib.sha1("|".join(sorted(parts)).encode()).hexdigest()[:16]
+    uid = os.getuid() if hasattr(os, "getuid") else 0
+    return os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_u{uid}",
+        f"{kind}_{os.path.basename(os.path.normpath(sf))}_{fprint}",
     )
+
+
+def _incr_lsh_split_path(sf: str) -> str:
+    return _dataset_cache_path("incr_lsh_split_v2", sf)
 
 
 def _simhash_poly_sql(bits: int = 60) -> str:

@@ -550,11 +550,10 @@ def _dedup_survivors(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _survivor_edges_path(sf: str) -> str:
-    import os
-
-    return "/tmp/spark_graft_survivor_edges_v1_" + os.path.basename(
-        os.path.normpath(sf)
-    )
+    # fingerprinted per-user cache path (round-12 advice): a
+    # regenerated dataset under the same sf name yields a NEW path,
+    # so the probe leg can never score against stale edges
+    return _dataset_cache_path("survivor_edges_v2", sf)
 
 
 @_register("dedup_edges_build", _minhash_grouped_sql())

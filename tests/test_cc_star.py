@@ -82,11 +82,57 @@ def test_diameter_stress_star_wins(spark):
         f"star variant needed {stats['rounds']} rounds on a 300-path"
     )
 
-    wrong = _labels(DD.connected_components(nodes, edges, max_iter=20))
+    # min-label at the same budget must REFUSE to answer (round-12
+    # advice: before this guard it silently returned wrong labels)
+    with pytest.raises(DD.ConnectedComponentsDidNotConverge):
+        DD.connected_components(nodes, edges, max_iter=20)
+
+    # diagnostics path: on_max_iter="return" exposes the wrong labels
+    # (proving the raise is load-bearing) and flags them in stats
+    mstats: dict = {}
+    wrong = _labels(
+        DD.connected_components(
+            nodes, edges, max_iter=20, stats=mstats, on_max_iter="return"
+        )
+    )
+    assert mstats["converged"] is False
     assert wrong != {i: 0 for i in range(n)}, (
         "min-label unexpectedly converged a 299-diameter path in 20 "
         "rounds — the escape hatch would be unnecessary"
     )
+
+
+def test_star_raises_on_exhausted_budget(spark):
+    """The star form refuses a budget it cannot converge in, and
+    stats reports converged=False under the diagnostics escape."""
+    n = 64
+    nodes, edges = _frames(spark, n, [(i, i + 1) for i in range(n - 1)])
+    with pytest.raises(DD.ConnectedComponentsDidNotConverge):
+        DD.connected_components_star(nodes, edges, max_iter=1)
+    stats: dict = {}
+    DD.connected_components_star(
+        nodes, edges, max_iter=1, stats=stats, on_max_iter="return"
+    )
+    assert stats["converged"] is False
+    ok: dict = {}
+    DD.connected_components_star(nodes, edges, stats=ok)
+    assert ok["converged"] is True
+
+
+def test_survivors_from_edges_handles_deep_chain(spark):
+    """survivors_from_edges routes through the star CC (round-12
+    advice), so a 300-node near-dup chain — which would exhaust
+    min-label's default budget — resolves exactly at the DEFAULT
+    budget: one component, min id kept."""
+    n = 300
+    nodes, edges = _frames(spark, n, [(i, i + 1) for i in range(n - 1)])
+    out = DD.survivors_from_edges(
+        nodes.select(F.col("id").alias("doc_id")), edges, id_col="doc_id"
+    ).collect()
+    assert len(out) == n
+    assert all(r["component"] == 0 for r in out)
+    kept = {r["doc_id"] for r in out if r["kept"]}
+    assert kept == {0}
 
 
 def test_star_survivors_composition(spark):
