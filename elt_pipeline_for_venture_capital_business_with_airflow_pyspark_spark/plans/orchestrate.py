@@ -15,9 +15,14 @@ dependency ordering (which :mod:`plans.pipeline` and
   task instances that already succeeded);
 - ``ExternalTaskSensor`` (dags/vcapital_warehouse/tasks/main.py:63,
   :93): each warehouse transform WAITS for the staging DAG's
-  matching load task, with ``target_execution_date`` PINNING the
-  upstream logical date (main.py:49-50 maps every run to the fixed
-  dataset date 2004-02-28 — the mapping is a function, not identity).
+  matching load task. The reference also DEFINES a
+  ``target_execution_date`` mapping function (main.py:48-49, every
+  run → the fixed dataset date 2004-02-28) but never wires it into
+  either sensor constructor — dead code — so its sensors run with
+  Airflow's identity execution-date mapping. This module's identity
+  default therefore matches the reference's REAL behavior, and
+  ``execution_date_fn`` generalizes to the pinned mapping the
+  reference clearly intended.
 
 This module reproduces those semantics against a plain file-backed
 RUN LEDGER instead of the Airflow metadata DB, so the engine needs no
@@ -134,10 +139,13 @@ def wait_for_task(
     succeeded for the mapped logical date, polling the ledger every
     ``poke_interval`` seconds; raise :class:`SensorTimeout` after
     ``timeout``. ``execution_date_fn`` maps THIS run's ds to the
-    upstream dag's ds (the reference pins a constant date —
-    target_execution_date, main.py:49-50 — i.e.
-    ``lambda ds: "2004-02-28"``); default is identity, Airflow's
-    default too. Returns the upstream ds it observed. ``sleep`` is
+    upstream dag's ds; default is identity — which is Airflow's
+    default AND what the reference's sensors actually run with: its
+    constant-date mapping (target_execution_date, main.py:48-49,
+    ``lambda ds: "2004-02-28"``) is defined but never passed to the
+    ExternalTaskSensor constructors (main.py:63, :93), so it is dead
+    code there; the parameter here generalizes to that intended
+    pinning. Returns the upstream ds it observed. ``sleep`` is
     injectable so tests (and reschedule-style callers) control time.
     """
     target_ds = ds if execution_date_fn is None else execution_date_fn(ds)
@@ -194,21 +202,31 @@ def run_backfill(
     ``fail_fast`` (default) a failure stops the whole backfill after
     recording it — later dates depend on earlier merges; pass False to
     continue with the NEXT logical date (the failed date's remaining
-    tables are still skipped, matching Airflow's within-run ordering).
+    downstream tables are not attempted, matching Airflow's
+    within-run ordering, and are reported under ``not_run`` so the
+    per-ds report accounts for EVERY table — a resume inspection sees
+    exactly how much work is still pending, round-12 advice).
 
-    Returns ``{ds: {"ran": [...], "skipped": [...], "failed": [...]}}``.
+    Returns ``{ds: {"ran": [...], "skipped": [...], "failed": [...],
+    "not_run": [...]}}`` — the four lists partition ``tables`` for
+    each ds.
     """
     report: dict[str, dict[str, list[str]]] = {}
+    table_list = list(tables)
     for ds in date_range(start_ds, end_ds):
         ran: list[str] = []
         skipped: list[str] = []
         failed: list[str] = []
-        report[ds] = {"ran": ran, "skipped": skipped, "failed": failed}
+        not_run: list[str] = []
+        report[ds] = {
+            "ran": ran, "skipped": skipped, "failed": failed,
+            "not_run": not_run,
+        }
         if ledger.is_success(dag_id, ledger.DAG_TASK, ds):
-            skipped.extend(t for t in tables)
+            skipped.extend(table_list)
             continue
         broken = False
-        for name in tables:
+        for pos, name in enumerate(table_list):
             if ledger.is_success(dag_id, name, ds):
                 skipped.append(name)
                 continue
@@ -233,7 +251,11 @@ def run_backfill(
                 if fail_fast:
                     raise
                 broken = True
-                break  # downstream tables depend on this one
+                # downstream tables depend on this one: not attempted,
+                # and REPORTED as such (round-12 advice: they used to
+                # vanish from the per-ds report entirely)
+                not_run.extend(table_list[pos + 1:])
+                break
             ledger.record(dag_id, name, ds, "success")
             ran.append(name)
         if not broken:

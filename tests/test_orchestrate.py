@@ -135,9 +135,14 @@ def test_sensor_timeout_raises(tmp_path):
 
 
 def test_sensor_pinned_execution_date_mapping(tmp_path):
-    """The reference maps EVERY warehouse run to the fixed staging
-    date 2004-02-28 (target_execution_date, main.py:49-50): the
-    sensor must check the MAPPED ds, not this run's ds."""
+    """The reference DEFINES a constant-date mapping — every run to
+    the fixed staging date 2004-02-28 (target_execution_date,
+    main.py:48-49) — but never wires it into its ExternalTaskSensor
+    constructors (main.py:63, :93), so its sensors actually run the
+    identity mapping (round-12 advice correction). Both behaviors are
+    pinned here: the identity DEFAULT (the reference's real behavior)
+    misses the pinned date, and execution_date_fn (the generalization
+    of the reference's intended mapping) finds it."""
     led = O.RunLedger(str(tmp_path / "l.jsonl"))
     led.record("vcapital_staging", "load_company", "2004-02-28", "success")
     with pytest.raises(O.SensorTimeout):  # identity mapping: not there
@@ -196,10 +201,19 @@ def test_backfill_failure_resume_and_callbacks(
         fail_fast=False, on_failure=contexts.append,
     )
     assert rep["2013-07-02"]["failed"] == ["fct_ipos"]
-    # downstream of the failure did NOT run on the failed date...
+    # downstream of the failure did NOT run on the failed date, and
+    # is REPORTED as pending (round-12 advice: every table must land
+    # in exactly one of the four lists)
     assert "fct_acquisition" not in rep["2013-07-02"]["ran"]
+    order = list(P.WAREHOUSE_ORDER)
+    expect_not_run = order[order.index("fct_ipos") + 1:]
+    assert rep["2013-07-02"]["not_run"] == expect_not_run
+    for ds, r in rep.items():
+        assert sorted(r["ran"] + r["skipped"] + r["failed"] + r["not_run"]) \
+            == sorted(order), f"{ds}: report does not partition tables"
     # ...but the next logical date proceeded (fail_fast=False)
     assert rep["2013-07-03"]["failed"] == []
+    assert rep["2013-07-03"]["not_run"] == []
     assert contexts and contexts[0]["task_id"] == "fct_ipos"
     assert contexts[0]["ds"] == "2013-07-02"
 
