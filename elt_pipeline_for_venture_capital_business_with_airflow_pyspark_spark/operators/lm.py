@@ -284,6 +284,17 @@ def lm_score_kneser_ney(
     <= 2**30 because interpolated KN probabilities are <= 1 by
     construction. BIGINT headroom mirrors the backoff variant
     (``(4*count) << 30`` needs count < 2**31).
+
+    Plan hygiene (VERDICT r11 #5): the bigram and trigram COUNT
+    tables feed five downstream consumers (continuation counts,
+    context totals, the position joins) — without a cut they each
+    re-run the corpus scan + explode + groupBy per consumer (the
+    round-11 plan audit showed 13 shuffles / 0 reused exchanges).
+    Both tables are ``localCheckpoint``-ed once after aggregation,
+    so every consumer reads the materialized counts instead of
+    re-deriving them — at 100 TB that's the difference between one
+    corpus scan and five. Values are unchanged (the oracle hash is
+    the proof).
     """
     train = docs if train_docs is None else train_docs
     train_toks = train.select(_tokens(text_col).alias("ts"))
@@ -304,6 +315,7 @@ def lm_score_kneser_ney(
         .select("g.w1", "g.w")
         .groupBy("w1", "w")
         .agg(F.count(F.lit(1)).alias("cb"))
+        .localCheckpoint(eager=True)  # 3 consumers: n1p/nbb, ctx3, pos join
     )
     tri_expr = F.explode(
         F.expr(
@@ -318,6 +330,7 @@ def lm_score_kneser_ney(
         .select("g.w2", "g.w1", "g.w")
         .groupBy("w2", "w1", "w")
         .agg(F.count(F.lit(1)).alias("ct"))
+        .localCheckpoint(eager=True)  # 3 consumers: cc, ctx3, pos join
     )
 
     # continuation / type statistics
