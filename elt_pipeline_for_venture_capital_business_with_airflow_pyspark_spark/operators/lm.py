@@ -56,9 +56,19 @@ the overflow is a documented knob, not a surprise.
 
 from __future__ import annotations
 
+import json as _json
+
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["lm_score_stupid_backoff", "lm_score_kneser_ney"]
+__all__ = [
+    "lm_score_stupid_backoff",
+    "lm_score_kneser_ney",
+    "lm_index_build",
+    "lm_index_append",
+    "lm_index_read",
+    "lm_index_score",
+    "read_lm_meta",
+]
 
 # fixed-point exponent for the backoff fraction and mantissa width of
 # the quantized log2 — mirrored literally in the oracle SQL
@@ -124,14 +134,32 @@ def lm_score_stupid_backoff(
     toks = docs.select(
         F.col(id_col).alias("id"), _tokens(text_col).alias("ts")
     )
+    uni, bi, tri = _ngram_count_tables(train_toks)
+    return _score_backoff_from_counts(toks, uni, bi, tri)
 
+
+_TRI_EXPR = (
+    "transform(sequence(3, size(ts)), i -> "
+    "struct(element_at(ts, i-2) as w2, element_at(ts, i-1) as w1, "
+    "element_at(ts, i) as w))"
+)
+
+
+def _ngram_count_tables(
+    train_toks: DataFrame,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The LM's entire trained state: exact BIGINT n-gram count
+    tables ``uni (w, cu)``, ``bi (w1, w, cb)``, ``tri (w2, w1, w,
+    ct)`` from a tokenized corpus frame (one column ``ts``). Pure
+    map-combinable aggregations — and, being plain counts, ADDITIVE:
+    the counts of corpus ∪ shard are the per-key sums of the two,
+    which is what makes the persisted index appendable
+    (:func:`lm_index_append`)."""
     uni = (
         train_toks.select(F.explode("ts").alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("cu"))
     )
-    total = uni.agg(F.sum("cu").alias("t"))
-
     bi = (
         train_toks.filter(F.size("ts") >= 2)
         .select(
@@ -146,25 +174,29 @@ def lm_score_stupid_backoff(
         .groupBy("w1", "w")
         .agg(F.count(F.lit(1)).alias("cb"))
     )
-
-    tri_expr = F.explode(
-        F.expr(
-            "transform(sequence(3, size(ts)), i -> "
-            "struct(element_at(ts, i-2) as w2, element_at(ts, i-1) as w1, "
-            "element_at(ts, i) as w))"
-        )
-    )
-    tri_pos = (
-        toks.filter(F.size("ts") >= 3)
-        .select("id", tri_expr.alias("g"))
-        .select("id", "g.w2", "g.w1", "g.w")
-    )
     tri = (
         train_toks.filter(F.size("ts") >= 3)
-        .select(tri_expr.alias("g"))
+        .select(F.explode(F.expr(_TRI_EXPR)).alias("g"))
         .select("g.w2", "g.w1", "g.w")
         .groupBy("w2", "w1", "w")
         .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    return uni, bi, tri
+
+
+def _score_backoff_from_counts(
+    toks: DataFrame, uni: DataFrame, bi: DataFrame, tri: DataFrame
+) -> DataFrame:
+    """Stupid-backoff scoring of a tokenized ``(id, ts)`` frame
+    against count tables from ANY source — built in-plan
+    (:func:`lm_score_stupid_backoff`) or read back from a persisted
+    index (:func:`lm_index_score`); the arithmetic is identical by
+    construction, so incremental == full holds bit-for-bit."""
+    total = uni.agg(F.sum("cu").alias("t"))
+    tri_pos = (
+        toks.filter(F.size("ts") >= 3)
+        .select("id", F.explode(F.expr(_TRI_EXPR)).alias("g"))
+        .select("id", "g.w2", "g.w1", "g.w")
     )
 
     fp = 1 << FP_BITS
@@ -423,3 +455,162 @@ def lm_score_kneser_ney(
             / (F.lit(float(MANT)) * F.col("n_scored").cast("double"))
         ).alias("bits_per_token"),
     )
+
+
+# ---------------------------------------------------------------------------
+# persisted / incremental LM index (VERDICT r11 #4)
+#
+# Every other heavy family carries a persist/append/probe lifecycle
+# (LSH: operators/dedup.py build_lsh_index; IVF: operators/similarity;
+# pHash: operators/multimodal) — the LM family was the one rebuilding
+# its trained state per call. The index is simply the three exact
+# BIGINT n-gram count tables as parquet; counts are ADDITIVE, so a
+# daily shard appends by per-key summation instead of retraining on
+# the whole corpus (at 100 TB: one shard scan + three count-table
+# merges vs a full corpus rescan). Scoring from the index is
+# bit-identical to in-plan training by construction — both feed the
+# same _score_backoff_from_counts arithmetic — and the registry
+# entries pin it with the SAME oracle SQL as the in-plan entry.
+# ---------------------------------------------------------------------------
+
+
+def _lm_fs(spark, path: str):
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path
+    p = hpath(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    return jvm, hpath, fs
+
+
+def _write_lm_meta(spark, path: str, meta: dict) -> None:
+    """One-line JSON under ``<path>/meta`` (same engine-portable text
+    sink as the LSH index's metadata — and same naming rule: NOT
+    underscore-prefixed, Spark hides ``_*`` paths from its readers)."""
+    spark.createDataFrame(
+        [(_json.dumps(meta, sort_keys=True),)], "value string"
+    ).coalesce(1).write.mode("overwrite").text(f"{path}/meta")
+
+
+def read_lm_meta(spark, path: str) -> dict | None:
+    """Index parameters + tokenizer contract, or None if no index has
+    been committed at ``path`` (build writes meta LAST, so its
+    presence certifies all three count tables landed)."""
+    _, hpath, fs = _lm_fs(spark, path)
+    if not fs.exists(hpath(f"{path}/meta")):
+        return None
+    rows = spark.read.text(f"{path}/meta").collect()
+    return _json.loads(rows[0]["value"]) if rows else None
+
+
+def lm_index_build(
+    train_docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    mode: str = "overwrite",
+) -> None:
+    """Persist the LM's trained state: ``<path>/unigrams`` (w, cu),
+    ``<path>/bigrams`` (w1, w, cb), ``<path>/trigrams`` (w2, w1, w,
+    ct), plus ``<path>/meta`` (tokenizer + fixed-point contract).
+
+    Durability: the three count tables commit first, ``meta`` LAST —
+    a crash mid-build leaves no meta, and every reader
+    (:func:`lm_index_read`, :func:`lm_index_append`,
+    :func:`lm_index_score`) treats meta-absent as "no index", so a
+    torn build can never be half-read (the LSH index's
+    signatures-first discipline, operators/dedup.py
+    build_lsh_index). ``mode`` is plumbing for recovery tools;
+    appends go through :func:`lm_index_append`, which merges counts
+    rather than unioning files."""
+    spark = train_docs.sparkSession
+    train_toks = train_docs.select(_tokens(text_col).alias("ts"))
+    uni, bi, tri = _ngram_count_tables(train_toks)
+    uni.write.mode(mode).parquet(f"{path}/unigrams")
+    bi.write.mode(mode).parquet(f"{path}/bigrams")
+    tri.write.mode(mode).parquet(f"{path}/trigrams")
+    _write_lm_meta(
+        spark,
+        path,
+        {
+            "tokenizer": "lower_alnum_ws",
+            "orders": 3,
+            "fp_bits": FP_BITS,
+            "mant": MANT,
+        },
+    )
+
+
+def lm_index_read(
+    spark, path: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Load the persisted count tables → ``(uni, bi, tri)``. Raises
+    if the index was never committed (meta absent) — a missing index
+    must surface loudly, not as an empty LM that scores everything at
+    the OOV floor."""
+    if read_lm_meta(spark, path) is None:
+        raise ValueError(
+            f"no committed LM index at {path} (meta absent) — run "
+            "lm_index_build first"
+        )
+    return (
+        spark.read.parquet(f"{path}/unigrams"),
+        spark.read.parquet(f"{path}/bigrams"),
+        spark.read.parquet(f"{path}/trigrams"),
+    )
+
+
+def lm_index_append(
+    new_docs: DataFrame, path: str, text_col: str = "text"
+) -> None:
+    """Fold a new shard's counts into the persisted index WITHOUT
+    retraining: counts are additive, so the merge is three per-key
+    summed unions (shard scan + count-table merge — never a corpus
+    rescan). Each table is swapped via
+    :func:`..sources.io.replace_parquet_atomic` (the plans read the
+    same paths they replace); tables merge in trigram→bigram→unigram
+    order and meta stays untouched, so a crash mid-append leaves a
+    detectable mixed state behind an intact meta — re-running the
+    SAME append is NOT idempotent (counts would double); recovery is
+    a rebuild, the same posture as the LSH index's repair path.
+
+    Incremental == full, exactly: merged counts are bit-identical to
+    counts trained on corpus ∪ shard (per-key BIGINT sums), which the
+    registry pins by hashing the appended index against an oracle
+    that retrains from scratch."""
+    from ..sources.io import replace_parquet_atomic
+
+    spark = new_docs.sparkSession
+    uni0, bi0, tri0 = lm_index_read(spark, path)
+    toks = new_docs.select(_tokens(text_col).alias("ts"))
+    uni1, bi1, tri1 = _ngram_count_tables(toks)
+    tri_m = (
+        tri0.unionByName(tri1)
+        .groupBy("w2", "w1", "w")
+        .agg(F.sum("ct").alias("ct"))
+    )
+    replace_parquet_atomic(spark, tri_m, f"{path}/trigrams")
+    bi_m = (
+        bi0.unionByName(bi1).groupBy("w1", "w").agg(F.sum("cb").alias("cb"))
+    )
+    replace_parquet_atomic(spark, bi_m, f"{path}/bigrams")
+    uni_m = uni0.unionByName(uni1).groupBy("w").agg(F.sum("cu").alias("cu"))
+    replace_parquet_atomic(spark, uni_m, f"{path}/unigrams")
+
+
+def lm_index_score(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Score documents against the PERSISTED index — the daily-cadence
+    read path: three parquet count-table scans + the same three hash
+    joins and one per-doc groupBy as the in-plan scorer, never a
+    training scan. Output schema and arithmetic identical to
+    :func:`lm_score_stupid_backoff` (both call
+    :func:`_score_backoff_from_counts`)."""
+    spark = docs.sparkSession
+    uni, bi, tri = lm_index_read(spark, path)
+    toks = docs.select(
+        F.col(id_col).alias("id"), _tokens(text_col).alias("ts")
+    )
+    return _score_backoff_from_counts(toks, uni, bi, tri)

@@ -1309,44 +1309,25 @@ def mmr_rerank(
 # ---------------------------------------------------------------------------
 
 
-def semantic_dedup(
+def _semdedup_assigned(
     corpus: DataFrame,
-    dim: int,
-    n_centroids: int = 16,
-    threshold: float = 0.5,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    centroid_source: DataFrame | None = None,
-) -> DataFrame:
-    """Per-vector keep/prune decisions: ``(vec_id, cell, kept,
-    pruned_by)`` where ``cell`` is the assigned centroid's id,
-    ``pruned_by`` is the smallest lower-id vector in the same cell
-    with cosine ≥ threshold (NULL ⇒ kept). Deterministic end to end:
-    id-ordered centroids via ``centroid_source`` make every cell
-    assignment and cosine double bit-identical in ANSI SQL (same
-    explicit fold-order contract as ``embedding_ivf_sqlcheck``).
-
-    Hot-bucket guard (same as ``embedding_near_dup``): byte-identical
-    vectors collapse to a min-id representative before the within-cell
-    self-join; representative-level qualifying pairs INCLUDE the self
-    pair ``(r, r)`` evaluated through the real cosine expression, so a
-    group member v is pruned by its own representative exactly when
-    the ungrouped rule would prune it (cos(v,v) ≥ threshold as
-    floats) — grouped output is bit-identical to the ungrouped
-    all-pairs rule, with candidate volume linear in clone count.
-
-    Scope: vectors with no cosine geometry — NULL, partially-NULL, or
-    zero-norm — are EXCLUDED from the output (an explicit
-    ``dot(v,v) > 0`` predicate, restated verbatim in the oracle), not
-    silently kept: a "kept" verdict on a vector the similarity math
-    never saw would be a lie."""
+    n_centroids: int,
+    id_col: str,
+    vec_col: str,
+    centroid_source: DataFrame | None,
+) -> "tuple[DataFrame | None, DataFrame | None]":
+    """Shared SemDeDup front half: identical-vector collapse + rep →
+    nearest-centroid assignment. Returns ``(assigned, membership)``
+    where ``assigned`` is ``(id, __vec, cell)`` at REP grain and
+    ``membership`` maps every live vector to its rep; ``(None,
+    None)`` when there are no centroids (empty corpus). Factored out
+    so :func:`semdedup_cell_overflow` reports against the EXACT cell
+    assignment the prune uses."""
     cent_rows = _pick_centroids(
         corpus, n_centroids, id_col, vec_col, centroid_source
     )
     if not cent_rows:
-        return corpus.sparkSession.createDataFrame(
-            [], "vec_id long, cell long, kept boolean, pruned_by long"
-        )
+        return None, None
     cmat = F.array(
         *[F.array(*[F.lit(float(v)) for v in r["cv"]]) for r in cent_rows]
     )
@@ -1372,14 +1353,118 @@ def semantic_dedup(
             cids, F.array_position(F.col("__sims"), F.array_max(F.col("__sims"))).cast("int")
         ).alias("cell"),
     )
+    return assigned, membership
+
+
+def semdedup_cell_overflow(
+    corpus: DataFrame,
+    dim: int,
+    n_centroids: int = 16,
+    max_cell_size: int = 1000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_source: DataFrame | None = None,
+) -> DataFrame:
+    """Overflow accounting for :func:`semantic_dedup`'s per-cell cap
+    (the SemDeDup sibling of ``dedup.band_bucket_overflow``):
+    ``(cell, n_reps)`` for every cell holding more than
+    ``max_cell_size`` DISTINCT representatives — i.e. exactly the
+    cells a capped prune skipped. Identical-vector clones collapse
+    first, so a boilerplate flood is ONE rep here, not an overflow.
+    Run alongside a capped call to quantify the recall trade; a
+    non-empty result is the signal to raise ``n_centroids``."""
+    assigned, _ = _semdedup_assigned(
+        corpus, n_centroids, id_col, vec_col, centroid_source
+    )
+    if assigned is None:
+        return corpus.sparkSession.createDataFrame([], "cell long, n_reps long")
+    return (
+        assigned.groupBy(F.col("cell").cast("long").alias("cell"))
+        .agg(F.count(F.lit(1)).alias("n_reps"))
+        .filter(F.col("n_reps") > max_cell_size)
+    )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    dim: int,
+    n_centroids: int = 16,
+    threshold: float = 0.5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_source: DataFrame | None = None,
+    max_cell_size: int | None = None,
+) -> DataFrame:
+    """Per-vector keep/prune decisions: ``(vec_id, cell, kept,
+    pruned_by)`` where ``cell`` is the assigned centroid's id,
+    ``pruned_by`` is the smallest lower-id vector in the same cell
+    with cosine ≥ threshold (NULL ⇒ kept). Deterministic end to end:
+    id-ordered centroids via ``centroid_source`` make every cell
+    assignment and cosine double bit-identical in ANSI SQL (same
+    explicit fold-order contract as ``embedding_ivf_sqlcheck``).
+
+    Hot-bucket guard (same as ``embedding_near_dup``): byte-identical
+    vectors collapse to a min-id representative before the within-cell
+    self-join; representative-level qualifying pairs INCLUDE the self
+    pair ``(r, r)`` evaluated through the real cosine expression, so a
+    group member v is pruned by its own representative exactly when
+    the ungrouped rule would prune it (cos(v,v) ≥ threshold as
+    floats) — grouped output is bit-identical to the ungrouped
+    all-pairs rule, with candidate volume linear in clone count.
+
+    Scope: vectors with no cosine geometry — NULL, partially-NULL, or
+    zero-norm — are EXCLUDED from the output (an explicit
+    ``dot(v,v) > 0`` predicate, restated verbatim in the oracle), not
+    silently kept: a "kept" verdict on a vector the similarity math
+    never saw would be a lie.
+
+    ``max_cell_size`` (round 12, VERDICT r11 #6 — the second line of
+    defense, mirroring ``dedup.banded_pairs``' ``max_bucket_size``):
+    the within-cell qualifying self-join is quadratic in the number
+    of DISTINCT representatives a cell holds (identical-vector
+    clones already collapse, so boilerplate floods don't count), and
+    BENCH_SCALING's decade sweep can only certify that quadratic up
+    to the scale it measured. With a cap, cells holding more than
+    ``max_cell_size`` distinct reps SKIP pruning — every member
+    verdict in that cell is ``kept=TRUE, pruned_by=NULL`` — so the
+    per-cell work is bounded by construction at cap² regardless of
+    corpus shape. A documented recall trade (unpruned near-dups
+    survive in flooded cells), quantified by
+    :func:`semdedup_cell_overflow`; the right production response to
+    a reported overflow is more centroids (smaller cells), not a
+    bigger cap. Default None = exact, and the capped output is
+    BIT-IDENTICAL to exact whenever no cell exceeds the cap (pinned
+    by tests/test_semdedup_cap.py)."""
+    assigned, membership = _semdedup_assigned(
+        corpus, n_centroids, id_col, vec_col, centroid_source
+    )
+    if assigned is None:
+        return corpus.sparkSession.createDataFrame(
+            [], "vec_id long, cell long, kept boolean, pruned_by long"
+        )
+
+    # per-cell cap: over-cap cells are excluded from BOTH sides of
+    # the qualifying self-join (their members fall through the final
+    # left join as kept) — same AQE-co-partitioned semi-join shape as
+    # the LSH bucket cap, no extra shuffle of the assigned frame
+    if max_cell_size is not None:
+        ok_cells = (
+            assigned.groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") <= max_cell_size)
+            .drop("__n")
+        )
+        joinable = assigned.join(ok_cells, "cell")
+    else:
+        joinable = assigned
 
     # rep-level qualifying pairs within a cell, INCLUDING self-pairs
     # (a self-pair qualifies iff cos(v,v) >= threshold as floats —
     # that is exactly when the ungrouped rule prunes a clone)
-    a = assigned.select(
+    a = joinable.select(
         F.col("cell"), F.col("id").alias("rep_id"), F.col("__vec").alias("__va")
     )
-    b = assigned.select(
+    b = joinable.select(
         F.col("cell"), F.col("id").alias("qual_rep"), F.col("__vec").alias("__vb")
     )
     qual = (

@@ -62,6 +62,10 @@ NESTED_LOOP_OK = {
     # Kneser-Ney sibling: the ONE-ROW bigram-type total N1+(..) rides
     # the same one-row broadcast cross join.
     "text_lm_kneser_ney",
+    # score-from-persisted-index leg: identical scoring arithmetic,
+    # so the same ONE-ROW corpus-total broadcast cross join (the
+    # build/append legs are pure count writes — no totals, no BNLJ).
+    "text_lm_index_score",
     # correlated-sampling join estimator cross-joins three ONE-ROW
     # frames (tau_a, tau_b, true-join audit) onto KB-scale samples.
     "sketch_join_cardinality",

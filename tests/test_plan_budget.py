@@ -312,6 +312,16 @@ SHUFFLE_BUDGET = {
     # anti-join; the edge build never appears — it's a parquet read.
     # Measured 1 at both SFs.
     "dedup_survivors_from_edges": 1,
+    # r12 persisted LM index (VERDICT r11 #4). Build: the RETURNED
+    # plan is the trigram table read back from parquet — the count
+    # groupBys run at write time as separate jobs (measured 0 at both
+    # SFs). Score: the three count-table attach joins (trigram⋈bigram,
+    # bigram⋈unigram shuffle as data-sized hash joins — correct at
+    # 100 TB) + the final per-doc groupBy; the position-stream joins
+    # and the one-row total broadcast (measured 3 + 5 bcast at both
+    # SFs).
+    "text_lm_index_build": 0,
+    "text_lm_index_score": 3,
 }
 
 
