@@ -6,8 +6,21 @@ ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 Headline set = the scale-relevant shapes: big scan+agg, multi-join
 star, windows, and the LLM ops on their scale paths (LSH variants, not
 the quadratic exact baselines). Each query is executed twice — timing
-the second (warm) run — and consumed with a driver-light action
-(count via agg) so we measure engine time, not row serialization.
+the second (warm) run — and consumed with the NOOP SINK
+(``df.write.format("noop")``): driver-light (no row serialization)
+but forces EVERY output column to be computed.
+
+Round-12 measurement-integrity fix: the harness previously consumed
+with ``.count()``, which lets Catalyst prune aggregate expressions
+(count of a groupBy only needs the distinct keys — TPC-H q1 under
+count() measured a distinct, not the sums) and ELIMINATE left joins
+against unique-keyed aggregates (the LM scorer's count() plan dropped
+all three score-table joins and the entire trained-LM subplan: 1.34 s
+under count() vs 2.91 s real at sf0.1). Every baseline recorded before
+round 12 measured that reduced work; the round-12 full re-record
+(append-only, prior map pushed to history) reset all baselines under
+the noop consume, and cross-round comparisons against r11-and-earlier
+artifacts must account for the metric change.
 """
 
 from __future__ import annotations
@@ -295,15 +308,22 @@ def main() -> None:
     spark = build_session("bench")
 
     qs = entry_mod.queries()
+
+    def consume(df) -> None:
+        # noop sink: computes every output column, serializes nothing
+        # to the driver — count() would let Catalyst prune aggregates
+        # and eliminate left joins (see module docstring, round 12)
+        df.write.format("noop").mode("overwrite").save()
+
     timings: dict[str, float] = {}
     sigmas: dict[str, float] = {}
     for name in run_list:
         fn = qs[name]
-        fn(spark, sf_dir).count()  # warm-up: plan + fill caches
+        consume(fn(spark, sf_dir))  # warm-up: plan + fill caches
         samples = []
         for _ in range(reps):
             t0 = time.perf_counter()
-            fn(spark, sf_dir).count()
+            consume(fn(spark, sf_dir))
             samples.append(time.perf_counter() - t0)
         timings[name] = round(statistics.median(samples), 3)
         if reps > 1:

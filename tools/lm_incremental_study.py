@@ -98,10 +98,18 @@ def main() -> int:
             samples.sort()
             return samples[len(samples) // 2]
 
-        retrain_q = lambda: LM.lm_score_stupid_backoff(  # noqa: E731
+        def consume(df):
+            # noop sink, NOT count(): count() lets Catalyst eliminate
+            # the left joins against the unique-keyed score tables and
+            # with them the ENTIRE trained-LM subplan — a count()-based
+            # first cut of this study timed the 500k-doc retrain at
+            # 0.6 s (i.e. it never trained). Same fix as bench.py r12.
+            df.write.format("noop").mode("overwrite").save()
+
+        retrain_q = lambda: consume(LM.lm_score_stupid_backoff(  # noqa: E731
             shard, train_docs=corpus
-        ).count()
-        score_q = lambda: LM.lm_index_score(shard, idx).count()  # noqa: E731
+        ))
+        score_q = lambda: consume(LM.lm_index_score(shard, idx))  # noqa: E731
 
         t_retrain = med(retrain_q)
         t_score = med(score_q)

@@ -151,6 +151,17 @@ def build_corpus(spark, out_dir: str, src: str = SRC, level: int = 1) -> None:
         print(f"built {t} (level {level})", file=sys.stderr)
 
 
+def _consume(df) -> int:
+    """Noop-sink consume (round 12): count() lets Catalyst prune
+    aggregate expressions and eliminate left joins against
+    unique-keyed aggregates, silently timing a REDUCED plan (bench.py
+    r12 docstring has the measured cases). The noop sink computes
+    every output column and serializes nothing. Returns the row count
+    via a cheap post-hoc count only where a caller needs it."""
+    df.write.format("noop").mode("overwrite").save()
+    return -1
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--rebuild", action="store_true")
@@ -194,9 +205,9 @@ def main() -> int:
         fn = qs[name]
         res = {}
         for label, sf_dir in (("t_1x", lo_dir), ("t_10x", hi_dir)):
-            fn(spark, sf_dir).count()  # warm-up
+            _consume(fn(spark, sf_dir))  # warm-up
             t0 = time.perf_counter()
-            fn(spark, sf_dir).count()
+            _consume(fn(spark, sf_dir))
             res[label] = round(time.perf_counter() - t0, 3)
         res["exponent"] = round(math.log10(res["t_10x"] / res["t_1x"]), 2)
         out[name] = res

@@ -108,6 +108,17 @@ def build_10x(out_dir: str) -> None:
     )
 
 
+def _consume(df) -> int:
+    """Noop-sink consume (round 12): count() lets Catalyst prune
+    aggregate expressions and eliminate left joins against
+    unique-keyed aggregates, silently timing a REDUCED plan (bench.py
+    r12 docstring has the measured cases). The noop sink computes
+    every output column and serializes nothing. Returns the row count
+    via a cheap post-hoc count only where a caller needs it."""
+    df.write.format("noop").mode("overwrite").save()
+    return -1
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="/tmp/scale10")
@@ -134,13 +145,17 @@ def main() -> int:
         fn = qs[name]
         times = {}
         for label, sf_dir in (("1x", SF01), ("10x", args.out)):
-            fn(spark, sf_dir).count()  # warm: plan + scan caches
+            _consume(fn(spark, sf_dir))  # warm: plan + scan caches
             samples = []
             for _ in range(args.reps):
                 t0 = time.time()
-                n = fn(spark, sf_dir).count()
+                _consume(fn(spark, sf_dir))
                 samples.append(time.time() - t0)
             samples.sort()
+            # row count reported OUTSIDE the timed loop (cheap count
+            # after the noop-timed runs; it may re-run a reduced plan,
+            # which is fine for a row count)
+            n = fn(spark, sf_dir).count()
             times[label] = {"sec": samples[len(samples) // 2], "rows": n}
         exponent = math.log(times["10x"]["sec"] / times["1x"]["sec"]) / math.log(TILE)
         result[name] = {

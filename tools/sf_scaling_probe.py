@@ -41,6 +41,17 @@ DEFAULT_QUERIES = [
 SF_DIRS = ["/root/testdata/sf0.01", "/root/testdata/sf0.1"]
 
 
+def _consume(df) -> int:
+    """Noop-sink consume (round 12): count() lets Catalyst prune
+    aggregate expressions and eliminate left joins against
+    unique-keyed aggregates, silently timing a REDUCED plan (bench.py
+    r12 docstring has the measured cases). The noop sink computes
+    every output column and serializes nothing. Returns the row count
+    via a cheap post-hoc count only where a caller needs it."""
+    df.write.format("noop").mode("overwrite").save()
+    return -1
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--reps", type=int, default=3)
@@ -63,12 +74,12 @@ def main() -> None:
         fn = qs[name]
         med = {}
         for sf_dir in SF_DIRS:
-            fn(spark, sf_dir).count()  # warm-up
+            _consume(fn(spark, sf_dir))  # warm-up
             ts = []
             for _ in range(args.reps):
                 graph_mod.release_materialized()
                 t0 = time.perf_counter()
-                fn(spark, sf_dir).count()
+                _consume(fn(spark, sf_dir))
                 ts.append(time.perf_counter() - t0)
             med[sf_dir] = statistics.median(ts)
         t001, t01 = med[SF_DIRS[0]], med[SF_DIRS[1]]
