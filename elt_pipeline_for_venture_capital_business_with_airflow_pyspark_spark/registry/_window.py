@@ -114,10 +114,16 @@ _WINDOW_ORDER: list[str] = [
     # (broadcast + one Arrow stage); bpe_learn rotated to the tail in
     # r10 — tokenize_large exercises the same learned-merge lifecycle
     "text_bpe_tokenize_large",
-    # r8 rotation: the two newest flagship lifecycles (VERDICT r7 #8) —
-    # blocked Fellegi–Sunter linkage (post-ANSI-fix) and the
-    # int8-inside-IVF serving tier (BIGINT ADC, fully hash-checked)
-    "link_fellegi_sunter", "embedding_ivf_int8",
+    # r12 same-round rotation: the persisted LM index lifecycle
+    # (VERDICT r11 "missing" #3/#4) under the hard hash check the
+    # round it ships — append hash-pins incremental == full retrain
+    # (and bootstraps the build write path), score pins the daily
+    # read-from-index path against text_lm_perplexity's EXACT oracle.
+    # Rotated out: the two r8 entries with the longest tenure (4
+    # window rounds each) — link_fellegi_sunter (linkage keeps
+    # link_golden_records) and embedding_ivf_int8 (embedding keeps 5
+    # reps); both stay hash-checked in the CI tail
+    "text_lm_index_append", "text_lm_index_score",
     # r9 rotation (VERDICT r8 #1): the round-8 LLM-pipeline flagships
     # under the driver's hard hash check — decontamination, the
     # three-operator entity-resolution pipeline, per-source quality
@@ -164,6 +170,8 @@ _CURRENT_ROUND = 12
 # are dropped — the ledger tracks the live window, the rule only needs
 # "entered this round ⇒ still here next round")
 _ENTERED_ROUND: dict[str, int] = {
+    "text_lm_index_append": 12,
+    "text_lm_index_score": 12,
     "text_lm_perplexity": 12,
     "text_lm_kneser_ney": 12,
     "dedup_components_star": 12,
@@ -182,8 +190,6 @@ _ENTERED_ROUND: dict[str, int] = {
     "link_golden_records": 9,
     "curation_quality_percentile": 9,
     "layout_zorder_prune": 9,
-    "link_fellegi_sunter": 8,
-    "embedding_ivf_int8": 8,
     # everything else predates the rotation ledger (rounds 1-7)
 }
 
@@ -211,7 +217,8 @@ _FAMILY_REPS: dict[str, list[str]] = {
     "text": [
         "text_homoglyph_fold", "text_pack_chunks", "text_decontaminate",
         "text_bpe_tokenize_large", "text_lm_perplexity",
-        "text_lm_kneser_ney",
+        "text_lm_kneser_ney", "text_lm_index_append",
+        "text_lm_index_score",
     ],
     "sampling": ["sample_quota_mix", "sample_epoch_shuffle"],
     "dedup": [

@@ -15,6 +15,14 @@ WINDOW = entry_mod._DRIVER_WINDOW
 
 # queries the judge explicitly required inside the window (VERDICT r01)
 REQUIRED_IN_WINDOW = {
+    # r12 same-round rotation: the persisted LM index lifecycle under
+    # the hard hash check the round it ships (append pins incremental
+    # == full; score pins the daily read path). The two r8 entries
+    # with the longest tenure — link_fellegi_sunter,
+    # embedding_ivf_int8, 4 window rounds each — rotated to the CI
+    # tail (linkage keeps link_golden_records; embedding keeps 5 reps)
+    "text_lm_index_append",
+    "text_lm_index_score",
     # hash-checked LSH/ANN twins
     "dedup_minhash_poly",
     "dedup_simhash_poly",
@@ -32,9 +40,6 @@ REQUIRED_IN_WINDOW = {
     "curation_pipeline",
     "q3_shipping_priority",
     "dq_expectations",
-    # r8 rotation (VERDICT r7 #8): the newest flagship lifecycles
-    "link_fellegi_sunter",
-    "embedding_ivf_int8",
     # r9 rotation (VERDICT r8 #1): round-8 LLM flagships + the round-9
     # real-codec multimodal paths under the driver's hard hash check
     "text_decontaminate",
