@@ -277,6 +277,12 @@ HEADLINE = [
     # incremental-vs-retrain study.
     "text_lm_index_build",
     "text_lm_index_score",
+    # round-12: DSIR importance resampling (Xie et al. 2023) — hashed
+    # char-3-gram bucket distributions + quantized-log2 importance
+    # weights (the data-selection pass over the raw pool) and the
+    # exact-integer Gumbel top-k that resamples the target-like slice
+    "sample_dsir_weights",
+    "sample_dsir_select",
 ]
 
 

@@ -265,17 +265,26 @@ def shingles(col: str | Column, n: int = 3) -> Column:
     )
 
 
-def char_gram_hashes(df, id_col: str = "doc_id", text_col: str = "text", k: int = 3):
+def char_gram_hashes(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    carry: tuple[str, ...] = (),
+):
     """(id, h) rows: polynomial hashes of the character k-grams of the
     alnum-normalized text (Σ ascii(c_j)·31^j, same convention as
     :func:`winnow_fingerprints`) — the SQL-replicable twin of the
     xxhash shingle path, so downstream MinHash stays oracle-checkable
     bit-for-bit. Docs shorter than k chars are dropped (no grams).
+    ``carry`` names extra columns passed through unchanged (so callers
+    that need a per-doc flag next to every gram — e.g. DSIR's
+    target-membership bit — avoid a doc-keyed re-join later).
     """
     norm = F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]", "")
-    d = df.select(F.col(id_col).alias("id"), norm.alias("__s")).filter(
-        F.length("__s") >= k
-    )
+    d = df.select(
+        F.col(id_col).alias("id"), *carry, norm.alias("__s")
+    ).filter(F.length("__s") >= k)
     s = F.col("__s")
     gram = lambda i: sum(  # noqa: E731
         (F.ascii(s.substr(i + j, F.lit(1))) * (31 ** j) for j in range(1, k)),
@@ -283,6 +292,7 @@ def char_gram_hashes(df, id_col: str = "doc_id", text_col: str = "text", k: int 
     )
     return d.select(
         "id",
+        *carry,
         F.explode(
             F.transform(F.sequence(F.lit(1), F.length("__s") - (k - 1)), gram)
         ).alias("h"),

@@ -33,6 +33,8 @@ __all__ = [
     "sample_negatives",
     "quota_mix",
     "pack_chunks",
+    "dsir_importance_weights",
+    "dsir_gumbel_topk",
 ]
 
 
@@ -445,4 +447,195 @@ def epoch_shuffle(
         .withColumn("shuffle_key", key)
         .withColumn("shard", F.pmod(F.col("shuffle_key"), F.lit(int(n_shards))).cast("int"))
         .withColumn("pos", F.row_number().over(w))
+    )
+
+
+# --- DSIR-style importance resampling (round 12) -----------------------------
+#
+# Data Selection via Importance Resampling (Xie et al., NeurIPS 2023,
+# arXiv:2302.03169): score every raw-pool document by how much more
+# likely its hashed n-gram features are under the TARGET distribution
+# than under the RAW distribution, then resample top-k with Gumbel
+# noise. The public recipe uses hashed word 1/2-grams; here features
+# are the repo's SQL-replicable polynomial char-3-gram hashes
+# (functions.text.char_gram_hashes — the same construction the
+# oracle-checked MinHash path uses) bucketed mod n_buckets, so the
+# WHOLE selection pipeline is exact BIGINT arithmetic and
+# hash-checkable against an ANSI-SQL oracle. Everything transcendental
+# is replaced by the quantized log2 from operators/lm.py (256·log2(m)
+# within 0.086 bits, exact in both engines).
+
+_DSIR_MANT = 256  # log2 fixed-point scale, mirrors operators/lm.MANT
+_DSIR_U_BITS = 20  # uniform draw resolution: u ∈ [1, 2^20]
+
+
+def _qlog2_col(name: str) -> F.Column:
+    """Quantized ``256*log2(m)`` for a positive BIGINT column — the
+    operators/lm._qlog2 expression, restated here so sampling does not
+    import lm's scoring internals (identical arithmetic, same oracle
+    restatement: length(bin(m)) bit length + truncating div)."""
+    return F.expr(
+        f"(length(bin({name})) - 1) * {_DSIR_MANT} "
+        f"+ ({name} * {_DSIR_MANT}) "
+        f"div shiftleft(1L, cast(length(bin({name})) - 1 as int)) "
+        f"- {_DSIR_MANT}"
+    )
+
+
+def dsir_importance_weights(
+    df: DataFrame,
+    target_pred: F.Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 1024,
+    k: int = 3,
+) -> DataFrame:
+    """Per-document DSIR importance log-weights for the RAW pool.
+
+    ``target_pred`` marks the (small) target-domain sample; every
+    other document is the raw pool being scored. Pipeline, all
+    exact-integer:
+
+    1. hashed features: char-k-gram polynomial hashes mod
+       ``n_buckets`` → per-(doc, bucket) counts ``c`` (one shuffle,
+       map-side combined; the target flag rides the gram explode so
+       no doc-keyed re-join is needed).
+    2. bucket distributions: one tiny aggregate (≤ n_buckets rows)
+       holds target/raw bucket totals; add-one smoothing gives
+       p_b = (tp_b+1)/(TP+B), q_b = (tq_b+1)/(TQ+B). Grand totals
+       ride an unpartitioned window over that ≤B-row frame — the
+       repo's tiny-frame pattern, never applied at data grain.
+    3. per-bucket log-ratio in fixed point:
+       ``lw256_b = qlog2(tp_b+1) - qlog2(TP+B) - qlog2(tq_b+1)
+       + qlog2(TQ+B)`` ≈ 256·log2(p_b/q_b) — a broadcast-sized
+       (≤ n_buckets rows) side table.
+    4. per-doc weight: ``logw256_d = Σ_b c_db · lw256_b`` via one
+       broadcast join + one groupBy — 256·log2 of the doc's
+       importance weight, exact BIGINT end to end. ``logw_bits``
+       (= logw256/256.0) is the single IEEE division, for humans.
+
+    At 100 TB: two data-grain shuffles (gram-bucket counts, per-doc
+    sum), both map-side combinable; the distribution state is
+    n_buckets rows regardless of corpus size, so the scoring join is
+    always a broadcast. NULL ids are excluded (no stable identity);
+    docs whose normalized text is shorter than k chars have no
+    features and drop out of the pool, matching the paper's
+    empty-feature-vector exclusion.
+
+    Output: ``(id, n_grams, logw256, logw_bits)`` for raw-pool docs.
+    """
+    from ..functions.text import char_gram_hashes
+
+    base = df.filter(F.col(id_col).isNotNull()).withColumn(
+        "__t", F.coalesce(target_pred, F.lit(False))
+    )
+    cdb = (
+        char_gram_hashes(base, id_col, text_col, k, carry=("__t",))
+        .groupBy("id", "__t", F.pmod(F.col("h"), F.lit(n_buckets)).alias("b"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        # two consumers (bucket distributions + the raw-pool scoring
+        # leg) — materialize the hashed-feature matrix once instead of
+        # scanning + gram-exploding the corpus twice (Catalyst pushes
+        # the NOT-target filter below the aggregate on the scoring
+        # leg, which defeats exchange reuse; same fix as the
+        # Kneser-Ney count tables, operators/lm.py round 12). DSIR's
+        # reference implementation likewise persists the feature
+        # counts, not the raw text.
+        .localCheckpoint(eager=True)
+    )
+    bt = cdb.groupBy("b").agg(
+        F.sum(F.when(F.col("__t"), F.col("c")).otherwise(F.lit(0))).alias("tp"),
+        F.sum(F.when(~F.col("__t"), F.col("c")).otherwise(F.lit(0))).alias("tq"),
+    )
+    # grand totals over the ≤n_buckets-row frame (tiny-frame window)
+    w_all = Window.partitionBy()
+    btt = bt.select(
+        "b",
+        (F.col("tp") + 1).alias("tp1"),
+        (F.col("tq") + 1).alias("tq1"),
+        (F.sum("tp").over(w_all) + n_buckets).alias("tpn"),
+        (F.sum("tq").over(w_all) + n_buckets).alias("tqn"),
+    )
+    lw = btt.select(
+        "b",
+        (
+            _qlog2_col("tp1") - _qlog2_col("tpn")
+            - _qlog2_col("tq1") + _qlog2_col("tqn")
+        ).cast("long").alias("lw256"),
+    )
+    return (
+        cdb.filter(~F.col("__t"))
+        .join(F.broadcast(lw), "b")
+        .groupBy("id")
+        .agg(
+            F.sum("c").alias("n_grams"),
+            F.sum(F.col("c") * F.col("lw256")).alias("logw256"),
+        )
+        .select(
+            "id",
+            "n_grams",
+            "logw256",
+            (F.col("logw256").cast("double") / F.lit(256.0)).alias("logw_bits"),
+        )
+    )
+
+
+def dsir_gumbel_topk(
+    weights: DataFrame,
+    k_select: int,
+    id_col: str = "id",
+    logw_col: str = "logw256",
+    salt: str = "dsir1",
+) -> DataFrame:
+    """Gumbel top-k resampling over DSIR log-weights — exact-integer.
+
+    Gumbel-max: sampling k docs without replacement with probability
+    ∝ w_d is equivalent to taking the top-k of ``ln w_d + g_d`` with
+    g_d ~ Gumbel(0,1). In log2 units that key is the monotone
+    transform ``log2 w_d + (-log2(-log2 u_d))`` (dividing by ln 2 and
+    shifting by log2(ln 2) preserves the top-k set), so the whole
+    draw stays in the repo's quantized-log2 fixed point:
+
+    - ``u_d`` = 20-bit md5 prefix of ``salt:id`` + 1 ∈ [1, 2^20] —
+      the repo's deterministic uniform (new salt ⇒ fresh draw).
+    - ``e_d = max(20·256 - qlog2(u_d), 1)`` ≈ 256·(-log2(u_d/2^20)).
+    - ``gkey256_d = logw256_d + 8·256 - qlog2(e_d)``
+      ≈ 256·(log2 w_d - log2(e_d/256)).
+
+    Top-k by ``(gkey256 DESC, id)`` — TakeOrderedAndProject, never a
+    global sort; ties at the cutoff break deterministically. Every
+    quantity is BIGINT, so selection is bit-reproducible across
+    engines/executors/retries — the property float Gumbel noise
+    (transcendental libm) cannot give.
+    """
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string"))),
+                1,
+                _DSIR_U_BITS // 4,
+            ),
+            16,
+            10,
+        ).cast("long")
+        + 1
+    )
+    keyed = weights.select(
+        F.col(id_col).alias("id"), F.col(logw_col).alias("logw256"), u.alias("__u")
+    ).withColumn(
+        "__e",
+        F.greatest(
+            F.lit(_DSIR_U_BITS * _DSIR_MANT) - _qlog2_col("__u"), F.lit(1)
+        ).cast("long"),
+    )
+    return (
+        keyed.select(
+            "id",
+            "logw256",
+            (F.col("logw256") + F.lit(8 * _DSIR_MANT) - _qlog2_col("__e"))
+            .cast("long")
+            .alias("gkey256"),
+        )
+        .orderBy(F.desc("gkey256"), "id")
+        .limit(int(k_select))
     )

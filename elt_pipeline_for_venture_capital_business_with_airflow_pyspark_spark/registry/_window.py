@@ -124,12 +124,17 @@ _WINDOW_ORDER: list[str] = [
     # link_golden_records) and embedding_ivf_int8 (embedding keeps 5
     # reps); both stay hash-checked in the CI tail
     "text_lm_index_append", "text_lm_index_score",
-    # r9 rotation (VERDICT r8 #1): the round-8 LLM-pipeline flagships
-    # under the driver's hard hash check — decontamination, the
-    # three-operator entity-resolution pipeline, per-source quality
-    # curation, and z-order data skipping
-    "text_decontaminate", "link_golden_records",
-    "curation_quality_percentile", "layout_zorder_prune",
+    # r9 rotation (VERDICT r8 #1): round-8 flagships — entity
+    # resolution and z-order data skipping (text_decontaminate and
+    # curation_quality_percentile served three window rounds each and
+    # rotated to the CI tail in r12; text keeps six reps,
+    # quality_curation keeps dq_expectations + curation_pipeline)
+    "link_golden_records", "layout_zorder_prune",
+    # r12 same-round rotation: DSIR importance resampling (Xie et al.
+    # 2023) under the hard hash check the round it ships — hashed
+    # n-gram bucket distributions -> quantized-log2 importance
+    # weights, and the exact-integer Gumbel top-k selection
+    "sample_dsir_weights", "sample_dsir_select",
 ]
 
 # Seeded-hash queries whose banding math is not ANSI-SQL-expressible,
@@ -170,6 +175,8 @@ _CURRENT_ROUND = 12
 # are dropped — the ledger tracks the live window, the rule only needs
 # "entered this round ⇒ still here next round")
 _ENTERED_ROUND: dict[str, int] = {
+    "sample_dsir_weights": 12,
+    "sample_dsir_select": 12,
     "text_lm_index_append": 12,
     "text_lm_index_score": 12,
     "text_lm_perplexity": 12,
@@ -186,9 +193,7 @@ _ENTERED_ROUND: dict[str, int] = {
     "multimodal_audio_g711": 10,
     "multimodal_jpeg_roundtrip": 9,
     "multimodal_frame_sample_mjpeg": 9,
-    "text_decontaminate": 9,
     "link_golden_records": 9,
-    "curation_quality_percentile": 9,
     "layout_zorder_prune": 9,
     # everything else predates the rotation ledger (rounds 1-7)
 }
@@ -220,7 +225,10 @@ _FAMILY_REPS: dict[str, list[str]] = {
         "text_lm_kneser_ney", "text_lm_index_append",
         "text_lm_index_score",
     ],
-    "sampling": ["sample_quota_mix", "sample_epoch_shuffle"],
+    "sampling": [
+        "sample_quota_mix", "sample_epoch_shuffle",
+        "sample_dsir_weights", "sample_dsir_select",
+    ],
     "dedup": [
         "dedup_minhash_poly", "dedup_simhash_poly",
         "dedup_incremental_lsh", "dedup_minhash_grouped",

@@ -1,4 +1,4 @@
-"""Registry family: sampling (8 queries).
+"""Registry family: sampling (10 queries).
 
 - sample_hash_stratified
 - sample_weighted_bernoulli
@@ -8,6 +8,8 @@
 - sample_temporal_embargo_split
 - sample_quota_mix
 - sample_negatives_contrastive
+- sample_dsir_weights
+- sample_dsir_select
 """
 
 from ._shared import *  # noqa: F401,F403
@@ -323,3 +325,127 @@ def _sample_epoch_shuffle(spark: SparkSession, sf: str) -> DataFrame:
     consumer at scale; 16 here keeps the sf0.01 oracle cheap."""
     docs = read_table(spark, sf, "documents").select("doc_id", "lang")
     return SMP.epoch_shuffle(docs, epoch=3, n_shards=16)
+
+
+# --- DSIR importance resampling (round 12) -----------------------------------
+
+_DSIR_TARGET_SQL = "COALESCE(lang = 'en' AND doc_id % 10 = 0, FALSE)"
+
+
+def _dq(e: str) -> str:
+    """DuckDB quantized 256*log2 for a positive BIGINT expression —
+    textual twin of operators/sampling._qlog2_col (same arithmetic as
+    the LM oracles: bin() bit length, shift, truncating //)."""
+    return (
+        f"((length(bin({e})) - 1) * 256 "
+        f"+ (({e}) * 256) // (CAST(1 AS BIGINT) << (length(bin({e})) - 1)) "
+        f"- 256)"
+    )
+
+
+def _dsir_weights_ctes() -> str:
+    """Shared CTE chain: hashed char-3-gram buckets -> target/raw
+    bucket distributions -> per-bucket fixed-point log-ratios ->
+    per-raw-doc importance log-weights."""
+    return f"""
+    dsd AS (
+      SELECT doc_id, {_DSIR_TARGET_SQL} AS t,
+             regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS s
+      FROM documents WHERE doc_id IS NOT NULL
+    ), dsg AS (
+      SELECT doc_id, t,
+             unnest(list_transform(generate_series(1, length(s) - 2),
+               i -> (ascii(s[i]) + ascii(s[i+1])*31 + ascii(s[i+2])*961) % 1024))
+               AS b
+      FROM dsd WHERE length(s) >= 3
+    ), dscdb AS (
+      SELECT doc_id, t, b, CAST(COUNT(*) AS BIGINT) AS c
+      FROM dsg GROUP BY 1, 2, 3
+    ), dsbt AS (
+      SELECT b,
+             CAST(SUM(CASE WHEN t THEN c ELSE 0 END) AS BIGINT) AS tp,
+             CAST(SUM(CASE WHEN NOT t THEN c ELSE 0 END) AS BIGINT) AS tq
+      FROM dscdb GROUP BY b
+    ), dsbtt AS (
+      SELECT b, tp + 1 AS tp1, tq + 1 AS tq1,
+             CAST(SUM(tp) OVER () AS BIGINT) + 1024 AS tpn,
+             CAST(SUM(tq) OVER () AS BIGINT) + 1024 AS tqn
+      FROM dsbt
+    ), dslw AS (
+      SELECT b,
+             {_dq("tp1")} - {_dq("tpn")} - {_dq("tq1")} + {_dq("tqn")} AS lw256
+      FROM dsbtt
+    ), dsw AS (
+      SELECT dscdb.doc_id,
+             CAST(SUM(c) AS BIGINT) AS n_grams,
+             CAST(SUM(c * lw256) AS BIGINT) AS logw256
+      FROM dscdb JOIN dslw USING (b)
+      WHERE NOT t
+      GROUP BY 1
+    )"""
+
+
+@_register(
+    "sample_dsir_weights",
+    f"""
+    WITH {_dsir_weights_ctes()}
+    SELECT doc_id, n_grams, logw256,
+           CAST(logw256 AS DOUBLE) / 256.0 AS logw_bits
+    FROM dsw
+    """,
+)
+def _sample_dsir_weights(spark: SparkSession, sf: str) -> DataFrame:
+    """DSIR importance weights (operators/sampling.
+    dsir_importance_weights; Xie et al. 2023, arXiv:2302.03169):
+    every raw-pool document scored by 256·log2 of its
+    target/raw likelihood ratio over hashed char-3-gram features
+    (1024 buckets, add-one smoothing) — the data-selection step that
+    turns '100 TB of crawl' into 'the slice that looks like the
+    target domain'. Target sample here: the en docs with
+    doc_id%10 = 0. All arithmetic is the repo's quantized-log2 BIGINT
+    fixed point, so the oracle re-derives the distributions AND the
+    weights from scratch and the hashes must agree bit-for-bit. Two
+    data-grain shuffles (both map-side combinable); the distribution
+    table is ≤1024 rows — broadcast at any corpus size."""
+    docs = read_table(spark, sf, "documents")
+    target = (F.col("lang") == "en") & (F.col("doc_id") % 10 == 0)
+    return SMP.dsir_importance_weights(
+        docs, target, "doc_id", "text", n_buckets=1024
+    ).select(F.col("id").alias("doc_id"), "n_grams", "logw256", "logw_bits")
+
+
+@_register(
+    "sample_dsir_select",
+    f"""
+    WITH {_dsir_weights_ctes()}, dskey AS (
+      SELECT doc_id, logw256,
+             CAST('0x' || substr(md5('dsir1:' || CAST(doc_id AS VARCHAR)), 1, 5)
+                  AS BIGINT) + 1 AS u
+      FROM dsw
+    ), dse AS (
+      SELECT doc_id, logw256, GREATEST(5120 - {_dq("u")}, 1) AS e
+      FROM dskey
+    )
+    SELECT doc_id, logw256,
+           logw256 + 2048 - {_dq("e")} AS gkey256
+    FROM dse
+    ORDER BY gkey256 DESC, doc_id
+    LIMIT 100
+    """,
+)
+def _sample_dsir_select(spark: SparkSession, sf: str) -> DataFrame:
+    """DSIR Gumbel top-k selection (operators/sampling.
+    dsir_gumbel_topk): resample 100 raw-pool docs with probability
+    ∝ importance weight via the Gumbel-max trick, entirely in
+    quantized-log2 BIGINT arithmetic — u from the repo's 20-bit md5
+    uniform, -log2(-log2 u) via two quantized logs (a monotone
+    transform of the exact Gumbel key, so the selected SET is the
+    paper's), top-k as TakeOrderedAndProject with a deterministic
+    doc_id tiebreak. Bit-reproducible across engines/retries — float
+    Gumbel noise is not. The oracle replays draw, keys and cutoff."""
+    docs = read_table(spark, sf, "documents")
+    target = (F.col("lang") == "en") & (F.col("doc_id") % 10 == 0)
+    w = SMP.dsir_importance_weights(docs, target, "doc_id", "text", n_buckets=1024)
+    return SMP.dsir_gumbel_topk(w, 100, salt="dsir1").select(
+        F.col("id").alias("doc_id"), "logw256", "gkey256"
+    )

@@ -179,10 +179,18 @@ def test_plan_has_no_scale_red_flags(spark, sf_dir, name):
 #     cardinality constant, tens of sources), quotas then BROADCAST
 #     back onto the corpus scan. The data-sized exchange in that plan
 #     is the per-source row_number hash partition, not this one.
+#   sample_dsir_weights / sample_dsir_select — DSIR grand totals
+#     (TP, TQ) over the hashed-feature bucket frame; input is
+#     ≤ n_buckets (1024) rows regardless of corpus size. The
+#     data-sized exchanges in those plans are the gram-bucket count
+#     and per-doc weight-sum aggregations; the ≤1024-row log-ratio
+#     table then BROADCASTS onto the scoring join.
 WINDOW_SINGLE_PARTITION_OK = {
     "dq_benford_totalprice",
     "feature_class_weights",
     "sample_quota_mix",
+    "sample_dsir_weights",
+    "sample_dsir_select",
 }
 
 _DEPTH_RE = __import__("re").compile(r"^[\s:+*-]*")

@@ -322,6 +322,15 @@ SHUFFLE_BUDGET = {
     # SFs).
     "text_lm_index_build": 0,
     "text_lm_index_score": 3,
+    # r12 DSIR: the RETURNED plan reads the checkpointed hashed-
+    # feature matrix (gram explode + (doc,bucket) count run once at
+    # checkpoint time as a separate job) — the ≤1024-row bucket
+    # distribution aggregate + the final per-doc weight groupBy; the
+    # log-ratio table attach is a broadcast join and select's top-k
+    # is TakeOrderedAndProject, so k never adds an exchange
+    # (measured 2 at both SFs).
+    "sample_dsir_weights": 2,
+    "sample_dsir_select": 2,
 }
 
 

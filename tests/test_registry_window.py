@@ -23,6 +23,13 @@ REQUIRED_IN_WINDOW = {
     # tail (linkage keeps link_golden_records; embedding keeps 5 reps)
     "text_lm_index_append",
     "text_lm_index_score",
+    # r12 same-round rotation (2): DSIR importance resampling —
+    # weights + exact-integer Gumbel top-k. text_decontaminate and
+    # curation_quality_percentile (entered r9, three window rounds
+    # served) rotated to the CI tail; text keeps six window reps,
+    # quality_curation keeps dq_expectations + curation_pipeline
+    "sample_dsir_weights",
+    "sample_dsir_select",
     # hash-checked LSH/ANN twins
     "dedup_minhash_poly",
     "dedup_simhash_poly",
@@ -42,9 +49,7 @@ REQUIRED_IN_WINDOW = {
     "dq_expectations",
     # r9 rotation (VERDICT r8 #1): round-8 LLM flagships + the round-9
     # real-codec multimodal paths under the driver's hard hash check
-    "text_decontaminate",
     "link_golden_records",
-    "curation_quality_percentile",
     "layout_zorder_prune",
     "text_bpe_tokenize_large",
     "multimodal_jpeg_roundtrip",
