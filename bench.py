@@ -283,6 +283,11 @@ HEADLINE = [
     # exact-integer Gumbel top-k that resamples the target-like slice
     "sample_dsir_weights",
     "sample_dsir_select",
+    # round-12: the persisted DSIR index's daily read path — featurize
+    # only the scored docs, broadcast the ≤1024-row distribution table
+    # (warm-up bootstraps the index; the APPEND leg is measured in
+    # BENCH_SCALING.md's incremental study, mirroring the LM index)
+    "sample_dsir_index_score",
 ]
 
 

@@ -35,6 +35,11 @@ __all__ = [
     "pack_chunks",
     "dsir_importance_weights",
     "dsir_gumbel_topk",
+    "dsir_index_build",
+    "dsir_index_read",
+    "dsir_index_append",
+    "dsir_score_from_index",
+    "read_dsir_meta",
 ]
 
 
@@ -524,30 +529,77 @@ def dsir_importance_weights(
 
     Output: ``(id, n_grams, logw256, logw_bits)`` for raw-pool docs.
     """
-    from ..functions.text import char_gram_hashes
-
     base = df.filter(F.col(id_col).isNotNull()).withColumn(
         "__t", F.coalesce(target_pred, F.lit(False))
     )
-    cdb = (
-        char_gram_hashes(base, id_col, text_col, k, carry=("__t",))
-        .groupBy("id", "__t", F.pmod(F.col("h"), F.lit(n_buckets)).alias("b"))
-        .agg(F.count(F.lit(1)).alias("c"))
-        # two consumers (bucket distributions + the raw-pool scoring
-        # leg) — materialize the hashed-feature matrix once instead of
-        # scanning + gram-exploding the corpus twice (Catalyst pushes
-        # the NOT-target filter below the aggregate on the scoring
-        # leg, which defeats exchange reuse; same fix as the
-        # Kneser-Ney count tables, operators/lm.py round 12). DSIR's
-        # reference implementation likewise persists the feature
-        # counts, not the raw text.
-        .localCheckpoint(eager=True)
-    )
+    # two consumers (bucket distributions + the raw-pool scoring leg)
+    # share ONE per-(doc, bucket) aggregate. The target flag rides as
+    # a max() AGGREGATE, not a grouping key: a filter on an aggregated
+    # value cannot be pushed below its aggregate, so both consumers
+    # see a bit-identical subtree and Spark reuses the exchange — the
+    # corpus is scanned and gram-exploded ONCE with no materialized
+    # intermediate. (The earlier localCheckpoint form materialized the
+    # corpus-sized feature matrix; the sf1→sf10 octave showed that
+    # spilling it is superlinear — exponent 1.27 — while the shared-
+    # exchange form stays streaming.)
+    # the explicit isnotnull(b) matches the null-filter the scoring
+    # join infers on its key — without it Catalyst pushes that filter
+    # below the scoring-side aggregate only, the subtrees stop being
+    # canonically equal, and the exchange is NOT reused (two corpus
+    # scans). b = pmod(h, n_buckets) is never null, so this is a
+    # no-op semantically; it exists purely to keep both consumers'
+    # subtrees identical.
+    cdb = _dsir_bucket_counts(
+        base, id_col, text_col, n_buckets, k, carry=("__t",)
+    ).filter(F.col("b").isNotNull())
     bt = cdb.groupBy("b").agg(
         F.sum(F.when(F.col("__t"), F.col("c")).otherwise(F.lit(0))).alias("tp"),
         F.sum(F.when(~F.col("__t"), F.col("c")).otherwise(F.lit(0))).alias("tq"),
     )
-    # grand totals over the ≤n_buckets-row frame (tiny-frame window)
+    lw = _dsir_log_ratios(bt, n_buckets)
+    scored = (
+        cdb.join(F.broadcast(lw), "b")
+        .groupBy("id")
+        .agg(
+            F.sum("c").alias("n_grams"),
+            F.sum(F.col("c") * F.col("lw256")).alias("logw256"),
+            F.max("__t").alias("__t"),
+        )
+        .filter(~F.col("__t"))
+    )
+    return scored.select(
+        "id",
+        "n_grams",
+        "logw256",
+        (F.col("logw256").cast("double") / F.lit(256.0)).alias("logw_bits"),
+    )
+
+
+def _dsir_bucket_counts(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_buckets: int,
+    k: int,
+    carry: tuple[str, ...] = (),
+) -> DataFrame:
+    """(id, [carry...], b, c): per-doc hashed-gram bucket counts —
+    the featurization stage shared by the in-plan scorer and the
+    persisted-index lifecycle."""
+    from ..functions.text import char_gram_hashes
+
+    return (
+        char_gram_hashes(df, id_col, text_col, k, carry=carry)
+        .groupBy("id", *carry, F.pmod(F.col("h"), F.lit(n_buckets)).alias("b"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def _dsir_log_ratios(bt: DataFrame, n_buckets: int) -> DataFrame:
+    """(b, lw256) from a (b, tp, tq) bucket-distribution table:
+    add-one smoothing + the quantized-log2 difference. Grand totals
+    ride an unpartitioned window over the ≤n_buckets-row frame (the
+    repo's tiny-frame pattern, never applied at data grain)."""
     w_all = Window.partitionBy()
     btt = bt.select(
         "b",
@@ -556,16 +608,20 @@ def dsir_importance_weights(
         (F.sum("tp").over(w_all) + n_buckets).alias("tpn"),
         (F.sum("tq").over(w_all) + n_buckets).alias("tqn"),
     )
-    lw = btt.select(
+    return btt.select(
         "b",
         (
             _qlog2_col("tp1") - _qlog2_col("tpn")
             - _qlog2_col("tq1") + _qlog2_col("tqn")
         ).cast("long").alias("lw256"),
     )
+
+
+def _dsir_score_buckets(cdb: DataFrame, lw: DataFrame) -> DataFrame:
+    """(id, n_grams, logw256, logw_bits) from per-doc bucket counts ×
+    the broadcast log-ratio table — one join + one groupBy."""
     return (
-        cdb.filter(~F.col("__t"))
-        .join(F.broadcast(lw), "b")
+        cdb.join(F.broadcast(lw), "b")
         .groupBy("id")
         .agg(
             F.sum("c").alias("n_grams"),
@@ -639,3 +695,152 @@ def dsir_gumbel_topk(
         .orderBy(F.desc("gkey256"), "id")
         .limit(int(k_select))
     )
+
+
+# --- persisted / incremental DSIR index (round 12) ---------------------------
+#
+# The bucket-distribution state (b, tp, tq) is ADDITIVE in documents,
+# so DSIR gets the same persist/append/score lifecycle as the LSH,
+# IVF, pHash and LM indexes: at daily cadence over 100 TB the raw
+# pool is never re-featurized to score a new shard — the ≤n_buckets
+# count table persists, shards fold their counts in, and scoring
+# reads one tiny parquet table. Same durability discipline as
+# operators/lm.lm_index_build: data tables commit first, meta LAST,
+# meta-absent reads as "no index".
+
+
+def _dsir_fs(spark, path: str):
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path
+    p = hpath(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    return jvm, hpath, fs
+
+
+def _write_dsir_meta(spark, path: str, meta: dict) -> None:
+    import json as _json
+
+    spark.createDataFrame(
+        [(_json.dumps(meta, sort_keys=True),)], "value string"
+    ).coalesce(1).write.mode("overwrite").text(f"{path}/meta")
+
+
+def read_dsir_meta(spark, path: str) -> dict | None:
+    import json as _json
+
+    _, hpath, fs = _dsir_fs(spark, path)
+    if not fs.exists(hpath(f"{path}/meta")):
+        return None
+    rows = spark.read.text(f"{path}/meta").collect()
+    return _json.loads(rows[0]["value"]) if rows else None
+
+
+def dsir_index_build(
+    df: DataFrame,
+    target_pred: F.Column,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 1024,
+    k: int = 3,
+    mode: str = "overwrite",
+) -> None:
+    """Persist the DSIR distribution state: ``<path>/buckets``
+    (b, tp, tq) + ``<path>/meta`` (featurizer contract, written LAST
+    so a torn build reads as no-index). One corpus pass; the stored
+    table is ≤ n_buckets rows no matter the corpus size."""
+    spark = df.sparkSession
+    base = df.filter(F.col(id_col).isNotNull()).withColumn(
+        "__t", F.coalesce(target_pred, F.lit(False))
+    )
+    bt = (
+        _dsir_bucket_counts(base, id_col, text_col, n_buckets, k, carry=("__t",))
+        .groupBy("b")
+        .agg(
+            F.sum(F.when(F.col("__t"), F.col("c")).otherwise(F.lit(0))).alias("tp"),
+            F.sum(F.when(~F.col("__t"), F.col("c")).otherwise(F.lit(0))).alias("tq"),
+        )
+    )
+    bt.write.mode(mode).parquet(f"{path}/buckets")
+    _write_dsir_meta(
+        spark,
+        path,
+        {"featurizer": "char3_poly31_alnum", "n_buckets": n_buckets, "k": k},
+    )
+
+
+def dsir_index_read(spark, path: str) -> tuple[DataFrame, dict]:
+    """(bucket table, meta) — raises if never committed: a missing
+    distribution must surface loudly, not as an all-zero prior that
+    weights every doc identically."""
+    meta = read_dsir_meta(spark, path)
+    if meta is None:
+        raise ValueError(
+            f"no committed DSIR index at {path} (meta absent) — run "
+            "dsir_index_build first"
+        )
+    return spark.read.parquet(f"{path}/buckets"), meta
+
+
+def dsir_index_append(
+    df: DataFrame,
+    target_pred: F.Column,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Fold a new shard's bucket counts into the persisted
+    distributions WITHOUT re-featurizing the pool: counts are
+    additive, so the merge is one per-bucket summed union (shard scan
+    + a ≤n_buckets-row merge), swapped atomically. Incremental ==
+    full, exactly — merged counts are bit-identical to building on
+    corpus ∪ shard, which the registry pins by hashing the appended
+    index against an oracle that refeaturizes from scratch. Re-running
+    the SAME append doubles counts (the LM/LSH posture: recovery is a
+    rebuild); meta stays untouched."""
+    from ..sources.io import replace_parquet_atomic
+
+    spark = df.sparkSession
+    bt0, meta = dsir_index_read(spark, path)
+    base = df.filter(F.col(id_col).isNotNull()).withColumn(
+        "__t", F.coalesce(target_pred, F.lit(False))
+    )
+    bt1 = (
+        _dsir_bucket_counts(
+            base, id_col, text_col, int(meta["n_buckets"]), int(meta["k"]),
+            carry=("__t",),
+        )
+        .groupBy("b")
+        .agg(
+            F.sum(F.when(F.col("__t"), F.col("c")).otherwise(F.lit(0))).alias("tp"),
+            F.sum(F.when(~F.col("__t"), F.col("c")).otherwise(F.lit(0))).alias("tq"),
+        )
+    )
+    merged = (
+        bt0.unionByName(bt1)
+        .groupBy("b")
+        .agg(F.sum("tp").alias("tp"), F.sum("tq").alias("tq"))
+    )
+    replace_parquet_atomic(spark, merged, f"{path}/buckets")
+
+
+def dsir_score_from_index(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Score documents against the PERSISTED distributions — the
+    daily read path: featurize only the docs being scored (one scan +
+    one groupBy), read the ≤n_buckets-row table, broadcast-join the
+    log-ratios, one per-doc sum. No pool scan anywhere in the plan.
+    Output schema and arithmetic identical to
+    :func:`dsir_importance_weights` (both route through
+    :func:`_dsir_log_ratios` / :func:`_dsir_score_buckets`)."""
+    spark = docs.sparkSession
+    bt, meta = dsir_index_read(spark, path)
+    base = docs.filter(F.col(id_col).isNotNull())
+    cdb = _dsir_bucket_counts(
+        base, id_col, text_col, int(meta["n_buckets"]), int(meta["k"])
+    )
+    return _dsir_score_buckets(cdb, _dsir_log_ratios(bt, int(meta["n_buckets"])))

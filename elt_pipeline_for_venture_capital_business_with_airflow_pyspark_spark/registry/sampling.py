@@ -1,4 +1,4 @@
-"""Registry family: sampling (10 queries).
+"""Registry family: sampling (12 queries).
 
 - sample_hash_stratified
 - sample_weighted_bernoulli
@@ -10,6 +10,8 @@
 - sample_negatives_contrastive
 - sample_dsir_weights
 - sample_dsir_select
+- sample_dsir_index_append
+- sample_dsir_index_score
 """
 
 from ._shared import *  # noqa: F401,F403
@@ -448,4 +450,105 @@ def _sample_dsir_select(spark: SparkSession, sf: str) -> DataFrame:
     w = SMP.dsir_importance_weights(docs, target, "doc_id", "text", n_buckets=1024)
     return SMP.dsir_gumbel_topk(w, 100, salt="dsir1").select(
         F.col("id").alias("doc_id"), "logw256", "gkey256"
+    )
+
+
+# --- persisted / incremental DSIR index (round 12, part 2) -------------------
+
+_DSIR_INC_TAG = "pool12_plus_shard034"
+
+
+def _dsir_inc_path(sf: str) -> str:
+    return _dataset_cache_path("dsir_index_inc_v1", sf)
+
+
+def _dsir_inc_bootstrap(spark: SparkSession, sf: str) -> str:
+    """Deterministic incremental-index state: build the bucket
+    distributions on the doc_id%5 ∈ {1,2} corpus slice, APPEND the
+    {0,3,4} shard — leaving counts exactly equal to featurizing the
+    whole corpus (bucket counts are additive). The completion tag
+    lands in meta LAST, so a crash mid-bootstrap reads as "not
+    bootstrapped", never as partial counts."""
+    docs = read_table(spark, sf, "documents")
+    target = (F.col("lang") == "en") & (F.col("doc_id") % 10 == 0)
+    path = _dsir_inc_path(sf)
+    SMP.dsir_index_build(
+        docs.filter((F.col("doc_id") % 5).isin(1, 2)),
+        target,
+        path,
+        mode="overwrite",
+    )
+    SMP.dsir_index_append(
+        docs.filter((F.col("doc_id") % 5).isin(0, 3, 4)), target, path
+    )
+    meta = SMP.read_dsir_meta(spark, path) or {}
+    meta["state"] = _DSIR_INC_TAG
+    SMP._write_dsir_meta(spark, path, meta)
+    return path
+
+
+@_register(
+    "sample_dsir_index_append",
+    f"""
+    WITH dsd AS (
+      SELECT doc_id, {_DSIR_TARGET_SQL} AS t,
+             regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS s
+      FROM documents WHERE doc_id IS NOT NULL
+    ), dsg AS (
+      SELECT doc_id, t,
+             unnest(list_transform(generate_series(1, length(s) - 2),
+               i -> (ascii(s[i]) + ascii(s[i+1])*31 + ascii(s[i+2])*961) % 1024))
+               AS b
+      FROM dsd WHERE length(s) >= 3
+    )
+    SELECT b,
+           CAST(SUM(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+           CAST(SUM(CASE WHEN NOT t THEN 1 ELSE 0 END) AS BIGINT) AS tq
+    FROM dsg GROUP BY b
+    """,
+)
+def _sample_dsir_index_append(spark: SparkSession, sf: str) -> DataFrame:
+    """APPEND leg of the persisted DSIR lifecycle (operators/sampling.
+    dsir_index_append): build on the doc_id%5 ∈ {1,2} slice, fold the
+    {0,3,4} shard's bucket counts in by per-bucket summation (atomic
+    swap) — never a pool re-featurization. The returned frame is the
+    merged (b, tp, tq) table read back from parquet; the oracle
+    refeaturizes the FULL corpus from scratch, so this entry hash-pins
+    incremental == full for DSIR distributions exactly the way
+    text_lm_index_append pins it for LM counts. The stored state is
+    ≤1024 rows at any corpus size — the whole point: at daily cadence
+    the distribution update costs one shard scan."""
+    path = _dsir_inc_bootstrap(spark, sf)
+    return spark.read.parquet(f"{path}/buckets").select("b", "tp", "tq")
+
+
+@_register(
+    "sample_dsir_index_score",
+    f"""
+    WITH {_dsir_weights_ctes()}
+    SELECT doc_id, n_grams, logw256,
+           CAST(logw256 AS DOUBLE) / 256.0 AS logw_bits
+    FROM dsw
+    """,
+)
+def _sample_dsir_index_score(spark: SparkSession, sf: str) -> DataFrame:
+    """SCORE-FROM-INDEX leg (operators/sampling.dsir_score_from_index):
+    the raw pool is scored against the PERSISTED bucket distributions —
+    featurize only the scored docs, read one ≤1024-row parquet table,
+    broadcast the log-ratios, one per-doc sum. The index state is
+    build({1,2}) ⊕ append({0,3,4}) ≡ featurize-all, so this entry
+    shares sample_dsir_weights' EXACT oracle: the daily read path must
+    reproduce the in-plan weights bit-for-bit (same add-one smoothing,
+    same quantized-log2 fixed point). A missing or untagged index
+    (crash mid-bootstrap) rebuilds deterministically; a tagged one is
+    probed read-only — the daily marginal cost."""
+    docs = read_table(spark, sf, "documents")
+    path = _dsir_inc_path(sf)
+    meta = SMP.read_dsir_meta(spark, path)
+    if meta is None or meta.get("state") != _DSIR_INC_TAG:
+        _dsir_inc_bootstrap(spark, sf)
+    target = (F.col("lang") == "en") & (F.col("doc_id") % 10 == 0)
+    pool = docs.filter(~F.coalesce(target, F.lit(False)))
+    return SMP.dsir_score_from_index(pool, path, "doc_id", "text").select(
+        F.col("id").alias("doc_id"), "n_grams", "logw256", "logw_bits"
     )

@@ -191,6 +191,7 @@ WINDOW_SINGLE_PARTITION_OK = {
     "sample_quota_mix",
     "sample_dsir_weights",
     "sample_dsir_select",
+    "sample_dsir_index_score",
 }
 
 _DEPTH_RE = __import__("re").compile(r"^[\s:+*-]*")

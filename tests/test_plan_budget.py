@@ -322,15 +322,22 @@ SHUFFLE_BUDGET = {
     # SFs).
     "text_lm_index_build": 0,
     "text_lm_index_score": 3,
-    # r12 DSIR: the RETURNED plan reads the checkpointed hashed-
-    # feature matrix (gram explode + (doc,bucket) count run once at
-    # checkpoint time as a separate job) — the ≤1024-row bucket
-    # distribution aggregate + the final per-doc weight groupBy; the
-    # log-ratio table attach is a broadcast join and select's top-k
-    # is TakeOrderedAndProject, so k never adds an exchange
-    # (measured 2 at both SFs).
-    "sample_dsir_weights": 2,
-    "sample_dsir_select": 2,
+    # r12 DSIR: one shared (doc,bucket) feature aggregate (its
+    # exchange REUSED by the distribution and scoring consumers — the
+    # corpus is scanned and gram-exploded once, nothing corpus-sized
+    # materialized; the earlier localCheckpoint form went superlinear
+    # at the sf10 octave), the ≤1024-row bucket-distribution
+    # aggregate, the final per-doc weight groupBy, plus the duplicated
+    # feature exchange the plan text still prints alongside the
+    # ReusedExchange ref; the log-ratio attach is a broadcast join and
+    # select's top-k is TakeOrderedAndProject, so k never adds an
+    # exchange (measured 4 + 1 reused at both SFs).
+    "sample_dsir_weights": 4,
+    "sample_dsir_select": 4,
+    # r12 DSIR index score leg: featurize-the-shard aggregate + the
+    # final per-doc weight sum; the persisted ≤1024-row distribution
+    # table rides a broadcast (measured 2 at both SFs).
+    "sample_dsir_index_score": 2,
 }
 
 
