@@ -174,11 +174,20 @@ def winnow_fingerprints(
         F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]", ""), F.lit("")
     )
     d1 = df.select(F.col(id_col).alias("id"), norm.alias("__s"))
-    s, L = F.col("__s"), F.length(F.col("__s"))
+    L = F.length(F.col("__s"))
     n_grams = L - (k - 1)
+    # per-char ascii codes materialized ONCE per row: the former
+    # substr(i,1)-per-gram form rescans the string from byte 0 on every
+    # call (UTF8String.substring is O(position)), making gram hashing
+    # O(len^2) per doc — measured 5x slower than this O(len) array walk
+    # at sf0.1. F.get (0-based) returns NULL past-the-end instead of
+    # raising under ANSI, preserving the <k-char guard semantics below.
+    codes = F.transform(F.split(F.col("__s"), ""), F.ascii)
+    d1 = d1.select("id", "__s", codes.alias("__a"))
+    a = F.col("__a")
     gram_hash = lambda i: sum(  # noqa: E731
-        (F.ascii(s.substr(i + j, F.lit(1))) * (31 ** j) for j in range(1, k)),
-        start=F.ascii(s.substr(i, F.lit(1))),
+        (F.get(a, i + j - 1) * (31 ** j) for j in range(1, k)),
+        start=F.get(a, i - 1),
     )
     d2 = d1.select(
         "id",
@@ -282,19 +291,26 @@ def char_gram_hashes(
     target-membership bit — avoid a doc-keyed re-join later).
     """
     norm = F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]", "")
+    # per-char ascii codes materialized ONCE per row (same O(len^2) →
+    # O(len) fix as winnow_fingerprints: substr(i,1) rescans from byte
+    # 0 per gram; the array walk is ~5x faster measured at sf0.1).
+    # The length filter guarantees every F.get index is in range.
     d = df.select(
         F.col(id_col).alias("id"), *carry, norm.alias("__s")
     ).filter(F.length("__s") >= k)
-    s = F.col("__s")
+    d = d.select(
+        "id", *carry, F.transform(F.split(F.col("__s"), ""), F.ascii).alias("__a")
+    )
+    a = F.col("__a")
     gram = lambda i: sum(  # noqa: E731
-        (F.ascii(s.substr(i + j, F.lit(1))) * (31 ** j) for j in range(1, k)),
-        start=F.ascii(s.substr(i, F.lit(1))),
+        (F.get(a, i + j - 1) * (31 ** j) for j in range(1, k)),
+        start=F.get(a, i - 1),
     )
     return d.select(
         "id",
         *carry,
         F.explode(
-            F.transform(F.sequence(F.lit(1), F.length("__s") - (k - 1)), gram)
+            F.transform(F.sequence(F.lit(1), F.size("__a") - (k - 1)), gram)
         ).alias("h"),
     )
 
