@@ -69,6 +69,10 @@ def _agree(rule: FieldRule, a: Column, b: Column) -> Column:
     if rule.kind == "exact":
         return a.eqNullSafe(b) & a.isNotNull()
     if rule.kind == "lev_pct":
+        # NOTE: link_pairs never routes lev_pct through here — it
+        # pre-normalizes per ROW before the candidate join (see
+        # _lev_agree_pre); this per-PAIR form exists for direct
+        # callers comparing two arbitrary columns.
         na = F.regexp_replace(a, _ASCII_ONLY, "")
         nb = F.regexp_replace(b, _ASCII_ONLY, "")
         return (F.levenshtein(na, nb) * 100) <= (
@@ -77,6 +81,22 @@ def _agree(rule: FieldRule, a: Column, b: Column) -> Column:
     if rule.kind == "abs_diff":
         return F.abs(a - b) <= F.lit(rule.param)
     raise ValueError(f"unknown FieldRule kind: {rule.kind}")
+
+
+def _lev_agree_pre(rule: FieldRule, side_a: str, side_b: str) -> Column:
+    """lev_pct agreement over columns normalized BEFORE the candidate
+    join: the regexp_replace + length of each side are per-ROW
+    functions, so evaluating them inside the pair predicate re-ran
+    the regex once per CANDIDATE (2 x |pairs| regex evaluations — at
+    1M blocked candidates that is 2M regexes for a 20k-row table).
+    link_pairs projects ``__lev_<col>`` / ``__levlen_<col>`` onto each
+    side once (O(rows) regexes) and the per-pair work collapses to
+    one levenshtein + integer compares. Same arithmetic, same
+    output."""
+    return (F.levenshtein(F.col(side_a), F.col(side_b)) * 100) <= (
+        F.lit(rule.param)
+        * F.greatest(F.col(f"{side_a}__len"), F.col(f"{side_b}__len"))
+    )
 
 
 def link_pairs(
@@ -103,17 +123,29 @@ def link_pairs(
     # dedupe while preserving order
     seen: set[str] = set()
     keep = [c for c in cols if not (c in seen or seen.add(c))]
-    left = df.select(*[F.col(c).alias(f"{c}_a") for c in keep])
-    right = df.select(*[F.col(c).alias(f"{c}_b") for c in keep])
+    lev_rules = [r for r in rules if r.kind == "lev_pct"]
+
+    def side(suffix: str) -> DataFrame:
+        sel = [F.col(c).alias(f"{c}{suffix}") for c in keep]
+        # per-ROW pre-normalization for lev_pct rules: O(rows)
+        # regexes instead of O(pairs) — see _lev_agree_pre
+        for r in lev_rules:
+            norm = F.regexp_replace(F.col(r.col), _ASCII_ONLY, "")
+            sel.append(norm.alias(f"__lev_{r.col}{suffix}"))
+            sel.append(F.length(norm).alias(f"__lev_{r.col}{suffix}__len"))
+        return df.select(*sel)
+
+    left, right = side("_a"), side("_b")
     cond = [F.col(f"{c}_a") == F.col(f"{c}_b") for c in block_cols]
     cond.append(F.col(f"{id_col}_a") < F.col(f"{id_col}_b"))
     pairs = left.join(right, cond)
     score = None
     for r in rules:
-        term = F.when(
-            _agree(r, F.col(f"{r.col}_a"), F.col(f"{r.col}_b")),
-            F.lit(r.w_agree),
-        ).otherwise(F.lit(r.w_disagree))
+        if r.kind == "lev_pct":
+            agree = _lev_agree_pre(r, f"__lev_{r.col}_a", f"__lev_{r.col}_b")
+        else:
+            agree = _agree(r, F.col(f"{r.col}_a"), F.col(f"{r.col}_b"))
+        term = F.when(agree, F.lit(r.w_agree)).otherwise(F.lit(r.w_disagree))
         score = term if score is None else score + term
     return (
         pairs.withColumn("score_x1000", score.cast("bigint"))
