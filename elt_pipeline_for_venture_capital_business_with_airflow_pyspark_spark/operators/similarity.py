@@ -107,6 +107,27 @@ def cosine_pre(
     return F.when(den != 0, dot(a, b, dim) / den)
 
 
+def _centroid_sims(vec: F.Column, norm_col: F.Column, cent_rows) -> F.Column:
+    """Per-centroid cosine array with the centroid norms folded to
+    plan-time literals (:func:`_py_norm` — bit-identical to the JVM
+    fold) and the row norm read from ``norm_col``: one dot per
+    centroid instead of three interpreted folds (measured 3× on the
+    assignment stage). Kept compact (zip_with over literal matrices),
+    NOT unrolled per centroid — the repeated unrolled tree made the
+    optimizer the bottleneck."""
+    cmat = F.array(
+        *[F.array(*[F.lit(float(v)) for v in r["cv"]]) for r in cent_rows]
+    )
+    cnorms = F.array(*[F.lit(_py_norm(r["cv"])) for r in cent_rows])
+    return F.zip_with(
+        cmat,
+        cnorms,
+        lambda c, cn: F.when(
+            norm_col * cn != 0, dot(vec, c) / (norm_col * cn)
+        ),
+    )
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -114,22 +135,36 @@ def cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector.
 
     ``queries`` (query_id, embedding) is broadcast; the corpus streams
     through one scan computing similarities, then a per-query window
     picks the top k (ties broken by corpus id → deterministic).
-    Excludes self-matches when ids collide.
-    """
+    Excludes self-matches when ids collide. Norms are projected once
+    per row on each side (cosine_pre), so the |corpus|×|queries|
+    scoring stage does one dot per pair; ``dim`` additionally unrolls
+    that dot into codegen arithmetic."""
     q = queries.select(
-        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).alias("__qvec"),
+        norm(F.col(vec_col)).alias("__qn"),
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec"))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cvec"),
+        norm(F.col(vec_col)).alias("__cn"),
+    )
     scored = (
         c.join(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cosine_sim", cosine(F.col("__qvec"), F.col("__cvec")))
+        .withColumn(
+            "cosine_sim",
+            cosine_pre(
+                F.col("__qvec"), F.col("__cvec"), F.col("__qn"), F.col("__cn"), dim
+            ),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id")
@@ -285,6 +320,9 @@ def _band_entries(
     cols = [F.col(idc).alias(out_id)]
     if keep_vec:
         cols.append(F.col(vec_col).alias(f"__{out_id}_vec"))
+        # the downstream rerank join scores per PAIR; carrying the
+        # per-row norm makes that one dot instead of three (cosine_pre)
+        cols.append(norm(F.col(vec_col)).alias(f"__{out_id}_norm"))
     staged = df.select(*cols, dots.alias("__dots"))
     buckets = [
         F.struct(
@@ -302,13 +340,13 @@ def _band_entries(
         )
         for b in range(bands)
     ]
+    vec_cols = [f"__{out_id}_vec", f"__{out_id}_norm"] if keep_vec else []
     out = staged.select(
         out_id,
-        *([f"__{out_id}_vec"] if keep_vec else []),
+        *vec_cols,
         F.explode(F.array(*buckets)).alias("bb"),
     )
-    keep = [out_id] + ([f"__{out_id}_vec"] if keep_vec else [])
-    return out.select(*keep, "bb.band", "bb.bucket")
+    return out.select(out_id, *vec_cols, "bb.band", "bb.bucket")
 
 
 def lsh_ann_topk(
@@ -347,7 +385,14 @@ def lsh_ann_topk(
         cb.join(F.broadcast(qb), on=["band", "bucket"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn(
-            "cosine_sim", cosine(F.col("__query_id_vec"), F.col("__neighbor_id_vec"))
+            "cosine_sim",
+            cosine_pre(
+                F.col("__query_id_vec"),
+                F.col("__neighbor_id_vec"),
+                F.col("__query_id_norm"),
+                F.col("__neighbor_id_norm"),
+                dim,
+            ),
         )
         .groupBy("query_id", "neighbor_id")
         .agg(F.max("cosine_sim").alias("cosine_sim"))
@@ -443,21 +488,27 @@ def ivf_topk(
     # (a crash under the session's default ANSI mode)
     n_centroids = len(cent_rows)
     n_probe = min(n_probe, n_centroids)
-    cmat = F.array(
-        *[F.array(*[F.lit(float(v)) for v in r["cv"]]) for r in cent_rows]
-    )
 
     def with_sims(df: DataFrame, idc: str, out_id: str) -> DataFrame:
-        sims = F.transform(cmat, lambda c: cosine(F.col(vec_col), c))
-        return df.select(
+        staged = df.select(
             F.col(idc).alias(out_id),
             F.col(vec_col).alias(f"__{out_id}_vec"),
+            norm(F.col(vec_col)).alias(f"__{out_id}_norm"),
+        )
+        sims = _centroid_sims(
+            F.col(f"__{out_id}_vec"), F.col(f"__{out_id}_norm"), cent_rows
+        )
+        return staged.select(
+            out_id,
+            f"__{out_id}_vec",
+            f"__{out_id}_norm",
             sims.alias("__sims"),
         )
 
     assigned = with_sims(corpus, id_col, "neighbor_id").select(
         "neighbor_id",
         "__neighbor_id_vec",
+        "__neighbor_id_norm",
         (F.array_position(F.col("__sims"), F.array_max(F.col("__sims"))) - 1)
         .cast("int")
         .alias("cell"),
@@ -479,6 +530,7 @@ def ivf_topk(
     probes = with_sims(queries, query_id_col, "query_id").select(
         "query_id",
         "__query_id_vec",
+        "__query_id_norm",
         F.explode(
             F.transform(F.slice(by_sim_desc, 1, n_probe), lambda s: s["idx"])
         ).alias("cell"),
@@ -488,7 +540,14 @@ def ivf_topk(
         assigned.join(F.broadcast(probes), on="cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn(
-            "cosine_sim", cosine(F.col("__query_id_vec"), F.col("__neighbor_id_vec"))
+            "cosine_sim",
+            cosine_pre(
+                F.col("__query_id_vec"),
+                F.col("__neighbor_id_vec"),
+                F.col("__query_id_norm"),
+                F.col("__neighbor_id_norm"),
+                dim,
+            ),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -583,11 +642,13 @@ def _assign_cells(
     argmax-cosine / lowest-index-ties expression :func:`ivf_topk`
     uses, so a persisted index and the in-flight operator agree
     bit-for-bit."""
-    cmat = F.array(
-        *[F.array(*[F.lit(float(v)) for v in r["cv"]]) for r in cent_rows]
+    staged = vectors.select(
+        F.col(id_col),
+        F.col(vec_col),
+        norm(F.col(vec_col)).alias("__norm"),
     )
-    sims = F.transform(cmat, lambda c: cosine(F.col(vec_col), c))
-    return vectors.select(
+    sims = _centroid_sims(F.col(vec_col), F.col("__norm"), cent_rows)
+    return staged.select(
         F.col(id_col),
         F.col(vec_col),
         (F.array_position(sims, F.array_max(sims)) - 1)
@@ -717,9 +778,12 @@ def ivf_probe_index(
     carry = (
         [F.col("__sq"), F.col("__qq")]
         if quantized
-        else [F.col(vec_col).alias("__query_vec")]
+        else [
+            F.col(vec_col).alias("__query_vec"),
+            norm(F.col(vec_col)).alias("__qn"),
+        ]
     )
-    carry_names = ["__sq", "__qq"] if quantized else ["__query_vec"]
+    carry_names = ["__sq", "__qq"] if quantized else ["__query_vec", "__qn"]
     probes = qsrc.select(
         F.col(query_id_col).alias("query_id"),
         *carry,
@@ -740,7 +804,11 @@ def ivf_probe_index(
     cells = cells_df.filter(F.col("cell").isin(probe_cells))
     probe_side = F.broadcast(probes) if broadcast_queries else probes
     if quantized:
-        dot_int = F.aggregate(
+        # per-pair exact-BIGINT dot, guarded-unrolled like the float
+        # tier (dim from the centroid table — cells store same-dim q);
+        # rows with off-dim arrays fall back to the HOF fold
+        dim_q = len(cent_rows[0]["cv"])
+        dot_hof = F.aggregate(
             F.zip_with(
                 F.col("q"),
                 F.col("__qq"),
@@ -749,6 +817,14 @@ def ivf_probe_index(
             F.lit(0).cast("bigint"),
             lambda acc, v: acc + v,
         )
+        s: F.Column = F.lit(0).cast("bigint")
+        for i in range(dim_q):
+            s = s + F.get(F.col("q"), i).cast("bigint") * F.get(
+                F.col("__qq"), i
+            ).cast("bigint")
+        dot_int = F.when(
+            (F.size(F.col("q")) == dim_q) & (F.size(F.col("__qq")) == dim_q), s
+        ).otherwise(dot_hof)
         scored = (
             cells.join(probe_side, on="cell")
             .filter(F.col(id_col) != F.col("query_id"))
@@ -771,11 +847,22 @@ def ivf_probe_index(
                 "score",
             )
         )
+    # cell-side norm projected once per stored row before the
+    # per-query fanout join; per-pair work = one guarded-unrolled dot
+    dim = len(cent_rows[0]["cv"])
     scored = (
-        cells.join(probe_side, on="cell")
+        cells.withColumn("__cn", norm(F.col(vec_col)))
+        .join(probe_side, on="cell")
         .filter(F.col(id_col) != F.col("query_id"))
         .withColumn(
-            "cosine_sim", cosine(F.col("__query_vec"), F.col(vec_col))
+            "cosine_sim",
+            cosine_pre(
+                F.col("__query_vec"),
+                F.col(vec_col),
+                F.col("__qn"),
+                F.col("__cn"),
+                dim,
+            ),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -872,12 +959,27 @@ def embedding_near_dup(
         )
     )
     cand = intra.unionByName(cross)
-    va = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
-    vb = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
+    # norms ride the vector rejoin (per-row work), so the candidate
+    # rerank pays one guarded-unrolled dot per pair (cosine_pre)
+    va = corpus.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("vec_a"),
+        norm(F.col(vec_col)).alias("__na"),
+    )
+    vb = corpus.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vec_b"),
+        norm(F.col(vec_col)).alias("__nb"),
+    )
     return (
         cand.join(va, "id_a")
         .join(vb, "id_b")
-        .withColumn("cosine_sim", cosine(F.col("vec_a"), F.col("vec_b")))
+        .withColumn(
+            "cosine_sim",
+            cosine_pre(
+                F.col("vec_a"), F.col("vec_b"), F.col("__na"), F.col("__nb"), dim
+            ),
+        )
         .filter(F.col("cosine_sim") >= threshold)
         .select("id_a", "id_b", "cosine_sim")
     )

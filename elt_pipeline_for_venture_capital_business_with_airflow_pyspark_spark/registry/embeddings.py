@@ -56,6 +56,9 @@ def _embedding_topk(spark: SparkSession, sf: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
+    # dim unroll deliberately NOT passed: 10k scored pairs — the
+    # unrolled tree costs more in plan optimization than it saves in
+    # execution at this volume (measured +0.5s); norm-precompute alone
     out = SIM.cosine_topk(emb, queries, k=10, id_col="vec_id", vec_col="embedding")
     return out.select(
         "query_id", "rank", "neighbor_id", F.round("cosine_sim", 6).alias("cosine_sim")
@@ -79,10 +82,20 @@ def _embedding_topk(spark: SparkSession, sf: str) -> DataFrame:
 def _embedding_near_dup_exact(spark: SparkSession, sf: str) -> DataFrame:
     """Exact embedding-cosine near-dup pairs (≥0.4)."""
     emb = read_table(spark, sf, "embeddings")
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("vec_a"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vec_b"))
+    a = emb.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("vec_a"),
+        SIM.norm(F.col("embedding")).alias("__na"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("vec_b"),
+        SIM.norm(F.col("embedding")).alias("__nb"),
+    )
     pairs = a.join(b, F.col("id_a") < F.col("id_b"))
-    sim = SIM.cosine(F.col("vec_a"), F.col("vec_b"))
+    sim = SIM.cosine_pre(
+        F.col("vec_a"), F.col("vec_b"), F.col("__na"), F.col("__nb"), 64
+    )
     return (
         pairs.withColumn("cosine_sim_raw", sim)
         .filter(F.col("cosine_sim_raw") >= 0.4)
@@ -517,6 +530,7 @@ def _embedding_mmr_rerank(spark: SparkSession, sf: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
+    # no dim unroll: the cand subtree is re-planned in every MMR round
     cand = SIM.cosine_topk(emb, queries, k=12, id_col="vec_id")
     cand = cand.join(
         emb.select(F.col("vec_id").alias("neighbor_id"), "embedding"),
