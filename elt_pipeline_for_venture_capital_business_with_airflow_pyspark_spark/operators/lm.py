@@ -483,12 +483,13 @@ def _lm_fs(spark, path: str):
 
 
 def _write_lm_meta(spark, path: str, meta: dict) -> None:
-    """One-line JSON under ``<path>/meta`` (same engine-portable text
-    sink as the LSH index's metadata — and same naming rule: NOT
-    underscore-prefixed, Spark hides ``_*`` paths from its readers)."""
-    spark.createDataFrame(
-        [(_json.dumps(meta, sort_keys=True),)], "value string"
-    ).coalesce(1).write.mode("overwrite").text(f"{path}/meta")
+    """One-line JSON under ``<path>/meta`` (same direct-stream write
+    as the LSH index's metadata — the text SINK costs ~4.5 s per write
+    — and same naming rule: NOT underscore-prefixed, Spark hides
+    ``_*`` paths from its readers)."""
+    from ..sources.io import write_small_text
+
+    write_small_text(spark, f"{path}/meta", _json.dumps(meta, sort_keys=True))
 
 
 def read_lm_meta(spark, path: str) -> dict | None:

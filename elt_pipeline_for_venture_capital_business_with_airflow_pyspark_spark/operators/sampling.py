@@ -720,9 +720,9 @@ def _dsir_fs(spark, path: str):
 def _write_dsir_meta(spark, path: str, meta: dict) -> None:
     import json as _json
 
-    spark.createDataFrame(
-        [(_json.dumps(meta, sort_keys=True),)], "value string"
-    ).coalesce(1).write.mode("overwrite").text(f"{path}/meta")
+    from ..sources.io import write_small_text
+
+    write_small_text(spark, f"{path}/meta", _json.dumps(meta, sort_keys=True))
 
 
 def read_dsir_meta(spark, path: str) -> dict | None:
