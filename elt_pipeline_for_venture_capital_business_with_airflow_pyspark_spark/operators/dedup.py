@@ -575,12 +575,28 @@ def _score_candidates(
     as_int = F.transform(F.col("signature"), lambda x: x.cast("int"))
     sig_a = sig_src_a.select(F.col("id").alias("id_a"), as_int.alias("sig_a"))
     sig_b = sig_src_b.select(F.col("id").alias("id_b"), as_int.alias("sig_b"))
-    est = F.size(
+    # guarded unrolled match count: the candidate set is the volume
+    # peak of the pipeline (1.4M pairs at sf0.1; 175M at the r10
+    # octave stress), and the zip_with+filter HOF pair is interpreted
+    # per pair. The unrolled sum is codegen arithmetic with identical
+    # semantics: a NULL position compares NULL -> counts 0 in both
+    # forms; off-length rows (sweep-mutated) fall back to the HOF
+    # expression. One instance per plan — cheap for the optimizer.
+    est_hof = F.size(
         F.filter(
             F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
             lambda m: m,
         )
     ) / F.lit(float(num_hashes))
+    matches: F.Column = F.lit(0)
+    for i in range(num_hashes):
+        matches = matches + F.when(
+            F.get("sig_a", i) == F.get("sig_b", i), F.lit(1)
+        ).otherwise(F.lit(0))
+    est = F.when(
+        (F.size("sig_a") == num_hashes) & (F.size("sig_b") == num_hashes),
+        matches / F.lit(float(num_hashes)),
+    ).otherwise(est_hof)
     return (
         cand.join(sig_a, "id_a")
         .join(sig_b, "id_b")

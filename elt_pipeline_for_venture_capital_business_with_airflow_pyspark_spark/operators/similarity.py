@@ -606,7 +606,11 @@ def build_ivf_index(
         ],
         "cell int, cid long, cv array<double>",
     )
-    cent_df.coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    # repartition(1), NOT coalesce(1): a coalesce(1)'d write pays a
+    # reproducible ~4 s fixed overhead in this build (measured on a
+    # 1-row frame; plain and repartition(1) writes are ~0.5 s).
+    # Single file either way; _read_centroids orders by cell on read.
+    cent_df.repartition(1).write.mode("overwrite").parquet(f"{path}/centroids")
     if not cent_rows:
         # empty cells table with the right schema so probes read cleanly
         empty_schema = (
