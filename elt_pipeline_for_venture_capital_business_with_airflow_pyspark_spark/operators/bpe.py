@@ -74,20 +74,28 @@ def learn_bpe(
     pair remains."""
     vocab = word_vocab(df, text_col).persist()
     merges: list[tuple[int, str, str, int]] = []
-    cur = vocab
-    prev_persisted = vocab
+    cur, parent = vocab, None
     for rank in range(1, n_merges + 1):
+        # this collect aggregates over EVERY partition of cur, so it
+        # fills cur's (lazy) cache as a side effect — the PARENT
+        # round's cache can be dropped right after, and no separate
+        # count() materialization job is needed (one job per round
+        # instead of two, same O(1) corpus scans per round as the
+        # former count()-then-unpersist shape).
         top = (
             _pair_counts(cur)
             .orderBy(F.col("f").desc(), F.col("l"), F.col("r"))
             .limit(1)
             .collect()
         )
+        if parent is not None:
+            parent.unpersist()
+            parent = None
         if not top:
             break
         l, r, f = top[0]["l"], top[0]["r"], top[0]["f"]
         merges.append((rank, l, r, int(f)))
-        cur = cur.withColumn(
+        nxt = cur.withColumn(
             "sym",
             F.trim(
                 F.replace(
@@ -97,14 +105,10 @@ def learn_bpe(
                 )
             ),
         ).persist()
-        # persist() is lazy: materialize the new vocab (reading from the
-        # still-live previous cache) BEFORE dropping that cache, or every
-        # round recomputes the whole merge chain from the raw corpus —
-        # O(n_merges^2) corpus scans instead of one map per round.
-        cur.count()
-        prev_persisted.unpersist()
-        prev_persisted = cur
-    prev_persisted.unpersist()
+        parent, cur = cur, nxt
+    if parent is not None:
+        parent.unpersist()
+    cur.unpersist()
     return spark.createDataFrame(
         merges, "merge_rank int, merge_left string, merge_right string, pair_freq bigint"
     )
