@@ -433,12 +433,22 @@ def countmin_build(
     table."""
     if depth < 1 or width < 1:
         raise ValueError("depth and width must be positive")
+    # pre-aggregate to per-KEY counts before hashing: the md5 bucket
+    # is a function of (d, key), so hashing rows costs rows×depth
+    # md5s while hashing keys costs distinct_keys×depth (600k rows ×4
+    # → 1k suppliers ×4 at sf0.1 — a sketch exists precisely because
+    # keys repeat). Counter values are identical: SUM of per-key
+    # counts per bucket == COUNT of rows per bucket.
     d = F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("d")
-    return (
+    counts = (
         df.select(F.col(key_col).alias("__k"))
-        .select("__k", d)
+        .groupBy("__k")
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    return (
+        counts.select("__k", "__n", d)
         .groupBy("d", _cm_bucket(F.col("__k"), F.col("d"), width).alias("bucket"))
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(F.sum("__n").alias("cnt"))
     )
 
 
