@@ -204,18 +204,30 @@ def apply_bpe_large(
 
     def tokenize_batches(batches):
         pairs = [(f" {l} {r} ", f" {l}{r} ") for l, r in bc.value]
+        # per-task word -> tokens memo: tokenization is a pure function
+        # of the word, and corpus word occurrences repeat heavily
+        # (Zipf), so the replace chain runs once per DISTINCT word per
+        # task instead of once per occurrence. Bounded by vocabulary
+        # size (Heap's law), like the merge list itself.
+        cache: dict[str, list[str]] = {}
+
+        def tok_word(w):
+            t = cache.get(w)
+            if t is None:
+                s = " " + " ".join(w) + " "
+                for old, new in pairs:
+                    s = s.replace(old, new)
+                t = s.split()
+                cache[w] = t
+            return t
 
         def tok(text):
             if text is None:
                 return None  # parity with the JVM fold: NULL text → NULL
             doc: list[str] = []
             for w in word_re.split(str(text).lower()):
-                if not w:
-                    continue
-                s = " " + " ".join(w) + " "
-                for old, new in pairs:
-                    s = s.replace(old, new)
-                doc.extend(s.split())
+                if w:
+                    doc.extend(tok_word(w))
             return doc
 
         for pdf in batches:
