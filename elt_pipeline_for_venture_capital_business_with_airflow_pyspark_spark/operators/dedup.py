@@ -1578,11 +1578,17 @@ def incremental_lsh_pairs(
         new_bands = bands_all.join(new_ids, "id", "semi")
         corpus_bands = bands_all.join(new_ids, "id", "left_anti")
     else:
-        new_sig = (
-            signatures
-            if signatures is not None
-            else _sig_fn(signature)(new_docs, id_col, text_col, k, num_hashes)
-        )
+        if signatures is not None:
+            new_sig = signatures
+        else:
+            # the shard signature pipeline feeds THREE consumers (the
+            # broadcast band side, the cross-leg scoring join, the
+            # shard-internal banded_pairs) and a broadcast exchange
+            # never reuses a shuffle exchange — cut it once. Shard-
+            # sized state (|shard| × 64 ints), never corpus-sized.
+            new_sig = _sig_fn(signature)(
+                new_docs, id_col, text_col, k, num_hashes
+            ).localCheckpoint(eager=True)
         new_bands = band_entries(new_sig, num_hashes, bands)
         corpus_sig, corpus_bands = read_lsh_index(spark, index_path)
     nb = F.broadcast(new_bands) if broadcast_new else new_bands
