@@ -1717,9 +1717,12 @@ def edit1_pairs(
         )
         .dropDuplicates(["id_a", "id_b"])
     )
-    return cand.withColumn("dist", F.levenshtein("s_a", "s_b")).filter(
-        F.col("dist") <= 1
-    )
+    # banded levenshtein (threshold=1): O(len) per pair instead of
+    # O(len²), returns -1 when the distance exceeds the bound — kept
+    # rows and their dist values are identical to the unbounded form
+    return cand.withColumn(
+        "dist", F.levenshtein("s_a", "s_b", 1)
+    ).filter((F.col("dist") >= 0) & (F.col("dist") <= 1))
 
 
 def substring_duplicate_spans(
