@@ -189,12 +189,15 @@ def contamination_hits(
     (functions/text.shingles: whitespace tokens; sub-``n`` docs
     contribute their whole text as one gram — conservative: a short
     eval doc quoted verbatim still hits)."""
+    # shingles_fast: the one-pass overlapping-regex extraction (same
+    # semantics/row-local distinctness as TX.shingles, measured ~7x
+    # faster than the slice/concat_ws lambda chain the plain form uses)
     t_grams = train.select(
         F.col(id_col).alias("id"),
-        F.explode(TX.shingles(text_col, n)).alias("g"),
+        F.explode(TX.shingles_fast(text_col, n)).alias("g"),
     )
     e_grams = eval_df.select(
-        F.explode(TX.shingles(text_col, n)).alias("g")
+        F.explode(TX.shingles_fast(text_col, n)).alias("g")
     ).distinct()
     if broadcast_eval:
         e_grams = F.broadcast(e_grams)

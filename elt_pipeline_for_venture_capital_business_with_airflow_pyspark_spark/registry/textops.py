@@ -389,7 +389,7 @@ def _text_contamination(spark: SparkSession, sf: str) -> DataFrame:
     shingle stream is needed beyond the explode."""
     docs = read_table(spark, sf, "documents")
     base = docs.filter(TX.token_count("text") >= 4).select(
-        "doc_id", F.explode(TX.shingles("text", n=4)).alias("shingle")
+        "doc_id", F.explode(TX.shingles_fast("text", n=4)).alias("shingle")
     )
     evals = base.filter(F.col("doc_id") % 97 == 0).select(
         F.col("doc_id").alias("eval_id"), "shingle"
