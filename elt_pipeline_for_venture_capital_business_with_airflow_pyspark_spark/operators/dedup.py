@@ -281,9 +281,12 @@ def minhash_signatures(
     )
     params = _universal_hash_params(num_hashes)
     # the mod p is essential: an affine map without it is monotone in h,
-    # making every family member pick the same min shingle
+    # making every family member pick the same min shingle. Each min is
+    # ONE parsed expression (round-13): 64 per-node builds cost ~0.5 s
+    # of py4j driver time per plan construction; parse is type- and
+    # value-identical (int literals coerce exactly as F.lit ints).
     mins = [
-        F.min(F.pmod(F.col("h") * F.lit(a) + F.lit(b), F.lit(2147483647))).alias(f"h{i}")
+        F.expr(f"min(pmod(`h` * {a} + {b}, 2147483647)) AS h{i}")
         for i, (a, b) in enumerate(params)
     ]
     sig = idx.groupBy("id").agg(*mins)
@@ -326,6 +329,17 @@ def band_entries(
     so a shard's in-flight band entries and a persisted corpus index
     are join-compatible by construction."""
     rows_per_band = num_hashes // bands
+
+    def bucket_sql(b: int) -> str:
+        # one parsed expression per band bucket (round-13): identical
+        # xxhash64(concat_ws(',', CAST(signature[i] AS STRING)...))
+        # tree, none of the per-node py4j construction cost
+        items = ",".join(
+            f"CAST(`signature`[{b * rows_per_band + r}] AS STRING)"
+            for r in range(rows_per_band)
+        )
+        return f"xxhash64(concat_ws(',', {items}))"
+
     return sig.select(
         "id",
         F.explode(
@@ -333,15 +347,7 @@ def band_entries(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.xxhash64(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.col("signature")[b * rows_per_band + r].cast("string")
-                                    for r in range(rows_per_band)
-                                ],
-                            )
-                        ).alias("bucket"),
+                        F.expr(bucket_sql(b)).alias("bucket"),
                     )
                     for b in range(bands)
                 ]
@@ -361,9 +367,24 @@ def collapse_identical_signatures(sig: DataFrame) -> "tuple[DataFrame, DataFrame
     never a hash of it: a 64-bit hash collision would silently merge
     two distinct signatures and emit false est=1.0 pairs, and at
     10^10 docs the birthday bound makes that a real event. One
-    shuffle on the signature key (a window min — no self-join)."""
+    shuffle on the signature key (a window min — no self-join).
+
+    The collapsed frame is ``localCheckpoint``-ed (round-13, guide §5):
+    reps/membership feed 4-6 consumers downstream (both sides of the
+    band self-join, both signature-scoring joins, the membership
+    expansion legs) and several of those sit under BroadcastExchange,
+    which can NEVER reuse a shuffle exchange — the r12 plan dumps show
+    the whole shingle→signature→window pipeline replicated five times
+    per query. Cutting it here runs the corpus-scan pipeline ONCE. The
+    materialized state is the distinct-signature table — the exact
+    frame ``build_lsh_index`` persists to parquet anyway, strictly
+    smaller than the corpus (64 ints + 2 ids per doc, spills to disk
+    under memory pressure)."""
     w = Window.partitionBy("signature")
-    with_rep = sig.withColumn("rep_id", F.min("id").over(w))
+    with_rep = (
+        sig.withColumn("rep_id", F.min("id").over(w))
+        .localCheckpoint(eager=True)
+    )
     membership = with_rep.select("id", "rep_id").filter(F.col("id").isNotNull())
     reps = with_rep.filter(F.col("id") == F.col("rep_id")).select("id", "signature")
     return reps, membership
@@ -584,22 +605,24 @@ def _score_candidates(
     # per pair. The unrolled sum is codegen arithmetic with identical
     # semantics: a NULL position compares NULL -> counts 0 in both
     # forms; off-length rows (sweep-mutated) fall back to the HOF
-    # expression. One instance per plan — cheap for the optimizer.
-    est_hof = F.size(
-        F.filter(
-            F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
-            lambda m: m,
-        )
-    ) / F.lit(float(num_hashes))
-    matches: F.Column = F.lit(0)
-    for i in range(num_hashes):
-        matches = matches + F.when(
-            F.get("sig_a", i) == F.get("sig_b", i), F.lit(1)
-        ).otherwise(F.lit(0))
-    est = F.when(
-        (F.size("sig_a") == num_hashes) & (F.size("sig_b") == num_hashes),
-        matches / F.lit(float(num_hashes)),
-    ).otherwise(est_hof)
+    # expression. One instance per plan — cheap for the optimizer —
+    # and parsed from ONE SQL string (round-13): the per-node py4j
+    # build of the 64-term tree cost ~0.5 s of driver time per plan
+    # construction; the parsed tree is operator-identical.
+    nh = int(num_hashes)
+    hof_sql = (
+        "(size(filter(zip_with(`sig_a`, `sig_b`, (x, y) -> x = y), "
+        f"m -> m)) / {float(nh)!r}D)"
+    )
+    terms = "".join(
+        f" + CASE WHEN get(`sig_a`, {i}) = get(`sig_b`, {i}) "
+        "THEN 1 ELSE 0 END"
+        for i in range(nh)
+    )
+    est = F.expr(
+        f"CASE WHEN (size(`sig_a`) = {nh}) AND (size(`sig_b`) = {nh}) "
+        f"THEN (0{terms}) / {float(nh)!r}D ELSE {hof_sql} END"
+    )
     return (
         cand.join(sig_a, "id_a")
         .join(sig_b, "id_b")
@@ -625,26 +648,31 @@ def simhash_long(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
     Output: ``simhash`` long (bit i votes token-hash bit i);
     empty docs → 0.
     """
-    import functools
-
     ids = df.select(F.col(id_col).alias("id"))
     tok = df.select(
         F.col(id_col).alias("id"), F.explode(TX.tokens(text_col)).alias("tok")
     ).select("id", F.xxhash64("tok").alias("h"))
+    # one parsed expression per vote / for the OR fold (round-13, see
+    # minhash_signatures — same trees, none of the per-node py4j cost)
     votes = tok.groupBy("id").agg(
         *[
-            F.sum(
-                F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) != 0, 1).otherwise(-1)
-            ).alias(f"v{i}")
+            F.expr(
+                f"sum(CASE WHEN (shiftright(`h`, {i}) & 1) != 0 "
+                f"THEN 1 ELSE -1 END) AS v{i}"
+            )
             for i in range(64)
         ]
     )
-    def bit(i: int) -> F.Column:
-        return F.when(
-            F.col(f"v{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
-        ).otherwise(F.lit(0).cast("long"))
 
-    fp = functools.reduce(lambda acc, i: acc.bitwiseOR(bit(i)), range(1, 64), bit(0))
+    def bit_sql(i: int) -> str:
+        return (
+            f"CASE WHEN `v{i}` > 0 THEN shiftleft(CAST(1 AS BIGINT), {i}) "
+            f"ELSE CAST(0 AS BIGINT) END"
+        )
+
+    fp = F.expr(
+        "(" + " | ".join(bit_sql(i) for i in range(64)) + ")"
+    )
     sh = votes.select("id", fp.alias("simhash"))
     # empty docs produce no token rows — restore them with the zero hash
     return ids.join(sh, "id", "left").select(
@@ -743,8 +771,16 @@ def hamming_near_pairs(
     # fingerprint, so expanding scored rep pairs through the
     # membership frame reproduces the ungrouped output exactly
     # (intra-group pairs have hamming 0, always <= max_hamming >= 0).
+    # localCheckpoint (round-13, same rationale as
+    # collapse_identical_signatures): reps/membership feed six
+    # consumers (chunk-join sides a/b, intra m1/m2, cross ma/mb) and
+    # the fingerprint pipeline above this window would otherwise
+    # re-execute per consumer — the checkpointed state is one long +
+    # two ids per doc.
     w = Window.partitionBy(hash_col)
-    with_rep = fp.withColumn("__rep", F.min(id_col).over(w))
+    with_rep = fp.withColumn("__rep", F.min(id_col).over(w)).localCheckpoint(
+        eager=True
+    )
     membership = with_rep.select(
         F.col(id_col).alias("id"), F.col("__rep").alias("rep_id")
     ).filter(F.col(id_col).isNotNull())
@@ -898,36 +934,72 @@ def connected_components(
       ``stats`` (if a dict is passed) records ``rounds`` and
       ``converged`` either way.
     """
-    sym = edges.select(
-        F.col(src_col).alias("a"), F.col(dst_col).alias("b")
-    ).unionByName(edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b")))
-    sym = sym.localCheckpoint(eager=True)
+    # pre-partition the iterated frames on their JOIN keys before the
+    # checkpoint (round-13, guide §2.4): localCheckpoint preserves
+    # physical partitioning, so every round's sym⋈labels join reuses
+    # hash(b)/hash(id) instead of re-exchanging both sides — the round
+    # job drops from 3 exchanges to 1 (the label re-aggregation, which
+    # a union of differently-keyed inputs genuinely needs). sym is
+    # additionally sorted on b so the sort-merge join's streamed side
+    # needs no per-round sort.
+    sym = (
+        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+        .unionByName(
+            edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b"))
+        )
+        .repartition(F.col("b"))
+        .sortWithinPartitions("b")
+        .localCheckpoint(eager=True)
+    )
 
     all_nodes = nodes.select(F.col(id_col).alias("id"))
     edge_nodes = sym.select(F.col("a").alias("id")).distinct().join(
         all_nodes, "id"
     )
     labels = edge_nodes.select("id", F.col("id").alias("comp"))
-    labels = labels.localCheckpoint(eager=True)
+    labels = labels.repartition(F.col("id")).localCheckpoint(eager=True)
+
+    from pyspark.sql import Observation
 
     converged = False
     rounds = 0
     for _ in range(max_iter):
         rounds += 1
+        # convergence probe FOLDED into the round's one materializing
+        # action (round-13, guide §2.4/§1.5): the previous shape ran a
+        # second job per round — new_labels ⋈ labels on id (two more
+        # exchanges) probed with isEmpty(). Instead the old label rides
+        # the union tagged __is_old (exactly one old row per id, so
+        # min(when(__is_old, comp)) IS the previous label), and an
+        # observe() metric counts changed ids DURING the eager
+        # localCheckpoint job. One job, one shuffle per round; the
+        # label frame and the convergence decision are unchanged
+        # (ids the old inner-join probe skipped — edge endpoints
+        # absent from `nodes` on their first round — have NULL __old,
+        # and comp != NULL is NULL, which sum() skips, matching the
+        # inner join).
         msgs = sym.join(labels, sym["b"] == labels["id"]).select(
-            F.col("a").alias("id"), "comp"
+            F.col("a").alias("id"), "comp", F.lit(False).alias("__is_old")
         )
-        new_labels = (
-            msgs.unionByName(labels)
+        obs = Observation()
+        agg = (
+            msgs.unionByName(
+                labels.select("id", "comp", F.lit(True).alias("__is_old"))
+            )
             .groupBy("id")
-            .agg(F.min("comp").alias("comp"))
-            .localCheckpoint(eager=True)
+            .agg(
+                F.min("comp").alias("comp"),
+                F.min(F.when(F.col("__is_old"), F.col("comp"))).alias("__old"),
+            )
+            .observe(
+                obs,
+                F.sum(
+                    (F.col("comp") != F.col("__old")).cast("int")
+                ).alias("n_changed"),
+            )
         )
-        changed = new_labels.alias("n").join(
-            labels.alias("o"), on="id"
-        ).filter(F.col("n.comp") != F.col("o.comp"))
-        labels = new_labels
-        if changed.isEmpty():
+        labels = agg.select("id", "comp").localCheckpoint(eager=True)
+        if int(obs.get["n_changed"] or 0) == 0:
             converged = True
             break
     if stats is not None:
@@ -1175,8 +1247,9 @@ def minhash_signatures_poly(
         "id", F.col("h").cast("long").alias("h")
     )
     params = _universal_hash_params(num_hashes)
+    # one parsed expression per min (round-13, see minhash_signatures)
     mins = [
-        F.min(F.pmod(F.col("h") * F.lit(a) + F.lit(b), F.lit(prime))).alias(f"h{i}")
+        F.expr(f"min(pmod(`h` * {a} + {b}, {int(prime)})) AS h{i}")
         for i, (a, b) in enumerate(params)
     ]
     sig = idx.groupBy("id").agg(*mins)
@@ -1651,27 +1724,31 @@ def simhash_poly(
         "id", F.col("h").cast("long").alias("h")
     )
     params = _universal_hash_params(bits, seed=4242)
+    # one parsed expression per vote / for the packed fold (round-13,
+    # see minhash_signatures — same trees, none of the py4j cost)
     votes = [
-        F.sum(
-            F.when(
-                F.pmod(F.col("h") * F.lit(a) + F.lit(b), F.lit(prime)) >= half,
-                F.lit(1),
-            ).otherwise(F.lit(-1))
-        ).alias(f"s{j}")
+        F.expr(
+            f"sum(CASE WHEN pmod(`h` * {a} + {b}, {int(prime)}) >= {half} "
+            f"THEN 1 ELSE -1 END) AS s{j}"
+        )
         for j, (a, b) in enumerate(params)
     ]
     agg = idx.groupBy("id").agg(*votes)
-    fp = sum(
-        (
-            F.when(F.col(f"s{j}") >= 0, F.lit(1).cast("long")).otherwise(
-                F.lit(0).cast("long")
-            )
-            * F.lit(1 << j).cast("long")
+
+    def bit_sql(j: int) -> str:
+        return (
+            f"CASE WHEN `s{j}` >= 0 THEN CAST(1 AS BIGINT) "
+            f"ELSE CAST(0 AS BIGINT) END"
+        )
+
+    fp = F.expr(
+        "("
+        + bit_sql(0)
+        + "".join(
+            f" + ({bit_sql(j)} * CAST({1 << j} AS BIGINT))"
             for j in range(1, bits)
-        ),
-        start=F.when(F.col("s0") >= 0, F.lit(1).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        ),
+        )
+        + ")"
     )
     return agg.select("id", fp.alias("fingerprint"))
 

@@ -123,16 +123,23 @@ def link_pairs(
     # dedupe while preserving order
     seen: set[str] = set()
     keep = [c for c in cols if not (c in seen or seen.add(c))]
-    lev_rules = [r for r in rules if r.kind == "lev_pct"]
+    # one pre-normalized projection per COLUMN (the normalized value is
+    # param-independent): two lev_pct rules on the same column would
+    # otherwise emit duplicate __lev_<col> aliases on each side and make
+    # the pair predicate ambiguous
+    lev_cols: list[str] = []
+    for r in rules:
+        if r.kind == "lev_pct" and r.col not in lev_cols:
+            lev_cols.append(r.col)
 
     def side(suffix: str) -> DataFrame:
         sel = [F.col(c).alias(f"{c}{suffix}") for c in keep]
         # per-ROW pre-normalization for lev_pct rules: O(rows)
         # regexes instead of O(pairs) — see _lev_agree_pre
-        for r in lev_rules:
-            norm = F.regexp_replace(F.col(r.col), _ASCII_ONLY, "")
-            sel.append(norm.alias(f"__lev_{r.col}{suffix}"))
-            sel.append(F.length(norm).alias(f"__lev_{r.col}{suffix}__len"))
+        for c in lev_cols:
+            norm = F.regexp_replace(F.col(c), _ASCII_ONLY, "")
+            sel.append(norm.alias(f"__lev_{c}{suffix}"))
+            sel.append(F.length(norm).alias(f"__lev_{c}{suffix}__len"))
         return df.select(*sel)
 
     left, right = side("_a"), side("_b")

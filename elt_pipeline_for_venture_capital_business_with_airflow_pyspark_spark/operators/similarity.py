@@ -51,7 +51,70 @@ def _py_norm(cv) -> float:
     return _math.sqrt(acc)
 
 
-def dot(a: F.Column, b: F.Column, dim: int | None = None) -> F.Column:
+def _q(name: str) -> str:
+    """Backtick-quote a column name for the SQL-text builders below."""
+    return "`" + name.replace("`", "``") + "`"
+
+
+def _dbl_sql(v: float) -> str:
+    """SQL double literal with exact round-trip (repr is the shortest
+    string that parses back to the same IEEE double in both CPython
+    and Java's Double.parseDouble — bit-identity verified in
+    tests/test_unroll_equivalence.py)."""
+    x = float(v)
+    if x != x or x in (float("inf"), float("-inf")):
+        raise ValueError(f"non-finite literal: {v!r}")
+    return repr(x) + "D"
+
+
+def lit_double_array(vals) -> F.Column:
+    """``array<double>`` literal parsed as ONE SQL expression.
+    Building the same tree per element (``F.array(*[F.lit(v) ...])``)
+    costs one py4j round-trip per node — ~1 s of pure DRIVER time for
+    a 16×64 matrix, re-paid at every plan construction (round-13
+    measurement: ivf probe construction was 2.2 s before, driver-side,
+    with execution at 0.6 s). The parsed literal is the same Literal
+    after constant folding, so values are bit-identical."""
+    return F.expr("array(" + ",".join(_dbl_sql(v) for v in vals) + ")")
+
+
+def lit_double_matrix(rows) -> F.Column:
+    """``array<array<double>>`` literal parsed as ONE SQL expression
+    (see :func:`lit_double_array` for why)."""
+    return F.expr(
+        "array("
+        + ",".join(
+            "array(" + ",".join(_dbl_sql(v) for v in r) + ")" for r in rows
+        )
+        + ")"
+    )
+
+
+def _dot_sql_text(a: str, b: str, dim: int | None) -> str:
+    """SQL text of the guarded-unrolled dot (see :func:`dot`): the
+    64-term tree built per node costs ~400 py4j round-trips PER
+    INSTANCE at plan construction; parsing one string is one call.
+    The parsed tree is operator-for-operator the tree the Column
+    builders produce (same casts, same left-associated fold, same
+    size guard), so values are bit-identical."""
+    hof = (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> "
+        f"CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0.0D, "
+        f"(acc, v) -> acc + v)"
+    )
+    if dim is None:
+        return hof
+    terms = "".join(
+        f" + (CAST(get({a}, {i}) AS DOUBLE) * CAST(get({b}, {i}) AS DOUBLE))"
+        for i in range(dim)
+    )
+    return (
+        f"CASE WHEN (size({a}) = {dim}) AND (size({b}) = {dim}) "
+        f"THEN (0.0D{terms}) ELSE {hof} END"
+    )
+
+
+def dot(a, b, dim: int | None = None) -> F.Column:
     """Σ a[i]·b[i] with double accumulation, sequential fold order.
 
     With ``dim`` (the expected vector length), emits an UNROLLED
@@ -63,7 +126,15 @@ def dot(a: F.Column, b: F.Column, dim: int | None = None) -> F.Column:
     unrolled ``((0.0 + a0·b0) + a1·b1) + …`` is the same IEEE fold
     order, NULL elements propagate through +/* exactly as the HOF
     form's NULL products do, and rows whose arrays are NOT ``dim``
-    long (sweep-mutated data) fall back to the HOF expression."""
+    long (sweep-mutated data) fall back to the HOF expression.
+
+    ``a``/``b`` may be COLUMN NAMES (strings): the expression is then
+    parsed from one SQL string instead of built node-by-node over
+    py4j — identical tree, ~400× less driver time per instance
+    (round-13; the Column path remains for composed/lambda-bound
+    inputs)."""
+    if isinstance(a, str) and isinstance(b, str):
+        return F.expr(_dot_sql_text(_q(a), _q(b), dim))
     hof = F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -90,10 +161,10 @@ def cosine(a: F.Column, b: F.Column, dim: int | None = None) -> F.Column:
 
 
 def cosine_pre(
-    a: F.Column,
-    b: F.Column,
-    na: F.Column,
-    nb: F.Column,
+    a,
+    b,
+    na,
+    nb,
     dim: int | None = None,
 ) -> F.Column:
     """:func:`cosine` with the two norms PRECOMPUTED (``na`` =
@@ -102,7 +173,14 @@ def cosine_pre(
     64-element folds per pair for values already determined by the
     row; projecting them onto each side before the join collapses
     per-pair work to one dot. Same expression graph otherwise —
-    ``when(na·nb != 0, dot/(na·nb))`` — so values are bit-identical."""
+    ``when(na·nb != 0, dot/(na·nb))`` — so values are bit-identical.
+
+    All-string arguments take the one-parse SQL-text path (see
+    :func:`dot`) — same tree, none of the per-node py4j driver cost."""
+    if all(isinstance(x, str) for x in (a, b, na, nb)):
+        d = _dot_sql_text(_q(a), _q(b), dim)
+        den_sql = f"({_q(na)} * {_q(nb)})"
+        return F.expr(f"CASE WHEN {den_sql} != 0 THEN ({d}) / {den_sql} END")
     den = na * nb
     return F.when(den != 0, dot(a, b, dim) / den)
 
@@ -115,10 +193,8 @@ def _centroid_sims(vec: F.Column, norm_col: F.Column, cent_rows) -> F.Column:
     assignment stage). Kept compact (zip_with over literal matrices),
     NOT unrolled per centroid — the repeated unrolled tree made the
     optimizer the bottleneck."""
-    cmat = F.array(
-        *[F.array(*[F.lit(float(v)) for v in r["cv"]]) for r in cent_rows]
-    )
-    cnorms = F.array(*[F.lit(_py_norm(r["cv"])) for r in cent_rows])
+    cmat = lit_double_matrix([r["cv"] for r in cent_rows])
+    cnorms = lit_double_array([_py_norm(r["cv"]) for r in cent_rows])
     return F.zip_with(
         cmat,
         cnorms,
@@ -161,9 +237,7 @@ def cosine_topk(
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn(
             "cosine_sim",
-            cosine_pre(
-                F.col("__qvec"), F.col("__cvec"), F.col("__qn"), F.col("__cn"), dim
-            ),
+            cosine_pre("__qvec", "__cvec", "__qn", "__cn", dim),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -309,12 +383,11 @@ def _band_entries(
     bits_per_band = num_planes // bands
     # all plane dot products in ONE higher-order pass over a literal
     # plane matrix (HOF lambdas are interpreted — one pass of 16 dots
-    # beats 16 separate aggregate() expression trees ~2×)
-    planes = F.array(
-        *[
-            F.array(*[F.lit(v) for v in _plane_values(seed, p, dim)])
-            for p in range(num_planes)
-        ]
+    # beats 16 separate aggregate() expression trees ~2×); the matrix
+    # parses as one SQL literal (round-13: per-element F.lit cost ~1 s
+    # of py4j per plan construction)
+    planes = lit_double_matrix(
+        [_plane_values(seed, p, dim) for p in range(num_planes)]
     )
     dots = F.transform(planes, lambda pl: dot(F.col(vec_col), pl))
     cols = [F.col(idc).alias(out_id)]
@@ -324,18 +397,20 @@ def _band_entries(
         # per-row norm makes that one dot instead of three (cosine_pre)
         cols.append(norm(F.col(vec_col)).alias(f"__{out_id}_norm"))
     staged = df.select(*cols, dots.alias("__dots"))
+    # per-band sign-bit pack as one parsed expression each (same
+    # 0 + CASE…END + … left-associated sum the Column builder made)
     buckets = [
         F.struct(
             F.lit(b).alias("band"),
-            sum(
-                (
-                    F.when(
-                        F.element_at("__dots", b * bits_per_band + j + 1) > 0,
-                        F.lit(1 << j),
-                    ).otherwise(F.lit(0))
+            F.expr(
+                "(0"
+                + "".join(
+                    f" + CASE WHEN element_at(`__dots`, "
+                    f"{b * bits_per_band + j + 1}) > 0 "
+                    f"THEN {1 << j} ELSE 0 END"
                     for j in range(bits_per_band)
-                ),
-                start=F.lit(0),
+                )
+                + ")"
             ).alias("bucket"),
         )
         for b in range(bands)
@@ -387,10 +462,10 @@ def lsh_ann_topk(
         .withColumn(
             "cosine_sim",
             cosine_pre(
-                F.col("__query_id_vec"),
-                F.col("__neighbor_id_vec"),
-                F.col("__query_id_norm"),
-                F.col("__neighbor_id_norm"),
+                "__query_id_vec",
+                "__neighbor_id_vec",
+                "__query_id_norm",
+                "__neighbor_id_norm",
                 dim,
             ),
         )
@@ -542,10 +617,10 @@ def ivf_topk(
         .withColumn(
             "cosine_sim",
             cosine_pre(
-                F.col("__query_id_vec"),
-                F.col("__neighbor_id_vec"),
-                F.col("__query_id_norm"),
-                F.col("__neighbor_id_norm"),
+                "__query_id_vec",
+                "__neighbor_id_vec",
+                "__query_id_norm",
+                "__neighbor_id_norm",
                 dim,
             ),
         )
@@ -749,9 +824,7 @@ def ivf_probe_index(
         return spark.createDataFrame([], empty_schema)
     n_cent = len(cent_rows)
     n_probe = min(n_probe, n_cent)
-    cmat = F.array(
-        *[F.array(*[F.lit(float(v)) for v in r["cv"]]) for r in cent_rows]
-    )
+    cmat = lit_double_matrix([r["cv"] for r in cent_rows])
     sims = F.transform(cmat, lambda c: cosine(F.col(vec_col), c))
     idx_sims = F.transform(
         F.sequence(F.lit(0), F.lit(n_cent - 1)),
@@ -799,36 +872,48 @@ def ivf_probe_index(
             F.transform(F.slice(by_sim_desc, 1, n_probe), lambda s: s["idx"])
         ).alias("cell"),
     )
-    # bounded driver collect (≤ n_centroids ints): the probed-cell set
-    # becomes a LITERAL partition filter — the scan never lists, let
-    # alone reads, unprobed cell directories
-    probe_cells = sorted(
-        r["cell"] for r in probes.select("cell").distinct().collect()
-    )
-    cells = cells_df.filter(F.col("cell").isin(probe_cells))
-    probe_side = F.broadcast(probes) if broadcast_queries else probes
+    if broadcast_queries:
+        # partition pruning WITHOUT a second driver round-trip
+        # (round-13, guide §2.4/§5): the cells⋈probes join below is a
+        # broadcast hash join ON the partition column, so dynamic
+        # partition pruning reuses the probe broadcast to skip
+        # unprobed cell directories at the scan (PartitionFilters:
+        # dynamicpruningexpression in the plan — asserted by
+        # tests/test_plan_shapes.py). The previous shape evaluated the
+        # whole probe subplan a second time just to collect the cell
+        # ids into a literal IN filter: one extra driver job per call.
+        cells = cells_df
+        probe_side = F.broadcast(probes)
+    else:
+        # shuffled fallback (huge query batches): keep the bounded
+        # literal filter (≤ n_centroids ints) — without a broadcast
+        # there is nothing for DPP to reuse
+        probe_cells = sorted(
+            r["cell"] for r in probes.select("cell").distinct().collect()
+        )
+        cells = cells_df.filter(F.col("cell").isin(probe_cells))
+        probe_side = probes
     if quantized:
         # per-pair exact-BIGINT dot, guarded-unrolled like the float
         # tier (dim from the centroid table — cells store same-dim q);
         # rows with off-dim arrays fall back to the HOF fold
         dim_q = len(cent_rows[0]["cv"])
-        dot_hof = F.aggregate(
-            F.zip_with(
-                F.col("q"),
-                F.col("__qq"),
-                lambda a, b: a.cast("bigint") * b.cast("bigint"),
-            ),
-            F.lit(0).cast("bigint"),
-            lambda acc, v: acc + v,
+        # one parsed expression (round-13): the 64-term BIGINT unroll
+        # built per node cost ~400 py4j round-trips per construction
+        hof_sql = (
+            "aggregate(zip_with(`q`, `__qq`, (a, b) -> "
+            "CAST(a AS BIGINT) * CAST(b AS BIGINT)), CAST(0 AS BIGINT), "
+            "(acc, v) -> acc + v)"
         )
-        s: F.Column = F.lit(0).cast("bigint")
-        for i in range(dim_q):
-            s = s + F.get(F.col("q"), i).cast("bigint") * F.get(
-                F.col("__qq"), i
-            ).cast("bigint")
-        dot_int = F.when(
-            (F.size(F.col("q")) == dim_q) & (F.size(F.col("__qq")) == dim_q), s
-        ).otherwise(dot_hof)
+        terms = "".join(
+            f" + (CAST(get(`q`, {i}) AS BIGINT) * "
+            f"CAST(get(`__qq`, {i}) AS BIGINT))"
+            for i in range(dim_q)
+        )
+        dot_int = F.expr(
+            f"CASE WHEN (size(`q`) = {dim_q}) AND (size(`__qq`) = {dim_q}) "
+            f"THEN (CAST(0 AS BIGINT){terms}) ELSE {hof_sql} END"
+        )
         scored = (
             cells.join(probe_side, on="cell")
             .filter(F.col(id_col) != F.col("query_id"))
@@ -860,13 +945,7 @@ def ivf_probe_index(
         .filter(F.col(id_col) != F.col("query_id"))
         .withColumn(
             "cosine_sim",
-            cosine_pre(
-                F.col("__query_vec"),
-                F.col(vec_col),
-                F.col("__qn"),
-                F.col("__cn"),
-                dim,
-            ),
+            cosine_pre("__query_vec", vec_col, "__qn", "__cn", dim),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -930,14 +1009,24 @@ def embedding_near_dup(
     scores, so the output (and the hash-checked
     ``embedding_near_dup_sqlcheck`` oracle) is unchanged. Scoring is
     output-sized work, the floor the all-pairs contract sets."""
-    with_rep = corpus.select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("__vec")
-    ).withColumn("__rep", F.min("id").over(Window.partitionBy("__vec")))
+    # localCheckpoint (round-13, guide §5): with_rep feeds SIX
+    # consumers (band-join sides a/b via b_df, intra m1/m2, cross
+    # ma/mb) and the window pipeline re-executed per consumer; b_df is
+    # checkpointed too so the 16 interpreted hyperplane dots per rep
+    # run once, not once per join side. State: a vector + two ids per
+    # row, and (id, band, bucket) per rep×band.
+    with_rep = (
+        corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("__vec"))
+        .withColumn("__rep", F.min("id").over(Window.partitionBy("__vec")))
+        .localCheckpoint(eager=True)
+    )
     membership = with_rep.select("id", F.col("__rep").alias("rep_id")).filter(
         F.col("id").isNotNull()
     )
     reps = with_rep.filter(F.col("id") == F.col("__rep")).select("id", "__vec")
-    b_df = _band_entries(reps, "id", "id", "__vec", dim, num_planes, bands, seed)
+    b_df = _band_entries(
+        reps, "id", "id", "__vec", dim, num_planes, bands, seed
+    ).localCheckpoint(eager=True)
     a, b = b_df.alias("a"), b_df.alias("b")
     rep_cand = (
         a.join(b, on=["band", "bucket"])
@@ -980,9 +1069,7 @@ def embedding_near_dup(
         .join(vb, "id_b")
         .withColumn(
             "cosine_sim",
-            cosine_pre(
-                F.col("vec_a"), F.col("vec_b"), F.col("__na"), F.col("__nb"), dim
-            ),
+            cosine_pre("vec_a", "vec_b", "__na", "__nb", dim),
         )
         .filter(F.col("cosine_sim") >= threshold)
         .select("id_a", "id_b", "cosine_sim")
@@ -1043,19 +1130,29 @@ def _collect_codebook(
     ]
 
 
+def _int_array_sql(vals) -> str:
+    """SQL text of an integer-array literal. Plain integral literals
+    type exactly like ``F.lit(int)`` (INT when the value fits 32 bits,
+    BIGINT otherwise), so the parsed array matches the per-element
+    build — without its per-node py4j cost (round-13)."""
+    return "array(" + ",".join(str(int(v)) for v in vals) + ")"
+
+
 def _cw_literal(qcw: list[list[int]], m: int, d_m: int) -> F.Column:
     """Nested literal CW[s][j] = the j-th codeword restricted to
-    subspace s (an array<long> of length d_m)."""
-    return F.array(
-        *[
-            F.array(
-                *[
-                    F.array(*[F.lit(v) for v in cw[s * d_m : (s + 1) * d_m]])
-                    for cw in qcw
-                ]
+    subspace s (an array<long> of length d_m) — one parsed SQL
+    expression (round-13, see :func:`lit_double_matrix`)."""
+    return F.expr(
+        "array("
+        + ",".join(
+            "array("
+            + ",".join(
+                _int_array_sql(cw[s * d_m : (s + 1) * d_m]) for cw in qcw
             )
+            + ")"
             for s in range(m)
-        ]
+        )
+        + ")"
     )
 
 
@@ -1151,8 +1248,10 @@ def ivfpq_topk(
     n_cells = min(n_cells, len(qcw))
     n_probe = min(n_probe, n_cells)
     CW = _cw_literal(qcw[:ks], m, d_m)
-    SEEDS = F.array(
-        *[F.array(*[F.lit(v) for v in cw]) for cw in qcw[:n_cells]]
+    SEEDS = F.expr(
+        "array("
+        + ",".join(_int_array_sql(cw) for cw in qcw[:n_cells])
+        + ")"
     )
 
     qv = _quantized(vec_col)
@@ -1486,13 +1585,24 @@ def _semdedup_assigned(
     )
     if not cent_rows:
         return None, None
-    cids = F.array(*[F.lit(int(r["cid"])) for r in cent_rows])
-    dim = max(len(r["cv"]) for r in cent_rows)
+    # one parsed literal (round-13): same int-typed array the
+    # per-element F.lit build produced, none of the py4j cost
+    cids = F.expr(
+        "array(" + ",".join(str(int(r["cid"])) for r in cent_rows) + ")"
+    )
 
+    # localCheckpoint (round-13, guide §5): with_rep feeds membership
+    # (consumed by the final verdict join AND the prune aggregate) and
+    # reps→assigned (consumed by BOTH sides of the qualifying
+    # self-join plus the cell rejoin) — several of them under
+    # BroadcastExchange, which cannot reuse a shuffle exchange, so the
+    # scan+window pipeline re-executed per consumer. State is one
+    # vector + two ids per live row.
     with_rep = (
         corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("__vec"))
         .filter(dot(F.col("__vec"), F.col("__vec")) > 0)
         .withColumn("__rep", F.min("id").over(Window.partitionBy("__vec")))
+        .localCheckpoint(eager=True)
     )
     membership = with_rep.select("id", F.col("__rep").alias("rep_id")).filter(
         F.col("id").isNotNull()
@@ -1517,10 +1627,8 @@ def _semdedup_assigned(
     # unrolled dots: the unrolled tree repeated per centroid made the
     # OPTIMIZER the bottleneck (~8k expression nodes re-walked per
     # consumer of this subtree).
-    cmat = F.array(
-        *[F.array(*[F.lit(float(v)) for v in r["cv"]]) for r in cent_rows]
-    )
-    cnorms = F.array(*[F.lit(_py_norm(r["cv"])) for r in cent_rows])
+    cmat = lit_double_matrix([r["cv"] for r in cent_rows])
+    cnorms = lit_double_array([_py_norm(r["cv"]) for r in cent_rows])
     sims = F.zip_with(
         cmat,
         cnorms,
@@ -1529,13 +1637,24 @@ def _semdedup_assigned(
             dot(F.col("__vec"), c) / (F.col("__norm") * cn),
         ),
     )
-    assigned = reps.withColumn("__sims", sims).select(
-        "id",
-        "__vec",
-        "__norm",
-        F.element_at(
-            cids, F.array_position(F.col("__sims"), F.array_max(F.col("__sims"))).cast("int")
-        ).alias("cell"),
+    # second cut (round-13): the 16-dot assignment sims are themselves
+    # per-row work consumed by BOTH qualifying-join sides plus the
+    # membership cell rejoin — checkpoint so they run once per rep
+    # (cheap on top of the checkpointed with_rep above)
+    assigned = (
+        reps.withColumn("__sims", sims)
+        .select(
+            "id",
+            "__vec",
+            "__norm",
+            F.element_at(
+                cids,
+                F.array_position(
+                    F.col("__sims"), F.array_max(F.col("__sims"))
+                ).cast("int"),
+            ).alias("cell"),
+        )
+        .localCheckpoint(eager=True)
     )
     return assigned, membership
 
@@ -1663,9 +1782,7 @@ def semantic_dedup(
         a.join(b, "cell")
         .withColumn(
             "__cos",
-            cosine_pre(
-                F.col("__va"), F.col("__vb"), F.col("__na"), F.col("__nb"), dim
-            ),
+            cosine_pre("__va", "__vb", "__na", "__nb", dim),
         )
         .filter(F.col("__cos") >= F.lit(float(threshold)))
         .select("cell", "rep_id", "qual_rep")

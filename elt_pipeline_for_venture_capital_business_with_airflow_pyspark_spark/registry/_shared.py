@@ -25,6 +25,8 @@ Determinism conventions (so value-hashes match across engines):
 
 from __future__ import annotations
 
+import os as _os
+
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -119,7 +121,15 @@ from elt_pipeline_for_venture_capital_business_with_airflow_pyspark_spark.stream
     incremental as INC,
 )
 
-SF001 = "/root/testdata/sf0.001"
+# sf0.001 root for the driver's entry() smoke contract, derived from
+# the same env plumbing the bench uses (sibling directory of
+# $SPARK_GRAFT_SF_DIR) instead of a hardcoded testdata literal
+SF001 = _os.path.join(
+    _os.path.dirname(
+        _os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1").rstrip("/")
+    ),
+    "sf0.001",
+)
 
 
 def _dsum(col: F.Column) -> F.Column:

@@ -292,7 +292,12 @@ def write_small_text(spark: SparkSession, dir_path: str, content: str) -> None:
         out.write(bytearray((content + "\n").encode("utf-8")))
     finally:
         out.close()
-    fs.rename(tmp, final)
+    if not fs.rename(tmp, final):
+        # a False return (racing writer, FS quirk) would otherwise
+        # leave only the hidden .tmp file and the index would silently
+        # read as "no meta" — same convention as the version-pointer
+        # rename checks below
+        raise IOError(f"rename {tmp} -> {final} failed")
 
 
 def read_orc(spark: SparkSession, path: str, schema: T.StructType | None = None) -> DataFrame:

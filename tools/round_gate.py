@@ -28,36 +28,36 @@ import time
 
 STAGES: list[tuple[str, list[str]]] = [
     ("window_sim", [sys.executable, "tools/oracle_check.py", "--window"]),
-    ("oracle_tail", [sys.executable, "-m", "pytest", "-q",
+    ("oracle_tail", [sys.executable, "-m", "pytest", "-q", "-m", "slow or not slow",
                      "tests/test_oracle_tail.py"]),
-    ("sweep_empty", [sys.executable, "-m", "pytest", "-q",
+    ("sweep_empty", [sys.executable, "-m", "pytest", "-q", "-m", "slow or not slow",
                      "tests/test_empty_input_sweep.py"]),
-    ("sweep_null_heavy", [sys.executable, "-m", "pytest", "-q",
+    ("sweep_null_heavy", [sys.executable, "-m", "pytest", "-q", "-m", "slow or not slow",
                           "tests/test_null_heavy_sweep.py"]),
-    ("sweep_unicode", [sys.executable, "-m", "pytest", "-q",
+    ("sweep_unicode", [sys.executable, "-m", "pytest", "-q", "-m", "slow or not slow",
                        "tests/test_unicode_text_sweep.py"]),
-    ("sweep_extreme", [sys.executable, "-m", "pytest", "-q",
+    ("sweep_extreme", [sys.executable, "-m", "pytest", "-q", "-m", "slow or not slow",
                        "tests/test_extreme_values_sweep.py"]),
-    ("sweep_ties_skew", [sys.executable, "-m", "pytest", "-q",
+    ("sweep_ties_skew", [sys.executable, "-m", "pytest", "-q", "-m", "slow or not slow",
                          "tests/test_ties_skew_sweep.py"]),
-    ("sweep_part_invariance", [sys.executable, "-m", "pytest", "-q",
+    ("sweep_part_invariance", [sys.executable, "-m", "pytest", "-q", "-m", "slow or not slow",
                                "tests/test_partitioning_invariance_sweep.py"]),
-    ("sweep_window_sf01", [sys.executable, "-m", "pytest", "-q",
+    ("sweep_window_sf01", [sys.executable, "-m", "pytest", "-q", "-m", "slow or not slow",
                            "tests/test_oracle_window_sf01.py"]),
     # the scale-posture audit (cartesian/nested-loop/row-Python red
     # flags + the SinglePartition-window sweep over every registry
     # query) — added r8 after it caught a red flag the oracle sweeps
     # can't see (plans, not results)
-    ("plan_audit", [sys.executable, "-m", "pytest", "-q",
+    ("plan_audit", [sys.executable, "-m", "pytest", "-q", "-m", "slow or not slow",
                     "tests/test_plan_audit.py"]),
-    ("doc_guards", [sys.executable, "-m", "pytest", "-q",
+    ("doc_guards", [sys.executable, "-m", "pytest", "-q", "-m", "slow or not slow",
                     "tests/test_registry_window.py"]),
     # the window-rotation discipline as its own named stage (VERDICT
     # r11 #8): serve-one-round, family-representative, and
     # twin-in-window rules from registry/_window.py — also covered by
     # doc_guards, but surfaced separately so a rotation violation is
     # legible in GATE.json at a glance
-    ("window_rotation", [sys.executable, "-m", "pytest", "-q",
+    ("window_rotation", [sys.executable, "-m", "pytest", "-q", "-m", "slow or not slow",
                          "tests/test_registry_window.py::test_window_rotation_rules"]),
 ]
 
