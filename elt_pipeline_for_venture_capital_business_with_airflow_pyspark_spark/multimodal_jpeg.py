@@ -229,7 +229,18 @@ def _encode_block(
     dc_codes: dict[int, tuple[int, int]],
     ac_codes: dict[int, tuple[int, int]],
 ) -> int:
-    zz = [coefs[ZIGZAG[i]] for i in range(64)]
+    return _encode_block_zz(
+        bw, [coefs[ZIGZAG[i]] for i in range(64)], pred, dc_codes, ac_codes
+    )
+
+
+def _encode_block_zz(
+    bw: _BitWriter,
+    zz: list[int],
+    pred: int,
+    dc_codes: dict[int, tuple[int, int]],
+    ac_codes: dict[int, tuple[int, int]],
+) -> int:
     size, bits = _magnitude(zz[0] - pred)
     c, l = dc_codes[size]
     bw.write(c, l)
@@ -253,6 +264,86 @@ def _encode_block(
         c, l = ac_codes[0x00]  # EOB
         bw.write(c, l)
     return zz[0]
+
+
+def _cm_matrix() -> list[list[float]]:
+    """CM[v][u] = C(u)·C(v) products computed with the exact CPython
+    float multiplies the scalar encoder performed per block."""
+    c = [0.3535533905932738 if i == 0 else 0.5 for i in range(8)]
+    return [[c[u] * c[v] for u in range(8)] for v in range(8)]
+
+
+def _rgb_to_ycbcr_planes(w: int, h: int, rgb: bytes):
+    """Vectorized RGB→YCbCr (JFIF): the SAME left-associated float64
+    expressions, truncation and clamps as the scalar per-pixel loop —
+    NumPy elementwise double ops are the identical IEEE operations, so
+    every sample matches bit-for-bit (round-13, guide §4.2). Returns
+    three (h, w) int64 planes."""
+    import numpy as np
+
+    a = np.frombuffer(rgb, dtype=np.uint8).reshape(h, w, 3).astype(np.float64)
+    r, g, b = a[..., 0], a[..., 1], a[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b + 0.5
+    cb = 128.5 - 0.168735892 * r - 0.331264108 * g + 0.5 * b
+    cr = 128.5 + 0.5 * r - 0.418687589 * g - 0.081312411 * b
+
+    def clamp(v):
+        return np.clip(np.trunc(v), 0, 255).astype(np.int64)
+
+    return clamp(y), clamp(cb), clamp(cr)
+
+
+def _subsample_420_plane(p, w: int, h: int):
+    """2×2 box average with round-half-up and edge replication over an
+    (h, w) int64 plane — integer-exact twin of the scalar loop."""
+    import numpy as np
+
+    cw, ch = (w + 1) // 2, (h + 1) // 2
+    pp = np.pad(p, ((0, 2 * ch - h), (0, 2 * cw - w)), mode="edge")
+    s = pp[0::2, 0::2] + pp[0::2, 1::2] + pp[1::2, 0::2] + pp[1::2, 1::2]
+    return (s + 2) >> 2
+
+
+def _quant_zz_blocks(plane, qt, pbw: int, pbh: int, zigzag: bool = True):
+    """All quantized coefficient blocks of an (h, w) int64 plane in
+    raster (by, bx) order, edge-replicated to the (pbw, pbh) block
+    grid, as a list of 64-int lists (zigzag order when ``zigzag``).
+
+    Bit-identical to the scalar _extract_block → _fdct → _quantize
+    chain: edge padding equals the min(…) clamps; the two DCT
+    reduction stages accumulate their 8 terms in the SAME
+    left-associated float64 order (a Python loop over the reduction
+    axis, vectorized across blocks/elements); C(u)C(v) products come
+    from :func:`_cm_matrix`; quantization is the same /qt then
+    round-half-away truncation."""
+    import numpy as np
+
+    ph, pw = plane.shape
+    padded = np.pad(
+        plane, ((0, pbh * 8 - ph), (0, pbw * 8 - pw)), mode="edge"
+    )
+    B = (
+        padded.reshape(pbh, 8, pbw, 8)
+        .transpose(0, 2, 1, 3)
+        .reshape(pbh * pbw, 8, 8)
+        .astype(np.float64)
+        - 128.0
+    )
+    cos = np.array(_dct_tables())  # [u][x]
+    T = np.zeros_like(B)  # T[n, y, u] = Σ_x B[n,y,x]·cos[u][x]
+    for x in range(8):
+        T += B[:, :, x, None] * cos[None, None, :, x]
+    S = np.zeros_like(B)  # S[n, v, u] = Σ_y T[n,y,u]·cos[v][y]
+    for y in range(8):
+        S += T[:, y, None, :] * cos[None, :, y, None]
+    out = S * np.array(_cm_matrix())  # [v][u]
+    q = out.reshape(-1, 64) / np.array(qt, dtype=np.float64)
+    quant = np.where(
+        q >= 0, np.trunc(q + 0.5), -np.trunc(-q + 0.5)
+    ).astype(np.int64)
+    if zigzag:
+        quant = quant[:, np.array(ZIGZAG, dtype=np.int64)]
+    return quant.tolist()
 
 
 def _extract_block(plane: list[int], pw: int, ph: int, bx: int, by: int) -> list[int]:
@@ -302,16 +393,9 @@ def encode_jpeg(
     ql = _scaled_quant(_QUANT_LUMA, quality)
     qc = _scaled_quant(_QUANT_CHROMA, quality)
 
-    # RGB -> YCbCr (JFIF), integer rounded
-    ny, ncb, ncr = [], [], []
-    for i in range(w * h):
-        r, g, b = rgb[3 * i], rgb[3 * i + 1], rgb[3 * i + 2]
-        y = int(0.299 * r + 0.587 * g + 0.114 * b + 0.5)
-        cb = int(128.5 - 0.168735892 * r - 0.331264108 * g + 0.5 * b)
-        cr = int(128.5 + 0.5 * r - 0.418687589 * g - 0.081312411 * b)
-        ny.append(min(255, max(0, y)))
-        ncb.append(min(255, max(0, cb)))
-        ncr.append(min(255, max(0, cr)))
+    # RGB -> YCbCr (JFIF), integer rounded — vectorized, bit-identical
+    # to the former per-pixel loop (see _rgb_to_ycbcr_planes)
+    ny, ncb, ncr = _rgb_to_ycbcr_planes(w, h, rgb)
 
     bw = _BitWriter()
     dcl = _build_codes(*_DC_LUMA)
@@ -331,51 +415,50 @@ def encode_jpeg(
             preds[0] = preds[1] = preds[2] = 0
         mcu_count += 1
 
+    # every block's FDCT + quantization runs in one vectorized batch
+    # per plane (round-13, guide §4.2 — bit-identical, see
+    # _quant_zz_blocks); the sequential entropy loop just fetches the
+    # pre-zigzagged rows in MCU order
     if subsample == "444":
         bw_blocks_y = (h + 7) // 8
         bw_blocks_x = (w + 7) // 8
+        zzs = [
+            _quant_zz_blocks(plane, qt, bw_blocks_x, bw_blocks_y)
+            for plane, qt in ((ny, ql), (ncb, qc), (ncr, qc))
+        ]
+        tabs = ((dcl, acl), (dcc, acc), (dcc, acc))
         for by in range(bw_blocks_y):
             for bx in range(bw_blocks_x):
                 _maybe_restart()
-                for ci, (plane, qt, dc_c, ac_c) in enumerate(
-                    ((ny, ql, dcl, acl), (ncb, qc, dcc, acc), (ncr, qc, dcc, acc))
-                ):
-                    block = _extract_block(plane, w, h, bx, by)
-                    preds[ci] = _encode_block(
-                        bw, _quantize(_fdct(block), qt), preds[ci], dc_c, ac_c
+                bi = by * bw_blocks_x + bx
+                for ci in range(3):
+                    dc_c, ac_c = tabs[ci]
+                    preds[ci] = _encode_block_zz(
+                        bw, zzs[ci][bi], preds[ci], dc_c, ac_c
                     )
         samplings = ((1, 0x11, 0), (2, 0x11, 1), (3, 0x11, 1))
     else:  # 420
         # quarter-res chroma: 2x2 box average, round-half-up, edge rows/
-        # cols replicated when w or h is odd
-        cw, ch = (w + 1) // 2, (h + 1) // 2
-        scb = [0] * (cw * ch)
-        scr = [0] * (cw * ch)
-        for cy in range(ch):
-            y0 = 2 * cy
-            y1 = min(h - 1, 2 * cy + 1)
-            for cx in range(cw):
-                x0 = 2 * cx
-                x1 = min(w - 1, 2 * cx + 1)
-                i00, i01 = y0 * w + x0, y0 * w + x1
-                i10, i11 = y1 * w + x0, y1 * w + x1
-                scb[cy * cw + cx] = (ncb[i00] + ncb[i01] + ncb[i10] + ncb[i11] + 2) >> 2
-                scr[cy * cw + cx] = (ncr[i00] + ncr[i01] + ncr[i10] + ncr[i11] + 2) >> 2
+        # cols replicated when w or h is odd (vectorized, integer-exact)
+        scb = _subsample_420_plane(ncb, w, h)
+        scr = _subsample_420_plane(ncr, w, h)
         mcux = (w + 15) // 16
         mcuy = (h + 15) // 16
+        zz_y = _quant_zz_blocks(ny, ql, 2 * mcux, 2 * mcuy)
+        zz_cb = _quant_zz_blocks(scb, qc, mcux, mcuy)
+        zz_cr = _quant_zz_blocks(scr, qc, mcux, mcuy)
         for my in range(mcuy):
             for mx in range(mcux):
                 _maybe_restart()
                 for by in range(2):
                     for bx in range(2):
-                        block = _extract_block(ny, w, h, mx * 2 + bx, my * 2 + by)
-                        preds[0] = _encode_block(
-                            bw, _quantize(_fdct(block), ql), preds[0], dcl, acl
+                        bi = (my * 2 + by) * (2 * mcux) + (mx * 2 + bx)
+                        preds[0] = _encode_block_zz(
+                            bw, zz_y[bi], preds[0], dcl, acl
                         )
-                for ci, plane in ((1, scb), (2, scr)):
-                    block = _extract_block(plane, cw, ch, mx, my)
-                    preds[ci] = _encode_block(
-                        bw, _quantize(_fdct(block), qc), preds[ci], dcc, acc
+                for ci, zz_c in ((1, zz_cb), (2, zz_cr)):
+                    preds[ci] = _encode_block_zz(
+                        bw, zz_c[my * mcux + mx], preds[ci], dcc, acc
                     )
         samplings = ((1, 0x22, 0), (2, 0x11, 1), (3, 0x11, 1))
 
@@ -603,6 +686,98 @@ def _idct_islow(coefs: list[int]) -> list[int]:
     return out
 
 
+def _idct_islow_batch(coefs):
+    """Vectorized :func:`_idct_islow` over a ``(n, 64)`` int64 array —
+    the SAME fixed-point integer ops applied elementwise (NumPy int64
+    ``+ * << >>`` are exact two's-complement arithmetic and ``>>`` is
+    the arithmetic shift Python's is), so every output sample is
+    bit-identical to the scalar form; the all-AC-zero column shortcut
+    is reproduced with a mask. Batching the corpus' blocks through one
+    array pass removes the dominant per-block Python interpreter cost
+    of the decode (guide §4.2: hand whole batches to vectorized
+    native code inside the Arrow boundary)."""
+    import numpy as np
+
+    n = coefs.shape[0]
+    X = coefs.reshape(n, 8, 8)  # [block, row r, column c]
+    CB, PB = _CONST_BITS, _PASS1_BITS
+
+    def _odd(t0, t1, t2, t3):
+        z1 = t0 + t3
+        z2 = t1 + t2
+        z3 = t0 + t2
+        z4 = t1 + t3
+        z5 = (z3 + z4) * _F_1_175875602
+        t0 = t0 * _F_0_298631336
+        t1 = t1 * _F_2_053119869
+        t2 = t2 * _F_3_072711026
+        t3 = t3 * _F_1_501321110
+        z1 = z1 * (-_F_0_899976223)
+        z2 = z2 * (-_F_2_562915447)
+        z3 = z3 * (-_F_1_961570560) + z5
+        z4 = z4 * (-_F_0_390180644) + z5
+        return t0 + z1 + z3, t1 + z2 + z4, t2 + z2 + z3, t3 + z1 + z4
+
+    # pass 1: columns (all 8 columns of all blocks at once)
+    z2, z3 = X[:, 2, :], X[:, 6, :]
+    z1 = (z2 + z3) * _F_0_541196100
+    tmp2 = z1 + z3 * (-_F_1_847759065)
+    tmp3 = z1 + z2 * _F_0_765366865
+    tmp0 = (X[:, 0, :] + X[:, 4, :]) << CB
+    tmp1 = (X[:, 0, :] - X[:, 4, :]) << CB
+    t10, t13 = tmp0 + tmp3, tmp0 - tmp3
+    t11, t12 = tmp1 + tmp2, tmp1 - tmp2
+    tmp0, tmp1, tmp2, tmp3 = _odd(X[:, 7, :], X[:, 5, :], X[:, 3, :], X[:, 1, :])
+    rnd = 1 << (CB - PB - 1)
+    sh = CB - PB
+    ws = np.empty((n, 8, 8), dtype=np.int64)
+    ws[:, 0, :] = (t10 + tmp3 + rnd) >> sh
+    ws[:, 7, :] = (t10 - tmp3 + rnd) >> sh
+    ws[:, 1, :] = (t11 + tmp2 + rnd) >> sh
+    ws[:, 6, :] = (t11 - tmp2 + rnd) >> sh
+    ws[:, 2, :] = (t12 + tmp1 + rnd) >> sh
+    ws[:, 5, :] = (t12 - tmp1 + rnd) >> sh
+    ws[:, 3, :] = (t13 + tmp0 + rnd) >> sh
+    ws[:, 4, :] = (t13 - tmp0 + rnd) >> sh
+    dc_mask = ~(X[:, 1:, :].any(axis=1))  # columns with all-zero ACs
+    if dc_mask.any():
+        dc = X[:, 0, :] << PB
+        ws = np.where(dc_mask[:, None, :], dc[:, None, :], ws)
+
+    # pass 2: rows (no shortcut, same as the scalar form)
+    z2, z3 = ws[:, :, 2], ws[:, :, 6]
+    z1 = (z2 + z3) * _F_0_541196100
+    tmp2 = z1 + z3 * (-_F_1_847759065)
+    tmp3 = z1 + z2 * _F_0_765366865
+    tmp0 = (ws[:, :, 0] + ws[:, :, 4]) << CB
+    tmp1 = (ws[:, :, 0] - ws[:, :, 4]) << CB
+    t10, t13 = tmp0 + tmp3, tmp0 - tmp3
+    t11, t12 = tmp1 + tmp2, tmp1 - tmp2
+    tmp0, tmp1, tmp2, tmp3 = _odd(
+        ws[:, :, 7], ws[:, :, 5], ws[:, :, 3], ws[:, :, 1]
+    )
+    shift = CB + PB + 3
+    rnd = 1 << (shift - 1)
+    out = np.empty((n, 8, 8), dtype=np.int64)
+    out[:, :, 0] = (t10 + tmp3 + rnd) >> shift
+    out[:, :, 7] = (t10 - tmp3 + rnd) >> shift
+    out[:, :, 1] = (t11 + tmp2 + rnd) >> shift
+    out[:, :, 6] = (t11 - tmp2 + rnd) >> shift
+    out[:, :, 2] = (t12 + tmp1 + rnd) >> shift
+    out[:, :, 5] = (t12 - tmp1 + rnd) >> shift
+    out[:, :, 3] = (t13 + tmp0 + rnd) >> shift
+    out[:, :, 4] = (t13 - tmp0 + rnd) >> shift
+    return out.reshape(n, 64)
+
+
+def _scatter_blocks(plane, samples, positions):
+    """Write clamped 8×8 sample blocks into a 2-D plane array."""
+    for i, (bx, by) in enumerate(positions):
+        plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = samples[i].reshape(
+            8, 8
+        )
+
+
 def decode_jpeg(payload: bytes) -> tuple[int, int, bytes]:
     """Decode a baseline-sequential JFIF payload to ``(width, height,
     rgb)``. Supported sampling: grayscale, 4:4:4, and the 2×-factor
@@ -733,9 +908,11 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, bytes]:
     vmax = max(c[2] for c in comps)
     mcux = (w + 8 * hmax - 1) // (8 * hmax)
     mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    import numpy as np
+
     # per-component subsampled plane (padded to whole MCUs)
     plane_dims = [(mcux * hi * 8, mcuy * vi * 8) for (_cid, hi, vi, _tq) in comps]
-    planes = [[0] * (pw * ph) for (pw, ph) in plane_dims]
+    planes = [np.zeros((ph, pw), dtype=np.int64) for (pw, ph) in plane_dims]
     preds = [0] * len(comps)
     comp_tabs = []
     for (cid, _hi, _vi, tq) in comps:
@@ -746,6 +923,13 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, bytes]:
         if (0, td) not in huff or (1, ta) not in huff:
             raise NotImplementedError("JPEG missing Huffman table")
         comp_tabs.append((quant[tq], huff[(0, td)], huff[(1, ta)]))
+
+    # entropy decode is inherently sequential; the IDCT + level shift +
+    # clamp are NOT — blocks accumulate per component and run through
+    # one vectorized _idct_islow_batch pass after the MCU walk
+    # (round-13, guide §4.2), bit-identical to the per-block scalar form
+    coef_rows: list[list[list[int]]] = [[] for _ in comps]
+    coef_pos: list[list[tuple[int, int]]] = [[] for _ in comps]
 
     def _decode_block(ci: int, blk_x: int, blk_y: int) -> None:
         qt, dct, act = comp_tabs[ci]
@@ -768,15 +952,8 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, bytes]:
                 raise NotImplementedError("JPEG AC index overflow")
             coefs[ZIGZAG[k]] = _extend(br.read_bits(size), size) * qt[ZIGZAG[k]]
             k += 1
-        px = _idct_islow(coefs)
-        pw = plane_dims[ci][0]
-        plane = planes[ci]
-        base = (blk_y * 8) * pw + blk_x * 8
-        for yy in range(8):
-            off = base + yy * pw
-            for xx in range(8):
-                v = px[yy * 8 + xx] + 128
-                plane[off + xx] = 0 if v < 0 else (255 if v > 255 else v)
+        coef_rows[ci].append(coefs)
+        coef_pos[ci].append((blk_x, blk_y))
 
     # interleaved MCU order (T.81 A.2.3): within each MCU every
     # component contributes h_i × v_i blocks, left-to-right then
@@ -797,6 +974,12 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, bytes]:
                     for bx in range(hi):
                         _decode_block(ci, mx * hi + bx, my * vi + by)
 
+    for ci in range(len(comps)):
+        if not coef_rows[ci]:
+            continue
+        px = _idct_islow_batch(np.array(coef_rows[ci], dtype=np.int64))
+        _scatter_blocks(planes[ci], np.clip(px + 128, 0, 255), coef_pos[ci])
+
     return w, h, _planes_to_rgb(w, h, comps, plane_dims, planes, hmax, vmax)
 
 
@@ -811,41 +994,32 @@ def _planes_to_rgb(
 ) -> bytes:
     """Shared decode tail: upsample component planes (sample
     replication) and convert to RGB with 16-bit fixed-point YCbCr —
-    used by both the baseline and progressive paths."""
-    rgb = bytearray(w * h * 3)
+    used by both the baseline and progressive paths. Planes are 2-D
+    int64 NumPy arrays; the whole conversion is vectorized int64
+    arithmetic (round-13, guide §4.2) — shifts/adds/clamps identical
+    to the former per-pixel scalar loop, so output bytes are
+    unchanged."""
+    import numpy as np
+
     if len(comps) == 1:
-        yp = planes[0]
-        pw = plane_dims[0][0]
-        for y in range(h):
-            for x in range(w):
-                v = yp[y * pw + x]
-                i = (y * w + x) * 3
-                rgb[i] = rgb[i + 1] = rgb[i + 2] = v
-        return bytes(rgb)
+        Y = planes[0][:h, :w].astype(np.uint8)
+        return np.repeat(Y[:, :, None], 3, axis=2).tobytes()
     yp, cbp, crp = planes
-    yw = plane_dims[0][0]
-    cbw, crw = plane_dims[1][0], plane_dims[2][0]
     (_c0, yh_, yv_, _q0), (_c1, cbh, cbv, _q1), (_c2, crh, crv, _q2) = comps
     # fixed-point YCbCr->RGB (16-bit fractional, round-half-up); chroma
     # upsampled by sample replication: source index floor-scales by
     # h_i/hmax (exact for the supported 1-or-2 factors)
+    ys = np.arange(h, dtype=np.int64)
+    xs = np.arange(w, dtype=np.int64)
+    Y = yp[(ys * yv_) // vmax][:, (xs * yh_) // hmax]
+    cb = cbp[(ys * cbv) // vmax][:, (xs * cbh) // hmax] - 128
+    cr = crp[(ys * crv) // vmax][:, (xs * crh) // hmax] - 128
     half = 1 << 15
-    for y in range(h):
-        yy_y = y * yv_ // vmax
-        cb_y = y * cbv // vmax
-        cr_y = y * crv // vmax
-        for x in range(w):
-            Y = yp[yy_y * yw + (x * yh_ // hmax)]
-            cb = cbp[cb_y * cbw + (x * cbh // hmax)] - 128
-            cr = crp[cr_y * crw + (x * crh // hmax)] - 128
-            r = Y + ((91881 * cr + half) >> 16)
-            g = Y - ((22554 * cb + 46802 * cr + half) >> 16)
-            b = Y + ((116130 * cb + half) >> 16)
-            i = (y * w + x) * 3
-            rgb[i] = 0 if r < 0 else (255 if r > 255 else r)
-            rgb[i + 1] = 0 if g < 0 else (255 if g > 255 else g)
-            rgb[i + 2] = 0 if b < 0 else (255 if b > 255 else b)
-    return bytes(rgb)
+    r = Y + ((91881 * cr + half) >> 16)
+    g = Y - ((22554 * cb + 46802 * cr + half) >> 16)
+    b = Y + ((116130 * cb + half) >> 16)
+    rgb = np.stack([r, g, b], axis=2)
+    return np.clip(rgb, 0, 255).astype(np.uint8).tobytes()
 
 
 # ---------------------------------------------------------------------------
@@ -1155,25 +1329,25 @@ def _decode_progressive(payload: bytes) -> tuple[int, int, bytes]:
         raise NotImplementedError("non-positive JPEG dimensions")
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
+    import numpy as np
+
     plane_dims = [(g[0] * 8, g[1] * 8) for g in grid]
-    planes = [[0] * (pw * ph) for (pw, ph) in plane_dims]
+    planes = [np.zeros((ph, pw), dtype=np.int64) for (pw, ph) in plane_dims]
     for ci, (_cid, _hi, _vi, tq) in enumerate(comps):
         if tq not in quant:
             raise NotImplementedError("JPEG scan/table wiring incomplete")
-        qt = quant[tq]
+        qt = np.array(quant[tq], dtype=np.int64)
         pbw = grid[ci][0]
-        pw = plane_dims[ci][0]
-        plane = planes[ci]
-        for bi, coefs in enumerate(blocks[ci]):
-            deq = [coefs[i] * qt[i] for i in range(64)]
-            px = _idct_islow(deq)
-            by, bx = divmod(bi, pbw)
-            base = (by * 8) * pw + bx * 8
-            for yy in range(8):
-                off = base + yy * pw
-                for xx in range(8):
-                    v = px[yy * 8 + xx] + 128
-                    plane[off + xx] = 0 if v < 0 else (255 if v > 255 else v)
+        # dequantize + IDCT + level shift + clamp for ALL blocks in one
+        # vectorized pass (round-13, guide §4.2 — bit-identical, see
+        # _idct_islow_batch)
+        coef = np.array(blocks[ci], dtype=np.int64) * qt[None, :]
+        px = _idct_islow_batch(coef)
+        samples = np.clip(px + 128, 0, 255)
+        positions = [
+            (bi % pbw, bi // pbw) for bi in range(coef.shape[0])
+        ]
+        _scatter_blocks(planes[ci], samples, positions)
     return fw, fh, _planes_to_rgb(fw, fh, comps, plane_dims, planes, hmax, vmax)
 
 
@@ -1312,15 +1486,9 @@ def encode_jpeg_progressive(
     ql = _scaled_quant(_QUANT_LUMA, quality)
     qc = _scaled_quant(_QUANT_CHROMA, quality)
 
-    ny, ncb, ncr = [], [], []
-    for i in range(w * h):
-        r, g, b = rgb[3 * i], rgb[3 * i + 1], rgb[3 * i + 2]
-        y = int(0.299 * r + 0.587 * g + 0.114 * b + 0.5)
-        cb = int(128.5 - 0.168735892 * r - 0.331264108 * g + 0.5 * b)
-        cr = int(128.5 + 0.5 * r - 0.418687589 * g - 0.081312411 * b)
-        ny.append(min(255, max(0, y)))
-        ncb.append(min(255, max(0, cb)))
-        ncr.append(min(255, max(0, cr)))
+    # vectorized color transform / subsample / FDCT+quantize — same
+    # helpers (and bit-identical outputs) as the baseline encoder
+    ny, ncb, ncr = _rgb_to_ycbcr_planes(w, h, rgb)
 
     if subsample == "444":
         samplings = ((1, 0x11, 0), (2, 0x11, 1), (3, 0x11, 1))
@@ -1333,15 +1501,8 @@ def encode_jpeg_progressive(
         hmax = vmax = 2
         mcux, mcuy = (w + 15) // 16, (h + 15) // 16
         cw, ch = (w + 1) // 2, (h + 1) // 2
-        scb = [0] * (cw * ch)
-        scr = [0] * (cw * ch)
-        for cy in range(ch):
-            y0, y1 = 2 * cy, min(h - 1, 2 * cy + 1)
-            for cx in range(cw):
-                x0, x1 = 2 * cx, min(w - 1, 2 * cx + 1)
-                idx = (y0 * w + x0, y0 * w + x1, y1 * w + x0, y1 * w + x1)
-                scb[cy * cw + cx] = (sum(ncb[i] for i in idx) + 2) >> 2
-                scr[cy * cw + cx] = (sum(ncr[i] for i in idx) + 2) >> 2
+        scb = _subsample_420_plane(ncb, w, h)
+        scr = _subsample_420_plane(ncr, w, h)
         comp_planes = [(ny, w, h, ql), (scb, cw, ch, qc), (scr, cw, ch, qc)]
         factors = [(2, 2), (1, 1), (1, 1)]
 
@@ -1353,12 +1514,7 @@ def encode_jpeg_progressive(
         pbw, pbh = mcux * hi, mcuy * vi
         own_bw, own_bh = (pw_ + 7) // 8, (ph_ + 7) // 8
         grids.append((pbw, pbh, own_bw, own_bh))
-        comp_blocks = []
-        for by in range(pbh):
-            for bx in range(pbw):
-                blk = _extract_block(plane, pw_, ph_, bx, by)
-                comp_blocks.append(_quantize(_fdct(blk), qt))
-        blocks.append(comp_blocks)
+        blocks.append(_quant_zz_blocks(plane, qt, pbw, pbh, zigzag=False))
 
     dc_codes = _build_codes(*_PROG_DC)
     ac_codes = _build_codes(*_PROG_AC)

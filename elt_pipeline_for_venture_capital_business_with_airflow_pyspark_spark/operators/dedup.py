@@ -472,11 +472,20 @@ def _rep_level_pairs(
         bt = bt.join(ok, ["band", "bucket"])
     a = bt.alias("a")
     b = bt.alias("b")
+    # cross-band duplicates are NOT deduped here (round-13, guide
+    # §2.3): the global dropDuplicates shuffled the full candidate
+    # stream (1.5M rows at sf0.1) to remove its ~8% multi-band
+    # repeats, a whole exchange+aggregate ahead of scoring.
+    # _score_candidates dedups AFTER the threshold filter instead —
+    # the estimate is a pure function of the pair, so duplicates carry
+    # identical rows and the surviving set is unchanged — and the
+    # post-threshold stream is orders of magnitude smaller. The
+    # duplication factor is bounded by `bands`, and flooded buckets
+    # stay capped by max_bucket_size.
     cand = (
         a.join(b, on=["band", "bucket"])
         .filter(F.col("a.id") < F.col("b.id"))
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
     )
     rep_pairs = _score_candidates(cand, reps, reps, num_hashes, threshold)
     return rep_pairs, membership
@@ -629,6 +638,14 @@ def _score_candidates(
         .withColumn("est_jaccard", est)
         .filter(F.col("est_jaccard") >= threshold)
         .select("id_a", "id_b", "est_jaccard")
+        # dedup AFTER the threshold (round-13): callers no longer
+        # pre-dedup the band-join candidates, so a pair colliding in
+        # several bands reaches here once per band — with an IDENTICAL
+        # row each time (the estimate is a pure function of the two
+        # signatures), so deduping the post-threshold survivors yields
+        # exactly the set the pre-score dropDuplicates produced, while
+        # shuffling survivors instead of the full candidate stream
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 
@@ -790,6 +807,13 @@ def hamming_near_pairs(
     chunks = hash_chunk_entries(reps, "id", "h", n_chunks)
 
     a, b = chunks.alias("a"), chunks.alias("b")
+    # multi-chunk duplicates dedup AFTER the hamming filter (round-13,
+    # guide §2.3): the distance is a pure function of the two
+    # fingerprints riding the rows, so duplicate candidates carry
+    # identical rows and deduping the (much smaller) post-filter
+    # stream yields exactly the pre-dedup result — without shuffling
+    # the full candidate stream through a dropDuplicates first.
+    # Duplication is bounded by n_chunks.
     cand = (
         a.join(b, on=["chunk", "val"])
         .filter(F.col("a.id") < F.col("b.id"))
@@ -799,13 +823,13 @@ def hamming_near_pairs(
             F.col("a.h").alias("h_a"),
             F.col("b.h").alias("h_b"),
         )
-        .dropDuplicates(["id_a", "id_b"])
     )
     hamming = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
     rep_pairs = (
         cand.withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
+        .dropDuplicates(["id_a", "id_b"])
     )
     m1 = membership.select(F.col("rep_id").alias("__g"), F.col("id").alias("id_a"))
     m2 = membership.select(F.col("rep_id").alias("__g"), F.col("id").alias("id_b"))
@@ -1680,12 +1704,16 @@ def incremental_lsh_pairs(
     # side joins its OWN signature source (no corpus∪shard union scan);
     # canonicalize to id_a < id_b only at the end — the Jaccard
     # estimate is symmetric
+    # no pre-score dedup (round-13): _score_candidates dedups after
+    # its threshold filter — see _rep_level_pairs. Orientation is
+    # fixed (corpus id left, shard id right; the id sets are
+    # disjoint), so deduping oriented pairs there equals deduping the
+    # canonicalized pairs here.
     old_new = (
         corpus_bands.alias("o")
         .join(nb.alias("n"), ["band", "bucket"])
         .filter(F.col("o.id") != F.col("n.id"))
         .select(F.col("o.id").alias("id_a"), F.col("n.id").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
     )
     old_new_scored = _score_candidates(
         old_new, corpus_sig, new_sig, num_hashes, threshold
@@ -1786,6 +1814,15 @@ def edit1_pairs(
         F.explode(F.array_union(F.array(s), deletes)).alias("variant"),
     )
     a, b = v.alias("a"), v.alias("b")
+    # shared-variant duplicates dedup AFTER the exact-distance filter
+    # (round-13, guide §2.3): two near-identical strings share up to
+    # len+1 deletion variants, so the pre-filter dropDuplicates
+    # shuffled a ~20×-amplified candidate stream. The banded
+    # levenshtein is O(len) per occurrence and rides the join output
+    # map-side, so filtering first and deduping only the surviving
+    # pairs (identical rows per pair — dist is a pure function of the
+    # two strings) gives the same pair set for a fraction of the
+    # shuffled bytes.
     cand = (
         a.join(b, "variant")
         .filter(F.col("a.id") < F.col("b.id"))
@@ -1795,14 +1832,15 @@ def edit1_pairs(
             F.col("a.s").alias("s_a"),
             F.col("b.s").alias("s_b"),
         )
-        .dropDuplicates(["id_a", "id_b"])
     )
     # banded levenshtein (threshold=1): O(len) per pair instead of
     # O(len²), returns -1 when the distance exceeds the bound — kept
     # rows and their dist values are identical to the unbounded form
-    return cand.withColumn(
-        "dist", F.levenshtein("s_a", "s_b", 1)
-    ).filter((F.col("dist") >= 0) & (F.col("dist") <= 1))
+    return (
+        cand.withColumn("dist", F.levenshtein("s_a", "s_b", 1))
+        .filter((F.col("dist") >= 0) & (F.col("dist") <= 1))
+        .dropDuplicates(["id_a", "id_b"])
+    )
 
 
 def substring_duplicate_spans(

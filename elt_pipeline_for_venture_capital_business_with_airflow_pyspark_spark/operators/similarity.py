@@ -1472,6 +1472,7 @@ def mmr_rerank(
     id_col: str = "neighbor_id",
     rel_col: str = "cosine_sim",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Maximal Marginal Relevance re-ranking: greedily pick ``k`` of
     each query's candidates maximizing
@@ -1496,12 +1497,28 @@ def mmr_rerank(
     than k candidates yield fewer rows, never an error.
     """
     lam = float(lambda_)
-    base = candidates.select(
-        F.col(query_col).alias("query_id"),
-        F.col(id_col).alias("cand_id"),
-        F.round(F.col(rel_col), 6).alias("__rel"),
-        F.col(vec_col).alias("__vec"),
-    ).withColumn("__maxsim", F.lit(0.0))
+    # per-candidate norm projected ONCE (round-13): the k unrolled
+    # rounds each evaluated cosine() per candidate — three interpreted
+    # 64-element folds per row per round; with the norms riding the
+    # rows each round pays one (optionally unrolled, see ``dim``) dot.
+    # cosine_pre is the same expression graph, values bit-identical.
+    # localCheckpoint (round-13, guide §5): the k unrolled rounds all
+    # grow from this frame, and the union of the k pick branches would
+    # otherwise re-plan (and, where exchange reuse can't apply,
+    # re-execute) the candidate-generation subtree per branch. The
+    # materialized state is retrieval output — bounded per query by
+    # contract, never corpus-sized.
+    base = (
+        candidates.select(
+            F.col(query_col).alias("query_id"),
+            F.col(id_col).alias("cand_id"),
+            F.round(F.col(rel_col), 6).alias("__rel"),
+            F.col(vec_col).alias("__vec"),
+            norm(F.col(vec_col)).alias("__norm"),
+        )
+        .withColumn("__maxsim", F.lit(0.0))
+        .localCheckpoint(eager=True)
+    )
 
     picks: list[DataFrame] = []
     state = base
@@ -1520,6 +1537,7 @@ def mmr_rerank(
                 "query_id",
                 F.col("cand_id").alias("__sel_id"),
                 F.col("__vec").alias("__sel_vec"),
+                F.col("__norm").alias("__sel_norm"),
                 F.col("__score").alias("__sel_score"),
             )
         )
@@ -1541,10 +1559,19 @@ def mmr_rerank(
                     "__maxsim",
                     F.greatest(
                         F.col("__maxsim"),
-                        F.round(cosine(F.col("__vec"), F.col("__sel_vec")), 6),
+                        F.round(
+                            cosine_pre(
+                                "__vec", "__sel_vec", "__norm",
+                                "__sel_norm", dim,
+                            ),
+                            6,
+                        ),
                     ),
                 )
-                .select("query_id", "cand_id", "__rel", "__vec", "__maxsim")
+                .select(
+                    "query_id", "cand_id", "__rel", "__vec", "__norm",
+                    "__maxsim",
+                )
             )
     out = picks[0]
     for p in picks[1:]:
