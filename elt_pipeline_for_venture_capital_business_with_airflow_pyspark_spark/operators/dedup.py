@@ -472,20 +472,18 @@ def _rep_level_pairs(
         bt = bt.join(ok, ["band", "bucket"])
     a = bt.alias("a")
     b = bt.alias("b")
-    # cross-band duplicates are NOT deduped here (round-13, guide
-    # §2.3): the global dropDuplicates shuffled the full candidate
-    # stream (1.5M rows at sf0.1) to remove its ~8% multi-band
-    # repeats, a whole exchange+aggregate ahead of scoring.
-    # _score_candidates dedups AFTER the threshold filter instead —
-    # the estimate is a pure function of the pair, so duplicates carry
-    # identical rows and the surviving set is unchanged — and the
-    # post-threshold stream is orders of magnitude smaller. The
-    # duplication factor is bounded by `bands`, and flooded buckets
-    # stay capped by max_bucket_size.
+    # the pre-score dropDuplicates STAYS here (round-13 measured both
+    # orders): at the minhash thresholds most candidates survive the
+    # estimate filter on near-dup-heavy corpora, so postponing the
+    # dedup past scoring (as hamming_near_pairs now does behind its
+    # highly selective distance filter) just re-scores the ~8%
+    # duplicates and re-shuffles nearly the same volume — interleaved
+    # A/B read 0.68× for the postponed form here vs 1.27× for simhash.
     cand = (
         a.join(b, on=["band", "bucket"])
         .filter(F.col("a.id") < F.col("b.id"))
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
     )
     rep_pairs = _score_candidates(cand, reps, reps, num_hashes, threshold)
     return rep_pairs, membership
@@ -638,14 +636,6 @@ def _score_candidates(
         .withColumn("est_jaccard", est)
         .filter(F.col("est_jaccard") >= threshold)
         .select("id_a", "id_b", "est_jaccard")
-        # dedup AFTER the threshold (round-13): callers no longer
-        # pre-dedup the band-join candidates, so a pair colliding in
-        # several bands reaches here once per band — with an IDENTICAL
-        # row each time (the estimate is a pure function of the two
-        # signatures), so deduping the post-threshold survivors yields
-        # exactly the set the pre-score dropDuplicates produced, while
-        # shuffling survivors instead of the full candidate stream
-        .dropDuplicates(["id_a", "id_b"])
     )
 
 
@@ -985,30 +975,26 @@ def connected_components(
 
     from pyspark.sql import Observation
 
-    converged = False
-    rounds = 0
-    for _ in range(max_iter):
-        rounds += 1
-        # convergence probe FOLDED into the round's one materializing
-        # action (round-13, guide §2.4/§1.5): the previous shape ran a
-        # second job per round — new_labels ⋈ labels on id (two more
-        # exchanges) probed with isEmpty(). Instead the old label rides
-        # the union tagged __is_old (exactly one old row per id, so
-        # min(when(__is_old, comp)) IS the previous label), and an
-        # observe() metric counts changed ids DURING the eager
-        # localCheckpoint job. One job, one shuffle per round; the
-        # label frame and the convergence decision are unchanged
-        # (ids the old inner-join probe skipped — edge endpoints
-        # absent from `nodes` on their first round — have NULL __old,
-        # and comp != NULL is NULL, which sum() skips, matching the
-        # inner join).
-        msgs = sym.join(labels, sym["b"] == labels["id"]).select(
+    # convergence probe FOLDED into the round's one materializing
+    # action (round-13, guide §2.4/§1.5): the previous shape ran a
+    # second job per round — new_labels ⋈ labels on id (two more
+    # exchanges) probed with isEmpty(). Instead the old label rides
+    # the union tagged __is_old (exactly one old row per id, so
+    # min(when(__is_old, comp)) IS the previous label), and an
+    # observe() metric counts changed ids DURING the eager
+    # localCheckpoint job. The label frames and the convergence
+    # decisions are unchanged (ids the old inner-join probe skipped —
+    # edge endpoints absent from `nodes` on their first round — have
+    # NULL __old, and comp != NULL is NULL, which sum() skips,
+    # matching the inner join).
+    def _step(lbl: DataFrame) -> "tuple[DataFrame, Observation]":
+        msgs = sym.join(lbl, sym["b"] == lbl["id"]).select(
             F.col("a").alias("id"), "comp", F.lit(False).alias("__is_old")
         )
         obs = Observation()
         agg = (
             msgs.unionByName(
-                labels.select("id", "comp", F.lit(True).alias("__is_old"))
+                lbl.select("id", "comp", F.lit(True).alias("__is_old"))
             )
             .groupBy("id")
             .agg(
@@ -1022,10 +1008,37 @@ def connected_components(
                 ).alias("n_changed"),
             )
         )
-        labels = agg.select("id", "comp").localCheckpoint(eager=True)
-        if int(obs.get["n_changed"] or 0) == 0:
-            converged = True
-            break
+        return agg.select("id", "comp"), obs
+
+    # TWO propagation steps fuse into each materializing job (round-13,
+    # guide §2.4 "fuse one job per round out of the iterative
+    # drivers"): step 2 consumes step 1's plan directly — its
+    # aggregation exchange is shared between step 2's join and union
+    # via exchange reuse, and the checkpointed frames' preserved
+    # hash(b)/hash(id) partitioning keeps the joins exchange-free — so
+    # the serial job chain (the 8→32-core scaling ceiling) halves.
+    # Labels after a fused job are IDENTICAL to two sequential rounds,
+    # and propagating a fixpoint is the identity, so overshooting by
+    # one step when step 1 already converged changes nothing; `rounds`
+    # still counts the propagation steps the result needed, exactly as
+    # the one-step loop reported them.
+    converged = False
+    rounds = 0
+    while rounds < max_iter and not converged:
+        step1, obs1 = _step(labels)
+        if rounds + 1 < max_iter:
+            step2, obs2 = _step(step1)
+            labels = step2.localCheckpoint(eager=True)
+            if int(obs1.get["n_changed"] or 0) == 0:
+                rounds += 1
+                converged = True
+            else:
+                rounds += 2
+                converged = int(obs2.get["n_changed"] or 0) == 0
+        else:
+            labels = step1.localCheckpoint(eager=True)
+            rounds += 1
+            converged = int(obs1.get["n_changed"] or 0) == 0
     if stats is not None:
         stats["rounds"] = rounds
         stats["converged"] = converged
@@ -1704,16 +1717,12 @@ def incremental_lsh_pairs(
     # side joins its OWN signature source (no corpus∪shard union scan);
     # canonicalize to id_a < id_b only at the end — the Jaccard
     # estimate is symmetric
-    # no pre-score dedup (round-13): _score_candidates dedups after
-    # its threshold filter — see _rep_level_pairs. Orientation is
-    # fixed (corpus id left, shard id right; the id sets are
-    # disjoint), so deduping oriented pairs there equals deduping the
-    # canonicalized pairs here.
     old_new = (
         corpus_bands.alias("o")
         .join(nb.alias("n"), ["band", "bucket"])
         .filter(F.col("o.id") != F.col("n.id"))
         .select(F.col("o.id").alias("id_a"), F.col("n.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
     )
     old_new_scored = _score_candidates(
         old_new, corpus_sig, new_sig, num_hashes, threshold
@@ -1814,15 +1823,12 @@ def edit1_pairs(
         F.explode(F.array_union(F.array(s), deletes)).alias("variant"),
     )
     a, b = v.alias("a"), v.alias("b")
-    # shared-variant duplicates dedup AFTER the exact-distance filter
-    # (round-13, guide §2.3): two near-identical strings share up to
-    # len+1 deletion variants, so the pre-filter dropDuplicates
-    # shuffled a ~20×-amplified candidate stream. The banded
-    # levenshtein is O(len) per occurrence and rides the join output
-    # map-side, so filtering first and deduping only the surviving
-    # pairs (identical rows per pair — dist is a pure function of the
-    # two strings) gives the same pair set for a fraction of the
-    # shuffled bytes.
+    # pre-filter dedup STAYS (round-13 measured both orders, as for
+    # the minhash family): near-identical strings share ~len variants,
+    # and since most of them belong to pairs that PASS the distance
+    # filter here, postponing the dedup re-ran levenshtein on the
+    # ~20×-duplicated stream and re-shuffled almost the same rows —
+    # interleaved A/B read 0.71× for the postponed form.
     cand = (
         a.join(b, "variant")
         .filter(F.col("a.id") < F.col("b.id"))
@@ -1832,15 +1838,14 @@ def edit1_pairs(
             F.col("a.s").alias("s_a"),
             F.col("b.s").alias("s_b"),
         )
+        .dropDuplicates(["id_a", "id_b"])
     )
     # banded levenshtein (threshold=1): O(len) per pair instead of
     # O(len²), returns -1 when the distance exceeds the bound — kept
     # rows and their dist values are identical to the unbounded form
-    return (
-        cand.withColumn("dist", F.levenshtein("s_a", "s_b", 1))
-        .filter((F.col("dist") >= 0) & (F.col("dist") <= 1))
-        .dropDuplicates(["id_a", "id_b"])
-    )
+    return cand.withColumn(
+        "dist", F.levenshtein("s_a", "s_b", 1)
+    ).filter((F.col("dist") >= 0) & (F.col("dist") <= 1))
 
 
 def substring_duplicate_spans(

@@ -38,7 +38,10 @@ def run_leg(repo: str, subset: str, reps: int = 3) -> dict[str, float]:
         text=True,
         timeout=3600,
     )
-    line = [ln for ln in out.stdout.strip().splitlines() if ln.startswith("{")][-1]
+    # FIRST json line = the full per-query map (the last line is the
+    # worst-10+controls summary, which silently drops queries that got
+    # fast — exactly the ones an A/B cares about)
+    line = [ln for ln in out.stdout.strip().splitlines() if ln.startswith("{")][0]
     return json.loads(line)["queries"]
 
 
