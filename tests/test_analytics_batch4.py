@@ -218,3 +218,8 @@ def test_ewma_last_and_series_match_python(spark):
     )
     assert [r["ewma"] for r in got] == series
     assert [r["value"] for r in got] == vals
+
+# round-13: GATE-covered heavy suite — deselected from the default
+# (driver-budget) collection, runs via tools/round_gate.py / -m 'slow or not slow'
+import pytest  # noqa: E402
+pytestmark = pytest.mark.slow

@@ -206,3 +206,7 @@ def test_dib_frame_shorter_than_raster_rejected():
         encode_avi_dib(2, 2, [b"\x00" * 5])
     with pytest.raises(ValueError):
         encode_avi_dib(2, 2, [])
+
+# round-13: GATE-covered heavy suite — deselected from the default
+# (driver-budget) collection, runs via tools/round_gate.py / -m 'slow or not slow'
+pytestmark = pytest.mark.slow

@@ -146,3 +146,7 @@ def test_star_survivors_composition(spark):
         for r in comp.filter(F.col("id") == F.col("component")).collect()
     }
     assert kept == {0, 3, 4, 7, 8, 9, 10, 11}
+
+# round-13: GATE-covered heavy suite — deselected from the default
+# (driver-budget) collection, runs via tools/round_gate.py / -m 'slow or not slow'
+pytestmark = pytest.mark.slow

@@ -364,3 +364,8 @@ def test_weighted_bernoulli_sample_rate_and_determinism(spark):
 
     with pytest.raises(ValueError, match="max_weight"):
         SMP.weighted_bernoulli_sample(df, "id", "w", max_weight=0)
+
+# round-13: GATE-covered heavy suite — deselected from the default
+# (driver-budget) collection, runs via tools/round_gate.py / -m 'slow or not slow'
+import pytest  # noqa: E402
+pytestmark = pytest.mark.slow

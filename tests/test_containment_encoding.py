@@ -61,3 +61,8 @@ def test_cluster_size_histogram_shape(spark):
     )
     got = {r["cluster_size"]: r["n_clusters"] for r in hist.collect()}
     assert got == {2: 2, 1: 1}
+
+# round-13: GATE-covered heavy suite — deselected from the default
+# (driver-budget) collection, runs via tools/round_gate.py / -m 'slow or not slow'
+import pytest  # noqa: E402
+pytestmark = pytest.mark.slow

@@ -116,3 +116,8 @@ def test_char_gram_hashes_carry_passthrough(spark):
         (r["id"], r["h"]) for r in carried
     )
     assert all(r["flag"] == (r["id"] == 1) for r in carried)
+
+# round-13: GATE-covered heavy suite — deselected from the default
+# (driver-budget) collection, runs via tools/round_gate.py / -m 'slow or not slow'
+import pytest  # noqa: E402
+pytestmark = pytest.mark.slow

@@ -99,3 +99,7 @@ def test_append_to_missing_index_raises(spark, tmp_path):
         SMP.dsir_index_append(
             _full(spark), F.col("is_t"), str(tmp_path / "absent")
         )
+
+# round-13: GATE-covered heavy suite — deselected from the default
+# (driver-budget) collection, runs via tools/round_gate.py / -m 'slow or not slow'
+pytestmark = pytest.mark.slow

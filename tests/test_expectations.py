@@ -52,3 +52,8 @@ def test_expectations_all_pass_clean(spark):
         .collect()
     )
     assert all(r["pass"] for r in res) and len(res) == 3
+
+# round-13: GATE-covered heavy suite — deselected from the default
+# (driver-budget) collection, runs via tools/round_gate.py / -m 'slow or not slow'
+import pytest  # noqa: E402
+pytestmark = pytest.mark.slow

@@ -365,3 +365,8 @@ def test_exact_quantiles_rejects_bad_args(spark):
         FT.exact_quantiles(df, "v", [0.5], mode="nearest")
     with pytest.raises(ValueError):
         FT.exact_quantiles(df, "v", [0.5, 0.9], out_cols=["only_one"])
+
+# round-13: GATE-covered heavy suite — deselected from the default
+# (driver-budget) collection, runs via tools/round_gate.py / -m 'slow or not slow'
+import pytest  # noqa: E402
+pytestmark = pytest.mark.slow

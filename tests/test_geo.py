@@ -131,3 +131,8 @@ def test_within_radius_join_lat_bounds_guard(spark):
     with pytest.raises(Exception) as ei:
         bad.count()
     assert "max_abs_lat" in str(ei.value)
+
+# round-13: GATE-covered heavy suite — deselected from the default
+# (driver-budget) collection, runs via tools/round_gate.py / -m 'slow or not slow'
+import pytest  # noqa: E402
+pytestmark = pytest.mark.slow

@@ -263,3 +263,8 @@ def test_label_propagation_rejects_bad_iter(spark):
     edges = spark.createDataFrame([("a", "b")], "src string, dst string")
     with pytest.raises(ValueError, match="n_iter"):
         GR.label_propagation_fixed(edges, n_iter=0)
+
+# round-13: GATE-covered heavy suite — deselected from the default
+# (driver-budget) collection, runs via tools/round_gate.py / -m 'slow or not slow'
+import pytest  # noqa: E402
+pytestmark = pytest.mark.slow

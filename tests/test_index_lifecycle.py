@@ -508,3 +508,7 @@ def test_maybe_compact_index_lsh_kind_detection_and_threshold(
 
     with _pytest.raises(ValueError):
         MNT.index_kind(spark, str(tmp_path / "not_an_index"))
+
+# round-13: GATE-covered heavy suite — deselected from the default
+# (driver-budget) collection, runs via tools/round_gate.py / -m 'slow or not slow'
+pytestmark = pytest.mark.slow

@@ -510,3 +510,8 @@ def test_streaming_tumbling_null_ts_contract(spark, sf_dir, tmp_path):
     b = {key(r): (r["n_events"], round(r["sum_value"], 4)) for r in batch}
     s = {key(r): (r["n_events"], round(r["sum_value"], 4)) for r in streamed}
     assert b == s
+
+# round-13: GATE-covered heavy suite — deselected from the default
+# (driver-budget) collection, runs via tools/round_gate.py / -m 'slow or not slow'
+import pytest  # noqa: E402
+pytestmark = pytest.mark.slow

@@ -103,3 +103,7 @@ def test_jdbc_append_mode_accumulates(spark, derby_url):
         properties={"driver": DRIVER},
     )
     assert out.count() == 20
+
+# round-13: GATE-covered heavy suite — deselected from the default
+# (driver-budget) collection, runs via tools/round_gate.py / -m 'slow or not slow'
+pytestmark = pytest.mark.slow

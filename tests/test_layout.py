@@ -128,3 +128,8 @@ def test_snapshot_diff_on_bucketed_tables_is_shuffle_free(spark, sf_dir, tmp_pat
     finally:
         spark.sql("DROP TABLE IF EXISTS cdc_old")
         spark.sql("DROP TABLE IF EXISTS cdc_new")
+
+# round-13: GATE-covered heavy suite — deselected from the default
+# (driver-budget) collection, runs via tools/round_gate.py / -m 'slow or not slow'
+import pytest  # noqa: E402
+pytestmark = pytest.mark.slow

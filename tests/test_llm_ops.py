@@ -1002,3 +1002,8 @@ def test_is_host_blocked_parent_domain_semantics(spark):
     assert all(r.got == r.want for r in rows), [
         (r.want, r.got) for r in rows
     ]
+
+# round-13: GATE-covered heavy suite — deselected from the default
+# (driver-budget) collection, runs via tools/round_gate.py / -m 'slow or not slow'
+import pytest  # noqa: E402
+pytestmark = pytest.mark.slow

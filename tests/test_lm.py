@@ -177,3 +177,7 @@ def test_kneser_ney_empty_training_floors_to_oov(spark):
     out = LM.lm_score_kneser_ney(score, train_docs=train).collect()[0]
     assert out["n_oov"] == out["n_scored"] == 2
     assert out["bits_per_token"] == float(LM.FP_BITS)
+
+# round-13: GATE-covered heavy suite — deselected from the default
+# (driver-budget) collection, runs via tools/round_gate.py / -m 'slow or not slow'
+pytestmark = pytest.mark.slow

@@ -121,3 +121,7 @@ def test_empty_corpus_builds_and_scores_oov(spark, tmp_path):
     out = LM.lm_index_score(_docs(spark, {1}), p).collect()
     assert len(out) == 1 and out[0]["n_oov"] == out[0]["n_scored"]
     assert out[0]["bits_per_token"] == 30.0
+
+# round-13: GATE-covered heavy suite — deselected from the default
+# (driver-budget) collection, runs via tools/round_gate.py / -m 'slow or not slow'
+pytestmark = pytest.mark.slow

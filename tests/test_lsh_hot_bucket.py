@@ -292,3 +292,7 @@ def test_null_ids_never_pair(spark):
     ]
     assert got == [(1, 2)]
     assert all(a is not None and b is not None for a, b in got)
+
+# round-13: GATE-covered heavy suite — deselected from the default
+# (driver-budget) collection, runs via tools/round_gate.py / -m 'slow or not slow'
+pytestmark = pytest.mark.slow

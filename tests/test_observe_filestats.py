@@ -47,3 +47,8 @@ def test_file_stats_detect_and_compaction_repairs(spark, sf_dir, tmp_path):
     assert after["total_bytes"] > 0
     # same rows survive the rewrite
     assert spark.read.parquet(path).count() == li.count()
+
+# round-13: GATE-covered heavy suite — deselected from the default
+# (driver-budget) collection, runs via tools/round_gate.py / -m 'slow or not slow'
+import pytest  # noqa: E402
+pytestmark = pytest.mark.slow

@@ -272,3 +272,7 @@ def test_date_range_inclusive_and_reversed_empty():
         "2013-07-02", "2013-07-03", "2013-07-04",
     ]
     assert O.date_range("2013-07-04", "2013-07-02") == []
+
+# round-13: GATE-covered heavy suite — deselected from the default
+# (driver-budget) collection, runs via tools/round_gate.py / -m 'slow or not slow'
+pytestmark = pytest.mark.slow

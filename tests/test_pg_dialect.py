@@ -104,3 +104,7 @@ def test_generated_statements_execute_and_merge():
     con.executemany(ign, [(3, "XX", 99.0), (4, "d", 4.0)])  # ignored + insert
     rows = con.execute("SELECT k, v, n FROM t ORDER BY k").fetchall()
     assert rows == [(1, "a", 1.0), (2, "B", 20.0), (3, "c", 3.0), (4, "d", 4.0)]
+
+# round-13: GATE-covered heavy suite — deselected from the default
+# (driver-budget) collection, runs via tools/round_gate.py / -m 'slow or not slow'
+pytestmark = pytest.mark.slow

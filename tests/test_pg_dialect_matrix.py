@@ -268,3 +268,7 @@ def test_do_nothing_keeps_first_within_batch():
     )
     con.executemany(ig, [(1, "first"), (1, "second")])
     assert con.execute("SELECT v FROM t").fetchall() == [("first",)]
+
+# round-13: GATE-covered heavy suite — deselected from the default
+# (driver-budget) collection, runs via tools/round_gate.py / -m 'slow or not slow'
+pytestmark = pytest.mark.slow

@@ -255,3 +255,7 @@ def test_chunk_entries_full_width_single_chunk(spark):
         for r in hamming_near_pairs(fp, max_hamming=0, n_chunks=1).collect()
     )
     assert pairs == [(1, 2, 0), (3, 4, 0)]
+
+# round-13: GATE-covered heavy suite — deselected from the default
+# (driver-budget) collection, runs via tools/round_gate.py / -m 'slow or not slow'
+pytestmark = pytest.mark.slow

@@ -173,3 +173,7 @@ def test_empty_corpus_index_probes_cleanly(spark, index_path):
         )
     )
     assert got == [(1, 2, 0)]
+
+# round-13: GATE-covered heavy suite — deselected from the default
+# (driver-budget) collection, runs via tools/round_gate.py / -m 'slow or not slow'
+pytestmark = pytest.mark.slow

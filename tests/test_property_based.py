@@ -500,3 +500,8 @@ def test_contamination_matches_python_reference(spark, train, evals):
         if len(grams(t) & eg) >= 1
     }
     assert got == want
+
+# round-13: GATE-covered heavy suite — deselected from the default
+# (driver-budget) collection, runs via tools/round_gate.py / -m 'slow or not slow'
+import pytest  # noqa: E402
+pytestmark = pytest.mark.slow

@@ -122,3 +122,8 @@ def test_fixed_point_fraction_stays_in_range(num, den):
     assert 1 <= m <= 1 << LM.FP_BITS
     q = _qlog2_py(m)
     assert 0 <= q <= LM.FP_BITS * LM.MANT
+
+# round-13: GATE-covered heavy suite — deselected from the default
+# (driver-budget) collection, runs via tools/round_gate.py / -m 'slow or not slow'
+import pytest  # noqa: E402
+pytestmark = pytest.mark.slow

@@ -85,3 +85,8 @@ def test_default_fetcher_scrubs_newlines(spark):
         F.regexp_replace("description", r"\n", " ").alias("d")
     ).collect()
     assert all("\n" not in r["d"] for r in cleaned)
+
+# round-13: GATE-covered heavy suite — deselected from the default
+# (driver-budget) collection, runs via tools/round_gate.py / -m 'slow or not slow'
+import pytest  # noqa: E402
+pytestmark = pytest.mark.slow

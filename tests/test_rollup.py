@@ -88,3 +88,7 @@ def test_refresh_merge_equals_full_recompute(spark):
     assert {tuple(r) for r in merged.select(cols).collect()} == {
         tuple(r) for r in full.select(cols).collect()
     }
+
+# round-13: GATE-covered heavy suite — deselected from the default
+# (driver-budget) collection, runs via tools/round_gate.py / -m 'slow or not slow'
+pytestmark = pytest.mark.slow

@@ -439,3 +439,7 @@ def test_skew_diagnose_rejects_bad_params(spark):
     df = spark.range(3).select(F.col("id").alias("k"))
     with pytest.raises(ValueError):
         SKW.skew_diagnose(df, "k", top_n=0)
+
+# round-13: GATE-covered heavy suite — deselected from the default
+# (driver-budget) collection, runs via tools/round_gate.py / -m 'slow or not slow'
+pytestmark = pytest.mark.slow

@@ -771,3 +771,7 @@ def test_quantile_buckets_null_nan_last(spark):
     got = {r.rid: r.qb for r in LAY.attach_quantile_bucket(df, "v", "rid", 4, "qb").collect()}
     assert got["2"] == 4 and got["3"] == 4
     assert got["1"] <= 3 and got["4"] <= 3
+
+# round-13: GATE-covered heavy suite — deselected from the default
+# (driver-budget) collection, runs via tools/round_gate.py / -m 'slow or not slow'
+pytestmark = pytest.mark.slow

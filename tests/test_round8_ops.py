@@ -178,3 +178,8 @@ def test_zorder_prune_empty_range_keeps_schema(spark, tmp_path):
     )
     assert got.count() == 0
     assert got.columns == df.columns
+
+# round-13: GATE-covered heavy suite — deselected from the default
+# (driver-budget) collection, runs via tools/round_gate.py / -m 'slow or not slow'
+import pytest  # noqa: E402
+pytestmark = pytest.mark.slow

@@ -312,3 +312,7 @@ def test_pack_chunks_salt_and_validation(spark):
     assert a != b  # different order -> different chunk assignment
     with pytest.raises(ValueError, match="positive"):
         SMP.pack_chunks(df, "doc_id", "n", 0)
+
+# round-13: GATE-covered heavy suite — deselected from the default
+# (driver-budget) collection, runs via tools/round_gate.py / -m 'slow or not slow'
+pytestmark = pytest.mark.slow

@@ -69,3 +69,8 @@ def test_each_level_replica_rewrites_most_letters():
             m = _bijection(level, i)
             changed = sum(1 for k, v in m.items() if k != v)
             assert changed >= len(alpha_a), (level, i, m)
+
+# round-13: GATE-covered heavy suite — deselected from the default
+# (driver-budget) collection, runs via tools/round_gate.py / -m 'slow or not slow'
+import pytest  # noqa: E402
+pytestmark = pytest.mark.slow

@@ -139,3 +139,8 @@ def test_grouped_equals_ungrouped_rule(spark):
         ]
         want[i] = (not quals, min(quals) if quals else None)
     assert got == want
+
+# round-13: GATE-covered heavy suite — deselected from the default
+# (driver-budget) collection, runs via tools/round_gate.py / -m 'slow or not slow'
+import pytest  # noqa: E402
+pytestmark = pytest.mark.slow

@@ -118,3 +118,8 @@ def test_clones_do_not_count_toward_the_cap(spark):
     capped = _run(spark, corpus, max_cell_size=11)
     assert capped[20] == (0, False, 0)
     assert capped[21] == (0, False, 0)
+
+# round-13: GATE-covered heavy suite — deselected from the default
+# (driver-budget) collection, runs via tools/round_gate.py / -m 'slow or not slow'
+import pytest  # noqa: E402
+pytestmark = pytest.mark.slow

@@ -575,3 +575,8 @@ def test_hll_det_estimate_alpha_tracks_m(spark):
         # sanity: raw estimate in the right ballpark once saturated
         if r["zero_registers"] == 0:
             assert abs(r["hll_raw_est"] - 5000) / 5000 < 1.04 / (m ** 0.5) * 4
+
+# round-13: GATE-covered heavy suite — deselected from the default
+# (driver-budget) collection, runs via tools/round_gate.py / -m 'slow or not slow'
+import pytest  # noqa: E402
+pytestmark = pytest.mark.slow

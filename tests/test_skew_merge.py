@@ -101,3 +101,8 @@ def test_connected_components_chain_clique_singleton(spark):
     )
     out = {r["id"]: r["component"] for r in connected_components(nodes, edges).collect()}
     assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 99: 99}
+
+# round-13: GATE-covered heavy suite — deselected from the default
+# (driver-budget) collection, runs via tools/round_gate.py / -m 'slow or not slow'
+import pytest  # noqa: E402
+pytestmark = pytest.mark.slow

@@ -109,3 +109,7 @@ def test_extract_spectral_features_end_to_end(spark):
     assert out[2]["dominant_bin"] == 1920 // 16  # channel 0, not noise
     assert out[3]["dominant_bin"] is None
     assert out[4]["n_samples"] is None
+
+# round-13: GATE-covered heavy suite — deselected from the default
+# (driver-budget) collection, runs via tools/round_gate.py / -m 'slow or not slow'
+pytestmark = pytest.mark.slow

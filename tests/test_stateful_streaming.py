@@ -491,3 +491,7 @@ def test_stream_zscore_state_carries_across_batches(spark, sf_dir, tmp_path):
         q.stop()
     expected = _batch_anomalies(events)
     assert got == expected
+
+# round-13: GATE-covered heavy suite — deselected from the default
+# (driver-budget) collection, runs via tools/round_gate.py / -m 'slow or not slow'
+pytestmark = pytest.mark.slow

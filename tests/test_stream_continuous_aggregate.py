@@ -148,3 +148,8 @@ def test_refresh_merge_is_idempotent_on_empty_delta(spark):
     assert sorted(map(tuple, refreshed.collect())) == sorted(
         map(tuple, agg.collect())
     )
+
+# round-13: GATE-covered heavy suite — deselected from the default
+# (driver-budget) collection, runs via tools/round_gate.py / -m 'slow or not slow'
+import pytest  # noqa: E402
+pytestmark = pytest.mark.slow

@@ -89,3 +89,8 @@ def test_stream_decontaminate_foreachbatch_sink(spark, sf_dir, tmp_path):
     ids = [i for i, _ in sink]
     assert len(ids) == len(set(ids))
     assert set(sink) == want
+
+# round-13: GATE-covered heavy suite — deselected from the default
+# (driver-budget) collection, runs via tools/round_gate.py / -m 'slow or not slow'
+import pytest  # noqa: E402
+pytestmark = pytest.mark.slow

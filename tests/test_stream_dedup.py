@@ -137,3 +137,8 @@ def test_streaming_incremental_lsh_accumulates_to_full_recompute(
     assert replayed.count() == len(got)
     sig2, _ = DD.read_lsh_index(spark, index)
     assert sig2.count() == sig.count()
+
+# round-13: GATE-covered heavy suite — deselected from the default
+# (driver-budget) collection, runs via tools/round_gate.py / -m 'slow or not slow'
+import pytest  # noqa: E402
+pytestmark = pytest.mark.slow

@@ -130,3 +130,8 @@ def test_streaming_dim_merge_key_continuity(spark, tmp_path):
     assert final["c:1"] == first["c:1"] and final["c:2"] == first["c:2"]
     assert final["c:3"] == 3  # sequence continued, replay did not burn a key
     assert spark.read.parquet(tgt).count() == 3
+
+# round-13: GATE-covered heavy suite — deselected from the default
+# (driver-budget) collection, runs via tools/round_gate.py / -m 'slow or not slow'
+import pytest  # noqa: E402
+pytestmark = pytest.mark.slow

@@ -131,3 +131,8 @@ def test_phash_sink_crash_between_pairs_and_append_is_exactly_once(
     INC.phash_sink_batch(batch2, 1, index, pairs)
     assert spark.read.parquet(pairs).count() == before
     assert MM.read_phash_index(spark, index)[0].count() == 8
+
+# round-13: GATE-covered heavy suite — deselected from the default
+# (driver-budget) collection, runs via tools/round_gate.py / -m 'slow or not slow'
+import pytest  # noqa: E402
+pytestmark = pytest.mark.slow

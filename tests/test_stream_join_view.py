@@ -113,3 +113,8 @@ def test_streaming_join_view_equals_batch_join(spark, tmp_path):
     # cross-batch matches in BOTH directions happened
     assert any(t[0] == 9 for t in got)  # a arrived before b
     assert sum(1 for t in got if t[0] == 1) == 2  # b before second a
+
+# round-13: GATE-covered heavy suite — deselected from the default
+# (driver-budget) collection, runs via tools/round_gate.py / -m 'slow or not slow'
+import pytest  # noqa: E402
+pytestmark = pytest.mark.slow

@@ -130,3 +130,8 @@ def test_merge_freq_samples_rejects_bad_args(spark):
     )
     with pytest.raises(ValueError):
         SK.merge_freq_samples([s], "fk", k=1)
+
+# round-13: GATE-covered heavy suite — deselected from the default
+# (driver-budget) collection, runs via tools/round_gate.py / -m 'slow or not slow'
+import pytest  # noqa: E402
+pytestmark = pytest.mark.slow

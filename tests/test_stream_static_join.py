@@ -74,3 +74,8 @@ def test_stream_static_join_matches_batch(spark, sf_dir, tmp_path):
         for r in spark.sql("SELECT category, n FROM ss_join_out").collect()
     }
     assert got == want
+
+# round-13: GATE-covered heavy suite — deselected from the default
+# (driver-budget) collection, runs via tools/round_gate.py / -m 'slow or not slow'
+import pytest  # noqa: E402
+pytestmark = pytest.mark.slow

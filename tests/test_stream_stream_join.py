@@ -78,3 +78,8 @@ def test_stream_stream_join_matches_batch(spark, tmp_path):
     }
     want = batch_pairs()
     assert got == want and len(want) > 0
+
+# round-13: GATE-covered heavy suite — deselected from the default
+# (driver-budget) collection, runs via tools/round_gate.py / -m 'slow or not slow'
+import pytest  # noqa: E402
+pytestmark = pytest.mark.slow

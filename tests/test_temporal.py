@@ -392,3 +392,8 @@ def test_interval_gaps_golden(spark):
     assert g["k"] == 1
     assert (g["gap_start"], g["gap_end"]) == (t(11), t(12))
     assert g["gap_us"] == 3_600_000_000
+
+# round-13: GATE-covered heavy suite — deselected from the default
+# (driver-budget) collection, runs via tools/round_gate.py / -m 'slow or not slow'
+import pytest  # noqa: E402
+pytestmark = pytest.mark.slow

@@ -98,3 +98,7 @@ def test_exactly_four_suppliers_is_valid(spark):
     ps = PSUP.synthetic_partsupp(part, supplier)
     assert ps.count() == 200
     assert ps.select("ps_partkey", "ps_suppkey").distinct().count() == 200
+
+# round-13: GATE-covered heavy suite — deselected from the default
+# (driver-budget) collection, runs via tools/round_gate.py / -m 'slow or not slow'
+pytestmark = pytest.mark.slow

@@ -227,3 +227,8 @@ def test_versioned_default_stays_last_wins(spark, tmp_path):
     IO.write_versioned(_mk(spark, 3), path)
     IO.write_versioned(_mk(spark, 4), path)
     assert IO.read_versioned(spark, path).count() == 4
+
+# round-13: GATE-covered heavy suite — deselected from the default
+# (driver-budget) collection, runs via tools/round_gate.py / -m 'slow or not slow'
+import pytest  # noqa: E402
+pytestmark = pytest.mark.slow

@@ -247,3 +247,7 @@ def test_surrogate_two_phase_dense_at_scale(spark):
     # offset continuation
     out2 = add_surrogate_key(df.limit(10), "sk", ["nk"], offset=500)
     assert {r.sk for r in out2.collect()} == set(range(501, 511))
+
+# round-13: GATE-covered heavy suite — deselected from the default
+# (driver-budget) collection, runs via tools/round_gate.py / -m 'slow or not slow'
+pytestmark = pytest.mark.slow
